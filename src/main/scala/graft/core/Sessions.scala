@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Config choices (all scale-motivated, see SURVEY.md §4):
+  *  - UTC session timezone: oracle (DuckDB) parity for date/timestamp math.
+  *  - ANSI off: preserve null-on-cast-failure coercion semantics that the
+  *    reference relies on (pandas `to_numeric(errors='coerce')`,
+  *    `/root/reference/02_Extract_and_transform_raw_data/A2_hr_etl.py:57`).
+  *  - AQE on: runtime re-plan (skew joins, shuffle coalescing) is the main
+  *    defense at 100 TB where static stats are stale.
+  *  - shuffle.partitions sized to the local core count here; a real cluster
+  *    deployment overrides this (or relies on AQE coalescing).
+  */
+object Sessions {
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft's standard conf to an externally-built session (e.g. the
+    * driver's Verify/Bench session) without restarting it. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

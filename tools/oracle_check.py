@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Dev-side replica of the driver's DuckDB-oracle correctness gate.
+
+NOT part of the shipped Scala library — a local harness so oracle parity
+is validated before the driver runs. Usage:
+
+    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+    python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events documents embeddings").split():
+        p = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    failures = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
+        if name not in oracle:
+            print(f"[rows-only] {name}: {len(got)} rows")
+            continue
+        want = con.execute(oracle[name]).fetchdf()
+        ok, msg = compare(got, want)
+        status = "OK " if ok else "FAIL"
+        print(f"[{status}] {name}: {msg}")
+        if not ok:
+            failures += 1
+    return failures
+
+
+def compare(got, want):
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        return False, f"schema mismatch: spark={gc} oracle={wc}"
+    got = got[gc].sort_values(by=gc, ignore_index=True)
+    want = want[wc].sort_values(by=wc, ignore_index=True)
+    if len(got) != len(want):
+        return False, f"row count: spark={len(got)} oracle={len(want)}"
+    # exact, value-by-value (mirrors the driver's hash-match)
+    for c in gc:
+        a, b = got[c], want[c]
+        neq = ~((a == b) | (a.isna() & b.isna()))
+        if neq.any():
+            i = int(neq.idxmax())
+            return False, (f"col {c} differs at row {i}: "
+                           f"spark={a[i]!r} oracle={b[i]!r} "
+                           f"({int(neq.sum())} rows differ)")
+    return True, f"{len(got)} rows, {len(gc)} cols match"
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
