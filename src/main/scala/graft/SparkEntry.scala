@@ -14,12 +14,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(graft.core.Sessions.tune(spark), "/root/testdata/sf0.001")
 
+  import graft.queries._
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    Relational.queries ++ Windows.queries ++ SetOps.queries ++ Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle
 }

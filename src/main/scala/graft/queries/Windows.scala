@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{OracleParity => OP, Tables}
+
+/** Window-function coverage (SURVEY.md §2.5) + the SCD2 interval algebra
+  * (§2.7) re-expressed as windows over a change log.
+  *
+  * Scale note: every window here partitions by a high-cardinality key
+  * (customer, supplier, user) — the shuffle distributes evenly and each
+  * partition's state fits an executor. The one deliberate exception is
+  * q_window_rownum (global ordering) which is only ever applied to dim-sized
+  * inputs (SURVEY §2.5 W1: surrogate ids for tiny dims; facts use hash keys).
+  */
+object Windows {
+
+  // ------------------------------------------------------- q_window_rownum
+  /** W1: `row_number() over (order by name)` — deterministic surrogate ids
+    * for a dim table (dbt dim_department.sql:4 pattern). Single-partition by
+    * design: dims are tiny; fact surrogate keys use md5 (q_md5_surrogate). */
+  def qWindowRownum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, dir)
+      .select($"n_name", $"n_regionkey")
+      .withColumn("nation_id", row_number().over(Window.orderBy($"n_name")))
+      .orderBy($"nation_id")
+  }
+
+  private val qWindowRownumSql =
+    """SELECT n_name, n_regionkey,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS INT) AS nation_id
+      |FROM nation ORDER BY nation_id""".stripMargin
+
+  // --------------------------------------------------------- q_window_topk
+  /** Ranked top-k per group: each customer's 3 largest orders. Partition by
+    * customer → fully parallel; tie-broken on orderkey for determinism. */
+  def qWindowTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rank_in_cust", row_number().over(w))
+      .filter($"rank_in_cust" <= 3)
+      .select(
+        $"o_custkey", $"rank_in_cust", $"o_orderkey",
+        OP.dec2($"o_totalprice").cast("double").as("total_price"))
+      .orderBy($"o_custkey", $"rank_in_cust")
+  }
+
+  private val qWindowTopkSql =
+    """SELECT o_custkey, rank_in_cust, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+      |FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+      |    AS rank_in_cust
+      |  FROM orders)
+      |WHERE rank_in_cust <= 3
+      |ORDER BY o_custkey, rank_in_cust""".stripMargin
+
+  // ------------------------------------------------------ q_window_running
+  /** Frame-spec window: running quantity per supplier in ship order
+    * (rowsBetween unboundedPreceding..current). Decimal-exact running sum so
+    * every prefix matches the oracle bit-for-bit. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .withColumn("running_qty", sum(OP.dec2($"l_quantity")).over(w).cast("double"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  private val qWindowRunningSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------- q_window_lag
+  /** lag/lead: inter-event gap per user in microseconds. Exact integer
+    * arithmetic (unix_micros) so no fp drift vs the oracle. */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("gap_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+      .select($"user_id", $"event_id", $"gap_us")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val qWindowLagSql =
+    """SELECT user_id, event_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP))
+      |    - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+      |        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |    AS gap_us
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // --------------------------------------------------------- q_scd2_rebuild
+  /** SURVEY §2.7: SCD Type 2 dimension rebuilt from a change log. Treating
+    * each user's event stream as attribute changes (event_type = the tracked
+    * attribute): keep rows where the attribute differs from its predecessor
+    * (change detection = the `row_hash IS DISTINCT FROM` test,
+    * TL_combine.sql:42-49), then close validity intervals with lead()
+    * (valid_to = next change's valid_from; null = current row).
+    *
+    * This is the window-native formulation of SCD2 — one shuffle on the
+    * business key, no iterative merge. The batch-merge variant (current ∪
+    * staged) is `graft.warehouse.Scd2`. */
+  def qScd2Rebuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val changes = Tables.events(s, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      // null-safe "IS DISTINCT FROM" — first event (prev null) is a change
+      .filter(!($"event_type" <=> $"prev_type"))
+    val byUserChanges = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    changes
+      .withColumn("valid_from", $"ts")
+      .withColumn("valid_to", lead($"ts", 1).over(byUserChanges))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"event_type".as("attr_value"),
+        $"valid_from", $"valid_to", $"is_current", $"event_id")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  private val qScd2RebuildSql =
+    """WITH evts AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |changes AS (
+      |  SELECT * FROM (
+      |    SELECT *, LAG(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    FROM evts)
+      |  WHERE event_type IS DISTINCT FROM prev_type)
+      |SELECT user_id, event_type AS attr_value,
+      |  ts AS valid_from,
+      |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    AS is_current,
+      |  event_id
+      |FROM changes
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rownum"  -> (qWindowRownum _),
+    "q_window_topk"    -> (qWindowTopk _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_window_lag"     -> (qWindowLag _),
+    "q_scd2_rebuild"   -> (qScd2Rebuild _))
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rownum"  -> qWindowRownumSql,
+    "q_window_topk"    -> qWindowTopkSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_window_lag"     -> qWindowLagSql,
+    "q_scd2_rebuild"   -> qScd2RebuildSql)
+}
