@@ -31,11 +31,21 @@ object Sessions {
   }
 
   /** Apply graft's standard conf to an externally-built session (e.g. the
-    * driver's Verify/Bench session) without restarting it. */
+    * driver's Verify/Bench session) without restarting it. Idempotent and
+    * guarded: applied at most once per session, so callers on the hot path
+    * (Tables.load) pay only a conf-map lookup, and an externally-owned
+    * session's semantics are never flipped mid-flight by a repeat call. */
   def tune(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if (!spark.conf.getOption("graft.tuned").contains("true")) {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
+      // vectorized reader rejects; read nanos as long, convert in
+      // Tables.events.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("graft.tuned", "true")
+    }
     spark
   }
 }

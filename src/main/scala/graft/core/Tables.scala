@@ -20,11 +20,9 @@ object Tables {
     // null-on-cast-failure, matching the reference's pandas
     // `to_numeric(errors='coerce')` cleaning model. Enforced here because
     // externally-built sessions (the driver's Verify/Bench) reach the engine
-    // through this single entry point.
+    // through this single entry point; Sessions.tune is once-per-session
+    // guarded, so this costs one conf lookup after the first load.
     Sessions.tune(spark)
-    // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and convert in [[events]].
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

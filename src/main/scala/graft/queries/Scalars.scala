@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{OracleParity => OP, Tables}
+import graft.functions.Cleaning
 
 /** Scalar-function & cleaning-operator coverage (SURVEY.md §2.8, §2.9, S6).
   * These are the reference's pandas/SQL cleaning semantics re-expressed as
@@ -56,10 +57,7 @@ object Scalars {
     * Pure `coalesce(to_date...)` expression — null-on-parse-failure (ANSI
     * off) gives pandas' errors='coerce' semantics with no UDF. */
   def dateSafe(c: Column, fallback: String = "1957-01-01"): Column =
-    coalesce(
-      to_date(c, "yyyy-MM-dd"),
-      to_date(c, "dd-MM-yyyy"),
-      lit(java.sql.Date.valueOf(fallback)))
+    Cleaning.dateSafe(c, Some(fallback))
 
   def qDateSafe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -94,8 +92,7 @@ object Scalars {
     * null-string normalization (''/'NAN'/'null' → default) — the
     * stg_hr_employee / stg_ops_downtime cleaning semantics. */
   def nullNormalize(c: Column, default: String): Column =
-    when(c.isNull || upper(trim(c)).isin("", "NAN", "NULL"), lit(default))
-      .otherwise(trim(c))
+    Cleaning.nullNormalize(c, default)
 
   def qCleanNormalize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -107,7 +104,12 @@ object Scalars {
           .when(upper(trim($"lang")) === "FR", "FRENCH")
           .when(upper(trim($"lang")) === "ES", "SPANISH")
           .otherwise("OTHER").as("lang_name"),
-        initcap($"source").as("source_title"),
+        // first-char-only capitalization (not initcap: Spark initcap
+        // capitalizes every word while the oracle's upper(substr(c,1,1)) ||
+        // lower(substr(c,2)) touches only the first character — they agree
+        // on single tokens only, so match the oracle's semantics exactly)
+        concat(upper(substring($"source", 1, 1)),
+          lower(substring($"source", 2, Int.MaxValue))).as("source_title"),
         nullNormalize($"source", "UNKNOWN_SRC").as("source_clean"))
       .orderBy($"doc_id")
   }
@@ -127,8 +129,10 @@ object Scalars {
   /** §2.8 md5 surrogate/row-hash keys: md5(concat_ws('::', cols)) — the SCD2
     * row_hash (TL_combine.sql:28-29) and dbt generate_surrogate_key pattern.
     * Hash keys shard uniformly → no hot partitions at 100 TB, unlike
-    * sequence ids. */
-  def surrogateKey(cols: Column*): Column = md5(concat_ws("::", cols: _*))
+    * sequence ids. Delegates to [[Cleaning.surrogateKey]], which coalesces
+    * each column to '' before joining — without it concat_ws silently skips
+    * nulls, so (a, null) and (null, a) would collide. */
+  def surrogateKey(cols: Column*): Column = Cleaning.surrogateKey(cols: _*)
 
   def qMd5Surrogate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -142,7 +146,8 @@ object Scalars {
 
   private val qMd5SurrogateSql =
     """SELECT n_nationkey,
-      |  md5(concat_ws('::', n_name, CAST(n_nationkey AS VARCHAR))) AS nation_sk,
+      |  md5(concat_ws('::', COALESCE(n_name, ''),
+      |    COALESCE(CAST(n_nationkey AS VARCHAR), ''))) AS nation_sk,
       |  md5(n_name) AS name_hash
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
@@ -168,7 +173,7 @@ object Scalars {
 
   private val qNumericCoerceSql =
     """SELECT event_id,
-      |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+      |  try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
       |  COALESCE(try_cast(regexp_extract(props, '"v": (\d+)', 1) AS INT), 0)
       |    AS v_coerced,
       |  regexp_matches(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || '.0', '^\d+\.0$')
