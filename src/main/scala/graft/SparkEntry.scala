@@ -16,12 +16,16 @@ object SparkEntry {
 
   import graft.queries._
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2, plus the LLM-pipeline
+    * operator suite (dedup / similarity / text analysis). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Windows.queries ++ SetOps.queries ++ Scalars.queries
+    Relational.queries ++ Windows.queries ++ SetOps.queries ++
+      Scalars.queries ++ TextDedup.queries ++ Embeddings.queries ++
+      TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle
+    Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
+      TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle
 }

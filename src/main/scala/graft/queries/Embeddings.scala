@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over the embeddings table (vec_id, embedding FLOAT[64],
+  * label) — the ANN operators an LLM-data pipeline needs for
+  * embedding-cosine near-dup removal and retrieval.
+  *
+  * Two tiers, mirroring production practice:
+  *   - q_embed_topk: brute-force top-k cosine against one query vector — the
+  *     exact baseline. Linear scan, fully distributed, no shuffle until the
+  *     final TakeOrderedAndProject (k rows to the driver).
+  *   - q_embed_ann: LSH via random-hyperplane signatures → bucket self-join →
+  *     within-bucket exact rerank. The scale path: candidate enumeration is
+  *     keyed on the signature bucket, so cost is Σ bucket², never corpus².
+  *     At 100 TB one widens the signature (16-24 bits) and unions several
+  *     independent hash tables for recall; the plan shape is unchanged.
+  *
+  * Engine-portability: hyperplane components are deterministic ±1 constants
+  * derived from md5 in driver Scala and baked as literals into BOTH the
+  * Spark expression and the generated DuckDB oracle SQL, so the two engines
+  * compute the identical algebra. Dot products fold left-to-right in double
+  * precision on both sides; emitted similarities are rounded to 4 decimals
+  * so any sub-ulp summation divergence cannot surface.
+  *
+  * All folds are Catalyst higher-order functions (zip_with/aggregate) —
+  * codegen'd, no UDFs, arrays never leave the executors.
+  */
+object Embeddings {
+  private val Dims = 64
+  private val NumPlanes = 4 // 16 buckets; widen for larger corpora
+
+  /** Deterministic ±1 hyperplane component: top bit of md5("plane:dim").
+    * Engine-independent — evaluated once on the driver. */
+  private def sign(plane: Int, dim: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes("UTF-8"))
+    if ((d(0) & 0x80) != 0) 1 else -1
+  }
+
+  private val planes: Seq[Seq[Int]] =
+    (0 until NumPlanes).map(p => (0 until Dims).map(d => sign(p, d)))
+
+  /** Left-to-right double-precision dot product of two float-array columns. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def sqNorm(a: String): Column =
+    expr(s"aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+  /** DuckDB mirror of [[dot]]/[[cosine]] (1-based list indexing, same
+    * left-to-right fold via list_sum over the per-index products). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Signature bucket 0..15: bit p set iff hyperplane-p dot > 0. */
+  private def bucketCol(embCol: String): Column =
+    planes.zipWithIndex.map { case (h, p) =>
+      val arr = h.mkString("array(", ", ", ")")
+      val d = s"aggregate(zip_with($embCol, $arr, (x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+      when(expr(d) > 0.0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def bucketSql(embCol: String): String =
+    planes.zipWithIndex.map { case (h, p) =>
+      val arr = h.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($embCol[i] AS DOUBLE) * ($arr)[i])) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // ------------------------------------------------------------ q_embed_topk
+  /** Brute-force exact top-10 by cosine to the vec_id=0 embedding. The query
+    * vector rides in as a broadcast 1-row crossJoin (a scalar, not a
+    * cartesian risk); orderBy+limit executes as TakeOrderedAndProject —
+    * per-partition top-k, k-row driver merge, no global sort at any scale. */
+  def qEmbedTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        round(dot("embedding", "qv") /
+          (sqrt(sqNorm("embedding")) * sqrt(sqNorm("qv"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val qEmbedTopkSql =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label,
+       |  round(${dotSql("e.embedding", "q.qv")}
+       |    / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |       * sqrt(${dotSql("q.qv", "q.qv")})), 4) AS cos_sim
+       |FROM embeddings e CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------- q_embed_ann
+  /** Hyperplane-LSH ANN: signature-bucket every vector, then find each
+    * vector's nearest neighbor WITHIN its bucket by exact cosine rerank.
+    * The self-join is keyed on the bucket (never all-pairs); vectors alone
+    * in their bucket drop out (at scale, multi-table LSH recovers them).
+    * Ranking uses the rounded cosine + nn_id tiebreak so both engines rank
+    * identically. */
+  def qEmbedAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", bucketCol("embedding"))
+    val l = emb.select(col("bucket"), col("vec_id"), col("embedding"))
+    val r = emb.select(col("bucket"), col("vec_id").as("nn_id"),
+      col("embedding").as("emb2"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos_sim", round(dot("embedding", "emb2") /
+        (sqrt(sqNorm("embedding")) * sqrt(sqNorm("emb2"))), 4))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bucket"), col("nn_id"), col("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qEmbedAnnSql =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT l.vec_id, l.bucket, r.vec_id AS nn_id,
+       |    round(${dotSql("l.embedding", "r.embedding")}
+       |      / (sqrt(${dotSql("l.embedding", "l.embedding")})
+       |         * sqrt(${dotSql("r.embedding", "r.embedding")})), 4) AS cos_sim
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id)
+       |SELECT vec_id, bucket, nn_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
+       |  FROM pairs)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------- q_embed_buckets
+  /** The bucket histogram — the skew diagnostic a production ANN job watches
+    * (a hot bucket = a degenerate hyperplane set → re-salt or widen). */
+  def qEmbedBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("bucket", bucketCol("embedding"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("bucket"))
+
+  private val qEmbedBucketsSql =
+    s"""SELECT ${bucketSql("embedding")} AS bucket,
+       |  count(*) AS n_vecs, min(vec_id) AS min_vec_id
+       |FROM embeddings
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_topk"    -> (qEmbedTopk _),
+    "q_embed_ann"     -> (qEmbedAnn _),
+    "q_embed_buckets" -> (qEmbedBuckets _))
+
+  val oracle: Map[String, String] = Map(
+    "q_embed_topk"    -> qEmbedTopkSql,
+    "q_embed_ann"     -> qEmbedAnnSql,
+    "q_embed_buckets" -> qEmbedBucketsSql)
+}

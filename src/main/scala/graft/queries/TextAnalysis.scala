@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Per-document text-analysis operators for LLM training-data curation:
+  * token statistics, stopword-based language ID, composite quality scoring,
+  * and rolling-hash content fingerprinting.
+  *
+  * All pure Column/higher-order-function expressions over the `documents`
+  * table — embarrassingly parallel per-row map work with no shuffle except
+  * the final presentation sort; at 100 TB these run at parquet-scan speed
+  * inside whole-stage codegen. Arithmetic is integer-exact or single-step
+  * double ops evaluated in the same order by both engines, so results are
+  * bit-identical against the DuckDB oracle.
+  */
+object TextAnalysis {
+  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val frStops = Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "dans")
+  private val esStops = Seq("el", "la", "y", "los", "las", "un", "una", "del", "es", "en")
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** Count of tokens appearing in `xs` (multiset, via filter+size). */
+  private def hits(xs: Seq[String]): Column =
+    size(expr(s"filter(w, t -> t IN ${inList(xs)})"))
+
+  // ------------------------------------------------------------ q_text_stats
+  /** Token counting + shape stats: whitespace token count, total token
+    * chars (exact int), avg token length (one int/int division — identical
+    * IEEE double both engines), stopword count and ratio. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", toks(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        expr("aggregate(w, 0, (acc, t) -> acc + length(t))").as("n_token_chars"),
+        round(expr("aggregate(w, 0, (acc, t) -> acc + length(t))") / size(col("w")), 4)
+          .as("avg_token_len"),
+        hits(enStops).as("n_stopwords"),
+        round(hits(enStops) / size(col("w")), 4).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  // (oracle casts its BIGINT len()/list_sum() counters to INT to mirror
+  // Spark's int32 size()/aggregate-over-int results — dtype is part of the
+  // driver's schema compare)
+
+  private val qTextStatsSql =
+    s"""SELECT doc_id,
+       |  CAST(len(w) AS INT) AS n_tokens,
+       |  CAST(list_sum(list_transform(w, t -> length(t))) AS INT) AS n_token_chars,
+       |  round(list_sum(list_transform(w, t -> length(t))) / len(w), 4)
+       |    AS avg_token_len,
+       |  CAST(len(list_filter(w, t -> t IN ${inList(enStops)})) AS INT) AS n_stopwords,
+       |  round(len(list_filter(w, t -> t IN ${inList(enStops)})) / len(w), 4)
+       |    AS stopword_ratio
+       |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q_lang_id
+  /** Stopword-profile language ID (the n-gram-heuristic family): count hits
+    * against per-language stopword lists, predict by the same fixed
+    * precedence CASE on both engines. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", toks(col("text")))
+      .select(
+        col("doc_id"), col("lang"),
+        hits(enStops).as("en_hits"),
+        hits(frStops).as("fr_hits"),
+        hits(esStops).as("es_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits"), "en")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+      .withColumn("agrees", col("lang_pred") === col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val qLangIdSql =
+    s"""SELECT doc_id, lang, en_hits, fr_hits, es_hits,
+       |  CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN fr_hits >= es_hits THEN 'fr'
+       |       ELSE 'es' END AS lang_pred,
+       |  (CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |        WHEN fr_hits >= es_hits THEN 'fr'
+       |        ELSE 'es' END) = lang AS agrees
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(w, t -> t IN ${inList(enStops)})) AS INT) AS en_hits,
+       |    CAST(len(list_filter(w, t -> t IN ${inList(frStops)})) AS INT) AS fr_hits,
+       |    CAST(len(list_filter(w, t -> t IN ${inList(esStops)})) AS INT) AS es_hits
+       |  FROM (SELECT doc_id, lang,
+       |          string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- q_quality_score
+  /** Composite quality score in [0,1]: length component (saturating at 100
+    * tokens), char-length component (saturating at 500 chars), stopword
+    * density. Weights fixed; every step is the same scalar IEEE op sequence
+    * on both engines, rounded to 4. The DQ-gate shape for corpus filtering —
+    * `WHERE quality_score >= τ` pushes straight down onto the scan. */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", toks(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"), // oracle casts len() to INT to match
+        round(
+          least(lit(1.0), size(col("w")) / lit(100.0)) * 0.5
+            + least(lit(1.0), col("n_chars") / lit(500.0)) * 0.3
+            + least(lit(0.3), hits(enStops) / size(col("w"))) / 0.3 * 0.2,
+          4).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  private val qQualityScoreSql =
+    s"""SELECT doc_id,
+       |  CAST(len(w) AS INT) AS n_tokens,
+       |  round(
+       |    least(1.0, len(w) / 100.0) * 0.5
+       |    + least(1.0, n_chars / 500.0) * 0.3
+       |    + least(0.3, len(list_filter(w, t -> t IN ${inList(enStops)})) / len(w)) / 0.3 * 0.2,
+       |  4) AS quality_score
+       |FROM (SELECT doc_id, n_chars,
+       |        string_split_regex(lower(trim(text)), '\\s+') AS w
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- q_fingerprint
+  /** Rolling polynomial content fingerprint: fold h = (h*131 + ascii(c)) mod
+    * 1e9+7 over every character of the whitespace-normalized text. Exact
+    * 64-bit integer arithmetic — engine-portable, order-defined, and stable
+    * under re-partitioning (per-row, no aggregation). The cheap
+    * change-detection key for incremental corpus syncs (the row_hash idea,
+    * TL_combine.sql:28-29, applied to documents). */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .select(
+        col("doc_id"),
+        length(col("norm")).as("n_chars_norm"),
+        // iterate chars via 1-based substring, not split(norm, '') — Java
+        // zero-width split emits a trailing "" under limit=-1, which would
+        // silently fold an extra ascii('')=0 step the oracle doesn't have
+        expr("aggregate(sequence(1, length(norm)), CAST(0 AS BIGINT), (acc, i) -> (acc * 131 + ascii(substring(norm, i, 1))) % 1000000007)")
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val qFingerprintSql =
+    """SELECT doc_id,
+      |  CAST(length(norm) AS INT) AS n_chars_norm,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(norm) + 1),
+      |        i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+      |FROM (SELECT doc_id,
+      |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"    -> (qTextStats _),
+    "q_lang_id"       -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_fingerprint"   -> (qFingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats"    -> qTextStatsSql,
+    "q_lang_id"       -> qLangIdSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_fingerprint"   -> qFingerprintSql)
+}

@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Document-deduplication operators for LLM training-data pipelines:
+  * exact-dup (hash groupBy), MinHash + LSH banding, SimHash, and exact
+  * n-gram Jaccard verification over LSH candidates.
+  *
+  * The reference warehouse has plain `DISTINCT` dedup only
+  * (/root/reference/02_Extract_and_transform_raw_data/ET_combined.py:118-132);
+  * these operators extend it to the near-duplicate regime a 100 TB web-scale
+  * corpus needs. Scale design, every query:
+  *   - candidate generation is ALWAYS bucketed (md5 text-hash, LSH band
+  *     signature) and pair enumeration happens inside buckets only — there is
+  *     no crossJoin / all-pairs step anywhere;
+  *   - every hash is md5 (hex string), so results are engine-portable and
+  *     the DuckDB oracle computes the identical algebra;
+  *   - minhash aggregation is a single map-side-combinable groupBy (12 `min`
+  *     aggs over the exploded shingle stream) — one shuffle per corpus pass.
+  *
+  * At 100 TB: the shingle explosion is ~50-100× row amplification but carries
+  * only (doc_id, shingle-hash); partial min() collapses it map-side, so the
+  * shuffle moves ~n_docs × 12 hashes. Band width r=3 / 12 hashes targets
+  * Jaccard ≳ 0.7 candidates (P(candidate) = 1-(1-J^3)^4); production tunes
+  * (bands, r) per corpus without changing the plan shape.
+  */
+object TextDedup {
+  private val NumHashes = 12
+  private val BandRows  = 3
+  private val NumBands  = NumHashes / BandRows // 4
+
+  /** Tokenize to lowercased whitespace-split words. */
+  private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** 3-word shingles as exploded (doc_id, shingle) rows; docs with <3 tokens
+    * produce none (same guard in the oracle). */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingle"))
+
+  private val shingleSqlCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)-1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |        FROM aug)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  /** Near-dup test corpus: documents ∪ perturbed copies (first word dropped,
+    * doc_id+10000) of every 25th doc. The synthetic corpus has no natural
+    * near-dups, so the fixture manufactures ground truth the same way on
+    * both engines. */
+  private def augmented(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+
+  private val augmentedSqlCte =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id,
+      |    regexp_replace(text, '^\S+\s+', '') AS text
+      |  FROM documents WHERE doc_id % 25 = 0)""".stripMargin
+
+  /** Per-doc minhash signature columns mh0..mh11 over the shingle stream.
+    * min() is duplicate-insensitive, so no distinct needed pre-agg; partial
+    * aggregation collapses the explosion map-side. */
+  private def minhashes(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"mh$k"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val minhashSqlCte = {
+    val mins = (0 until NumHashes)
+      .map(k => s"    min(md5('$k:' || shingle)) AS mh$k").mkString(",\n")
+    s"mh AS (\n  SELECT doc_id,\n$mins\n  FROM sh GROUP BY doc_id)"
+  }
+
+  /** LSH band signatures: (doc_id, band_id, band_sig) — md5 over each band's
+    * r=3 concatenated minhashes. Docs sharing any (band_id, band_sig) bucket
+    * are near-dup candidates. */
+  private def bandRows(mh: DataFrame): DataFrame = {
+    val banded = (0 until NumBands).foldLeft(mh) { (df, b) =>
+      val cols = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
+      df.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
+    }
+    val stack = (0 until NumBands).map(b => s"$b, band$b").mkString(", ")
+    banded.selectExpr("doc_id",
+      s"stack($NumBands, $stack) AS (band_id, band_sig)")
+  }
+
+  private val bandSqlCte = {
+    val arms = (0 until NumBands).map { b =>
+      val cols = (0 until BandRows).map(r => s"mh${b * BandRows + r}")
+      s"  SELECT doc_id, $b AS band_id, md5(concat_ws('|', ${cols.mkString(", ")})) AS band_sig FROM mh"
+    }
+    "bands AS (\n" + arms.mkString("\n  UNION ALL\n") + ")"
+  }
+
+  // ------------------------------------------------------------ q_exact_dup
+  /** Exact dedup by normalized-text hash over a corpus with manufactured
+    * exact copies: groups with >1 doc, keeper = min doc_id (the
+    * ET_combined.py:118-132 keep-first policy, hash-partitioned instead of
+    * pandas row order). One groupBy shuffle on the 32-hex hash — uniform
+    * partitioning at any scale. */
+  def qExactDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    corpus
+      .withColumn("text_hash",
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("text_hash"))
+  }
+
+  private val qExactDupSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+      |  count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM corpus
+      |GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY text_hash""".stripMargin
+
+  // ------------------------------------------------------- q_minhash_bucket
+  /** The LSH bucket table over the raw corpus: every doc's 4 band signatures.
+    * This is the distributable index a 100 TB dedup shuffles on — downstream
+    * joins key on (band_id, band_sig), never on document pairs. */
+  def qMinhashBucket(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    bandRows(minhashes(shingleRows(docs)))
+      .orderBy(col("doc_id"), col("band_id"))
+  }
+
+  private val qMinhashBucketSql =
+    s"""WITH aug AS (SELECT doc_id, text FROM documents),
+       |$shingleSqlCte,
+       |$minhashSqlCte,
+       |$bandSqlCte
+       |SELECT doc_id, band_id, band_sig FROM bands
+       |ORDER BY doc_id, band_id""".stripMargin
+
+  // -------------------------------------------------------- q_minhash_pairs
+  /** Full MinHash-LSH near-dup pipeline on the augmented corpus: shingle →
+    * minhash → band → bucket self-join → distinct candidate pairs (a < b).
+    * The join is keyed on (band_id, band_sig): pair enumeration cost is
+    * Σ bucket² over near-identical docs only, not corpus². */
+  def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val buckets = bandRows(minhashes(shingleRows(
+      augmented(Tables.documents(s, dir)))))
+    val l = buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("a"))
+    val r = buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("b"))
+    l.join(r, Seq("band_id", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val qMinhashPairsSql =
+    s"""WITH $augmentedSqlCte,
+       |$shingleSqlCte,
+       |$minhashSqlCte,
+       |$bandSqlCte
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM bands l JOIN bands r
+       |  ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+       |WHERE l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+
+  // -------------------------------------------------------- q_jaccard_pairs
+  /** Exact 3-gram Jaccard verification of the LSH candidates (the
+    * verify-within-bucket stage): |A∩B| via a shingle equi-join restricted to
+    * candidate pairs, |A∪B| = |A|+|B|−|A∩B|. Cost is candidates × shingles,
+    * never corpus². DuckDB `/` on integers is float division, matching
+    * Spark's long/long → double. */
+  def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(Tables.documents(s, dir))
+    val sh = shingleRows(aug).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val buckets = bandRows(minhashes(shingleRows(aug)))
+    val cand = buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("a"))
+      .join(buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("b")),
+        Seq("band_id", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_inter"),
+        (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"),
+        round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 6)
+          .as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val qJaccardPairsSql =
+    s"""WITH $augmentedSqlCte,
+       |$shingleSqlCte,
+       |$minhashSqlCte,
+       |$bandSqlCte,
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+       |  WHERE l.doc_id < r.doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shd sa ON sa.doc_id = c.a
+       |  JOIN shd sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+       |  GROUP BY c.a, c.b)
+       |SELECT c.a, c.b, COALESCE(i.n_inter, 0) AS n_inter,
+       |  za.sz + zb.sz - COALESCE(i.n_inter, 0) AS n_union,
+       |  round(COALESCE(i.n_inter, 0) / (za.sz + zb.sz - COALESCE(i.n_inter, 0)), 6)
+       |    AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+       |JOIN sizes za ON za.doc_id = c.a
+       |JOIN sizes zb ON zb.doc_id = c.b
+       |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------- q_simhash
+  /** 16-bit SimHash fingerprints: per token, bit b contributes +1/−1 by the
+    * b-th hex nibble of md5(token) (top bit of the nibble); fingerprint bit =
+    * sign of the sum. Token multiset weighting comes free from explode (no
+    * distinct). One groupBy with 16 integer sums — map-side combinable, one
+    * shuffle of 16 ints per doc at any scale. Near-dups then bucket by
+    * fingerprint (or by Hamming-ball probes) instead of pairwise compare. */
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val sums = (0 until 16).map(b =>
+      sum(when(substring(md5(col("tok")), b + 1, 1).isin(hexHigh: _*), 1)
+        .otherwise(-1)).as(s"s$b"))
+    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)).cast("long"))
+          .reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qSimhashSql = {
+    val sums = (0 until 16).map(b =>
+      s"    sum(CASE WHEN substr(md5(tok), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n")
+    val fp = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |sums AS (
+       |  SELECT doc_id,
+       |$sums
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exact_dup"      -> (qExactDup _),
+    "q_minhash_bucket" -> (qMinhashBucket _),
+    "q_minhash_pairs"  -> (qMinhashPairs _),
+    "q_jaccard_pairs"  -> (qJaccardPairs _),
+    "q_simhash"        -> (qSimhash _))
+
+  val oracle: Map[String, String] = Map(
+    "q_exact_dup"      -> qExactDupSql,
+    "q_minhash_bucket" -> qMinhashBucketSql,
+    "q_minhash_pairs"  -> qMinhashPairsSql,
+    "q_jaccard_pairs"  -> qJaccardPairsSql,
+    "q_simhash"        -> qSimhashSql)
+}
