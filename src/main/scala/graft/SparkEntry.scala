@@ -21,11 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ SetOps.queries ++
       Scalars.queries ++ TextDedup.queries ++ Embeddings.queries ++
-      TextAnalysis.queries
+      TextAnalysis.queries ++ WarehouseOps.queries ++ graft.kpi.Kpi.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
-      TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle
+      TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle ++
+      WarehouseOps.oracle ++ graft.kpi.Kpi.oracle
 }

@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet sinks for the warehouse write path.
+  *
+  * The reference persists three ways (SURVEY §2.1 S3/S4): staging tables are
+  * full-replaced each run (`to_sql(if_exists="replace")`,
+  * /root/reference/02_Extract_and_transform_raw_data/ET_combined.py:137,253,401),
+  * log tables are append-only (A2_hr_etl.py:98,119), facts are append-only
+  * with anti-join dedup. Under pure Parquet (no Delta/Iceberg jars in this
+  * build) "replace" needs care: Spark cannot overwrite a directory that one
+  * of its own running plans is reading, and a crashed overwrite must not
+  * leave a half-written table. Hence [[overwriteSwap]]: write the new state
+  * to a temp dir next to the target, then swap via rename — readers either
+  * see the old complete state or the new complete state.
+  *
+  * Scale: all writes go through the normal distributed Parquet committer;
+  * the swap itself is two driver-side namespace ops (O(1) on HDFS-like
+  * stores; on object stores a real deployment would swap a catalog pointer
+  * instead — this is the single place to change that).
+  */
+object Sinks {
+
+  /** Append-only sink (audit/DQ logs, incremental facts). */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Full-replace sink with temp-dir-and-swap semantics (staging tables,
+    * SCD2 dimension rewrite). Safe to call when `df` reads from `path`
+    * itself (the SCD2 rewrite case): the plan materializes entirely into the
+    * temp dir before the target is touched. */
+  def overwriteSwap(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = fs.makeQualified(new Path(path))
+    val tmp = new Path(target.getParent, target.getName + ".__swap_tmp")
+    val old = new Path(target.getParent, target.getName + ".__swap_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    // swap: current -> .old, tmp -> current, drop .old
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"overwriteSwap: cannot move $target aside")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll back
+      throw new java.io.IOException(s"overwriteSwap: cannot promote $tmp")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Read a table previously written by either sink. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{OracleParity => OP, Tables}
+import graft.warehouse.Scd2
+
+/** Warehouse-algorithm coverage backed by the graft.warehouse /
+  * graft.etl libraries: the SCD2 batch merge (§2.7), dedup-with-capture
+  * (A8) and group-mean imputation join-back (J9) — each oracle-checked by
+  * expressing the identical algebra in DuckDB SQL over the testdata.
+  */
+object WarehouseOps {
+
+  // ------------------------------------------------------------ q_scd2_merge
+  /** SCD2 batch merge via [[graft.warehouse.Scd2.merge]]: the customer table
+    * plays the current dim (bootstrapped 2020-01-01); the staged batch
+    * perturbs every 7th key's balance (changed), adds key+10000 for every
+    * 100th (new), leaves the rest untouched. Result = unchanged ∪ expired ∪
+    * fresh as of 2024-01-01 (TL_combine.sql:22-62 algebra).
+    *
+    * Balance flows in exact DECIMAL(18,2) space so the md5 row-hash sees the
+    * identical string rendering on both engines; the output column is cast
+    * back to double. */
+  def qScd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val bal = col("c_acctbal").cast(DecimalType(18, 2))
+    val base = cust.select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"), bal.as("bal"))
+    val current = Scd2.initial(base, "c_custkey",
+      Seq("c_name", "c_mktsegment", "bal"), Date.valueOf("2020-01-01"))
+    val staged = base
+      .withColumn("bal",
+        when(col("c_custkey") % 7 === 0, col("bal") + 100).otherwise(col("bal")))
+      .unionByName(base.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 10000).as("c_custkey"),
+          col("c_name"), col("c_mktsegment"), col("bal")))
+    Scd2.merge(current, staged, "c_custkey",
+      Seq("c_name", "c_mktsegment", "bal"), Date.valueOf("2024-01-01"))
+      .withColumn("bal", col("bal").cast(DoubleType))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  private val qScd2MergeSql =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer),
+      |cur AS (
+      |  SELECT *,
+      |    md5(concat_ws('::', COALESCE(c_name, ''), COALESCE(c_mktsegment, ''),
+      |      COALESCE(CAST(bal AS VARCHAR), ''))) AS row_hash,
+      |    DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |    TRUE AS is_current
+      |  FROM base),
+      |stg AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |    CASE WHEN c_custkey % 7 = 0 THEN bal + 100 ELSE bal END AS bal
+      |  FROM base
+      |  UNION ALL
+      |  SELECT c_custkey + 10000, c_name, c_mktsegment, bal
+      |  FROM base WHERE c_custkey % 100 = 0),
+      |stgh AS (
+      |  SELECT *,
+      |    md5(concat_ws('::', COALESCE(c_name, ''), COALESCE(c_mktsegment, ''),
+      |      COALESCE(CAST(bal AS VARCHAR), ''))) AS row_hash
+      |  FROM stg),
+      |changed AS (
+      |  SELECT c.c_custkey FROM cur c
+      |  JOIN stgh s ON s.c_custkey = c.c_custkey
+      |  WHERE c.row_hash IS DISTINCT FROM s.row_hash),
+      |fresh AS (
+      |  SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.bal, s.row_hash,
+      |    DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |    TRUE AS is_current
+      |  FROM stgh s LEFT JOIN cur c ON s.c_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL OR c.row_hash IS DISTINCT FROM s.row_hash),
+      |expired AS (
+      |  SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.bal, c.row_hash,
+      |    c.valid_from, DATE '2024-01-01' AS valid_to, FALSE AS is_current
+      |  FROM cur c JOIN changed ch ON ch.c_custkey = c.c_custkey),
+      |unchanged AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, bal, row_hash,
+      |    valid_from, valid_to, is_current
+      |  FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM changed))
+      |SELECT c_custkey, c_name, c_mktsegment, CAST(bal AS DOUBLE) AS bal,
+      |  row_hash, valid_from, valid_to, is_current
+      |FROM (SELECT * FROM unchanged
+      |      UNION ALL SELECT * FROM expired
+      |      UNION ALL SELECT * FROM fresh)
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  // ------------------------------------------------------------- q_dedup_log
+  /** A8 dedup-with-capture (ET_combined.py:118-132): full-row duplicates
+    * beyond the first are emitted as DQ rows (the capture side of
+    * [[graft.etl.DqEngine.dedupWithLog]]); corpus manufactures one extra
+    * copy of every 100th order. All copies of a group are identical, so any
+    * row_number assignment logs the same values — deterministic despite the
+    * unordered partitionBy. */
+  def qDedupLog(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val corpus = ord.unionByName(ord.filter(col("o_orderkey") % 100 === 0))
+    val w = Window.partitionBy(corpus.columns.map(col): _*)
+      .orderBy(col("o_orderkey"))
+    corpus.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(
+        col("o_orderkey").cast(StringType).as("row_reference"),
+        col("o_custkey"),
+        lit("duplicate_row").as("issue"))
+      .orderBy(col("o_orderkey").cast(StringType))
+  }
+
+  private val qDedupLogSql =
+    """WITH corpus AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 100 = 0),
+      |rn AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_orderkey, o_custkey, o_orderstatus
+      |    ORDER BY o_orderkey) AS __rn
+      |  FROM corpus)
+      |SELECT CAST(o_orderkey AS VARCHAR) AS row_reference, o_custkey,
+      |  'duplicate_row' AS issue
+      |FROM rn WHERE __rn > 1
+      |ORDER BY row_reference""".stripMargin
+
+  // ----------------------------------------------------------- q_impute_mean
+  /** J9 group-mean imputation, window+coalesce form (C2_ops_etl.py:61-85;
+    * dbt stg_ops_downtime.sql:27-47): nulls are manufactured on every 17th
+    * event, then filled with the 2-decimal-rounded group mean over
+    * (event_type, user bucket). The mean is computed in exact decimal space
+    * (OracleParity) so both engines round the identical double. One shuffle
+    * on the group key — no aggregate + join-back. */
+  def qImputeMean(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        (col("user_id") % 10).as("bucket"),
+        when(col("event_id") % 17 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("value")).as("value_dirty"))
+    val grp = Window.partitionBy(col("event_type"), col("bucket"))
+    val mean = round(
+      sum(OP.dec2(col("value_dirty"))).over(grp).cast(DoubleType) /
+        count(col("value_dirty")).over(grp), 2)
+    ev.withColumn("value_imputed",
+      coalesce(OP.dec2(col("value_dirty")).cast(DoubleType), mean))
+      .withColumn("was_imputed", col("value_dirty").isNull)
+      .withColumn("value_dirty", OP.dec2(col("value_dirty")).cast(DoubleType))
+      .orderBy(col("event_id"))
+  }
+
+  private val qImputeMeanSql =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, user_id % 10 AS bucket,
+      |    CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS vd
+      |  FROM events)
+      |SELECT event_id, event_type, bucket,
+      |  CAST(CAST(vd AS DECIMAL(18,2)) AS DOUBLE) AS value_dirty,
+      |  COALESCE(CAST(CAST(vd AS DECIMAL(18,2)) AS DOUBLE),
+      |    round(
+      |      CAST(SUM(CAST(vd AS DECIMAL(18,2))) OVER (
+      |        PARTITION BY event_type, bucket) AS DOUBLE)
+      |      / COUNT(vd) OVER (PARTITION BY event_type, bucket), 2))
+      |    AS value_imputed,
+      |  vd IS NULL AS was_imputed
+      |FROM ev ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_merge"  -> (qScd2Merge _),
+    "q_dedup_log"   -> (qDedupLog _),
+    "q_impute_mean" -> (qImputeMean _))
+
+  val oracle: Map[String, String] = Map(
+    "q_scd2_merge"  -> qScd2MergeSql,
+    "q_dedup_log"   -> qDedupLogSql,
+    "q_impute_mean" -> qImputeMeanSql)
+}

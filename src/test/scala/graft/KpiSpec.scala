@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kpi.Kpi
+
+/** All 8 KPI views build, register, and answer through spark.sql (the S7
+  * view-sink surface); exact values for 4 of them are the DuckDB oracle's
+  * job (q_kpi_* entries). */
+class KpiSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, "graft-kpi-test")
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("all 8 KPI views register and are queryable via spark.sql") {
+    val names = Kpi.registerAll(spark, sfDir)
+    assert(names.length == 8)
+    names.foreach { v =>
+      assert(spark.sql(s"SELECT * FROM $v").count() > 0, s"$v is empty")
+    }
+  }
+
+  test("net never exceeds gross") {
+    val bad = Kpi.netVsGrossByType(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("net_amount") >
+        org.apache.spark.sql.functions.col("gross_amount"))
+    assert(bad.count() == 0)
+  }
+
+  test("dim_time covers the orders date range with correct weekend flags") {
+    import org.apache.spark.sql.functions._
+    val dt = Kpi.dimTime(spark).cache()
+    assert(dt.count() == 2557) // 1995-01-01..2001-12-31
+    val jan1_1995 = dt.filter(col("full_date") === lit("1995-01-01").cast("date")).head()
+    assert(jan1_1995.getAs[Boolean]("is_weekend")) // a Sunday
+    assert(jan1_1995.getAs[Int]("time_id") == 1)
+  }
+}
