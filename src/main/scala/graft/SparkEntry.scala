@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ SetOps.queries ++
       Scalars.queries ++ TextDedup.queries ++ Embeddings.queries ++
-      TextAnalysis.queries ++ WarehouseOps.queries ++ graft.kpi.Kpi.queries
+      TextAnalysis.queries ++ WarehouseOps.queries ++
+      graft.kpi.Kpi.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,174 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines: media ride through the warehouse as opaque `binary` payload
+  * columns + a typed metadata struct, and the per-item decode /
+  * feature-extract / resize / frame-sample steps run as partition-local
+  * transforms over the binary bytes.
+  *
+  * The Spark-side plumbing here — schema, batch shape, partitioning,
+  * operator signatures — is real and tested; the codec itself is STUBBED
+  * with a deterministic fake (see [[FakeCodec]]): this build ships no
+  * image/audio libraries, and a production deployment swaps exactly one
+  * function. The fake parses a tiny self-describing header ("GFT1" magic +
+  * width/height/channels) so decode logic, error paths (corrupt payload →
+  * null + issue row), and shape arithmetic are all exercised.
+  *
+  * Scale design:
+  *  - payloads never visit the driver: all ops are `mapPartitions` over the
+  *    rows of a partition (the Scala analogue of batch-wise Pandas UDFs) or
+  *    pure expressions; partition sizing is governed by bytes not rows —
+  *    repartition media tables by `total_bytes / target_partition_bytes`;
+  *  - metadata (dims, codec, duration) lives in a plain struct column so
+  *    filters like `meta.width >= 64` prune BEFORE any decode happens and
+  *    push down to the parquet scan;
+  *  - derived features are fixed-width float arrays — the same shape the
+  *    [[graft.queries.Embeddings]] ANN operators consume downstream.
+  */
+object Multimodal {
+
+  /** Rows-only driver entry (no DuckDB oracle — the codec stub is
+    * Scala-side, not SQL-expressible): decode+feature-extract over a
+    * deterministic synthetic media table. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> ((s: SparkSession, _: String) =>
+      extractFeatures(syntheticMedia(s, 200)).orderBy(col("media_id"))))
+
+  /** Media-table schema: id + modality + typed metadata + opaque payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("codec", StringType))), nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic fake codec standing in for the real image library.
+    * Payload layout: "GFT1" magic, then width/height/channels bytes, then
+    * width*height*channels "pixel" bytes. */
+  object FakeCodec {
+    val Magic: Array[Byte] = "GFT1".getBytes("UTF-8")
+
+    def encode(width: Int, height: Int, channels: Int, seed: Long): Array[Byte] = {
+      val px = Array.tabulate(width * height * channels)(i =>
+        (((seed + i) * 1103515245 + 12345) >>> 16 & 0xff).toByte)
+      Magic ++ Array(width.toByte, height.toByte, channels.toByte) ++ px
+    }
+
+    /** Decoded image: dims + pixel bytes. Returns None for corrupt input —
+      * the error path every real codec needs. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (payload == null || payload.length < 7) return None
+      if (!payload.take(4).sameElements(Magic)) return None
+      val (w, h, c) = (payload(4) & 0xff, payload(5) & 0xff, payload(6) & 0xff)
+      val px = payload.drop(7)
+      if (px.length != w * h * c) None else Some((w, h, c, px))
+    }
+  }
+
+  /** Build a deterministic demo media table from a row range (the fixture
+    * generator for tests; a real pipeline reads parquet with this schema).
+    * Every 13th payload is corrupted to exercise the decode error path. */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val (w, h, c) = (8 + (i % 5) * 4, 8 + (i % 3) * 4, if (i % 2 == 0) 3 else 1)
+      val good = FakeCodec.encode(w, h, c, i.toLong)
+      val payload = if (i % 13 == 0 && i > 0) good.drop(5) else good
+      Row(i.toLong, if (i % 4 == 3) "audio" else "image",
+        Row(w, h, c, "gft1"), payload)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), mediaSchema)
+  }
+
+  /** Feature-extraction output schema. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_intensity", DoubleType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Decode + feature-extract, partition-local (no shuffle, no driver
+    * traffic). Features = `dim`-bin histogram of pixel bytes, L1-normalized
+    * — deterministic, fixed-width, ANN-ready. Corrupt payloads yield
+    * ok=false rows instead of failing the job. */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        FakeCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, c, px)) =>
+            val hist = new Array[Long](dim)
+            px.foreach(b => hist((b & 0xff) * dim / 256) += 1)
+            val total = math.max(px.length, 1).toDouble
+            val feats = hist.map(v => (v / total).toFloat)
+            val mean = px.map(_ & 0xff).sum / total
+            Row(id, true, w, h, c, mean, feats.toSeq)
+          case None =>
+            Row(id, false, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(out, featureSchema)
+  }
+
+  /** Resize stub: recompute shape metadata + a deterministic downsampled
+    * payload (nearest-neighbor over the fake pixel grid). Partition-local. */
+  def resize(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("payload", BinaryType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        FakeCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, c, px)) =>
+            val resized = Array.tabulate(newW * newH * c) { i =>
+              val ch = i % c; val x = (i / c) % newW; val y = i / c / newW
+              px(((y * h / newH) * w + (x * w / newW)) * c + ch)
+            }
+            Row(id, true,
+              FakeCodec.Magic ++ Array(newW.toByte, newH.toByte, c.toByte) ++ resized)
+          case None => Row(id, false, null)
+        }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Frame-sample stub (video → every `stride`-th row of the pixel grid as
+    * a "frame"): one input row explodes to k output rows, the shape a video
+    * pipeline needs. Implemented as flatMap over partitions. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        FakeCodec.decode(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, c, px)) =>
+            (0 until h by stride).zipWithIndex.map { case (y, fno) =>
+              Row(id, fno, px.slice(y * w * c, (y + 1) * w * c))
+            }
+          case None => Seq.empty[Row]
+        }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+}

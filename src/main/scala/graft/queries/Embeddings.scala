@@ -105,15 +105,20 @@ object Embeddings {
     * Ranking uses the rounded cosine + nn_id tiebreak so both engines rank
     * identically. */
   def qEmbedAnn(s: SparkSession, dir: String): DataFrame = {
+    // norms precomputed once per vector BEFORE the self-join (n sqrt folds,
+    // not 2×pairs) — the per-pair work is a single dot product. Identical
+    // values to the oracle's per-pair norms: sqrt(Σx²) doesn't depend on
+    // where it's evaluated.
     val emb = Tables.embeddings(s, dir)
       .withColumn("bucket", bucketCol("embedding"))
-    val l = emb.select(col("bucket"), col("vec_id"), col("embedding"))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+    val l = emb.select(col("bucket"), col("vec_id"), col("embedding"), col("norm"))
     val r = emb.select(col("bucket"), col("vec_id").as("nn_id"),
-      col("embedding").as("emb2"))
+      col("embedding").as("emb2"), col("norm").as("norm2"))
     val pairs = l.join(r, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos_sim", round(dot("embedding", "emb2") /
-        (sqrt(sqNorm("embedding")) * sqrt(sqNorm("emb2"))), 4))
+      .withColumn("cos_sim",
+        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
     pairs.withColumn("rn", row_number().over(w))

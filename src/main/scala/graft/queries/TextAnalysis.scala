@@ -131,6 +131,36 @@ object TextAnalysis {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- q_token_count
+  /** BPE-style pre-tokenization count next to the whitespace count: the
+    * GPT-ish pre-tokenizer regex family (letter runs | digit runs | single
+    * punctuation) via regexp_extract_all. The pattern uses only syntax
+    * shared by Java regex and RE2 so both engines tokenize identically.
+    * The tokens-per-word ratio is the cost predictor LLM-data pipelines
+    * budget by. */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", toks(col("text")))
+      .withColumn("bpe", expr(
+        """regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_ws_tokens"),
+        size(col("bpe")).as("n_bpe_tokens"),
+        round(size(col("bpe")) / size(col("w")), 4).as("tokens_per_word"))
+      .orderBy(col("doc_id"))
+
+  private val qTokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT)
+      |    AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |    AS INT) AS n_bpe_tokens,
+      |  round(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |    / len(string_split_regex(lower(trim(text)), '\s+')), 4)
+      |    AS tokens_per_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- q_fingerprint
   /** Rolling polynomial content fingerprint: fold h = (h*131 + ascii(c)) mod
     * 1e9+7 over every character of the whitespace-normalized text. Exact
@@ -169,11 +199,13 @@ object TextAnalysis {
     "q_text_stats"    -> (qTextStats _),
     "q_lang_id"       -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
+    "q_token_count"   -> (qTokenCount _),
     "q_fingerprint"   -> (qFingerprint _))
 
   val oracle: Map[String, String] = Map(
     "q_text_stats"    -> qTextStatsSql,
     "q_lang_id"       -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
+    "q_token_count"   -> qTokenCountSql,
     "q_fingerprint"   -> qFingerprintSql)
 }

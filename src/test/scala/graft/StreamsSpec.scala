@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Streaming surface tests via MemoryStream — watermarked windowed agg,
+  * mapGroupsWithState, and the foreachBatch bridge into the batch library.
+  */
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, "graft-stream-test")
+
+  case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  private def ev(min: Int, user: Long, typ: String, v: Double) =
+    Ev(Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), user, typ, v)
+
+  test("windowed aggregation over a memory stream produces per-window sums") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = Streams.windowedEventStats(src.toDF(), "10 minutes", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete").start()
+    try {
+      src.addData(ev(1, 1, "click", 1.5), ev(2, 2, "click", 2.5),
+        ev(11, 1, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+      assert(rows.length == 2)
+      val click = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(click.getAs[Long]("n_events") == 2)
+      assert(click.getAs[Double]("total_value") == 4.0)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = Streams.userRunningCounts(spark, src.toDF())
+    val q = out.writeStream.format("memory").queryName("user_counts")
+      .outputMode("update").start()
+    try {
+      src.addData(ev(1, 7, "click", 1.0), ev(2, 7, "click", 2.0))
+      q.processAllAvailable()
+      src.addData(ev(3, 7, "view", 3.0))
+      q.processAllAvailable()
+      val last = spark.table("user_counts")
+        .filter(col("user_id") === 7).orderBy(col("n_events").desc).head()
+      assert(last.getAs[Long]("n_events") == 3)
+      assert(last.getAs[Double]("total_value") == 6.0)
+    } finally q.stop()
+  }
+
+  test("foreachBatch runs a batch-library cleaning stage per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val outDir = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = Streams.foreachBatchSink(src.toDF(), ckpt) { (batch, _) =>
+      // the same pure-combinator cleaning the batch ETL uses
+      val cleaned = batch.withColumn("event_type",
+        graft.functions.Cleaning.nullNormalize(col("event_type"), "UNKNOWN"))
+      graft.io.Sinks.appendParquet(cleaned, s"$outDir/events_clean")
+    }
+    try {
+      src.addData(ev(1, 1, null, 1.0), ev(2, 2, "click", 2.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$outDir/events_clean")
+      assert(got.count() == 2)
+      assert(got.filter(col("event_type") === "UNKNOWN").count() == 1)
+    } finally q.stop()
+  }
+}
