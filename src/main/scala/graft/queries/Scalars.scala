@@ -181,6 +181,56 @@ object Scalars {
       |  CAST(CAST(abs(value - 100.0) AS DECIMAL(18,2)) AS DOUBLE) AS abs_dev
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------- q_float_fix
+  /** F-floatfix (stg_finance_expense.sql:32-33; B2_finance_etl.py:51-53):
+    * pandas int-through-float ID artifacts — '123.0' → '123', non-matching
+    * strings pass through. Exercises [[Cleaning.stripFloatSuffix]] against
+    * a 3-way dirty column manufactured from order keys. */
+  def qFloatFix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dirty = Tables.orders(s, dir).select(
+      $"o_orderkey",
+      when($"o_orderkey" % 3 === 0, concat($"o_custkey".cast(StringType), lit(".0")))
+        .when($"o_orderkey" % 3 === 1, $"o_custkey".cast(StringType))
+        .otherwise(concat(lit("id-"), $"o_custkey".cast(StringType))).as("raw_id"))
+    dirty
+      .withColumn("fixed_id", Cleaning.stripFloatSuffix($"raw_id"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val qFloatFixSql =
+    """WITH dirty AS (
+      |  SELECT o_orderkey,
+      |    CASE
+      |      WHEN o_orderkey % 3 = 0 THEN CAST(o_custkey AS VARCHAR) || '.0'
+      |      WHEN o_orderkey % 3 = 1 THEN CAST(o_custkey AS VARCHAR)
+      |      ELSE 'id-' || CAST(o_custkey AS VARCHAR) END AS raw_id
+      |  FROM orders)
+      |SELECT o_orderkey, raw_id,
+      |  CASE WHEN regexp_matches(raw_id, '^\d+\.0$')
+      |       THEN regexp_replace(raw_id, '\.0$', '')
+      |       ELSE raw_id END AS fixed_id
+      |FROM dirty ORDER BY o_orderkey""".stripMargin
+
+  // --------------------------------------------------------- q_null_filter
+  /** P7 null-drop filter (C2_ops_etl.py:64 dropna; dbt
+    * stg_ops_downtime.sql:31): nulls manufactured via nullif, then
+    * `IS NOT NULL` — the predicate pushes down to the scan. */
+  def qNullFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("maybe_type", nullif($"event_type", lit("error")))
+      .filter($"maybe_type".isNotNull)
+      .select($"event_id", $"maybe_type")
+      .orderBy($"event_id")
+  }
+
+  private val qNullFilterSql =
+    """SELECT event_id, NULLIF(event_type, 'error') AS maybe_type
+      |FROM events
+      |WHERE NULLIF(event_type, 'error') IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------- q_dq_rules
   /** §2.9: the rule-based DQ engine shape — N predicate rules over a table,
     * each violation emitting a log row {table, column, row_reference,
@@ -228,6 +278,8 @@ object Scalars {
     "q_clean_normalize" -> (qCleanNormalize _),
     "q_md5_surrogate"   -> (qMd5Surrogate _),
     "q_numeric_coerce"  -> (qNumericCoerce _),
+    "q_float_fix"       -> (qFloatFix _),
+    "q_null_filter"     -> (qNullFilter _),
     "q_dq_rules"        -> (qDqRules _))
 
   val oracle: Map[String, String] = Map(
@@ -236,5 +288,7 @@ object Scalars {
     "q_clean_normalize" -> qCleanNormalizeSql,
     "q_md5_surrogate"   -> qMd5SurrogateSql,
     "q_numeric_coerce"  -> qNumericCoerceSql,
+    "q_float_fix"       -> qFloatFixSql,
+    "q_null_filter"     -> qNullFilterSql,
     "q_dq_rules"        -> qDqRulesSql)
 }

@@ -105,6 +105,22 @@ class EtlSpec extends AnyFunSuite {
     assert(fact.count() + misses.count() == fin.staging.count())
   }
 
+  test("HR: missing EmployeeID falls back to TEMP_{n} and is logged (W2)") {
+    // fixture CSVs have no missing ids, so manufacture one (A2_hr_etl.py:80-86)
+    val dir = Files.createTempDirectory("graft-hr-dirty")
+    val csv = dir.resolve("hr.csv")
+    Files.writeString(csv,
+      """EmployeeID,Name,Department,Gender,DateOfJoining,ManagerID,Salary,Status
+        |2001,Employee X,IT,M,2020-01-01,,50000,Active
+        |,Employee Y,HR,F,2020-02-02,2001,60000,Active
+        |""".stripMargin)
+    val r = Etl.hr(spark, csv.toString, ctx)
+    val temp = r.staging.filter(col("employee_id").startsWith("TEMP_"))
+    assert(temp.count() == 1)
+    assert(temp.head().getAs[String]("name") == "Employee Y")
+    assert(r.dqLog.filter(col("issue") === "missing_employee_id").count() == 1)
+  }
+
   test("runAll writes staging + appends logs via the sinks") {
     val dir = Files.createTempDirectory("graft-wh").toString
     Etl.runAll(spark, seeds, dir, ctx)

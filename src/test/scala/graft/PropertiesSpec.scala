@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{DqEngine, JobContext}
+import graft.functions.Cleaning
+import graft.warehouse.Scd2
+
+/** Property-based invariants (SURVEY §5.4): cleaning idempotence, SCD2
+  * structural invariants under random change batches, dedup-log
+  * completeness (kept + logged == input). */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, "graft-prop-test")
+
+  /** Raw-ScalaCheck sampling loop (scalatestplus bridge not in this build):
+    * run the property over `n` generated samples. */
+  private def forAllSampled[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(body)
+
+  private val dirtyString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)), Gen.const(""), Gen.const("NaN"),
+    Gen.const("null"), Gen.const("  padded  "), Gen.const("M"),
+    Gen.const("female"), Gen.const("123.0"), Gen.const("2020-05-17"),
+    Gen.const("17-05-2020"), Gen.const("not-a-date"))
+
+  test("cleaning combinators are idempotent: clean(clean(x)) == clean(x)") {
+    forAllSampled(Gen.listOfN(40, dirtyString)) { vals =>
+      import spark.implicits._
+      val df = vals.toDF("x")
+      def cleanOnce(c: org.apache.spark.sql.Column) =
+        Cleaning.nullNormalize(Cleaning.stripFloatSuffix(trim(c)), "DEFAULT")
+      val once = df.select(cleanOnce($"x").as("x"))
+      val twice = once.select(cleanOnce($"x").as("x"))
+      assert(once.collect().toSeq == twice.collect().toSeq)
+    }
+  }
+
+  test("genderNormalize output is closed over {M, F, UNKNOWN} and idempotent-stable") {
+    forAllSampled(Gen.listOfN(40, dirtyString)) { vals =>
+      import spark.implicits._
+      val out = vals.toDF("g").select(Cleaning.genderNormalize(col("g")).as("g"))
+      val domain = out.collect().map(_.getString(0)).toSet
+      assert(domain.subsetOf(Set("M", "F", "UNKNOWN")))
+      // M/F are fixed points of the normalizer
+      val again = out.select(Cleaning.genderNormalize(col("g")).as("g"))
+      assert(again.collect().map(_.getString(0)).toSet.subsetOf(Set("M", "F", "UNKNOWN")))
+    }
+  }
+
+  test("dateSafe returns a valid date or the fallback, never throws") {
+    forAllSampled(Gen.listOfN(40, dirtyString)) { vals =>
+      import spark.implicits._
+      val parsed = vals.toDF("d")
+        .select(Cleaning.dateSafe(col("d"), Some("1957-01-01")).as("p"))
+      assert(parsed.filter(col("p").isNull).count() == 0)
+    }
+  }
+
+  private val empRow: Gen[(String, String, String)] = for {
+    id <- Gen.chooseNum(1, 8).map(n => s"e$n")
+    name <- Gen.oneOf("Ann", "Bob", "Cyn", "Dee")
+    dept <- Gen.oneOf("IT", "HR", "OPS")
+  } yield (id, name, dept)
+
+  test("SCD2 invariants hold under random batches: ≤1 current per key, " +
+    "intervals ordered, unchanged-rerun is a no-op") {
+    import spark.implicits._
+    forAllSampled(Gen.zip(Gen.listOfN(6, empRow), Gen.listOfN(6, empRow)), 5) { case (s0, s1) =>
+      val snap0 = s0.distinctBy(_._1).toDF("emp_id", "name", "dept")
+      val snap1 = s1.distinctBy(_._1).toDF("emp_id", "name", "dept")
+      val cur = Scd2.initial(snap0, "emp_id", Seq("name", "dept"),
+        Date.valueOf("2020-01-01"))
+      val merged = Scd2.merge(cur, snap1, "emp_id", Seq("name", "dept"),
+        Date.valueOf("2024-01-01")).cache()
+      // ≤1 current row per business key
+      assert(merged.filter($"is_current").groupBy($"emp_id").count()
+        .filter($"count" > 1).count() == 0)
+      // expired rows close before/at the fresh row's open
+      assert(merged.filter(!$"is_current" && $"valid_to".isNull).count() == 0)
+      // rerunning the same batch changes nothing
+      val again = Scd2.merge(merged, snap1, "emp_id", Seq("name", "dept"),
+        Date.valueOf("2024-06-01"))
+      assert(again.count() == merged.count())
+    }
+  }
+
+  test("dedupWithLog completeness: kept + logged == input; kept is distinct") {
+    import spark.implicits._
+    val dupRow: Gen[(String, String)] = for {
+      k <- Gen.chooseNum(1, 5).map(n => s"k$n")
+      v <- Gen.oneOf("a", "b")
+    } yield (k, v)
+    forAllSampled(Gen.listOfN(30, dupRow)) { rows =>
+      val df = rows.toDF("k", "v")
+      val ctx = JobContext("prop-job", Date.valueOf("2024-01-01"))
+      val (kept, logged) = DqEngine.dedupWithLog(df, "t", col("k"), col("k"), ctx)
+      assert(kept.count() + logged.count() == df.count())
+      assert(kept.count() == df.distinct().count())
+    }
+  }
+}
