@@ -44,6 +44,8 @@ object Sessions {
       // vectorized reader rejects; read nanos as long, convert in
       // Tables.events.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native graft expressions (rolling_hash, …) for SQL + expr() use
+      graft.plans.GraftExtensions.register(spark)
       spark.conf.set("graft.tuned", "true")
     }
     spark

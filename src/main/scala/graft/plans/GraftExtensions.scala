@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.RollingHash
+
+/** SparkSessionExtensions entry point for graft's native expressions —
+  * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
+  * [[graft.core.Sessions]] register the functions directly on an existing
+  * session). After injection, `rolling_hash(str)` is available to SQL and
+  * `expr("rolling_hash(...)")` plans, codegen included.
+  *
+  * This is the (c)-tier extension surface of the builder brief; graft
+  * needs no custom LogicalPlan/Strategy because every reference operator
+  * maps to built-ins (SURVEY §4) — the extension carries perf-motivated
+  * expressions only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq((
+    new FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+    (children: Seq[Expression]) => RollingHash(children.head)))
+
+  /** Register on an already-built session (the Verify/Bench path, where
+    * spark.sql.extensions can't be set post-hoc). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -174,10 +174,11 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         length(col("norm")).as("n_chars_norm"),
-        // iterate chars via 1-based substring, not split(norm, '') — Java
-        // zero-width split emits a trailing "" under limit=-1, which would
-        // silently fold an extra ascii('')=0 step the oracle doesn't have
-        expr("aggregate(sequence(1, length(norm)), CAST(0 AS BIGINT), (acc, i) -> (acc * 131 + ascii(substring(norm, i, 1))) % 1000000007)")
+        // native codegen expression (graft.expressions.RollingHash) — the
+        // HOF formulation aggregate(sequence(1, length(norm)), …) computes
+        // the identical value but interpreted per character (measured ~10×
+        // slower); the oracle's list_reduce mirrors the same fold
+        graft.expressions.RollingHash.rollingHash("norm")
           .as("fingerprint"))
       .orderBy(col("doc_id"))
 

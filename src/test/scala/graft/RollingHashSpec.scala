@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.RollingHash
+
+/** The native codegen expression must agree exactly with the interpreted
+  * HOF formulation (the previous implementation and the oracle's fold) and
+  * with the driver-side reference hash. */
+class RollingHashSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, "graft-rh-test")
+
+  test("matches the HOF fold and the Scala reference on testdata") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val both = docs.select(
+      col("norm"),
+      RollingHash.rollingHash("norm").as("native"),
+      expr("aggregate(sequence(1, length(norm)), CAST(0 AS BIGINT), " +
+        "(acc, i) -> (acc * 131 + ascii(substring(norm, i, 1))) % 1000000007)")
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    val sample = both.select("norm", "native").head()
+    assert(sample.getLong(1) == RollingHash.hash(sample.getString(0)))
+  }
+
+  test("registered for SQL via GraftExtensions (Sessions.tune)") {
+    import spark.implicits._
+    val out = Seq("abc").toDF("s")
+    out.createOrReplaceTempView("rh_in")
+    val got = spark.sql("SELECT rolling_hash(s) AS h FROM rh_in").head().getLong(0)
+    assert(got == RollingHash.hash("abc"))
+    // empty string and null behavior
+    assert(spark.sql("SELECT rolling_hash('')").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT rolling_hash(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+}
