@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.RollingHash
+import graft.expressions.{FloatDot, RollingHash}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -27,10 +27,13 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  val functions: Seq[FunctionDescription] = Seq((
-    new FunctionIdentifier("rolling_hash"),
-    new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-    (children: Seq[Expression]) => RollingHash(children.head)))
+  val functions: Seq[FunctionDescription] = Seq(
+    (new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHash(children.head)),
+    (new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
 
   /** Register on an already-built session (the Verify/Bench path, where
     * spark.sql.extensions can't be set post-hoc). */

@@ -26,6 +26,16 @@ class RollingHashSpec extends AnyFunSuite {
     assert(sample.getLong(1) == RollingHash.hash(sample.getString(0)))
   }
 
+  test("float_dot matches the HOF zip_with fold on testdata embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("e2", col("embedding"))
+    val both = emb.select(
+      expr("float_dot(embedding, e2)").as("native"),
+      expr("aggregate(zip_with(embedding, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("registered for SQL via GraftExtensions (Sessions.tune)") {
     import spark.implicits._
     val out = Seq("abc").toDF("s")
