@@ -147,6 +147,59 @@ object Embeddings {
        |  FROM pairs)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------- q_embed_ivf
+  /** IVF (inverted-file) ANN — the k-means-style alternative to hyperplane
+    * LSH: a small set of coarse centroids partitions the corpus; search
+    * probes only the nearest centroid's posting list. Centroids here are a
+    * deterministic data sample (every (n/k)-th vector), standing in for
+    * trained k-means means — the partition/probe algebra (the part that
+    * matters at scale) is identical. Assignment is a broadcast of the k=16
+    * centroids against the corpus (never corpus×corpus); each vector's
+    * cell = argmax cosine, rank stabilized on the 4-decimal-rounded sim +
+    * centroid id so both engines agree. Output: cell assignment + posting
+    * list sizes — the IVF index statistics. */
+  def qEmbedIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") % 31 === 0) // 17 coarse centroids
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", round(dot("embedding", "cvec") /
+        (sqrt(sqNorm("embedding")) * sqrt(sqNorm("cvec"))), 4))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("sim").as("centroid_sim"))
+    val cellSizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cell_size"))
+    assigned.join(cellSizes, Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), col("centroid_sim"), col("cell_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qEmbedIvfSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 31 = 0),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id, sim AS centroid_sim FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      round(${dotSql("e.embedding", "c.cvec")}
+       |        / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |           * sqrt(${dotSql("c.cvec", "c.cvec")})), 4) AS sim,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(${dotSql("e.embedding", "c.cvec")}
+       |          / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |             * sqrt(${dotSql("c.cvec", "c.cvec")})), 4) DESC,
+       |        c.centroid_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |cells AS (
+       |  SELECT centroid_id, count(*) AS cell_size
+       |  FROM assigned GROUP BY centroid_id)
+       |SELECT a.vec_id, a.centroid_id, a.centroid_sim, c.cell_size
+       |FROM assigned a JOIN cells c ON c.centroid_id = a.centroid_id
+       |ORDER BY a.vec_id""".stripMargin
+
   // --------------------------------------------------------- q_embed_buckets
   /** The bucket histogram — the skew diagnostic a production ANN job watches
     * (a hot bucket = a degenerate hyperplane set → re-salt or widen). */
@@ -167,10 +220,12 @@ object Embeddings {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_topk"    -> (qEmbedTopk _),
     "q_embed_ann"     -> (qEmbedAnn _),
+    "q_embed_ivf"     -> (qEmbedIvf _),
     "q_embed_buckets" -> (qEmbedBuckets _))
 
   val oracle: Map[String, String] = Map(
     "q_embed_topk"    -> qEmbedTopkSql,
     "q_embed_ann"     -> qEmbedAnnSql,
+    "q_embed_ivf"     -> qEmbedIvfSql,
     "q_embed_buckets" -> qEmbedBucketsSql)
 }

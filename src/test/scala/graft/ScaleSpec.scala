@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Skew
+
+/** Scale-mechanics tests: salting correctness and the bucketed co-located
+  * join (the documented at-scale swap-in for the lineitem⋈orders fact-fact
+  * shuffle, core/Tables.scala scaladoc). */
+class ScaleSpec extends AnyFunSuite {
+  lazy val warehouseDir: String =
+    Files.createTempDirectory("graft-bucket-wh").toString
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-scale-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", warehouseDir)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.tune(s)
+    s
+  }
+
+  test("saltedJoin matches the plain join result under a hot key") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key
+    val large = spark.range(10000)
+      .select((when($"id" % 10 === 0, $"id" % 50).otherwise(0L)).as("k"),
+        $"id".as("v"))
+    val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (10L, "c"))
+      .toDF("k", "name")
+    val plain = large.join(small, "k").agg(count(lit(1)), sum($"v")).head()
+    val salted = Skew.saltedJoin(large, small, "k", 8, Seq($"v"))
+      .agg(count(lit(1)), sum($"v")).head()
+    assert(plain == salted)
+  }
+
+  test("saltedSumCount equals the direct aggregation") {
+    import spark.implicits._
+    val df = spark.range(5000)
+      .select(($"id" % 3).as("k"), ($"id" % 7).cast("double").as("v"))
+    val direct = df.groupBy($"k")
+      .agg(sum($"v").as("sum_value"), count($"v").as("n"))
+      .orderBy($"k").collect().toSeq
+    val salted = Skew.saltedSumCount(df, "k", "v", 8)
+      .orderBy($"k").collect().toSeq
+    assert(direct == salted)
+  }
+
+  test("bucketed co-located fact⋈fact join plans without a shuffle") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    graft.core.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+
+    // disable auto-broadcast so the join strategy is decided by bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join should be shuffle-free, found: $shuffles")
+      assert(joined.count() > 0)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
