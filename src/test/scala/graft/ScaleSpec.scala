@@ -13,20 +13,10 @@ import graft.core.Skew
   * join (the documented at-scale swap-in for the lineitem⋈orders fact-fact
   * shuffle, core/Tables.scala scaladoc). */
 class ScaleSpec extends AnyFunSuite {
-  lazy val warehouseDir: String =
-    Files.createTempDirectory("graft-bucket-wh").toString
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-scale-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir", warehouseDir)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    graft.core.Sessions.tune(s)
-    s
-  }
+  // getOrCreate reuses the suite-shared session, so warehouse conf set
+  // here would be ignored — instead drop tables (purging their location)
+  // before re-creating them.
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, "graft-scale-test")
 
   test("saltedJoin matches the plain join result under a hot key") {
     import spark.implicits._
@@ -56,6 +46,8 @@ class ScaleSpec extends AnyFunSuite {
 
   test("bucketed co-located fact⋈fact join plans without a shuffle") {
     val sfDir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed PURGE")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed PURGE")
     graft.core.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_extendedprice")
       .write.mode("overwrite").bucketBy(4, "l_orderkey")
