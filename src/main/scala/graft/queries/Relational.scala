@@ -291,7 +291,13 @@ object Relational {
   /** SURVEY §2.4 A6 + §2.1 S8: incremental high-watermark load — only rows
     * newer than max(existing date) - 90 days. The scalar max is a 1-row
     * aggregate cross-joined in (Catalyst broadcasts it); with date-
-    * partitioned facts this filter becomes partition pruning for free. */
+    * partitioned facts this filter becomes partition pruning for free.
+    *
+    * NOTE (r1 verdict item 5): this query is the ALGEBRA demo only — the
+    * max-aggregate here is a full fact scan per batch. The shipped
+    * incremental-loader design is [[graft.warehouse.Incremental]], which
+    * reads the watermark from a tiny state table and bounds the dedup
+    * anti-join to the partition tail. */
   def qHwmIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orders = Tables.orders(s, dir)

@@ -46,8 +46,21 @@ class ScaleSpec extends AnyFunSuite {
 
   test("bucketed co-located fact⋈fact join plans without a shuffle") {
     val sfDir = "/root/testdata/sf0.001"
+    // the catalog is in-memory per JVM but the warehouse dir persists
+    // across runs: drop the metadata AND delete the physical locations
     spark.sql("DROP TABLE IF EXISTS li_bucketed PURGE")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed PURGE")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     graft.core.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_extendedprice")
       .write.mode("overwrite").bucketBy(4, "l_orderkey")
