@@ -45,8 +45,17 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup pass, untimed
+    // two timed passes, min per query: JIT/GC noise showed ±10% run-to-run,
+    // which would drown real per-round regressions in the bench history
+    val pass1 = names.map(n => n -> runOnce(n)).toMap
     val results: Seq[(String, Either[String, Double])] =
-      names.map(n => n -> runOnce(n))
+      names.map { n =>
+        n -> ((pass1(n), runOnce(n)) match {
+          case (Right(a), Right(b)) => Right(math.min(a, b))
+          case (Right(a), _) => Right(a)
+          case (_, r) => r
+        })
+      }
 
     val timings = results.collect { case (n, Right(t)) => n -> t }
     val errors = results.collect { case (n, Left(e)) => n -> e }

@@ -147,6 +147,53 @@ object Embeddings {
        |  FROM pairs)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------- q_embed_neardup
+  /** Embedding-cosine near-duplicate detection — the vector-space dedup
+    * mode (semantic dups that shingle/minhash miss). Candidates come from
+    * the SAME hyperplane buckets as q_embed_ann (never all-pairs; exact
+    * copies always collide in every hash table since signatures are equal),
+    * then pairs at cosine ≥ 0.999 are flagged. The corpus manufactures
+    * exact copies (vec_id+10000 for every 50th vector) as ground truth —
+    * random unit vectors have no natural near-dups. Keep-min policy like
+    * q_exact_dup. */
+  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+    val l = corpus.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding"), col("norm"))
+    val r = corpus.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("emb2"), col("norm").as("norm2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos_sim",
+        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("a").as("keep_id"), col("b").as("dup_id"), col("cos_sim"))
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
+  private val qEmbedNeardupSql =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+       |b AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketSql("embedding")} AS bucket,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM corpus)
+       |SELECT l.vec_id AS keep_id, r.vec_id AS dup_id,
+       |  round(${dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4)
+       |    AS cos_sim
+       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE round(${dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4)
+       |  >= 0.999
+       |ORDER BY keep_id, dup_id""".stripMargin
+
   // ------------------------------------------------------------- q_embed_ivf
   /** IVF (inverted-file) ANN — the k-means-style alternative to hyperplane
     * LSH: a small set of coarse centroids partitions the corpus; search
@@ -220,12 +267,14 @@ object Embeddings {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_topk"    -> (qEmbedTopk _),
     "q_embed_ann"     -> (qEmbedAnn _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_ivf"     -> (qEmbedIvf _),
     "q_embed_buckets" -> (qEmbedBuckets _))
 
   val oracle: Map[String, String] = Map(
     "q_embed_topk"    -> qEmbedTopkSql,
     "q_embed_ann"     -> qEmbedAnnSql,
+    "q_embed_neardup" -> qEmbedNeardupSql,
     "q_embed_ivf"     -> qEmbedIvfSql,
     "q_embed_buckets" -> qEmbedBucketsSql)
 }
