@@ -52,8 +52,10 @@ object Bench {
       names.map { n =>
         n -> ((pass1(n), runOnce(n)) match {
           case (Right(a), Right(b)) => Right(math.min(a, b))
-          case (Right(a), _) => Right(a)
-          case (_, r) => r
+          // a failure on EITHER pass is a failure — an intermittently
+          // failing query must not report a clean timing
+          case (Left(e), _) => Left(e)
+          case (_, Left(e)) => Left(e)
         })
       }
 

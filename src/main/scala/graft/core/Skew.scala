@@ -41,8 +41,12 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      factor: Int): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    // salt must vary even when a hot key carries ONE constant value (the
+    // null-key/placeholder case) — content-derived salt would collapse to
+    // a single partition there. Row position is fine here: unlike a join,
+    // the final aggregate is salt-distribution-independent.
     df.withColumn("__salt",
-        pmod(xxhash64(col(key), col(valueCol)), lit(factor)).cast("int"))
+        pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(col(valueCol)).as("__pcnt"))
       .groupBy(col(key))

@@ -33,13 +33,7 @@ object DqEngine {
     val spark = df.sparkSession
     rules.foldLeft((df, DqLog.empty(spark))) { case ((cur, log), r) =>
       val violations = cur.filter(r.violation).select(
-        lit(ctx.jobId).as("job_id"),
-        lit(table).as("table_name"),
-        lit(r.column).as("column_name"),
-        rowRef.cast(StringType).as("row_reference"),
-        col(r.column).cast(StringType).as("original_value"),
-        lit(r.issue).as("issue"),
-        lit(ctx.asOfTs).as("log_timestamp"))
+        DqLog.entry(ctx, table, r.column, rowRef, col(r.column), r.issue): _*)
       (cur.withColumn(r.column, r.fixed), log.unionByName(violations))
     }
   }
@@ -53,13 +47,8 @@ object DqEngine {
     val w = Window.partitionBy(df.columns.map(col): _*).orderBy(orderCol)
     val rn = df.withColumn("__rn", row_number().over(w))
     val dropped = rn.filter(col("__rn") > 1).select(
-      lit(ctx.jobId).as("job_id"),
-      lit(table).as("table_name"),
-      lit("*").as("column_name"),
-      rowRef.cast(StringType).as("row_reference"),
-      lit(null).cast(StringType).as("original_value"),
-      lit("duplicate_row").as("issue"),
-      lit(ctx.asOfTs).as("log_timestamp"))
+      DqLog.entry(ctx, table, "*", rowRef,
+        lit(null).cast(StringType), "duplicate_row"): _*)
     (rn.filter(col("__rn") === 1).drop("__rn"), dropped)
   }
 }

@@ -60,6 +60,22 @@ object AuditEntry {
 /** data_quality_log row shape (combined_dw_schema.sql:133-142). Produced as
   * DataFrames by [[DqEngine]], never row-by-row. */
 object DqLog {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+
+  /** The one place the log-row projection lives: every producer
+    * (rule engine, dedup capture, FK-miss, imputation log) selects exactly
+    * these columns, so a schema change edits one site. */
+  def entry(ctx: JobContext, table: String, column: String,
+            rowRef: Column, original: Column, issue: String): Seq[Column] = Seq(
+    lit(ctx.jobId).as("job_id"),
+    lit(table).as("table_name"),
+    lit(column).as("column_name"),
+    rowRef.cast(StringType).as("row_reference"),
+    original.cast(StringType).as("original_value"),
+    lit(issue).as("issue"),
+    lit(ctx.asOfTs).as("log_timestamp"))
+
   val schema: StructType = StructType(Seq(
     StructField("job_id", StringType),
     StructField("table_name", StringType),

@@ -46,17 +46,17 @@ object Etl {
       when(ref.isNull || trim(ref) === "", concat(lit("TEMP_"), col("__n")))
         .otherwise(trim(ref)))
     val tempLog = withId.filter(ref.isNull || trim(ref) === "").select(
-      lit(ctx.jobId).as("job_id"), lit("staging_employee").as("table_name"),
-      lit("EmployeeID").as("column_name"),
-      concat(lit("TEMP_"), col("__n")).as("row_reference"),
-      ref.cast(StringType).as("original_value"),
-      lit("missing_employee_id").as("issue"),
-      lit(ctx.asOfTs).as("log_timestamp"))
+      DqLog.entry(ctx, "staging_employee", "EmployeeID",
+        concat(lit("TEMP_"), col("__n")), ref, "missing_employee_id"): _*)
 
     val salary = Cleaning.coerceDecimal(col("Salary"))
     val rules = Seq(
       Rule("Gender",
-        !upper(trim(col("Gender"))).isin("M", "MALE", "F", "FEMALE"),
+        // explicit isNull: for null input the isin-negation is NULL (not
+        // true), which would silently skip the DQ log while the fix still
+        // rewrites the value
+        col("Gender").isNull ||
+          !upper(trim(col("Gender"))).isin("M", "MALE", "F", "FEMALE"),
         Cleaning.genderNormalize(col("Gender")), "unknown_gender"),
       Rule("DateOfJoining",
         Cleaning.dateSafe(col("DateOfJoining"), None).isNull,
@@ -78,7 +78,8 @@ object Etl {
         Cleaning.nullNormalize(upper(trim(col("Department"))), "UNASSIGNED_DEPT"),
         "missing_department"),
       Rule("Status",
-        !upper(trim(col("Status"))).isin("ACTIVE", "RESIGNED"),
+        col("Status").isNull ||
+          !upper(trim(col("Status"))).isin("ACTIVE", "RESIGNED"),
         Cleaning.statusNormalize(col("Status")), "unknown_status"))
     val (cleaned, ruleLog) =
       DqEngine.clean(idFixed.drop("__n"), "staging_employee", col("EmployeeID"), rules, ctx)
@@ -172,13 +173,8 @@ object Etl {
     val grp = Window.partitionBy(col("Department"), col("ProcessName"), col("Location"))
     val groupMean = round(avg(hours).over(grp), 2)
     val imputeLog = cleaned.filter(hours.isNull).select(
-      lit(ctx.jobId).as("job_id"),
-      lit("staging_operations").as("table_name"),
-      lit("DowntimeHours").as("column_name"),
-      col("Department").cast(StringType).as("row_reference"),
-      col("DowntimeHours").cast(StringType).as("original_value"),
-      lit("imputed_downtime").as("issue"),
-      lit(ctx.asOfTs).as("log_timestamp"))
+      DqLog.entry(ctx, "staging_operations", "DowntimeHours",
+        col("Department"), col("DowntimeHours"), "imputed_downtime"): _*)
     val imputed = cleaned.withColumn("DowntimeHours",
       coalesce(hours, groupMean.cast(DecimalType(10, 2)), lit(0).cast(DecimalType(10, 2))))
 
@@ -193,9 +189,15 @@ object Etl {
 
   private def finish(ctx: JobContext, table: String,
                      staged: DataFrame, dq: DataFrame): EtlResult = {
-    val processed = staged.count()
-    val failed = dq.count()
-    EtlResult(staged, dq,
+    // cache before the audit counts: staging and log are each consumed
+    // again by the caller's writes (runAll) — without this the raw CSV is
+    // re-read and every rule re-evaluated 4×. Lives for the job; Spark
+    // evicts LRU if memory is needed.
+    val stagedC = staged.cache()
+    val dqC = dq.cache()
+    val processed = stagedC.count()
+    val failed = dqC.count()
+    EtlResult(stagedC, dqC,
       AuditEntry.of(ctx, table, "extract_transform", processed, failed,
         s"$table cleaned: $processed rows staged, $failed DQ issues"))
   }

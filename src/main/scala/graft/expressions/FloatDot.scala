@@ -39,6 +39,13 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
+  // result can be null via a null ELEMENT even when both array inputs are
+  // non-nullable — without this override Catalyst folds the null away
+  override def nullable: Boolean = true
+
+  // A null ELEMENT nulls the whole result, exactly like the HOF fold
+  // (null * x -> null -> acc + null -> null) and the oracle — getFloat on
+  // a null slot would silently read 0.0 instead.
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
@@ -46,6 +53,7 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
       i += 1
     }
@@ -57,13 +65,20 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $acc;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
        """.stripMargin
     })
 

@@ -40,11 +40,18 @@ object Sinks {
     fs.delete(tmp, true)
     fs.delete(old, true)
     df.write.mode("overwrite").parquet(tmp.toString)
-    // swap: current -> .old, tmp -> current, drop .old
+    // Swap: current -> .old, tmp -> current, drop .old. The window between
+    // the two renames (driver killed mid-swap) leaves the table absent with
+    // the previous state intact in .__swap_old — recoverable by a rename,
+    // never a half-written mix. A transactional catalog pointer (the
+    // documented object-store deployment) closes even that window.
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"overwriteSwap: cannot move $target aside")
     if (!fs.rename(tmp, target)) {
-      fs.rename(old, target) // roll back
+      if (!fs.rename(old, target)) // roll back
+        throw new java.io.IOException(
+          s"overwriteSwap: promote of $tmp failed AND rollback failed — " +
+            s"previous state preserved at $old, manual rename required")
       throw new java.io.IOException(s"overwriteSwap: cannot promote $tmp")
     }
     fs.delete(old, true)

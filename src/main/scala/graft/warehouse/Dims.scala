@@ -57,14 +57,8 @@ object Facts {
       .drop("__dk")
     val misses = staging
       .join(d, staging(fkCol) === col("__dk"), "left_anti")
-      .select(
-        lit(ctx.jobId).as("job_id"),
-        lit(table).as("table_name"),
-        lit(fkCol).as("column_name"),
-        col(fkCol).cast(StringType).as("row_reference"),
-        col(fkCol).cast(StringType).as("original_value"),
-        lit("fk_miss").as("issue"),
-        lit(ctx.asOfTs).as("log_timestamp"))
+      .select(graft.etl.DqLog.entry(
+        ctx, table, fkCol, col(fkCol), col(fkCol), "fk_miss"): _*)
     (enriched, misses)
   }
 

@@ -72,8 +72,10 @@ object Incremental {
 
     val nCand = candidates.count()
     val fresh = hwm match {
-      // strictly-greater keeps the reference's semantics; the tail dedup
-      // below makes equal-to-watermark replays safe too
+      // `>=` deliberately re-admits watermark-day rows (same-day late
+      // arrivals); the tail anti-dedup below makes the replay safe. Do NOT
+      // tighten to `>`: that permanently drops a new order landing on the
+      // watermark date.
       case Some(w) => candidates.filter(col(partCol) >= lit(w).cast(DateType))
       case None    => candidates
     }

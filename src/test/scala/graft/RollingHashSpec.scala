@@ -26,6 +26,13 @@ class RollingHashSpec extends AnyFunSuite {
     assert(sample.getLong(1) == RollingHash.hash(sample.getString(0)))
   }
 
+  test("float_dot propagates a null element as a null result (HOF parity)") {
+    val row = spark.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d").head()
+    assert(row.isNullAt(0))
+  }
+
   test("float_dot matches the HOF zip_with fold on testdata embeddings") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .withColumn("e2", col("embedding"))
