@@ -55,6 +55,20 @@ object Streams {
     updated.toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming exact-dedup — the ingest-side twin of the batch
+    * dedup-with-capture (A8) for continuously arriving documents/events:
+    * duplicates by `keyCols` are dropped while their event-time is within
+    * the watermark window; state for keys older than the watermark is
+    * evicted, so memory stays bounded at any stream length. (Late
+    * duplicates beyond the watermark fall through to the batch
+    * anti-dedup at load time — same contract as
+    * [[graft.warehouse.Incremental]]'s tail window.) */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           watermark: String, keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
   /** foreachBatch bridge: run any batch-library stage (cleaning, DQ,
     * incremental fact append) against each micro-batch. Returns a started
     * query writing through `stage`. */

@@ -59,6 +59,59 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops in-window duplicates, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = Streams.dedupWithinWatermark(src.toDF(), "ts", "30 minutes",
+      "user_id", "event_type")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      src.addData(ev(1, 1, "click", 1.0), ev(2, 1, "click", 1.0), // dup key
+        ev(3, 2, "view", 2.0))
+      q.processAllAvailable()
+      src.addData(ev(4, 1, "click", 9.0)) // still within watermark → dup
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+      assert(rows.length == 2) // (1,click) once + (2,view)
+    } finally q.stop()
+  }
+
+  test("SCD2 batch merge composes into foreachBatch (stateful load bridge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val dimDir = Files.createTempDirectory("graft-scd2-stream").toString + "/dim"
+    val ckpt = Files.createTempDirectory("graft-scd2-ckpt").toString
+    val asOf = java.sql.Date.valueOf("2024-01-01")
+    // bootstrap the dim, then let each micro-batch SCD2-merge into it
+    graft.io.Sinks.overwriteSwap(
+      graft.warehouse.Scd2.initial(
+        Seq((1L, "click")).toDF("user_id", "event_type"),
+        "user_id", Seq("event_type"), asOf),
+      dimDir)
+    val q = Streams.foreachBatchSink(src.toDF(), ckpt) { (batch, _) =>
+      val staged = batch.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id")
+      if (!staged.isEmpty) {
+        val cur = spark.read.parquet(dimDir)
+        graft.io.Sinks.overwriteSwap(
+          graft.warehouse.Scd2.merge(cur, staged, "user_id",
+            Seq("event_type"), java.sql.Date.valueOf("2024-02-01")),
+          dimDir)
+      }
+    }
+    try {
+      src.addData(ev(1, 1, "purchase", 1.0)) // user 1 changed attribute
+      q.processAllAvailable()
+      val dim = spark.read.parquet(dimDir)
+      assert(dim.filter(col("user_id") === 1 && col("is_current")).head()
+        .getAs[String]("event_type") == "purchase")
+      assert(dim.filter(col("user_id") === 1).count() == 2) // history kept
+    } finally q.stop()
+  }
+
   test("foreachBatch runs a batch-library cleaning stage per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
