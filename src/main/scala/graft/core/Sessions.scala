@@ -27,7 +27,9 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark
+    // full tune (incl. native-function registration) so sessions built
+    // here can use rolling_hash/float_dot without touching Tables first
+    tune(spark)
   }
 
   /** Apply graft's standard conf to an externally-built session (e.g. the

@@ -26,6 +26,11 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  factor: Int, saltFrom: Seq[Column]): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    // saltFrom must VARY WITHIN the hot key: an empty list (or a constant
+    // placeholder column) collapses every hot row to one salt — the skew
+    // stays while the small side is still replicated factor×
+    require(saltFrom.nonEmpty,
+      "saltFrom must contain at least one column that varies within a hot key")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(col(key) +: saltFrom: _*), lit(factor)).cast("int"))
     val replicated = small.withColumn("__salt",
@@ -41,10 +46,14 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      factor: Int): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    // salt must vary even when a hot key carries ONE constant value (the
+    // Salt must vary even when a hot key carries ONE constant value (the
     // null-key/placeholder case) — content-derived salt would collapse to
-    // a single partition there. Row position is fine here: unlike a join,
-    // the final aggregate is salt-distribution-independent.
+    // a single partition there, so the salt is positional. Positional
+    // expressions are marked nondeterministic, which makes this map stage
+    // INDETERMINATE to the scheduler: on a fetch failure Spark re-runs the
+    // dependent stages wholesale rather than mixing old and re-salted
+    // partials, so retries cannot double-count or lose rows. The final
+    // aggregate itself is salt-distribution-independent.
     df.withColumn("__salt",
         pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
       .groupBy(col(key), col("__salt"))

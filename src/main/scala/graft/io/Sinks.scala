@@ -45,9 +45,13 @@ object Sinks {
     // the previous state intact in .__swap_old — recoverable by a rename,
     // never a half-written mix. A transactional catalog pointer (the
     // documented object-store deployment) closes even that window.
-    if (fs.exists(target) && !fs.rename(target, old))
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, old))
       throw new java.io.IOException(s"overwriteSwap: cannot move $target aside")
     if (!fs.rename(tmp, target)) {
+      if (!hadTarget) // first-time write: nothing to roll back
+        throw new java.io.IOException(
+          s"overwriteSwap: cannot promote $tmp (new data remains there)")
       if (!fs.rename(old, target)) // roll back
         throw new java.io.IOException(
           s"overwriteSwap: promote of $tmp failed AND rollback failed — " +

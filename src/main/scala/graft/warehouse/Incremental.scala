@@ -57,8 +57,12 @@ object Incremental {
     Sinks.overwriteSwap(others.unionByName(mine).coalesce(1), statePath)
   }
 
-  /** Result counts for audit wiring. */
-  final case class LoadStats(candidates: Long, aboveWatermark: Long, appended: Long)
+  /** Result counts for audit wiring. `nullPartition` rows (no partition
+    * date) are excluded up-front and reported here — they cannot be
+    * watermarked or partitioned and would otherwise be dropped silently
+    * (or, on a first batch, crash the watermark advance). */
+  final case class LoadStats(candidates: Long, nullPartition: Long,
+                             aboveWatermark: Long, appended: Long)
 
   /** Append `candidates` to the partitioned fact at `factPath`:
     * watermark-filter → tail-bounded anti-dedup on `keyCols` → append →
@@ -70,14 +74,19 @@ object Incremental {
     val spark = candidates.sparkSession
     val hwm = readWatermark(spark, statePath, table)
 
-    val nCand = candidates.count()
+    // cache once: the lineage (CSV parse + cleaning, typically) is
+    // otherwise evaluated three times for the stats counters alone
+    val cand = candidates.cache()
+    val nCand = cand.count()
+    val withPart = cand.filter(col(partCol).isNotNull)
+    val nNullPart = nCand - withPart.count()
     val fresh = hwm match {
       // `>=` deliberately re-admits watermark-day rows (same-day late
       // arrivals); the tail anti-dedup below makes the replay safe. Do NOT
       // tighten to `>`: that permanently drops a new order landing on the
       // watermark date.
-      case Some(w) => candidates.filter(col(partCol) >= lit(w).cast(DateType))
-      case None    => candidates
+      case Some(w) => withPart.filter(col(partCol) >= lit(w).cast(DateType))
+      case None    => withPart
     }
     val nFresh = fresh.count()
 
@@ -105,15 +114,18 @@ object Incremental {
 
     if (nNew > 0) {
       rows.write.mode("append").partitionBy(partCol).parquet(factPath)
+      // newMax is always defined here: null-partition rows were excluded
+      // before the watermark filter, so appended rows carry real dates
       val advanced = (hwm, newMax) match {
         case (Some(w), Some(m)) => if (w >= m) w else m
         case (_, Some(m)) => m
-        case (Some(w), None) => w
-        case _ => throw new IllegalStateException("unreachable: nNew > 0")
+        case _ => throw new IllegalStateException(
+          "appended rows with no partition value despite the isNotNull guard")
       }
       writeWatermark(spark, statePath, table, advanced)
     }
     rows.unpersist()
-    LoadStats(nCand, nFresh, nNew)
+    cand.unpersist()
+    LoadStats(nCand, nNullPart, nFresh, nNew)
   }
 }

@@ -61,6 +61,22 @@ class IncrementalSpec extends AnyFunSuite {
     assert(spark.read.parquet(fact).count() == 1)
   }
 
+  test("null-date rows are excluded, counted, and never crash a first batch") {
+    val dir = Files.createTempDirectory("graft-inc-null").toString
+    // first-ever batch where EVERY row has a null partition date
+    val allNull = batch((1L, null, 1.0), (2L, null, 2.0))
+    val s0 = Incremental.appendIncremental(allNull, s"$dir/fact", s"$dir/state",
+      "fact", "order_date", Seq("order_id"))
+    assert(s0.nullPartition == 2 && s0.appended == 0)
+    assert(Incremental.readWatermark(spark, s"$dir/state", "fact").isEmpty)
+    // mixed batch: the dated row loads, the null row is counted out
+    val mixed = batch((3L, "2024-05-01", 3.0), (4L, null, 4.0))
+    val s1 = Incremental.appendIncremental(mixed, s"$dir/fact", s"$dir/state",
+      "fact", "order_date", Seq("order_id"))
+    assert(s1.nullPartition == 1 && s1.appended == 1)
+    assert(spark.read.parquet(s"$dir/fact").count() == 1)
+  }
+
   test("fact is physically partitioned by the date column") {
     val dir = Files.createTempDirectory("graft-inc3").toString
     Incremental.appendIncremental(

@@ -70,19 +70,37 @@ class ScaleSpec extends AnyFunSuite {
       .write.mode("overwrite").bucketBy(4, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("ord_bucketed")
 
-    // disable auto-broadcast so the join strategy is decided by bucketing
+    // disable auto-broadcast so the join strategy is decided by bucketing,
+    // and AQE so executedPlan is the real plan — under AQE it is a leaf
+    // AdaptiveSparkPlanExec and the shuffle collect would be vacuously
+    // empty even for a shuffling plan
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val joined = spark.table("li_bucketed")
         .join(spark.table("ord_bucketed"),
           col("l_orderkey") === col("o_orderkey"))
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.collectFirst {
+        case e: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => e
+      }.isEmpty, "expected a non-adaptive plan for this assertion")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.isEmpty,
         s"bucketed join should be shuffle-free, found: $shuffles")
+      // sanity: the same join WITHOUT bucketing does shuffle, proving the
+      // assertion can fail
+      val unbucketed = graft.core.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice")
+        .join(graft.core.Tables.orders(spark, sfDir)
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(unbucketed.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }.nonEmpty, "control: unbucketed join should shuffle")
       assert(joined.count() > 0)
-    } finally
+    } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 }
