@@ -63,11 +63,15 @@ object Windows {
   // ------------------------------------------------------ q_window_running
   /** Frame-spec window: running quantity per supplier in ship order
     * (rowsBetween unboundedPreceding..current). Decimal-exact running sum so
-    * every prefix matches the oracle bit-for-bit. */
+    * every prefix matches the oracle bit-for-bit. The sort key includes
+    * l_quantity because lineitem deliberately carries duplicate
+    * (l_orderkey, l_linenumber) rows (the q_fact_antidedup fixture): without
+    * it the duplicates' relative order is engine-dependent and the prefix
+    * sums between them diverge (surfaced at sf0.1, row 539799). */
   def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .withColumn("running_qty", sum(OP.dec2($"l_quantity")).over(w).cast("double"))
@@ -79,7 +83,7 @@ object Windows {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    AS running_qty
       |FROM lineitem
