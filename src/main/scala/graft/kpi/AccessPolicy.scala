@@ -1,0 +1,46 @@
+package graft.kpi
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Role → view exposure policy — the engine-side rendering of the
+  * reference's role DDL (/root/reference/01_DW_schema_and_roles_creation/
+  * User_roles.sql:3-32: hr_analyst, finance_analyst, ops_analyst, admin
+  * with per-schema SELECT grants).
+  *
+  * Spark has no grant system of its own (SURVEY §7: a catalog-policy
+  * concern — in production this list feeds the actual authz layer, e.g. a
+  * catalog's view ACLs); what the engine CAN enforce is which registered
+  * views a role may resolve, so the policy is a checked exposure list over
+  * the [[Kpi]] view catalog.
+  */
+object AccessPolicy {
+
+  /** Per-role visible views, mirroring the reference's grant scopes. */
+  val roleViews: Map[String, Set[String]] = Map(
+    "hr_analyst" -> Set(
+      "vw_kpi_monthly_headcount",
+      "vw_kpi_monthly_resignations",
+      "vw_kpi_avg_salary_by_gender"),
+    "finance_analyst" -> Set(
+      "vw_kpi_gross_monthly_expenses_by_dept",
+      "vw_kpi_net_monthly_expenses_by_dept",
+      "vw_kpi_expenses_net_vs_gross"),
+    "ops_analyst" -> Set(
+      "vw_kpi_downtime_by_process",
+      "vw_kpi_downtime_by_dept"),
+    "admin" -> Set(
+      "vw_kpi_monthly_headcount", "vw_kpi_monthly_resignations",
+      "vw_kpi_avg_salary_by_gender", "vw_kpi_gross_monthly_expenses_by_dept",
+      "vw_kpi_net_monthly_expenses_by_dept", "vw_kpi_expenses_net_vs_gross",
+      "vw_kpi_downtime_by_process", "vw_kpi_downtime_by_dept"))
+
+  /** Resolve a view for a role, failing closed on anything outside the
+    * role's exposure list (unknown role, unknown view, or not granted). */
+  def resolve(spark: SparkSession, role: String, view: String): DataFrame = {
+    val allowed = roleViews.getOrElse(role,
+      throw new IllegalArgumentException(s"unknown role: $role"))
+    if (!allowed.contains(view))
+      throw new SecurityException(s"role $role may not read $view")
+    spark.table(view)
+  }
+}

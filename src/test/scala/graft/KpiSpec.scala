@@ -20,6 +20,22 @@ class KpiSpec extends AnyFunSuite {
     }
   }
 
+  test("access policy: roles see their views, fail closed otherwise") {
+    import graft.kpi.AccessPolicy
+    Kpi.registerAll(spark, sfDir)
+    assert(AccessPolicy.resolve(spark, "hr_analyst",
+      "vw_kpi_monthly_headcount").count() > 0)
+    intercept[SecurityException] {
+      AccessPolicy.resolve(spark, "hr_analyst", "vw_kpi_downtime_by_dept")
+    }
+    intercept[IllegalArgumentException] {
+      AccessPolicy.resolve(spark, "intern", "vw_kpi_monthly_headcount")
+    }
+    // admin sees everything that is registered
+    assert(AccessPolicy.roleViews("admin") ==
+      AccessPolicy.roleViews.values.flatten.toSet)
+  }
+
   test("net never exceeds gross") {
     val bad = Kpi.netVsGrossByType(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("net_amount") >
