@@ -71,18 +71,36 @@ object TextDedup {
       |  FROM documents WHERE doc_id % 25 = 0)""".stripMargin
 
   /** Per-doc minhash signature columns mh0..mh11 over the shingle stream.
-    * min() is duplicate-insensitive, so no distinct needed pre-agg; partial
-    * aggregation collapses the explosion map-side. */
+    * The 12 permutation hashes are disjoint 8-hex (32-bit) windows of 3
+    * seeded md5 digests — 3 md5 invocations per shingle instead of 12, and
+    * 8-char instead of 32-char min-agg state (4× less partial-agg traffic;
+    * locally timing-neutral, the explode+shuffle dominates at this SF).
+    * min() is duplicate-insensitive, so no
+    * distinct needed pre-agg; partial aggregation collapses the explosion
+    * map-side. */
   private def minhashes(sh: DataFrame): DataFrame = {
+    val digest = concat(
+      md5(col("shingle")),
+      md5(concat(lit("1:"), col("shingle"))),
+      md5(concat(lit("2:"), col("shingle"))))
+    val withDigest = sh.withColumn("digest", digest)
     val aggs = (0 until NumHashes).map(k =>
-      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"mh$k"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min(substring(col("digest"), 8 * k + 1, 8)).as(s"mh$k"))
+    withDigest.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   private val minhashSqlCte = {
     val mins = (0 until NumHashes)
-      .map(k => s"    min(md5('$k:' || shingle)) AS mh$k").mkString(",\n")
-    s"mh AS (\n  SELECT doc_id,\n$mins\n  FROM sh GROUP BY doc_id)"
+      .map(k => s"    min(substr(digest, ${8 * k + 1}, 8)) AS mh$k")
+      .mkString(",\n")
+    s"""mh AS (
+       |  SELECT doc_id,
+       |$mins
+       |  FROM (SELECT doc_id,
+       |          md5(shingle) || md5('1:' || shingle) || md5('2:' || shingle)
+       |            AS digest
+       |        FROM sh)
+       |  GROUP BY doc_id)""".stripMargin
   }
 
   /** LSH band signatures: (doc_id, band_id, band_sig) — md5 over each band's
