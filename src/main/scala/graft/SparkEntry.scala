@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Windows.queries ++ SetOps.queries ++
       Scalars.queries ++ TextDedup.queries ++ Embeddings.queries ++
-      TextAnalysis.queries ++ WarehouseOps.queries ++
+      TextAnalysis.queries ++ WarehouseOps.queries ++ Analytics.queries ++
       graft.kpi.Kpi.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
       TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle ++
-      WarehouseOps.oracle ++ graft.kpi.Kpi.oracle
+      WarehouseOps.oracle ++ Analytics.oracle ++ graft.kpi.Kpi.oracle
 }
