@@ -174,18 +174,119 @@ object Analytics {
       |  json_extract_string(props, '$.missing') AS missing_path
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------- q_tumbling
+  /** Batch tumbling-window aggregation over event time — the batch twin of
+    * the streaming windowed agg (graft.streaming.Streams): 1-hour buckets,
+    * count + exact decimal sum. Spark's window() start for aligned 1-hour
+    * buckets equals date_trunc('hour'), which is the oracle's form. */
+  def qTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        OP.sumExact($"value").as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type",
+        $"n_events", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val qTumblingSql =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ----------------------------------------------------------- q_percentile
+  /** Exact interpolated percentiles per group (Spark `percentile`, DuckDB
+    * `quantile_cont` — both the standard (n-1)p linear interpolation over
+    * sorted values, insensitive to the order of equal elements). Quantity
+    * flows as exact-double so the interpolation arithmetic is identical. */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qty = OP.dec2($"l_quantity").cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5)")
+          .as("median_qty"),
+        expr("percentile(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.25)")
+          .as("p25_qty"),
+        expr("percentile(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.75)")
+          .as("p75_qty"),
+        min(qty).as("min_qty"), max(qty).as("max_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val qPercentileSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.5)
+      |    AS median_qty,
+      |  quantile_cont(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.25)
+      |    AS p25_qty,
+      |  quantile_cont(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 0.75)
+      |    AS p75_qty,
+      |  min(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)) AS min_qty,
+      |  max(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)) AS max_qty
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------- q_stats_moments
+  /** Mean / sample variance / stddev per group WITHOUT the built-in
+    * stddev aggregate: the builtins fold doubles in shuffle order (engine-
+    * and run-dependent), so the moments are derived from exact decimal
+    * Σx and Σx² instead — the OracleParity discipline extended to second
+    * moments. Final arithmetic is the same IEEE op sequence on both sides,
+    * rounded to 4. */
+  def qStatsMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = OP.dec2($"value")
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count($"value").as("n"),
+        sum(v).cast("double").as("sum_v"),
+        sum(v * v).cast("double").as("sum_sq"))
+      .select(
+        $"event_type", $"n",
+        round($"sum_v" / $"n", 4).as("mean_v"),
+        round(($"sum_sq" - $"sum_v" * $"sum_v" / $"n") / ($"n" - 1), 4)
+          .as("var_v"),
+        round(sqrt(($"sum_sq" - $"sum_v" * $"sum_v" / $"n") / ($"n" - 1)), 4)
+          .as("stddev_v"))
+      .orderBy($"event_type")
+  }
+
+  private val qStatsMomentsSql =
+    """SELECT event_type, n,
+      |  round(sum_v / n, 4) AS mean_v,
+      |  round((sum_sq - sum_v * sum_v / n) / (n - 1), 4) AS var_v,
+      |  round(sqrt((sum_sq - sum_v * sum_v / n) / (n - 1)), 4) AS stddev_v
+      |FROM (
+      |  SELECT event_type, count(value) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+      |      AS DOUBLE) AS sum_sq
+      |  FROM events GROUP BY 1)
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_ranks" -> (qWindowRanks _),
     "q_rollup"       -> (qRollup _),
     "q_pivot"        -> (qPivot _),
     "q_sessionize"   -> (qSessionize _),
-    "q_json_extract" -> (qJsonExtract _))
+    "q_json_extract" -> (qJsonExtract _),
+    "q_tumbling"     -> (qTumbling _),
+    "q_percentile"   -> (qPercentile _),
+    "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
     "q_window_ranks" -> qWindowRanksSql,
     "q_rollup"       -> qRollupSql,
     "q_pivot"        -> qPivotSql,
     "q_sessionize"   -> qSessionizeSql,
-    "q_json_extract" -> qJsonExtractSql)
+    "q_json_extract" -> qJsonExtractSql,
+    "q_tumbling"     -> qTumblingSql,
+    "q_percentile"   -> qPercentileSql,
+    "q_stats_moments" -> qStatsMomentsSql)
 }
