@@ -22,6 +22,7 @@ object SparkEntry {
     Relational.queries ++ Windows.queries ++ SetOps.queries ++
       Scalars.queries ++ TextDedup.queries ++ Embeddings.queries ++
       TextAnalysis.queries ++ WarehouseOps.queries ++ Analytics.queries ++
+      TemporalJoins.queries ++
       graft.kpi.Kpi.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
       TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle ++
-      WarehouseOps.oracle ++ Analytics.oracle ++ graft.kpi.Kpi.oracle
+      WarehouseOps.oracle ++ Analytics.oracle ++ TemporalJoins.oracle ++
+      graft.kpi.Kpi.oracle
 }
