@@ -301,12 +301,94 @@ object TextDedup {
        |FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------- q_fuzzy_verify
+  /** Fuzzy verification metrics over the SAME LSH candidate pairs
+    * (never all-pairs): Levenshtein edit distance on a normalized text
+    * prefix, and SimHash Hamming distance via bit_count(xor) — the two
+    * standard near-dup confirmations besides Jaccard. Both exact integer
+    * metrics, portable across engines. */
+  def qFuzzyVerify(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(Tables.documents(s, dir))
+    val buckets = bandRows(minhashes(shingleRows(aug)))
+    val cand = buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("a"))
+      .join(buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("b")),
+        Seq("band_id", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = aug.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val sums = (0 until 16).map(bit =>
+      sum(when(substring(md5(col("tok")), bit + 1, 1).isin(hexHigh: _*), 1)
+        .otherwise(-1)).as(s"s$bit"))
+    val sim = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(bit =>
+          when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val prefix = aug.select(col("doc_id"),
+      substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 64)
+        .as("prefix"))
+    cand
+      .join(sim.select(col("doc_id").as("a"), col("simhash").as("sh_a")), Seq("a"))
+      .join(sim.select(col("doc_id").as("b"), col("simhash").as("sh_b")), Seq("b"))
+      .join(prefix.select(col("doc_id").as("a"), col("prefix").as("px_a")), Seq("a"))
+      .join(prefix.select(col("doc_id").as("b"), col("prefix").as("px_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int")
+          .as("simhash_hamming"),
+        levenshtein(col("px_a"), col("px_b")).as("prefix_edit_dist"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val qFuzzyVerifySql = {
+    val sums = (0 until 16).map(bit =>
+      s"    sum(CASE WHEN substr(md5(tok), ${bit + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$bit")
+      .mkString(",\n")
+    val fp = (0 until 16)
+      .map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $augmentedSqlCte,
+       |$shingleSqlCte,
+       |$minhashSqlCte,
+       |$bandSqlCte,
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+       |  WHERE l.doc_id < r.doc_id),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM aug),
+       |sim AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM (
+       |    SELECT doc_id,
+       |$sums
+       |    FROM toks GROUP BY doc_id)),
+       |px AS (
+       |  SELECT doc_id,
+       |    substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 64)
+       |      AS prefix
+       |  FROM aug)
+       |SELECT c.a, c.b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT)
+       |    AS simhash_hamming,
+       |  CAST(levenshtein(pa.prefix, pb.prefix) AS INT) AS prefix_edit_dist
+       |FROM cand c
+       |JOIN sim sa ON sa.doc_id = c.a
+       |JOIN sim sb ON sb.doc_id = c.b
+       |JOIN px pa ON pa.doc_id = c.a
+       |JOIN px pb ON pb.doc_id = c.b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dup"      -> (qExactDup _),
     "q_minhash_bucket" -> (qMinhashBucket _),
     "q_minhash_pairs"  -> (qMinhashPairs _),
     "q_jaccard_pairs"  -> (qJaccardPairs _),
+    "q_fuzzy_verify"   -> (qFuzzyVerify _),
     "q_simhash"        -> (qSimhash _))
 
   val oracle: Map[String, String] = Map(
@@ -314,5 +396,6 @@ object TextDedup {
     "q_minhash_bucket" -> qMinhashBucketSql,
     "q_minhash_pairs"  -> qMinhashPairsSql,
     "q_jaccard_pairs"  -> qJaccardPairsSql,
+    "q_fuzzy_verify"   -> qFuzzyVerifySql,
     "q_simhash"        -> qSimhashSql)
 }
