@@ -63,14 +63,33 @@ object SetOps {
       |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
       |ORDER BY custkey""".stripMargin
 
+  // ------------------------------------------------------------ q_intersect
+  /** INTERSECT (absent from the reference — SURVEY §2.6 notes it; included
+    * for set-op completeness): customers who both placed an order and
+    * appear in the event stream. Planned as a left-semi after dedup. */
+  def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordered = Tables.orders(s, dir).select($"o_custkey".as("id"))
+    val active = Tables.events(s, dir).select($"user_id".as("id"))
+    ordered.intersect(active).orderBy($"id")
+  }
+
+  private val qIntersectSql =
+    """SELECT o_custkey AS id FROM orders
+      |INTERSECT
+      |SELECT user_id AS id FROM events
+      |ORDER BY id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_top10_orders"   -> (qTop10Orders _),
     "q_union_distinct" -> (qUnionDistinct _),
-    "q_except"         -> (qExcept _))
+    "q_except"         -> (qExcept _),
+    "q_intersect"      -> (qIntersect _))
 
   val oracle: Map[String, String] = Map(
     "q_top10_orders"   -> qTop10OrdersSql,
     "q_union_distinct" -> qUnionDistinctSql,
-    "q_except"         -> qExceptSql)
+    "q_except"         -> qExceptSql,
+    "q_intersect"      -> qIntersectSql)
 }
