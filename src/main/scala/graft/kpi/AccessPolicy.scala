@@ -15,8 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AccessPolicy {
 
-  /** Per-role visible views, mirroring the reference's grant scopes. */
-  val roleViews: Map[String, Set[String]] = Map(
+  private val analystViews: Map[String, Set[String]] = Map(
     "hr_analyst" -> Set(
       "vw_kpi_monthly_headcount",
       "vw_kpi_monthly_resignations",
@@ -27,12 +26,13 @@ object AccessPolicy {
       "vw_kpi_expenses_net_vs_gross"),
     "ops_analyst" -> Set(
       "vw_kpi_downtime_by_process",
-      "vw_kpi_downtime_by_dept"),
-    "admin" -> Set(
-      "vw_kpi_monthly_headcount", "vw_kpi_monthly_resignations",
-      "vw_kpi_avg_salary_by_gender", "vw_kpi_gross_monthly_expenses_by_dept",
-      "vw_kpi_net_monthly_expenses_by_dept", "vw_kpi_expenses_net_vs_gross",
-      "vw_kpi_downtime_by_process", "vw_kpi_downtime_by_dept"))
+      "vw_kpi_downtime_by_dept"))
+
+  /** Per-role visible views, mirroring the reference's grant scopes; admin
+    * is derived as the union so admin ⊇ every analyst holds by
+    * construction when views are added. */
+  val roleViews: Map[String, Set[String]] =
+    analystViews + ("admin" -> analystViews.values.flatten.toSet)
 
   /** Resolve a view for a role, failing closed on anything outside the
     * role's exposure list (unknown role, unknown view, or not granted). */

@@ -88,7 +88,9 @@ object TemporalJoins {
 
   private val qRangeJoinSql =
     """WITH bands AS (
-      |  SELECT i AS band_id, i * 100.0 AS lo, (i + 1) * 100.0 AS hi,
+      |  SELECT i AS band_id,
+      |    CAST(i * 100.0 AS DOUBLE) AS lo,
+      |    CAST((i + 1) * 100.0 AS DOUBLE) AS hi,
       |    'band_' || CAST(i AS VARCHAR) AS band_label
       |  FROM range(0, 5) t(i))
       |SELECT event_id,

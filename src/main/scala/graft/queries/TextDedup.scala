@@ -124,6 +124,60 @@ object TextDedup {
     "bands AS (\n" + arms.mkString("\n  UNION ALL\n") + ")"
   }
 
+  /** LSH candidate pairs (a < b, distinct) for a corpus — THE single
+    * definition used by every verify-stage query (jaccard, fuzzy): docs
+    * sharing any band bucket. */
+  private def candidatePairs(docs: DataFrame): DataFrame = {
+    val buckets = bandRows(minhashes(shingleRows(docs)))
+    buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("a"))
+      .join(buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("b")),
+        Seq("band_id", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  private val candSqlCte =
+    """cand AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM bands l JOIN bands r
+      |    ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+      |  WHERE l.doc_id < r.doc_id)""".stripMargin
+
+  /** 16-bit SimHash fingerprint per doc (see q_simhash scaladoc) — shared
+    * by the fingerprint query and the fuzzy verify stage. */
+  private def simhashOf(docs: DataFrame): DataFrame = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val sums = (0 until 16).map(b =>
+      sum(when(substring(md5(col("tok")), b + 1, 1).isin(hexHigh: _*), 1)
+        .otherwise(-1)).as(s"s$b"))
+    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SQL mirror of [[simhashOf]] over source table/CTE `src` — emits
+    * toks/sums/sim CTE text (final CTE named `sim`). */
+  private def simhashSqlCtes(src: String): String = {
+    val sums = (0 until 16).map(b =>
+      s"    sum(CASE WHEN substr(md5(tok), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n")
+    val fp = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM $src),
+       |sums AS (
+       |  SELECT doc_id,
+       |$sums
+       |  FROM toks GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
   // ------------------------------------------------------------ q_exact_dup
   /** Exact dedup by normalized-text hash over a corpus with manufactured
     * exact copies: groups with >1 doc, keeper = min doc_id (the
@@ -178,26 +232,17 @@ object TextDedup {
     * minhash → band → bucket self-join → distinct candidate pairs (a < b).
     * The join is keyed on (band_id, band_sig): pair enumeration cost is
     * Σ bucket² over near-identical docs only, not corpus². */
-  def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val buckets = bandRows(minhashes(shingleRows(
-      augmented(Tables.documents(s, dir)))))
-    val l = buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("a"))
-    val r = buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("b"))
-    l.join(r, Seq("band_id", "band_sig"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+  def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(augmented(Tables.documents(s, dir)))
       .orderBy(col("a"), col("b"))
-  }
 
   private val qMinhashPairsSql =
     s"""WITH $augmentedSqlCte,
        |$shingleSqlCte,
        |$minhashSqlCte,
-       |$bandSqlCte
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |FROM bands l JOIN bands r
-       |  ON l.band_id = r.band_id AND l.band_sig = r.band_sig
-       |WHERE l.doc_id < r.doc_id
+       |$bandSqlCte,
+       |$candSqlCte
+       |SELECT a, b FROM cand
        |ORDER BY a, b""".stripMargin
 
   // -------------------------------------------------------- q_jaccard_pairs
@@ -210,12 +255,7 @@ object TextDedup {
     val aug = augmented(Tables.documents(s, dir))
     val sh = shingleRows(aug).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val buckets = bandRows(minhashes(shingleRows(aug)))
-    val cand = buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("a"))
-      .join(buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("b")),
-        Seq("band_id", "band_sig"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val cand = candidatePairs(aug)
     val inter = cand
       .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
@@ -239,11 +279,7 @@ object TextDedup {
        |$bandSqlCte,
        |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bands l JOIN bands r
-       |    ON l.band_id = r.band_id AND l.band_sig = r.band_sig
-       |  WHERE l.doc_id < r.doc_id),
+       |$candSqlCte,
        |inter AS (
        |  SELECT c.a, c.b, count(*) AS n_inter
        |  FROM cand c
@@ -267,39 +303,12 @@ object TextDedup {
     * distinct). One groupBy with 16 integer sums — map-side combinable, one
     * shuffle of 16 ints per doc at any scale. Near-dups then bucket by
     * fingerprint (or by Hamming-ball probes) instead of pairwise compare. */
-  def qSimhash(s: SparkSession, dir: String): DataFrame = {
-    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
-    val sums = (0 until 16).map(b =>
-      sum(when(substring(md5(col("tok")), b + 1, 1).isin(hexHigh: _*), 1)
-        .otherwise(-1)).as(s"s$b"))
-    toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(b =>
-          when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)).cast("long"))
-          .reduce(_ + _).as("simhash"))
-      .orderBy(col("doc_id"))
-  }
+  def qSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
-  private val qSimhashSql = {
-    val sums = (0 until 16).map(b =>
-      s"    sum(CASE WHEN substr(md5(tok), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
-      .mkString(",\n")
-    val fp = (0 until 16)
-      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-       |  FROM documents),
-       |sums AS (
-       |  SELECT doc_id,
-       |$sums
-       |  FROM toks GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-       |FROM sums ORDER BY doc_id""".stripMargin
-  }
+  private val qSimhashSql =
+    s"""WITH ${simhashSqlCtes("documents")}
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------- q_fuzzy_verify
   /** Fuzzy verification metrics over the SAME LSH candidate pairs
@@ -309,22 +318,8 @@ object TextDedup {
     * metrics, portable across engines. */
   def qFuzzyVerify(s: SparkSession, dir: String): DataFrame = {
     val aug = augmented(Tables.documents(s, dir))
-    val buckets = bandRows(minhashes(shingleRows(aug)))
-    val cand = buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("a"))
-      .join(buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("b")),
-        Seq("band_id", "band_sig"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val toks = aug.select(col("doc_id"), explode(words(col("text"))).as("tok"))
-    val sums = (0 until 16).map(bit =>
-      sum(when(substring(md5(col("tok")), bit + 1, 1).isin(hexHigh: _*), 1)
-        .otherwise(-1)).as(s"s$bit"))
-    val sim = toks.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(bit =>
-          when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    val cand = candidatePairs(aug)
+    val sim = simhashOf(aug)
     val prefix = aug.select(col("doc_id"),
       substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 64)
         .as("prefix"))
@@ -341,30 +336,12 @@ object TextDedup {
   }
 
   private val qFuzzyVerifySql = {
-    val sums = (0 until 16).map(bit =>
-      s"    sum(CASE WHEN substr(md5(tok), ${bit + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$bit")
-      .mkString(",\n")
-    val fp = (0 until 16)
-      .map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END")
-      .mkString(" + ")
     s"""WITH $augmentedSqlCte,
        |$shingleSqlCte,
        |$minhashSqlCte,
        |$bandSqlCte,
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bands l JOIN bands r
-       |    ON l.band_id = r.band_id AND l.band_sig = r.band_sig
-       |  WHERE l.doc_id < r.doc_id),
-       |toks AS (
-       |  SELECT doc_id,
-       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-       |  FROM aug),
-       |sim AS (
-       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM (
-       |    SELECT doc_id,
-       |$sums
-       |    FROM toks GROUP BY doc_id)),
+       |$candSqlCte,
+       |${simhashSqlCtes("aug")},
        |px AS (
        |  SELECT doc_id,
        |    substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 64)

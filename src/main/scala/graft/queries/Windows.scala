@@ -76,7 +76,10 @@ object Windows {
     Tables.lineitem(s, dir)
       .withColumn("running_qty", sum(OP.dec2($"l_quantity")).over(w).cast("double"))
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
-      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+      // running_qty as final key: the duplicate line rows tie on the first
+      // three columns but carry different prefixes — without it the
+      // presentation order of the tied pair is engine-dependent
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
   }
 
   private val qWindowRunningSql =
@@ -87,7 +90,7 @@ object Windows {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    AS running_qty
       |FROM lineitem
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin
 
   // ---------------------------------------------------------- q_window_lag
   /** lag/lead: inter-event gap per user in microseconds. Exact integer
