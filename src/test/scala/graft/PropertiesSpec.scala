@@ -89,6 +89,27 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH invariant: identical texts share every band; perturbed near-dups" +
+    " are found as candidates") {
+    // the augmented-corpus queries rest on this: an exact copy has an
+    // identical shingle set -> identical minhash signature -> collides in
+    // all 4 bands, so exact dups can never be missed by the LSH stage
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val buckets = graft.queries.TextDedup.qMinhashBucket(spark, dir)
+      .groupBy($"doc_id").count()
+    // every doc emits exactly NumBands=4 band rows
+    assert(buckets.filter($"count" =!= 4).count() == 0)
+    // manufactured near-dup pairs (doc_id, doc_id+10000) all surface
+    val pairs = graft.queries.TextDedup.qMinhashPairs(spark, dir)
+      .filter($"b" === $"a" + 10000)
+    val expected = graft.core.Tables.documents(spark, dir)
+      .filter($"doc_id" % 25 === 0).count()
+    assert(pairs.count() >= expected * 9 / 10,
+      s"LSH recall collapsed: ${pairs.count()} of $expected perturbed pairs")
+  }
+
   test("dedupWithLog completeness: kept + logged == input; kept is distinct") {
     import spark.implicits._
     val dupRow: Gen[(String, String)] = for {
