@@ -69,6 +69,24 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.toSeq)
 
+  /** Stream-stream interval join (the attribution shape): each left event
+    * joined to right events of the same user within `within` AFTER it.
+    * Both sides carry watermarks so the join state is evicted once the
+    * interval can no longer match — bounded memory at any stream length;
+    * state shards by the join key. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   within: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("event_type").as("l_event")).withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_type").as("r_event")).withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval $within"))
+      .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** foreachBatch bridge: run any batch-library stage (cleaning, DQ,
     * incremental fact append) against each micro-batch. Returns a started
     * query writing through `stage`. */

@@ -112,6 +112,25 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to clicks in-window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val out = Streams.intervalJoin(clicks.toDF(), buys.toDF(), "1 hour")
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ev(0, 1, "click", 1.0))          // 10:00
+      buys.addData(ev(30, 1, "purchase", 9.0))        // 10:30 → in window
+      buys.addData(ev(30, 2, "purchase", 5.0))        // other user → no match
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("user_id") == 1)
+    } finally q.stop()
+  }
+
   test("foreachBatch runs a batch-library cleaning stage per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
