@@ -86,6 +86,36 @@ object Analytics {
       |ORDER BY g_flag, g_status,
       |  COALESCE(l_returnflag, ''), COALESCE(l_linestatus, '')""".stripMargin
 
+  // ----------------------------------------------------------------- q_cube
+  /** CUBE over (returnflag, linestatus) — all 2² grouping combinations
+    * (rollup's sibling; together they close the grouping-sets family the
+    * reference lacks). Same null-coalescing presentation sort. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping($"l_returnflag").cast(IntegerType).as("g_flag"),
+        grouping($"l_linestatus").cast(IntegerType).as("g_status"),
+        OP.sumExact($"l_quantity").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select($"l_returnflag", $"l_linestatus",
+        $"g_flag", $"g_status", $"sum_qty", $"n_rows")
+      .orderBy($"g_flag", $"g_status",
+        coalesce($"l_returnflag", lit("")), coalesce($"l_linestatus", lit("")))
+  }
+
+  private val qCubeSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status,
+      |  COALESCE(l_returnflag, ''), COALESCE(l_linestatus, '')""".stripMargin
+
   // ---------------------------------------------------------------- q_pivot
   /** Pivot: order value by year × status as columns (explicit value list —
     * required at scale anyway: implicit pivot collects distinct values to
@@ -273,6 +303,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_ranks" -> (qWindowRanks _),
     "q_rollup"       -> (qRollup _),
+    "q_cube"         -> (qCube _),
     "q_pivot"        -> (qPivot _),
     "q_sessionize"   -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
@@ -283,6 +314,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_window_ranks" -> qWindowRanksSql,
     "q_rollup"       -> qRollupSql,
+    "q_cube"         -> qCubeSql,
     "q_pivot"        -> qPivotSql,
     "q_sessionize"   -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,
