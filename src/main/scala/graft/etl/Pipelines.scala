@@ -40,7 +40,11 @@ object Etl {
     val raw = rawCsv(spark, rawPath)
     // TEMP ids for missing EmployeeID before rules (A2_hr_etl.py:80-86)
     val wAll = Window.orderBy(monotonically_increasing_id())
-    val withId = raw.withColumn("__n", row_number().over(wAll))
+    // cached: the DQ-log branch and the staging branch both read __n, and
+    // monotonically_increasing_id is only stable within one evaluation —
+    // re-evaluating per branch could log a TEMP id that differs from the
+    // staged one. The cache pins a single assignment (seed files are small).
+    val withId = raw.withColumn("__n", row_number().over(wAll)).cache()
     val ref = col("EmployeeID")
     val idFixed = withId.withColumn("EmployeeID",
       when(ref.isNull || trim(ref) === "", concat(lit("TEMP_"), col("__n")))

@@ -38,7 +38,20 @@ object Sinks {
     val tmp = new Path(target.getParent, target.getName + ".__swap_tmp")
     val old = new Path(target.getParent, target.getName + ".__swap_old")
     fs.delete(tmp, true)
-    fs.delete(old, true)
+    // Crash recovery: a prior run killed between the two renames below left
+    // the target absent with the previous state only in .__swap_old. Restore
+    // it (rename old -> target) rather than deleting the sole surviving copy
+    // — essential when `df`'s plan reads from `target` itself (SCD2
+    // self-rewrite), which would otherwise fail on a missing table with the
+    // backup already destroyed. Only discard .__swap_old when the target
+    // exists (then .old is a stale leftover from a completed swap).
+    if (!fs.exists(target) && fs.exists(old)) {
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(
+          s"overwriteSwap: found interrupted swap but cannot restore $old -> $target")
+    } else {
+      fs.delete(old, true)
+    }
     df.write.mode("overwrite").parquet(tmp.toString)
     // Swap: current -> .old, tmp -> current, drop .old. The window between
     // the two renames (driver killed mid-swap) leaves the table absent with

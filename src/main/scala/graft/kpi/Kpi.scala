@@ -168,6 +168,44 @@ object Kpi {
       |WHERE o_orderstatus = 'O'
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  private val qKpiResignationsSql =
+    """WITH dt AS (
+      |  SELECT CAST(d AS DATE) AS full_date
+      |  FROM generate_series(DATE '1995-01-01', DATE '2001-12-31',
+      |                       INTERVAL 1 DAY) t(d))
+      |SELECT CAST(year(full_date) AS INT) AS year,
+      |  CAST(month(full_date) AS INT) AS month,
+      |  CAST(day(full_date) AS INT) AS day,
+      |  count(DISTINCT o_custkey) AS resignations
+      |FROM orders JOIN dt ON CAST(o_orderdate AS DATE) = full_date
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Shared SQL for the gross/net expense views; net excludes refunds
+    * (l_returnflag = 'R' plays KPIs.sql:56's is_refund). */
+  private def qKpiExpensesSql(netOnly: Boolean): String = {
+    val where = if (netOnly) "WHERE l_returnflag <> 'R'\n" else ""
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS year,
+       |  CAST(month(o_orderdate) AS INT) AS month,
+       |  n_name AS department,
+       |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+       |    AS total_amount
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |${where}GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  private val qKpiDowntimeByProcessSql =
+    """SELECT event_type AS process,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total_downtime,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |    / COUNT(value), 2) AS avg_downtime
+      |FROM events
+      |GROUP BY 1 ORDER BY total_downtime DESC, process""".stripMargin
+
   private val qKpiSalaryByGenderSql =
     """SELECT c_mktsegment AS segment,
       |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
@@ -197,14 +235,22 @@ object Kpi {
       |GROUP BY 1 ORDER BY total_downtime DESC, department""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_kpi_headcount"        -> (headcount _),
-    "q_kpi_salary_by_gender" -> (avgSalaryByGender _),
-    "q_kpi_net_vs_gross"     -> (netVsGrossByType _),
-    "q_kpi_downtime_by_dept" -> (downtimeByDept _))
+    "q_kpi_headcount"           -> (headcount _),
+    "q_kpi_resignations"        -> (resignations _),
+    "q_kpi_salary_by_gender"    -> (avgSalaryByGender _),
+    "q_kpi_gross_expenses"      -> (grossMonthlyExpensesByDept _),
+    "q_kpi_net_expenses"        -> (netMonthlyExpensesByDept _),
+    "q_kpi_net_vs_gross"        -> (netVsGrossByType _),
+    "q_kpi_downtime_by_process" -> (downtimeByProcess _),
+    "q_kpi_downtime_by_dept"    -> (downtimeByDept _))
 
   val oracle: Map[String, String] = Map(
-    "q_kpi_headcount"        -> qKpiHeadcountSql,
-    "q_kpi_salary_by_gender" -> qKpiSalaryByGenderSql,
-    "q_kpi_net_vs_gross"     -> qKpiNetVsGrossSql,
-    "q_kpi_downtime_by_dept" -> qKpiDowntimeByDeptSql)
+    "q_kpi_headcount"           -> qKpiHeadcountSql,
+    "q_kpi_resignations"        -> qKpiResignationsSql,
+    "q_kpi_salary_by_gender"    -> qKpiSalaryByGenderSql,
+    "q_kpi_gross_expenses"      -> qKpiExpensesSql(netOnly = false),
+    "q_kpi_net_expenses"        -> qKpiExpensesSql(netOnly = true),
+    "q_kpi_net_vs_gross"        -> qKpiNetVsGrossSql,
+    "q_kpi_downtime_by_process" -> qKpiDowntimeByProcessSql,
+    "q_kpi_downtime_by_dept"    -> qKpiDowntimeByDeptSql)
 }

@@ -33,10 +33,18 @@ object Multimodal {
 
   /** Rows-only driver entry (no DuckDB oracle — the codec stub is
     * Scala-side, not SQL-expressible): decode+feature-extract over a
-    * deterministic synthetic media table. */
+    * deterministic synthetic media table. The `features` float array is
+    * projected to a fixed-precision CSV string so every column is scalar —
+    * the driver's checker sorts/hashes rows even on the rows-only path, and
+    * an array column is unhashable there (pandas Categorical). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> ((s: SparkSession, _: String) =>
-      extractFeatures(syntheticMedia(s, 200)).orderBy(col("media_id"))))
+      extractFeatures(syntheticMedia(s, 200))
+        .withColumn("features",
+          when(col("features").isNull, lit(null: String)).otherwise(
+            concat_ws(",", transform(col("features"),
+              f => format_string("%.6f", f)))))
+        .orderBy(col("media_id"))))
 
   /** Media-table schema: id + modality + typed metadata + opaque payload. */
   val mediaSchema: StructType = StructType(Seq(

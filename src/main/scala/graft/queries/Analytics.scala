@@ -279,9 +279,14 @@ object Analytics {
       .select(
         $"event_type", $"n",
         round($"sum_v" / $"n", 4).as("mean_v"),
-        round(($"sum_sq" - $"sum_v" * $"sum_v" / $"n") / ($"n" - 1), 4)
+        // n=1 guard: Spark (non-ANSI) yields NULL on /0 but DuckDB yields
+        // inf/NaN — a singleton group would hash-mismatch across engines.
+        // NULL variance for n=1 is the defined result on both sides.
+        round(when($"n" > 1,
+          ($"sum_sq" - $"sum_v" * $"sum_v" / $"n") / ($"n" - 1)), 4)
           .as("var_v"),
-        round(sqrt(($"sum_sq" - $"sum_v" * $"sum_v" / $"n") / ($"n" - 1)), 4)
+        round(when($"n" > 1,
+          sqrt(($"sum_sq" - $"sum_v" * $"sum_v" / $"n") / ($"n" - 1))), 4)
           .as("stddev_v"))
       .orderBy($"event_type")
   }
@@ -289,8 +294,9 @@ object Analytics {
   private val qStatsMomentsSql =
     """SELECT event_type, n,
       |  round(sum_v / n, 4) AS mean_v,
-      |  round((sum_sq - sum_v * sum_v / n) / (n - 1), 4) AS var_v,
-      |  round(sqrt((sum_sq - sum_v * sum_v / n) / (n - 1)), 4) AS stddev_v
+      |  round((sum_sq - sum_v * sum_v / n) / NULLIF(n - 1, 0), 4) AS var_v,
+      |  round(sqrt((sum_sq - sum_v * sum_v / n) / NULLIF(n - 1, 0)), 4)
+      |    AS stddev_v
       |FROM (
       |  SELECT event_type, count(value) AS n,
       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,

@@ -200,7 +200,7 @@ object Embeddings {
     * probes only the nearest centroid's posting list. Centroids here are a
     * deterministic data sample (every (n/k)-th vector), standing in for
     * trained k-means means — the partition/probe algebra (the part that
-    * matters at scale) is identical. Assignment is a broadcast of the k=16
+    * matters at scale) is identical. Assignment is a broadcast of the k=17
     * centroids against the corpus (never corpus×corpus); each vector's
     * cell = argmax cosine, rank stabilized on the 4-decimal-rounded sim +
     * centroid id so both engines agree. Output: cell assignment + posting

@@ -18,7 +18,11 @@ import graft.core.Tables
   *   - every hash is md5 (hex string), so results are engine-portable and
   *     the DuckDB oracle computes the identical algebra;
   *   - minhash aggregation is a single map-side-combinable groupBy (12 `min`
-  *     aggs over the exploded shingle stream) — one shuffle per corpus pass.
+  *     aggs over the exploded shingle stream) — one shuffle per corpus pass;
+  *   - the index tables (buckets, simhash signatures, shingle posting list)
+  *     are MATERIALIZED once per corpus ([[Index]]) and the verify queries
+  *     read the stored parquet — the derivation subtree appears once in the
+  *     whole pipeline, not once per join side.
   *
   * At 100 TB: the shingle explosion is ~50-100× row amplification but carries
   * only (doc_id, shingle-hash); partial min() collapses it map-side, so the
@@ -124,11 +128,56 @@ object TextDedup {
     "bands AS (\n" + arms.mkString("\n  UNION ALL\n") + ")"
   }
 
-  /** LSH candidate pairs (a < b, distinct) for a corpus — THE single
-    * definition used by every verify-stage query (jaccard, fuzzy): docs
-    * sharing any band bucket. */
-  private def candidatePairs(docs: DataFrame): DataFrame = {
-    val buckets = bandRows(minhashes(shingleRows(docs)))
+  /** Build-once-read-many store for the LSH index tables. At 100 TB the
+    * index (buckets, signatures, shingle posting list) is built by ONE
+    * upstream corpus pass per snapshot and consumed by every verify query;
+    * re-deriving the shingle→minhash→band subtree inside each verify
+    * self-join — the r2 plan — multiplies the most expensive scan in the
+    * pipeline by the number of join sides. Each table is written to parquet
+    * exactly once per (corpus dir, table) per JVM via the crash-safe
+    * [[graft.io.Sinks.overwriteSwap]] and read back, so the verify plans
+    * contain parquet scans of the stored index, not the derivation. */
+  private object Index {
+    private val built = scala.collection.mutable.HashSet.empty[String]
+    private val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_lsh_index").getAbsolutePath
+
+    def materialized(s: SparkSession, dir: String, what: String)
+        (build: => DataFrame): DataFrame = synchronized {
+      // "ix_" prefix: a leading "_" would make the directory invisible to
+      // Spark's file index (hidden-path convention), silently reading empty
+      val key = "ix_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "__" + what
+      val path = s"$root/$key"
+      if (!built.contains(key)) { // rebuilt once per JVM: never stale
+        graft.io.Sinks.overwriteSwap(build, path)
+        built += key
+      }
+      s.read.parquet(path)
+    }
+  }
+
+  /** Stored LSH bucket table over the augmented corpus. */
+  private def augBuckets(s: SparkSession, dir: String): DataFrame =
+    Index.materialized(s, dir, "buckets")(
+      bandRows(minhashes(shingleRows(augmented(Tables.documents(s, dir))))))
+
+  /** Stored distinct (doc_id, shingle) posting list over the augmented
+    * corpus — the exact-Jaccard verify input. */
+  private def augShingles(s: SparkSession, dir: String): DataFrame =
+    Index.materialized(s, dir, "shingles")(
+      shingleRows(augmented(Tables.documents(s, dir))).distinct())
+
+  /** Stored simhash signature table over the augmented corpus. */
+  private def augSimhash(s: SparkSession, dir: String): DataFrame =
+    Index.materialized(s, dir, "simhash")(
+      simhashOf(augmented(Tables.documents(s, dir))))
+
+  /** LSH candidate pairs (a < b, distinct) — THE single definition used by
+    * every verify-stage query (jaccard, fuzzy): docs sharing any band
+    * bucket. Both self-join sides read the STORED bucket table, so the
+    * minhash derivation appears nowhere in the verify plans. */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val buckets = augBuckets(s, dir)
     buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("a"))
       .join(buckets.select(col("band_id"), col("band_sig"), col("doc_id").as("b")),
         Seq("band_id", "band_sig"))
@@ -233,8 +282,7 @@ object TextDedup {
     * The join is keyed on (band_id, band_sig): pair enumeration cost is
     * Σ bucket² over near-identical docs only, not corpus². */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    candidatePairs(augmented(Tables.documents(s, dir)))
-      .orderBy(col("a"), col("b"))
+    candidatePairs(s, dir).orderBy(col("a"), col("b"))
 
   private val qMinhashPairsSql =
     s"""WITH $augmentedSqlCte,
@@ -252,10 +300,9 @@ object TextDedup {
     * never corpus². DuckDB `/` on integers is float division, matching
     * Spark's long/long → double. */
   def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val aug = augmented(Tables.documents(s, dir))
-    val sh = shingleRows(aug).distinct()
+    val sh = augShingles(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cand = candidatePairs(aug)
+    val cand = candidatePairs(s, dir)
     val inter = cand
       .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
@@ -318,8 +365,8 @@ object TextDedup {
     * metrics, portable across engines. */
   def qFuzzyVerify(s: SparkSession, dir: String): DataFrame = {
     val aug = augmented(Tables.documents(s, dir))
-    val cand = candidatePairs(aug)
-    val sim = simhashOf(aug)
+    val cand = candidatePairs(s, dir)
+    val sim = augSimhash(s, dir)
     val prefix = aug.select(col("doc_id"),
       substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 64)
         .as("prefix"))
