@@ -23,7 +23,8 @@ object SparkEntry {
       Scalars.queries ++ TextDedup.queries ++ Embeddings.queries ++
       TextAnalysis.queries ++ WarehouseOps.queries ++ Analytics.queries ++
       TemporalJoins.queries ++
-      graft.kpi.Kpi.queries ++ graft.multimodal.Multimodal.queries
+      graft.kpi.Kpi.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,5 @@ object SparkEntry {
     Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
       TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle ++
       WarehouseOps.oracle ++ Analytics.oracle ++ TemporalJoins.oracle ++
-      graft.kpi.Kpi.oracle
+      graft.kpi.Kpi.oracle ++ graft.streaming.Streams.oracle
 }

@@ -97,4 +97,90 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(stage)
       .start()
+
+  // ---------------------------------------------------------------------
+  // Batch-equivalence correctness entries: the streaming operators above,
+  // driven end-to-end over the events table as a bounded file-source
+  // stream, with the SAME DuckDB oracle as their batch twins. This puts
+  // the streaming path under the driver's correctness gate (r2 verdict
+  // item 6) — a stream that processes a bounded input must produce exactly
+  // the batch answer.
+  // ---------------------------------------------------------------------
+
+  private val runId = new java.util.concurrent.atomic.AtomicInteger
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** The events table as a bounded file-source STREAM (same ns→µs ts fix as
+    * [[graft.core.Tables.events]] so batch and stream see identical rows). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // the file source requires a DIRECTORY base path; select the single
+    // table file out of the dataset dir with a glob filter
+    s.readStream.schema(s.read.parquet(path).schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming twin of q_tumbling: [[windowedEventStats]] over the bounded
+    * events stream, complete-mode memory sink (the harness-side collection;
+    * production uses [[foreachBatchSink]] — see [[qStreamDedup]] for that
+    * path under the same gate). Oracle: the identical batch tumbling SQL. */
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_tumbling_" + runId.incrementAndGet()
+    val q = windowedEventStats(eventsStream(s, dir))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", freshDir("graft_stream_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("window_start"), col("event_type"))
+  }
+
+  private val qStreamTumblingSql =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Streaming exact-dedup under the batch gate: the events stream unioned
+    * with ITSELF (every row arrives twice — manufactured duplicates),
+    * deduped by event_id via [[dedupWithinWatermark]], sunk per micro-batch
+    * through [[foreachBatchSink]] + the append sink to parquet, read back.
+    * A watermark wider than the data's time range makes the streaming dedup
+    * exactly global DISTINCT, so the oracle is simply the events table. */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val deduped = dedupWithinWatermark(
+      eventsStream(s, dir).unionByName(eventsStream(s, dir)),
+      "ts", "3650 days", "event_id")
+    val out = freshDir("graft_stream_dedup_out") + "/events_deduped"
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", freshDir("graft_stream_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.Sinks.appendParquet(batch, out)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).orderBy(col("event_id"))
+  }
+
+  private val qStreamDedupSql =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |  value, props
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_dedup"    -> (qStreamDedup _))
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" -> qStreamTumblingSql,
+    "q_stream_dedup"    -> qStreamDedupSql)
 }
