@@ -36,8 +36,13 @@ object Etl {
     * uses a global row_number — single-partition by design: raw seed files
     * are driver-small; a 100 TB ingest would use a key-based reference
     * instead (SURVEY §7 row-order hard part). */
-  def hr(spark: SparkSession, rawPath: String, ctx: JobContext): EtlResult = {
-    val raw = rawCsv(spark, rawPath)
+  def hr(spark: SparkSession, rawPath: String, ctx: JobContext): EtlResult =
+    hrFrame(spark, rawCsv(spark, rawPath), ctx)
+
+  /** Same pipeline over an already-ingested raw frame (all-string columns,
+    * header promoted) — the [[graft.sources.Xlsx]] path enters here, so
+    * workbook and CSV ingest share every rule downstream. */
+  def hrFrame(spark: SparkSession, raw: DataFrame, ctx: JobContext): EtlResult = {
     // TEMP ids for missing EmployeeID before rules (A2_hr_etl.py:80-86)
     val wAll = Window.orderBy(monotonically_increasing_id())
     // cached: the DQ-log branch and the staging branch both read __n, and
