@@ -214,14 +214,17 @@ object Scalars {
 
   // --------------------------------------------------------- q_null_filter
   /** P7 null-drop filter (C2_ops_etl.py:64 dropna; dbt
-    * stg_ops_downtime.sql:31): nulls manufactured via nullif, then
-    * `IS NOT NULL` — the predicate pushes down to the scan. */
+    * stg_ops_downtime.sql:31). `nullif(x,'error') IS NOT NULL` over the
+    * derived column would NOT push to the scan (the predicate references
+    * an expression, not a column) — so the filter is phrased on the raw
+    * column (`x IS NOT NULL AND x != 'error'`, same rows) and reaches the
+    * parquet reader as PushedFilters (PlanAuditSpec asserts it). At scale
+    * that's row-group skipping vs a full-table decode. */
   def qNullFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
-      .withColumn("maybe_type", nullif($"event_type", lit("error")))
-      .filter($"maybe_type".isNotNull)
-      .select($"event_id", $"maybe_type")
+      .filter($"event_type".isNotNull && $"event_type" =!= "error")
+      .select($"event_id", nullif($"event_type", lit("error")).as("maybe_type"))
       .orderBy($"event_id")
   }
 

@@ -64,6 +64,20 @@ object Incremental {
   final case class LoadStats(candidates: Long, nullPartition: Long,
                              aboveWatermark: Long, appended: Long)
 
+  /** The existing-fact tail the anti-dedup compares against: only
+    * partitions at/after the watermark. The filter is on the physical
+    * partition column, so it resolves at planning time to a partition-list
+    * prune — the scan never touches historical partitions (PlanAuditSpec
+    * asserts this). At 100 TB this is the difference between reading a
+    * day and reading years. */
+  private[graft] def tailScan(spark: SparkSession, factPath: String,
+                              partCol: String, hwm: Option[String]): DataFrame =
+    hwm match {
+      case Some(w) => spark.read.parquet(factPath)
+        .filter(col(partCol) >= lit(w).cast(DateType))
+      case None => spark.read.parquet(factPath)
+    }
+
   /** Append `candidates` to the partitioned fact at `factPath`:
     * watermark-filter → tail-bounded anti-dedup on `keyCols` → append →
     * advance watermark. `partCol` must be a DateType column (becomes the
@@ -93,14 +107,9 @@ object Incremental {
     val fs = new Path(factPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deduped =
-      if (fs.exists(new Path(factPath))) {
-        val tail = hwm match {
-          case Some(w) => spark.read.parquet(factPath)
-            .filter(col(partCol) >= lit(w).cast(DateType)) // partition-pruned
-          case None => spark.read.parquet(factPath)
-        }
-        Facts.antiDedup(fresh, tail, keyCols)
-      } else fresh
+      if (fs.exists(new Path(factPath)))
+        Facts.antiDedup(fresh, tailScan(spark, factPath, partCol, hwm), keyCols)
+      else fresh
     // Materialize counts AND the new max BEFORE appending: writing to
     // factPath invalidates any cached plan that reads it (Spark recaches
     // by path), so post-append the dedup plan would recompute against the
