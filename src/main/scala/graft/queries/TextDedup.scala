@@ -299,7 +299,12 @@ object TextDedup {
     * candidate pairs, |A∪B| = |A|+|B|−|A∩B|. Cost is candidates × shingles,
     * never corpus². DuckDB `/` on integers is float division, matching
     * Spark's long/long → double. */
-  def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardScored(s, dir).orderBy(col("a"), col("b"))
+
+  /** Candidate pairs with exact Jaccard — shared by the pair query and the
+    * cluster-resolution stage. */
+  private def jaccardScored(s: SparkSession, dir: String): DataFrame = {
     val sh = augShingles(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cand = candidatePairs(s, dir)
@@ -316,11 +321,12 @@ object TextDedup {
         (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"),
         round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 6)
           .as("jaccard"))
-      .orderBy(col("a"), col("b"))
   }
 
-  private val qJaccardPairsSql =
-    s"""WITH $augmentedSqlCte,
+  /** CTE chain ending in `jac(a, b, n_inter, n_union, jaccard)` — the SQL
+    * mirror of [[jaccardScored]], shared by the pair and cluster oracles. */
+  private val jacSqlCtes =
+    s"""$augmentedSqlCte,
        |$shingleSqlCte,
        |$minhashSqlCte,
        |$bandSqlCte,
@@ -332,16 +338,117 @@ object TextDedup {
        |  FROM cand c
        |  JOIN shd sa ON sa.doc_id = c.a
        |  JOIN shd sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-       |  GROUP BY c.a, c.b)
-       |SELECT c.a, c.b, COALESCE(i.n_inter, 0) AS n_inter,
-       |  za.sz + zb.sz - COALESCE(i.n_inter, 0) AS n_union,
-       |  round(COALESCE(i.n_inter, 0) / (za.sz + zb.sz - COALESCE(i.n_inter, 0)), 6)
-       |    AS jaccard
-       |FROM cand c
-       |LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-       |JOIN sizes za ON za.doc_id = c.a
-       |JOIN sizes zb ON zb.doc_id = c.b
+       |  GROUP BY c.a, c.b),
+       |jac AS (
+       |  SELECT c.a, c.b, COALESCE(i.n_inter, 0) AS n_inter,
+       |    za.sz + zb.sz - COALESCE(i.n_inter, 0) AS n_union,
+       |    round(COALESCE(i.n_inter, 0) / (za.sz + zb.sz - COALESCE(i.n_inter, 0)), 6)
+       |      AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+       |  JOIN sizes za ON za.doc_id = c.a
+       |  JOIN sizes zb ON zb.doc_id = c.b)""".stripMargin
+
+  private val qJaccardPairsSql =
+    s"""WITH $jacSqlCtes
+       |SELECT a, b, n_inter, n_union, jaccard FROM jac
        |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------ q_dedup_clusters
+  /** Near-duplicate threshold for an edge in the dedup graph. */
+  private val ClusterJaccard = 0.6
+
+  /** Cluster resolution — the stage that turns verified pairs into
+    * droppable duplicates: connected components over the jaccard ≥ 0.6
+    * edge set, each doc labeled with its component's min doc_id (the
+    * canonical representative, same keep-min policy as q_exact_dup).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — labels
+    * start as doc_id; each round every node takes the min of its own and
+    * its neighbors' labels (one join + one map-side-combinable min-agg per
+    * round, edges pre-mirrored so the graph is undirected). Rounds =
+    * graph diameter; near-dup clusters are shallow (pairs/triangles), so
+    * 2-3 rounds in practice, capped at 20. Each round's result is
+    * checkpointed to truncate the growing lineage (localCheckpoint here;
+    * a reliable checkpoint dir on a real cluster). The driver-side loop
+    * holds only a changed-row COUNT per round — no row data — and the
+    * O(log n) large-star/small-star variant drops in without changing the
+    * per-round algebra if diameters grow. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardScored(s, dir)
+      .filter(col("jaccard") >= ClusterJaccard).select(col("a"), col("b"))
+    val bidir = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = bidir.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 20) {
+      val next = labels
+        .unionByName(
+          bidir.join(labels.withColumnRenamed("doc_id", "a"), Seq("a"))
+            .select(col("b").as("doc_id"), col("label")))
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: min reachable doc_id per node via a recursive walk over the
+    * mirrored edge set — for an undirected graph, min-reachable = the
+    * component minimum, exactly the fixpoint of min-label propagation. */
+  private val qDedupClustersSql =
+    s"""WITH RECURSIVE $jacSqlCtes,
+       |edges AS (
+       |  SELECT a, b FROM jac WHERE jaccard >= $ClusterJaccard
+       |  UNION ALL
+       |  SELECT b AS a, a AS b FROM jac WHERE jaccard >= $ClusterJaccard),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+       |SELECT node AS doc_id, min(label) AS cluster_rep
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- q_dedup_corpus
+  /** The payoff of the whole pipeline: the deduplicated corpus. Every doc
+    * whose cluster representative is some OTHER doc is dropped (left-anti
+    * join against the cluster losers); representatives and docs in no
+    * cluster survive. Emits (doc_id, text_md5) so the row is hashable and
+    * the oracle can confirm the exact surviving set. */
+  def qDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val losers = qDedupClusters(s, dir)
+      .filter(col("cluster_rep") =!= col("doc_id")).select(col("doc_id"))
+    augmented(Tables.documents(s, dir))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qDedupCorpusSql =
+    s"""WITH RECURSIVE $jacSqlCtes,
+       |edges AS (
+       |  SELECT a, b FROM jac WHERE jaccard >= $ClusterJaccard
+       |  UNION ALL
+       |  SELECT b AS a, a AS b FROM jac WHERE jaccard >= $ClusterJaccard),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+       |losers AS (
+       |  SELECT node AS doc_id FROM walk
+       |  GROUP BY node HAVING min(label) <> node)
+       |SELECT g.doc_id, md5(g.text) AS text_md5
+       |FROM aug g
+       |WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)
+       |ORDER BY g.doc_id""".stripMargin
 
   // -------------------------------------------------------------- q_simhash
   /** 16-bit SimHash fingerprints: per token, bit b contributes +1/−1 by the
@@ -413,7 +520,9 @@ object TextDedup {
     "q_minhash_pairs"  -> (qMinhashPairs _),
     "q_jaccard_pairs"  -> (qJaccardPairs _),
     "q_fuzzy_verify"   -> (qFuzzyVerify _),
-    "q_simhash"        -> (qSimhash _))
+    "q_simhash"        -> (qSimhash _),
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_corpus"   -> (qDedupCorpus _))
 
   val oracle: Map[String, String] = Map(
     "q_exact_dup"      -> qExactDupSql,
@@ -421,5 +530,7 @@ object TextDedup {
     "q_minhash_pairs"  -> qMinhashPairsSql,
     "q_jaccard_pairs"  -> qJaccardPairsSql,
     "q_fuzzy_verify"   -> qFuzzyVerifySql,
-    "q_simhash"        -> qSimhashSql)
+    "q_simhash"        -> qSimhashSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_corpus"   -> qDedupCorpusSql)
 }
