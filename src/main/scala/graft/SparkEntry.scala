@@ -24,7 +24,7 @@ object SparkEntry {
       TextAnalysis.queries ++ WarehouseOps.queries ++ Analytics.queries ++
       TemporalJoins.queries ++
       graft.kpi.Kpi.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.streaming.Streams.queries
+      graft.streaming.Streams.queries ++ TrainingData.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,6 @@ object SparkEntry {
     Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
       TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle ++
       WarehouseOps.oracle ++ Analytics.oracle ++ TemporalJoins.oracle ++
-      graft.kpi.Kpi.oracle ++ graft.streaming.Streams.oracle
+      graft.kpi.Kpi.oracle ++ graft.streaming.Streams.oracle ++
+      TrainingData.oracle
 }

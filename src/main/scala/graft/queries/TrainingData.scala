@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Reproducible corpus-assembly operators for LLM training-data pipelines:
+  * deterministic sampling, train/val/test splitting, per-source mixture
+  * weighting, and seeded epoch shuffling.
+  *
+  * All four are HASH-gated, never rand()-gated: the decision for a row is a
+  * pure function of (seed, doc_id), so it is identical across reruns,
+  * engines (md5 hex matches DuckDB exactly — the oracle runs the same
+  * algebra), cluster sizes, and partitionings. That reproducibility is the
+  * difference between "a sample" and an auditable training set. Scale
+  * shape: sample/split/mixture are stateless row filters — no shuffle, no
+  * state, embarrassingly parallel, and the filter sits directly on the
+  * scan; the epoch shuffle is one distributed range-partitioned sort.
+  *
+  * Buckets come from the first 4 hex chars of a seeded md5 — a uniform
+  * 16-bit integer (conv/radix is avoided: lexicographic compare on the hex
+  * prefix is engine-portable with zero cast traffic). Thresholds are hex
+  * literals: p = threshold/65536.
+  */
+object TrainingData {
+
+  /** 16-bit hex bucket of a seeded doc hash, e.g. bucket("s1:", doc_id). */
+  private def bucket(seed: String) =
+    substring(md5(concat(lit(seed), col("doc_id").cast("string"))), 1, 4)
+
+  private def bucketSql(seed: String) =
+    s"substr(md5('$seed' || CAST(doc_id AS VARCHAR)), 1, 4)"
+
+  // ------------------------------------------------------- q_hash_sample
+  /** Deterministic ~10% corpus sample: keep rows whose 16-bit bucket is
+    * below 0x1999 (6553/65536 = 9.999…%). A pure scan-level filter — the
+    * sample of a 100 TB corpus reads 100 TB once and shuffles nothing, and
+    * re-running it (or running it in DuckDB) selects the same documents. */
+  def qHashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(bucket("sample1:") < "1999")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private val qHashSampleSql =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${bucketSql("sample1:")} < '1999'
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- q_train_split
+  /** Train/val/test assignment (~80/10/10) from one hash draw per doc:
+    * bucket < 0xcccc → train, < 0xe666 → val, else test. Assignment is
+    * stable under corpus growth — adding documents never moves an existing
+    * doc between splits (the classic leakage bug with rank- or
+    * rand()-based splits). */
+  def qTrainSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(bucket("split1:") < "cccc", "train")
+          .when(bucket("split1:") < "e666", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
+  private val qTrainSplitSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN ${bucketSql("split1:")} < 'cccc' THEN 'train'
+       |       WHEN ${bucketSql("split1:")} < 'e666' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- q_source_mixture
+  /** Per-source mixture weighting: each source keeps a configured fraction
+    * of its documents (the "downsample the web crawl, keep all the books"
+    * move). One CASE for the per-source threshold, one hash gate — still a
+    * stateless scan filter; the mixture of a 100 TB corpus costs one pass.
+    * Emits the per-source survivor counts (the mixture report). */
+  def qSourceMixture(s: SparkSession, dir: String): DataFrame = {
+    val threshold = when(col("source") === "web", lit("4000"))   // 25%
+      .when(col("source") === "forum", lit("8000"))              // 50%
+      .otherwise(lit("ffff"))                                    // keep ~all
+    Tables.documents(s, dir)
+      .filter(bucket("mix1:") < threshold)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val qSourceMixtureSql =
+    s"""SELECT source, count(*) AS n_kept FROM documents
+       |WHERE ${bucketSql("mix1:")} <
+       |  CASE WHEN source = 'web' THEN '4000'
+       |       WHEN source = 'forum' THEN '8000'
+       |       ELSE 'ffff' END
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------ q_epoch_shuffle
+  /** Seeded epoch shuffle: global order by md5(epoch-seed ∥ doc_id) —
+    * a full deterministic permutation per epoch seed, realized as ONE
+    * distributed range-partitioned sort (no window, no single-partition
+    * stage; writers then emit partition files in sorted order). Tie-break
+    * on doc_id keeps the order total even under hash collisions. */
+  def qEpochShuffle(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("epoch1:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+
+  private val qEpochShuffleSql =
+    """SELECT doc_id,
+      |  md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hash_sample"    -> (qHashSample _),
+    "q_train_split"    -> (qTrainSplit _),
+    "q_source_mixture" -> (qSourceMixture _),
+    "q_epoch_shuffle"  -> (qEpochShuffle _))
+
+  val oracle: Map[String, String] = Map(
+    "q_hash_sample"    -> qHashSampleSql,
+    "q_train_split"    -> qTrainSplitSql,
+    "q_source_mixture" -> qSourceMixtureSql,
+    "q_epoch_shuffle"  -> qEpochShuffleSql)
+}
