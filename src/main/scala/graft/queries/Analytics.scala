@@ -227,6 +227,33 @@ object Analytics {
       |FROM events
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  // -------------------------------------------------------------- q_sliding
+  /** Sliding (hopping) window aggregation — 2-hour windows every hour, so
+    * each event lands in exactly 2 window instances. Spark's window(ts,
+    * "2 hours", "1 hour") expands the instances BEFORE the groupBy, keeping
+    * the aggregation one map-side-combinable shuffle (amplification =
+    * window/slide = 2×, carried only as the 8-byte window_start); the
+    * oracle mirrors the expansion with an unnest over the k∈{0,1} hop
+    * offsets. */
+  def qSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        OP.sumExact($"value").as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type",
+        $"n_events", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val qSlidingSql =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL (k) HOUR
+      |    AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events, unnest([0, 1]) AS h(k)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   // ----------------------------------------------------------- q_percentile
   /** Exact interpolated percentiles per group (Spark `percentile`, DuckDB
     * `quantile_cont` — both the standard (n-1)p linear interpolation over
@@ -314,6 +341,7 @@ object Analytics {
     "q_sessionize"   -> (qSessionize _),
     "q_json_extract" -> (qJsonExtract _),
     "q_tumbling"     -> (qTumbling _),
+    "q_sliding"      -> (qSliding _),
     "q_percentile"   -> (qPercentile _),
     "q_stats_moments" -> (qStatsMoments _))
 
@@ -325,6 +353,7 @@ object Analytics {
     "q_sessionize"   -> qSessionizeSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_tumbling"     -> qTumblingSql,
+    "q_sliding"      -> qSlidingSql,
     "q_percentile"   -> qPercentileSql,
     "q_stats_moments" -> qStatsMomentsSql)
 }
