@@ -77,4 +77,42 @@ object Sinks {
   /** Read a table previously written by either sink. */
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compaction outcome: file/byte counts before and after. */
+  final case class CompactStats(filesBefore: Long, filesAfter: Long, bytes: Long)
+
+  /** Small-file compaction for an append-heavy table: rewrite `path` into
+    * ⌈bytes/targetFileBytes⌉ uniformly-sized files. The append sinks
+    * (streaming foreachBatch micro-batches, incremental loads) produce one
+    * file per task per batch; at 100 TB that is millions of KB-sized files,
+    * and scan cost becomes file-open latency instead of I/O. Compaction is
+    * the standing maintenance pass every such table needs.
+    *
+    * Round-robin `repartition(n)` (one shuffle) rather than `coalesce(n)`:
+    * coalesce merges whole input partitions and inherits their skew, so one
+    * output file can end up with most of the bytes — uniform file sizes are
+    * the point of compacting. The rewrite goes through [[overwriteSwap]],
+    * so concurrent readers see the old complete state or the new one, and
+    * a crash never mixes them. At real scale this runs per table-partition
+    * (each an independent job over its own directory), bounded by the
+    * partition's size, not the table's. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new Path(path), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += st
+      }
+      buf.toSeq
+    }
+    val before = dataFiles()
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    overwriteSwap(spark.read.parquet(path).repartition(nOut), path)
+    CompactStats(before.size.toLong, dataFiles().size.toLong, bytes)
+  }
 }
