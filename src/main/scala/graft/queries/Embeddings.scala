@@ -263,18 +263,104 @@ object Embeddings {
        |FROM embeddings
        |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ----------------------------------------------------------- q_ann_recall
+  /** Recall@5 of the hyperplane-LSH path against exact brute force — the
+    * acceptance test a pipeline runs BEFORE trusting the approximate path
+    * at scale. Ground truth is computed for a 5% query sample only
+    * (vec_id % 20 == 0): the sampled-eval cross is |Q| × corpus with the
+    * small Q broadcast — the one place a deliberate cross product is the
+    * algorithm (you cannot measure recall without the true answer), and
+    * sampling keeps it |corpus|²/20 instead of |corpus|². The ANN side
+    * reuses the same bucket join as q_embed_ann. Per query: hits = overlap
+    * of the two top-5 sets (cos_sim rounded + vec_id tiebreak, so both
+    * engines rank identically); low recall flags degenerate hyperplanes
+    * before the full job runs. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("bucket").as("q_bucket"), col("norm").as("q_norm"))
+    val corpus = emb.select(col("vec_id").as("nn_id"),
+      col("embedding").as("emb2"), col("bucket"), col("norm").as("norm2"))
+
+    def top5(pairs: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("nn_id"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+        .select(col("q_id"), col("nn_id"))
+    }
+    val scored = (df: DataFrame) => df
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos_sim",
+        round(dot("qv", "emb2") / (col("q_norm") * col("norm2")), 4))
+
+    val exact = top5(scored(corpus.crossJoin(broadcast(queries))))
+    val ann = top5(scored(
+      corpus.join(broadcast(queries), col("bucket") === col("q_bucket"))))
+
+    exact.join(ann, Seq("q_id", "nn_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      .join(queries.select(col("q_id")), Seq("q_id"), "right")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("q_id"), col("n_hits").cast("int").as("n_hits"),
+        round(col("n_hits") / lit(K.toDouble), 2).as("recall_at_5"))
+      .orderBy(col("q_id"))
+  }
+
+  private val qAnnRecallSql =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
+       |      FROM b WHERE vec_id % 20 = 0),
+       |exact AS (
+       |  SELECT q_id, nn_id FROM (
+       |    SELECT q.q_id, c.vec_id AS nn_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(${dotSql("q.qv", "c.embedding")}
+       |          / (sqrt(${dotSql("q.qv", "q.qv")})
+       |             * sqrt(${dotSql("c.embedding", "c.embedding")})), 4) DESC,
+       |        c.vec_id) AS rn
+       |    FROM b c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+       |  WHERE rn <= 5),
+       |ann AS (
+       |  SELECT q_id, nn_id FROM (
+       |    SELECT q.q_id, c.vec_id AS nn_id,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(${dotSql("q.qv", "c.embedding")}
+       |          / (sqrt(${dotSql("q.qv", "q.qv")})
+       |             * sqrt(${dotSql("c.embedding", "c.embedding")})), 4) DESC,
+       |        c.vec_id) AS rn
+       |    FROM b c JOIN q ON c.bucket = q.q_bucket WHERE c.vec_id <> q.q_id)
+       |  WHERE rn <= 5)
+       |SELECT q.q_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       |  round(COALESCE(h.n_hits, 0) / 5.0, 2) AS recall_at_5
+       |FROM q
+       |LEFT JOIN (
+       |  SELECT e.q_id, count(*) AS n_hits
+       |  FROM exact e JOIN ann a ON a.q_id = e.q_id AND a.nn_id = e.nn_id
+       |  GROUP BY e.q_id) h ON h.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_topk"    -> (qEmbedTopk _),
     "q_embed_ann"     -> (qEmbedAnn _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_ivf"     -> (qEmbedIvf _),
-    "q_embed_buckets" -> (qEmbedBuckets _))
+    "q_embed_buckets" -> (qEmbedBuckets _),
+    "q_ann_recall"    -> (qAnnRecall _))
 
   val oracle: Map[String, String] = Map(
     "q_embed_topk"    -> qEmbedTopkSql,
     "q_embed_ann"     -> qEmbedAnnSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_embed_ivf"     -> qEmbedIvfSql,
-    "q_embed_buckets" -> qEmbedBucketsSql)
+    "q_embed_buckets" -> qEmbedBucketsSql,
+    "q_ann_recall"    -> qAnnRecallSql)
 }
