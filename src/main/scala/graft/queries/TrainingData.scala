@@ -110,16 +110,76 @@ object TrainingData {
       |  md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
 
+  // ------------------------------------------------------ q_pack_sequences
+  /** Sequence packing: assign shuffled docs to fixed token-budget training
+    * sequences (budget 4096) by a running token total — contiguous-fill
+    * packing, the standard pretraining batch-assembly step.
+    *
+    * The running total is a GLOBAL cumulative sum, which a naive window
+    * (no partitionBy) would execute on a single partition — the classic
+    * scale-killer. Here it is a distributed prefix sum instead: docs are
+    * range-bucketed by the first hex digit of their shuffle key (16 ordered
+    * buckets), each bucket computes its local cumsum in parallel, and each
+    * row adds the total of all preceding buckets — a 16-row aggregate
+    * cumsum broadcast back. Order (bucket, key, doc_id) equals order
+    * (key, doc_id) because the bucket IS the key's first character, so the
+    * oracle can verify with a plain single-window cumsum while the engine
+    * plan stays parallel. At 100 TB the bucket count scales with the
+    * cluster (256/4096 buckets = 2-3 hex chars) — the offset table stays
+    * trivially broadcastable. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Budget = 4096
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+      md5(concat(lit("pack1:"), col("doc_id").cast("string"))).as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 1))
+    // parallel per-bucket local cumsum
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs.withColumn("local_cum", sum(col("n_tok")).over(wLocal))
+    // 16-row offset table: total tokens of all strictly-preceding buckets
+    val wOff = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("btot"))
+      .withColumn("offset", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tok", col("local_cum") + col("offset"))
+      .select(col("doc_id"), col("n_tok"),
+        ((col("cum_tok") - col("n_tok")) / Budget).cast("long").as("seq_id"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  private val qPackSequencesSql =
+    """SELECT doc_id, n_tok,
+      |  CAST(floor((cum_tok - n_tok) / 4096) AS BIGINT) AS seq_id
+      |FROM (
+      |  SELECT doc_id, n_tok,
+      |    sum(n_tok) OVER (ORDER BY key, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |      md5('pack1:' || CAST(doc_id AS VARCHAR)) AS key
+      |    FROM documents))
+      |ORDER BY seq_id, doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_hash_sample"    -> (qHashSample _),
-    "q_train_split"    -> (qTrainSplit _),
-    "q_source_mixture" -> (qSourceMixture _),
-    "q_epoch_shuffle"  -> (qEpochShuffle _))
+    "q_hash_sample"     -> (qHashSample _),
+    "q_train_split"     -> (qTrainSplit _),
+    "q_source_mixture"  -> (qSourceMixture _),
+    "q_epoch_shuffle"   -> (qEpochShuffle _),
+    "q_pack_sequences"  -> (qPackSequences _))
 
   val oracle: Map[String, String] = Map(
-    "q_hash_sample"    -> qHashSampleSql,
-    "q_train_split"    -> qTrainSplitSql,
-    "q_source_mixture" -> qSourceMixtureSql,
-    "q_epoch_shuffle"  -> qEpochShuffleSql)
+    "q_hash_sample"     -> qHashSampleSql,
+    "q_train_split"     -> qTrainSplitSql,
+    "q_source_mixture"  -> qSourceMixtureSql,
+    "q_epoch_shuffle"   -> qEpochShuffleSql,
+    "q_pack_sequences"  -> qPackSequencesSql)
 }
