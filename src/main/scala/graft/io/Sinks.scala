@@ -92,10 +92,18 @@ object Sinks {
     * coalesce merges whole input partitions and inherits their skew, so one
     * output file can end up with most of the bytes — uniform file sizes are
     * the point of compacting. The rewrite goes through [[overwriteSwap]],
-    * so concurrent readers see the old complete state or the new one, and
-    * a crash never mixes them. At real scale this runs per table-partition
-    * (each an independent job over its own directory), bounded by the
-    * partition's size, not the table's. */
+    * so concurrent READERS see the old complete state or the new one, and
+    * a crash never mixes them. Concurrent WRITERS are the caller's
+    * contract: a file appended between this function's scan and its swap
+    * is not in the rewrite and is lost with the swapped-out directory —
+    * pure directory-of-parquet has no append/rewrite transaction to detect
+    * it. Run compaction in the maintenance window of the table's ingest
+    * cadence (pause appends, or compact only partitions past the active
+    * write head — the usual shape, since hot partitions are recent ones);
+    * a table format with optimistic transactions (Delta/Iceberg, not in
+    * this build) is the lift that removes the constraint. At real scale
+    * this runs per table-partition (each an independent job over its own
+    * directory), bounded by the partition's size, not the table's. */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): CompactStats = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -145,8 +145,18 @@ object TextDedup {
     def materialized(s: SparkSession, dir: String, what: String)
         (build: => DataFrame): DataFrame = synchronized {
       // "ix_" prefix: a leading "_" would make the directory invisible to
-      // Spark's file index (hidden-path convention), silently reading empty
-      val key = "ix_" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "__" + what
+      // Spark's file index (hidden-path convention), silently reading empty.
+      // The md5 suffix disambiguates dirs the readable sanitization would
+      // collide ("/d/sf-1" vs "/d/sf_1"). Index lifetime: per (corpus dir,
+      // JVM) — a corpus snapshot is immutable for a run; a long-lived
+      // service that rewrites the corpus in place would key on a snapshot
+      // id instead. Concurrent JVMs over the same corpus each build into
+      // their own tmpdir-scoped root only when java.io.tmpdir differs;
+      // the sequential verify/test/bench harnesses never overlap.
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val key = "ix_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + dirHash + "__" + what
       val path = s"$root/$key"
       if (!built.contains(key)) { // rebuilt once per JVM: never stale
         graft.io.Sinks.overwriteSwap(build, path)

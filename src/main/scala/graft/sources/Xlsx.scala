@@ -21,10 +21,15 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Shape mirrors the CSV raw-ingest contract ([[graft.etl.Etl]]): header
   * row promoted to column names, every column string-typed (late typing —
   * the staging tables are TEXT, combined_dw_schema.sql:156,172), absent or
-  * empty cells null. Numeric cells emit the raw stored lexical value
-  * (`<v>2.4</v>` → "2.4"), which is exactly what a CSV export of the sheet
-  * contains — XlsxSpec asserts full-frame equality between each reference
-  * workbook and its dbt seed CSV.
+  * empty cells null. Numeric cells render in shortest-round-trip double
+  * form (`<v>2.4</v>` → "2.4", integrals without ".0"), boolean cells as
+  * TRUE/FALSE — matching a CSV export of the sheet; XlsxSpec asserts
+  * full-frame equality between each reference workbook and its dbt seed
+  * CSV. Known limit: DATE-FORMATTED numeric cells surface as their raw
+  * Excel serial (resolving them needs styles.xml number-format parsing);
+  * the reference workbooks store dates as text, so the ETL path is
+  * unaffected — callers ingesting other workbooks should store dates as
+  * text or convert serials downstream.
   *
   * Scale: workbooks are inherently small files (a sheet caps at ~1M rows),
   * so the 100 TB shape is MANY files, not one big one. The reader is built
@@ -52,6 +57,8 @@ object Xlsx {
 
     val rows = files.rdd.flatMap { r =>
       val all = parseSheet(r.getAs[Array[Byte]]("content"), sheet)
+      require(all.nonEmpty,
+        s"${r.getAs[String]("path")}: sheet $sheet has no rows (no header)")
       val fileHeader = all.head.map(v => Option(v).getOrElse(""))
       require(fileHeader.sameElements(header),
         s"${r.getAs[String]("path")}: header ${fileHeader.mkString(",")} != ${header.mkString(",")}")
@@ -164,9 +171,18 @@ object Xlsx {
             case "c" if row != null =>
               val raw = text.toString
               val value = cellType match {
-                case "s"              => if (raw.isEmpty) null else shared(raw.trim.toInt)
-                case "" | "n"         => renderNumeric(raw)
-                case _                => raw
+                case "s" =>
+                  if (raw.isEmpty) null
+                  else {
+                    val i = raw.trim.toInt
+                    require(i < shared.length,
+                      s"shared-string index $i but pool has ${shared.length} entries " +
+                        "(xl/sharedStrings.xml missing or truncated)")
+                    shared(i)
+                  }
+                case "b"      => if (raw.trim == "1") "TRUE" else "FALSE"
+                case "" | "n" => renderNumeric(raw)
+                case _        => raw
               }
               while (row.length <= cellCol) row += null
               row(cellCol) = if (value == null || value.isEmpty) null else value

@@ -107,9 +107,19 @@ object Streams {
   // the batch answer.
   // ---------------------------------------------------------------------
 
-  private val runId = new java.util.concurrent.atomic.AtomicInteger
-  private def freshDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Per-invocation scratch root, DELETED after the bounded run completes —
+    * repeat invocations (verify reruns in one session) must not accumulate
+    * checkpoints/output. AvailableNow runs need no checkpoint afterwards. */
+  private def scratch(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_stream_run")
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 
   /** The events table as a bounded file-source STREAM (same ns→µs ts fix as
     * [[graft.core.Tables.events]] so batch and stream see identical rows). */
@@ -128,16 +138,23 @@ object Streams {
     * production uses [[foreachBatchSink]] — see [[qStreamDedup]] for that
     * path under the same gate). Oracle: the identical batch tumbling SQL. */
   def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
-    val name = "graft_stream_tumbling_" + runId.incrementAndGet()
+    // fixed sink name, dropped up front: repeat invocations replace the
+    // previous run's memory table instead of accumulating one per call
+    // (the sequential verify/bench harness has finished with the prior
+    // result by then)
+    val name = "graft_stream_tumbling"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
     val q = windowedEventStats(eventsStream(s, dir))
       .writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")
       .queryName(name)
-      .option("checkpointLocation", freshDir("graft_stream_ckpt"))
+      .option("checkpointLocation", ck.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    deleteRecursively(ck)
     s.table(name).orderBy(col("window_start"), col("event_type"))
   }
 
@@ -158,16 +175,27 @@ object Streams {
     val deduped = dedupWithinWatermark(
       eventsStream(s, dir).unionByName(eventsStream(s, dir)),
       "ts", "3650 days", "event_id")
-    val out = freshDir("graft_stream_dedup_out") + "/events_deduped"
+    // fixed output root, cleared up front: repeat invocations overwrite
+    // instead of leaking a directory per call — and a stale previous run
+    // can never leak rows into this one's append sink. The returned frame
+    // reads the output lazily, so the parquet must outlive this call;
+    // clearing on the NEXT invocation is what makes that safe under the
+    // sequential harness.
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_stream_dedup_out").toPath
+    deleteRecursively(root)
+    val out = s"$root/events_deduped"
+    val ck = scratch()
     val q = deduped.writeStream
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", freshDir("graft_stream_ckpt"))
+      .option("checkpointLocation", ck.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.io.Sinks.appendParquet(batch, out)
       }
       .start()
     q.awaitTermination()
+    deleteRecursively(ck)
     s.read.parquet(out).orderBy(col("event_id"))
   }
 
