@@ -332,8 +332,124 @@ object Analytics {
       |  FROM events GROUP BY 1)
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------- q_grouping_sets
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * {(flag, status), (flag), ()} deliberately omits the (status)-only set
+    * (which CUBE would include), proving arbitrary set selection. Same
+    * grouping-marker + null-coalesced presentation discipline as q_rollup.
+    * Plan: Catalyst expands to one Expand + single aggregation — one
+    * shuffle regardless of the number of sets. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping($"l_returnflag").cast(IntegerType).as("g_flag"),
+        grouping($"l_linestatus").cast(IntegerType).as("g_status"),
+        OP.sumExact($"l_quantity").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select($"l_returnflag", $"l_linestatus",
+        $"g_flag", $"g_status", $"sum_qty", $"n_rows")
+      .orderBy($"g_flag", $"g_status",
+        coalesce($"l_returnflag", lit("")), coalesce($"l_linestatus", lit("")))
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status,
+      |  COALESCE(l_returnflag, ''), COALESCE(l_linestatus, '')""".stripMargin
+
+  // ---------------------------------------------------- q_window_range_frame
+  /** Time-RANGE window frame: each order's trailing-30-day customer spend.
+    * RANGE frames bound by VALUE distance (here: days), not row count —
+    * the frame picks up every order in the window regardless of ties, so
+    * the result is deterministic without a tiebreak (unlike ROWS frames).
+    * Order key is days-since-epoch (RANGE needs a single numeric key in
+    * both engines); partition = customer, so frames never cross the
+    * shuffle boundary — same single-shuffle scale shape as any
+    * partitioned window. */
+  def qWindowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byCustDay = Window.partitionBy($"o_custkey")
+      .orderBy(datediff($"o_orderdate", lit("1970-01-01")).as("d"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        OP.dec2($"o_totalprice").as("price"))
+      .withColumn("trailing_30d_spend",
+        sum($"price").over(byCustDay).cast("double"))
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("string").as("order_date"),
+        $"trailing_30d_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val qWindowRangeFrameSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(o_orderdate AS VARCHAR) AS order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_30d_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- q_session_agg
+  /** Native session_window (30-min gap) per user — Spark's built-in merge
+    * operator for the session shape q_sessionize derives manually; the
+    * oracle IS the manual derivation (islands via lag + running sum), so
+    * this query proves the two formulations agree. Session end = last
+    * event + gap (Spark's half-open convention, mirrored in the oracle);
+    * a gap of exactly 30 min starts a new session on both sides. */
+  def qSessionAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        OP.sumExact($"value").as("total_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val qSessionAggSql =
+    """WITH evts AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CAST((prev_us IS NULL OR (us - prev_us) >= 1800000000) AS INT)
+      |      AS is_new
+      |  FROM (
+      |    SELECT *, epoch_us(ts) AS us,
+      |      LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts)
+      |        AS prev_us
+      |    FROM evts)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_window_range_frame" -> (qWindowRangeFrame _),
+    "q_session_agg"  -> (qSessionAgg _),
     "q_window_ranks" -> (qWindowRanks _),
     "q_rollup"       -> (qRollup _),
     "q_cube"         -> (qCube _),
@@ -346,6 +462,9 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_window_range_frame" -> qWindowRangeFrameSql,
+    "q_session_agg"  -> qSessionAggSql,
     "q_window_ranks" -> qWindowRanksSql,
     "q_rollup"       -> qRollupSql,
     "q_cube"         -> qCubeSql,
