@@ -24,7 +24,8 @@ object SparkEntry {
       TextAnalysis.queries ++ WarehouseOps.queries ++ Analytics.queries ++
       TemporalJoins.queries ++
       graft.kpi.Kpi.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.streaming.Streams.queries ++ TrainingData.queries
+      graft.streaming.Streams.queries ++ TrainingData.queries ++
+      CorpusQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,5 @@ object SparkEntry {
       TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle ++
       WarehouseOps.oracle ++ Analytics.oracle ++ TemporalJoins.oracle ++
       graft.kpi.Kpi.oracle ++ graft.streaming.Streams.oracle ++
-      TrainingData.oracle
+      TrainingData.oracle ++ CorpusQuality.oracle
 }

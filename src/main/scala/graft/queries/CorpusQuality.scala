@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-quality and curation operators for LLM training-data pipelines:
+  * benchmark decontamination, repetition-based quality filtering
+  * (Gopher-style rules), PII scrubbing, temperature-scaled source mixing,
+  * per-domain caps, and vocabulary-coverage (OOV) scoring.
+  *
+  * The reference warehouse's quality surface is its DQ rule engine over
+  * relational rows (/root/reference/02_Extract_and_transform_raw_data/
+  * ET_combined.py:60-135 — nulls, ranges, formats); these operators extend
+  * the same idea — declarative, logged, reproducible quality gates — to
+  * document corpora. Shared scale properties:
+  *   - every score is a per-document aggregate of an exploded token/shingle
+  *     stream: partial aggregation collapses the explosion map-side, so the
+  *     shuffle per corpus pass moves O(n_docs) rows, not O(n_tokens);
+  *   - every reference set that a document is checked against (benchmark
+  *     shingle set, vocabulary) is orders of magnitude smaller than the
+  *     corpus and is broadcast — the corpus never shuffles for membership
+  *     tests;
+  *   - every decision is a pure function of the document text (plus seeded
+  *     md5 where sampling is involved) — rerunning on a different cluster
+  *     or engine (the DuckDB oracle) reproduces it bit-for-bit.
+  */
+object CorpusQuality {
+
+  /** Lowercased whitespace tokens (the same normalization as TextDedup). */
+  private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Word 3-gram shingles as exploded (doc_id, shingle) rows; docs with <3
+    * tokens produce none (same guard in the oracle SQL). */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingle"))
+
+  /** DuckDB mirror of [[shingleRows]] over table/CTE `src`: emits a raw
+    * `shq` CTE (duplicates kept) — callers add DISTINCT where needed. */
+  private def shingleSql(src: String): String =
+    s"""shq AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)-1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM $src)
+       |  WHERE len(w) >= 3)""".stripMargin
+
+  // ------------------------------------------------------- q_decontaminate
+  /** Benchmark n-gram decontamination: flag training documents sharing ≥ 5
+    * distinct word-3-grams with a held-out benchmark set (here: every 33rd
+    * doc stands in for the benchmark; production points this at the real
+    * eval suites). This is the standard pre-training hygiene pass — a train
+    * doc that contains benchmark n-grams leaks the test set.
+    *
+    * Scale shape: the benchmark shingle set is MB-sized regardless of corpus
+    * size (eval suites are small), so it BROADCASTS; the corpus-side shingle
+    * stream is filtered by the broadcast hash join map-side and only
+    * (doc_id, hit) survivors reach the per-doc count — the 100 TB corpus is
+    * read once and never shuffled against itself. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % 33 === 0)
+      .select(col("shingle")).distinct()
+    sh.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val qDecontaminateSql =
+    s"""WITH ${shingleSql("documents")},
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM shq),
+       |bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 33 = 0)
+       |SELECT doc_id, count(*) AS n_overlap
+       |FROM sh JOIN bsh USING (shingle)
+       |GROUP BY doc_id HAVING count(*) >= 5
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- q_repetition_filter
+  /** Gopher-style repetition quality filter: per document, the fraction of
+    * tokens that are the single most frequent token (`top_word_frac`) and
+    * the fraction of duplicated word-3-grams (`dup_3gram_frac`); a doc is
+    * `flagged` when either exceeds its threshold (0.2 / 0.3). Every 20th
+    * doc is doubled (text ∥ text) to manufacture the self-repetition the
+    * synthetic corpus lacks — the planted docs land at dup_3gram_frac ≈ 0.5
+    * and trip the gate, natural docs sit ≤ 0.07.
+    *
+    * Scale shape: two exploded streams (tokens, shingles), each collapsed
+    * by map-side partial aggregation to one row per (doc, token) and one
+    * per doc; no joins except the final per-doc zip. Stateless per
+    * document → embarrassingly parallel at any corpus size. */
+  def qRepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 20 === 0, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val wordAgg = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("n_tok"))
+    val shAgg = shingleRows(docs).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
+    val topFrac = round(col("mx") / col("n_tok"), 4)
+    val dupFrac = round(lit(1) - col("n_dist") / col("n_sh"), 4)
+    wordAgg.join(shAgg, Seq("doc_id"))
+      .select(col("doc_id"),
+        topFrac.as("top_word_frac"),
+        dupFrac.as("dup_3gram_frac"),
+        (topFrac > 0.2 || dupFrac > 0.3).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qRepetitionFilterSql =
+    s"""WITH rep AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 20 = 0 THEN text || ' ' || text ELSE text END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |      FROM rep),
+       |wc AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+       |wa AS (SELECT doc_id, max(cnt) AS mx, sum(cnt) AS n_tok FROM wc GROUP BY 1),
+       |${shingleSql("rep")},
+       |sa AS (SELECT doc_id, count(*) AS n_sh, count(DISTINCT shingle) AS n_dist
+       |       FROM shq GROUP BY 1)
+       |SELECT wa.doc_id,
+       |  round(mx / n_tok, 4) AS top_word_frac,
+       |  round(1 - n_dist / n_sh, 4) AS dup_3gram_frac,
+       |  (round(mx / n_tok, 4) > 0.2 OR round(1 - n_dist / n_sh, 4) > 0.3)
+       |    AS flagged
+       |FROM wa JOIN sa USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- q_pii_scrub
+  /** PII scrubbing: count and redact email addresses and phone numbers,
+    * emitting the redaction counts plus an md5 of the scrubbed text (the
+    * auditable proof-of-redaction — two engines agreeing on the hash agree
+    * on every byte of the output). The synthetic corpus contains no PII, so
+    * deterministic emails (every 10th doc) and phone numbers (every 15th)
+    * are planted identically in both engines — the operator's ground truth.
+    *
+    * Scale shape: pure per-row map (regexp_count + regexp_replace inside
+    * whole-stage codegen), no shuffle at all — the cheapest possible class
+    * of corpus pass. */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val aug = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 15 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    aug.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")).as("scrub_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qPiiScrubSql =
+    """WITH aug AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 10 = 0
+      |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 15 = 0
+      |            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |            ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS BIGINT)
+      |    AS n_phones,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_hash
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- q_temperature_mixture
+  /** Temperature-scaled language mixture (the UniMax/T5 α=0.5 move): each
+    * language's sampling weight ∝ √n_docs, flattening the natural skew
+    * (en 218 docs vs fr 64 at sf0.01) so low-resource languages are
+    * up-weighted relative to proportional sampling. Emits the weight table
+    * plus the per-language document budget for a 100k-doc training mix.
+    *
+    * Engine-portability note: √n is scaled to an INTEGER (×10⁴) before the
+    * cross-language normalization, so the denominator is an exact integer
+    * sum — no floating-point reduction whose summation order could differ
+    * between engines. The only FP ops are one division and one rounding,
+    * identical IEEE-754 in both. Scale shape: one map-side-combinable
+    * count per language (languages ≈ dozens → the weight table is a
+    * broadcast-sized scalar table). */
+  def qTemperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("t", round(sqrt(col("n_docs")) * 10000, 0).cast("long"))
+    counts.withColumn("tot", sum(col("t")).over(Window.partitionBy()))
+      .select(col("lang"), col("n_docs"),
+        round(col("t") / col("tot"), 6).as("weight"),
+        round(col("t") / col("tot") * 100000, 0).cast("long").as("budget_docs"))
+      .orderBy(col("lang"))
+  }
+
+  private val qTemperatureMixtureSql =
+    """WITH c AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(round(sqrt(count(*)) * 10000) AS BIGINT) AS t
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs,
+      |  round(t / (sum(t) OVER ()), 6) AS weight,
+      |  CAST(round(t / (sum(t) OVER ()) * 100000) AS BIGINT) AS budget_docs
+      |FROM c ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------ q_source_cap
+  /** Per-domain document cap (the Common-Crawl "no domain dominates" rule):
+    * keep at most 10 documents per source, preferring longer documents
+    * (n_chars DESC, doc_id tiebreak — a total order, so the cap is
+    * deterministic). One window over the source partition; at scale the
+    * rank never materializes more than the per-source top slice after the
+    * filter, and partitioning by source is exactly the layout a
+    * source-sharded corpus already has — typically zero extra shuffle. */
+  def qSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 10)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val qSourceCapSql =
+    """SELECT doc_id, source, n_chars, rk FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
+  // ------------------------------------------------------------- q_oov_rate
+  /** Vocabulary-coverage score: fraction of a document's tokens outside the
+    * corpus-wide top-16 vocabulary (by frequency, ties broken by token — a
+    * total order, so the vocabulary set is engine-deterministic). The
+    * CCNet-style "does this doc look like the reference distribution"
+    * gate, with the unigram vocab standing in for an LM. The synthetic
+    * corpus has 31 distinct tokens, so top-16 yields a discriminative
+    * score; production uses ~10⁵ — still broadcast-sized.
+    *
+    * Scale shape: pass 1 computes the vocab (map-side-combinable count,
+    * top-k of a tiny distinct-token table); pass 2 is a BROADCAST left
+    * join of the token stream against the vocab — the corpus never
+    * shuffles; per-doc aggregation is partial-agg-collapsed. */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(16)
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("n_oov") / col("n_tok"), 4).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qOovRateSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+      |    ORDER BY cnt DESC, tok LIMIT 16)),
+      |j AS (
+      |  SELECT t.doc_id, (v.tok IS NOT NULL) AS hit
+      |  FROM t LEFT JOIN vocab v ON v.tok = t.tok)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tok,
+      |  round(CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT)
+      |        / count(*), 4) AS oov_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate"      -> (qDecontaminate _),
+    "q_repetition_filter"  -> (qRepetitionFilter _),
+    "q_pii_scrub"          -> (qPiiScrub _),
+    "q_temperature_mixture" -> (qTemperatureMixture _),
+    "q_source_cap"         -> (qSourceCap _),
+    "q_oov_rate"           -> (qOovRate _))
+
+  val oracle: Map[String, String] = Map(
+    "q_decontaminate"      -> qDecontaminateSql,
+    "q_repetition_filter"  -> qRepetitionFilterSql,
+    "q_pii_scrub"          -> qPiiScrubSql,
+    "q_temperature_mixture" -> qTemperatureMixtureSql,
+    "q_source_cap"         -> qSourceCapSql,
+    "q_oov_rate"           -> qOovRateSql)
+}

@@ -523,8 +523,45 @@ object TextDedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------- q_contain_dup
+  /** Containment dedup (sub-document duplicates): over the LSH candidate
+    * pairs, score |A∩B| / min(|A|, |B|) — the containment coefficient. A
+    * near-1 containment with a sub-1 Jaccard is the "document A is a copy
+    * of a PIECE of document B" case (boilerplate wrappers, quoted reposts,
+    * truncated mirrors) that symmetric Jaccard under-scores: the planted
+    * first-word-dropped copies land at containment 1.0 but Jaccard
+    * (n−3)/(n−2) < 1. Same scale shape as q_jaccard_pairs — both sides
+    * read the STORED shingle posting list and candidate set, cost is
+    * candidates × shingles, never corpus². */
+  def qContainDup(s: SparkSession, dir: String): DataFrame = {
+    val sh = augShingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidatePairs(s, dir)
+      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    val contain = round(col("n_inter") / least(col("sz_a"), col("sz_b")), 6)
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), Seq("b"))
+      .filter(contain >= 0.9)
+      .select(col("a"), col("b"), col("n_inter"), contain.as("containment"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val qContainDupSql =
+    s"""WITH $jacSqlCtes
+       |SELECT i.a, i.b, i.n_inter,
+       |  round(i.n_inter / least(za.sz, zb.sz), 6) AS containment
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.a
+       |JOIN sizes zb ON zb.doc_id = i.b
+       |WHERE round(i.n_inter / least(za.sz, zb.sz), 6) >= 0.9
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contain_dup"    -> (qContainDup _),
     "q_exact_dup"      -> (qExactDup _),
     "q_minhash_bucket" -> (qMinhashBucket _),
     "q_minhash_pairs"  -> (qMinhashPairs _),
@@ -535,6 +572,7 @@ object TextDedup {
     "q_dedup_corpus"   -> (qDedupCorpus _))
 
   val oracle: Map[String, String] = Map(
+    "q_contain_dup"    -> qContainDupSql,
     "q_exact_dup"      -> qExactDupSql,
     "q_minhash_bucket" -> qMinhashBucketSql,
     "q_minhash_pairs"  -> qMinhashPairsSql,

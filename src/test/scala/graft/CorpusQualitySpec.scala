@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the corpus-quality operators (CorpusQuality.scala
+  * + q_contain_dup). Exact values are the DuckDB oracle's job; this suite
+  * asserts the *meaning*: planted contamination/repetition/PII/sub-document
+  * copies are detected, caps hold, weights normalize. */
+class CorpusQualitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, "graft-test")
+  val sfDir = "/root/testdata/sf0.001"
+
+  def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("decontaminate flags every benchmark member with full self-overlap") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val benchIds = docs.filter(col("doc_id") % 33 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val flagged = q("q_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every benchmark doc overlaps itself 100%: if it has >= 5 distinct
+    // shingles it must be flagged
+    val missing = benchIds.filter(!flagged.contains(_))
+    assert(missing.isEmpty, s"benchmark members not flagged: $missing")
+  }
+
+  test("repetition filter trips on every doubled doc and stays in [0,1]") {
+    val rows = q("q_repetition_filter").collect()
+    rows.foreach { r =>
+      val (top, dup) = (r.getDouble(1), r.getDouble(2))
+      assert(top >= 0 && top <= 1 && dup >= 0 && dup <= 1,
+        s"fraction out of range: $r")
+    }
+    val planted = rows.filter(_.getLong(0) % 20 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      assert(r.getDouble(2) > 0.3 && r.getBoolean(3),
+        s"doubled doc not flagged: $r")
+    }
+  }
+
+  test("pii scrub counts exactly the planted redactions and changes the hash") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("raw_hash"))
+    val rows = q("q_pii_scrub").join(docs, Seq("doc_id")).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (emails, phones) = (r.getLong(1), r.getLong(2))
+      assert(emails == (if (id % 10 == 0) 1 else 0), s"emails wrong: $r")
+      assert(phones == (if (id % 15 == 0) 1 else 0), s"phones wrong: $r")
+      val changed = r.getString(3) != r.getString(4)
+      // text is augmented (planted suffix) for redacted docs, so the
+      // scrubbed hash differs from the raw-text hash iff anything was
+      // planted (scrubbing replaced it with a marker)
+      assert(changed == (id % 10 == 0 || id % 15 == 0), s"hash parity: $r")
+    }
+  }
+
+  test("temperature mixture normalizes and flattens the language skew") {
+    val rows = q("q_temperature_mixture").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val wSum = rows.map(_._3).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    val total = rows.map(_._2).sum.toDouble
+    // sqrt scaling: every below-average language gets MORE than its
+    // proportional share, every above-average one less
+    rows.foreach { case (lang, n, w) =>
+      val prop = n / total
+      if (prop < 1.0 / rows.size) assert(w > prop, s"$lang not up-weighted")
+      else if (prop > 1.0 / rows.size) assert(w < prop, s"$lang not down-weighted")
+    }
+  }
+
+  test("source cap keeps at most 10 docs per source, longest first") {
+    val rows = q("q_source_cap").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (src, grp) =>
+      assert(grp.length <= 10, s"$src over cap")
+      val byRank = grp.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to grp.length), s"$src ranks not dense")
+      assert(byRank.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"$src not longest-first")
+    }
+  }
+
+  test("oov rate is a valid fraction and the vocab covers the corpus mass") {
+    val rows = q("q_oov_rate").collect()
+    rows.foreach { r =>
+      val rate = r.getDouble(2)
+      assert(rate >= 0 && rate <= 1, s"oov out of range: $r")
+    }
+    // top-16 of 31 tokens must cover well over half the token mass
+    val meanOov = rows.map(_.getDouble(2)).sum / rows.length
+    assert(meanOov < 0.5, s"mean OOV $meanOov implausibly high")
+  }
+
+  test("containment scores every planted sub-document copy at 1.0") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val plantedBases = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val pairs = q("q_contain_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // the first-word-dropped copy's shingles are a strict subset of its
+    // base's: (base, base+10000) must appear with containment 1.0
+    plantedBases.foreach { base =>
+      val hit = pairs.find(p => p._1 == base && p._2 == base + 10000)
+      assert(hit.isDefined, s"planted pair ($base, ${base + 10000}) missing")
+      assert(hit.get._3 == 1.0, s"planted pair containment ${hit.get._3} != 1.0")
+    }
+  }
+}
