@@ -79,4 +79,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected 2 surviving partitions, got ${scan.selectedPartitions.partitionCount}")
     assert(tail.count() == 2)
   }
+
+  test("decontamination joins the corpus against a BROADCAST bench set") {
+    val plan = staticPlan(SparkEntry.queries("q_decontaminate")(spark, sfDir))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"bench shingle set must broadcast, not shuffle\n$plan")
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"corpus must never shuffle for the membership test: $smj")
+  }
+
+  test("OOV scoring joins the token stream against a BROADCAST vocab") {
+    val plan = staticPlan(SparkEntry.queries("q_oov_rate")(spark, sfDir))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"vocab must broadcast\n$plan")
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"token stream must not shuffle for vocab lookup: $smj")
+  }
+
+  test("PII scrub is a pure map: no shuffle except the presentation sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = staticPlan(SparkEntry.queries("q_pii_scrub")(spark, sfDir))
+    // the only exchange allowed is the range partitioning of the final
+    // ORDER BY — the scrubbing itself must stay embarrassingly parallel
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"pii scrub must not shuffle beyond the final sort: ${shuffles.size}\n$plan")
+  }
 }
