@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatDot, RollingHash}
+import graft.expressions.{FloatDot, RollingHash, TopKAgg}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -33,7 +33,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => RollingHash(children.head)),
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+      (children: Seq[Expression]) => FloatDot(children(0), children(1))),
+    (new FunctionIdentifier("topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk"),
+      (children: Seq[Expression]) =>
+        TopKAgg(children(0), children(1), children(2))))
 
   /** Register on an already-built session (the Verify/Bench path, where
     * spark.sql.extensions can't be set post-hoc). */

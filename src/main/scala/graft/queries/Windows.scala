@@ -60,6 +60,29 @@ object Windows {
       |WHERE rank_in_cust <= 3
       |ORDER BY o_custkey, rank_in_cust""".stripMargin
 
+  // --------------------------------------------------------- q_topk_native
+  /** The SAME top-3-orders-per-customer result as [[qWindowTopk]], computed
+    * by graft's native bounded-heap aggregate (`topk`,
+    * graft.expressions.TopKAgg) instead of a row_number window. The window
+    * plan shuffles EVERY order row to its customer's partition and sorts
+    * each group in full before discarding all but 3; the aggregate is
+    * map-side combinable — each mapper reduces its share of a customer to
+    * ≤ 3 (price, orderkey) scalars before the exchange, so the shuffle
+    * moves O(customers × 3) entries. Same oracle as q_window_topk: the two
+    * operators are proven equal through the DuckDB gate, not just a spec. */
+  def qTopkNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(expr(
+        "topk(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), o_orderkey, 3)")
+        .as("top"))
+      .select($"o_custkey", posexplode($"top"))
+      .select($"o_custkey", ($"pos" + 1).cast("int").as("rank_in_cust"),
+        $"col.id".as("o_orderkey"), $"col.score".as("total_price"))
+      .orderBy($"o_custkey", $"rank_in_cust")
+  }
+
   // ------------------------------------------------------ q_window_running
   /** Frame-spec window: running quantity per supplier in ship order
     * (rowsBetween unboundedPreceding..current). Decimal-exact running sum so
@@ -164,6 +187,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rownum"  -> (qWindowRownum _),
     "q_window_topk"    -> (qWindowTopk _),
+    "q_topk_native"    -> (qTopkNative _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag"     -> (qWindowLag _),
     "q_scd2_rebuild"   -> (qScd2Rebuild _))
@@ -171,6 +195,8 @@ object Windows {
   val oracle: Map[String, String] = Map(
     "q_window_rownum"  -> qWindowRownumSql,
     "q_window_topk"    -> qWindowTopkSql,
+    // the native-aggregate variant must reproduce the window result exactly
+    "q_topk_native"    -> qWindowTopkSql,
     "q_window_running" -> qWindowRunningSql,
     "q_window_lag"     -> qWindowLagSql,
     "q_scd2_rebuild"   -> qScd2RebuildSql)
