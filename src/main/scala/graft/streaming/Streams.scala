@@ -124,6 +124,10 @@ object Streams {
   /** The events table as a bounded file-source STREAM (same ns→µs ts fix as
     * [[graft.core.Tables.events]] so batch and stream see identical rows). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    // idempotent session tune (nanosAsLong etc.) — the stream entries must
+    // not depend on a batch query having touched Tables.load first in the
+    // same session (latent ordering bug caught by a subset Verify run)
+    graft.core.Sessions.tune(s)
     val path = s"$dir/events.parquet"
     // the file source requires a DIRECTORY base path; select the single
     // table file out of the dataset dir with a glob filter
@@ -204,11 +208,140 @@ object Streams {
       |  value, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------ q_stream_sessions
+  /** Open-session state for [[qStreamSessions]]: event-time bounds in
+    * MICROseconds plus exact cents so the emitted aggregate is
+    * decimal-exact. */
+  final case class SessState(startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+  /** Gap-based sessionization as a STREAMING operator:
+    * flatMapGroupsWithState keyed by user, 30-minute gap, event-time
+    * timeout. Sessions closed by a later event (gap ≥ 30 min, the
+    * session_window convention) are emitted in the data batch; the tail
+    * session of each user is emitted by the event-time TIMEOUT once the
+    * watermark passes last_event + 30 min — a session the stream can
+    * PROVE closed. Sessions still provably-open at end-of-input are
+    * never emitted (a streaming sessionizer cannot know they ended), and
+    * the oracle mirrors exactly that: the batch islands derivation MINUS
+    * still-open tails, with the timeout comparison done in floor-to-ms
+    * space because Spark watermarks are millisecond-based.
+    *
+    * Scale: state is one 4-long struct per ACTIVE user (not per event) —
+    * sharded by user, evicted by timeout; aggregation inside the group
+    * function is O(batch) with nothing retained but the open session.
+    * This is the custom-state operator class (c)-tier streaming needs —
+    * session semantics built-in operators can't express incrementally
+    * (session_window in streaming needs full-window retention; this
+    * emits closed sessions immediately and keeps 32 bytes per user). */
+  def sessionizeStream(spark: SparkSession, events: DataFrame): org.apache.spark.sql.Dataset[
+      (Long, java.time.Instant, java.time.Instant, Long, Double)] = {
+    import spark.implicits._
+    val GapUs = 1800L * 1000000L
+    def emit(u: Long, st: SessState) = {
+      def inst(us: Long) = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      (u, inst(st.startUs), inst(st.lastUs + GapUs), st.n, st.cents / 100.0)
+    }
+    events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState,
+        (Long, java.time.Instant, java.time.Instant, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val out = Iterator.single(emit(user, state.get))
+            state.remove()
+            out
+          } else {
+            val sorted = rows.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+            var open = state.getOption
+            val closed = Seq.newBuilder[(Long, java.time.Instant,
+              java.time.Instant, Long, Double)]
+            sorted.foreach { case (us, cents) =>
+              open match {
+                case Some(st) if us - st.lastUs < GapUs =>
+                  open = Some(SessState(st.startUs, us, st.n + 1, st.cents + cents))
+                case Some(st) =>
+                  closed += emit(user, st)
+                  open = Some(SessState(us, us, 1L, cents))
+                case None =>
+                  open = Some(SessState(us, us, 1L, cents))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              // ms-floor: watermarks are millisecond-based
+              state.setTimeoutTimestamp(st.lastUs / 1000L + 1800L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** [[sessionizeStream]] over the bounded events stream, memory-sink
+    * collected. Oracle: the q_session_agg islands SQL minus sessions the
+    * stream provably cannot close (tail sessions whose ms-floored timeout
+    * never drops below the final ms-floored watermark = max event time). */
+  def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_sessions"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
+    val q = sessionizeStream(s, eventsStream(s, dir))
+      .toDF("user_id", "session_start", "session_end", "n_events", "total_value")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ck)
+    s.table(name).orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val qStreamSessionsSql =
+    """WITH evts AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CAST((prev_us IS NULL OR (us - prev_us) >= 1800000000) AS INT)
+      |      AS is_new
+      |  FROM (
+      |    SELECT *, epoch_us(ts) AS us,
+      |      LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts)
+      |        AS prev_us
+      |    FROM evts)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, sid, min(ts) AS session_start,
+      |    max(ts) AS last_ts,
+      |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |    count(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM sessions GROUP BY user_id, sid)
+      |SELECT user_id, session_start, session_end, n_events, total_value
+      |FROM agg
+      |WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+      |   OR (epoch_us(last_ts) // 1000 + 1800000)
+      |        < ((SELECT max(epoch_us(ts)) FROM evts) // 1000)
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
-    "q_stream_dedup"    -> (qStreamDedup _))
+    "q_stream_dedup"    -> (qStreamDedup _),
+    "q_stream_sessions" -> (qStreamSessions _))
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling" -> qStreamTumblingSql,
-    "q_stream_dedup"    -> qStreamDedupSql)
+    "q_stream_dedup"    -> qStreamDedupSql,
+    "q_stream_sessions" -> qStreamSessionsSql)
 }

@@ -151,4 +151,39 @@ class StreamsSpec extends AnyFunSuite {
       assert(got.filter(col("event_type") === "UNKNOWN").count() == 1)
     } finally q.stop()
   }
+
+  test("streaming sessionizer merges state across batches and emits on gap + timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = Streams.sessionizeStream(spark, src.toDF())
+      .toDF("user_id", "session_start", "session_end", "n_events", "total_value")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 5 min apart — one open session, nothing emitted
+      src.addData(ev(0, 1, "click", 1.0), ev(5, 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty, "open session must not emit")
+      // batch 2: an event 40 min later (> 30-min gap) CLOSES the session —
+      // proving the open state survived the batch boundary and merged
+      src.addData(ev(45, 1, "click", 4.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_out").collect()
+      assert(emitted.length == 1, s"expected the closed session, got ${emitted.toSeq}")
+      val r = emitted.head
+      assert(r.getAs[Long]("n_events") == 2 && r.getAs[Double]("total_value") == 3.0)
+      assert(r.getAs[Timestamp]("session_end").getTime
+        == ev(5, 1, "", 0).ts.getTime + 30L * 60 * 1000)
+      // batch 3: advance the watermark far past batch 2's event — the
+      // event-time TIMEOUT must flush the remaining session for user 1
+      src.addData(ev(59, 2, "click", 9.0))
+      q.processAllAvailable()
+      src.addData(Ev(Timestamp.valueOf("2024-01-01 14:00:00"), 3L, "click", 0.5))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_out").filter(col("user_id") === 1).collect()
+      assert(u1.length == 2, s"timeout did not flush user 1's tail: ${u1.toSeq}")
+      assert(u1.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
 }
