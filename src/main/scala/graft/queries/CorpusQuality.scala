@@ -298,8 +298,43 @@ object CorpusQuality {
       |        / count(*), 4) AS oov_rate
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q_chunk_docs
+  /** Context-window chunking: split every document into 32-token windows
+    * with stride 24 (8-token overlap) — the fixed-length chunking step of
+    * pretraining tokenization and RAG indexing. Emits per chunk its index,
+    * token count, and an md5 content hash (the downstream join key; two
+    * engines agreeing on every hash agree on every chunk boundary).
+    *
+    * Scale shape: a pure per-row transform (array slice inside
+    * whole-stage codegen) followed by explode — no shuffle, no state; the
+    * ~1.3× row amplification carries (doc_id, int, int, hash) only. The
+    * stride/size are corpus-tuning constants, not plan shape. */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(w)-1, 24),
+          |  s -> struct(size(slice(w, s+1, 32)) AS n,
+          |              md5(concat_ws(' ', slice(w, s+1, 32))) AS h))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col.n").as("n_tok"), col("col.h").as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val qChunkDocsSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS s FROM d)
+      |SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+      |  CAST(len(list_slice(w, s+1, least(s+32, len(w)))) AS INT) AS n_tok,
+      |  md5(array_to_string(list_slice(w, s+1, least(s+32, len(w))), ' '))
+      |    AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs"         -> (qChunkDocs _),
     "q_decontaminate"      -> (qDecontaminate _),
     "q_repetition_filter"  -> (qRepetitionFilter _),
     "q_pii_scrub"          -> (qPiiScrub _),
@@ -308,6 +343,7 @@ object CorpusQuality {
     "q_oov_rate"           -> (qOovRate _))
 
   val oracle: Map[String, String] = Map(
+    "q_chunk_docs"         -> qChunkDocsSql,
     "q_decontaminate"      -> qDecontaminateSql,
     "q_repetition_filter"  -> qRepetitionFilterSql,
     "q_pii_scrub"          -> qPiiScrubSql,

@@ -174,13 +174,66 @@ object WarehouseOps {
       |FROM ev ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------------------------------- q_profile
+  /** Data-profiling pass (the warehouse-onboarding companion of the DQ rule
+    * engine — ET_combined.py's per-column checks presuppose exactly these
+    * stats): per column, null count, exact distinct count, and numeric
+    * min/max (NULL for non-numeric columns), emitted as one row per column.
+    *
+    * Scale shape: ONE scan of the fact table; all per-column aggregates run
+    * in a single Aggregate (the multi-distinct rewrites to one Expand +
+    * partial/final aggregation — the standard distributed profiler shape,
+    * every phase map-side combinable); the unpivot to rows touches a
+    * 1-row × 6-column result. */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val numeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val cols = numeric ++ strings
+    val aggs =
+      cols.flatMap { c =>
+        Seq((count(lit(1)) - count(col(c))).as(s"${c}__nn"),
+          count_distinct(col(c)).as(s"${c}__nd"))
+      } ++ numeric.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx"))
+      }
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val arms = cols.map { c =>
+      val (mn, mx) =
+        if (numeric.contains(c)) (s"`${c}__mn`", s"`${c}__mx`")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      s"'$c', `${c}__nn`, `${c}__nd`, $mn, $mx"
+    }
+    one.selectExpr(s"stack(${cols.size}, ${arms.mkString(", ")}) " +
+      "AS (col_name, n_null, n_distinct, min_v, max_v)")
+      .orderBy(col("col_name"))
+  }
+
+  private val qProfileSql = {
+    val numeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val arms = (numeric.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min($c) AS min_v, max($c) AS max_v FROM lineitem""".stripMargin
+    } ++ strings.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v
+         |FROM lineitem""".stripMargin
+    })
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_merge"  -> (qScd2Merge _),
     "q_dedup_log"   -> (qDedupLog _),
-    "q_impute_mean" -> (qImputeMean _))
+    "q_impute_mean" -> (qImputeMean _),
+    "q_profile"     -> (qProfile _))
 
   val oracle: Map[String, String] = Map(
     "q_scd2_merge"  -> qScd2MergeSql,
     "q_dedup_log"   -> qDedupLogSql,
-    "q_impute_mean" -> qImputeMeanSql)
+    "q_impute_mean" -> qImputeMeanSql,
+    "q_profile"     -> qProfileSql)
 }

@@ -96,6 +96,40 @@ class CorpusQualitySpec extends AnyFunSuite {
     assert(meanOov < 0.5, s"mean OOV $meanOov implausibly high")
   }
 
+  test("chunking tiles every document: strided starts cover all tokens exactly") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = q("q_chunk_docs").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    chunks.groupBy(_._1).foreach { case (id, grp) =>
+      val n = docs(id)
+      val expected = (0 until n by 24).map(s => math.min(32, n - s))
+      val got = grp.sortBy(_._2).map(_._3).toSeq
+      assert(got == expected, s"doc $id chunks $got != $expected (n=$n)")
+    }
+    assert(chunks.map(_._1).toSet == docs.keySet)
+  }
+
+  test("profile reports zero nulls and sane distincts on the measure columns") {
+    val rows = q("q_profile").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(rows.keySet == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus"))
+    rows.foreach { case (c, (nNull, nDist, mn, mx)) =>
+      assert(nNull == 0, s"$c null count")
+      assert(nDist > 0, s"$c distinct count")
+      val numeric = !c.startsWith("l_return") && !c.startsWith("l_line")
+      assert(mn.isDefined == numeric && mx.isDefined == numeric, s"$c min/max")
+    }
+    val (_, _, qMin, qMax) = rows("l_quantity")
+    assert(qMin.get.asInstanceOf[Double] >= 1.0 &&
+      qMax.get.asInstanceOf[Double] <= 50.0)
+  }
+
   test("containment scores every planted sub-document copy at 1.0") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plantedBases = docs.filter(col("doc_id") % 25 === 0)
