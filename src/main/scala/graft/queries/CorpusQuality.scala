@@ -29,28 +29,15 @@ import graft.core.Tables
   */
 object CorpusQuality {
 
-  /** Lowercased whitespace tokens (the same normalization as TextDedup). */
-  private def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+  /** Tokenization + shingling shared with TextDedup — single source of
+    * truth in [[TextOps]] (quality scores are only meaningful under the
+    * dedup pipeline's normalization). */
+  private def tokens(c: Column): Column = TextOps.words(c)
 
-  /** Word 3-gram shingles as exploded (doc_id, shingle) rows; docs with <3
-    * tokens produce none (same guard in the oracle SQL). */
   private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("shingle"))
+    TextOps.shingleRows(docs)
 
-  /** DuckDB mirror of [[shingleRows]] over table/CTE `src`: emits a raw
-    * `shq` CTE (duplicates kept) — callers add DISTINCT where needed. */
-  private def shingleSql(src: String): String =
-    s"""shq AS (
-       |  SELECT doc_id,
-       |    unnest(list_transform(range(1, len(w)-1),
-       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-       |        FROM $src)
-       |  WHERE len(w) >= 3)""".stripMargin
+  private def shingleSql(src: String): String = TextOps.shingleSql(src, "shq")
 
   // ------------------------------------------------------- q_decontaminate
   /** Benchmark n-gram decontamination: flag training documents sharing ≥ 5
@@ -65,12 +52,18 @@ object CorpusQuality {
     * (doc_id, hit) survivors reach the per-doc count — the 100 TB corpus is
     * read once and never shuffled against itself. */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(Tables.documents(s, dir).select(col("doc_id"), col("text")))
-      .distinct()
-    val bench = sh.filter(col("doc_id") % 33 === 0)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // bench set from the PRE-FILTERED 1/33 slice (production: the real eval
+    // suites) — never from a full-corpus pass
+    val bench = shingleRows(docs.filter(col("doc_id") % 33 === 0))
       .select(col("shingle")).distinct()
-    sh.join(broadcast(bench), Seq("shingle"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    // the corpus-side stream stays RAW (no corpus-wide distinct exchange):
+    // the broadcast join filters it map-side, and the per-doc
+    // countDistinct dedups only the join survivors — the one corpus pass
+    // shuffles nothing but (doc_id, hit-shingle) survivors
+    shingleRows(docs).join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_overlap"))
       .filter(col("n_overlap") >= 5)
       .orderBy(col("doc_id"))
   }
@@ -245,7 +238,7 @@ object CorpusQuality {
   }
 
   private val qSourceCapSql =
-    """SELECT doc_id, source, n_chars, rk FROM (
+    """SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
       |  SELECT doc_id, source, n_chars,
       |    row_number() OVER (PARTITION BY source
       |                       ORDER BY n_chars DESC, doc_id) AS rk

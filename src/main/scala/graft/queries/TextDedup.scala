@@ -35,26 +35,15 @@ object TextDedup {
   private val BandRows  = 3
   private val NumBands  = NumHashes / BandRows // 4
 
-  /** Tokenize to lowercased whitespace-split words. */
-  private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Tokenization + shingling shared with CorpusQuality — single source of
+    * truth in [[TextOps]] so the quality scores and the dedup shingles can
+    * never silently desynchronize. */
+  private def words(text: Column): Column = TextOps.words(text)
 
-  /** 3-word shingles as exploded (doc_id, shingle) rows; docs with <3 tokens
-    * produce none (same guard in the oracle). */
   private def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("shingle"))
+    TextOps.shingleRows(docs)
 
-  private val shingleSqlCte =
-    """sh AS (
-      |  SELECT doc_id,
-      |    unnest(list_transform(range(1, len(w)-1),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-      |        FROM aug)
-      |  WHERE len(w) >= 3)""".stripMargin
+  private val shingleSqlCte = TextOps.shingleSql("aug", "sh")
 
   /** Near-dup test corpus: documents ∪ perturbed copies (first word dropped,
     * doc_id+10000) of every 25th doc. The synthetic corpus has no natural
@@ -312,9 +301,11 @@ object TextDedup {
   def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardScored(s, dir).orderBy(col("a"), col("b"))
 
-  /** Candidate pairs with exact Jaccard — shared by the pair query and the
-    * cluster-resolution stage. */
-  private def jaccardScored(s: SparkSession, dir: String): DataFrame = {
+  /** Shared pair-scoring core: every LSH candidate pair with its exact
+    * shingle-intersection count and both set sizes —
+    * (a, b, n_inter, sz_a, sz_b). The jaccard and containment verifies are
+    * different projections of THIS one computation. */
+  private def pairScores(s: SparkSession, dir: String): DataFrame = {
     val sh = augShingles(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cand = candidatePairs(s, dir)
@@ -327,11 +318,16 @@ object TextDedup {
       .na.fill(0L, Seq("n_inter"))
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), Seq("b"))
+  }
+
+  /** Candidate pairs with exact Jaccard — shared by the pair query and the
+    * cluster-resolution stage. */
+  private def jaccardScored(s: SparkSession, dir: String): DataFrame =
+    pairScores(s, dir)
       .select(col("a"), col("b"), col("n_inter"),
         (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"),
         round(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")), 6)
           .as("jaccard"))
-  }
 
   /** CTE chain ending in `jac(a, b, n_inter, n_union, jaccard)` — the SQL
     * mirror of [[jaccardScored]], shared by the pair and cluster oracles. */
@@ -534,16 +530,8 @@ object TextDedup {
     * read the STORED shingle posting list and candidate set, cost is
     * candidates × shingles, never corpus². */
   def qContainDup(s: SparkSession, dir: String): DataFrame = {
-    val sh = augShingles(s, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = candidatePairs(s, dir)
-      .join(sh.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
     val contain = round(col("n_inter") / least(col("sz_a"), col("sz_b")), 6)
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), Seq("b"))
+    pairScores(s, dir)
       .filter(contain >= 0.9)
       .select(col("a"), col("b"), col("n_inter"), contain.as("containment"))
       .orderBy(col("a"), col("b"))

@@ -72,14 +72,17 @@ object Windows {
     * operators are proven equal through the DuckDB gate, not just a spec. */
   def qTopkNative(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // rank by the RAW price (the window/oracle sort key — ranking by the
+    // 2-decimal-rounded value would diverge on prices differing only past
+    // 2 decimals); the dec2 rounding is applied to the OUTPUT column only,
+    // same as qWindowTopk's projection
     Tables.orders(s, dir)
       .groupBy($"o_custkey")
-      .agg(expr(
-        "topk(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), o_orderkey, 3)")
-        .as("top"))
+      .agg(expr("topk(o_totalprice, o_orderkey, 3)").as("top"))
       .select($"o_custkey", posexplode($"top"))
       .select($"o_custkey", ($"pos" + 1).cast("int").as("rank_in_cust"),
-        $"col.id".as("o_orderkey"), $"col.score".as("total_price"))
+        $"col.id".as("o_orderkey"),
+        $"col.score".cast("decimal(18,2)").cast("double").as("total_price"))
       .orderBy($"o_custkey", $"rank_in_cust")
   }
 
