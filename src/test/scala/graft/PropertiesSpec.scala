@@ -124,4 +124,28 @@ class PropertiesSpec extends AnyFunSuite {
       assert(kept.count() == df.distinct().count())
     }
   }
+
+  test("topk aggregate equals the row_number window on random data, any k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate scores on purpose (small score domain) to stress tie-breaks
+    val rowGen = Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 9).map(_ / 2.0))
+    val caseGen = Gen.zip(Gen.listOfN(120, rowGen), Gen.choose(1, 6))
+    forAllSampled(caseGen, 6) { case (rows, k) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, s), i) => (g, s, i.toLong) }.toDF("g", "s", "i")
+        .repartition(5) // spread groups across partitions → real merges
+      val native = df.groupBy($"g")
+        .agg(expr(s"topk(s, i, $k)").as("t"))
+        .selectExpr("g", "inline(t)")
+        .select($"g", $"score", $"id")
+      val w = Window.partitionBy($"g").orderBy($"s".desc, $"i")
+      val reference = df
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+        .select($"g", $"s".as("score"), $"i".as("id"))
+      assert(native.exceptAll(reference).isEmpty &&
+        reference.exceptAll(native).isEmpty,
+        s"topk(k=$k) diverged from the window reference")
+    }
+  }
 }
