@@ -347,8 +347,61 @@ object Embeddings {
        |  GROUP BY e.q_id) h ON h.q_id = q.q_id
        |ORDER BY q.q_id""".stripMargin
 
+  // --------------------------------------------------------- q_embed_filtered
+  /** FILTERED vector search — ANN under a metadata predicate (the "only
+    * in-catalog / only this-language items are retrievable" shape every
+    * production vector store treats as first-class). Design axis:
+    * PRE-filtering — the predicate (label < 3, ~30% selectivity) is applied
+    * to the candidate side BEFORE the bucket self-join, so the join builds
+    * on the filtered minority and the predicate prunes at the scan
+    * (PushedFilters), never post-hoc on scored pairs. Post-filtering
+    * (score, then discard) wastes exactly 1/selectivity of the rerank work
+    * and under-fills top-k; at 100 TB pre-filtering is the difference
+    * between scoring 30% and 100% of the bucket pairs. Same
+    * bucket-candidate + exact-rerank algebra as q_embed_ann otherwise;
+    * queries whose bucket holds no eligible candidate drop out (the
+    * filtered-search recall gap multi-table LSH closes at scale). */
+  def qEmbedFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+    val l = emb.select(col("bucket"), col("vec_id"), col("embedding"), col("norm"))
+    val r = emb.filter(col("label") < 3)
+      .select(col("bucket"), col("vec_id").as("nn_id"), col("label").as("nn_label"),
+        col("embedding").as("emb2"), col("norm").as("norm2"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos_sim",
+        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"), col("nn_label"), col("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qEmbedFilteredSql =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT l.vec_id, r.vec_id AS nn_id, r.label AS nn_label,
+       |    round(${dotSql("l.embedding", "r.embedding")}
+       |      / (sqrt(${dotSql("l.embedding", "l.embedding")})
+       |         * sqrt(${dotSql("r.embedding", "r.embedding")})), 4) AS cos_sim
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+       |  WHERE r.label < 3)
+       |SELECT vec_id, nn_id, nn_label, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
+       |  FROM pairs)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_filtered" -> (qEmbedFiltered _),
     "q_embed_topk"    -> (qEmbedTopk _),
     "q_embed_ann"     -> (qEmbedAnn _),
     "q_embed_neardup" -> (qEmbedNeardup _),
@@ -357,6 +410,7 @@ object Embeddings {
     "q_ann_recall"    -> (qAnnRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_embed_filtered" -> qEmbedFilteredSql,
     "q_embed_topk"    -> qEmbedTopkSql,
     "q_embed_ann"     -> qEmbedAnnSql,
     "q_embed_neardup" -> qEmbedNeardupSql,

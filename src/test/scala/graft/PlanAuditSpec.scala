@@ -96,6 +96,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(smj.isEmpty, s"token stream must not shuffle for vocab lookup: $smj")
   }
 
+  test("filtered ANN pre-filters: the label predicate reaches the parquet scan") {
+    val plan = staticPlan(SparkEntry.queries("q_embed_filtered")(spark, sfDir))
+    val pushed = scans(plan).map(_.metadata.getOrElse("PushedFilters", "[]"))
+    assert(pushed.exists(_.contains("LessThan(label,3)")),
+      s"label predicate must prune at the scan (pre-filtering), got: $pushed")
+  }
+
   test("PII scrub is a pure map: no shuffle except the presentation sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = staticPlan(SparkEntry.queries("q_pii_scrub")(spark, sfDir))
