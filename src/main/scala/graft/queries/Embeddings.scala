@@ -347,6 +347,62 @@ object Embeddings {
        |  GROUP BY e.q_id) h ON h.q_id = q.q_id
        |ORDER BY q.q_id""".stripMargin
 
+  // --------------------------------------------------------- q_embed_ann_mp
+  /** Multi-probe LSH ANN: each QUERY vector probes its own bucket plus the
+    * 4 buckets at Hamming distance 1 in signature space (one hyperplane
+    * flipped — the neighbor most likely to hold near-misses). This is the
+    * standard recall fix for single-table LSH (q_embed_ann drops vectors
+    * alone in their bucket); multi-probe buys that recall with ~5× more
+    * query-side join keys instead of 5 independent hash TABLES — i.e. 5×
+    * probe fan-out on the small side, zero extra index storage or build
+    * passes, which at 100 TB is the cheap direction (the index is the
+    * 100 TB artifact; the probe keys are metadata). The candidate side
+    * joins on its exact bucket, unchanged. */
+  def qEmbedAnnMp(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+    val probes = (0 until NumPlanes)
+      .map(p => expr(s"bucket ^ ${1 << p}")) :+ col("bucket")
+    val l = emb.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(array(probes: _*)).as("probe"))
+    val r = emb.select(col("bucket").as("probe"), col("vec_id").as("nn_id"),
+      col("embedding").as("emb2"), col("norm").as("norm2"))
+    val pairs = l.join(r, Seq("probe"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos_sim",
+        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    // a candidate sharing 2 probed buckets appears twice pre-rank; rn=1
+    // keeps one row and ties keep the lower nn_id — deterministic
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"), col("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qEmbedAnnMpSql = {
+    val flips = (0 until NumPlanes).map(p => s"xor(bucket, ${1 << p})")
+      .mkString("[", ", ", ", bucket]")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |l AS (SELECT vec_id, embedding, unnest($flips) AS probe FROM b),
+       |pairs AS (
+       |  SELECT l.vec_id, r.vec_id AS nn_id,
+       |    round(${dotSql("l.embedding", "r.embedding")}
+       |      / (sqrt(${dotSql("l.embedding", "l.embedding")})
+       |         * sqrt(${dotSql("r.embedding", "r.embedding")})), 4) AS cos_sim
+       |  FROM l JOIN b r ON l.probe = r.bucket AND l.vec_id <> r.vec_id)
+       |SELECT vec_id, nn_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
+       |  FROM pairs)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------- q_embed_filtered
   /** FILTERED vector search — ANN under a metadata predicate (the "only
     * in-catalog / only this-language items are retrievable" shape every
@@ -402,6 +458,7 @@ object Embeddings {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_filtered" -> (qEmbedFiltered _),
+    "q_embed_ann_mp"  -> (qEmbedAnnMp _),
     "q_embed_topk"    -> (qEmbedTopk _),
     "q_embed_ann"     -> (qEmbedAnn _),
     "q_embed_neardup" -> (qEmbedNeardup _),
@@ -411,6 +468,7 @@ object Embeddings {
 
   val oracle: Map[String, String] = Map(
     "q_embed_filtered" -> qEmbedFilteredSql,
+    "q_embed_ann_mp"  -> qEmbedAnnMpSql,
     "q_embed_topk"    -> qEmbedTopkSql,
     "q_embed_ann"     -> qEmbedAnnSql,
     "q_embed_neardup" -> qEmbedNeardupSql,

@@ -39,6 +39,22 @@ class QueriesSpec extends AnyFunSuite {
     clusters.unpersist()
   }
 
+  test("multi-probe ANN dominates single-bucket ANN: superset coverage, never a worse neighbor") {
+    import org.apache.spark.sql.functions._
+    val ann = SparkEntry.queries("q_embed_ann")(spark, sfDir)
+      .select(col("vec_id"), col("cos_sim").as("sim1")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mp = SparkEntry.queries("q_embed_ann_mp")(spark, sfDir)
+      .select(col("vec_id"), col("cos_sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ann.keySet.subsetOf(mp.keySet),
+      s"multi-probe lost vectors: ${ann.keySet -- mp.keySet}")
+    // probing a superset of buckets can only improve the best neighbor
+    ann.foreach { case (v, s1) =>
+      assert(mp(v) >= s1, s"vec $v: multi-probe ${mp(v)} < single-bucket $s1")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sfDir)
