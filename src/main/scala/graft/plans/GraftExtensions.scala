@@ -16,7 +16,9 @@ import graft.expressions.{FloatDot, RollingHash, TopKAgg}
   * This is the (c)-tier extension surface of the builder brief; graft
   * needs no custom LogicalPlan/Strategy because every reference operator
   * maps to built-ins (SURVEY §4) — the extension carries perf-motivated
-  * expressions only.
+  * expressions plus the `topk` bounded-heap aggregate (a map-side-
+  * combinable top-k-per-group the built-in window formulation can't
+  * match on shuffle volume).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
