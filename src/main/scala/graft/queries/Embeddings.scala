@@ -352,12 +352,14 @@ object Embeddings {
     * 4 buckets at Hamming distance 1 in signature space (one hyperplane
     * flipped — the neighbor most likely to hold near-misses). This is the
     * standard recall fix for single-table LSH (q_embed_ann drops vectors
-    * alone in their bucket); multi-probe buys that recall with ~5× more
-    * query-side join keys instead of 5 independent hash TABLES — i.e. 5×
-    * probe fan-out on the small side, zero extra index storage or build
-    * passes, which at 100 TB is the cheap direction (the index is the
-    * 100 TB artifact; the probe keys are metadata). The candidate side
-    * joins on its exact bucket, unchanged. */
+    * alone in their bucket): multi-probe buys that recall with ZERO extra
+    * index storage or build passes — 5 independent hash tables would cost
+    * 5 copies of the 100 TB index. The price paid instead is probe-side
+    * shuffle volume: this self-join replicates each query vector's payload
+    * 5× through the exchange (at production scale one would explode only
+    * (vec_id, probe) keys and fetch embeddings for join survivors to keep
+    * the exchange metadata-sized). The candidate side joins on its exact
+    * bucket, unchanged. */
   def qEmbedAnnMp(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .withColumn("bucket", bucketCol("embedding"))
@@ -374,8 +376,9 @@ object Embeddings {
         round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
-    // a candidate sharing 2 probed buckets appears twice pre-rank; rn=1
-    // keeps one row and ties keep the lower nn_id — deterministic
+    // rn=1 picks the best candidate across all 5 probed buckets (no pair
+    // can appear twice: a candidate has ONE bucket and the 5 probe keys
+    // are pairwise distinct); ties keep the lower nn_id — deterministic
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("nn_id"), col("cos_sim"))

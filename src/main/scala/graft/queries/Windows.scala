@@ -82,7 +82,7 @@ object Windows {
       .select($"o_custkey", posexplode($"top"))
       .select($"o_custkey", ($"pos" + 1).cast("int").as("rank_in_cust"),
         $"col.id".as("o_orderkey"),
-        $"col.score".cast("decimal(18,2)").cast("double").as("total_price"))
+        OP.dec2($"col.score").cast("double").as("total_price"))
       .orderBy($"o_custkey", $"rank_in_cust")
   }
 

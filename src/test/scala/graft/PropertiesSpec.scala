@@ -135,14 +135,18 @@ class PropertiesSpec extends AnyFunSuite {
       val df = rows.zipWithIndex
         .map { case ((g, s), i) => (g, s, i.toLong) }.toDF("g", "s", "i")
         .repartition(5) // spread groups across partitions → real merges
+      // compare WITH the array position so a correctly-membered but
+      // mis-ordered topk result still fails
       val native = df.groupBy($"g")
         .agg(expr(s"topk(s, i, $k)").as("t"))
-        .selectExpr("g", "inline(t)")
-        .select($"g", $"score", $"id")
+        .select($"g", posexplode($"t"))
+        .select($"g", ($"pos" + 1).cast("long").as("rk"),
+          $"col.score", $"col.id")
       val w = Window.partitionBy($"g").orderBy($"s".desc, $"i")
       val reference = df
         .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
-        .select($"g", $"s".as("score"), $"i".as("id"))
+        .select($"g", $"rn".cast("long").as("rk"),
+          $"s".as("score"), $"i".as("id"))
       assert(native.exceptAll(reference).isEmpty &&
         reference.exceptAll(native).isEmpty,
         s"topk(k=$k) diverged from the window reference")
