@@ -325,8 +325,107 @@ object CorpusQuality {
       |    AS chunk_hash
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ------------------------------------------------------ q_corpus_pipeline
+  /** END-TO-END corpus curation — the composition the individual operators
+    * exist for, in the order a production pretraining pipeline runs them:
+    *
+    *   1. exact dedup (keep the min-doc_id copy of each normalized text)
+    *   2. quality gates (Gopher repetition rules on the REAL corpus:
+    *      top_word_frac ≤ 0.2, dup_3gram_frac ≤ 0.3)
+    *   3. decontamination (drop docs sharing ≥ 5 shingles with the
+    *      benchmark slice — which removes the benchmark members
+    *      themselves, exactly as a real pipeline must)
+    *   4. deterministic train/val/test assignment (seeded md5 bucket)
+    *
+    * Output: the training manifest (doc_id, lang, source, n_tok, split).
+    * Every stage is a stateless filter or a map-side-combinable aggregate
+    * over streams the component queries already proved scale-shaped; the
+    * composition adds NO new shuffle class — stages 1-3 join back to the
+    * corpus on doc_id (the natural key the corpus is already
+    * partitionable by at 100 TB). */
+  def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+    // 1. exact dedup: keeper = min doc_id per normalized-text hash
+    val keepers = docs
+      .withColumn("th", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+    // 2. repetition stats on the real corpus (no plants here)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val wordAgg = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("n_tok"))
+    val shAgg = shingleRows(docs).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
+    val clean = wordAgg.join(shAgg, Seq("doc_id"))
+      .filter(round(col("mx") / col("n_tok"), 4) <= 0.2 &&
+        round(lit(1) - col("n_dist") / col("n_sh"), 4) <= 0.3)
+      .select(col("doc_id"), col("n_tok"))
+
+    // 3. decontamination vs the benchmark slice (broadcast bench set)
+    val bench = shingleRows(docs.filter(col("doc_id") % 33 === 0))
+      .select(col("shingle")).distinct()
+    val contaminated = shingleRows(docs)
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_overlap"))
+      .filter(col("n_overlap") >= 5)
+      .select(col("doc_id"))
+
+    // 4. manifest with the deterministic split
+    docs.join(keepers, Seq("doc_id"))
+      .join(clean, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        when(TextOps.seededBucket("split1:") < "cccc", "train")
+          .when(TextOps.seededBucket("split1:") < "e666", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qCorpusPipelineSql =
+    s"""WITH keepers AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id,
+       |          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS th
+       |        FROM documents)
+       |  GROUP BY th),
+       |t AS (SELECT doc_id,
+       |        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |      FROM documents),
+       |wc AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+       |wa AS (SELECT doc_id, max(cnt) AS mx,
+       |         CAST(sum(cnt) AS BIGINT) AS n_tok FROM wc GROUP BY 1),
+       |${shingleSql("documents")},
+       |sa AS (SELECT doc_id, count(*) AS n_sh, count(DISTINCT shingle) AS n_dist
+       |       FROM shq GROUP BY 1),
+       |clean AS (
+       |  SELECT wa.doc_id, wa.n_tok FROM wa JOIN sa USING (doc_id)
+       |  WHERE round(mx / n_tok, 4) <= 0.2
+       |    AND round(1 - n_dist / n_sh, 4) <= 0.3),
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM shq),
+       |bsh AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 33 = 0),
+       |contaminated AS (
+       |  SELECT doc_id FROM shd JOIN bsh USING (shingle)
+       |  GROUP BY doc_id HAVING count(*) >= 5)
+       |SELECT d.doc_id, d.lang, d.source, c.n_tok,
+       |  CASE WHEN ${TextOps.seededBucketSql("split1:", "d.doc_id")} < 'cccc' THEN 'train'
+       |       WHEN ${TextOps.seededBucketSql("split1:", "d.doc_id")} < 'e666' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents d
+       |JOIN keepers k ON k.doc_id = d.doc_id
+       |JOIN clean c ON c.doc_id = d.doc_id
+       |LEFT JOIN contaminated x ON x.doc_id = d.doc_id
+       |WHERE x.doc_id IS NULL
+       |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_pipeline"    -> (qCorpusPipeline _),
     "q_chunk_docs"         -> (qChunkDocs _),
     "q_decontaminate"      -> (qDecontaminate _),
     "q_repetition_filter"  -> (qRepetitionFilter _),
@@ -336,6 +435,7 @@ object CorpusQuality {
     "q_oov_rate"           -> (qOovRate _))
 
   val oracle: Map[String, String] = Map(
+    "q_corpus_pipeline"    -> qCorpusPipelineSql,
     "q_chunk_docs"         -> qChunkDocsSql,
     "q_decontaminate"      -> qDecontaminateSql,
     "q_repetition_filter"  -> qRepetitionFilterSql,

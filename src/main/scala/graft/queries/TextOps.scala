@@ -23,6 +23,16 @@ private[queries] object TextOps {
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
         .as("shingle"))
 
+  /** 16-bit hex bucket of a seeded doc-id hash — THE deterministic
+    * sampling/splitting gate (TrainingData's q_hash_sample / q_train_split
+    * and the corpus pipeline must agree on it, or a doc could land in
+    * different splits depending on which operator assigned it). */
+  def seededBucket(seed: String): Column =
+    substring(md5(concat(lit(seed), col("doc_id").cast("string"))), 1, 4)
+
+  def seededBucketSql(seed: String, ref: String = "doc_id"): String =
+    s"substr(md5('$seed' || CAST($ref AS VARCHAR)), 1, 4)"
+
   /** DuckDB mirror of [[shingleRows]] over table/CTE `src`, emitted as a
     * CTE named `cte` (duplicates kept — callers add DISTINCT as needed). */
   def shingleSql(src: String, cte: String): String =

@@ -25,12 +25,12 @@ import graft.core.Tables
   */
 object TrainingData {
 
-  /** 16-bit hex bucket of a seeded doc hash, e.g. bucket("s1:", doc_id). */
-  private def bucket(seed: String) =
-    substring(md5(concat(lit(seed), col("doc_id").cast("string"))), 1, 4)
+  /** 16-bit hex bucket of a seeded doc hash — shared with the corpus
+    * pipeline via [[TextOps.seededBucket]] (split assignments must agree
+    * across operators). */
+  private def bucket(seed: String) = TextOps.seededBucket(seed)
 
-  private def bucketSql(seed: String) =
-    s"substr(md5('$seed' || CAST(doc_id AS VARCHAR)), 1, 4)"
+  private def bucketSql(seed: String) = TextOps.seededBucketSql(seed)
 
   // ------------------------------------------------------- q_hash_sample
   /** Deterministic ~10% corpus sample: keep rows whose 16-bit bucket is

@@ -130,6 +130,24 @@ class CorpusQualitySpec extends AnyFunSuite {
       qMax.get.asInstanceOf[Double] <= 50.0)
   }
 
+  test("corpus pipeline: manifest excludes contaminated docs and agrees with q_train_split") {
+    val manifest = q("q_corpus_pipeline").collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // composition: every doc q_decontaminate flags (incl. the benchmark
+    // members themselves) is absent from the training manifest
+    val contaminated = q("q_decontaminate").collect().map(_.getLong(0)).toSet
+    val leaked = contaminated.intersect(manifest.keySet)
+    assert(leaked.isEmpty, s"contaminated docs in the manifest: $leaked")
+    // split assignment is THE shared seeded hash: identical to
+    // q_train_split for every surviving doc
+    val split = q("q_train_split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    manifest.foreach { case (id, sp) =>
+      assert(split(id) == sp, s"doc $id split $sp != q_train_split ${split(id)}")
+    }
+    assert(manifest.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("containment scores every planted sub-document copy at 1.0") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val plantedBases = docs.filter(col("doc_id") % 25 === 0)
