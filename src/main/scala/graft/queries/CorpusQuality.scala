@@ -39,6 +39,16 @@ object CorpusQuality {
 
   private def shingleSql(src: String): String = TextOps.shingleSql(src, "shq")
 
+  /** The RAW (duplicate-keeping) shingle posting list of the UNMODIFIED
+    * corpus, materialized once per corpus via [[graft.io.IndexStore]] and
+    * shared by decontamination and the curation pipeline — the consumers'
+    * plans scan the stored parquet instead of re-exploding the text (the
+    * same build-once pattern as TextDedup's LSH index; at 100 TB this is
+    * the difference between one corpus pass and one per consumer). */
+  private def corpusShingles(s: SparkSession, dir: String): DataFrame =
+    graft.io.IndexStore.materialized(s, dir, "corpus_shingles_raw")(
+      shingleRows(Tables.documents(s, dir).select(col("doc_id"), col("text"))))
+
   // ------------------------------------------------------- q_decontaminate
   /** Benchmark n-gram decontamination: flag training documents sharing ≥ 5
     * distinct word-3-grams with a held-out benchmark set (here: every 33rd
@@ -52,16 +62,16 @@ object CorpusQuality {
     * (doc_id, hit) survivors reach the per-doc count — the 100 TB corpus is
     * read once and never shuffled against itself. */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    // bench set from the PRE-FILTERED 1/33 slice (production: the real eval
-    // suites) — never from a full-corpus pass
-    val bench = shingleRows(docs.filter(col("doc_id") % 33 === 0))
+    val sh = corpusShingles(s, dir)
+    // bench set from the 1/33 slice of the STORED posting list (production:
+    // the real eval suites — a tiny static table) — never a full-corpus pass
+    val bench = sh.filter(col("doc_id") % 33 === 0)
       .select(col("shingle")).distinct()
     // the corpus-side stream stays RAW (no corpus-wide distinct exchange):
     // the broadcast join filters it map-side, and the per-doc
     // countDistinct dedups only the join survivors — the one corpus pass
     // shuffles nothing but (doc_id, hit-shingle) survivors
-    shingleRows(docs).join(broadcast(bench), Seq("shingle"))
+    sh.join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_overlap"))
       .filter(col("n_overlap") >= 5)
@@ -353,13 +363,17 @@ object CorpusQuality {
       .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
+    // stages 2 and 3 read the MATERIALIZED corpus shingle table (one
+    // build pass, three consumers) instead of re-exploding the text
+    val sh = corpusShingles(s, dir)
+
     // 2. repetition stats on the real corpus (no plants here)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val wordAgg = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("n_tok"))
-    val shAgg = shingleRows(docs).groupBy(col("doc_id"))
+    val shAgg = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
     val clean = wordAgg.join(shAgg, Seq("doc_id"))
       .filter(round(col("mx") / col("n_tok"), 4) <= 0.2 &&
@@ -367,9 +381,9 @@ object CorpusQuality {
       .select(col("doc_id"), col("n_tok"))
 
     // 3. decontamination vs the benchmark slice (broadcast bench set)
-    val bench = shingleRows(docs.filter(col("doc_id") % 33 === 0))
+    val bench = sh.filter(col("doc_id") % 33 === 0)
       .select(col("shingle")).distinct()
-    val contaminated = shingleRows(docs)
+    val contaminated = sh
       .join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_overlap"))

@@ -117,43 +117,10 @@ object TextDedup {
     "bands AS (\n" + arms.mkString("\n  UNION ALL\n") + ")"
   }
 
-  /** Build-once-read-many store for the LSH index tables. At 100 TB the
-    * index (buckets, signatures, shingle posting list) is built by ONE
-    * upstream corpus pass per snapshot and consumed by every verify query;
-    * re-deriving the shingle→minhash→band subtree inside each verify
-    * self-join — the r2 plan — multiplies the most expensive scan in the
-    * pipeline by the number of join sides. Each table is written to parquet
-    * exactly once per (corpus dir, table) per JVM via the crash-safe
-    * [[graft.io.Sinks.overwriteSwap]] and read back, so the verify plans
-    * contain parquet scans of the stored index, not the derivation. */
-  private object Index {
-    private val built = scala.collection.mutable.HashSet.empty[String]
-    private val root = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_lsh_index").getAbsolutePath
-
-    def materialized(s: SparkSession, dir: String, what: String)
-        (build: => DataFrame): DataFrame = synchronized {
-      // "ix_" prefix: a leading "_" would make the directory invisible to
-      // Spark's file index (hidden-path convention), silently reading empty.
-      // The md5 suffix disambiguates dirs the readable sanitization would
-      // collide ("/d/sf-1" vs "/d/sf_1"). Index lifetime: per (corpus dir,
-      // JVM) — a corpus snapshot is immutable for a run; a long-lived
-      // service that rewrites the corpus in place would key on a snapshot
-      // id instead. Concurrent JVMs over the same corpus each build into
-      // their own tmpdir-scoped root only when java.io.tmpdir differs;
-      // the sequential verify/test/bench harnesses never overlap.
-      val dirHash = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      val key = "ix_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
-        "_" + dirHash + "__" + what
-      val path = s"$root/$key"
-      if (!built.contains(key)) { // rebuilt once per JVM: never stale
-        graft.io.Sinks.overwriteSwap(build, path)
-        built += key
-      }
-      s.read.parquet(path)
-    }
-  }
+  /** Build-once-read-many index tables — shared store in
+    * [[graft.io.IndexStore]] (see its scaladoc for the lifetime/keying
+    * rationale); this alias keeps the call sites short. */
+  private def Index = graft.io.IndexStore
 
   /** Stored LSH bucket table over the augmented corpus. */
   private def augBuckets(s: SparkSession, dir: String): DataFrame =
