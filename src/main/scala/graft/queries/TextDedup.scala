@@ -138,6 +138,11 @@ object TextDedup {
     Index.materialized(s, dir, "simhash")(
       simhashOf(augmented(Tables.documents(s, dir))))
 
+  /** Stored minhash signature table (mh0..mh11) over the augmented corpus. */
+  private def augMinhash(s: SparkSession, dir: String): DataFrame =
+    Index.materialized(s, dir, "minhash")(
+      minhashes(shingleRows(augmented(Tables.documents(s, dir)))))
+
   /** LSH candidate pairs (a < b, distinct) — THE single definition used by
     * every verify-stage query (jaccard, fuzzy): docs sharing any band
     * bucket. Both self-join sides read the STORED bucket table, so the
@@ -514,8 +519,56 @@ object TextDedup {
        |WHERE round(i.n_inter / least(za.sz, zb.sz), 6) >= 0.9
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------- q_minhash_est
+  /** The MinHash estimator made visible: for every LSH candidate pair,
+    * the SIGNATURE-agreement Jaccard estimate (fraction of the 12 minhash
+    * slots that agree — E[agree] = J is the identity the entire
+    * minhash/LSH design rests on) next to the exact shingle Jaccard and
+    * the estimation error. At 100 TB this is the diagnostic that decides
+    * whether 12 hashes suffice for the corpus at hand (widen to 64/128
+    * when the error spread is too wide for the dedup threshold) — run on
+    * a sample, it prices the signature width before the full pass; the
+    * per-pair cost is 12 column equality checks on the stored signature
+    * table, no shingle join at all for the estimate side. */
+  def qMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val mh = augMinhash(s, dir)
+    val agree = (0 until NumHashes)
+      .map(k => when(col(s"a_mh$k") === col(s"b_mh$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val renamedA = (0 until NumHashes).foldLeft(
+      mh.withColumnRenamed("doc_id", "a")) { (df, k) =>
+      df.withColumnRenamed(s"mh$k", s"a_mh$k") }
+    val renamedB = (0 until NumHashes).foldLeft(
+      mh.withColumnRenamed("doc_id", "b")) { (df, k) =>
+      df.withColumnRenamed(s"mh$k", s"b_mh$k") }
+    jaccardScored(s, dir)
+      .join(renamedA, Seq("a"))
+      .join(renamedB, Seq("b"))
+      .select(col("a"), col("b"),
+        round(agree / lit(NumHashes.toDouble), 4).as("jaccard_est"),
+        col("jaccard").as("jaccard_exact"),
+        round(agree / lit(NumHashes.toDouble) - col("jaccard"), 4).as("est_error"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val qMinhashEstSql = {
+    val agree = (0 until NumHashes)
+      .map(k => s"(CASE WHEN ma.mh$k = mb.mh$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $jacSqlCtes
+       |SELECT j.a, j.b,
+       |  round(($agree) / ${NumHashes}.0, 4) AS jaccard_est,
+       |  j.jaccard AS jaccard_exact,
+       |  round(($agree) / ${NumHashes}.0 - j.jaccard, 4) AS est_error
+       |FROM jac j
+       |JOIN mh ma ON ma.doc_id = j.a
+       |JOIN mh mb ON mb.doc_id = j.b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_est"    -> (qMinhashEst _),
     "q_contain_dup"    -> (qContainDup _),
     "q_exact_dup"      -> (qExactDup _),
     "q_minhash_bucket" -> (qMinhashBucket _),
@@ -527,6 +580,7 @@ object TextDedup {
     "q_dedup_corpus"   -> (qDedupCorpus _))
 
   val oracle: Map[String, String] = Map(
+    "q_minhash_est"    -> qMinhashEstSql,
     "q_contain_dup"    -> qContainDupSql,
     "q_exact_dup"      -> qExactDupSql,
     "q_minhash_bucket" -> qMinhashBucketSql,
