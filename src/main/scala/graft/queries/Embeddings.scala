@@ -247,6 +247,72 @@ object Embeddings {
        |FROM assigned a JOIN cells c ON c.centroid_id = a.centroid_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---------------------------------------------------------- q_embed_ivf2
+  /** IVF SEARCH with nprobe=2 — the companion of [[qEmbedIvf]]'s index
+    * statistics and the IVF twin of multi-probe LSH: each query probes its
+    * TWO nearest coarse cells and exact-reranks the union of their posting
+    * lists. nprobe is THE IVF recall/cost dial (a query near a cell
+    * boundary has its true neighbor in the second cell about half the
+    * time); cost scales linearly in probed posting-list volume and the
+    * corpus-side assignment stays single-cell — the index is not
+    * duplicated, only the query fans out. Centroid ranking and rerank
+    * both stabilized on (rounded sim, id) so the engines agree exactly. */
+  def qEmbedIvf2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val ranked = emb.crossJoin(broadcast(cents))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+      .withColumn("sim", round(dot("embedding", "cvec") /
+        (col("norm") * sqrt(sqNorm("cvec"))), 4))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("centroid_id"))))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("centroid_id"), col("vec_id").as("nn_id"),
+        col("embedding").as("emb2"), col("norm").as("norm2"))
+    val probes = ranked.filter(col("rn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("centroid_id"))
+    val pairs = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos_sim",
+        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
+    pairs.withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("nn_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("nn_id"), col("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qEmbedIvf2Sql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 31 = 0),
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(${dotSql("e.embedding", "c.cvec")}
+       |        / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |           * sqrt(${dotSql("c.cvec", "c.cvec")})), 4) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT centroid_id, vec_id AS nn_id, embedding AS emb2
+       |  FROM ranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, embedding, centroid_id FROM ranked WHERE rn <= 2),
+       |pairs AS (
+       |  SELECT p.vec_id, a.nn_id,
+       |    round(${dotSql("p.embedding", "a.emb2")}
+       |      / (sqrt(${dotSql("p.embedding", "p.embedding")})
+       |         * sqrt(${dotSql("a.emb2", "a.emb2")})), 4) AS cos_sim
+       |  FROM probes p JOIN assigned a USING (centroid_id)
+       |  WHERE p.vec_id <> a.nn_id)
+       |SELECT vec_id, nn_id, cos_sim FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rk
+       |  FROM pairs)
+       |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   // --------------------------------------------------------- q_embed_buckets
   /** The bucket histogram — the skew diagnostic a production ANN job watches
     * (a hot bucket = a degenerate hyperplane set → re-salt or widen). */
@@ -462,6 +528,7 @@ object Embeddings {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_filtered" -> (qEmbedFiltered _),
     "q_embed_ann_mp"  -> (qEmbedAnnMp _),
+    "q_embed_ivf2"    -> (qEmbedIvf2 _),
     "q_embed_topk"    -> (qEmbedTopk _),
     "q_embed_ann"     -> (qEmbedAnn _),
     "q_embed_neardup" -> (qEmbedNeardup _),
@@ -472,6 +539,7 @@ object Embeddings {
   val oracle: Map[String, String] = Map(
     "q_embed_filtered" -> qEmbedFilteredSql,
     "q_embed_ann_mp"  -> qEmbedAnnMpSql,
+    "q_embed_ivf2"    -> qEmbedIvf2Sql,
     "q_embed_topk"    -> qEmbedTopkSql,
     "q_embed_ann"     -> qEmbedAnnSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
