@@ -49,6 +49,41 @@ object CorpusQuality {
     graft.io.IndexStore.materialized(s, dir, "corpus_shingles_raw")(
       shingleRows(Tables.documents(s, dir).select(col("doc_id"), col("text"))))
 
+  /** Docs sharing ≥ 5 distinct shingles with the benchmark slice
+    * (doc_id % 33) — THE contamination predicate, shared by the standalone
+    * q_decontaminate and the pipeline's stage 3 so the two can never
+    * disagree on what "contaminated" means. Input is a raw (duplicate-
+    * keeping) shingle stream; the broadcast bench join filters it map-side
+    * and countDistinct dedups only the survivors. */
+  private def contaminatedIds(sh: DataFrame): DataFrame = {
+    val bench = sh.filter(col("doc_id") % 33 === 0)
+      .select(col("shingle")).distinct()
+    sh.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_overlap"))
+      .filter(col("n_overlap") >= 5)
+  }
+
+  /** Per-doc Gopher repetition aggregates — max single-token count `mx`,
+    * token total `n_tok`, shingle total `n_sh`, distinct shingles `n_dist`
+    * — shared by q_repetition_filter (planted corpus) and the pipeline's
+    * quality gate (real corpus). Callers apply [[topWordFrac]] /
+    * [[dup3gramFrac]] with the 0.2 / 0.3 thresholds. */
+  private def repetitionStats(docs: DataFrame, sh: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val wordAgg = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("n_tok"))
+    val shAgg = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
+    wordAgg.join(shAgg, Seq("doc_id"))
+  }
+
+  private def topWordFrac: Column = round(col("mx") / col("n_tok"), 4)
+  private def dup3gramFrac: Column =
+    round(lit(1) - col("n_dist") / col("n_sh"), 4)
+
   // ------------------------------------------------------- q_decontaminate
   /** Benchmark n-gram decontamination: flag training documents sharing ≥ 5
     * distinct word-3-grams with a held-out benchmark set (here: every 33rd
@@ -61,22 +96,11 @@ object CorpusQuality {
     * stream is filtered by the broadcast hash join map-side and only
     * (doc_id, hit) survivors reach the per-doc count — the 100 TB corpus is
     * read once and never shuffled against itself. */
-  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = corpusShingles(s, dir)
-    // bench set from the 1/33 slice of the STORED posting list (production:
-    // the real eval suites — a tiny static table) — never a full-corpus pass
-    val bench = sh.filter(col("doc_id") % 33 === 0)
-      .select(col("shingle")).distinct()
-    // the corpus-side stream stays RAW (no corpus-wide distinct exchange):
-    // the broadcast join filters it map-side, and the per-doc
-    // countDistinct dedups only the join survivors — the one corpus pass
-    // shuffles nothing but (doc_id, hit-shingle) survivors
-    sh.join(broadcast(bench), Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("shingle")).as("n_overlap"))
-      .filter(col("n_overlap") >= 5)
-      .orderBy(col("doc_id"))
-  }
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    // bench set = the 1/33 slice of the STORED posting list (production:
+    // the real eval suites — a tiny static table); the corpus-side stream
+    // stays RAW (no corpus-wide distinct exchange) — see contaminatedIds
+    contaminatedIds(corpusShingles(s, dir)).orderBy(col("doc_id"))
 
   private val qDecontaminateSql =
     s"""WITH ${shingleSql("documents")},
@@ -104,20 +128,11 @@ object CorpusQuality {
     val docs = Tables.documents(s, dir).select(col("doc_id"),
       when(col("doc_id") % 20 === 0, concat(col("text"), lit(" "), col("text")))
         .otherwise(col("text")).as("text"))
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val wordAgg = toks.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("n_tok"))
-    val shAgg = shingleRows(docs).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
-    val topFrac = round(col("mx") / col("n_tok"), 4)
-    val dupFrac = round(lit(1) - col("n_dist") / col("n_sh"), 4)
-    wordAgg.join(shAgg, Seq("doc_id"))
+    repetitionStats(docs, shingleRows(docs))
       .select(col("doc_id"),
-        topFrac.as("top_word_frac"),
-        dupFrac.as("dup_3gram_frac"),
-        (topFrac > 0.2 || dupFrac > 0.3).as("flagged"))
+        topWordFrac.as("top_word_frac"),
+        dup3gramFrac.as("dup_3gram_frac"),
+        (topWordFrac > 0.2 || dup3gramFrac > 0.3).as("flagged"))
       .orderBy(col("doc_id"))
   }
 
@@ -357,9 +372,10 @@ object CorpusQuality {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
 
-    // 1. exact dedup: keeper = min doc_id per normalized-text hash
+    // 1. exact dedup: keeper = min doc_id per normalized-text hash (the
+    // same TextOps.normTextHash identity q_exact_dup groups on)
     val keepers = docs
-      .withColumn("th", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("th", TextOps.normTextHash(col("text")))
       .groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
@@ -367,28 +383,15 @@ object CorpusQuality {
     // build pass, three consumers) instead of re-exploding the text
     val sh = corpusShingles(s, dir)
 
-    // 2. repetition stats on the real corpus (no plants here)
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val wordAgg = toks.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("n_tok"))
-    val shAgg = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
-    val clean = wordAgg.join(shAgg, Seq("doc_id"))
-      .filter(round(col("mx") / col("n_tok"), 4) <= 0.2 &&
-        round(lit(1) - col("n_dist") / col("n_sh"), 4) <= 0.3)
+    // 2. quality gate = the same repetitionStats/thresholds as
+    // q_repetition_filter, on the real corpus (no plants here)
+    val clean = repetitionStats(docs, sh)
+      .filter(topWordFrac <= 0.2 && dup3gramFrac <= 0.3)
       .select(col("doc_id"), col("n_tok"))
 
-    // 3. decontamination vs the benchmark slice (broadcast bench set)
-    val bench = sh.filter(col("doc_id") % 33 === 0)
-      .select(col("shingle")).distinct()
-    val contaminated = sh
-      .join(broadcast(bench), Seq("shingle"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("shingle")).as("n_overlap"))
-      .filter(col("n_overlap") >= 5)
-      .select(col("doc_id"))
+    // 3. decontamination vs the benchmark slice — the same contaminatedIds
+    // predicate as q_decontaminate (broadcast bench set)
+    val contaminated = contaminatedIds(sh).select(col("doc_id"))
 
     // 4. manifest with the deterministic split
     docs.join(keepers, Seq("doc_id"))
@@ -404,8 +407,7 @@ object CorpusQuality {
   private val qCorpusPipelineSql =
     s"""WITH keepers AS (
        |  SELECT min(doc_id) AS doc_id
-       |  FROM (SELECT doc_id,
-       |          md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS th
+       |  FROM (SELECT doc_id, ${TextOps.normTextHashSql("text")} AS th
        |        FROM documents)
        |  GROUP BY th),
        |t AS (SELECT doc_id,

@@ -26,7 +26,10 @@ import graft.core.Tables
   * precision on both sides; emitted similarities are rounded to 4 decimals
   * so any sub-ulp summation divergence cannot surface.
   *
-  * All folds are Catalyst higher-order functions (zip_with/aggregate) —
+  * Dot products route through the native `float_dot` codegen kernel
+  * ([[graft.expressions.FloatDot]] — that file owns the summation-order and
+  * null semantics the engine-parity argument rests on); the remaining folds
+  * (bucket signatures) are Catalyst higher-order functions. Either way:
   * codegen'd, no UDFs, arrays never leave the executors.
   */
 object Embeddings {
@@ -53,6 +56,14 @@ object Embeddings {
 
   private def sqNorm(a: String): Column =
     expr(s"float_dot(`$a`, `$a`)")
+
+  /** THE pair-scoring expression — 4-dp-rounded cosine from precomputed
+    * norms. Every ANN / near-dup / recall query scores candidate pairs
+    * through this one definition so the rounding precision and evaluation
+    * order (the engine-parity-critical parts) cannot drift between
+    * siblings. */
+  private def pairCos(e1: String, e2: String, n1: String, n2: String): Column =
+    round(dot(e1, e2) / (col(n1) * col(n2)), 4)
 
   /** DuckDB mirror of [[dot]]/[[cosine]] (1-based list indexing, same
     * left-to-right fold via list_sum over the per-index products). */
@@ -121,7 +132,7 @@ object Embeddings {
     val pairs = l.join(r, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos_sim",
-        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
+        pairCos("embedding", "emb2", "norm", "norm2"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
     pairs.withColumn("rn", row_number().over(w))
@@ -170,7 +181,7 @@ object Embeddings {
     l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
       .withColumn("cos_sim",
-        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
+        pairCos("embedding", "emb2", "norm", "norm2"))
       .filter(col("cos_sim") >= 0.999)
       .select(col("a").as("keep_id"), col("b").as("dup_id"), col("cos_sim"))
       .orderBy(col("keep_id"), col("dup_id"))
@@ -205,15 +216,27 @@ object Embeddings {
     * cell = argmax cosine, rank stabilized on the 4-decimal-rounded sim +
     * centroid id so both engines agree. Output: cell assignment + posting
     * list sizes — the IVF index statistics. */
-  def qEmbedIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val cents = emb.filter(col("vec_id") % 31 === 0) // 17 coarse centroids
+  /** Every corpus vector ranked against the broadcast k=17 coarse-centroid
+    * sample (`vec_id % 31`) by 4-dp-rounded cosine, ties on centroid_id —
+    * THE IVF cell geometry, shared by the index-statistics query
+    * ([[qEmbedIvf]], rn=1 cells) and the nprobe=2 search ([[qEmbedIvf2]],
+    * rn≤2 probes) so the search can never probe a layout that disagrees
+    * with the reported index. Columns: vec_id, embedding, norm,
+    * centroid_id, sim, rn. */
+  private def centroidRanked(emb: DataFrame): DataFrame = {
+    val cents = emb.filter(col("vec_id") % 31 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    val assigned = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
       .withColumn("sim", round(dot("embedding", "cvec") /
-        (sqrt(sqNorm("embedding")) * sqrt(sqNorm("cvec"))), 4))
+        (col("norm") * sqrt(sqNorm("cvec"))), 4))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("centroid_id"))))
+      .drop("cvec")
+  }
+
+  def qEmbedIvf(s: SparkSession, dir: String): DataFrame = {
+    val assigned = centroidRanked(Tables.embeddings(s, dir))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), col("sim").as("centroid_sim"))
     val cellSizes = assigned.groupBy(col("centroid_id"))
@@ -258,15 +281,7 @@ object Embeddings {
     * duplicated, only the query fans out. Centroid ranking and rerank
     * both stabilized on (rounded sim, id) so the engines agree exactly. */
   def qEmbedIvf2(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val cents = emb.filter(col("vec_id") % 31 === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-    val ranked = emb.crossJoin(broadcast(cents))
-      .withColumn("norm", sqrt(sqNorm("embedding")))
-      .withColumn("sim", round(dot("embedding", "cvec") /
-        (col("norm") * sqrt(sqNorm("cvec"))), 4))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("centroid_id"))))
+    val ranked = centroidRanked(Tables.embeddings(s, dir))
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("centroid_id"), col("vec_id").as("nn_id"),
         col("embedding").as("emb2"), col("norm").as("norm2"))
@@ -275,7 +290,7 @@ object Embeddings {
     val pairs = probes.join(assigned, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos_sim",
-        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
+        pairCos("embedding", "emb2", "norm", "norm2"))
     pairs.withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_sim").desc, col("nn_id"))))
       .filter(col("rk") === 1)
@@ -312,6 +327,75 @@ object Embeddings {
        |    PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rk
        |  FROM pairs)
        |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------ q_semantic_dedup
+  /** SemDeDup-style semantic deduplication: within each IVF cell, emit the
+    * pairs whose cosine ≥ 0.99 — documents that say the same thing in
+    * (embedding) space even when their text differs, which MinHash/SimHash
+    * cannot see. `keep_id` = the smaller vec_id (the keep-first policy the
+    * exact/fuzzy dedup family uses); transitive clusters resolve through
+    * the same min-label propagation as q_dedup_clusters.
+    *
+    * Scale shape: candidate enumeration is WITHIN-CELL only (Σ cell², never
+    * corpus²), on the exact cell geometry [[centroidRanked]] reports — in
+    * production k grows with the corpus (k ≈ n/target_cell_size), keeping
+    * cell size and per-cell pair cost constant as data scales; the norm is
+    * computed once per vector before the self-join.
+    *
+    * The corpus manufactures semantic dups (vec_id+10000 copies of every
+    * 50th vector, same fixture as q_embed_neardup — random vectors have no
+    * natural ≥0.99 pairs); a copy always shares its original's cell since
+    * it ranks the centroids identically, so within-cell enumeration finds
+    * every planted pair — no recall loss from the cell partition for
+    * true duplicates. */
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val cells = centroidRanked(corpus)
+      .filter(col("rn") === 1)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("norm"))
+    val l = cells.select(col("centroid_id"), col("vec_id").as("keep_id"),
+      col("embedding").as("e1"), col("norm").as("n1"))
+    val r = cells.select(col("centroid_id"), col("vec_id").as("drop_id"),
+      col("embedding").as("e2"), col("norm").as("n2"))
+    l.join(r, Seq("centroid_id"))
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("cos_sim", pairCos("e1", "e2", "n1", "n2"))
+      .filter(col("cos_sim") >= 0.99)
+      .select(col("centroid_id"), col("keep_id"), col("drop_id"), col("cos_sim"))
+      .orderBy(col("keep_id"), col("drop_id"))
+  }
+
+  private val qSemanticDedupSql =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, embedding AS cvec
+       |  FROM corpus WHERE vec_id % 31 = 0),
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round(${dotSql("e.embedding", "c.cvec")}
+       |        / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |           * sqrt(${dotSql("c.cvec", "c.cvec")})), 4) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM corpus e CROSS JOIN cents c),
+       |cells AS (
+       |  SELECT centroid_id, vec_id, embedding FROM ranked WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.centroid_id, a.vec_id AS keep_id, b.vec_id AS drop_id,
+       |    round(${dotSql("a.embedding", "b.embedding")}
+       |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
+       |         * sqrt(${dotSql("b.embedding", "b.embedding")})), 4) AS cos_sim
+       |  FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id
+       |    AND a.vec_id < b.vec_id)
+       |SELECT centroid_id, keep_id, drop_id, cos_sim
+       |FROM pairs WHERE cos_sim >= 0.99
+       |ORDER BY keep_id, drop_id""".stripMargin
 
   // --------------------------------------------------------- q_embed_buckets
   /** The bucket histogram — the skew diagnostic a production ANN job watches
@@ -361,7 +445,7 @@ object Embeddings {
     val scored = (df: DataFrame) => df
       .filter(col("q_id") =!= col("nn_id"))
       .withColumn("cos_sim",
-        round(dot("qv", "emb2") / (col("q_norm") * col("norm2")), 4))
+        pairCos("qv", "emb2", "q_norm", "norm2"))
 
     val exact = top5(scored(corpus.crossJoin(broadcast(queries))))
     val ann = top5(scored(
@@ -439,7 +523,7 @@ object Embeddings {
     val pairs = l.join(r, Seq("probe"))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos_sim",
-        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
+        pairCos("embedding", "emb2", "norm", "norm2"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
     // rn=1 picks the best candidate across all 5 probed buckets (no pair
@@ -497,7 +581,7 @@ object Embeddings {
     val pairs = l.join(r, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos_sim",
-        round(dot("embedding", "emb2") / (col("norm") * col("norm2")), 4))
+        pairCos("embedding", "emb2", "norm", "norm2"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nn_id"))
     pairs.withColumn("rn", row_number().over(w))
@@ -534,6 +618,7 @@ object Embeddings {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_ivf"     -> (qEmbedIvf _),
     "q_embed_buckets" -> (qEmbedBuckets _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_recall"    -> (qAnnRecall _))
 
   val oracle: Map[String, String] = Map(
@@ -545,5 +630,6 @@ object Embeddings {
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_embed_ivf"     -> qEmbedIvfSql,
     "q_embed_buckets" -> qEmbedBucketsSql,
+    "q_semantic_dedup" -> qSemanticDedupSql,
     "q_ann_recall"    -> qAnnRecallSql)
 }

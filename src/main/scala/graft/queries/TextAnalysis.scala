@@ -195,18 +195,97 @@ object TextAnalysis {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q_bm25
+  /** BM25 keyword search: rank the corpus against a fixed query-term set
+    * (k1 = 1.2, b = 0.75) and return the top-20 docs. The retrieval
+    * complement of the embedding-ANN family — a production curation stack
+    * keyword-searches its corpus (targeted audits, contamination triage)
+    * exactly like this.
+    *
+    * Scale shape: the query-term set is tiny and the `isin` filter prunes
+    * the exploded token stream MAP-SIDE (no corpus shuffle for membership);
+    * tf/doclen are map-side-combinable aggregates; N and avgdl are 1-row
+    * scalars broadcast into the scoring join; the final top-20 is a
+    * TakeOrderedAndProject (k rows to the driver, no global sort).
+    *
+    * Engine parity: idf = ln((N-df+0.5)/(df+0.5)+1) is rounded to 6 dp at
+    * the ONE transcendental step; everything after is IEEE-exact +,*,/ on
+    * identical doubles, and per-term contributions are summed as
+    * µ-scaled BIGINTs so the per-doc total is order-independent. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "hash", "spark", "merge")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+    val dl = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 6))
+      .withColumn("c", col("idf") * ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+      .withColumn("ci", round(col("c") * lit(1e6), 0).cast("long"))
+    contrib.groupBy(col("doc_id"))
+      .agg((sum(col("ci")) / lit(1e6)).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val qBm25Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+      |stats AS (SELECT count(*) AS n_docs,
+      |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+      |  WHERE tok IN ('vector', 'hash', 'spark', 'merge')
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |contrib AS (
+      |  SELECT t.doc_id,
+      |    CAST(round(
+      |      round(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+      |        * ((t.tf * 2.2) /
+      |           (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))
+      |      * 1e6, 0) AS BIGINT) AS ci
+      |  FROM tf t
+      |  JOIN df f USING (tok)
+      |  JOIN dl l USING (doc_id)
+      |  CROSS JOIN stats s)
+      |SELECT doc_id, CAST(sum(ci) AS BIGINT) / 1e6 AS bm25,
+      |  count(*) AS n_terms
+      |FROM contrib
+      |GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"    -> (qTextStats _),
     "q_lang_id"       -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count"   -> (qTokenCount _),
-    "q_fingerprint"   -> (qFingerprint _))
+    "q_fingerprint"   -> (qFingerprint _),
+    "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
     "q_text_stats"    -> qTextStatsSql,
     "q_lang_id"       -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count"   -> qTokenCountSql,
-    "q_fingerprint"   -> qFingerprintSql)
+    "q_fingerprint"   -> qFingerprintSql,
+    "q_bm25"          -> qBm25Sql)
 }

@@ -210,8 +210,7 @@ object TextDedup {
       .unionByName(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
     corpus
-      .withColumn("text_hash",
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withColumn("text_hash", TextOps.normTextHash(col("text")))
       .groupBy(col("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
@@ -219,11 +218,11 @@ object TextDedup {
   }
 
   private val qExactDupSql =
-    """WITH corpus AS (
+    s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0)
-      |SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_hash,
+      |SELECT ${TextOps.normTextHashSql("text")} AS text_hash,
       |  count(*) AS n_docs, min(doc_id) AS keep_id
       |FROM corpus
       |GROUP BY 1 HAVING count(*) > 1

@@ -33,6 +33,17 @@ private[queries] object TextOps {
   def seededBucketSql(seed: String, ref: String = "doc_id"): String =
     s"substr(md5('$seed' || CAST($ref AS VARCHAR)), 1, 4)"
 
+  /** Normalized-text identity hash (lowercase, trim, collapse whitespace,
+    * md5) — THE exact-dedup key. TextDedup's q_exact_dup and the corpus
+    * pipeline's dedup stage must agree on it, or a doc kept by one is
+    * dropped by the other. */
+  def normTextHash(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** DuckDB mirror of [[normTextHash]]. */
+  def normTextHashSql(ref: String = "text"): String =
+    s"md5(lower(trim(regexp_replace($ref, '\\s+', ' ', 'g'))))"
+
   /** DuckDB mirror of [[shingleRows]] over table/CTE `src`, emitted as a
     * CTE named `cte` (duplicates kept — callers add DISTINCT as needed). */
   def shingleSql(src: String, cte: String): String =
