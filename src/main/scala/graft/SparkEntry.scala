@@ -33,6 +33,7 @@ object SparkEntry {
     Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
       TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle ++
       WarehouseOps.oracle ++ Analytics.oracle ++ TemporalJoins.oracle ++
-      graft.kpi.Kpi.oracle ++ graft.streaming.Streams.oracle ++
+      graft.kpi.Kpi.oracle ++ graft.multimodal.Multimodal.oracle ++
+      graft.streaming.Streams.oracle ++
       TrainingData.oracle ++ CorpusQuality.oracle
 }

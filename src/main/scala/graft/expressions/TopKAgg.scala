@@ -145,8 +145,11 @@ object TopKAgg {
     def offer(s: Double, i: Long): Unit = {
       if (heap.size() < k) heap.offer((s, i))
       else {
+        // same total order as the heap comparator (Double.compare: NaN
+        // greatest, -0.0 < 0.0) so kept-set and output never diverge
         val worst = heap.peek()
-        val better = s > worst._1 || (s == worst._1 && i < worst._2)
+        val c = java.lang.Double.compare(s, worst._1)
+        val better = c > 0 || (c == 0 && i < worst._2)
         if (better) { heap.poll(); heap.offer((s, i)) }
       }
     }
@@ -156,7 +159,10 @@ object TopKAgg {
 
     def sortedBestFirst(): Seq[(Double, Long)] = {
       import scala.jdk.CollectionConverters._
-      heap.iterator().asScala.toSeq.sortBy { case (s, i) => (-s, i) }
+      heap.iterator().asScala.toSeq.sortWith { case ((s1, i1), (s2, i2)) =>
+        val c = java.lang.Double.compare(s1, s2)
+        if (c != 0) c > 0 else i1 < i2
+      }
     }
   }
 }

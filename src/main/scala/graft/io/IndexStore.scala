@@ -14,8 +14,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pipeline shares it.) */
 object IndexStore {
   private val built = scala.collection.mutable.HashSet.empty[String]
-  private val root = new java.io.File(
-    sys.props("java.io.tmpdir"), "graft_lsh_index").getAbsolutePath
+
+  /** Root is PID-scoped so concurrent JVMs over the same corpus (same
+    * java.io.tmpdir) never swap/read the same directory, and a shutdown
+    * hook removes the whole root so indexes don't accumulate across runs.
+    * (A real deployment would instead write to a shared warehouse path
+    * keyed by corpus-snapshot id, built by one upstream job.) */
+  private val root: String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_lsh_index_${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(f)))
+    f.getAbsolutePath
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
 
   def materialized(s: SparkSession, dir: String, what: String)
       (build: => DataFrame): DataFrame = synchronized {
@@ -25,9 +41,7 @@ object IndexStore {
     // collide ("/d/sf-1" vs "/d/sf_1"). Index lifetime: per (corpus dir,
     // JVM) — a corpus snapshot is immutable for a run; a long-lived
     // service that rewrites the corpus in place would key on a snapshot
-    // id instead. Concurrent JVMs over the same corpus each build into
-    // their own tmpdir-scoped root only when java.io.tmpdir differs;
-    // the sequential verify/test/bench harnesses never overlap.
+    // id instead.
     val dirHash = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val key = "ix_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +

@@ -31,20 +31,67 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Rows-only driver entry (no DuckDB oracle — the codec stub is
-    * Scala-side, not SQL-expressible): decode+feature-extract over a
-    * deterministic synthetic media table. The `features` float array is
-    * projected to a fixed-precision CSV string so every column is scalar —
-    * the driver's checker sorts/hashes rows even on the rows-only path, and
-    * an array column is unhashable there (pandas Categorical). */
+  /** Driver entry with a REAL DuckDB oracle: the fake codec is pure
+    * integer arithmetic on (media_id, pixel index), so the whole
+    * decode → histogram pipeline is replayable in SQL (see
+    * [[oracle]]). The `features` float array is projected back to its
+    * exact integer bin counts (`round(f · w·h·c)` recovers the count —
+    * |float error| ≪ 0.5 at ≤1152 pixels) joined as a CSV string, so
+    * every output column is a scalar the driver can sort/hash and the
+    * float normalization inside [[extractFeatures]] stays oracle-exact. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> ((s: SparkSession, _: String) =>
       extractFeatures(syntheticMedia(s, 200))
         .withColumn("features",
           when(col("features").isNull, lit(null: String)).otherwise(
             concat_ws(",", transform(col("features"),
-              f => format_string("%.6f", f)))))
+              f => round(f * col("width") * col("height") * col("channels"))
+                .cast("long").cast("string")))))
         .orderBy(col("media_id"))))
+
+  /** DuckDB replay of [[FakeCodec]] + [[extractFeatures]] over the same
+    * 200-row synthetic table: pixel byte = ((id+i)·1103515245+12345) >>> 16
+    * & 0xff, all BIGINT ops (`// 65536 % 256` — operands are positive, so
+    * shift = floor-div). idx is the 0..1151 index pool (max w·h·c) joined
+    * with `j < w·h·c` because generate_series takes no lateral args.
+    * mean_intensity is one division of identical integers in both engines
+    * → bit-identical doubles. */
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT CAST(i AS BIGINT) AS media_id,
+        |         8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h,
+        |         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS c
+        |  FROM generate_series(0, 199) AS t(i)),
+        |good AS (SELECT * FROM m WHERE NOT (media_id % 13 = 0 AND media_id > 0)),
+        |idx AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, 1151) AS s(j)),
+        |px AS (
+        |  SELECT g.media_id, g.w, g.h, g.c,
+        |         ((g.media_id + i.j) * 1103515245 + 12345) // 65536 % 256 AS b
+        |  FROM good g JOIN idx i ON i.j < g.w * g.h * g.c),
+        |hist AS (
+        |  SELECT media_id, b // 16 AS bin, count(*) AS v FROM px GROUP BY 1, 2),
+        |bins AS (SELECT g.media_id, CAST(bb.bin AS BIGINT) AS bin
+        |         FROM good g, generate_series(0, 15) AS bb(bin)),
+        |feat AS (
+        |  SELECT b.media_id,
+        |    string_agg(CAST(coalesce(h.v, 0) AS VARCHAR), ',' ORDER BY b.bin)
+        |      AS features
+        |  FROM bins b LEFT JOIN hist h ON h.media_id = b.media_id AND h.bin = b.bin
+        |  GROUP BY b.media_id),
+        |mi AS (SELECT media_id, sum(b) / (w * h * c) AS mean_intensity
+        |       FROM px GROUP BY media_id, w, h, c)
+        |SELECT m.media_id,
+        |  NOT (m.media_id % 13 = 0 AND m.media_id > 0) AS ok,
+        |  CASE WHEN g.media_id IS NOT NULL THEN CAST(m.w AS INTEGER) END AS width,
+        |  CASE WHEN g.media_id IS NOT NULL THEN CAST(m.h AS INTEGER) END AS height,
+        |  CASE WHEN g.media_id IS NOT NULL THEN CAST(m.c AS INTEGER) END AS channels,
+        |  mi.mean_intensity, f.features
+        |FROM m
+        |LEFT JOIN good g USING (media_id)
+        |LEFT JOIN mi USING (media_id)
+        |LEFT JOIN feat f USING (media_id)
+        |ORDER BY m.media_id""".stripMargin)
 
   /** Media-table schema: id + modality + typed metadata + opaque payload. */
   val mediaSchema: StructType = StructType(Seq(

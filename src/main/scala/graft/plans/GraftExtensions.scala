@@ -29,17 +29,31 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  /** Mis-arity from SQL surfaces as a readable AnalysisException (the same
+    * WRONG_NUM_ARGS condition the built-in registry raises), not an
+    * IndexOutOfBoundsException from the builder lambda. */
+  private def checkArity(name: String, expected: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children =>
+      if (children.length == expected) build(children)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   val functions: Seq[FunctionDescription] = Seq(
     (new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (children: Seq[Expression]) => RollingHash(children.head)),
+      checkArity("rolling_hash", 1)(c => RollingHash(c.head))),
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDot(children(0), children(1))),
+      checkArity("float_dot", 2)(c => FloatDot(c(0), c(1)))),
     (new FunctionIdentifier("topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk"),
-      (children: Seq[Expression]) =>
-        TopKAgg(children(0), children(1), children(2))))
+      checkArity("topk", 3)(c => TopKAgg(c(0), c(1), c(2)))))
 
   /** Register on an already-built session (the Verify/Bench path, where
     * spark.sql.extensions can't be set post-hoc). */

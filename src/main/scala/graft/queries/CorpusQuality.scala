@@ -77,12 +77,15 @@ object CorpusQuality {
       .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("n_tok"))
     val shAgg = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
-    wordAgg.join(shAgg, Seq("doc_id"))
+    // LEFT join: a sub-3-token doc has no shingle rows; it must still be
+    // classified (dup_3gram_frac = 0 — nothing repeated), not silently
+    // dropped from the corpus gate
+    wordAgg.join(shAgg, Seq("doc_id"), "left")
   }
 
   private def topWordFrac: Column = round(col("mx") / col("n_tok"), 4)
   private def dup3gramFrac: Column =
-    round(lit(1) - col("n_dist") / col("n_sh"), 4)
+    coalesce(round(lit(1) - col("n_dist") / col("n_sh"), 4), lit(0.0))
 
   // ------------------------------------------------------- q_decontaminate
   /** Benchmark n-gram decontamination: flag training documents sharing ≥ 5
@@ -151,10 +154,10 @@ object CorpusQuality {
        |       FROM shq GROUP BY 1)
        |SELECT wa.doc_id,
        |  round(mx / n_tok, 4) AS top_word_frac,
-       |  round(1 - n_dist / n_sh, 4) AS dup_3gram_frac,
-       |  (round(mx / n_tok, 4) > 0.2 OR round(1 - n_dist / n_sh, 4) > 0.3)
-       |    AS flagged
-       |FROM wa JOIN sa USING (doc_id)
+       |  coalesce(round(1 - n_dist / n_sh, 4), 0.0) AS dup_3gram_frac,
+       |  (round(mx / n_tok, 4) > 0.2
+       |    OR coalesce(round(1 - n_dist / n_sh, 4), 0.0) > 0.3) AS flagged
+       |FROM wa LEFT JOIN sa USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------- q_pii_scrub
@@ -420,9 +423,9 @@ object CorpusQuality {
        |sa AS (SELECT doc_id, count(*) AS n_sh, count(DISTINCT shingle) AS n_dist
        |       FROM shq GROUP BY 1),
        |clean AS (
-       |  SELECT wa.doc_id, wa.n_tok FROM wa JOIN sa USING (doc_id)
+       |  SELECT wa.doc_id, wa.n_tok FROM wa LEFT JOIN sa USING (doc_id)
        |  WHERE round(mx / n_tok, 4) <= 0.2
-       |    AND round(1 - n_dist / n_sh, 4) <= 0.3),
+       |    AND coalesce(round(1 - n_dist / n_sh, 4), 0.0) <= 0.3),
        |shd AS (SELECT DISTINCT doc_id, shingle FROM shq),
        |bsh AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 33 = 0),
        |contaminated AS (

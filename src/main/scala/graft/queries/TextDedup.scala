@@ -546,7 +546,11 @@ object TextDedup {
       .select(col("a"), col("b"),
         round(agree / lit(NumHashes.toDouble), 4).as("jaccard_est"),
         col("jaccard").as("jaccard_exact"),
-        round(agree / lit(NumHashes.toDouble) - col("jaccard"), 4).as("est_error"))
+        // + 0.0 normalizes IEEE -0.0 → +0.0 (exact no-op otherwise):
+        // Spark's BigDecimal round collapses the sign of zero, DuckDB's
+        // doesn't, and the driver hashes the sign bit
+        (round(agree / lit(NumHashes.toDouble) - col("jaccard"), 4) + lit(0.0))
+          .as("est_error"))
       .orderBy(col("a"), col("b"))
   }
 
@@ -558,7 +562,7 @@ object TextDedup {
        |SELECT j.a, j.b,
        |  round(($agree) / ${NumHashes}.0, 4) AS jaccard_est,
        |  j.jaccard AS jaccard_exact,
-       |  round(($agree) / ${NumHashes}.0 - j.jaccard, 4) AS est_error
+       |  round(($agree) / ${NumHashes}.0 - j.jaccard, 4) + 0.0 AS est_error
        |FROM jac j
        |JOIN mh ma ON ma.doc_id = j.a
        |JOIN mh mb ON mb.doc_id = j.b

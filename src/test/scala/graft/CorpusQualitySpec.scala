@@ -162,4 +162,28 @@ class CorpusQualitySpec extends AnyFunSuite {
       assert(hit.get._3 == 1.0, s"planted pair containment ${hit.get._3} != 1.0")
     }
   }
+
+  test("sub-3-token docs are classified by the repetition filter, not dropped") {
+    import spark.implicits._
+    // the fixture corpus has no short docs (min 10 tokens), so build one:
+    // a 2-token doc yields zero shingles and must still surface with
+    // dup_3gram_frac = 0.0 (nothing repeated), never vanish from the gate
+    val dir = java.nio.file.Files.createTempDirectory("graft_short").toString
+    Seq(
+      (1L, "tiny doc", "en", "web", 8L),
+      (2L, "a normal length document with plenty of tokens to shingle",
+        "en", "web", 57L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_repetition_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows.contains(1L), "short doc dropped from the repetition filter")
+    val (top, dup, flagged) = rows(1L)
+    // two distinct tokens: top_word_frac = 0.5 trips the 0.2 gate (short
+    // docs are legitimately low-quality); dup frac defaults to 0, and the
+    // doc is CLASSIFIED as flagged rather than silently missing
+    assert(dup == 0.0 && top == 0.5 && flagged, s"short doc stats: ${rows(1L)}")
+    assert(rows.contains(2L))
+  }
 }
