@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatDot, RollingHash, TopKAgg}
+import graft.expressions.{FloatDot, KmvAgg, RollingHash, TopKAgg}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -53,7 +53,10 @@ object GraftExtensions {
       checkArity("float_dot", 2)(c => FloatDot(c(0), c(1)))),
     (new FunctionIdentifier("topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk"),
-      checkArity("topk", 3)(c => TopKAgg(c(0), c(1), c(2)))))
+      checkArity("topk", 3)(c => TopKAgg(c(0), c(1), c(2)))),
+    (new FunctionIdentifier("kmv"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv"),
+      checkArity("kmv", 2)(c => KmvAgg(c(0), c(1)))))
 
   /** Register on an already-built session (the Verify/Bench path, where
     * spark.sql.extensions can't be set post-hoc). */

@@ -445,8 +445,54 @@ object Analytics {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // -------------------------------------------------------------- q_unpivot
+  /** Wide→long melt (the inverse of q_pivot): lineitem's four measure
+    * columns unpivoted to (metric, value) rows via Spark's native
+    * `unpivot` operator. The long layout is what generic metric sinks,
+    * sparse-feature trainers, and per-metric quality monitors consume —
+    * one schema regardless of how many measures the fact grows.
+    *
+    * Measures are projected to exact 2-decimal doubles BEFORE the melt so
+    * the union'd value column is a single type with oracle-exact values.
+    * Restricted to one order-priority slice to keep the Verify dump
+    * bounded; the operator itself is a stateless per-row flatMap (4 rows
+    * out per row in, no shuffle, codegen'd Expand node — at 100 TB it
+    * scans once and never exchanges). */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.lineitem(s, dir)
+      .filter($"l_linenumber" === 1 && $"l_quantity" <= 10)
+      .select($"l_orderkey", $"l_linenumber",
+        OP.dec2($"l_quantity").cast("double").as("quantity"),
+        OP.dec2($"l_extendedprice").cast("double").as("extendedprice"),
+        OP.dec2($"l_discount").cast("double").as("discount"),
+        OP.dec2($"l_tax").cast("double").as("tax"))
+    keyed.unpivot(
+      Array($"l_orderkey", $"l_linenumber"),
+      Array($"quantity", $"extendedprice", $"discount", $"tax"),
+      "metric", "value")
+      // quantity is part of the sort: the filtered slice can still carry
+      // duplicate (orderkey, linenumber) rows (the antidedup fixture), and
+      // value completes the total order for them
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric", $"value")
+  }
+
+  private val qUnpivotSql = {
+    val base = "SELECT l_orderkey, l_linenumber, %s FROM lineitem " +
+      "WHERE l_linenumber = 1 AND l_quantity <= 10"
+    def arm(name: String, colRef: String) = base.format(
+      s"'$name' AS metric, " +
+        s"CAST(CAST($colRef AS DECIMAL(18,2)) AS DOUBLE) AS value")
+    s"""${arm("quantity", "l_quantity")}
+       |UNION ALL ${arm("extendedprice", "l_extendedprice")}
+       |UNION ALL ${arm("discount", "l_discount")}
+       |UNION ALL ${arm("tax", "l_tax")}
+       |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"       -> (qUnpivot _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_range_frame" -> (qWindowRangeFrame _),
     "q_session_agg"  -> (qSessionAgg _),
@@ -462,6 +508,7 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot"       -> qUnpivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_window_range_frame" -> qWindowRangeFrameSql,
     "q_session_agg"  -> qSessionAggSql,

@@ -272,6 +272,58 @@ object TextAnalysis {
       |ORDER BY bm25 DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------ q_ngram_next
+  /** Bigram continuation table: for every prefix token, the top-3 next
+    * tokens by corpus frequency — the n-gram language-model building block
+    * (next-token frequency tables are how classic LM smoothing, contamination
+    * heuristics, and boilerplate detectors see a corpus). Tie-break on the
+    * token string keeps ranks total; the corpus is lowercase ASCII, so both
+    * engines' binary string orders agree.
+    *
+    * Scale shape: consecutive-pair construction is a per-row map over the
+    * token array (no self-join — `transform` over index sequence), the
+    * count is one map-side-combinable groupBy on (prefix, next), and the
+    * rank window runs on the AGGREGATED table (O(vocab²) rows at worst,
+    * independent of corpus size). The full corpus is read once, shuffled
+    * once at (prefix, next) granularity. */
+  def qNgramNext(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, dir)
+      .select(TextOps.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), " +
+          "i -> named_struct('prefix', w[i], 'next', w[i+1]))")).as("p"))
+      .select(col("p.prefix").as("prefix"), col("p.next").as("next"))
+    val win = Window.partitionBy(col("prefix"))
+      .orderBy(col("cnt").desc, col("next"))
+    pairs.groupBy(col("prefix"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(win).cast("int"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("prefix"), col("rank"))
+  }
+
+  private val qNgramNextSql =
+    """WITH d AS (
+      |  SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+      |  FROM documents),
+      |p AS (
+      |  SELECT unnest(list_transform(range(1, len(l)),
+      |    i -> struct_pack(prefix := l[i], next := l[i + 1]))) AS pr
+      |  FROM d WHERE len(l) >= 2),
+      |c AS (
+      |  SELECT pr.prefix AS prefix, pr.next AS next, count(*) AS cnt
+      |  FROM p GROUP BY 1, 2),
+      |r AS (
+      |  SELECT prefix, next, cnt,
+      |    CAST(row_number() OVER (PARTITION BY prefix
+      |      ORDER BY cnt DESC, next) AS INTEGER) AS rank
+      |  FROM c)
+      |SELECT prefix, next, cnt, rank FROM r
+      |WHERE rank <= 3
+      |ORDER BY prefix, rank""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"    -> (qTextStats _),
@@ -279,6 +331,7 @@ object TextAnalysis {
     "q_quality_score" -> (qQualityScore _),
     "q_token_count"   -> (qTokenCount _),
     "q_fingerprint"   -> (qFingerprint _),
+    "q_ngram_next"    -> (qNgramNext _),
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
@@ -287,5 +340,6 @@ object TextAnalysis {
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count"   -> qTokenCountSql,
     "q_fingerprint"   -> qFingerprintSql,
+    "q_ngram_next"    -> qNgramNextSql,
     "q_bm25"          -> qBm25Sql)
 }
