@@ -31,8 +31,9 @@ import org.apache.spark.sql.types._
   * before the exchange: a grouped distinct-count over 100 TB shuffles
   * O(groups × k) longs instead of the O(rows) shuffle an exact
   * COUNT(DISTINCT) pays. The reference's only distinct counting is exact
-  * (/root/reference/03_Load_.../queries — COUNT(DISTINCT) per group);
-  * this is the sketch you swap in when the group count explodes.
+  * (/root/reference/04_KPI/KPIs.sql:8,22 — COUNT(DISTINCT employee_sk)
+  * per day in the headcount/resignation views); this is the sketch you
+  * swap in when the group count explodes.
   */
 case class KmvAgg(
     hash: Expression,

@@ -15,8 +15,9 @@ import graft.core.{OracleParity => OP, Tables}
   * Delta/Iceberg OPTIMIZE ZORDER; Morton 1966).
   *
   * The reference loads its facts unordered
-  * (/root/reference/03_Load_to_warehouse/B1_load_hr.py — straight
-  * to_sql append); at its row counts scan order is irrelevant. At 100 TB
+  * (/root/reference/03_load_into_fact_and_dim_tables/TL_combine.sql:189-203
+  * — NOT-EXISTS guarded INSERT…SELECT, no ORDER BY); at its row counts scan
+  * order is irrelevant. At 100 TB
   * the cluster key IS the difference between scanning 100 TB and 100 GB
   * for a 2-predicate slice.
   */
