@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -47,7 +47,29 @@ object Multimodal {
             concat_ws(",", transform(col("features"),
               f => round(f * col("width") * col("height") * col("channels"))
                 .cast("long").cast("string")))))
-        .orderBy(col("media_id"))))
+        .orderBy(col("media_id"))),
+    "q_multimodal_resize" -> ((s: SparkSession, _: String) =>
+      resize(syntheticMedia(s, 200), 6, 5)
+        .withColumn("pixels", bytesCsv(col("payload"), headerBytes = 7))
+        .drop("payload")
+        .orderBy(col("media_id"))),
+    "q_multimodal_frames" -> ((s: SparkSession, _: String) =>
+      sampleFrames(syntheticMedia(s, 200), stride = 3)
+        .withColumn("frame_px", bytesCsv(col("frame"), headerBytes = 0))
+        .drop("frame")
+        .orderBy(col("media_id"), col("frame_no"))))
+
+  /** Binary column → CSV of unsigned byte values past `headerBytes`, as a
+    * pure codegen'd expression chain (hex + per-pair base conversion) — the
+    * projection that lets the driver sort/hash an opaque payload and the
+    * DuckDB oracle replay it byte-for-byte. */
+  private def bytesCsv(bin: Column, headerBytes: Int): Column = {
+    val start = headerBytes * 2 + 1 // 1-based offset into the hex rendering
+    when(bin.isNull, lit(null).cast("string")).otherwise(concat_ws(",",
+      transform(
+        sequence(lit(0), length(bin).cast("int") - lit(headerBytes + 1)),
+        i => conv(substr(hex(bin), lit(start) + i * 2, lit(2)), 16, 10))))
+  }
 
   /** DuckDB replay of [[FakeCodec]] + [[extractFeatures]] over the same
     * 200-row synthetic table: pixel byte = ((id+i)·1103515245+12345) >>> 16
@@ -91,7 +113,61 @@ object Multimodal {
         |LEFT JOIN good g USING (media_id)
         |LEFT JOIN mi USING (media_id)
         |LEFT JOIN feat f USING (media_id)
-        |ORDER BY m.media_id""".stripMargin)
+        |ORDER BY m.media_id""".stripMargin,
+    // Replay of [[resize]] (nearest-neighbor, 6×5 target): output pixel j
+    // maps to source index ((y·h//5)·w + (x·w//6))·c + ch with ch = j % c,
+    // x = (j//c) % 6, y = j//c//6 — all BIGINT floor-divs, identical to the
+    // Scala int arithmetic; the byte value replays the fake-codec LCG as in
+    // q_multimodal_features. Corrupt payloads → ok=false, NULL pixels.
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT CAST(i AS BIGINT) AS media_id,
+        |         8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h,
+        |         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS c
+        |  FROM generate_series(0, 199) AS t(i)),
+        |good AS (SELECT * FROM m WHERE NOT (media_id % 13 = 0 AND media_id > 0)),
+        |idx AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, 89) AS s(j)),
+        |px AS (
+        |  SELECT g.media_id, i.j,
+        |    ((g.media_id
+        |      + ((i.j // g.c // 6 * g.h // 5) * g.w
+        |         + (i.j // g.c % 6) * g.w // 6) * g.c + i.j % g.c)
+        |     * 1103515245 + 12345) // 65536 % 256 AS b
+        |  FROM good g JOIN idx i ON i.j < 30 * g.c),
+        |pix AS (
+        |  SELECT media_id, string_agg(CAST(b AS VARCHAR), ',' ORDER BY j)
+        |    AS pixels
+        |  FROM px GROUP BY media_id)
+        |SELECT m.media_id,
+        |  NOT (m.media_id % 13 = 0 AND m.media_id > 0) AS ok,
+        |  p.pixels
+        |FROM m LEFT JOIN pix p USING (media_id)
+        |ORDER BY m.media_id""".stripMargin,
+    // Replay of [[sampleFrames]] (stride 3): frame rows y ∈ {0,3,…} < h,
+    // frame bytes j ∈ [0, w·c) at source index y·w·c + j; corrupt payloads
+    // emit no rows (matching the flatMap's empty branch).
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT CAST(i AS BIGINT) AS media_id,
+        |         8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h,
+        |         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS c
+        |  FROM generate_series(0, 199) AS t(i)),
+        |good AS (SELECT * FROM m WHERE NOT (media_id % 13 = 0 AND media_id > 0)),
+        |frames AS (
+        |  SELECT g.media_id, g.w, g.h, g.c, y.y
+        |  FROM good g
+        |  JOIN (SELECT CAST(v AS BIGINT) AS y
+        |        FROM generate_series(0, 15, 3) AS s(v)) y ON y.y < g.h),
+        |idx AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, 83) AS s(j)),
+        |fb AS (
+        |  SELECT f.media_id, f.y, i.j,
+        |    ((f.media_id + f.y * f.w * f.c + i.j) * 1103515245 + 12345)
+        |      // 65536 % 256 AS b
+        |  FROM frames f JOIN idx i ON i.j < f.w * f.c)
+        |SELECT media_id, CAST(y // 3 AS INTEGER) AS frame_no,
+        |  string_agg(CAST(b AS VARCHAR), ',' ORDER BY j) AS frame_px
+        |FROM fb GROUP BY media_id, y
+        |ORDER BY media_id, frame_no""".stripMargin)
 
   /** Media-table schema: id + modality + typed metadata + opaque payload. */
   val mediaSchema: StructType = StructType(Seq(

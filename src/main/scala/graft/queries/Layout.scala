@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{OracleParity => OP, Tables}
+import graft.core.Tables
 
 /** Physical-layout operators — the write-side decisions that make 100 TB
   * readable: multi-dimensional clustering keys for data skipping. A
@@ -46,10 +46,14 @@ object Layout {
     * 256 balanced buckets whose members are rectangle-local in (size,
     * price) space).
     *
-    * Quantization: size is already 1..50 (6 bits used of 8); price is
-    * bucketed to 8 bits over its [900, 2100) domain via integer floor —
-    * exact decimal→int arithmetic on both engines (floor of a DECIMAL(18,2),
-    * never a double truncate-vs-round cast).
+    * Quantization — both coordinates scaled to the FULL 8-bit domain, the
+    * way production z-order (Delta OPTIMIZE ZORDER) range-ranks each
+    * column before interleaving: an unbalanced interleave (one dim on 6
+    * bits, the other on 8) stratifies files mostly by the wider dim and
+    * barely prunes the narrower one. size 1..50 → ×5 → 5..250; price over
+    * its [900, 1000) data domain in exact integer cents —
+    * `(cents − 90000) div 40` → 0..249. All integral arithmetic, identical
+    * on both engines (never a double truncate-vs-round cast).
     *
     * Scale shape: computing the key is a stateless per-row map; the write
     * itself is `repartitionByRange(cluster).sortWithinPartitions(zval)` —
@@ -57,22 +61,88 @@ object Layout {
     * already paying, after which BOTH `p_size BETWEEN a AND b` and
     * `p_retailprice BETWEEN c AND d` predicates prune ~√-proportionally
     * instead of one of them scanning everything. */
+  /** part with quantized coordinates + Morton key attached (all original
+    * columns kept) — shared by the gated key derivation [[qZorder]] and the
+    * clustered write [[writeZClustered]]. */
+  private def zKeyed(s: SparkSession, dir: String): DataFrame = {
+    val x = (col("p_size").cast("int") * lit(5)).bitwiseAND(lit(255))
+    val y = expr("cast((cast(cast(p_retailprice as decimal(18,2)) * 100 " +
+      "as bigint) - 90000) div 40 as int)").bitwiseAND(lit(255))
+    Tables.part(s, dir)
+      .withColumn("zx", x).withColumn("zy", y)
+      .withColumn("zval", morton8(col("zx"), col("zy")))
+      .withColumn("cluster", shiftright(col("zval"), 8))
+  }
+
   def qZorder(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val x = $"p_size".cast("int")
-    val y = floor((OP.dec2($"p_retailprice") - lit(900)) / lit(5))
-      .cast("int").bitwiseAND(lit(255))
-    Tables.part(s, dir)
-      .select($"p_partkey", x.as("zx"), y.as("zy"),
-        morton8(x, y).as("zval"))
-      .withColumn("cluster", shiftright($"zval", 8))
+    zKeyed(s, dir)
+      .select($"p_partkey", $"zx", $"zy", $"zval", $"cluster")
       .orderBy($"zval", $"p_partkey")
   }
 
+  /** The write side the scaladoc promises: part laid out for 2-D data
+    * skipping — `files` range-partitions of contiguous zval, sorted within,
+    * so every file/row-group covers a small rectangle of (size, price)
+    * space and its parquet min/max statistics prune range predicates on
+    * EITHER column. PlanAuditSpec asserts the skipping against linear and
+    * single-column-sorted layouts via [[rowGroupStats]]. */
+  def writeZClustered(s: SparkSession, dir: String, path: String,
+                      files: Int = 32): Unit =
+    zKeyed(s, dir)
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zx", "zy", "cluster")
+      .write.mode("overwrite").parquet(path)
+
+  /** Data-skipping diagnostic: (overlapping, total) row-group counts for a
+    * closed-range predicate `lo <= column <= hi` over a parquet directory,
+    * read straight from the file footers' min/max statistics — the exact
+    * pruning decision a min/max-indexed reader (parquet row-group skip,
+    * Delta/Iceberg file skip) makes, measured without running a scan. */
+  def rowGroupStats(s: SparkSession, path: String, column: String,
+                    lo: Double, hi: Double): (Int, Int) =
+    rowGroupStats(s, path, Seq((column, lo, hi)))
+
+  /** Conjunctive form: row groups whose min/max statistics overlap EVERY
+    * `(column, lo, hi)` range — the candidate set a reader must scan for
+    * an AND-of-ranges predicate. */
+  def rowGroupStats(s: SparkSession, path: String,
+                    preds: Seq[(String, Double, Double)]): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    var overlap = 0
+    var total = 0
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try reader.getFooter.getBlocks.asScala.foreach { block =>
+          total += 1
+          val hit = preds.forall { case (column, lo, hi) =>
+            val cc = block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .getOrElse(throw new IllegalArgumentException(
+                s"column $column not in ${f.getPath}"))
+            val st = cc.getStatistics
+            val mn = st.genericGetMin.asInstanceOf[Number].doubleValue()
+            val mx = st.genericGetMax.asInstanceOf[Number].doubleValue()
+            mx >= lo && mn <= hi
+          }
+          if (hit) overlap += 1
+        } finally reader.close()
+      }
+    (overlap, total)
+  }
+
   private val qZorderSql = {
-    val x = "CAST(p_size AS INTEGER)"
-    val y = "CAST(floor((CAST(p_retailprice AS DECIMAL(18,2)) - 900) / 5) " +
-      "AS INTEGER) & 255"
+    val x = "(CAST(p_size AS INTEGER) * 5) & 255"
+    val y = "CAST((CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 " +
+      "AS BIGINT) - 90000) // 40 AS INTEGER) & 255"
     s"""WITH q AS (
        |  SELECT p_partkey, $x AS zx, $y AS zy FROM part)
        |SELECT p_partkey, zx, zy,

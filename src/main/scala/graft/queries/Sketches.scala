@@ -84,10 +84,92 @@ object Sketches {
        |  abs(n_est - n_exact) / n_exact AS rel_err
        |FROM est ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------------- q_profile_approx
+  private val profNumeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val profStrings = Seq("l_returnflag", "l_linestatus")
+
+  /** The data-profiling pass (q_profile) with every exact COUNT(DISTINCT)
+    * swapped for the native `kmv` sketch — the "at 100 TB you'd use a
+    * sketch" upgrade path, implemented under the gate.
+    *
+    * Plan shape: q_profile's six distinct aggregates rewrite to ONE Expand
+    * that replicates every input row 6× before partial aggregation; here
+    * all six sketches ride a SINGLE Aggregate over a single un-expanded
+    * scan — each mapper reduces its rows to 6 × k longs before the one
+    * exchange, so the shuffle is O(k) per column instead of O(distinct
+    * keys), and the Expand multiplier is gone entirely.
+    *
+    * Hash canonicalization: numerics are rendered via DECIMAL(18,2) before
+    * md5 so Spark and DuckDB hash the identical string (the same trick the
+    * SCD2 row-hash uses); strings hash as-is. Nulls never enter a sketch
+    * (kmv skips null hashes; the oracle filters them), matching exact
+    * COUNT(DISTINCT) semantics. */
+  def qProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = profNumeric ++ profStrings
+    def rendered(c: String) =
+      if (profNumeric.contains(c)) s"cast(cast($c as decimal(18,2)) as string)"
+      else c
+    val aggs = cols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"${c}__nn"),
+        expr(s"kmv(cast(conv(substring(md5(${rendered(c)}), 1, 8), 16, 10)" +
+          s" as bigint), $K)").as(s"${c}__sk"))
+    } ++ profNumeric.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx"))
+    }
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val arms = cols.map { c =>
+      val (mn, mx) =
+        if (profNumeric.contains(c)) (s"`${c}__mn`", s"`${c}__mx`")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      s"'$c', `${c}__nn`, `${c}__sk`.n_kept, `${c}__sk`.kth, $mn, $mx"
+    }
+    one.selectExpr(s"stack(${cols.size}, ${arms.mkString(", ")}) " +
+      "AS (col_name, n_null, n_kept, kth, min_v, max_v)")
+      .withColumn("n_distinct_est",
+        when($"n_kept" < K, $"n_kept".cast("double"))
+          .otherwise(lit((K - 1).toDouble * 4294967296.0) / $"kth"))
+      .select($"col_name", $"n_null", $"n_distinct_est", $"min_v", $"max_v")
+      .orderBy($"col_name")
+  }
+
+  private val qProfileApproxSql = {
+    def rendered(c: String) =
+      if (profNumeric.contains(c)) s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+      else c
+    val ctes = (profNumeric ++ profStrings).map { c =>
+      s"""h_$c AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(${rendered(c)}), 1, 8))::BIGINT AS hv
+         |  FROM lineitem WHERE $c IS NOT NULL),
+         |sk_$c AS (
+         |  SELECT max(CASE WHEN rn = $K THEN hv END) AS kth, max(nh) AS nh
+         |  FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |               count(*) OVER () AS nh FROM h_$c) r)""".stripMargin
+    }
+    def estOf(c: String) =
+      s"""(SELECT CASE WHEN nh < $K THEN CAST(nh AS DOUBLE)
+         |     ELSE ${K - 1}.0 * 4294967296.0 / kth END FROM sk_$c)""".stripMargin
+    val arms = profNumeric.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT count(*) - count($c) FROM lineitem) AS n_null,
+         |  ${estOf(c)} AS n_distinct_est,
+         |  (SELECT min($c) FROM lineitem) AS min_v,
+         |  (SELECT max($c) FROM lineitem) AS max_v""".stripMargin
+    } ++ profStrings.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  (SELECT count(*) - count($c) FROM lineitem) AS n_null,
+         |  ${estOf(c)} AS n_distinct_est,
+         |  CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${arms.mkString("\nUNION ALL\n")}\nORDER BY col_name"
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_kmv_distinct" -> (qKmvDistinct _))
+    "q_kmv_distinct"   -> (qKmvDistinct _),
+    "q_profile_approx" -> (qProfileApprox _))
 
   val oracle: Map[String, String] = Map(
-    "q_kmv_distinct" -> qKmvDistinctSql)
+    "q_kmv_distinct"   -> qKmvDistinctSql,
+    "q_profile_approx" -> qProfileApproxSql)
 }

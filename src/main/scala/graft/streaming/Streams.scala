@@ -18,9 +18,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
   /** Input/state rows for [[userRunningCounts]] — top-level so Spark can
-    * derive case-class Encoders. */
-  final case class UserEvent(user_id: Long, value: Double)
-  final case class UserState(n: Long, total: Double)
+    * derive case-class Encoders. Money is carried as exact cents so the
+    * running total is independent of accumulation order (a Double sum
+    * would drift with partitioning/batching and could never be gated
+    * against a SQL oracle). */
+  final case class UserEvent(user_id: Long, cents: Long)
+  final case class UserState(n: Long, cents: Long)
 
   /** Watermarked tumbling-window aggregation over the events shape
     * (ts, user_id, event_type, value): per-window per-type count + exact
@@ -42,15 +45,19 @@ object Streams {
     * (KeyValueGroupedDataset) for sessionization-style operators. */
   def userRunningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val updated = events.selectExpr("user_id", "value").as[UserEvent]
+    val updated = events
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserState, (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
-          val batch = rows.toSeq
-          val next = UserState(prev.n + batch.size, prev.total + batch.map(_.value).sum)
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n; var c = prev.cents
+          rows.foreach { r => n += 1; c += r.cents }
+          val next = UserState(n, c)
           state.update(next)
-          (user, next.n, next.total)
+          (user, next.n, next.cents / 100.0)
       }
     updated.toDF("user_id", "n_events", "total_value")
   }
@@ -335,13 +342,90 @@ object Streams {
       |        < ((SELECT max(epoch_us(ts)) FROM evts) // 1000)
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ------------------------------------------------- q_stream_interval_join
+  /** [[intervalJoin]] under the batch gate: purchases joined to same-user
+    * clicks within 6 hours AFTER them, over the bounded events stream. The
+    * watermark (60 days) is wider than the data's 30-day span, so no row is
+    * ever late and the stream's inner-join output is exactly the batch
+    * interval-join answer — the same batch-equivalence argument that gates
+    * q_stream_tumbling/q_stream_sessions. Ordering by (user_id, l_ts, r_ts)
+    * is total up to fully-identical rows (l_event/r_event are constants). */
+  def qStreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_ijoin"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
+    val joined = intervalJoin(
+      eventsStream(s, dir).filter(col("event_type") === "purchase"),
+      eventsStream(s, dir).filter(col("event_type") === "click"),
+      within = "6 hours", watermark = "60 days")
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ck)
+    s.table(name).orderBy(col("user_id"), col("l_ts"), col("r_ts"))
+  }
+
+  private val qStreamIntervalJoinSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+      |SELECT l.user_id AS user_id, l.event_type AS l_event,
+      |  r.event_type AS r_event, l.ts AS l_ts, r.ts AS r_ts
+      |FROM e l JOIN e r ON l.user_id = r.user_id
+      |  AND l.event_type = 'purchase' AND r.event_type = 'click'
+      |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+      |ORDER BY user_id, l_ts, r_ts""".stripMargin
+
+  // ----------------------------------------------- q_stream_running_counts
+  /** [[userRunningCounts]] (mapGroupsWithState) under the batch gate: the
+    * bounded events stream produces, per user, a changelog of running
+    * (count, total) pairs — one emission per micro-batch that saw the user.
+    * The FINAL running value per user is the batch aggregate, selected
+    * batching-independently as the emission with the max event count (n is
+    * strictly increasing per user across emissions). Totals are exact-cents
+    * inside the state, so the Double rendered here is bit-identical to the
+    * oracle's decimal-sum-cast regardless of row order. */
+  def qStreamRunningCounts(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_counts"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
+    val q = userRunningCounts(s, eventsStream(s, dir))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ck)
+    s.table(name).groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.total_value").as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qStreamRunningCountsSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_tumbling" -> (qStreamTumbling _),
-    "q_stream_dedup"    -> (qStreamDedup _),
-    "q_stream_sessions" -> (qStreamSessions _))
+    "q_stream_tumbling"       -> (qStreamTumbling _),
+    "q_stream_dedup"          -> (qStreamDedup _),
+    "q_stream_sessions"       -> (qStreamSessions _),
+    "q_stream_interval_join"  -> (qStreamIntervalJoin _),
+    "q_stream_running_counts" -> (qStreamRunningCounts _))
 
   val oracle: Map[String, String] = Map(
-    "q_stream_tumbling" -> qStreamTumblingSql,
-    "q_stream_dedup"    -> qStreamDedupSql,
-    "q_stream_sessions" -> qStreamSessionsSql)
+    "q_stream_tumbling"       -> qStreamTumblingSql,
+    "q_stream_dedup"          -> qStreamDedupSql,
+    "q_stream_sessions"       -> qStreamSessionsSql,
+    "q_stream_interval_join"  -> qStreamIntervalJoinSql,
+    "q_stream_running_counts" -> qStreamRunningCountsSql)
 }

@@ -103,6 +103,57 @@ class PlanAuditSpec extends AnyFunSuite {
       s"label predicate must prune at the scan (pre-filtering), got: $pushed")
   }
 
+  test("z-order clustered layout skips row groups on BOTH dimensions") {
+    import graft.queries.Layout
+    // sf0.01 (2000 parts) so each of the 32 files has enough rows for
+    // meaningful min/max footer statistics
+    val sf = "/root/testdata/sf0.01"
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val part = graft.core.Tables.part(spark, sf)
+    Layout.writeZClustered(spark, sf, s"$base/z", 32)
+    // comparison layouts at the same file count: unclustered (hash-shuffled
+    // — partkey order is NOT used as the baseline because this generator
+    // correlates price with partkey, which would gift the baseline price
+    // pruning no real load order provides) and single-column (size-sorted)
+    part.repartition(32, hash(col("p_partkey")))
+      .write.parquet(s"$base/linear")
+    part.repartitionByRange(32, col("p_size"))
+      .sortWithinPartitions("p_size").write.parquet(s"$base/bysize")
+
+    // the 2-D slice from the scaladoc: a size band and a price band
+    def sizeRG(p: String) = Layout.rowGroupStats(spark, s"$base/$p", "p_size", 10, 15)
+    def priceRG(p: String) =
+      Layout.rowGroupStats(spark, s"$base/$p", "p_retailprice", 940, 960)
+    def frac(t: (Int, Int)) = t._1.toDouble / t._2
+
+    val (zS, zP) = (sizeRG("z"), priceRG("z"))
+    val (linS, linP) = (sizeRG("linear"), priceRG("linear"))
+    val (bysS, bysP) = (sizeRG("bysize"), priceRG("bysize"))
+    info(s"size-pred row groups  z=$zS linear=$linS bysize=$bysS")
+    info(s"price-pred row groups z=$zP linear=$linP bysize=$bysP")
+
+    // unclustered layout: min/max spans everything, nothing prunes
+    assert(frac(linS) > 0.9 && frac(linP) > 0.9,
+      s"unclustered layout unexpectedly pruned: $linS $linP")
+    // single-column sort: prunes its own column hard, the OTHER not at all
+    assert(frac(bysS) < 0.4, s"size-sorted layout must prune size: $bysS")
+    assert(frac(bysP) > 0.9, s"size-sorted layout cannot prune price: $bysP")
+    // z-order: ONE layout prunes BOTH dimensions
+    assert(frac(zS) < 0.7, s"z layout must prune the size band: $zS")
+    assert(frac(zP) < 0.7, s"z layout must prune the price band: $zP")
+    assert(zP._1 < bysP._1, "z must beat single-column sort on the other dim")
+    assert(zS._1 < linS._1)
+
+    // the conjunctive 2-D slice: the candidate row-group set an AND-of-
+    // ranges scan must read (footer min/max on BOTH columns)
+    def both(p: String) = Layout.rowGroupStats(spark, s"$base/$p",
+      Seq(("p_size", 10.0, 15.0), ("p_retailprice", 940.0, 960.0)))
+    val (z2, lin2) = (both("z"), both("linear"))
+    info(s"2-D slice candidate row groups: z=$z2 linear=$lin2")
+    assert(z2._1 < lin2._1,
+      s"clustered layout must scan fewer row groups for the 2-D slice: z=$z2 linear=$lin2")
+  }
+
   test("PII scrub is a pure map: no shuffle except the presentation sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = staticPlan(SparkEntry.queries("q_pii_scrub")(spark, sfDir))
