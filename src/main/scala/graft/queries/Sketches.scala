@@ -103,7 +103,16 @@ object Sketches {
     * md5 so Spark and DuckDB hash the identical string (the same trick the
     * SCD2 row-hash uses); strings hash as-is. Nulls never enter a sketch
     * (kmv skips null hashes; the oracle filters them), matching exact
-    * COUNT(DISTINCT) semantics. */
+    * COUNT(DISTINCT) semantics.
+    *
+    * The md5 is purely the cross-engine-replay tax, not the operator's
+    * cost: measured at sf0.1 (graft.ProfileVariants, min-of-2 after
+    * warmup) the 6-column aggregate runs exact-distinct 1.09 s /
+    * md5-hash-alone 2.53 s / md5+kmv 3.04 s / xxhash64+kmv 0.40 s — a
+    * production deployment swaps the hash expression to `xxhash64(col)`
+    * (one line, same plan) and the sketch beats the exact Expand plan
+    * 2.7× even at single-node scale, before the O(k)-vs-O(distinct)
+    * shuffle advantage appears. */
   def qProfileApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cols = profNumeric ++ profStrings

@@ -154,6 +154,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"clustered layout must scan fewer row groups for the 2-D slice: z=$z2 linear=$lin2")
   }
 
+  test("profile sketch swap: q_profile Expands rows x6, q_profile_approx never Expands") {
+    import org.apache.spark.sql.execution.ExpandExec
+    val exact = staticPlan(SparkEntry.queries("q_profile")(spark, sfDir))
+    val approx = staticPlan(SparkEntry.queries("q_profile_approx")(spark, sfDir))
+    assert(exact.collect { case e: ExpandExec => e }.nonEmpty,
+      "exact multi-distinct is expected to rewrite via Expand")
+    assert(approx.collect { case e: ExpandExec => e }.isEmpty,
+      s"sketch profile must aggregate in one pass without Expand\n$approx")
+  }
+
   test("PII scrub is a pure map: no shuffle except the presentation sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = staticPlan(SparkEntry.queries("q_pii_scrub")(spark, sfDir))
