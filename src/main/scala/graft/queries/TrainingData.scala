@@ -168,18 +168,82 @@ object TrainingData {
       |    FROM documents))
       |ORDER BY seq_id, doc_id""".stripMargin
 
+  // ---------------------------------------------------- q_weighted_sample
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each row draws key
+    * u^(1/w) and the k LARGEST keys win — inclusion probability
+    * proportional to weight, exactly-k output.
+    *
+    * The float-free twist: for INTEGER weight w, u^(1/w) is distributed as
+    * the max of w independent uniforms, so the key is
+    * `max(md5(seed:id:i) for i in 1..w)` — a lexicographic max over hex
+    * strings. No pow/ln, no doubles: engines that disagree in the last ulp
+    * of transcendental functions still produce the identical sample, which
+    * is what makes the draw auditable (and DuckDB-replayable) rather than
+    * merely "seeded".
+    *
+    * Weight here is a length proxy (1 + n_chars/100, capped at 8) — the
+    * "sample long documents more" mixture move. Scale shape: the key is a
+    * stateless per-row expression (w ≤ 8 md5s), and top-k-by-key plans as
+    * TakeOrderedAndProject — per-partition bounded heaps merged on the
+    * driver, no global sort, no shuffle of the corpus. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (lit(1) + least(expr("cast(n_chars div 100 as int)"), lit(7))).as("weight"))
+      .withColumn("key", array_max(expr(
+        "transform(sequence(1, weight), " +
+          "i -> md5(concat('ws1:', cast(doc_id as string), ':', cast(i as string))))")))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(50)
+
+  private val qWeightedSampleSql =
+    """SELECT doc_id, weight,
+      |  list_max(list_transform(range(1, weight + 1),
+      |    i -> md5('ws1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))))
+      |    AS key
+      |FROM (SELECT doc_id,
+      |        1 + least(CAST(n_chars // 100 AS INT), 7) AS weight
+      |      FROM documents)
+      |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------- q_sample_topk
+  /** Exactly-k uniform sample: global top-k by a seeded doc hash. The
+    * hash-threshold sample (q_hash_sample) has binomial size — fine for
+    * "about 10%", wrong for "exactly 100 eval docs". Ordering by the hash
+    * IS a uniform draw, and `ORDER BY hash LIMIT k` plans as
+    * TakeOrderedAndProject: each partition keeps a k-row heap and the
+    * driver merges heaps — the exact-k sample of a 100 TB corpus shuffles
+    * k rows, not a sorted corpus. Like the split assignment, membership is
+    * monotone under corpus growth: a new doc evicts at most one old one. */
+  def qSampleTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("topk1:"), col("doc_id").cast("string"))).as("draw"))
+      .orderBy(col("draw"), col("doc_id"))
+      .limit(100)
+
+  private val qSampleTopkSql =
+    """SELECT doc_id, source,
+      |  md5('topk1:' || CAST(doc_id AS VARCHAR)) AS draw
+      |FROM documents ORDER BY draw, doc_id LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_sample"     -> (qHashSample _),
     "q_train_split"     -> (qTrainSplit _),
     "q_source_mixture"  -> (qSourceMixture _),
     "q_epoch_shuffle"   -> (qEpochShuffle _),
-    "q_pack_sequences"  -> (qPackSequences _))
+    "q_pack_sequences"  -> (qPackSequences _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_sample_topk"     -> (qSampleTopk _))
 
   val oracle: Map[String, String] = Map(
     "q_hash_sample"     -> qHashSampleSql,
     "q_train_split"     -> qTrainSplitSql,
     "q_source_mixture"  -> qSourceMixtureSql,
     "q_epoch_shuffle"   -> qEpochShuffleSql,
-    "q_pack_sequences"  -> qPackSequencesSql)
+    "q_pack_sequences"  -> qPackSequencesSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
+    "q_sample_topk"     -> qSampleTopkSql)
 }

@@ -125,6 +125,39 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample: key is the lexicographic max of exactly w md5 draws" +
+    " and the winner set is partition-invariant") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.TrainingData.qWeightedSample(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (id, w, key) = (r.getAs[Long]("doc_id"), r.getAs[Int]("weight"),
+        r.getAs[String]("key"))
+      assert(w >= 1 && w <= 8, s"weight $w out of range")
+      // replay the max-of-w-uniforms key on the driver: the ES u^(1/w) draw
+      // for integer w, realized as a pure string max — bit-identical here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val draws = (1 to w).map { i =>
+        md.reset()
+        md.digest(s"ws1:$id:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      assert(draws.max == key, s"doc $id: key $key != max of $w draws")
+    }
+    // the top-k heap merge must not depend on physical partitioning
+    val ids = got.map(_.getAs[Long]("doc_id")).toSeq
+    val reshuffled = graft.core.Tables.documents(spark, dir).repartition(7)
+      .select(col("doc_id"),
+        (lit(1) + least(expr("cast(n_chars div 100 as int)"), lit(7))).as("weight"))
+      .withColumn("key", array_max(expr(
+        "transform(sequence(1, weight), " +
+          "i -> md5(concat('ws1:', cast(doc_id as string), ':', cast(i as string))))")))
+      .orderBy(col("key").desc, col("doc_id")).limit(50)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(reshuffled == ids, "weighted sample changed under repartitioning")
+  }
+
   test("topk aggregate equals the row_number window on random data, any k") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
