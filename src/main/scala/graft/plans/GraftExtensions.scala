@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatDot, KmvAgg, RollingHash, TopKAgg}
+import graft.expressions.{FloatDot, KmvAgg, RollingHash, SpaceSavingAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -56,7 +56,10 @@ object GraftExtensions {
       checkArity("topk", 3)(c => TopKAgg(c(0), c(1), c(2)))),
     (new FunctionIdentifier("kmv"),
       new ExpressionInfo(classOf[KmvAgg].getName, "kmv"),
-      checkArity("kmv", 2)(c => KmvAgg(c(0), c(1)))))
+      checkArity("kmv", 2)(c => KmvAgg(c(0), c(1)))),
+    (new FunctionIdentifier("spacesaving"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "spacesaving"),
+      checkArity("spacesaving", 2)(c => SpaceSavingAgg(c(0), c(1)))))
 
   /** Register on an already-built session (the Verify/Bench path, where
     * spark.sql.extensions can't be set post-hoc). */

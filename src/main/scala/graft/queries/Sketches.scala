@@ -173,12 +173,58 @@ object Sketches {
     s"WITH ${ctes.mkString(",\n")}\n${arms.mkString("\nUNION ALL\n")}\nORDER BY col_name"
   }
 
+  // ------------------------------------------------------- q_heavy_hitters
+  /** Exact heavy hitters by the candidate-then-verify pattern: parts whose
+    * lineitem frequency reaches 0.075% of the table (threshold
+    * ceil(3N/4000), integer arithmetic on both engines).
+    *
+    * Pass 1 runs the native `spacesaving` summary
+    * (graft.expressions.SpaceSavingAgg, capacity 1536): each mapper keeps a
+    * bounded (item, count) map, partials merge weighted, and the summary
+    * provably contains every item with frequency > N/1536 — which our
+    * threshold of 3N/4000 exceeds, so the candidate list is a guaranteed
+    * superset (capacity is deliberately BELOW sf0.01's 2000 distinct parts,
+    * so the eviction path is exercised under the gate, not just in specs).
+    * Pass 2 broadcast-semi-joins the ≤1536 candidates against the scan and
+    * counts exactly — only candidate rows reach the aggregation.
+    *
+    * Scale shape: an exact grouped-count-then-filter shuffles every
+    * (key, partial) pair — O(distinct keys) exchange rows; here the sketch
+    * pass shuffles O(partitions × c) and the verify pass aggregates a
+    * pre-filtered stream whose key domain is ≤ c. The oracle runs the plain
+    * GROUP BY/HAVING — proving the two-pass plan returns EXACTLY the naive
+    * semantics. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_partkey".cast("long").as("l_partkey"))
+    val summary = li.agg(
+      expr("spacesaving(l_partkey, 1536)").as("cand"),
+      count(lit(1)).as("n_total"))
+    val cands = summary.select(explode($"cand").as("l_partkey"),
+      expr("(n_total * 3 + 3999) div 4000").as("threshold"))
+    li.join(broadcast(cands), Seq("l_partkey"))
+      .groupBy($"l_partkey", $"threshold")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= $"threshold")
+      .select($"l_partkey", $"n")
+      .orderBy($"l_partkey")
+  }
+
+  private val qHeavyHittersSql =
+    """SELECT l_partkey, count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING count(*) >= (SELECT (count(*) * 3 + 3999) // 4000 FROM lineitem)
+      |ORDER BY l_partkey""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct"   -> (qKmvDistinct _),
-    "q_profile_approx" -> (qProfileApprox _))
+    "q_profile_approx" -> (qProfileApprox _),
+    "q_heavy_hitters"  -> (qHeavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "q_kmv_distinct"   -> qKmvDistinctSql,
-    "q_profile_approx" -> qProfileApproxSql)
+    "q_profile_approx" -> qProfileApproxSql,
+    "q_heavy_hitters"  -> qHeavyHittersSql)
 }

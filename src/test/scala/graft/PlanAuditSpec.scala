@@ -164,6 +164,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sketch profile must aggregate in one pass without Expand\n$approx")
   }
 
+  test("heavy hitters verify pass broadcasts the candidate list, never sort-merges") {
+    val plan = staticPlan(SparkEntry.queries("q_heavy_hitters")(spark, sfDir))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(bhj.nonEmpty, s"candidate list must broadcast into the verify scan\n$plan")
+    assert(smj.isEmpty, s"the fact stream must not shuffle for the candidate filter: $smj")
+  }
+
   test("PII scrub is a pure map: no shuffle except the presentation sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = staticPlan(SparkEntry.queries("q_pii_scrub")(spark, sfDir))
