@@ -217,14 +217,99 @@ object Sketches {
       |HAVING count(*) >= (SELECT (count(*) * 3 + 3999) // 4000 FROM lineitem)
       |ORDER BY l_partkey""".stripMargin
 
+  // --------------------------------------------------------- q_bloom_join
+  /** Bloom-filter join pruning — the shuffle-reduction move for a selective
+    * join at 100 TB: build a bloom filter over the (filtered) dim side's
+    * keys, pre-filter the fact stream at the SCAN with it, and only rows
+    * that pass reach the join. No false negatives ⇒ the join result is
+    * unchanged; false positives only cost wasted probe rows.
+    *
+    * Determinism: unlike Spark's injected runtime bloom filters (internal
+    * hashing, not replayable), this bloom is a pure function of md5 — k=3
+    * bit positions from 3-hex-char slices (a 4096-bit domain, no modulo
+    * bias), the filter itself a sorted int array built by one tiny
+    * aggregation and BROADCAST to the probe side. The DuckDB oracle builds
+    * the identical filter and reproduces the probe bit-for-bit — including
+    * the false-positive count, which the output exposes (n_false_pos) so
+    * the filter's selectivity is measured, not assumed.
+    *
+    * Scale shape: the build side aggregates ≤3·|dim| ints into ONE row; the
+    * probe is a stateless per-row expression over the fact scan — the 100 TB
+    * stream never shuffles to discover that 99% of it joins to nothing.
+    * Exact revenue over true matches rides the same pass via the decimal-
+    * exact pattern (core.OracleParity). */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pos(i: Int, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"bf$i:"), c.cast("string"))), 1, 3), 16, 10)
+        .cast("int")
+    val sel = Tables.supplier(s, dir)
+      .filter($"s_nationkey".between(0, 4))
+      .select($"s_suppkey".cast("long").as("k"))
+    val bloom = sel
+      .select(explode(array(pos(1, $"k"), pos(2, $"k"), pos(3, $"k"))).as("p"))
+      .agg(array_sort(collect_set($"p")).as("bits"))
+    val marked = sel.distinct().withColumn("m", lit(1))
+    Tables.lineitem(s, dir)
+      .select($"l_suppkey".cast("long").as("k"), $"l_extendedprice")
+      .crossJoin(broadcast(bloom))
+      .withColumn("pass",
+        array_contains($"bits", pos(1, $"k")) &&
+        array_contains($"bits", pos(2, $"k")) &&
+        array_contains($"bits", pos(3, $"k")))
+      .join(broadcast(marked), Seq("k"), "left")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when($"pass", 1)).as("n_bloom_pass"),
+        count(when($"m" === 1, 1)).as("n_match"),
+        count(when($"pass" && $"m".isNull, 1)).as("n_false_pos"),
+        graft.core.OracleParity.sumExact(when($"m" === 1, $"l_extendedprice"))
+          .as("rev_match"))
+  }
+
+  private val qBloomJoinSql =
+    """WITH sel AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+      |  WHERE s_nationkey BETWEEN 0 AND 4),
+      |bloom AS (
+      |  SELECT list_sort(list(DISTINCT p)) AS bits FROM (
+      |    SELECT unnest([
+      |      ('0x' || substr(md5('bf1:' || CAST(k AS VARCHAR)), 1, 3))::INT,
+      |      ('0x' || substr(md5('bf2:' || CAST(k AS VARCHAR)), 1, 3))::INT,
+      |      ('0x' || substr(md5('bf3:' || CAST(k AS VARCHAR)), 1, 3))::INT]) AS p
+      |    FROM sel)),
+      |probed AS (
+      |  SELECT li.k, li.l_extendedprice,
+      |    list_contains(bloom.bits,
+      |      ('0x' || substr(md5('bf1:' || CAST(li.k AS VARCHAR)), 1, 3))::INT)
+      |    AND list_contains(bloom.bits,
+      |      ('0x' || substr(md5('bf2:' || CAST(li.k AS VARCHAR)), 1, 3))::INT)
+      |    AND list_contains(bloom.bits,
+      |      ('0x' || substr(md5('bf3:' || CAST(li.k AS VARCHAR)), 1, 3))::INT)
+      |      AS pass,
+      |    (sel.k IS NOT NULL) AS m
+      |  FROM (SELECT CAST(l_suppkey AS BIGINT) AS k, l_extendedprice
+      |        FROM lineitem) li
+      |  CROSS JOIN bloom
+      |  LEFT JOIN (SELECT DISTINCT k FROM sel) sel USING (k))
+      |SELECT count(*) AS n_total,
+      |  count(*) FILTER (pass) AS n_bloom_pass,
+      |  count(*) FILTER (m) AS n_match,
+      |  count(*) FILTER (pass AND NOT m) AS n_false_pos,
+      |  CAST(sum(CASE WHEN m THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+      |       AS DOUBLE) AS rev_match
+      |FROM probed""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct"   -> (qKmvDistinct _),
     "q_profile_approx" -> (qProfileApprox _),
-    "q_heavy_hitters"  -> (qHeavyHitters _))
+    "q_heavy_hitters"  -> (qHeavyHitters _),
+    "q_bloom_join"     -> (qBloomJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_kmv_distinct"   -> qKmvDistinctSql,
     "q_profile_approx" -> qProfileApproxSql,
-    "q_heavy_hitters"  -> qHeavyHittersSql)
+    "q_heavy_hitters"  -> qHeavyHittersSql,
+    "q_bloom_join"     -> qBloomJoinSql)
 }
