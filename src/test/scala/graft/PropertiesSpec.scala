@@ -158,6 +158,28 @@ class PropertiesSpec extends AnyFunSuite {
     assert(reshuffled == ids, "weighted sample changed under repartitioning")
   }
 
+  test("pagerank: fixed-point ranks are bounded by the mass invariants and " +
+    "identical across runs") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.Graph.qPagerank(spark, dir).collect()
+    // every rank >= the teleport base and <= total mass; dangling + floor
+    // can only LOSE mass, never create it
+    val n = graft.core.Tables.part(spark, dir).count()
+    val base = (1000000000000L / 100) * 15 / n
+    a.foreach { r =>
+      val rank = r.getAs[Long]("rank")
+      assert(rank >= base, s"rank $rank below teleport base $base")
+      assert(rank <= 1000000000000L, s"rank $rank exceeds total mass")
+    }
+    // integer arithmetic: a second run (fresh plan, fresh shuffles) is
+    // bit-identical, not just statistically close
+    val b = graft.queries.Graph.qPagerank(spark, dir).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "pagerank diverged between identical runs")
+  }
+
   test("topk aggregate equals the row_number window on random data, any k") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
