@@ -56,15 +56,20 @@ object Graph {
       .filter($"prev".isNotNull && $"prev" =!= $"l_partkey")
       .select($"prev".cast("long").as("src"), $"l_partkey".cast("long").as("dst"))
       .distinct().persist()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
+    // (src, dst, outdeg) built once — the per-iteration join only touches
+    // ranks, which stays dim-sized and broadcastable
+    val linked = edges
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist()
     val nodes = Tables.part(s, dir).select($"p_partkey".cast("long").as("node"))
       .persist()
     val n = nodes.count() // dim-sized scalar (the N in (1-d)/N)
     val base = (Scale / 100) * (100 - Damp) / n
 
     var ranks = nodes.withColumn("rank", lit(Scale / n))
+    var prevCheckpoint: Option[DataFrame] = None
     for (_ <- 1 to Iters) {
-      val contrib = edges.join(deg, "src")
+      val contrib = linked
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select($"dst", expr("rank div outdeg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("contrib"))
@@ -73,12 +78,27 @@ object Graph {
         .select($"node",
           (lit(base) + expr(s"($Damp * coalesce(contrib, 0L)) div 100")).as("rank"))
         .localCheckpoint() // eager: cut lineage, drop dependence on prior iter
+      // iteration k is materialized, so k-1's checkpoint blocks are dead —
+      // release them now rather than waiting for GC + ContextCleaner (at
+      // real iteration counts the pinned blocks add up to executor pressure)
+      prevCheckpoint.foreach(freeCheckpoint)
+      prevCheckpoint = Some(ranks)
     }
-    Seq(edges, deg, nodes).foreach(_.unpersist())
+    Seq(edges, linked, nodes).foreach(_.unpersist())
     ranks.orderBy($"rank".desc, $"node")
       .limit(20)
       .select($"node".as("p_partkey"), $"rank")
   }
+
+  /** Release the storage blocks behind a localCheckpoint'd DataFrame.
+    * DataFrame.unpersist() only consults the CacheManager and is a no-op
+    * for checkpoints; the blocks belong to the LogicalRDD's backing RDD. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
