@@ -363,6 +363,36 @@ object Relational {
       |                    AND e.l_linenumber = c.l_linenumber)
       |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin
 
+  // --------------------------------------------------------- q_salted_join
+  /** The skew-salted join (core.Skew.saltedJoin) under the correctness
+    * gate: lineitem⋈supplier on the salted composite key (l_suppkey, salt),
+    * aggregated to revenue per supplier nation. The oracle is the PLAIN
+    * join + groupBy — proving salting is a pure physical rewrite: the hot
+    * key's rows spread over `factor` tasks, the answer is bit-identical
+    * (decimal-exact revenue, so even the sums can't drift). ScaleSpec
+    * already asserts the mechanics on a manufactured hot key; this makes
+    * the equivalence a driver-checked fact on real tables. */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.supplier(s, dir)
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    val joined = graft.core.Skew.saltedJoin(
+      Tables.lineitem(s, dir)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice"),
+      dim, "l_suppkey", factor = 8,
+      saltFrom = Seq($"l_orderkey", $"l_linenumber"))
+    joined.groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.core.OracleParity.sumExact($"l_extendedprice").as("revenue"))
+      .orderBy($"s_nationkey")
+  }
+
+  private val qSaltedJoinSql =
+    """SELECT s_nationkey, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -378,7 +408,8 @@ object Relational {
     "q_global_stats"    -> (qGlobalStats _),
     "q_hwm_incremental" -> (qHwmIncremental _),
     "q_dedup_exact"     -> (qDedupExact _),
-    "q_fact_antidedup"  -> (qFactAntidedup _))
+    "q_fact_antidedup"  -> (qFactAntidedup _),
+    "q_salted_join"     -> (qSaltedJoin _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -394,5 +425,6 @@ object Relational {
     "q_global_stats"    -> qGlobalStatsSql,
     "q_hwm_incremental" -> qHwmIncrementalSql,
     "q_dedup_exact"     -> qDedupExactSql,
-    "q_fact_antidedup"  -> qFactAntidedupSql)
+    "q_fact_antidedup"  -> qFactAntidedupSql,
+    "q_salted_join"     -> qSaltedJoinSql)
 }

@@ -300,16 +300,75 @@ object Sketches {
       |       AS DOUBLE) AS rev_match
       |FROM probed""".stripMargin
 
+  // ----------------------------------------------------- q_quantile_sketch
+  /** Sampled quantiles: nearest-rank quantiles (p25/p50/p75/p90/p99) of
+    * l_extendedprice over a deterministic ~3% hash sample — the bounded-
+    * memory path to "what does the price distribution look like" when an
+    * exact global sort is off the table.
+    *
+    * Determinism end to end: the sample is a content-hash gate (rows keep
+    * their fate across engines and reruns; lineitem's deliberate duplicate
+    * rows share a hash and share fate — documented semantics), and
+    * nearest-rank selection (rank = ⌈p·n⌉ via integer arithmetic) is pure
+    * ORDER-STATISTIC selection, no interpolation floats — the estimate is
+    * an actual data value, identical on both engines.
+    *
+    * Scale shape: the only full-data work is the scan-level sample filter;
+    * the rank window runs over the SAMPLE, whose size the gate bounds at
+    * ~3% (and in production at whatever absolute size the threshold
+    * implies) — same bounded-input justification as the vocab-bounded
+    * window in q_ngram_next. Output includes n_sample so a consumer can
+    * see the sketch's resolution. */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sample = Tables.lineitem(s, dir)
+      .filter(substring(md5(concat_ws(":", lit("qs1"), $"l_orderkey",
+        $"l_linenumber", $"l_partkey")), 1, 4) < "07ae") // 1966/65536 ≈ 3%
+      .select($"l_extendedprice".as("v"),
+        $"l_orderkey", $"l_linenumber", $"l_partkey")
+    val ranked = sample
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"v", $"l_orderkey", $"l_linenumber", $"l_partkey")))
+      .withColumn("n_sample", count(lit(1)).over(
+        Window.partitionBy()))
+    val ps = Seq(25, 50, 75, 90, 99)
+    ranked
+      .withColumn("p_pct", explode(lit(ps.toArray)))
+      .filter($"rn" === expr("(p_pct * n_sample + 99) div 100"))
+      .select($"p_pct", $"n_sample", $"v".as("q_est"))
+      .orderBy($"p_pct")
+  }
+
+  private val qQuantileSketchSql =
+    """WITH sample AS (
+      |  SELECT l_extendedprice AS v, l_orderkey, l_linenumber, l_partkey
+      |  FROM lineitem
+      |  WHERE substr(md5('qs1' || ':' || CAST(l_orderkey AS VARCHAR)
+      |    || ':' || CAST(l_linenumber AS VARCHAR)
+      |    || ':' || CAST(l_partkey AS VARCHAR)), 1, 4) < '07ae'),
+      |ranked AS (
+      |  SELECT v,
+      |    row_number() OVER (ORDER BY v, l_orderkey, l_linenumber, l_partkey) AS rn,
+      |    count(*) OVER () AS n_sample
+      |  FROM sample)
+      |SELECT p_pct, n_sample, v AS q_est
+      |FROM ranked, (SELECT unnest([25, 50, 75, 90, 99]) AS p_pct) ps
+      |WHERE rn = (p_pct * n_sample + 99) // 100
+      |ORDER BY p_pct""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_kmv_distinct"   -> (qKmvDistinct _),
-    "q_profile_approx" -> (qProfileApprox _),
-    "q_heavy_hitters"  -> (qHeavyHitters _),
-    "q_bloom_join"     -> (qBloomJoin _))
+    "q_kmv_distinct"    -> (qKmvDistinct _),
+    "q_profile_approx"  -> (qProfileApprox _),
+    "q_heavy_hitters"   -> (qHeavyHitters _),
+    "q_bloom_join"      -> (qBloomJoin _),
+    "q_quantile_sketch" -> (qQuantileSketch _))
 
   val oracle: Map[String, String] = Map(
     "q_kmv_distinct"   -> qKmvDistinctSql,
     "q_profile_approx" -> qProfileApproxSql,
-    "q_heavy_hitters"  -> qHeavyHittersSql,
-    "q_bloom_join"     -> qBloomJoinSql)
+    "q_heavy_hitters"   -> qHeavyHittersSql,
+    "q_bloom_join"      -> qBloomJoinSql,
+    "q_quantile_sketch" -> qQuantileSketchSql)
 }

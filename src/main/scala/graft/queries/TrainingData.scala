@@ -228,6 +228,41 @@ object TrainingData {
       |  md5('topk1:' || CAST(doc_id AS VARCHAR)) AS draw
       |FROM documents ORDER BY draw, doc_id LIMIT 100""".stripMargin
 
+  // -------------------------------------------------------- q_group_sample
+  /** Stratified exactly-k sample: k=5 docs per source, chosen uniformly by
+    * a seeded hash — "5 spot-check docs from every corpus slice".
+    *
+    * The naive formulation is a row_number window over the whole corpus
+    * partitioned by source: a full shuffle + per-group SORT of 100 TB to
+    * keep 5 rows each. Here the native bounded-heap `topk` aggregate
+    * (graft.expressions.TopKAgg) does it as ONE aggregation: each mapper
+    * keeps a k-row heap per group, partials merge heap-wise, and only
+    * O(groups × k) scalars cross the exchange — the same contrast
+    * q_topk_native vs q_window_topk demonstrates, applied to sampling.
+    * The oracle runs the window formulation — proving heap == window. */
+  def qGroupSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(concat(lit("gs1:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("double").as("h"))
+      .groupBy(col("source"))
+      .agg(expr(s"topk(h, doc_id, $k)").as("t"))
+      .select(col("source"), posexplode(col("t")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val qGroupSampleSql =
+    """SELECT source, rn AS rk, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY h DESC, doc_id) AS rn
+      |  FROM (SELECT source, doc_id,
+      |          ('0x' || substr(md5('gs1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |        FROM documents))
+      |WHERE rn <= 5 ORDER BY source, rk""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_sample"     -> (qHashSample _),
@@ -236,7 +271,8 @@ object TrainingData {
     "q_epoch_shuffle"   -> (qEpochShuffle _),
     "q_pack_sequences"  -> (qPackSequences _),
     "q_weighted_sample" -> (qWeightedSample _),
-    "q_sample_topk"     -> (qSampleTopk _))
+    "q_sample_topk"     -> (qSampleTopk _),
+    "q_group_sample"    -> (qGroupSample _))
 
   val oracle: Map[String, String] = Map(
     "q_hash_sample"     -> qHashSampleSql,
@@ -245,5 +281,6 @@ object TrainingData {
     "q_epoch_shuffle"   -> qEpochShuffleSql,
     "q_pack_sequences"  -> qPackSequencesSql,
     "q_weighted_sample" -> qWeightedSampleSql,
-    "q_sample_topk"     -> qSampleTopkSql)
+    "q_sample_topk"     -> qSampleTopkSql,
+    "q_group_sample"    -> qGroupSampleSql)
 }
