@@ -357,18 +357,92 @@ object Sketches {
       |WHERE rn = (p_pct * n_sample + 99) // 100
       |ORDER BY p_pct""".stripMargin
 
+  // --------------------------------------------------------- q_kmv_overlap
+  /** Set-overlap estimation from KMV sketches: how many customers ordered
+    * in BOTH 1996 and 1998, estimated by inclusion–exclusion over three
+    * sketches (|A∩B| ≈ est(A) + est(B) − est(A∪B)) and checked against the
+    * exact intersection in the same output row — the audience-overlap /
+    * join-cardinality-estimation primitive.
+    *
+    * One scan computes all three sketches as conditional `kmv` aggregates
+    * (the union sketch over the same hash stream), so adding a cohort costs
+    * an expression, not a pass. Estimator arithmetic is the same
+    * identical-integer division as q_kmv_distinct — bit-exact on both
+    * engines, no rounding. At 100 TB the flags aggregation shuffles
+    * (key, 2 bits) once; everything after is O(k). */
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flags = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("k"))
+      .agg(max(when(year($"o_orderdate") === 1996, 1).otherwise(0)).as("a"),
+        max(when(year($"o_orderdate") === 1998, 1).otherwise(0)).as("b"))
+      .filter($"a" === 1 || $"b" === 1)
+      .withColumn("hv", expr(
+        "cast(conv(substring(md5(cast(k as string)), 1, 8), 16, 10) as bigint)"))
+    def est(sk: String) =
+      when(col(s"$sk.n_kept") < K, col(s"$sk.n_kept").cast("double"))
+        .otherwise(lit((K - 1).toDouble * 4294967296.0) / col(s"$sk.kth"))
+    flags.agg(
+      count(when($"a" === 1, 1)).as("n_a_exact"),
+      count(when($"b" === 1, 1)).as("n_b_exact"),
+      count(when($"a" === 1 && $"b" === 1, 1)).as("n_inter_exact"),
+      expr(s"kmv(case when a = 1 then hv end, $K)").as("ska"),
+      expr(s"kmv(case when b = 1 then hv end, $K)").as("skb"),
+      expr(s"kmv(hv, $K)").as("sku"))
+      .select($"n_a_exact", $"n_b_exact", $"n_inter_exact",
+        est("ska").as("est_a"), est("skb").as("est_b"),
+        est("sku").as("est_union"),
+        (est("ska") + est("skb") - est("sku")).as("est_inter"))
+  }
+
+  private val qKmvOverlapSql = {
+    def sketch(name: String, cond: String) =
+      s"""h_$name AS (
+         |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |    count(*) OVER () AS nh
+         |  FROM (SELECT DISTINCT hv FROM flags WHERE $cond)),
+         |sk_$name AS (
+         |  SELECT max(CASE WHEN rn = $K THEN hv END) AS kth, max(nh) AS nh
+         |  FROM h_$name)""".stripMargin
+    def est(name: String) =
+      s"""(SELECT CASE WHEN nh < $K THEN CAST(nh AS DOUBLE)
+         |   ELSE ${K - 1}.0 * 4294967296.0 / kth END FROM sk_$name)""".stripMargin
+    s"""WITH flags AS (
+       |  SELECT k, a, b,
+       |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM (
+       |    SELECT o_custkey AS k,
+       |      max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a,
+       |      max(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS b
+       |    FROM orders GROUP BY 1)
+       |  WHERE a = 1 OR b = 1),
+       |${sketch("a", "a = 1")},
+       |${sketch("b", "b = 1")},
+       |${sketch("u", "TRUE")}
+       |SELECT
+       |  (SELECT count(*) FROM flags WHERE a = 1) AS n_a_exact,
+       |  (SELECT count(*) FROM flags WHERE b = 1) AS n_b_exact,
+       |  (SELECT count(*) FROM flags WHERE a = 1 AND b = 1) AS n_inter_exact,
+       |  ${est("a")} AS est_a,
+       |  ${est("b")} AS est_b,
+       |  ${est("u")} AS est_union,
+       |  ${est("a")} + ${est("b")} - ${est("u")} AS est_inter""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct"    -> (qKmvDistinct _),
     "q_profile_approx"  -> (qProfileApprox _),
     "q_heavy_hitters"   -> (qHeavyHitters _),
     "q_bloom_join"      -> (qBloomJoin _),
-    "q_quantile_sketch" -> (qQuantileSketch _))
+    "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_kmv_overlap"     -> (qKmvOverlap _))
 
   val oracle: Map[String, String] = Map(
     "q_kmv_distinct"   -> qKmvDistinctSql,
     "q_profile_approx" -> qProfileApproxSql,
     "q_heavy_hitters"   -> qHeavyHittersSql,
     "q_bloom_join"      -> qBloomJoinSql,
-    "q_quantile_sketch" -> qQuantileSketchSql)
+    "q_quantile_sketch" -> qQuantileSketchSql,
+    "q_kmv_overlap"     -> qKmvOverlapSql)
 }

@@ -225,15 +225,61 @@ object WarehouseOps {
     arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ----------------------------------------------------- q_incremental_agg
+  /** Incremental aggregate maintenance — the mergeable-state form of a
+    * materialized per-month revenue view: the HISTORICAL partial state
+    * (orders before the cutoff, pre-aggregated to (month, cents, n)) is
+    * merged with the NEW batch's partials by a second, state-sized
+    * aggregation; no historical fact row is touched again. The oracle is
+    * the full recompute over all orders — proving the monoid merge
+    * (sum/count over exact cents) IS the view.
+    *
+    * Scale shape: this is why warehouse rollups stay cheap at 100 TB — the
+    * nightly load aggregates only the delta, and the merge is O(groups).
+    * Exact cents (BIGINT) rather than double partials make the merge
+    * associative and order-independent, so state can be re-partitioned or
+    * re-sharded freely between loads. In production the state table is a
+    * parquet asset maintained through [[graft.io.Sinks.overwriteSwap]];
+    * here both partials derive from the same scan, split by the cutoff
+    * date, so the gate can check the merged result exactly. */
+  def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = "1999-01-01"
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+        .agg(
+          sum(($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast("long"))
+            .as("cents"),
+          count(lit(1)).as("n"))
+    val orders = Tables.orders(s, dir)
+    val state = partial(orders.filter($"o_orderdate" < lit(cutoff)))
+    val delta = partial(orders.filter($"o_orderdate" >= lit(cutoff)))
+    state.unionByName(delta)
+      .groupBy($"month")
+      .agg(sum($"cents").as("cents"), sum($"n").as("n_orders"))
+      .select($"month", $"n_orders",
+        ($"cents".cast("double") / 100.0).as("revenue"))
+      .orderBy($"month")
+  }
+
+  private val qIncrementalAggSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |       AS DOUBLE) / 100.0 AS revenue
+      |FROM orders GROUP BY month ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_merge"  -> (qScd2Merge _),
     "q_dedup_log"   -> (qDedupLog _),
     "q_impute_mean" -> (qImputeMean _),
-    "q_profile"     -> (qProfile _))
+    "q_profile"     -> (qProfile _),
+    "q_incremental_agg" -> (qIncrementalAgg _))
 
   val oracle: Map[String, String] = Map(
     "q_scd2_merge"  -> qScd2MergeSql,
     "q_dedup_log"   -> qDedupLogSql,
     "q_impute_mean" -> qImputeMeanSql,
-    "q_profile"     -> qProfileSql)
+    "q_profile"     -> qProfileSql,
+    "q_incremental_agg" -> qIncrementalAggSql)
 }

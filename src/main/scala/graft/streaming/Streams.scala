@@ -415,17 +415,57 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------- q_stream_enrich
+  /** Stream-static dimension enrichment: the events stream broadcast-joined
+    * to the static customer dim, aggregated per market segment — the
+    * standard "enrich the firehose with reference data" shape. The static
+    * side needs no watermark or state: each micro-batch joins against the
+    * (re-resolvable) dim snapshot, and because the dim is broadcast the
+    * stream never shuffles for the lookup — exactly the batch star-join
+    * discipline carried into streaming. Oracle: the identical batch
+    * join+aggregate SQL (bounded stream ⇒ batch answer). */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_enrich"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
+    val dim = graft.core.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = eventsStream(s, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ck)
+    s.table(name).orderBy(col("c_mktsegment"))
+  }
+
+  private val qStreamEnrichSql =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling"       -> (qStreamTumbling _),
     "q_stream_dedup"          -> (qStreamDedup _),
     "q_stream_sessions"       -> (qStreamSessions _),
     "q_stream_interval_join"  -> (qStreamIntervalJoin _),
-    "q_stream_running_counts" -> (qStreamRunningCounts _))
+    "q_stream_running_counts" -> (qStreamRunningCounts _),
+    "q_stream_enrich"         -> (qStreamEnrich _))
 
   val oracle: Map[String, String] = Map(
     "q_stream_tumbling"       -> qStreamTumblingSql,
     "q_stream_dedup"          -> qStreamDedupSql,
     "q_stream_sessions"       -> qStreamSessionsSql,
     "q_stream_interval_join"  -> qStreamIntervalJoinSql,
-    "q_stream_running_counts" -> qStreamRunningCountsSql)
+    "q_stream_running_counts" -> qStreamRunningCountsSql,
+    "q_stream_enrich"         -> qStreamEnrichSql)
 }
