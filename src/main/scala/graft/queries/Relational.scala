@@ -393,6 +393,62 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  // ---------------------------------------------------------- q_full_outer
+  /** FULL OUTER join as cohort churn: per-customer order counts in 1996 vs
+    * 1998, joined full-outer on the customer key — "churned" (left only),
+    * "new" (right only), "retained" (both). The join type the rest of the
+    * suite never needed, exercised on the analysis shape it actually
+    * serves; both sides are pre-aggregated to one row per key, so the full
+    * outer join is key-to-key (no row explosion) and AQE-sizable. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def cohort(y: Int, as: String) = Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === y)
+      .groupBy($"o_custkey").agg(count(lit(1)).as(as))
+    cohort(1996, "n96").join(cohort(1998, "n98"), Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        coalesce($"n96", lit(0L)).as("n96"),
+        coalesce($"n98", lit(0L)).as("n98"),
+        when($"n96".isNotNull && $"n98".isNotNull, "retained")
+          .when($"n96".isNotNull, "churned").otherwise("new").as("status"))
+      .orderBy($"o_custkey")
+  }
+
+  private val qFullOuterSql =
+    """SELECT o_custkey,
+      |  coalesce(n96, 0) AS n96, coalesce(n98, 0) AS n98,
+      |  CASE WHEN n96 IS NOT NULL AND n98 IS NOT NULL THEN 'retained'
+      |       WHEN n96 IS NOT NULL THEN 'churned' ELSE 'new' END AS status
+      |FROM (SELECT o_custkey, count(*) AS n96 FROM orders
+      |      WHERE year(o_orderdate) = 1996 GROUP BY 1) a
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey, count(*) AS n98 FROM orders
+      |      WHERE year(o_orderdate) = 1998 GROUP BY 1) b
+      |USING (o_custkey)
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------- q_salted_agg
+  /** Skew.saltedSumCount under the gate: the two-phase (key, salt) partial
+    * → key final aggregation, fed an exact-decimal measure so the partials
+    * form a true monoid and the result is bit-identical to the oracle's
+    * one-phase GROUP BY regardless of how the salt spread the rows. */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        $"l_quantity".cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("qty"))
+    graft.core.Skew.saltedSumCount(exact, "l_returnflag", "qty", factor = 8)
+      .select($"l_returnflag", $"sum_value".cast("double").as("sum_qty"), $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  private val qSaltedAggSql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(l_quantity) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -409,7 +465,9 @@ object Relational {
     "q_hwm_incremental" -> (qHwmIncremental _),
     "q_dedup_exact"     -> (qDedupExact _),
     "q_fact_antidedup"  -> (qFactAntidedup _),
-    "q_salted_join"     -> (qSaltedJoin _))
+    "q_salted_join"     -> (qSaltedJoin _),
+    "q_full_outer"      -> (qFullOuter _),
+    "q_salted_agg"      -> (qSaltedAgg _))
 
   val oracle: Map[String, String] = Map(
     "q1_agg"            -> q1AggSql,
@@ -426,5 +484,7 @@ object Relational {
     "q_hwm_incremental" -> qHwmIncrementalSql,
     "q_dedup_exact"     -> qDedupExactSql,
     "q_fact_antidedup"  -> qFactAntidedupSql,
-    "q_salted_join"     -> qSaltedJoinSql)
+    "q_salted_join"     -> qSaltedJoinSql,
+    "q_full_outer"      -> qFullOuterSql,
+    "q_salted_agg"      -> qSaltedAggSql)
 }
