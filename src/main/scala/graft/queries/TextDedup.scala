@@ -570,7 +570,82 @@ object TextDedup {
   }
 
   // ------------------------------------------------------------- registry
+  // ----------------------------------------------------------- q_cdc_chunks
+  /** Content-defined chunking dedup — the storage-level complement of the
+    * document dedup family: split every document into chunks whose
+    * boundaries are decided by CONTENT (a token whose seeded hash falls
+    * under a ~1/16 mask closes the chunk), then find chunks shared across
+    * documents. Because boundaries move with the text, an insertion
+    * re-chunks only its neighborhood — unlike fixed-width chunking, where
+    * one inserted word shifts every later chunk (the rsync/LBFS insight,
+    * here at word granularity: FastCDC's gear-hash cut test collapsed to a
+    * per-token hash compare, which is what makes it SQL-replayable).
+    *
+    * Scale shape: tokenize + flag + per-doc running boundary count are
+    * scan-local (the window partitions by doc — bounded by document
+    * length); the only corpus-wide shuffle is the final groupBy on chunk
+    * hash, carrying one 32-hex row per chunk. The manufactured near-dup
+    * pairs in the corpus surface as shared chunks; output is the duplicate
+    * chunk inventory (occurrences, distinct docs). */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"))
+      .select($"doc_id", posexplode(split($"norm", " ")))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("b",
+        when(substring(md5(concat(lit("cdc1:"), $"tok")), 1, 1) === "0", 1)
+          .otherwise(0))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk_id", coalesce(sum($"b").over(w), lit(0L)))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(expr(
+        "md5(array_join(transform(array_sort(collect_list(struct(pos, tok)))," +
+          " x -> x.tok), ' '))").as("chunk_hash"),
+        count(lit(1)).as("n_tok"))
+    chunks.groupBy($"chunk_hash", $"n_tok")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_occ" > 1)
+      .orderBy($"n_occ".desc, $"chunk_hash")
+      .limit(50)
+  }
+
+  private val qCdcChunksSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(w) + 1)) - 1 AS pos,
+      |    unnest(w) AS tok
+      |  FROM (SELECT doc_id,
+      |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |        FROM documents)),
+      |flagged AS (
+      |  SELECT doc_id, pos, tok,
+      |    CASE WHEN substr(md5('cdc1:' || tok), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+      |  FROM toks),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id,
+      |    pos, tok
+      |  FROM flagged),
+      |hashed AS (
+      |  SELECT doc_id, chunk_id,
+      |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+      |    count(*) AS n_tok
+      |  FROM chunks GROUP BY doc_id, chunk_id)
+      |SELECT chunk_hash, n_tok, count(*) AS n_occ,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM hashed GROUP BY chunk_hash, n_tok
+      |HAVING count(*) > 1
+      |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_chunks"     -> (qCdcChunks _),
     "q_minhash_est"    -> (qMinhashEst _),
     "q_contain_dup"    -> (qContainDup _),
     "q_exact_dup"      -> (qExactDup _),
@@ -583,6 +658,7 @@ object TextDedup {
     "q_dedup_corpus"   -> (qDedupCorpus _))
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_chunks"     -> qCdcChunksSql,
     "q_minhash_est"    -> qMinhashEstSql,
     "q_contain_dup"    -> qContainDupSql,
     "q_exact_dup"      -> qExactDupSql,
