@@ -570,6 +570,77 @@ object TextDedup {
   }
 
   // ------------------------------------------------------------- registry
+  // ---------------------------------------------------------- q_prefix_join
+  /** Exact set-similarity join by PREFIX FILTERING (Chaudhuri/Ganti/Kaushik
+    * ICDE'06; PPJoin, Xiao et al. WWW'08): all pairs with shingle-Jaccard
+    * ≥ 0.7, with a completeness GUARANTEE the LSH family deliberately
+    * trades away. Order each doc's shingles by ascending document
+    * frequency (rarest first, ties by shingle); if two sets reach Jaccard
+    * t they must share a token within their first |s| − ⌈t·|s|⌉ + 1
+    * tokens — so only docs sharing a PREFIX token (≈30% of the set at
+    * t = 0.7, and the rarest 30%, so the inverted lists are short) become
+    * candidates, and exact verification runs on candidates only.
+    *
+    * The oracle computes ground truth WITHOUT the filter (full posting-
+    * list self-join): a green row is a machine-checked proof that prefix
+    * filtering lost no pair — exact recall, versus q_minhash_pairs' tuned
+    * P(candidate) = 1−(1−J³)⁴. Both paradigms share the verify stage and
+    * the stored shingle index.
+    *
+    * Scale shape: df ranking is one aggregate + a per-doc (bounded) rank
+    * window; candidate generation shuffles only prefix tokens (the rare
+    * tail of each set); the quadratic blowup of a frequent token is capped
+    * because frequent tokens land OUTSIDE prefixes. ⌈t·n⌉ is integer
+    * arithmetic ((7n+9) div 10) on both engines. */
+  def qPrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sh = augShingles(s, dir)
+    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy($"doc_id").orderBy($"dfreq", $"shingle")
+    val ranked = sh.join(df, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val prefix = ranked
+      .filter($"rn" <= $"sz" - expr("(7 * sz + 9) div 10") + 1)
+      .select($"doc_id", $"shingle")
+    val cand = prefix.select($"doc_id".as("a"), $"shingle")
+      .join(prefix.select($"doc_id".as("b"), $"shingle"), Seq("shingle"))
+      .filter($"a" < $"b")
+      .select($"a", $"b").distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select($"doc_id".as("a"), $"shingle"), Seq("a"))
+      .join(sh.select($"doc_id".as("b"), $"shingle"), Seq("b", "shingle"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select($"doc_id".as("a"), $"sz".as("sz_a")), Seq("a"))
+      .join(sizes.select($"doc_id".as("b"), $"sz".as("sz_b")), Seq("b"))
+      .select($"a", $"b", $"n_inter",
+        ($"sz_a" + $"sz_b" - $"n_inter").as("n_union"))
+      .filter($"n_inter" * 10 >= $"n_union" * 7)
+      .withColumn("jaccard", round($"n_inter" / $"n_union", 6))
+      .orderBy($"a", $"b")
+  }
+
+  private val qPrefixJoinSql =
+    s"""WITH $augmentedSqlCte,
+       |$shingleSqlCte,
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+       |  FROM shd x JOIN shd y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, n_inter,
+       |  sa.sz + sb.sz - n_inter AS n_union,
+       |  round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 7
+       |ORDER BY a, b""".stripMargin
+
   // ----------------------------------------------------------- q_cdc_chunks
   /** Content-defined chunking dedup — the storage-level complement of the
     * document dedup family: split every document into chunks whose
@@ -645,6 +716,7 @@ object TextDedup {
       |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prefix_join"    -> (qPrefixJoin _),
     "q_cdc_chunks"     -> (qCdcChunks _),
     "q_minhash_est"    -> (qMinhashEst _),
     "q_contain_dup"    -> (qContainDup _),
@@ -658,6 +730,7 @@ object TextDedup {
     "q_dedup_corpus"   -> (qDedupCorpus _))
 
   val oracle: Map[String, String] = Map(
+    "q_prefix_join"    -> qPrefixJoinSql,
     "q_cdc_chunks"     -> qCdcChunksSql,
     "q_minhash_est"    -> qMinhashEstSql,
     "q_contain_dup"    -> qContainDupSql,
