@@ -23,7 +23,7 @@ object SparkEntry {
       Scalars.queries ++ TextDedup.queries ++ Embeddings.queries ++
       TextAnalysis.queries ++ WarehouseOps.queries ++ Analytics.queries ++
       TemporalJoins.queries ++ Sketches.queries ++ Layout.queries ++
-      Graph.queries ++
+      Graph.queries ++ Clustering.queries ++
       graft.kpi.Kpi.queries ++ graft.multimodal.Multimodal.queries ++
       graft.streaming.Streams.queries ++ TrainingData.queries ++
       CorpusQuality.queries
@@ -34,7 +34,7 @@ object SparkEntry {
     Relational.oracle ++ Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
       TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle ++
       WarehouseOps.oracle ++ Analytics.oracle ++ TemporalJoins.oracle ++
-      Sketches.oracle ++ Layout.oracle ++ Graph.oracle ++
+      Sketches.oracle ++ Layout.oracle ++ Graph.oracle ++ Clustering.oracle ++
       graft.kpi.Kpi.oracle ++ graft.multimodal.Multimodal.oracle ++
       graft.streaming.Streams.oracle ++
       TrainingData.oracle ++ CorpusQuality.oracle

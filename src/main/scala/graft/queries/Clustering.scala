@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** K-means refinement over the embedding corpus — the training step behind
+  * the IVF index family (Embeddings.scala consumes a FIXED seeded centroid
+  * sample; this is the operator that would learn better ones).
+  *
+  * Fixed-point discipline, same reasons as Graph.qPagerank: vectors are
+  * quantized to micro-units (⌊x·10⁶⌋ as BIGINT, floor on both engines —
+  * cast-to-int truncates in Spark but ROUNDS in DuckDB, so the floor is
+  * explicit), distances and centroid sums are exact integer arithmetic,
+  * and centroid means use integer division (Spark `div` and DuckDB `//`
+  * BOTH truncate toward zero — verified on negatives, since embedding
+  * sums go negative). Result: every iteration is bit-identical across engines and
+  * shuffle orders, so the DuckDB oracle replays all three Lloyd steps as
+  * unrolled CTEs. Quantization moves each coordinate < 1e-6 — far below
+  * any clustering-relevant signal.
+  */
+object Clustering {
+
+  private val Iters = 3
+  private val Dim = 64
+
+  /** Exact-integer squared-L2 between two micro-unit vectors. */
+  private val distExpr =
+    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as bigint), (a, e) -> a + e)"
+
+  // ------------------------------------------------------------- q_kmeans
+  /** 3 Lloyd iterations, k = 17 (the same seeded `vec_id % 31` sample the
+    * IVF index uses as its fixed coarse quantizer — this operator is its
+    * training upgrade). Per iteration: assignment = corpus × broadcast
+    * centroids (17 rows — never corpus × corpus), argmin by (dist,
+    * cell_id) in a per-vector window bounded by k; update = posexplode to
+    * (cell, dim, val), one grouped integer sum, arrays rebuilt by sorted
+    * collect. localCheckpoint truncates the loop's lineage exactly as in
+    * Graph.qPagerank. Output: per-cell membership and exact integer WCSS —
+    * the clustering-quality number a tuning loop would watch.
+    *
+    * Scale shape: the corpus is scanned once per iteration with a
+    * broadcast join (no shuffle for assignment); the update shuffles
+    * (cell, dim) partial sums — O(k·dim) per mapper after partial
+    * aggregation. At 100 TB this is the textbook distributed k-means; the
+    * driver never sees a vector. */
+  def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        // promotion must be explicit: float*int stays single-precision in
+        // one engine and widens in the other — quantize in double on both
+        expr("transform(embedding, " +
+          "x -> cast(floor(cast(x as double) * 1000000d) as bigint))")
+          .as("v"))
+      .persist()
+    var centroids = vecs.filter($"vec_id" % 31 === 0)
+      .select($"vec_id".as("cell_id"), $"v".as("c"))
+
+    def assign(cs: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cell_id")
+      vecs.crossJoin(broadcast(cs))
+        .withColumn("dist", expr(distExpr))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+    }
+
+    for (_ <- 1 to Iters) {
+      centroids = assign(centroids)
+        .select($"cell_id", posexplode($"v"))
+        .groupBy($"cell_id", $"pos")
+        // Spark `div` and DuckDB `//` both truncate toward zero (verified
+        // on negatives), so the mean's sub-micro rounding agrees exactly
+        .agg(sum($"col").as("sv"), count(lit(1)).as("n"))
+        .withColumn("m", expr("sv div n"))
+        .groupBy($"cell_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("c"))
+        .localCheckpoint()
+    }
+    val out = assign(centroids)
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n_members"), sum($"dist").as("wcss"))
+      .orderBy($"cell_id")
+    vecs.unpersist()
+    out
+  }
+
+  private val qKmeansSql = {
+    val dist = (c: String) =>
+      s"list_sum(list_transform(range(1, ${Dim + 1}), " +
+        s"j -> (v.v[j] - $c.c[j]) * (v.v[j] - $c.c[j])))"
+    def iter(i: Int): String =
+      s"""a$i AS (
+         |  SELECT vec_id, cell_id, v FROM (
+         |    SELECT v.vec_id, c.cell_id, v.v,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dist("c")}, c.cell_id) AS rn
+         |    FROM v CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |c$i AS (
+         |  SELECT cell_id, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cell_id, pos, sum(val) // count(*) AS m FROM (
+         |      SELECT cell_id, unnest(range(1, ${Dim + 1})) AS pos,
+         |        unnest(v) AS val
+         |      FROM a$i)
+         |    GROUP BY cell_id, pos)
+         |  GROUP BY cell_id)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell_id, v AS c FROM v WHERE vec_id % 31 = 0),
+       |${(1 to Iters).map(iter).mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, cell_id, dist FROM (
+       |    SELECT v.vec_id, c.cell_id, ${dist("c")} AS dist,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dist("c")}, c.cell_id) AS rn
+       |    FROM v CROSS JOIN c$Iters c) WHERE rn = 1)
+       |SELECT cell_id, count(*) AS n_members,
+       |  CAST(sum(dist) AS BIGINT) AS wcss
+       |FROM fin GROUP BY cell_id ORDER BY cell_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> (qKmeans _))
+
+  val oracle: Map[String, String] = Map(
+    "q_kmeans" -> qKmeansSql)
+}

@@ -110,8 +110,9 @@ object Graph {
 
 /** The unrolled-iteration DuckDB replay of [[Graph.qPagerank]] — 5 chained
   * CTEs, one per iteration, in the same fixed-point integer arithmetic
-  * (DuckDB `//` floors, Spark `div` truncates: identical on the
-  * non-negative ranks). Unrolled rather than recursive because aggregation
+  * (DuckDB `//` and Spark `div` both truncate toward zero — verified on
+  * negatives while building Clustering.qKmeans; ranks here are
+  * non-negative anyway). Unrolled rather than recursive because aggregation
   * inside a recursive CTE is engine-version-sensitive; five explicit CTEs
   * are boring and portable. */
 private object PagerankOracle {
