@@ -57,7 +57,33 @@ object Multimodal {
       sampleFrames(syntheticMedia(s, 200), stride = 3)
         .withColumn("frame_px", bytesCsv(col("frame"), headerBytes = 0))
         .drop("frame")
-        .orderBy(col("media_id"), col("frame_no"))))
+        .orderBy(col("media_id"), col("frame_no"))),
+    // Media near-dup: the decode→features→similarity bridge, end to end.
+    // Blocking key = shape metadata (you never compare a thumbnail to a 4K
+    // frame — and the block join replaces the cartesian product), then
+    // EXACT cosine over integer histogram vectors inside each block: dot
+    // and norms are integer sums, the one sqrt is IEEE-exact, so the
+    // similarity is bit-identical in the DuckDB replay. Top-20 pairs.
+    "q_media_neardup" -> ((s: SparkSession, _: String) => {
+      val f = extractFeatures(syntheticMedia(s, 200))
+        .filter(col("ok"))
+        .withColumn("counts", expr("transform(features, " +
+          "f -> cast(round(f * width * height * channels) as bigint))"))
+        .withColumn("nrm", expr(
+          "aggregate(counts, cast(0 as bigint), (acc, e) -> acc + e * e)"))
+      def side(n: String) = f.select(col("media_id").as(n),
+        col("width"), col("height"), col("channels"),
+        col("counts").as(s"c_$n"), col("nrm").as(s"n_$n"))
+      side("a").join(side("b"), Seq("width", "height", "channels"))
+        .filter(col("a") < col("b"))
+        .withColumn("dot", expr("aggregate(zip_with(c_a, c_b, " +
+          "(x, y) -> x * y), cast(0 as bigint), (acc, e) -> acc + e)"))
+        .withColumn("cos_sim",
+          col("dot") / sqrt((col("n_a") * col("n_b")).cast("double")))
+        .select(col("a"), col("b"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("a"), col("b"))
+        .limit(20)
+    }))
 
   /** Binary column → CSV of unsigned byte values past `headerBytes`, as a
     * pure codegen'd expression chain (hex + per-pair base conversion) — the
@@ -167,7 +193,47 @@ object Multimodal {
         |SELECT media_id, CAST(y // 3 AS INTEGER) AS frame_no,
         |  string_agg(CAST(b AS VARCHAR), ',' ORDER BY j) AS frame_px
         |FROM fb GROUP BY media_id, y
-        |ORDER BY media_id, frame_no""".stripMargin)
+        |ORDER BY media_id, frame_no""".stripMargin,
+    // Replay of q_media_neardup: histogram vectors from the same LCG pixel
+    // arithmetic, shape-blocked pairs, integer dot/norms, one sqrt.
+    "q_media_neardup" ->
+      """WITH m AS (
+        |  SELECT CAST(i AS BIGINT) AS media_id,
+        |         8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h,
+        |         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS c
+        |  FROM generate_series(0, 199) AS t(i)),
+        |good AS (SELECT * FROM m WHERE NOT (media_id % 13 = 0 AND media_id > 0)),
+        |idx AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, 1151) AS s(j)),
+        |px AS (
+        |  SELECT g.media_id, g.w, g.h, g.c,
+        |         ((g.media_id + i.j) * 1103515245 + 12345) // 65536 % 256 AS b
+        |  FROM good g JOIN idx i ON i.j < g.w * g.h * g.c),
+        |hist AS (
+        |  SELECT media_id, b // 16 AS bin, count(*) AS v FROM px GROUP BY 1, 2),
+        |vec AS (
+        |  SELECT g.media_id, g.w, g.h, g.c, CAST(bb.bin AS BIGINT) AS bin,
+        |         CAST(coalesce(h.v, 0) AS BIGINT) AS v
+        |  FROM good g
+        |  CROSS JOIN generate_series(0, 15) AS bb(bin)
+        |  LEFT JOIN hist h ON h.media_id = g.media_id AND h.bin = bb.bin),
+        |nrm AS (
+        |  SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+        |         any_value(c) AS c, CAST(sum(v * v) AS BIGINT) AS nn
+        |  FROM vec GROUP BY media_id),
+        |dots AS (
+        |  SELECT x.media_id AS a, y.media_id AS b,
+        |         CAST(sum(x.v * y.v) AS BIGINT) AS dot
+        |  FROM vec x
+        |  JOIN vec y ON x.bin = y.bin AND x.w = y.w AND x.h = y.h
+        |    AND x.c = y.c AND x.media_id < y.media_id
+        |  GROUP BY 1, 2)
+        |SELECT d.a, d.b,
+        |  CAST(d.dot AS DOUBLE)
+        |    / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) AS cos_sim
+        |FROM dots d
+        |JOIN nrm na ON na.media_id = d.a
+        |JOIN nrm nb ON nb.media_id = d.b
+        |ORDER BY cos_sim DESC, d.a, d.b LIMIT 20""".stripMargin)
 
   /** Media-table schema: id + modality + typed metadata + opaque payload. */
   val mediaSchema: StructType = StructType(Seq(
