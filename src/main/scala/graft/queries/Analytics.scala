@@ -548,7 +548,44 @@ object Analytics {
       |LEFT JOIN s2 ON s1.user_id = s2.user_id
       |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
 
+  // ----------------------------------------------------------- q_retention
+  /** Cohort retention matrix: users bucketed by first-activity DAY (the
+    * events table spans one month, so day is the natural cohort grain),
+    * and for each (cohort, day-offset) cell the count of cohort members
+    * still active — the companion readout to q_full_outer's churn split.
+    * Offsets are date differences in integer days; no interval algebra.
+    *
+    * Shape: one aggregation for the cohort assignment (O(users) state),
+    * one join back to the event stream, one distinct + grouped count —
+    * no windows, no per-user event collections; at 100 TB the distinct is
+    * the only wide stage and it carries (user, cohort, offset) triples. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", to_date($"ts").as("d"))
+    val cohort = ev.groupBy($"user_id").agg(min($"d").as("cd"))
+    ev.join(cohort, "user_id")
+      .select($"user_id", $"cd", datediff($"d", $"cd").as("offset_d"))
+      .distinct()
+      .groupBy($"cd", $"offset_d")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select($"cd".cast("string").as("cohort_day"), $"offset_d", $"n_users")
+      .orderBy($"cohort_day", $"offset_d")
+  }
+
+  private val qRetentionSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |cohort AS (SELECT user_id, min(d) AS cd FROM ev GROUP BY 1),
+      |cells AS (
+      |  SELECT DISTINCT ev.user_id, cd, (d - cd) AS offset_d
+      |  FROM ev JOIN cohort USING (user_id))
+      |SELECT CAST(cd AS VARCHAR) AS cohort_day, offset_d,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM cells GROUP BY cd, offset_d
+      |ORDER BY cohort_day, offset_d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention"     -> (qRetention _),
     "q_funnel"        -> (qFunnel _),
     "q_unpivot"       -> (qUnpivot _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -566,6 +603,7 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_retention"     -> qRetentionSql,
     "q_funnel"        -> qFunnelSql,
     "q_unpivot"       -> qUnpivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
