@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -57,19 +56,33 @@ object Clustering {
           "x -> cast(floor(cast(x as double) * 1000000d) as bigint))")
           .as("v"))
       .persist()
-    var centroids = vecs.filter($"vec_id" % 31 === 0)
-      .select($"vec_id".as("cell_id"), $"v".as("c"))
 
-    def assign(cs: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cell_id")
-      vecs.crossJoin(broadcast(cs))
-        .withColumn("dist", expr(distExpr))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-    }
+    // Centroids sync through the driver between iterations — k·dim scaled
+    // longs, the same per-iteration driver traffic Spark MLlib's KMeans
+    // pays, and what makes ASSIGNMENT a pure map stage: the centroid
+    // array rides into the plan as a literal, each row computes all k
+    // distances and takes the first argmin (array ordered by cell_id =
+    // the oracle's (dist, cell_id) tie-break) with NO join, NO window,
+    // NO shuffle. Only the update step shuffles, and only (cell, dim)
+    // partial sums.
+    var cents: Array[(Long, Seq[Long])] = vecs
+      .filter($"vec_id" % 31 === 0).select($"vec_id", $"v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+
+    def assigned: DataFrame =
+      vecs
+        .withColumn("cids", typedLit(cents.map(_._1).toSeq))
+        .withColumn("cvs", typedLit(cents.map(_._2).toSeq))
+        .withColumn("dists", expr(
+          "transform(cvs, c -> aggregate(zip_with(v, c, " +
+            "(x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, e) -> a + e))"))
+        .withColumn("idx", expr("array_position(dists, array_min(dists))").cast("int"))
+        .withColumn("cell_id", expr("element_at(cids, idx)"))
+        .withColumn("dist", expr("element_at(dists, idx)"))
+        .select($"vec_id", $"cell_id", $"dist", $"v")
 
     for (_ <- 1 to Iters) {
-      centroids = assign(centroids)
+      cents = assigned
         .select($"cell_id", posexplode($"v"))
         .groupBy($"cell_id", $"pos")
         // Spark `div` and DuckDB `//` both truncate toward zero (verified
@@ -79,9 +92,9 @@ object Clustering {
         .groupBy($"cell_id")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
           .as("c"))
-        .localCheckpoint()
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
     }
-    val out = assign(centroids)
+    val out = assigned
       .groupBy($"cell_id")
       .agg(count(lit(1)).as("n_members"), sum($"dist").as("wcss"))
       .orderBy($"cell_id")
