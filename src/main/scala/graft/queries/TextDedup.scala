@@ -603,10 +603,18 @@ object TextDedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
     val prefix = ranked
       .filter($"rn" <= $"sz" - expr("(7 * sz + 9) div 10") + 1)
-      .select($"doc_id", $"shingle")
-    val cand = prefix.select($"doc_id".as("a"), $"shingle")
-      .join(prefix.select($"doc_id".as("b"), $"shingle"), Seq("shingle"))
-      .filter($"a" < $"b")
+      .select($"doc_id", $"shingle", $"sz")
+      // both sides of the candidate self-join consume this subtree; without
+      // materialization the df-rank window computes twice
+      .localCheckpoint()
+    val cand = prefix.select($"doc_id".as("a"), $"shingle", $"sz".as("sz_pa"))
+      .join(prefix.select($"doc_id".as("b"), $"shingle", $"sz".as("sz_pb")),
+        Seq("shingle"))
+      .filter($"a" < $"b" &&
+        // PPJoin length filter — lossless at J ≥ 0.7: the smaller set must
+        // be ≥ 0.7× the larger (|x∩y| ≤ min, ≥ t·|x∪y| ≥ t·max). Cuts
+        // size-incompatible candidates before the verify join pays for them
+        least($"sz_pa", $"sz_pb") * 10 >= greatest($"sz_pa", $"sz_pb") * 7)
       .select($"a", $"b").distinct()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
