@@ -43,12 +43,7 @@ object Bench {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
-    // Dev-only subset filter (comma-separated names), mirroring Verify's:
-    // the driver never sets it, so the shipped contract — bench every
-    // query — is unchanged.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val names = SparkEntry.selectedQueries.map(_._1)
     names.foreach(runOnce) // warmup pass, untimed
     // two timed passes, min per query: JIT/GC noise showed ±10% run-to-run,
     // which would drown real per-round regressions in the bench history

@@ -28,6 +28,18 @@ object SparkEntry {
       graft.streaming.Streams.queries ++ TrainingData.queries ++
       CorpusQuality.queries
 
+  /** Dev-only subset gate shared by Verify and Bench (comma-separated
+    * names in SPARK_GRAFT_ONLY, whitespace-tolerant). The driver never
+    * sets it, so the shipped contract — run every query — is unchanged;
+    * one definition so the two harness mains can't drift (review
+    * finding). */
+  def selectedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -91,10 +91,16 @@ object Multimodal {
     * DuckDB oracle replay it byte-for-byte. */
   private def bytesCsv(bin: Column, headerBytes: Int): Column = {
     val start = headerBytes * 2 + 1 // 1-based offset into the hex rendering
-    when(bin.isNull, lit(null).cast("string")).otherwise(concat_ws(",",
-      transform(
-        sequence(lit(0), length(bin).cast("int") - lit(headerBytes + 1)),
-        i => conv(substr(hex(bin), lit(start) + i * 2, lit(2)), 16, 10))))
+    when(bin.isNull, lit(null).cast("string"))
+      // a payload at/under the header length has no body: emit "" — without
+      // this guard Spark's sequence(0, -1) counts DOWN ([0, -1]) and the
+      // transform emits junk values for truncated payloads (review finding;
+      // latent for the current callers, which only pass well-formed sizes)
+      .when(length(bin) <= headerBytes, lit(""))
+      .otherwise(concat_ws(",",
+        transform(
+          sequence(lit(0), length(bin).cast("int") - lit(headerBytes + 1)),
+          i => conv(substr(hex(bin), lit(start) + i * 2, lit(2)), 16, 10))))
   }
 
   /** DuckDB replay of [[FakeCodec]] + [[extractFeatures]] over the same

@@ -567,7 +567,10 @@ object Analytics {
       .select($"user_id", $"cd", datediff($"d", $"cd").as("offset_d"))
       .distinct()
       .groupBy($"cd", $"offset_d")
-      .agg(countDistinct($"user_id").as("n_users"))
+      // the distinct above already dedups (user, cohort, offset) triples,
+      // so a countDistinct here would plan a second dedup shuffle for
+      // nothing (review finding)
+      .agg(count(lit(1)).as("n_users"))
       .select($"cd".cast("string").as("cohort_day"), $"offset_d", $"n_users")
       .orderBy($"cohort_day", $"offset_d")
   }
@@ -580,7 +583,7 @@ object Analytics {
       |  SELECT DISTINCT ev.user_id, cd, (d - cd) AS offset_d
       |  FROM ev JOIN cohort USING (user_id))
       |SELECT CAST(cd AS VARCHAR) AS cohort_day, offset_d,
-      |  count(DISTINCT user_id) AS n_users
+      |  count(*) AS n_users
       |FROM cells GROUP BY cd, offset_d
       |ORDER BY cohort_day, offset_d""".stripMargin
 

@@ -73,9 +73,7 @@ object Clustering {
       vecs
         .withColumn("cids", typedLit(cents.map(_._1).toSeq))
         .withColumn("cvs", typedLit(cents.map(_._2).toSeq))
-        .withColumn("dists", expr(
-          "transform(cvs, c -> aggregate(zip_with(v, c, " +
-            "(x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, e) -> a + e))"))
+        .withColumn("dists", expr(s"transform(cvs, c -> $distExpr)"))
         .withColumn("idx", expr("array_position(dists, array_min(dists))").cast("int"))
         .withColumn("cell_id", expr("element_at(cids, idx)"))
         .withColumn("dist", expr("element_at(dists, idx)"))
@@ -94,10 +92,15 @@ object Clustering {
           .as("c"))
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
     }
+    // materialize the (k-row) result while the corpus cache is still live,
+    // THEN drop the cache — unpersisting before the lazy consumer executes
+    // would make the gated/benched final pass recompute everything uncached
+    // (review finding)
     val out = assigned
       .groupBy($"cell_id")
       .agg(count(lit(1)).as("n_members"), sum($"dist").as("wcss"))
       .orderBy($"cell_id")
+      .localCheckpoint()
     vecs.unpersist()
     out
   }

@@ -596,17 +596,20 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val sh = augShingles(s, dir)
-    val df = sh.groupBy($"shingle").agg(count(lit(1)).as("dfreq"))
-    val w = Window.partitionBy($"doc_id").orderBy($"dfreq", $"shingle")
-    val ranked = sh.join(df, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
-    val prefix = ranked
-      .filter($"rn" <= $"sz" - expr("(7 * sz + 9) div 10") + 1)
-      .select($"doc_id", $"shingle", $"sz")
-      // both sides of the candidate self-join consume this subtree; without
-      // materialization the df-rank window computes twice
-      .localCheckpoint()
+    // both sides of the candidate self-join consume the ranked-prefix
+    // subtree; store it like the other derived index tables (parquet via
+    // IndexStore) rather than localCheckpoint — checkpoint blocks have no
+    // release path from a lazy consumer and would stay pinned per
+    // invocation (review finding), while the store builds once per corpus
+    val prefix = graft.io.IndexStore.materialized(s, dir, "prefix07") {
+      val df = sh.groupBy($"shingle").agg(count(lit(1)).as("dfreq"))
+      val w = Window.partitionBy($"doc_id").orderBy($"dfreq", $"shingle")
+      sh.join(df, "shingle")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
+        .filter($"rn" <= $"sz" - expr("(7 * sz + 9) div 10") + 1)
+        .select($"doc_id", $"shingle", $"sz")
+    }
     val cand = prefix.select($"doc_id".as("a"), $"shingle", $"sz".as("sz_pa"))
       .join(prefix.select($"doc_id".as("b"), $"shingle", $"sz".as("sz_pb")),
         Seq("shingle"))
