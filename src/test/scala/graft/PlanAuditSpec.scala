@@ -172,6 +172,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(smj.isEmpty, s"the fact stream must not shuffle for the candidate filter: $smj")
   }
 
+  test("exact-k samples plan as TakeOrderedAndProject, never a global sort") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    for (q <- Seq("q_sample_topk", "q_weighted_sample")) {
+      val plan = staticPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"$q must plan per-partition top-k heaps\n$plan")
+      assert(plan.collect { case s: SortExec => s }.isEmpty,
+        s"$q must not globally sort the corpus\n$plan")
+    }
+  }
+
+  test("stratified group sample aggregates with heaps — no window, no per-group sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = staticPlan(SparkEntry.queries("q_group_sample")(spark, sfDir))
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"group sample must use the topk aggregate, not a rank window\n$plan")
+  }
+
   test("PII scrub is a pure map: no shuffle except the presentation sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = staticPlan(SparkEntry.queries("q_pii_scrub")(spark, sfDir))
