@@ -263,6 +263,10 @@ object Sketches {
         count(when($"pass", 1)).as("n_bloom_pass"),
         count(when($"m" === 1, 1)).as("n_match"),
         count(when($"pass" && $"m".isNull, 1)).as("n_false_pos"),
+        // the invariant the whole operator rests on, made visible: a bloom
+        // filter can never reject a true member, so this is structurally 0
+        // — and the oracle recomputes it, so a broken filter fails the gate
+        count(when(!$"pass" && $"m" === 1, 1)).as("n_false_neg"),
         graft.core.OracleParity.sumExact(when($"m" === 1, $"l_extendedprice"))
           .as("rev_match"))
   }
@@ -296,6 +300,7 @@ object Sketches {
       |  count(*) FILTER (pass) AS n_bloom_pass,
       |  count(*) FILTER (m) AS n_match,
       |  count(*) FILTER (pass AND NOT m) AS n_false_pos,
+      |  count(*) FILTER (NOT pass AND m) AS n_false_neg,
       |  CAST(sum(CASE WHEN m THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
       |       AS DOUBLE) AS rev_match
       |FROM probed""".stripMargin
