@@ -99,12 +99,69 @@ object TemporalJoins {
       |FROM events JOIN bands ON value >= lo AND value < hi
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------- q_pit_join
+  /** Point-in-time join against an SCD2 dimension — THE warehouse temporal
+    * join: each purchase fact is enriched with the dim version that was
+    * valid AT the fact's event time (`valid_from ≤ ts < valid_to`,
+    * half-open intervals so a fact at a change instant belongs to the NEW
+    * version; the current row's null valid_to is the open end). The dim is
+    * [[Windows.qScd2Rebuild]]'s versioned table — reusing the derivation
+    * means fact and dim can never disagree about history.
+    *
+    * Scale shape: the join is EQUI on the business key with the interval
+    * test as a post-join predicate — it plans as a keyed hash/sort-merge
+    * join (versions-per-key rows examined per fact), never a cartesian or
+    * broadcast-nested-loop over the fact table, because the equi key is
+    * extracted first. Exactly-one-version-per-fact is structural (the
+    * rebuild's intervals partition each user's timeline from their first
+    * event, and every fact IS an event of that user). */
+  def qPitJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Windows.qScd2Rebuild(s, dir)
+      .select($"user_id", $"attr_value", $"valid_from", $"valid_to")
+    val facts = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    facts.join(dim,
+      facts("user_id") === dim("user_id") &&
+        $"valid_from" <= $"ts" &&
+        ($"valid_to".isNull || $"ts" < $"valid_to"))
+      .select($"event_id", facts("user_id").as("user_id"),
+        $"attr_value", $"valid_from")
+      .orderBy($"event_id")
+  }
+
+  private val qPitJoinSql =
+    """WITH evts AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |changes AS (
+      |  SELECT * FROM (
+      |    SELECT *, LAG(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    FROM evts)
+      |  WHERE event_type IS DISTINCT FROM prev_type),
+      |dim AS (
+      |  SELECT user_id, event_type AS attr_value, ts AS valid_from,
+      |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM changes)
+      |SELECT f.event_id, f.user_id, d.attr_value, d.valid_from
+      |FROM evts f
+      |JOIN dim d ON f.user_id = d.user_id
+      |  AND d.valid_from <= f.ts
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |WHERE f.event_type = 'purchase'
+      |ORDER BY f.event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"  -> (qAsofJoin _),
-    "q_range_join" -> (qRangeJoin _))
+    "q_range_join" -> (qRangeJoin _),
+    "q_pit_join"   -> (qPitJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join"  -> qAsofJoinSql,
-    "q_range_join" -> qRangeJoinSql)
+    "q_range_join" -> qRangeJoinSql,
+    "q_pit_join"   -> qPitJoinSql)
 }

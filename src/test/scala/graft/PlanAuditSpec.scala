@@ -190,6 +190,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"group sample must use the topk aggregate, not a rank window\n$plan")
   }
 
+  test("PIT join plans as a keyed join, never a nested-loop over the facts") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = staticPlan(SparkEntry.queries("q_pit_join")(spark, sfDir))
+    val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.isEmpty,
+      s"interval predicate must ride a user_id equi-join, not a nested loop: $bnl")
+    val keyed = plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }
+    assert(keyed.nonEmpty, s"expected a keyed join on user_id\n$plan")
+  }
+
   test("PII scrub is a pure map: no shuffle except the presentation sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = staticPlan(SparkEntry.queries("q_pii_scrub")(spark, sfDir))
