@@ -131,6 +131,41 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart with the same checkpoint resumes exactly: old files never reprocess") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_resume")
+    val (src, out, ck) = (s"$root/src", s"$root/out", s"$root/ck")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("id LONG, batch STRING")
+        .parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.io.Sinks.appendParquet(b, out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // epoch 1: one source file → processed once
+    spark.range(0, 50).select($"id", lit("e1").as("batch"))
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 50)
+    // epoch 2: a NEW file arrives; restart from the same checkpoint must
+    // process ONLY it — reprocessing e1 would double the append sink
+    spark.range(50, 80).select($"id", lit("e2").as("batch"))
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val after = spark.read.parquet(out)
+    assert(after.count() == 80, "restart reprocessed or missed files")
+    assert(after.select($"id").distinct().count() == 80)
+    // epoch 3: nothing new → a no-op restart appends nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() == 80)
+  }
+
   test("foreachBatch runs a batch-library cleaning stage per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
