@@ -570,6 +570,57 @@ object TextDedup {
   }
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------------ q_dedup_keep_best
+  /** Dedup with a QUALITY policy: inside every near-dup cluster keep the
+    * longest member (ties to the smaller id), not the smallest id — the
+    * policy real corpus pipelines want ("keep the most complete copy";
+    * the manufactured near-dups are first-word-truncated, so min-id and
+    * keep-best genuinely disagree here and the gate can tell the policies
+    * apart). Builds on the same connected components as q_dedup_clusters;
+    * the winner selection is a row_number window per cluster — bounded by
+    * cluster size, the same justification as every per-group window in
+    * the dedup family. */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = qDedupClusters(s, dir)
+      .join(augmented(Tables.documents(s, dir))
+        .select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+      .filter(col("n_members") > 1)
+    members
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_rep"))
+        .orderBy(col("len").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("keep_id"),
+        col("len").as("keep_len"), col("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  private val qDedupKeepBestSql =
+    s"""WITH RECURSIVE $jacSqlCtes,
+       |edges AS (
+       |  SELECT a, b FROM jac WHERE jaccard >= $ClusterJaccard
+       |  UNION ALL
+       |  SELECT b AS a, a AS b FROM jac WHERE jaccard >= $ClusterJaccard),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+       |clusters AS (
+       |  SELECT node AS doc_id, min(label) AS cluster_rep
+       |  FROM walk GROUP BY node),
+       |members AS (
+       |  SELECT c.cluster_rep, c.doc_id, length(a.text) AS len,
+       |    count(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+       |  FROM clusters c JOIN aug a ON a.doc_id = c.doc_id)
+       |SELECT cluster_rep, doc_id AS keep_id, len AS keep_len, n_members
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_rep
+       |    ORDER BY len DESC, doc_id) AS rn
+       |  FROM members WHERE n_members > 1)
+       |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+
   // ---------------------------------------------------------- q_prefix_join
   /** Exact set-similarity join by PREFIX FILTERING (Chaudhuri/Ganti/Kaushik
     * ICDE'06; PPJoin, Xiao et al. WWW'08): all pairs with shingle-Jaccard
@@ -727,6 +778,7 @@ object TextDedup {
       |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_prefix_join"    -> (qPrefixJoin _),
     "q_cdc_chunks"     -> (qCdcChunks _),
     "q_minhash_est"    -> (qMinhashEst _),
@@ -741,6 +793,7 @@ object TextDedup {
     "q_dedup_corpus"   -> (qDedupCorpus _))
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_prefix_join"    -> qPrefixJoinSql,
     "q_cdc_chunks"     -> qCdcChunksSql,
     "q_minhash_est"    -> qMinhashEstSql,
