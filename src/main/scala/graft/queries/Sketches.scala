@@ -434,8 +434,61 @@ object Sketches {
        |  ${est("a")} + ${est("b")} - ${est("u")} AS est_inter""".stripMargin
   }
 
+  // ---------------------------------------------------------- q_window_kmv
+  /** The sketch composed into time-windowed aggregation: distinct users
+    * per tumbling hour, exact and KMV side by side — "unique visitors per
+    * hour" at firehose scale, where per-window exact distinct is the
+    * classic memory blowup (every window holds its full user set) and the
+    * sketch caps per-window state at k longs.
+    *
+    * Same estimator and hash as q_kmv_distinct (grouped by time bucket
+    * instead of a categorical key), so the oracle replays per-window
+    * estimates bit-for-bit; rel_err makes the k=64 accuracy visible per
+    * window. */
+  def qWindowKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val est = when($"sk.n_kept" < K, $"sk.n_kept".cast("double"))
+      .otherwise(lit((K - 1).toDouble * 4294967296.0) / $"sk.kth")
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("window_start"))
+      .agg(
+        countDistinct($"user_id").as("n_exact"),
+        expr(s"kmv(cast(conv(substring(md5(cast(user_id as string)), 1, 8)," +
+          s" 16, 10) as bigint), $K)").as("sk"))
+      .select($"window_start", $"n_exact", est.as("n_est"),
+        (abs(est - $"n_exact") / $"n_exact").as("rel_err"))
+      .orderBy($"window_start")
+  }
+
+  private val qWindowKmvSql =
+    s"""WITH h AS (
+       |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM events),
+       |r AS (
+       |  SELECT w, hv,
+       |    row_number() OVER (PARTITION BY w ORDER BY hv) AS rn,
+       |    count(*) OVER (PARTITION BY w) AS nh
+       |  FROM h),
+       |sk AS (
+       |  SELECT w, max(CASE WHEN rn = $K THEN hv END) AS kth, max(nh) AS nh
+       |  FROM r GROUP BY w),
+       |ex AS (
+       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+       |    count(DISTINCT user_id) AS n_exact
+       |  FROM events GROUP BY 1)
+       |SELECT ex.w AS window_start, ex.n_exact,
+       |  CASE WHEN sk.nh < $K THEN CAST(sk.nh AS DOUBLE)
+       |       ELSE ${K - 1}.0 * 4294967296.0 / sk.kth END AS n_est,
+       |  abs(CASE WHEN sk.nh < $K THEN CAST(sk.nh AS DOUBLE)
+       |       ELSE ${K - 1}.0 * 4294967296.0 / sk.kth END - n_exact) / n_exact
+       |    AS rel_err
+       |FROM ex JOIN sk ON ex.w = sk.w
+       |ORDER BY window_start""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_kmv"      -> (qWindowKmv _),
     "q_kmv_distinct"    -> (qKmvDistinct _),
     "q_profile_approx"  -> (qProfileApprox _),
     "q_heavy_hitters"   -> (qHeavyHitters _),
@@ -444,6 +497,7 @@ object Sketches {
     "q_kmv_overlap"     -> (qKmvOverlap _))
 
   val oracle: Map[String, String] = Map(
+    "q_window_kmv"     -> qWindowKmvSql,
     "q_kmv_distinct"   -> qKmvDistinctSql,
     "q_profile_approx" -> qProfileApproxSql,
     "q_heavy_hitters"   -> qHeavyHittersSql,
