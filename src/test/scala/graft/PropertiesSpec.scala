@@ -158,6 +158,33 @@ class PropertiesSpec extends AnyFunSuite {
     assert(reshuffled == ids, "weighted sample changed under repartitioning")
   }
 
+  test("prefix filtering is complete on random token sets: no pair with " +
+    "Jaccard >= 0.7 escapes the candidate stage") {
+    // the lemma qPrefixJoin rests on, checked directly on adversarial
+    // random sets (the fixture corpus only exercises one similarity shape):
+    // order tokens by (global df, token); if J(x,y) >= t then x and y share
+    // a token inside their |s| - ceil(t*|s|) + 1 prefixes
+    val docGen = Gen.listOfN(14, Gen.chooseNum(0, 24)).map(_.distinct)
+    forAllSampled(Gen.listOfN(24, docGen), 6) { rawDocs =>
+      val docs = rawDocs.zipWithIndex.map { case (ts, i) => (i, ts.toSet) }
+        .filter(_._2.nonEmpty)
+      val df = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      def prefix(s: Set[Int]): Set[Int] = {
+        val n = s.size
+        val plen = n - (7 * n + 9) / 10 + 1
+        s.toSeq.sortBy(t => (df(t), t)).take(plen).toSet
+      }
+      for {
+        (a, sa) <- docs; (b, sb) <- docs if a < b
+        inter = (sa & sb).size
+        union = sa.size + sb.size - inter
+        if inter * 10 >= union * 7
+      } assert((prefix(sa) & prefix(sb)).nonEmpty,
+        s"pair ($a,$b) J=${inter.toDouble / union} shares no prefix token: " +
+          s"$sa / $sb")
+    }
+  }
+
   test("pagerank: fixed-point ranks are bounded by the mass invariants and " +
     "identical across runs") {
     import spark.implicits._
