@@ -21,8 +21,11 @@ import graft.expressions.{FloatDot, KmvAgg, RollingHash, SpaceSavingAgg, TopKAgg
   * match on shuffle volume).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // opt-in AQP dial (spark.graft.sketchDistinct) — inert until flagged
+    ext.injectOptimizerRule(_ => SketchDistinctRewrite)
+  }
 }
 
 object GraftExtensions {
