@@ -570,6 +570,52 @@ object TextDedup {
   }
 
   // ------------------------------------------------------------- registry
+  // ---------------------------------------------------------- q_incr_dedup
+  /** Incremental dedup — the operational shape of LSH at a continuously-fed
+    * corpus: when a batch of documents ARRIVES, its band signatures join
+    * against the STORED index (built when the base corpus loaded) plus
+    * themselves; the base×base pair space is never rescanned. Here the
+    * base is the original corpus (index materialized via IndexStore, as in
+    * production) and the arriving batch is the perturbed near-dup copies;
+    * the oracle computes the FULL-corpus candidate set and restricts it to
+    * pairs involving an arrival — a green row proves incremental discovery
+    * finds exactly what a full rebuild would have found for the new docs.
+    *
+    * Scale shape: per arrival batch the cost is O(|delta| · bands) hashing
+    * plus a keyed join against the index — independent of corpus size
+    * except through index lookup, which is the whole point. */
+  def qIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    val baseBands = graft.io.IndexStore.materialized(s, dir, "bands_base") {
+      bandRows(minhashes(shingleRows(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))))
+    }
+    val delta = Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+    val deltaBands = bandRows(minhashes(shingleRows(delta)))
+    val vsBase = deltaBands
+      .select(col("band_id"), col("band_sig"), col("doc_id").as("b"))
+      .join(baseBands.select(col("band_id"), col("band_sig"), col("doc_id").as("a")),
+        Seq("band_id", "band_sig"))
+      .select(col("a"), col("b"))
+    val within = deltaBands
+      .select(col("band_id"), col("band_sig"), col("doc_id").as("a"))
+      .join(deltaBands.select(col("band_id"), col("band_sig"), col("doc_id").as("b")),
+        Seq("band_id", "band_sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    vsBase.unionByName(within).distinct().orderBy(col("a"), col("b"))
+  }
+
+  private val qIncrDedupSql =
+    s"""WITH $augmentedSqlCte,
+       |$shingleSqlCte,
+       |$minhashSqlCte,
+       |$bandSqlCte,
+       |$candSqlCte
+       |SELECT a, b FROM cand WHERE b >= 10000
+       |ORDER BY a, b""".stripMargin
+
   // ------------------------------------------------------ q_dedup_keep_best
   /** Dedup with a QUALITY policy: inside every near-dup cluster keep the
     * longest member (ties to the smaller id), not the smallest id — the
@@ -778,6 +824,7 @@ object TextDedup {
       |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_dedup"      -> (qIncrDedup _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_prefix_join"    -> (qPrefixJoin _),
     "q_cdc_chunks"     -> (qCdcChunks _),
@@ -793,6 +840,7 @@ object TextDedup {
     "q_dedup_corpus"   -> (qDedupCorpus _))
 
   val oracle: Map[String, String] = Map(
+    "q_incr_dedup"      -> qIncrDedupSql,
     "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_prefix_join"    -> qPrefixJoinSql,
     "q_cdc_chunks"     -> qCdcChunksSql,
