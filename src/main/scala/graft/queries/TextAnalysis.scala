@@ -325,7 +325,70 @@ object TextAnalysis {
       |ORDER BY prefix, rank""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------------------ q_lm_score
+  /** Perplexity-style quality scoring — the standard LM-based corpus
+    * filter: each document's mean negative log-probability of its bigrams
+    * under the corpus's own bigram model (P(w₂|w₁) = c(w₁w₂)/c(w₁·)).
+    * Low score = predictable text; outliers at either end are the
+    * boilerplate/garbage candidates a curation pass inspects. Trained on
+    * the corpus it scores, so every bigram is seen (no smoothing needed)
+    * and the operator is self-contained.
+    *
+    * Float discipline (the BM25 precedent): −ln(P) is the ONE
+    * transcendental step, rounded to integer µ-nats per bigram; per-doc
+    * totals are exact BIGINT sums (order-independent), and the mean is one
+    * division of identical integers — bit-identical across engines.
+    *
+    * Scale shape: the bigram count tables are vocab²-bounded aggregates
+    * (broadcastable), the doc-side join is a stateless lookup on the
+    * exploded pair stream, and the per-doc reduce is one keyed sum. */
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), " +
+          "i -> named_struct('w1', w[i], 'w2', w[i+1]))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    pairs
+      .join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("unats",
+        round(-log(col("c12").cast("double") / col("c1")) * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("unats")).as("total_unats"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("total_unats").cast("double") / col("n_bigrams")).as("mean_unats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qLmScoreSql =
+    """WITH pairs AS (
+      |  SELECT doc_id,
+      |    unnest(w[1:len(w)-1]) AS w1,
+      |    unnest(w[2:len(w)]) AS w2
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(lower(trim(text)), '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 2),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |    CAST(round(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1) * 1e6, 0) AS BIGINT)
+      |      AS unats
+      |  FROM pairs p
+      |  JOIN c12 ON c12.w1 = p.w1 AND c12.w2 = p.w2
+      |  JOIN c1 ON c1.w1 = p.w1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(unats) AS DOUBLE) / count(*) AS mean_unats
+      |FROM scored GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score"    -> (qLmScore _),
     "q_text_stats"    -> (qTextStats _),
     "q_lang_id"       -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
@@ -335,6 +398,7 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_lm_score"    -> qLmScoreSql,
     "q_text_stats"    -> qTextStatsSql,
     "q_lang_id"       -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
