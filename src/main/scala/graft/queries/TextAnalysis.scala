@@ -387,7 +387,47 @@ object TextAnalysis {
       |FROM scored GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q_bpe_step
+  /** One BPE merge iteration's counting phase — the inner loop of
+    * byte-pair-encoding tokenizer training: count adjacent character
+    * pairs across every token OCCURRENCE in the corpus (multiplicity
+    * matters — that's what makes frequent words dominate the merge order)
+    * and emit the top merge candidates. Corpus-scale tokenizer induction
+    * is exactly this aggregation repeated per merge; one iteration under
+    * the gate proves the counting core.
+    *
+    * Scale shape: explode to (left, right) pairs is stateless and
+    * scan-local; the count is map-side combined over an alphabet²-bounded
+    * key space, so the exchange carries partial counts, not the pair
+    * stream. Top-20 by (count, pair) is a total order. */
+  def qBpeStep(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextOps.words(col("text"))).as("tok"))
+      .select(split(col("tok"), "").as("c"))
+      .filter(size(col("c")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(c)-2), " +
+          "i -> named_struct('l', c[i], 'r', c[i+1]))")).as("p"))
+      .groupBy(col("p.l").as("left_ch"), col("p.r").as("right_ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("left_ch"), col("right_ch"))
+      .limit(20)
+
+  private val qBpeStepSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT unnest(c[1:len(c)-1]) AS left_ch,
+      |         unnest(c[2:len(c)]) AS right_ch
+      |  FROM (SELECT string_split(tok, '') AS c FROM toks)
+      |  WHERE len(c) >= 2)
+      |SELECT left_ch, right_ch, count(*) AS cnt
+      |FROM pairs GROUP BY 1, 2
+      |ORDER BY cnt DESC, left_ch, right_ch LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_step"    -> (qBpeStep _),
     "q_lm_score"    -> (qLmScore _),
     "q_text_stats"    -> (qTextStats _),
     "q_lang_id"       -> (qLangId _),
@@ -398,6 +438,7 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_step"    -> qBpeStepSql,
     "q_lm_score"    -> qLmScoreSql,
     "q_text_stats"    -> qTextStatsSql,
     "q_lang_id"       -> qLangIdSql,
