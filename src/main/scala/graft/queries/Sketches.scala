@@ -486,8 +486,74 @@ object Sketches {
        |FROM ex JOIN sk ON ex.w = sk.w
        |ORDER BY window_start""".stripMargin
 
+  // ------------------------------------------------------------ q_winsorize
+  /** Outlier clipping (winsorization) at sample-estimated p01/p99 — the
+    * robustness step an ML feature pipeline applies before normalization:
+    * thresholds come from the SAME deterministic 3% hash sample as
+    * q_quantile_sketch (nearest-rank, integer arithmetic), then one clamp
+    * pass over the full data. Output is the audit summary: rows clipped
+    * at each end, and the decimal-exact sum before/after — the numbers a
+    * reviewer checks before accepting the transform.
+    *
+    * Scale shape: threshold estimation touches only the sample; the clamp
+    * is a stateless scan expression; the audit is one aggregation. The
+    * full data is read once. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val sample = li
+      .filter(substring(md5(concat_ws(":", lit("qs1"), $"l_orderkey",
+        $"l_linenumber", $"l_partkey")), 1, 4) < "07ae")
+      .select($"l_extendedprice".as("v"),
+        $"l_orderkey", $"l_linenumber", $"l_partkey")
+    val ranked = sample
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"v", $"l_orderkey", $"l_linenumber", $"l_partkey")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val bounds = ranked
+      .filter($"rn" === expr("(1 * n + 99) div 100") ||
+        $"rn" === expr("(99 * n + 99) div 100"))
+      .agg(min($"v").as("lo"), max($"v").as("hi"))
+    li.select($"l_extendedprice".as("v"))
+      .crossJoin(broadcast(bounds))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when($"v" < $"lo", 1)).as("n_clipped_low"),
+        count(when($"v" > $"hi", 1)).as("n_clipped_high"),
+        graft.core.OracleParity.sumExact($"v").as("sum_before"),
+        graft.core.OracleParity
+          .sumExact(greatest($"lo", least($"hi", $"v"))).as("sum_after"),
+        min($"lo").as("p01"), min($"hi").as("p99"))
+  }
+
+  private val qWinsorizeSql =
+    """WITH sample AS (
+      |  SELECT l_extendedprice AS v, l_orderkey, l_linenumber, l_partkey
+      |  FROM lineitem
+      |  WHERE substr(md5('qs1' || ':' || CAST(l_orderkey AS VARCHAR)
+      |    || ':' || CAST(l_linenumber AS VARCHAR)
+      |    || ':' || CAST(l_partkey AS VARCHAR)), 1, 4) < '07ae'),
+      |ranked AS (
+      |  SELECT v,
+      |    row_number() OVER (ORDER BY v, l_orderkey, l_linenumber, l_partkey) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM sample),
+      |bounds AS (
+      |  SELECT min(v) AS lo, max(v) AS hi FROM ranked
+      |  WHERE rn = (1 * n + 99) // 100 OR rn = (99 * n + 99) // 100)
+      |SELECT count(*) AS n_rows,
+      |  count(*) FILTER (v < lo) AS n_clipped_low,
+      |  count(*) FILTER (v > hi) AS n_clipped_high,
+      |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_before,
+      |  CAST(sum(CAST(greatest(lo, least(hi, v)) AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_after,
+      |  min(lo) AS p01, min(hi) AS p99
+      |FROM (SELECT l_extendedprice AS v FROM lineitem) t CROSS JOIN bounds""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winsorize"       -> (qWinsorize _),
     "q_window_kmv"      -> (qWindowKmv _),
     "q_kmv_distinct"    -> (qKmvDistinct _),
     "q_profile_approx"  -> (qProfileApprox _),
@@ -497,6 +563,7 @@ object Sketches {
     "q_kmv_overlap"     -> (qKmvOverlap _))
 
   val oracle: Map[String, String] = Map(
+    "q_winsorize"      -> qWinsorizeSql,
     "q_window_kmv"     -> qWindowKmvSql,
     "q_kmv_distinct"   -> qKmvDistinctSql,
     "q_profile_approx" -> qProfileApproxSql,
