@@ -33,9 +33,17 @@ import graft.expressions.KmvAgg
   * the DECIMAL canonicalization q_profile_approx applies per column), no
   * FILTER clause. Everything else is left alone. Idempotent (the rewrite
   * output contains no distinct Count), so it is safe under a fixed-point
-  * batch — both `injectOptimizerRule` (GraftExtensions) and
-  * `spark.experimental.extraOptimizations` (runtime injection on a live
-  * session) work.
+  * batch.
+  *
+  * Injection paths differ in REACH (review finding, verified against the
+  * Spark 4.1.2 optimizer batch order): `injectOptimizerRule`
+  * (GraftExtensions) runs inside operator optimization, BEFORE Spark's
+  * RewriteDistinctAggregates — it catches single- and multi-distinct
+  * aggregates, and collapses the multi-distinct Expand. Runtime injection
+  * via `spark.experimental.extraOptimizations` runs AFTER that batch, so
+  * it reaches single-distinct aggregates only (a lone distinct stays a
+  * logical Aggregate through the whole optimizer; multiple distincts have
+  * already expanded by then and pass through unchanged).
   */
 object SketchDistinctRewrite extends Rule[LogicalPlan] {
   val Flag = "spark.graft.sketchDistinct"

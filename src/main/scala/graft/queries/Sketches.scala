@@ -22,6 +22,16 @@ object Sketches {
 
   private val K = 64
 
+  /** THE KMV estimator projection over a `kmv` struct column — one
+    * definition for every struct-shaped consumer (q_kmv_distinct,
+    * q_kmv_overlap, q_window_kmv; review finding: the arithmetic was
+    * hand-copied per query and must stay bit-identical for the gate).
+    * q_profile_approx applies the same formula over its stack-flattened
+    * n_kept/kth columns. */
+  private def kmvEst(sk: String): org.apache.spark.sql.Column =
+    when(col(s"$sk.n_kept") < K, col(s"$sk.n_kept").cast("double"))
+      .otherwise(lit((K - 1).toDouble * 4294967296.0) / col(s"$sk.kth"))
+
   // -------------------------------------------------------- q_kmv_distinct
   /** KMV (k-minimum-values) distinct-count estimate vs the exact count,
     * per return flag over lineitem's part keys — the estimator made
@@ -45,8 +55,7 @@ object Sketches {
     * semantics it approximates. */
   def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val est = when($"sk.n_kept" < K, $"sk.n_kept".cast("double"))
-      .otherwise(lit((K - 1).toDouble * 4294967296.0) / $"sk.kth")
+    val est = kmvEst("sk")
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag".as("flag"))
       .agg(
@@ -324,21 +333,44 @@ object Sketches {
     * implies) — same bounded-input justification as the vocab-bounded
     * window in q_ngram_next. Output includes n_sample so a consumer can
     * see the sketch's resolution. */
-  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+  /** THE deterministic ~3% price sample (content-hash gate, 1966/65536)
+    * with its total-order rank and size — q_quantile_sketch and
+    * q_winsorize must draw the SAME sample (same seed, same row fate) or
+    * their thresholds silently desynchronize (review finding: previously
+    * duplicated in both queries and both oracles). */
+  private def rankedPriceSample(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Tables.lineitem(s, dir)
+      .filter(substring(md5(concat_ws(":", lit("qs1"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"))), 1, 4) < "07ae")
+      .select(col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("v"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))))
+      .withColumn("n_sample", count(lit(1)).over(Window.partitionBy()))
+  }
+
+  /** DuckDB mirror of [[rankedPriceSample]], emitted as CTEs `sample` and
+    * `ranked(v, rn, n_sample)`. */
+  private val rankedPriceSampleCte =
+    // NB: no line may START with "||" — this value is re-embedded in outer
+    // stripMargin templates, which would strip the first pipe
+    """sample AS (
+      |  SELECT l_extendedprice AS v, l_orderkey, l_linenumber, l_partkey
+      |  FROM lineitem
+      |  WHERE substr(md5('qs1' || ':' || CAST(l_orderkey AS VARCHAR) || ':' ||
+      |    CAST(l_linenumber AS VARCHAR) || ':' ||
+      |    CAST(l_partkey AS VARCHAR)), 1, 4) < '07ae'),
+      |ranked AS (
+      |  SELECT v,
+      |    row_number() OVER (ORDER BY v, l_orderkey, l_linenumber, l_partkey) AS rn,
+      |    count(*) OVER () AS n_sample
+      |  FROM sample)""".stripMargin
+
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sample = Tables.lineitem(s, dir)
-      .filter(substring(md5(concat_ws(":", lit("qs1"), $"l_orderkey",
-        $"l_linenumber", $"l_partkey")), 1, 4) < "07ae") // 1966/65536 ≈ 3%
-      .select($"l_extendedprice".as("v"),
-        $"l_orderkey", $"l_linenumber", $"l_partkey")
-    val ranked = sample
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"v", $"l_orderkey", $"l_linenumber", $"l_partkey")))
-      .withColumn("n_sample", count(lit(1)).over(
-        Window.partitionBy()))
     val ps = Seq(25, 50, 75, 90, 99)
-    ranked
+    rankedPriceSample(s, dir)
       .withColumn("p_pct", explode(lit(ps.toArray)))
       .filter($"rn" === expr("(p_pct * n_sample + 99) div 100"))
       .select($"p_pct", $"n_sample", $"v".as("q_est"))
@@ -346,17 +378,7 @@ object Sketches {
   }
 
   private val qQuantileSketchSql =
-    """WITH sample AS (
-      |  SELECT l_extendedprice AS v, l_orderkey, l_linenumber, l_partkey
-      |  FROM lineitem
-      |  WHERE substr(md5('qs1' || ':' || CAST(l_orderkey AS VARCHAR)
-      |    || ':' || CAST(l_linenumber AS VARCHAR)
-      |    || ':' || CAST(l_partkey AS VARCHAR)), 1, 4) < '07ae'),
-      |ranked AS (
-      |  SELECT v,
-      |    row_number() OVER (ORDER BY v, l_orderkey, l_linenumber, l_partkey) AS rn,
-      |    count(*) OVER () AS n_sample
-      |  FROM sample)
+    s"""WITH $rankedPriceSampleCte
       |SELECT p_pct, n_sample, v AS q_est
       |FROM ranked, (SELECT unnest([25, 50, 75, 90, 99]) AS p_pct) ps
       |WHERE rn = (p_pct * n_sample + 99) // 100
@@ -384,9 +406,7 @@ object Sketches {
       .filter($"a" === 1 || $"b" === 1)
       .withColumn("hv", expr(
         "cast(conv(substring(md5(cast(k as string)), 1, 8), 16, 10) as bigint)"))
-    def est(sk: String) =
-      when(col(s"$sk.n_kept") < K, col(s"$sk.n_kept").cast("double"))
-        .otherwise(lit((K - 1).toDouble * 4294967296.0) / col(s"$sk.kth"))
+    def est(sk: String) = kmvEst(sk)
     flags.agg(
       count(when($"a" === 1, 1)).as("n_a_exact"),
       count(when($"b" === 1, 1)).as("n_b_exact"),
@@ -447,8 +467,7 @@ object Sketches {
     * window. */
   def qWindowKmv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val est = when($"sk.n_kept" < K, $"sk.n_kept".cast("double"))
-      .otherwise(lit((K - 1).toDouble * 4294967296.0) / $"sk.kth")
+    val est = kmvEst("sk")
     Tables.events(s, dir)
       .groupBy(date_trunc("hour", $"ts").as("window_start"))
       .agg(
@@ -499,23 +518,12 @@ object Sketches {
     * is a stateless scan expression; the audit is one aggregation. The
     * full data is read once. */
   def qWinsorize(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-    val sample = li
-      .filter(substring(md5(concat_ws(":", lit("qs1"), $"l_orderkey",
-        $"l_linenumber", $"l_partkey")), 1, 4) < "07ae")
-      .select($"l_extendedprice".as("v"),
-        $"l_orderkey", $"l_linenumber", $"l_partkey")
-    val ranked = sample
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"v", $"l_orderkey", $"l_linenumber", $"l_partkey")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    val bounds = ranked
-      .filter($"rn" === expr("(1 * n + 99) div 100") ||
-        $"rn" === expr("(99 * n + 99) div 100"))
+    val bounds = rankedPriceSample(s, dir)
+      .filter($"rn" === expr("(1 * n_sample + 99) div 100") ||
+        $"rn" === expr("(99 * n_sample + 99) div 100"))
       .agg(min($"v").as("lo"), max($"v").as("hi"))
-    li.select($"l_extendedprice".as("v"))
+    Tables.lineitem(s, dir).select($"l_extendedprice".as("v"))
       .crossJoin(broadcast(bounds))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -528,20 +536,11 @@ object Sketches {
   }
 
   private val qWinsorizeSql =
-    """WITH sample AS (
-      |  SELECT l_extendedprice AS v, l_orderkey, l_linenumber, l_partkey
-      |  FROM lineitem
-      |  WHERE substr(md5('qs1' || ':' || CAST(l_orderkey AS VARCHAR)
-      |    || ':' || CAST(l_linenumber AS VARCHAR)
-      |    || ':' || CAST(l_partkey AS VARCHAR)), 1, 4) < '07ae'),
-      |ranked AS (
-      |  SELECT v,
-      |    row_number() OVER (ORDER BY v, l_orderkey, l_linenumber, l_partkey) AS rn,
-      |    count(*) OVER () AS n
-      |  FROM sample),
+    s"""WITH $rankedPriceSampleCte,
       |bounds AS (
       |  SELECT min(v) AS lo, max(v) AS hi FROM ranked
-      |  WHERE rn = (1 * n + 99) // 100 OR rn = (99 * n + 99) // 100)
+      |  WHERE rn = (1 * n_sample + 99) // 100
+      |     OR rn = (99 * n_sample + 99) // 100)
       |SELECT count(*) AS n_rows,
       |  count(*) FILTER (v < lo) AS n_clipped_low,
       |  count(*) FILTER (v > hi) AS n_clipped_high,

@@ -592,7 +592,12 @@ object TextDedup {
     val delta = Tables.documents(s, dir).filter(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 10000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
-    val deltaBands = bandRows(minhashes(shingleRows(delta)))
+    // materialized like the base index: three consumers below (vs-base join
+    // + both sides of the within self-join) would otherwise re-run the
+    // delta's shingle→minhash→band pipeline three times (review finding)
+    val deltaBands = graft.io.IndexStore.materialized(s, dir, "bands_delta") {
+      bandRows(minhashes(shingleRows(delta)))
+    }
     val vsBase = deltaBands
       .select(col("band_id"), col("band_sig"), col("doc_id").as("b"))
       .join(baseBands.select(col("band_id"), col("band_sig"), col("doc_id").as("a")),

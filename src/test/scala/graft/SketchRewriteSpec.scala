@@ -49,10 +49,11 @@ class SketchRewriteSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx == expected, "rewrite must equal the explicit kmv formulation")
     // groups over k distinct keys estimate (≠ exact, within ~1/√k); groups
-    // under k are exact even through the sketch
+    // strictly under k are exact even through the sketch (a group AT
+    // exactly k fills the sketch and takes the estimator branch)
     exact.foreach { case (k, ex) =>
       val ap = approx(k)
-      if (ex <= 64) assert(ap == ex, s"group $k under k must be exact")
+      if (ex < 64) assert(ap == ex, s"group $k under k must be exact")
       else assert(math.abs(ap - ex).toDouble / ex < 0.5,
         s"group $k estimate $ap implausibly far from exact $ex")
     }
@@ -60,20 +61,37 @@ class SketchRewriteSpec extends AnyFunSuite {
       "fixture should exercise the estimating regime")
   }
 
-  test("unsupported shapes pass through untouched: filtered and double-typed distincts") {
+  // single-aggregate queries below: a LONE distinct survives to the
+  // extraOptimizations batch (multi-distinct would already be expanded
+  // there — see the rule's injection-path scaladoc), so each shape's
+  // guard/behavior is genuinely exercised on this injection path
+  test("double-typed distinct is out of scope and stays exact under the flag") {
     import spark.implicits._
     val li = graft.core.Tables.lineitem(spark, sfDir)
-    val exact = li.agg(
-      countDistinct(when($"l_quantity" > 25, $"l_partkey")).as("a"),
-      countDistinct($"l_extendedprice").as("b")).collect()(0)
+    val exact = li.agg(countDistinct($"l_extendedprice")).collect()(0).getLong(0)
     val same = flagged(on = true) {
-      li.agg(
-        countDistinct(when($"l_quantity" > 25, $"l_partkey")).as("a"),
-        countDistinct($"l_extendedprice").as("b")).collect()(0)
+      li.agg(countDistinct($"l_extendedprice")).collect()(0).getLong(0)
     }
-    // the when() child is supported (long) — rewritten but null-safe; the
-    // DOUBLE child must NOT rewrite (no decimal canonicalization): exact
-    assert(same.getLong(1) == exact.getLong(1),
-      "double-typed distinct must stay exact under the flag")
+    assert(same == exact, "double-typed distinct must not rewrite")
+  }
+
+  test("a null-producing when() child rewrites null-safely: estimate matches " +
+    "the explicit kmv over the same conditional") {
+    import spark.implicits._
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+    val approx = flagged(on = true) {
+      li.agg(countDistinct(when($"l_quantity" > 25, $"l_partkey")))
+        .collect()(0).getLong(0)
+    }
+    // nulls never enter the sketch (kmv skips null hashes), matching
+    // COUNT(DISTINCT)'s null semantics — same arithmetic, built explicitly
+    val expected = li
+      .agg(expr("kmv(cast(conv(substring(md5(cast(" +
+        "case when l_quantity > 25 then l_partkey end as string)), 1, 8)," +
+        " 16, 10) as bigint), 64)").as("sk"))
+      .select(when($"sk.n_kept" < 64, $"sk.n_kept".cast("long"))
+        .otherwise((lit(63.0 * 4294967296.0) / $"sk.kth").cast("long")))
+      .collect()(0).getLong(0)
+    assert(approx == expected)
   }
 }
