@@ -100,12 +100,162 @@ object Graph {
       case _ => ()
     }
 
+  /** Distinct undirected co-order edges (u < v): parts appearing in the
+    * same order are connected. One self-join on the order key + one
+    * distinct — both shuffles on natural keys. Shared by q_triangles and
+    * q_bfs_levels (and mirrored verbatim by their oracles). */
+  private def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
+    li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v"))
+      .distinct()
+  }
+
+  private val coOrderEdgesCte =
+    """edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+      .stripMargin
+
+  // ---------------------------------------------------------- q_triangles
+  /** Exact triangle count over the co-order graph, degree-oriented: every
+    * undirected edge points from the (degree, id)-smaller endpoint to the
+    * larger, so each triangle has exactly one node with both out-edges and
+    * is counted once — and, the scale point, out-degrees are bounded by
+    * O(√m), which caps the wedge fan-out that a naive node-id orientation
+    * lets explode on hub nodes. Three joins, all on node keys, no window. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coOrderEdges(s, dir).persist()
+    val deg = edges.select($"u".as("x")).union(edges.select($"v".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+    // orient toward the (deg, id)-larger endpoint
+    val oriented = withDeg.select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+          .otherwise($"v").as("src"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+          .otherwise($"u").as("dst"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv")
+          .otherwise($"du").as("ddst"))
+      .persist()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        $"e1.src" === $"e2.src" &&
+          ($"e1.ddst" < $"e2.ddst" ||
+            ($"e1.ddst" === $"e2.ddst" && $"e1.dst" < $"e2.dst")))
+      .select($"e1.dst".as("b"), $"e2.dst".as("c"))
+    val tri = wedges.join(oriented.as("e3"),
+        $"b" === $"e3.src" && $"c" === $"e3.dst", "left_semi")
+    // materialize the 1-row summary while the caches are live (the eager-
+    // release lesson from the round-5 qKmeans review finding), then drop them
+    val out = edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select($"n_nodes", $"n_edges", $"n_triangles")
+      .localCheckpoint()
+    Seq(edges, oriented).foreach(_.unpersist())
+    out
+  }
+
+  private val qTrianglesSql =
+    s"""WITH $coOrderEdgesCte,
+       |deg AS (
+       |  SELECT x, count(*) AS deg FROM (
+       |    SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+       |  GROUP BY x),
+       |oriented AS (
+       |  SELECT
+       |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |         THEN e.u ELSE e.v END AS src,
+       |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |         THEN e.v ELSE e.u END AS dst,
+       |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |         THEN dv.deg ELSE du.deg END AS ddst
+       |  FROM edges e
+       |  JOIN deg du ON du.x = e.u
+       |  JOIN deg dv ON dv.x = e.v),
+       |wedges AS (
+       |  SELECT e1.dst AS b, e2.dst AS c
+       |  FROM oriented e1 JOIN oriented e2
+       |    ON e1.src = e2.src
+       |   AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles FROM wedges w
+       |  WHERE EXISTS (SELECT 1 FROM oriented e3
+       |                WHERE e3.src = w.b AND e3.dst = w.c))
+       |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       |       (SELECT count(*) FROM edges) AS n_edges,
+       |       n_triangles
+       |FROM tri""".stripMargin
+
+  // --------------------------------------------------------- q_bfs_levels
+  /** BFS distance labels from the smallest connected node, 4 rounds of
+    * min-distance propagation over the symmetrized co-order graph — the
+    * same loop-with-lineage-truncation shape as PageRank: each round is one
+    * keyed join + one min-aggregation, localCheckpoint cuts the plan.
+    * Unreached nodes (incl. parts in no order) report dist = -1. At scale
+    * the refinement is frontier-delta propagation (join only nodes whose
+    * dist changed last round); with diameter-bounded rounds the full-label
+    * join here is the simpler, still-single-shuffle form. */
+  def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coOrderEdges(s, dir)
+    val adj = edges.union(edges.select($"v".as("u"), $"u".as("v"))).persist()
+    val nodes = Tables.part(s, dir).select($"p_partkey".cast("long").as("node"))
+    val src = adj.agg(min($"u").as("node")) // 1-row scalar aggregate
+    var dist = src.withColumn("dist", lit(0))
+    var prevCheckpoint: Option[DataFrame] = None
+    for (_ <- 1 to Iters - 1) {
+      val reached = adj.join(dist.withColumnRenamed("node", "u"), "u")
+        .select($"v".as("node"), ($"dist" + 1).as("dist"))
+      dist = dist.union(reached)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+        .localCheckpoint()
+      prevCheckpoint.foreach(freeCheckpoint)
+      prevCheckpoint = Some(dist)
+    }
+    adj.unpersist()
+    nodes.join(dist, Seq("node"), "left")
+      .select($"node".as("p_partkey"),
+        coalesce($"dist", lit(-1)).as("dist"))
+      .orderBy($"p_partkey")
+  }
+
+  private val qBfsLevelsSql = {
+    def iter(i: Int): String =
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT a.v AS node, d.dist + 1 AS dist
+         |    FROM adj a JOIN d${i - 1} d ON d.node = a.u)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH $coOrderEdgesCte,
+       |adj AS (
+       |  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+       |d0 AS (SELECT min(u) AS node, 0 AS dist FROM adj),
+       |${(1 to Iters - 1).map(iter).mkString(",\n")}
+       |SELECT p.p_partkey, coalesce(d.dist, -1) AS dist
+       |FROM part p LEFT JOIN d${Iters - 1} d ON d.node = p.p_partkey
+       |ORDER BY p.p_partkey""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (qPagerank _))
+    "q_pagerank"   -> (qPagerank _),
+    "q_triangles"  -> (qTriangles _),
+    "q_bfs_levels" -> (qBfsLevels _))
 
   val oracle: Map[String, String] = Map(
-    "q_pagerank" -> PagerankOracle.sql)
+    "q_pagerank"   -> PagerankOracle.sql,
+    "q_triangles"  -> qTrianglesSql,
+    "q_bfs_levels" -> qBfsLevelsSql)
 }
 
 /** The unrolled-iteration DuckDB replay of [[Graph.qPagerank]] — 5 chained

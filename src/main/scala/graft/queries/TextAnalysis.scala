@@ -426,7 +426,55 @@ object TextAnalysis {
       |FROM pairs GROUP BY 1, 2
       |ORDER BY cnt DESC, left_ch, right_ch LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------ q_inverted_index
+  /** Inverted-index build: token → document frequency + the first 8 doc ids
+    * as an ascending postings CSV. `array_distinct` inside each document
+    * makes (token, doc) pairs unique BEFORE the explode — the map-side dedup
+    * that keeps the shuffle at O(distinct pairs); the postings cap is a
+    * row_number ≤ 8 filter, so per-token state is bounded (the unbounded
+    * collect_list a naive build would do is exactly what breaks on a
+    * stopword token at 100 TB — the native TopKAgg is the drop-in if the
+    * cap must be an aggregate). df ≥ 50 keeps only index-worthy terms. */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("tok"))
+    val dfs = pairs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val posts = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 8)
+      .groupBy(col("tok"))
+      .agg(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+        "x -> cast(x as string)), ',')").as("postings"))
+    dfs.join(posts, "tok").filter(col("df") >= 50)
+      .select(col("tok"), col("df"), col("postings"))
+      .orderBy(col("tok"))
+  }
+
+  private val qInvertedIndexSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents)),
+      |dfs AS (SELECT tok, count(*) AS df FROM pairs GROUP BY tok),
+      |ranked AS (
+      |  SELECT tok, doc_id,
+      |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+      |  FROM pairs),
+      |posts AS (
+      |  SELECT tok,
+      |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+      |      AS postings
+      |  FROM ranked WHERE rn <= 8 GROUP BY tok)
+      |SELECT d.tok, d.df, p.postings
+      |FROM dfs d JOIN posts p USING (tok)
+      |WHERE d.df >= 50 ORDER BY d.tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_step"    -> (qBpeStep _),
     "q_lm_score"    -> (qLmScore _),
     "q_text_stats"    -> (qTextStats _),
@@ -438,6 +486,7 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_inverted_index" -> qInvertedIndexSql,
     "q_bpe_step"    -> qBpeStepSql,
     "q_lm_score"    -> qLmScoreSql,
     "q_text_stats"    -> qTextStatsSql,
