@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -157,14 +158,189 @@ object Stats {
       |  round((sy - slope * sx) / n_d, 6) AS intercept
       |FROM sl ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------- q_skyline
+  /** 2-D Pareto frontier (skyline) of parts on (retail price ↓, size ↓) via
+    * the sort-based O(n log n) algorithm, not the O(n²) dominance
+    * anti-join: a part survives iff no strictly-cheaper part has size ≤ its
+    * size (running min over a strict RANGE frame) and it is the smallest
+    * at its own price point (equal price + smaller size dominates; exact
+    * duplicates are mutually non-dominating and both survive).
+    *
+    * The unpartitioned window is confined to the dim-sized part table —
+    * the same budget rule as every other global window here; a fact-sized
+    * skyline swaps in the distributed prefix-min (range-partition by
+    * price, per-partition running min + broadcast per-partition offsets —
+    * the q_pack_sequences shape). */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+      .select($"p_partkey", OP.dec2($"p_retailprice").as("price"), $"p_size")
+      .withColumn("cents", ($"price" * 100).cast("long"))
+    val wCheaper = Window.orderBy($"cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSamePrice = Window.partitionBy($"cents")
+    p.withColumn("min_size_cheaper", min($"p_size").over(wCheaper))
+      .withColumn("min_size_same", min($"p_size").over(wSamePrice))
+      .filter(($"min_size_cheaper".isNull ||
+          $"min_size_cheaper" > $"p_size") &&
+        $"p_size" === $"min_size_same")
+      .select($"p_partkey", $"price".cast("double").as("price"), $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  private val qSkylineSql =
+    """WITH p AS (
+      |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+      |    p_size,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM part),
+      |marked AS (
+      |  SELECT *,
+      |    min(p_size) OVER (ORDER BY cents
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS min_size_cheaper,
+      |    min(p_size) OVER (PARTITION BY cents) AS min_size_same
+      |  FROM p)
+      |SELECT p_partkey, CAST(price AS DOUBLE) AS price, p_size
+      |FROM marked
+      |WHERE (min_size_cheaper IS NULL OR min_size_cheaper > p_size)
+      |  AND p_size = min_size_same
+      |ORDER BY p_partkey""".stripMargin
+
+  // -------------------------------------------------------------- q_ab_test
+  /** Pairwise Welch t² between event-type arms, entirely from the exact
+    * per-arm moments (n, Σcents, Σcents²): one map-side-combinable
+    * aggregation to 5 rows, then a broadcast self-join over the arm pairs.
+    * t², the standard error and the Welch–Satterthwaite df are single
+    * double expressions over the exact sums — identical parenthesization
+    * both engines (t² is scale-invariant, so cents vs dollars cancels;
+    * means are reported in dollars). */
+  def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.events(s, dir)
+      .select($"event_type",
+        (OP.dec2($"value") * 100).cast(DecimalType(38, 0)).as("xc"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n_d"),
+        sum($"xc").cast("double").as("s_d"),
+        sum($"xc" * $"xc").cast("double").as("q_d"))
+      .withColumn("m", $"s_d" / $"n_d")
+      .withColumn("v",
+        ($"n_d" * $"q_d" - $"s_d" * $"s_d") / ($"n_d" * ($"n_d" - 1.0d)))
+    val a = g.select($"event_type".as("arm_a"), $"n_d".as("na"),
+      $"m".as("ma"), $"v".as("va"))
+    val b = g.select($"event_type".as("arm_b"), $"n_d".as("nb"),
+      $"m".as("mb"), $"v".as("vb"))
+    a.join(b, $"arm_a" < $"arm_b")
+      .withColumn("se2", $"va" / $"na" + $"vb" / $"nb")
+      .select($"arm_a", $"arm_b",
+        $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+        round($"ma" / 100.0d, 4).as("mean_a"),
+        round($"mb" / 100.0d, 4).as("mean_b"),
+        round((($"ma" - $"mb") * ($"ma" - $"mb")) / $"se2", 4).as("t2"),
+        round(($"se2" * $"se2") /
+          (($"va" / $"na") * ($"va" / $"na") / ($"na" - 1.0d) +
+            ($"vb" / $"nb") * ($"vb" / $"nb") / ($"nb" - 1.0d)), 2)
+          .as("welch_df"))
+      .orderBy($"arm_a", $"arm_b")
+  }
+
+  private val qAbTestSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS DOUBLE) AS n_d,
+      |    CAST(sum(xc) AS DOUBLE) AS s_d,
+      |    CAST(sum(xc * xc) AS DOUBLE) AS q_d
+      |  FROM (SELECT event_type,
+      |          CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |            AS HUGEINT) AS xc
+      |        FROM events)
+      |  GROUP BY event_type),
+      |gm AS (
+      |  SELECT event_type, n_d, s_d / n_d AS m,
+      |    (n_d * q_d - s_d * s_d) / (n_d * (n_d - 1.0)) AS v
+      |  FROM g),
+      |pairs AS (
+      |  SELECT a.event_type AS arm_a, b.event_type AS arm_b,
+      |    a.n_d AS na, b.n_d AS nb, a.m AS ma, b.m AS mb,
+      |    a.v AS va, b.v AS vb,
+      |    a.v / a.n_d + b.v / b.n_d AS se2
+      |  FROM gm a JOIN gm b ON a.event_type < b.event_type)
+      |SELECT arm_a, arm_b,
+      |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  round(ma / 100.0, 4) AS mean_a,
+      |  round(mb / 100.0, 4) AS mean_b,
+      |  round(((ma - mb) * (ma - mb)) / se2, 4) AS t2,
+      |  round((se2 * se2)
+      |        / ((va / na) * (va / na) / (na - 1.0)
+      |           + (vb / nb) * (vb / nb) / (nb - 1.0)), 2) AS welch_df
+      |FROM pairs ORDER BY arm_a, arm_b""".stripMargin
+
+  // ------------------------------------------------------------ q_dist_drift
+  /** Distribution-drift monitor between two corpus halves (even vs odd doc
+    * ids — stand-ins for "reference snapshot" and "current snapshot"):
+    * equi-width length bins, per-bin share of each split, and a χ²-style
+    * per-bin drift contribution (cur−ref)²/ref over the shares — the PSI
+    * shape without the engine-libm ln. Counts are exact; shares and
+    * contributions are identical double expressions over them. Aggregation
+    * is O(bins); the window runs over the bin-sized aggregate only. */
+  def qDistDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binned = Tables.documents(s, dir)
+      .select(expr("n_chars div 100").cast("int").as("bin"),
+        ($"doc_id" % 2 === 0).as("is_ref"))
+      .groupBy($"bin")
+      .agg(count(when($"is_ref", 1)).as("ref_n"),
+        count(when(!$"is_ref", 1)).as("cur_n"))
+    val w = Window.partitionBy()
+    binned
+      .withColumn("ref_share",
+        $"ref_n".cast("double") / sum($"ref_n").over(w).cast("double"))
+      .withColumn("cur_share",
+        $"cur_n".cast("double") / sum($"cur_n").over(w).cast("double"))
+      .select($"bin", $"ref_n", $"cur_n",
+        round($"ref_share", 6).as("ref_share"),
+        round($"cur_share", 6).as("cur_share"),
+        round((($"cur_share" - $"ref_share") * ($"cur_share" - $"ref_share"))
+          / $"ref_share", 8).as("drift_contrib"))
+      .orderBy($"bin")
+  }
+
+  private val qDistDriftSql =
+    """WITH binned AS (
+      |  SELECT CAST(n_chars // 100 AS INT) AS bin,
+      |    count(*) FILTER (doc_id % 2 = 0) AS ref_n,
+      |    count(*) FILTER (doc_id % 2 <> 0) AS cur_n
+      |  FROM documents GROUP BY bin),
+      |shared AS (
+      |  SELECT *,
+      |    CAST(ref_n AS DOUBLE) / CAST(sum(ref_n) OVER () AS DOUBLE)
+      |      AS ref_share,
+      |    CAST(cur_n AS DOUBLE) / CAST(sum(cur_n) OVER () AS DOUBLE)
+      |      AS cur_share
+      |  FROM binned)
+      |SELECT bin, ref_n, cur_n,
+      |  round(ref_share, 6) AS ref_share,
+      |  round(cur_share, 6) AS cur_share,
+      |  round(((cur_share - ref_share) * (cur_share - ref_share))
+      |        / ref_share, 8) AS drift_contrib
+      |FROM shared ORDER BY bin""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_histogram" -> (qHistogram _),
-    "q_outliers"  -> (qOutliers _),
-    "q_linreg"    -> (qLinreg _))
+    "q_histogram"  -> (qHistogram _),
+    "q_outliers"   -> (qOutliers _),
+    "q_linreg"     -> (qLinreg _),
+    "q_skyline"    -> (qSkyline _),
+    "q_ab_test"    -> (qAbTest _),
+    "q_dist_drift" -> (qDistDrift _))
 
   val oracle: Map[String, String] = Map(
-    "q_histogram" -> qHistogramSql,
-    "q_outliers"  -> qOutliersSql,
-    "q_linreg"    -> qLinregSql)
+    "q_histogram"  -> qHistogramSql,
+    "q_outliers"   -> qOutliersSql,
+    "q_linreg"     -> qLinregSql,
+    "q_skyline"    -> qSkylineSql,
+    "q_ab_test"    -> qAbTestSql,
+    "q_dist_drift" -> qDistDriftSql)
 }

@@ -473,7 +473,63 @@ object TextAnalysis {
       |FROM dfs d JOIN posts p USING (tok)
       |WHERE d.df >= 50 ORDER BY d.tok""".stripMargin
 
+  // -------------------------------------------------------- q_colloc_lift
+  /** Token collocation mining: document-level co-occurrence lift
+    * N·c(a,b) / (c(a)·c(b)) for token pairs appearing together in ≥ 20% of
+    * documents — PMI's argument without the cross-engine-libm ln. The
+    * pair expansion is per-document over DISTINCT tokens (vocab-bounded,
+    * so the fan-out is ≤ |vocab|² per doc, not |doc|²); pair counts and
+    * per-token document frequencies are two map-side-combined aggregations
+    * and the final join is against the vocab-sized df table, broadcast. */
+  def qCollocLift(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("tok"))
+    val dfs = pairs.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val co = pairs.as("a").join(pairs.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val nDocs = Tables.documents(s, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    co.join(broadcast(dfs.withColumnRenamed("tok", "tok_a")
+        .withColumnRenamed("c", "c_a")), "tok_a")
+      .join(broadcast(dfs.withColumnRenamed("tok", "tok_b")
+        .withColumnRenamed("c", "c_b")), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("c_ab") * 5 >= col("n_docs"))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
+        round((col("n_docs") * col("c_ab").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
+  private val qCollocLiftSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents)),
+      |dfs AS (SELECT tok, count(*) AS c FROM pairs GROUP BY tok),
+      |co AS (
+      |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_ab
+      |  FROM pairs a JOIN pairs b
+      |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY tok_a, tok_b),
+      |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+      |SELECT tok_a, tok_b, c_ab, da.c AS c_a, db.c AS c_b,
+      |  round((n_docs * CAST(c_ab AS DOUBLE))
+      |        / (CAST(da.c AS DOUBLE) * CAST(db.c AS DOUBLE)), 6) AS lift
+      |FROM co
+      |JOIN dfs da ON da.tok = co.tok_a
+      |JOIN dfs db ON db.tok = co.tok_b
+      |CROSS JOIN nd
+      |WHERE c_ab * 5 >= n_docs
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_colloc_lift"    -> (qCollocLift _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_step"    -> (qBpeStep _),
     "q_lm_score"    -> (qLmScore _),
@@ -486,6 +542,7 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_colloc_lift"    -> qCollocLiftSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_bpe_step"    -> qBpeStepSql,
     "q_lm_score"    -> qLmScoreSql,

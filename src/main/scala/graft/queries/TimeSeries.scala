@@ -100,12 +100,106 @@ object TimeSeries {
       |FROM ranked WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  // ----------------------------------------------------------------- q_ewma
+  /** Exponentially-weighted moving average (α = 1/2, depth 5) per entity —
+    * the classic time-series smoother as explicit integer-weighted lags:
+    * numerator 16·v₀+8·v₁+4·v₂+2·v₃+v₄ over integer cents, denominator
+    * renormalized to the lags actually present at the series head. The
+    * recursion is unrolled to a fixed depth precisely so it stays a plain
+    * rows-frame window (the infinite-memory EWMA needs sequential state —
+    * mapGroupsWithState territory); all arithmetic is exact until one
+    * final double division. */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val weights = Seq(16L, 8L, 4L, 2L, 1L)
+    val base = Tables.events(s, dir)
+      .withColumn("c0", (OP.dec2($"value") * 100).cast("long"))
+    val lagged = weights.indices.tail.foldLeft(base) { (df, i) =>
+      df.withColumn(s"c$i", lag($"c0", i).over(w))
+    }
+    val num = weights.zipWithIndex
+      .map { case (wt, i) => coalesce(col(s"c$i"), lit(0L)) * wt }
+      .reduce(_ + _)
+    val den = weights.zipWithIndex
+      .map { case (wt, i) =>
+        when(col(s"c$i").isNull, 0L).otherwise(wt)
+      }
+      .reduce(_ + _)
+    lagged
+      .select($"event_id", $"user_id",
+        ($"c0".cast("double") / 100.0d).as("value"),
+        round(num.cast("double") / den / 100.0d, 4).as("ewma5"))
+      .orderBy($"event_id")
+  }
+
+  private val qEwmaSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c0
+      |  FROM events),
+      |lagged AS (
+      |  SELECT event_id, user_id, c0,
+      |    lag(c0, 1) OVER w AS c1, lag(c0, 2) OVER w AS c2,
+      |    lag(c0, 3) OVER w AS c3, lag(c0, 4) OVER w AS c4
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id, CAST(c0 AS DOUBLE) / 100.0 AS value,
+      |  round(CAST(coalesce(c0, 0) * 16 + coalesce(c1, 0) * 8
+      |             + coalesce(c2, 0) * 4 + coalesce(c3, 0) * 2
+      |             + coalesce(c4, 0) AS DOUBLE)
+      |        / (CASE WHEN c0 IS NULL THEN 0 ELSE 16 END
+      |           + CASE WHEN c1 IS NULL THEN 0 ELSE 8 END
+      |           + CASE WHEN c2 IS NULL THEN 0 ELSE 4 END
+      |           + CASE WHEN c3 IS NULL THEN 0 ELSE 2 END
+      |           + CASE WHEN c4 IS NULL THEN 0 ELSE 1 END)
+      |        / 100.0, 4) AS ewma5
+      |FROM lagged ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ q_seq_mining
+  /** Frequent consecutive event-type bigrams — first-order behavioral
+    * sequence mining: one lag window per entity, then an alphabet²-bounded
+    * aggregation (≤ 25 keys here), support share over the tiny aggregate.
+    * The shuffle carries (prev, next) pairs, map-side combined. */
+  def qSeqMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs
+      .withColumn("support",
+        round($"cnt" / sum($"cnt").over(Window.partitionBy()), 6))
+      .select($"prev_type", $"next_type", $"cnt", $"support")
+      .orderBy($"cnt".desc, $"prev_type", $"next_type")
+  }
+
+  private val qSeqMiningSql =
+    """WITH pairs AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS cnt
+      |  FROM (SELECT user_id, event_type,
+      |          lag(event_type, 1) OVER (PARTITION BY user_id
+      |            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |        FROM events)
+      |  WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, cnt,
+      |  round(cnt / sum(cnt) OVER (), 6) AS support
+      |FROM pairs
+      |ORDER BY cnt DESC, prev_type, next_type""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_forward_fill" -> (qForwardFill _),
-    "q_cdc_apply"    -> (qCdcApply _))
+    "q_cdc_apply"    -> (qCdcApply _),
+    "q_ewma"         -> (qEwma _),
+    "q_seq_mining"   -> (qSeqMining _))
 
   val oracle: Map[String, String] = Map(
     "q_forward_fill" -> qForwardFillSql,
-    "q_cdc_apply"    -> qCdcApplySql)
+    "q_cdc_apply"    -> qCdcApplySql,
+    "q_ewma"         -> qEwmaSql,
+    "q_seq_mining"   -> qSeqMiningSql)
 }

@@ -269,11 +269,79 @@ object WarehouseOps {
       |       AS DOUBLE) / 100.0 AS revenue
       |FROM orders GROUP BY month ORDER BY month""".stripMargin
 
+  // ------------------------------------------------------------ q_table_diff
+  /** Replication/migration reconciliation: compare two table snapshots by
+    * bucketed checksums instead of row-by-row — per key-range bucket, a
+    * row count and an XOR of per-row md5 fingerprints (order-independent,
+    * so no sort anywhere; md5 per the house cross-engine hash idiom). The
+    * "after" snapshot is derived in-query (keys ≡ 0 mod 97 deleted, rows
+    * ≡ 0 mod 89 repriced) so the expected mismatch pattern is known.
+    * At 100 TB each side is one scan + an O(buckets) aggregate; only
+    * buckets that disagree are re-read at row granularity — the anti-
+    * entropy shape replication systems use. */
+  def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def summarize(df: DataFrame, nCol: String, xCol: String): DataFrame =
+      df.select(expr("o_orderkey div 1000").as("bucket"),
+          conv(substring(md5(concat_ws("|",
+            $"o_orderkey".cast("string"),
+            $"price".cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("f"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as(nCol), expr("bit_xor(f)").as(xCol))
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey", OP.dec2($"o_totalprice").as("price"))
+    val snap = base.filter($"o_orderkey" % 97 =!= 0)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 89 === 0, OP.dec2($"price" + 1))
+          .otherwise($"price").as("price"))
+    summarize(base, "n_base", "x_base")
+      .join(summarize(snap, "n_snap", "x_snap"), Seq("bucket"), "full_outer")
+      .select($"bucket",
+        coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_snap", lit(0L)).as("n_snap"),
+        when($"n_base" <=> $"n_snap" && $"x_base" <=> $"x_snap", "match")
+          .otherwise("diff").as("status"))
+      .orderBy($"bucket")
+  }
+
+  private val qTableDiffSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |snap AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 89 = 0
+      |         THEN CAST(price + 1 AS DECIMAL(18,2))
+      |         ELSE price END AS price
+      |  FROM base WHERE o_orderkey % 97 <> 0),
+      |sb AS (
+      |  SELECT o_orderkey // 1000 AS bucket, count(*) AS n_base,
+      |    bit_xor(('0x' || substr(md5(
+      |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(price AS VARCHAR)),
+      |      1, 15))::BIGINT) AS x_base
+      |  FROM base GROUP BY bucket),
+      |ss AS (
+      |  SELECT o_orderkey // 1000 AS bucket, count(*) AS n_snap,
+      |    bit_xor(('0x' || substr(md5(
+      |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(price AS VARCHAR)),
+      |      1, 15))::BIGINT) AS x_snap
+      |  FROM snap GROUP BY bucket)
+      |SELECT coalesce(sb.bucket, ss.bucket) AS bucket,
+      |  coalesce(n_base, 0) AS n_base,
+      |  coalesce(n_snap, 0) AS n_snap,
+      |  CASE WHEN n_base IS NOT DISTINCT FROM n_snap
+      |        AND x_base IS NOT DISTINCT FROM x_snap
+      |       THEN 'match' ELSE 'diff' END AS status
+      |FROM sb FULL OUTER JOIN ss ON sb.bucket = ss.bucket
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_merge"  -> (qScd2Merge _),
     "q_dedup_log"   -> (qDedupLog _),
     "q_impute_mean" -> (qImputeMean _),
     "q_profile"     -> (qProfile _),
+    "q_table_diff"  -> (qTableDiff _),
     "q_incremental_agg" -> (qIncrementalAgg _))
 
   val oracle: Map[String, String] = Map(
@@ -281,5 +349,6 @@ object WarehouseOps {
     "q_dedup_log"   -> qDedupLogSql,
     "q_impute_mean" -> qImputeMeanSql,
     "q_profile"     -> qProfileSql,
+    "q_table_diff"  -> qTableDiffSql,
     "q_incremental_agg" -> qIncrementalAggSql)
 }
