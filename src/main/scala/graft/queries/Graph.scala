@@ -104,7 +104,7 @@ object Graph {
     * same order are connected. One self-join on the order key + one
     * distinct — both shuffles on natural keys. Shared by q_triangles and
     * q_bfs_levels (and mirrored verbatim by their oracles). */
-  private def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
@@ -129,38 +129,60 @@ object Graph {
     * O(√m), which caps the wedge fan-out that a naive node-id orientation
     * lets explode on hub nodes. Three joins, all on node keys, no window. */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val edges = coOrderEdges(s, dir).persist()
+    val oriented = orientByDegree(s, edges).persist()
+    // materialize the 1-row summary while the caches are live (the eager-
+    // release lesson from the round-5 qKmeans review finding), then drop them
+    val out = triangleSummary(s, edges, oriented).localCheckpoint()
+    Seq(edges, oriented).foreach(_.unpersist())
+    out
+  }
+
+  /** Orient each undirected edge toward its (degree, id)-larger endpoint,
+    * carrying the destination's degree for the wedge ordering. */
+  private[graft] def orientByDegree(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
     val deg = edges.select($"u".as("x")).union(edges.select($"v".as("x")))
       .groupBy($"x").agg(count(lit(1)).as("deg"))
-    val withDeg = edges
+    edges
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
-    // orient toward the (deg, id)-larger endpoint
-    val oriented = withDeg.select(
+      .select(
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
           .otherwise($"v").as("src"),
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
           .otherwise($"u").as("dst"),
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv")
           .otherwise($"du").as("ddst"))
-      .persist()
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
+  }
+
+  /** The un-checkpointed counting pipeline (factored out so PlanAuditSpec
+    * can pin its static plan — qTriangles' eager localCheckpoint hides it).
+    *
+    * Both joins broadcast the oriented edge list (O(m) longs — small next
+    * to the O(Σ outdeg²) wedge stream): the wedge expansion, the existence
+    * probe, and the partial count then pipeline in ONE codegen stage with
+    * zero wedge shuffle. Without the hints Spark sort-merges, i.e.
+    * shuffles all ~41M wedges at sf0.1 — measured 26 s vs 10.6 s (DuckDB
+    * needs 18.4 s for the identical pipeline). At edge counts past
+    * broadcast reach, drop the hints and the same plan degrades gracefully
+    * to the shuffled SMJ. */
+  private[graft] def triangleSummary(
+      s: SparkSession, edges: DataFrame, oriented: DataFrame): DataFrame = {
+    import s.implicits._
+    val wedges = oriented.as("e1").join(broadcast(oriented.as("e2")),
         $"e1.src" === $"e2.src" &&
           ($"e1.ddst" < $"e2.ddst" ||
             ($"e1.ddst" === $"e2.ddst" && $"e1.dst" < $"e2.dst")))
       .select($"e1.dst".as("b"), $"e2.dst".as("c"))
-    val tri = wedges.join(oriented.as("e3"),
+    val tri = wedges.join(broadcast(oriented.as("e3")),
         $"b" === $"e3.src" && $"c" === $"e3.dst", "left_semi")
-    // materialize the 1-row summary while the caches are live (the eager-
-    // release lesson from the round-5 qKmeans review finding), then drop them
-    val out = edges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    val nodes = edges.select($"u".as("x")).union(edges.select($"v".as("x")))
+      .distinct()
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
       .select($"n_nodes", $"n_edges", $"n_triangles")
-      .localCheckpoint()
-    Seq(edges, oriented).foreach(_.unpersist())
-    out
   }
 
   private val qTrianglesSql =
@@ -212,7 +234,9 @@ object Graph {
     var dist = src.withColumn("dist", lit(0))
     var prevCheckpoint: Option[DataFrame] = None
     for (_ <- 1 to Iters - 1) {
-      val reached = adj.join(dist.withColumnRenamed("node", "u"), "u")
+      // dist is node-bounded (tiny next to the edge list) — broadcast it so
+      // the only per-iteration shuffle is the min-aggregation on node id
+      val reached = adj.join(broadcast(dist.withColumnRenamed("node", "u")), "u")
         .select($"v".as("node"), ($"dist" + 1).as("dist"))
       dist = dist.union(reached)
         .groupBy($"node").agg(min($"dist").as("dist"))
@@ -246,16 +270,83 @@ object Graph {
        |ORDER BY p.p_partkey""".stripMargin
   }
 
+  // -------------------------------------------------------------- q_item_cf
+  /** Item-item collaborative filtering over the customer–part co-purchase
+    * bipartite graph: exact Jaccard c(ab)/(c(a)+c(b)−c(ab)) between items'
+    * buyer sets, top-3 neighbors per item at support ≥ 3. The pair
+    * expansion fans out per CUSTOMER (bounded by a buyer's basket width,
+    * not the catalog — the hub-item explosion a part-side self-join would
+    * hit), pair counts are one map-side-combined shuffle, and the
+    * vocab-sized per-item buyer counts join back broadcast. Jaccard is an
+    * integer ratio — one double division, engine-exact. */
+  def qItemCf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ui = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("item"))
+      .distinct()
+    val itemN = ui.groupBy($"item").agg(count(lit(1)).as("n_buyers"))
+    val co = ui.as("a").join(ui.as("b"),
+        $"a.cust" === $"b.cust" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= 3)
+    val scored = co
+      .join(broadcast(itemN.select($"item".as("item_a"), $"n_buyers".as("c_a"))),
+        "item_a")
+      .join(broadcast(itemN.select($"item".as("item_b"), $"n_buyers".as("c_b"))),
+        "item_b")
+      .withColumn("jaccard",
+        round($"c_ab".cast("double")
+          / ($"c_a" + $"c_b" - $"c_ab").cast("double"), 6))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy($"item_a")
+        .orderBy($"jaccard".desc, $"c_ab".desc, $"item_b")))
+      .filter($"rn" <= 3)
+      .select($"item_a", $"item_b", $"c_ab", $"c_a", $"c_b", $"jaccard",
+        $"rn".as("rank"))
+      .orderBy($"item_a", $"rank")
+  }
+
+  private val qItemCfSql =
+    """WITH ui AS (
+      |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |itemn AS (SELECT item, count(*) AS n_buyers FROM ui GROUP BY item),
+      |co AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+      |  FROM ui a JOIN ui b ON a.cust = b.cust AND a.item < b.item
+      |  GROUP BY item_a, item_b
+      |  HAVING count(*) >= 3),
+      |scored AS (
+      |  SELECT item_a, item_b, c_ab,
+      |    na.n_buyers AS c_a, nb.n_buyers AS c_b,
+      |    round(CAST(c_ab AS DOUBLE)
+      |          / CAST(na.n_buyers + nb.n_buyers - c_ab AS DOUBLE), 6)
+      |      AS jaccard
+      |  FROM co
+      |  JOIN itemn na ON na.item = co.item_a
+      |  JOIN itemn nb ON nb.item = co.item_b),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY item_a
+      |    ORDER BY jaccard DESC, c_ab DESC, item_b) AS INT) AS rank
+      |  FROM scored)
+      |SELECT item_a, item_b, c_ab, c_a, c_b, jaccard, rank
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY item_a, rank""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"   -> (qPagerank _),
     "q_triangles"  -> (qTriangles _),
-    "q_bfs_levels" -> (qBfsLevels _))
+    "q_bfs_levels" -> (qBfsLevels _),
+    "q_item_cf"    -> (qItemCf _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank"   -> PagerankOracle.sql,
     "q_triangles"  -> qTrianglesSql,
-    "q_bfs_levels" -> qBfsLevelsSql)
+    "q_bfs_levels" -> qBfsLevelsSql,
+    "q_item_cf"    -> qItemCfSql)
 }
 
 /** The unrolled-iteration DuckDB replay of [[Graph.qPagerank]] — 5 chained

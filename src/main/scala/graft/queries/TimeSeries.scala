@@ -190,16 +190,59 @@ object TimeSeries {
       |FROM pairs
       |ORDER BY cnt DESC, prev_type, next_type""".stripMargin
 
+  // -------------------------------------------------------- q_feature_matrix
+  /** ML feature assembly per event: previous value, rolling 3-event
+    * mean/min/max, and the event's ordinal — the lag/rolling feature block
+    * a training pipeline derives before a model sees the stream. One
+    * entity-keyed window serves every feature (Spark plans a single
+    * WindowExec for same-spec functions); sums stay integer cents until
+    * the final divisions. */
+  def qFeatureMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("c0", (OP.dec2($"value") * 100).cast("long"))
+      .select($"event_id", $"user_id",
+        ($"c0".cast("double") / 100.0d).as("value"),
+        (lag($"c0", 1).over(w).cast("double") / 100.0d).as("v_lag1"),
+        round(sum($"c0").over(w3).cast("double")
+          / count(lit(1)).over(w3) / 100.0d, 4).as("roll3_mean"),
+        (min($"c0").over(w3).cast("double") / 100.0d).as("roll3_min"),
+        (max($"c0").over(w3).cast("double") / 100.0d).as("roll3_max"),
+        row_number().over(w).as("n_so_far"))
+      .orderBy($"event_id")
+  }
+
+  private val qFeatureMatrixSql =
+    """SELECT event_id, user_id,
+      |  CAST(c0 AS DOUBLE) / 100.0 AS value,
+      |  CAST(lag(c0, 1) OVER w AS DOUBLE) / 100.0 AS v_lag1,
+      |  round(CAST(sum(c0) OVER w3 AS DOUBLE)
+      |        / count(*) OVER w3 / 100.0, 4) AS roll3_mean,
+      |  CAST(min(c0) OVER w3 AS DOUBLE) / 100.0 AS roll3_min,
+      |  CAST(max(c0) OVER w3 AS DOUBLE) / 100.0 AS roll3_max,
+      |  CAST(row_number() OVER w AS INT) AS n_so_far
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c0
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_forward_fill" -> (qForwardFill _),
-    "q_cdc_apply"    -> (qCdcApply _),
-    "q_ewma"         -> (qEwma _),
-    "q_seq_mining"   -> (qSeqMining _))
+    "q_forward_fill"   -> (qForwardFill _),
+    "q_cdc_apply"      -> (qCdcApply _),
+    "q_ewma"           -> (qEwma _),
+    "q_seq_mining"     -> (qSeqMining _),
+    "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
-    "q_forward_fill" -> qForwardFillSql,
-    "q_cdc_apply"    -> qCdcApplySql,
-    "q_ewma"         -> qEwmaSql,
-    "q_seq_mining"   -> qSeqMiningSql)
+    "q_forward_fill"   -> qForwardFillSql,
+    "q_cdc_apply"      -> qCdcApplySql,
+    "q_ewma"           -> qEwmaSql,
+    "q_seq_mining"     -> qSeqMiningSql,
+    "q_feature_matrix" -> qFeatureMatrixSql)
 }

@@ -152,6 +152,13 @@ object Windows {
     * staged) is `graft.warehouse.Scd2`. */
   def qScd2Rebuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    scd2Versions(s, dir).orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  /** The unordered SCD2 version history (shared by q_scd2_rebuild and
+    * q_scd2_prune). */
+  private def scd2Versions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val changes = Tables.events(s, dir)
       .withColumn("prev_type", lag($"event_type", 1).over(byUser))
@@ -164,7 +171,6 @@ object Windows {
       .withColumn("is_current", $"valid_to".isNull)
       .select($"user_id", $"event_type".as("attr_value"),
         $"valid_from", $"valid_to", $"is_current", $"event_id")
-      .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
   private val qScd2RebuildSql =
@@ -186,6 +192,57 @@ object Windows {
       |FROM changes
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  // ----------------------------------------------------------- q_scd2_prune
+  /** SCD2 retention maintenance: drop versions that CLOSED before the
+    * retention horizon — exactly the rows no as-of query at t ≥ horizon can
+    * ever return (a version is visible at t iff valid_from ≤ t < valid_to,
+    * so `valid_to ≤ horizon` ⟹ invisible for every retained t; the version
+    * spanning the horizon and all current rows survive the filter by
+    * construction, no special-casing). Each kept row reports how many of
+    * its key's versions were pruned — the audit count a maintenance job
+    * logs. One keyed window + a stateless filter; at 100 TB this is the
+    * partition-rewrite that keeps PIT-join state bounded. */
+  def qScd2Prune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val horizon = lit("2024-01-20 00:00:00").cast("timestamp")
+    scd2Versions(s, dir)
+      .withColumn("n_pruned_for_key",
+        count(when($"valid_to" <= horizon, 1))
+          .over(Window.partitionBy($"user_id")))
+      .filter($"valid_to".isNull || $"valid_to" > horizon)
+      .select($"user_id", $"attr_value", $"valid_from", $"valid_to",
+        $"is_current", $"event_id", $"n_pruned_for_key")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
+  private val qScd2PruneSql =
+    """WITH evts AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |changes AS (
+      |  SELECT * FROM (
+      |    SELECT *, LAG(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |    FROM evts)
+      |  WHERE event_type IS DISTINCT FROM prev_type),
+      |versions AS (
+      |  SELECT user_id, event_type AS attr_value,
+      |    ts AS valid_from,
+      |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to,
+      |    event_id
+      |  FROM changes),
+      |counted AS (
+      |  SELECT *, valid_to IS NULL AS is_current,
+      |    count(*) FILTER (valid_to <= TIMESTAMP '2024-01-20 00:00:00')
+      |      OVER (PARTITION BY user_id) AS n_pruned_for_key
+      |  FROM versions)
+      |SELECT user_id, attr_value, valid_from, valid_to, is_current,
+      |  event_id, n_pruned_for_key
+      |FROM counted
+      |WHERE valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20 00:00:00'
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rownum"  -> (qWindowRownum _),
@@ -193,7 +250,8 @@ object Windows {
     "q_topk_native"    -> (qTopkNative _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_lag"     -> (qWindowLag _),
-    "q_scd2_rebuild"   -> (qScd2Rebuild _))
+    "q_scd2_rebuild"   -> (qScd2Rebuild _),
+    "q_scd2_prune"     -> (qScd2Prune _))
 
   val oracle: Map[String, String] = Map(
     "q_window_rownum"  -> qWindowRownumSql,
@@ -202,5 +260,6 @@ object Windows {
     "q_topk_native"    -> qWindowTopkSql,
     "q_window_running" -> qWindowRunningSql,
     "q_window_lag"     -> qWindowLagSql,
-    "q_scd2_rebuild"   -> qScd2RebuildSql)
+    "q_scd2_rebuild"   -> qScd2RebuildSql,
+    "q_scd2_prune"     -> qScd2PruneSql)
 }

@@ -212,4 +212,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles.size <= 1,
       s"pii scrub must not shuffle beyond the final sort: ${shuffles.size}\n$plan")
   }
+
+  test("q_outliers joins the O(groups) stats table broadcast, never sort-merge") {
+    val plan = staticPlan(SparkEntry.queries("q_outliers")(spark, sfDir))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(bhj.nonEmpty, s"expected the stats join broadcast\n$plan")
+    assert(smj.isEmpty, s"stats join must not sort-merge: $smj")
+  }
+
+  test("q_triangles wedge expansion and existence probe are broadcast joins") {
+    // the wedge stream is O(sum outdeg^2) rows — it must stay pipelined in
+    // one stage, never shuffled for a sort-merge (measured 26 s -> 10.6 s
+    // at sf0.1 when these two joins broadcast the O(m) edge list). The
+    // un-checkpointed pipeline is inspected directly: qTriangles' eager
+    // localCheckpoint would reduce the visible plan to an RDD scan.
+    import graft.queries.Graph
+    val plan = staticPlan {
+      val edges = Graph.coOrderEdges(spark, sfDir)
+      Graph.triangleSummary(spark, edges, Graph.orientByDegree(spark, edges))
+    }
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    // the two hinted joins: the non-equi wedge expansion (condition touches
+    // ddst) and the left-semi existence probe
+    assert(bhj.exists(_.condition.exists(_.references.exists(_.name == "ddst"))),
+      s"wedge expansion must broadcast\n$plan")
+    assert(bhj.exists(_.joinType.toString == "LeftSemi"),
+      s"existence probe must broadcast\n$plan")
+    // the O(sum outdeg^2) wedge stream itself must never hit a sort-merge —
+    // only the O(m) degree-annotation joins below it may
+    val smjOnWedges = plan.collect { case j: SortMergeJoinExec => j }
+      .filter(j => j.joinType.toString == "LeftSemi" ||
+        j.condition.exists(_.references.exists(_.name == "ddst")))
+    assert(smjOnWedges.isEmpty,
+      s"wedge pipeline must not sort-merge-shuffle: $smjOnWedges")
+  }
 }
