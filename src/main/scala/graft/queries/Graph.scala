@@ -335,18 +335,43 @@ object Graph {
       |FROM ranked WHERE rank <= 3
       |ORDER BY item_a, rank""".stripMargin
 
+  // ----------------------------------------------------------- q_degree_dist
+  /** Degree distribution of the co-order graph — the first diagnostic a
+    * graph workload runs (it decides whether the wedge fan-out of
+    * q_triangles and the frontier growth of q_bfs_levels are safe). Two
+    * map-side-combined aggregations; output is O(distinct degrees). */
+  def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coOrderEdges(s, dir)
+    edges.select($"u".as("x")).union(edges.select($"v".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"deg")
+  }
+
+  private val qDegreeDistSql =
+    s"""WITH $coOrderEdgesCte,
+       |deg AS (
+       |  SELECT x, count(*) AS deg FROM (
+       |    SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+       |  GROUP BY x)
+       |SELECT deg, count(*) AS n_nodes FROM deg
+       |GROUP BY deg ORDER BY deg""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank"   -> (qPagerank _),
-    "q_triangles"  -> (qTriangles _),
-    "q_bfs_levels" -> (qBfsLevels _),
-    "q_item_cf"    -> (qItemCf _))
+    "q_pagerank"    -> (qPagerank _),
+    "q_triangles"   -> (qTriangles _),
+    "q_bfs_levels"  -> (qBfsLevels _),
+    "q_item_cf"     -> (qItemCf _),
+    "q_degree_dist" -> (qDegreeDist _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank"   -> PagerankOracle.sql,
     "q_triangles"  -> qTrianglesSql,
-    "q_bfs_levels" -> qBfsLevelsSql,
-    "q_item_cf"    -> qItemCfSql)
+    "q_bfs_levels"  -> qBfsLevelsSql,
+    "q_item_cf"     -> qItemCfSql,
+    "q_degree_dist" -> qDegreeDistSql)
 }
 
 /** The unrolled-iteration DuckDB replay of [[Graph.qPagerank]] — 5 chained

@@ -153,9 +153,62 @@ object Layout {
   }
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------------------------- q_encoding_stats
+  /** Storage-encoding advisory: per candidate column, cardinality and the
+    * run count the column would RLE into under the current physical order —
+    * runs counted WITHIN 1000-key blocks (row-group-sized units, block
+    * boundaries break runs) so the window is block-partitioned and fully
+    * distributed, and the number mirrors what a parquet writer's
+    * dictionary/RLE encoder actually sees per row group. High n/runs ⇒
+    * RLE/dictionary wins; near-1 ⇒ plain encoding. The same scan feeds
+    * every column's stats (one window per column, same partitioning). */
+  def qEncodingStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), expr("o_orderkey div 1000").as("blk"),
+        col("o_orderstatus"), col("o_orderpriority"))
+    val w = Window.partitionBy(col("blk")).orderBy(col("o_orderkey"))
+    def statsFor(c: String) = {
+      val runs = o
+        .withColumn("prev", lag(col(c), 1).over(w))
+        .select(count(lit(1)).as("n_rows"),
+          count(when(col("prev").isNull || col("prev") =!= col(c), 1))
+            .as("n_runs"))
+      val nd = o.agg(countDistinct(col(c)).as("n_distinct"))
+      runs.crossJoin(nd)
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
+          col("n_runs"),
+          round(col("n_rows").cast("double") / col("n_runs"), 2)
+            .as("rle_ratio"))
+    }
+    statsFor("o_orderstatus").unionByName(statsFor("o_orderpriority"))
+      .orderBy(col("column_name"))
+  }
+
+  private def encodingStatsCol(c: String): String =
+    s"""SELECT '$c' AS column_name,
+       |  count(*) AS n_rows,
+       |  (SELECT count(DISTINCT $c) FROM orders) AS n_distinct,
+       |  count(*) FILTER (prev IS NULL OR prev <> $c) AS n_runs,
+       |  round(CAST(count(*) AS DOUBLE)
+       |        / count(*) FILTER (prev IS NULL OR prev <> $c), 2)
+       |    AS rle_ratio
+       |FROM (SELECT $c, lag($c, 1) OVER (
+       |        PARTITION BY o_orderkey // 1000 ORDER BY o_orderkey) AS prev
+       |      FROM orders)""".stripMargin
+
+  private val qEncodingStatsSql =
+    s"""SELECT * FROM (
+       |${encodingStatsCol("o_orderstatus")}
+       |UNION ALL
+       |${encodingStatsCol("o_orderpriority")})
+       |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_zorder" -> (qZorder _))
+    "q_zorder"         -> (qZorder _),
+    "q_encoding_stats" -> (qEncodingStats _))
 
   val oracle: Map[String, String] = Map(
-    "q_zorder" -> qZorderSql)
+    "q_zorder"         -> qZorderSql,
+    "q_encoding_stats" -> qEncodingStatsSql)
 }

@@ -551,7 +551,47 @@ object Sketches {
       |FROM (SELECT l_extendedprice AS v FROM lineitem) t CROSS JOIN bounds""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------------- q_join_size_est
+  /** Join-cardinality estimation, the optimizer's question answered as an
+    * operator: how many rows would the lineitem self-join on part key
+    * produce? Exact answer = Σ_key cnt(key)² — computed from the per-key
+    * histogram WITHOUT running the join. The coarse estimate buckets keys
+    * (÷100, the granularity an optimizer histogram would store) and
+    * computes Σ_bucket cnt(bucket)² — an upper bound whose ratio to the
+    * exact count prices histogram resolution against estimate error. Both
+    * are integer sums off one aggregation; the quadratic join itself never
+    * runs. */
+  def qJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perKey = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+    val exact = perKey.agg(sum($"cnt" * $"cnt").as("actual_pairs"))
+    val coarse = perKey
+      .groupBy(expr("l_partkey div 100").as("bkt"))
+      .agg(sum($"cnt").as("bcnt"))
+      .agg(sum($"bcnt" * $"bcnt").as("bucket_est"))
+    exact.crossJoin(coarse)
+      .select($"actual_pairs", $"bucket_est",
+        round($"bucket_est".cast("double") / $"actual_pairs".cast("double"), 4)
+          .as("est_ratio"))
+  }
+
+  private val qJoinSizeEstSql =
+    """WITH perkey AS (
+      |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+      |exact AS (
+      |  SELECT CAST(sum(cnt * cnt) AS BIGINT) AS actual_pairs FROM perkey),
+      |coarse AS (
+      |  SELECT CAST(sum(bcnt * bcnt) AS BIGINT) AS bucket_est FROM (
+      |    SELECT l_partkey // 100 AS bkt, CAST(sum(cnt) AS BIGINT) AS bcnt
+      |    FROM perkey GROUP BY bkt))
+      |SELECT actual_pairs, bucket_est,
+      |  round(CAST(bucket_est AS DOUBLE) / CAST(actual_pairs AS DOUBLE), 4)
+      |    AS est_ratio
+      |FROM exact CROSS JOIN coarse""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_size_est"   -> (qJoinSizeEst _),
     "q_winsorize"       -> (qWinsorize _),
     "q_window_kmv"      -> (qWindowKmv _),
     "q_kmv_distinct"    -> (qKmvDistinct _),
@@ -562,6 +602,7 @@ object Sketches {
     "q_kmv_overlap"     -> (qKmvOverlap _))
 
   val oracle: Map[String, String] = Map(
+    "q_join_size_est"  -> qJoinSizeEstSql,
     "q_winsorize"      -> qWinsorizeSql,
     "q_window_kmv"     -> qWindowKmvSql,
     "q_kmv_distinct"   -> qKmvDistinctSql,
