@@ -21,6 +21,23 @@ import graft.core.{OracleParity => OP, Tables}
   */
 object Stats {
 
+  /** Exact integer-cents view of a 2-decimal measure, wide enough that the
+    * squared sums in [[exactMoments]] never overflow (mirrored as HUGEINT
+    * in the oracles). */
+  private def cents38(c: org.apache.spark.sql.Column) =
+    (OP.dec2(c) * 100).cast(DecimalType(38, 0))
+
+  /** Exact per-group moments (n, Σx, Σx²) over a frame carrying an
+    * integer-cents `xc` column, emitted as doubles cast from the exact
+    * sums — the single source for every downstream z²/variance/t²
+    * expression (q_outliers, q_ab_test), so the arithmetic both engines
+    * must replay bit-for-bit lives in one place. */
+  private def exactMoments(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(lit(1)).cast("double").as("n_d"),
+      sum(col("xc")).cast("double").as("s_d"),
+      sum(col("xc") * col("xc")).cast("double").as("q_d"))
+
   // ------------------------------------------------------------ q_histogram
   /** Equi-width histogram of order totals: 50k-wide bins via exact integer
     * cents division (both engines truncate non-negative division the same
@@ -69,12 +86,8 @@ object Stats {
   def qOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
-      .select($"event_id", $"event_type",
-        (OP.dec2($"value") * 100).cast(DecimalType(38, 0)).as("xc"))
-    val stats = ev.groupBy($"event_type")
-      .agg(count(lit(1)).cast("double").as("n_d"),
-        sum($"xc").cast("double").as("s_d"),
-        sum($"xc" * $"xc").cast("double").as("q_d"))
+      .select($"event_id", $"event_type", cents38($"value").as("xc"))
+    val stats = exactMoments(ev, "event_type")
     ev.join(broadcast(stats), "event_type")
       .withColumn("x_d", $"xc".cast("double"))
       .withColumn("z2",
@@ -218,13 +231,10 @@ object Stats {
     * means are reported in dollars). */
   def qAbTest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = Tables.events(s, dir)
-      .select($"event_type",
-        (OP.dec2($"value") * 100).cast(DecimalType(38, 0)).as("xc"))
-      .groupBy($"event_type")
-      .agg(count(lit(1)).cast("double").as("n_d"),
-        sum($"xc").cast("double").as("s_d"),
-        sum($"xc" * $"xc").cast("double").as("q_d"))
+    val g = exactMoments(
+        Tables.events(s, dir)
+          .select($"event_type", cents38($"value").as("xc")),
+        "event_type")
       .withColumn("m", $"s_d" / $"n_d")
       .withColumn("v",
         ($"n_d" * $"q_d" - $"s_d" * $"s_d") / ($"n_d" * ($"n_d" - 1.0d)))

@@ -437,9 +437,7 @@ object TextAnalysis {
     * cap must be an aggregate). df ≥ 50 keeps only index-worthy terms. */
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(toks(col("text")))).as("tok"))
+    val pairs = docTokenPairs(s, dir)
     val dfs = pairs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val posts = pairs
       .withColumn("rn", row_number().over(
@@ -473,6 +471,15 @@ object TextAnalysis {
       |FROM dfs d JOIN posts p USING (tok)
       |WHERE d.df >= 50 ORDER BY d.tok""".stripMargin
 
+  /** Distinct (doc_id, token) pairs — `array_distinct` inside each document
+    * dedups map-side BEFORE the explode, so the downstream shuffle carries
+    * O(distinct pairs), not O(tokens). Shared by q_inverted_index and
+    * q_colloc_lift (their oracles mirror the same `SELECT DISTINCT`). */
+  private def docTokenPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("tok"))
+
   // -------------------------------------------------------- q_colloc_lift
   /** Token collocation mining: document-level co-occurrence lift
     * N·c(a,b) / (c(a)·c(b)) for token pairs appearing together in ≥ 20% of
@@ -482,9 +489,7 @@ object TextAnalysis {
     * per-token document frequencies are two map-side-combined aggregations
     * and the final join is against the vocab-sized df table, broadcast. */
   def qCollocLift(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(toks(col("text")))).as("tok"))
+    val pairs = docTokenPairs(s, dir)
     val dfs = pairs.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val co = pairs.as("a").join(pairs.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
