@@ -69,16 +69,23 @@ object TimeSeries {
           .when($"event_type" === "error", "D")
           .otherwise("U").as("op"),
         OP.dec2($"value").as("v"))
-    val byKey = Window.partitionBy($"user_id")
+    cdcCompact(log).orderBy($"user_id")
+  }
+
+  /** Last-writer-wins compaction of a (user_id, ts, event_id, op, v)
+    * changelog — factored out of [[qCdcApply]] so StatsGraphSpec can
+    * property-test idempotence under duplicate delivery and input-order
+    * invariance on generated logs. */
+  private[graft] def cdcCompact(log: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id"))
     log
-      .withColumn("rn",
-        row_number().over(byKey.orderBy($"ts".desc, $"event_id".desc)))
+      .withColumn("rn", row_number().over(
+        byKey.orderBy(col("ts").desc, col("event_id").desc)))
       .withColumn("n_ops", count(lit(1)).over(byKey))
-      .filter($"rn" === 1 && $"op" =!= "D")
-      .select($"user_id", $"op".as("last_op"),
-        $"v".cast("double").as("last_value"),
-        $"ts".as("last_ts"), $"n_ops")
-      .orderBy($"user_id")
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        col("v").cast("double").as("last_value"),
+        col("ts").as("last_ts"), col("n_ops"))
   }
 
   private val qCdcApplySql =

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Graph, TimeSeries}
+
+/** Structural invariants for the stats / graph / time-series operator
+  * families added in round 5 — fixture graphs with hand-countable answers,
+  * dominance soundness for the skyline, and the distributed-systems
+  * properties a CDC compactor must hold (idempotence under duplicate
+  * delivery, input-order invariance).
+  */
+class StatsGraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, "graft-statsgraph-test")
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def edgesDf(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("u", "v")
+  }
+
+  private def triangles(edges: DataFrame): Long =
+    Graph.triangleSummary(spark, edges, Graph.orientByDegree(spark, edges))
+      .collect()(0).getAs[Long]("n_triangles")
+
+  test("triangle count: hand-countable fixtures") {
+    // K4: every 3-subset is a triangle -> C(4,3) = 4
+    assert(triangles(edgesDf(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))) === 4L)
+    // star graph: no edges among leaves -> 0
+    assert(triangles(edgesDf((1, 2), (1, 3), (1, 4), (1, 5))) === 0L)
+    // two disjoint triangles + a bridge -> exactly 2
+    assert(triangles(edgesDf(
+      (1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4))) === 2L)
+    // K4 with a pendant node: pendant adds no triangle
+    assert(triangles(edgesDf(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5))) === 4L)
+  }
+
+  test("skyline: kept points are mutually undominated, dropped points are dominated") {
+    val all = graft.core.Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val kept = SparkEntry.queries("q_skyline")(spark, sfDir)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    def dominates(a: (Long, Long, Int), b: (Long, Long, Int)): Boolean =
+      a._2 <= b._2 && a._3 <= b._3 && (a._2 < b._2 || a._3 < b._3)
+    // soundness: no kept point is dominated by ANY point
+    for (k <- all if kept(k._1); other <- all)
+      assert(!dominates(other, k),
+        s"kept ${k} is dominated by ${other}")
+    // completeness: every dropped point is dominated by some kept point
+    for (d <- all if !kept(d._1))
+      assert(all.exists(o => kept(o._1) && dominates(o, d)),
+        s"dropped ${d} is dominated by no kept point")
+  }
+
+  test("BFS levels: edge-consistency of distance labels") {
+    val dist = SparkEntry.queries("q_bfs_levels")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = Graph.coOrderEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val horizon = 4
+    for ((u, v) <- edges; (a, b) <- Seq((u, v), (v, u))) {
+      val da = dist(a); val db = dist(b)
+      if (da >= 0 && db >= 0)
+        assert(math.abs(da - db) <= 1, s"edge ($a,$b): dist $da vs $db")
+      // a neighbor of a reached node may only be unlabeled if the label
+      // would exceed the iteration horizon
+      if (da >= 0 && db == -1)
+        assert(da + 1 > horizon, s"($a,$b): $a at $da but $b unreached")
+    }
+    assert(dist.values.count(_ == 0) === 1, "exactly one source")
+  }
+
+  test("CDC compaction is idempotent under duplicate delivery and input order") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "I", BigDecimal("10.00")),
+      (1L, Timestamp.valueOf("2024-01-02 10:00:00"), 2L, "U", BigDecimal("20.00")),
+      (2L, Timestamp.valueOf("2024-01-01 09:00:00"), 3L, "I", BigDecimal("5.00")),
+      (2L, Timestamp.valueOf("2024-01-03 09:00:00"), 4L, "D", BigDecimal("0.00")),
+      (3L, Timestamp.valueOf("2024-01-01 08:00:00"), 5L, "U", BigDecimal("7.50")))
+      .toDF("user_id", "ts", "event_id", "op", "v")
+    def state(df: DataFrame) = TimeSeries.cdcCompact(df)
+      .select("user_id", "last_op", "last_value", "last_ts")
+      .collect().toSet
+    val once = state(log)
+    // user 2's trailing delete removes the key entirely
+    assert(once.map(_.getLong(0)) === Set(1L, 3L))
+    // at-least-once delivery: replaying the whole log changes nothing
+    assert(state(log.union(log)) === once)
+    // input order is irrelevant (the sequence lives in the data)
+    assert(state(log.orderBy(md5(col("event_id").cast("string")))) === once)
+  }
+
+  test("EWMA stays within each user's observed value range") {
+    val out = SparkEntry.queries("q_ewma")(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        min(col("ewma5")).as("elo"), max(col("ewma5")).as("ehi"))
+      .collect()
+    for (r <- out) {
+      assert(r.getAs[Double]("elo") >= r.getAs[Double]("lo") - 1e-9)
+      assert(r.getAs[Double]("ehi") <= r.getAs[Double]("hi") + 1e-9)
+    }
+  }
+}
