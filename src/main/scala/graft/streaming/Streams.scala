@@ -83,13 +83,15 @@ object Streams {
     * state shards by the join key. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    within: String = "1 hour",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
       col("event_type").as("l_event")).withWatermark("l_ts", watermark)
     val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
       col("event_type").as("r_event")).withWatermark("r_ts", watermark)
     l.join(r, expr(
-      s"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval $within"))
+      s"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval $within"),
+      joinType)
       .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
         col("l_ts"), col("r_ts"))
   }
@@ -453,7 +455,68 @@ object Streams {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // --------------------------------------------- q_stream_outer_join
+  /** LEFT OUTER stream-stream interval join — the watermark-driven
+    * null-emission semantic the inner join never exercises: a purchase
+    * with no click within 6 hours emits (once, with nulls) only after the
+    * global watermark proves no matching click can still arrive; a
+    * purchase whose match window is still open when the stream ends stays
+    * in state and is NEVER emitted. The oracle replays exactly that rule
+    * in batch SQL: matched pairs ∪ unmatched purchases whose window
+    * closed before the final watermark, where the final watermark is
+    * min(max purchase ts, max click ts) − the 2-day delay (Spark's
+    * multi-watermark min policy). Unlike the inner-join entry, the
+    * watermark here is deliberately NARROWER than the data span — the
+    * eviction path is the thing under test. */
+  def qStreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_ojoin"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
+    val joined = intervalJoin(
+      eventsStream(s, dir).filter(col("event_type") === "purchase"),
+      eventsStream(s, dir).filter(col("event_type") === "click"),
+      within = "6 hours", watermark = "2 days", joinType = "left_outer")
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ck)
+    s.table(name).orderBy(col("user_id"), col("l_ts"),
+      coalesce(col("r_ts"), lit("1970-01-01 00:00:00").cast("timestamp")))
+  }
+
+  private val qStreamOuterJoinSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+      |         - INTERVAL 2 DAY AS w),
+      |matched AS (
+      |  SELECT l.user_id, l.event_type AS l_event, r.event_type AS r_event,
+      |    l.ts AS l_ts, r.ts AS r_ts
+      |  FROM p l JOIN c r ON l.user_id = r.user_id
+      |    AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR),
+      |unmatched AS (
+      |  SELECT l.user_id, l.event_type AS l_event,
+      |    CAST(NULL AS VARCHAR) AS r_event,
+      |    l.ts AS l_ts, CAST(NULL AS TIMESTAMP) AS r_ts
+      |  FROM p l
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM c r WHERE r.user_id = l.user_id
+      |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR)
+      |    AND l.ts + INTERVAL 6 HOUR < (SELECT w FROM wm))
+      |SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+      |ORDER BY user_id, l_ts,
+      |  coalesce(r_ts, TIMESTAMP '1970-01-01 00:00:00')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_outer_join"     -> (qStreamOuterJoin _),
     "q_stream_tumbling"       -> (qStreamTumbling _),
     "q_stream_dedup"          -> (qStreamDedup _),
     "q_stream_sessions"       -> (qStreamSessions _),
@@ -462,6 +525,7 @@ object Streams {
     "q_stream_enrich"         -> (qStreamEnrich _))
 
   val oracle: Map[String, String] = Map(
+    "q_stream_outer_join"     -> qStreamOuterJoinSql,
     "q_stream_tumbling"       -> qStreamTumblingSql,
     "q_stream_dedup"          -> qStreamDedupSql,
     "q_stream_sessions"       -> qStreamSessionsSql,
