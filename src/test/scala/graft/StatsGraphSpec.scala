@@ -101,6 +101,45 @@ class StatsGraphSpec extends AnyFunSuite {
     assert(state(log.orderBy(md5(col("event_id").cast("string")))) === once)
   }
 
+  test("table diff flags exactly the buckets containing a deleted or repriced key") {
+    val out = SparkEntry.queries("q_table_diff")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val expected = graft.core.Tables.orders(spark, sfDir)
+      .select((col("o_orderkey") / 1000).cast("long").as("bucket"),
+        ((col("o_orderkey") % 97 === 0) || (col("o_orderkey") % 89 === 0))
+          .as("touched"))
+      .groupBy(col("bucket")).agg(max(col("touched")).as("touched"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.keySet === expected.keySet)
+    for ((b, touched) <- expected)
+      assert((out(b) == "diff") === touched,
+        s"bucket $b: status ${out(b)} but touched=$touched")
+  }
+
+  test("join-size estimate: bucketed histogram is an upper bound on the exact count") {
+    val r = SparkEntry.queries("q_join_size_est")(spark, sfDir).collect()(0)
+    val actual = r.getAs[Long]("actual_pairs")
+    val est = r.getAs[Long]("bucket_est")
+    assert(est >= actual)
+    // and the exact formula really is the join size
+    val li = graft.core.Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    val joined = li.as("a")
+      .join(li.as("b"), col("a.l_partkey") === col("b.l_partkey")).count()
+    assert(joined === actual)
+  }
+
+  test("inverted index: postings ascending, capped at 8, and within df") {
+    val rows = SparkEntry.queries("q_inverted_index")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val df = r.getAs[Long]("df")
+      val posts = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(posts.length <= 8 && posts.length <= df)
+      assert(posts.sameElements(posts.sorted), s"unsorted postings: ${r}")
+      if (df < 8) assert(posts.length == df)
+    }
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
