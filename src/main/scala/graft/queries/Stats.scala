@@ -337,8 +337,47 @@ object Stats {
       |        / ref_share, 8) AS drift_contrib
       |FROM shared ORDER BY bin""".stripMargin
 
+  // ----------------------------------------------------------------- q_mode
+  /** Per-entity modal value (most frequent event type), deterministic
+    * tie-break by the value itself — the categorical summary statistic
+    * SQL's aggregate set lacks. Count per (entity, value) is one map-side-
+    * combined shuffle; the rank window runs over the alphabet-bounded
+    * count table (≤ |event types| rows per entity), never the raw data. */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id")
+          .orderBy($"cnt".desc, $"event_type")))
+      .withColumn("n_total",
+        sum($"cnt").over(Window.partitionBy($"user_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("mode_value"), $"cnt",
+        round($"cnt" / $"n_total", 4).as("mode_share"))
+      .orderBy($"user_id")
+  }
+
+  private val qModeSql =
+    """WITH counts AS (
+      |  SELECT user_id, event_type, count(*) AS cnt
+      |  FROM events GROUP BY user_id, event_type),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY cnt DESC, event_type) AS rn,
+      |    sum(cnt) OVER (PARTITION BY user_id) AS n_total
+      |  FROM counts)
+      |SELECT user_id, event_type AS mode_value, cnt,
+      |  round(cnt / n_total, 4) AS mode_share
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mode"       -> (qMode _),
     "q_histogram"  -> (qHistogram _),
     "q_outliers"   -> (qOutliers _),
     "q_linreg"     -> (qLinreg _),
@@ -347,6 +386,7 @@ object Stats {
     "q_dist_drift" -> (qDistDrift _))
 
   val oracle: Map[String, String] = Map(
+    "q_mode"       -> qModeSql,
     "q_histogram"  -> qHistogramSql,
     "q_outliers"   -> qOutliersSql,
     "q_linreg"     -> qLinregSql,

@@ -238,8 +238,61 @@ object TimeSeries {
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------ q_ohlc_bars
+  /** Time-series resampling to 6-hour OHLC bars per entity: open/close are
+    * the first/last values by the total (ts, event_id) order inside the
+    * bar (two rank windows over the same bar partitioning — one WindowExec
+    * pass each direction), high/low/volume are plain min/max/count
+    * aggregates. The bar id is integer epoch arithmetic, so bucketing is
+    * identical on both engines; the whole query is one shuffle on
+    * (entity, bar). */
+  def qOhlcBars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id",
+        (OP.dec2($"value") * 100).cast("long").as("c"))
+      .withColumn("bar", expr("unix_micros(ts) div 21600000000").cast("long"))
+    val byBar = Window.partitionBy($"user_id", $"bar")
+    base
+      .withColumn("rn_a",
+        row_number().over(byBar.orderBy($"ts", $"event_id")))
+      .withColumn("rn_d",
+        row_number().over(byBar.orderBy($"ts".desc, $"event_id".desc)))
+      .groupBy($"user_id", $"bar")
+      .agg(
+        (sum(when($"rn_a" === 1, $"c")).cast("double") / 100.0d).as("open"),
+        (max($"c").cast("double") / 100.0d).as("high"),
+        (min($"c").cast("double") / 100.0d).as("low"),
+        (sum(when($"rn_d" === 1, $"c")).cast("double") / 100.0d).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"bar")
+  }
+
+  private val qOhlcBarsSql =
+    """WITH base AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS bar
+      |  FROM events),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, bar
+      |      ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY user_id, bar
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM base)
+      |SELECT user_id, bar,
+      |  CAST(sum(CASE WHEN rn_a = 1 THEN c END) AS DOUBLE) / 100.0 AS open,
+      |  CAST(max(c) AS DOUBLE) / 100.0 AS high,
+      |  CAST(min(c) AS DOUBLE) / 100.0 AS low,
+      |  CAST(sum(CASE WHEN rn_d = 1 THEN c END) AS DOUBLE) / 100.0 AS close,
+      |  count(*) AS n_events
+      |FROM ranked GROUP BY user_id, bar
+      |ORDER BY user_id, bar""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc_bars"      -> (qOhlcBars _),
     "q_forward_fill"   -> (qForwardFill _),
     "q_cdc_apply"      -> (qCdcApply _),
     "q_ewma"           -> (qEwma _),
@@ -247,6 +300,7 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_ohlc_bars"      -> qOhlcBarsSql,
     "q_forward_fill"   -> qForwardFillSql,
     "q_cdc_apply"      -> qCdcApplySql,
     "q_ewma"           -> qEwmaSql,
