@@ -608,8 +608,131 @@ object Embeddings {
        |  FROM pairs)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q_pq_ann
+  /** Product-quantization ANN — the technique that makes billion-vector
+    * search fit in memory: each 64-dim vector is ENCODED as 4 one-byte-ish
+    * codes (per 16-dim block, the id of the nearest of 8 codebook entries),
+    * and query distance is approximated by table lookup (ADC): the
+    * precomputed query↔codeword distance per block, summed over the 4
+    * codes. Here the codebook is the same fixed seeded-sample style the
+    * IVF family uses (first 8 of `vec_id % 53`; `Clustering.qKmeans` is
+    * the documented training upgrade), arithmetic is micro-unit integer L2
+    * (Clustering's quantization — exact on both engines), and the output
+    * reports approx vs exact distance for the top-10 so the PQ error is
+    * visible in the gated result.
+    *
+    * Scale shape: codebook and ADC table ride into the plan as literals
+    * (8×64 + 4×8 longs), so ENCODE and the ADC scan are pure map stages —
+    * no join, no shuffle; the only exchange is the top-10
+    * TakeOrderedAndProject. The encode output (4 small ints per vector) is
+    * the 64×-compressed index a production deployment would persist via
+    * IndexStore and scan instead of the raw vectors. */
+  def qPqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 4      // sub-blocks
+    val Bw = 16    // dims per block
+    val K = 8      // codewords per block
+    val vecs = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        expr("transform(embedding, " +
+          "x -> cast(floor(cast(x as double) * 1000000d) as bigint))")
+          .as("v"))
+    // dim-sized driver reads, same budget as qKmeans' centroid sync: the
+    // 8-entry codebook and the 1-row query vector
+    val codebook: Array[Seq[Long]] = vecs
+      .filter($"vec_id" % 53 === 0).orderBy($"vec_id").limit(K)
+      .select($"v").collect().map(_.getSeq[Long](0))
+    val qv: Seq[Long] = vecs.filter($"vec_id" === 0)
+      .select($"v").collect()(0).getSeq[Long](0)
+    def blockL2(a: Seq[Long], b: Seq[Long], m: Int): Long =
+      (m * Bw until (m + 1) * Bw).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // ADC lookup tables: query -> codeword distance per (block, code)
+    val adc: Array[Seq[Long]] =
+      Array.tabulate(M)(m => codebook.toSeq.map(c => blockL2(qv, c, m)))
+
+    val withCodes = (0 until M).foldLeft(vecs) { (df, m) =>
+      val cvs = s"transform(cb$m, c -> aggregate(zip_with(" +
+        s"slice(v, ${m * Bw + 1}, $Bw), c, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as bigint), (a, e) -> a + e))"
+      df.withColumn(s"cb$m",
+          typedLit(codebook.toSeq.map(c => c.slice(m * Bw, (m + 1) * Bw))))
+        .withColumn(s"code$m",
+          expr(s"array_position($cvs, array_min($cvs))").cast("int"))
+        .drop(s"cb$m")
+    }
+    val approx = (0 until M)
+      .map(m => expr(s"element_at(adc_t$m, code$m)"))
+      .reduce(_ + _)
+    val exactD =
+      "aggregate(zip_with(v, qlit, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as bigint), (a, e) -> a + e)"
+    (0 until M).foldLeft(withCodes) { (df, m) =>
+        df.withColumn(s"adc_t$m", typedLit(adc(m)))
+      }
+      .withColumn("qlit", typedLit(qv))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        ($"code0" * 1000000 + $"code1" * 10000 + $"code2" * 100 + $"code3")
+          .as("pq_code"),
+        approx.as("approx_dist"), expr(exactD).as("exact_dist"))
+      .orderBy($"approx_dist", $"vec_id")
+      .limit(10)
+  }
+
+  private val qPqAnnSql = {
+    val M = 4; val Bw = 16; val K = 8
+    def bL2(a: String, b: String, m: Int) =
+      s"list_sum(list_transform(range(${m * Bw + 1}, ${m * Bw + Bw + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS j, v AS c
+       |  FROM v WHERE vec_id % 53 = 0 ORDER BY vec_id LIMIT $K),
+       |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+       |m AS (SELECT unnest(range(0, $M)) AS m),
+       |bd AS (
+       |  SELECT v.vec_id, cb.j, m.m,
+       |    CASE m.m ${(0 until M).map(i =>
+              s"WHEN $i THEN ${bL2("v.v", "cb.c", i)}").mkString(" ")}
+       |    END AS d
+       |  FROM v CROSS JOIN cb CROSS JOIN m),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY d, j) AS rn FROM bd) WHERE rn = 1),
+       |qd AS (
+       |  SELECT cb.j, m.m,
+       |    CASE m.m ${(0 until M).map(i =>
+              s"WHEN $i THEN ${bL2("q.qv", "cb.c", i)}").mkString(" ")}
+       |    END AS d
+       |  FROM q CROSS JOIN cb CROSS JOIN m),
+       |approx AS (
+       |  SELECT c.vec_id,
+       |    CAST(sum(qd.d) AS BIGINT) AS approx_dist,
+       |    CAST(sum(CASE c.m WHEN 3 THEN c.code WHEN 2 THEN c.code * 100
+       |      WHEN 1 THEN c.code * 10000 ELSE c.code * 1000000 END)
+       |      AS INT) AS pq_code
+       |  FROM codes c JOIN qd ON qd.m = c.m AND qd.j = c.code
+       |  GROUP BY c.vec_id),
+       |exact AS (
+       |  SELECT v.vec_id,
+       |    CAST(list_sum(list_transform(range(1, ${M * Bw + 1}),
+       |      i -> (v.v[i] - q.qv[i]) * (v.v[i] - q.qv[i]))) AS BIGINT)
+       |      AS exact_dist
+       |  FROM v CROSS JOIN q)
+       |SELECT a.vec_id, a.pq_code, a.approx_dist, e.exact_dist
+       |FROM approx a JOIN exact e ON e.vec_id = a.vec_id
+       |WHERE a.vec_id <> 0
+       |ORDER BY a.approx_dist, a.vec_id LIMIT 10""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_ann"         -> (qPqAnn _),
     "q_embed_filtered" -> (qEmbedFiltered _),
     "q_embed_ann_mp"  -> (qEmbedAnnMp _),
     "q_embed_ivf2"    -> (qEmbedIvf2 _),
@@ -622,6 +745,7 @@ object Embeddings {
     "q_ann_recall"    -> (qAnnRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_pq_ann"         -> qPqAnnSql,
     "q_embed_filtered" -> qEmbedFilteredSql,
     "q_embed_ann_mp"  -> qEmbedAnnMpSql,
     "q_embed_ivf2"    -> qEmbedIvf2Sql,
