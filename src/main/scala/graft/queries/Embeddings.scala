@@ -730,8 +730,82 @@ object Embeddings {
        |ORDER BY a.approx_dist, a.vec_id LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------------------------- q_hybrid_search
+  /** Hybrid retrieval: reciprocal-rank fusion (k = 60) of the BM25
+    * keyword ranking ([[TextAnalysis.qBm25]]'s top-20) and the exact
+    * cosine top-20 against the vec_id = 0 query embedding, joined on
+    * doc_id = vec_id (the tables are row-aligned by construction). RRF is
+    * the standard production fusion for keyword + vector search: rank-only,
+    * so the two scores' incompatible scales never need calibration; a doc
+    * missing from one list simply contributes nothing from it.
+    *
+    * Scale shape: both input rankings are top-k (TakeOrderedAndProject — k
+    * rows to the driver, no global sort); the fusion join and final sort
+    * operate on ≤ 2k rows. The single-partition rank windows run on
+    * already-limited 20-row frames.
+    *
+    * Engine parity: ranks are integers; each RRF term is one double
+    * division 1.0/(60+rank) — identical IEEE ops both engines (the oracle
+    * CASTs the literal to DOUBLE so DuckDB's decimal division never
+    * enters) — and the 6-dp round cannot tie (term sums are rationals with
+    * denominators carrying primes > 5). */
+  def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val kwWin = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val kw = TextAnalysis.qBm25(s, dir)
+      .withColumn("rank_kw", row_number().over(kwWin))
+      .select(col("doc_id"), col("rank_kw"))
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cosWin = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+    val vec = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(dot("embedding", "qv") /
+          (sqrt(sqNorm("embedding")) * sqrt(sqNorm("qv"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
+      .withColumn("rank_vec", row_number().over(cosWin))
+      .select(col("doc_id"), col("rank_vec"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_kw"), col("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("rank_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  private val qHybridSearchSql =
+    s"""WITH bm AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+       |      AS rank_kw
+       |  FROM (${TextAnalysis.qBm25Sql})),
+       |vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cosl AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    round(${dotSql("e.embedding", "v.qv")}
+       |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |         * sqrt(${dotSql("v.qv", "v.qv")})), 4) AS cos_sim
+       |  FROM embeddings e CROSS JOIN vq v
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY cos_sim DESC, doc_id LIMIT 20),
+       |vec AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT)
+       |      AS rank_vec
+       |  FROM cosl)
+       |SELECT coalesce(b.doc_id, v.doc_id) AS doc_id, rank_kw, rank_vec,
+       |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_kw),
+       |                 CAST(0 AS DOUBLE)) +
+       |        coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_vec),
+       |                 CAST(0 AS DOUBLE)), 6) AS rrf
+       |FROM bm b FULL OUTER JOIN vec v ON v.doc_id = b.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_search"  -> (qHybridSearch _),
     "q_pq_ann"         -> (qPqAnn _),
     "q_embed_filtered" -> (qEmbedFiltered _),
     "q_embed_ann_mp"  -> (qEmbedAnnMp _),
@@ -745,6 +819,7 @@ object Embeddings {
     "q_ann_recall"    -> (qAnnRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_hybrid_search"  -> qHybridSearchSql,
     "q_pq_ann"         -> qPqAnnSql,
     "q_embed_filtered" -> qEmbedFilteredSql,
     "q_embed_ann_mp"  -> qEmbedAnnMpSql,

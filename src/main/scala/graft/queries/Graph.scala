@@ -362,20 +362,115 @@ object Graph {
        |SELECT deg, count(*) AS n_nodes FROM deg
        |GROUP BY deg ORDER BY deg""".stripMargin
 
+  // ------------------------------------------------------------ q_components
+  /** Min-label propagation to a fixpoint over a MIRRORED edge set (cols
+    * `a`, `b`): every node's label starts as its own id and each round
+    * takes the min of its own and its neighbors' labels — at the fixpoint
+    * the label is the component minimum. One keyed join + one map-side-
+    * combinable min-agg per round; `localCheckpoint` truncates the lineage
+    * each step; the driver holds only a changed-row existence check. Rounds
+    * = eccentricity of each component's min node (shallow for near-dup
+    * clusters, small-world for co-order graphs); the O(log n)
+    * large-star/small-star variant drops in without changing the per-round
+    * algebra if that ever grows. Hoisted from TextDedup.qDedupClusters so
+    * the dedup-cluster and graph-component operators share one loop.
+    * Returns (node, label). */
+  private[graft] def minLabelComponents(bidir: DataFrame): DataFrame = {
+    var labels = bidir.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 30) {
+      val next = labels
+        .unionByName(
+          bidir.join(labels.withColumnRenamed("node", "a"), Seq("a"))
+            .select(col("b").as("node"), col("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Distinct co-order pairs seen at least twice (line-pair multiplicity) —
+    * the "strong" co-order graph. The weight filter is what makes the
+    * component structure informative: the unweighted graph is near-complete
+    * within popular orders, while ≥2-weight edges keep only repeated
+    * associations. Same one-self-join + one-agg derivation cost as
+    * [[coOrderEdges]], materialized once per corpus through IndexStore. */
+  private[graft] def strongEdges(s: SparkSession, dir: String): DataFrame =
+    graft.io.IndexStore.materialized(s, dir, "coorder_strong") {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
+      li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter($"w" >= 2)
+        .select($"u", $"v")
+    }
+
+  /** Connected components of the strong co-order graph, summarized per
+    * component (representative = min node id, size). The market-basket
+    * segmentation view of the catalog: at low SF repeated associations
+    * collapse into one giant component; as the catalog grows the graph
+    * fragments into thousands of small clusters — exactly the structure a
+    * downstream assortment/recommendation job consumes.
+    *
+    * Scale shape: edge derivation is the stored strong-edge index; each
+    * propagation round is one keyed join + min-agg (shuffle on node id);
+    * the summary is one O(nodes) aggregate. The oracle replays the fixpoint
+    * as a recursive min-reachability walk. */
+  def qComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = strongEdges(s, dir)
+    val bidir = e.select($"u".as("a"), $"v".as("b"))
+      .unionByName(e.select($"v".as("a"), $"u".as("b")))
+      .localCheckpoint()
+    minLabelComponents(bidir)
+      .groupBy($"label").agg(count(lit(1)).as("n_nodes"))
+      .select($"label".as("component_rep"), $"n_nodes")
+      .orderBy($"n_nodes".desc, $"component_rep")
+  }
+
+  private val qComponentsSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(a.l_partkey AS BIGINT) AS u,
+      |         CAST(b.l_partkey AS BIGINT) AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |walk(node, label) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e2.v, w.label FROM walk w JOIN edges e2 ON e2.u = w.node),
+      |cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node)
+      |SELECT label AS component_rep, count(*) AS n_nodes
+      |FROM cc GROUP BY label
+      |ORDER BY n_nodes DESC, component_rep""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"    -> (qPagerank _),
     "q_triangles"   -> (qTriangles _),
     "q_bfs_levels"  -> (qBfsLevels _),
     "q_item_cf"     -> (qItemCf _),
-    "q_degree_dist" -> (qDegreeDist _))
+    "q_degree_dist" -> (qDegreeDist _),
+    "q_components"  -> (qComponents _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank"   -> PagerankOracle.sql,
     "q_triangles"  -> qTrianglesSql,
     "q_bfs_levels"  -> qBfsLevelsSql,
     "q_item_cf"     -> qItemCfSql,
-    "q_degree_dist" -> qDegreeDistSql)
+    "q_degree_dist" -> qDegreeDistSql,
+    "q_components"  -> qComponentsSql)
 }
 
 /** The unrolled-iteration DuckDB replay of [[Graph.qPagerank]] — 5 chained

@@ -241,7 +241,7 @@ object TextAnalysis {
       .limit(20)
   }
 
-  private val qBm25Sql =
+  private[queries] val qBm25Sql =
     """WITH d AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
       |  FROM documents),
@@ -533,7 +533,72 @@ object TextAnalysis {
       |WHERE c_ab * 5 >= n_docs
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  // -------------------------------------------------------- q_source_entropy
+  /** Per-source token-distribution diagnostics: token volume, vocabulary
+    * size, type-token ratio, and Shannon entropy (nats) of the unigram
+    * distribution. The data-mixing view of a corpus — entropy and TTR are
+    * the standard first-order diversity signals a pretraining mixture
+    * weighs sources by (a low-entropy source is templated/repetitive no
+    * matter how large it is).
+    *
+    * Scale shape: one explode + one map-side-combinable (source, token)
+    * count — the only corpus-sized shuffle; everything after runs on the
+    * O(sources × vocab) aggregate, with the per-source totals joined back
+    * broadcast. Output is O(sources).
+    *
+    * Engine parity (the BM25 idiom): ln is rounded to 6 dp at the one
+    * transcendental step, each -p·ln(p) term is nano-scaled to a BIGINT so
+    * the per-source sum is order-independent, and the final /1e9 is one
+    * exact double division. */
+  def qSourceEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val ent = counts
+      .join(broadcast(totals.select(col("source"), col("n_tokens"))),
+        Seq("source"))
+      .withColumn("p", col("c").cast("double") / col("n_tokens"))
+      .withColumn("term_nano",
+        round((-col("p")) * round(log(col("p")), 6) * lit(1e9), 0)
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg((sum(col("term_nano")) / lit(1e9)).as("entropy_nats"))
+    totals.join(ent, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        col("entropy_nats"))
+      .orderBy(col("source"))
+  }
+
+  private val qSourceEntropySql =
+    """WITH t AS (
+      |  SELECT source,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS vocab
+      |  FROM c GROUP BY source),
+      |e AS (
+      |  SELECT c.source,
+      |    CAST(sum(CAST(round(
+      |      (-(CAST(c.c AS DOUBLE) / tot.n_tokens))
+      |        * round(ln(CAST(c.c AS DOUBLE) / tot.n_tokens), 6) * 1e9,
+      |      0) AS BIGINT)) AS BIGINT) AS en
+      |  FROM c JOIN tot USING (source) GROUP BY c.source)
+      |SELECT tot.source, tot.n_tokens, tot.vocab,
+      |  round(CAST(tot.vocab AS DOUBLE) / tot.n_tokens, 6)
+      |    AS type_token_ratio,
+      |  e.en / 1e9 AS entropy_nats
+      |FROM tot JOIN e USING (source)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_entropy" -> (qSourceEntropy _),
     "q_colloc_lift"    -> (qCollocLift _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_step"    -> (qBpeStep _),
@@ -547,6 +612,7 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_source_entropy" -> qSourceEntropySql,
     "q_colloc_lift"    -> qCollocLiftSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_bpe_step"    -> qBpeStepSql,

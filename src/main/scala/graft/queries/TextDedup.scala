@@ -228,6 +228,69 @@ object TextDedup {
       |GROUP BY 1 HAVING count(*) > 1
       |ORDER BY text_hash""".stripMargin
 
+  // ------------------------------------------------------- q_span_dedup
+  /** Window width (tokens) for cross-document span detection. */
+  private val SpanW = 8
+
+  /** Cross-document repeated-SPAN detection — the substring-level member of
+    * the dedup family (whole-doc: q_exact_dup; set-level: minhash/jaccard).
+    * Training corpora carry boilerplate sentences repeated VERBATIM across
+    * otherwise-distinct documents (licenses, navigation chrome, templated
+    * intros); span-level dedup finds and quantifies them where doc-level
+    * hashing cannot. For every SpanW-token window of every doc, the span's
+    * identity is the md5 of its joined tokens; spans seen in ≥2 distinct
+    * docs are flagged, and each affected doc reports how much of it is
+    * duplicated material.
+    *
+    * Scale shape: the span hash is computed INSIDE the row (one `transform`
+    * over the token array), so the exploded stream is narrow (doc_id, hash)
+    * pairs — O(total_tokens) rows of 16-byte keys, never the W-token text.
+    * Flagging is one map-side-combinable aggregate on the hash; the
+    * flag-back join is keyed on the same hash (single shuffle, uniform —
+    * md5 keys cannot skew). The suffix-array alternative finds maximal
+    * repeats but needs a global sort of every suffix; fixed-W rolling
+    * windows are the shape that parallelizes. */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .filter(size(col("w")) >= SpanW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $SpanW), " +
+          s"i -> md5(concat_ws(' ', slice(w, i + 1, $SpanW))))")).as("h"))
+    val flagged = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val dup = spans.join(flagged, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_spans"))
+    perDoc.join(dup, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans"), 4)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qSpanDedupSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(w) - $SpanW + 1, 0)),
+       |      i -> md5(array_to_string(w[i + 1 : i + $SpanW], ' ')))) AS h
+       |  FROM d),
+       |flagged AS (
+       |  SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |per_doc AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+       |dup AS (
+       |  SELECT doc_id, count(*) AS dup_spans
+       |  FROM sp JOIN flagged USING (h) GROUP BY doc_id)
+       |SELECT doc_id, n_spans, dup_spans,
+       |  round(CAST(dup_spans AS DOUBLE) / n_spans, 4) AS dup_frac
+       |FROM per_doc JOIN dup USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- q_minhash_bucket
   /** The LSH bucket table over the raw corpus: every doc's 4 band signatures.
     * This is the distributable index a 100 TB dedup shuffles on — downstream
@@ -340,41 +403,18 @@ object TextDedup {
     * edge set, each doc labeled with its component's min doc_id (the
     * canonical representative, same keep-min policy as q_exact_dup).
     *
-    * Algorithm: iterative min-label propagation to a fixpoint — labels
-    * start as doc_id; each round every node takes the min of its own and
-    * its neighbors' labels (one join + one map-side-combinable min-agg per
-    * round, edges pre-mirrored so the graph is undirected). Rounds =
-    * graph diameter; near-dup clusters are shallow (pairs/triangles), so
-    * 2-3 rounds in practice, capped at 20. Each round's result is
-    * checkpointed to truncate the growing lineage (localCheckpoint here;
-    * a reliable checkpoint dir on a real cluster). The driver-side loop
-    * holds only a changed-row COUNT per round — no row data — and the
-    * O(log n) large-star/small-star variant drops in without changing the
-    * per-round algebra if diameters grow. */
+    * Algorithm: [[Graph.minLabelComponents]] — iterative min-label
+    * propagation to a fixpoint over the pre-mirrored edge set (one loop
+    * shared with the co-order graph's q_components; near-dup clusters are
+    * shallow, so 2-3 rounds in practice). */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val edges = jaccardScored(s, dir)
       .filter(col("jaccard") >= ClusterJaccard).select(col("a"), col("b"))
     val bidir = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = bidir.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-    var iter = 0
-    var converged = false
-    while (!converged && iter < 20) {
-      val next = labels
-        .unionByName(
-          bidir.join(labels.withColumnRenamed("doc_id", "a"), Seq("a"))
-            .select(col("b").as("doc_id"), col("label")))
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
-      iter += 1
-    }
-    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+    Graph.minLabelComponents(bidir)
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy(col("doc_id"))
   }
 
@@ -836,6 +876,7 @@ object TextDedup {
     "q_minhash_est"    -> (qMinhashEst _),
     "q_contain_dup"    -> (qContainDup _),
     "q_exact_dup"      -> (qExactDup _),
+    "q_span_dedup"     -> (qSpanDedup _),
     "q_minhash_bucket" -> (qMinhashBucket _),
     "q_minhash_pairs"  -> (qMinhashPairs _),
     "q_jaccard_pairs"  -> (qJaccardPairs _),
@@ -852,6 +893,7 @@ object TextDedup {
     "q_minhash_est"    -> qMinhashEstSql,
     "q_contain_dup"    -> qContainDupSql,
     "q_exact_dup"      -> qExactDupSql,
+    "q_span_dedup"     -> qSpanDedupSql,
     "q_minhash_bucket" -> qMinhashBucketSql,
     "q_minhash_pairs"  -> qMinhashPairsSql,
     "q_jaccard_pairs"  -> qJaccardPairsSql,

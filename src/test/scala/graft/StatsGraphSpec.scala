@@ -140,6 +140,68 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: labels partition the nodes and respect edges") {
+    // hand-built graph: {1,2,3} one component, {10,11} another, 20 isolated
+    // by the strong filter (no edge) -> absent from the output
+    val e = edgesDf((1, 2), (2, 3), (10, 11))
+    val bidir = e.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    val labels = Graph.minLabelComponents(bidir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // on real data: component sizes sum to the node count of the strong graph
+    val comp = SparkEntry.queries("q_components")(spark, sfDir)
+    val totalNodes = comp.agg(sum(col("n_nodes"))).collect()(0).getLong(0)
+    val strongNodes = Graph.strongEdges(spark, sfDir)
+      .select(col("u").as("x")).union(
+        Graph.strongEdges(spark, sfDir).select(col("v").as("x")))
+      .distinct().count()
+    assert(totalNodes === strongNodes)
+  }
+
+  test("span dedup: flagged fractions are sane and spans really recur") {
+    val rows = SparkEntry.queries("q_span_dedup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_spans"); val d = r.getAs[Long]("dup_spans")
+      assert(d >= 1 && d <= n)
+      assert(math.abs(r.getAs[Double]("dup_frac") -
+        math.rint(d.toDouble / n * 1e4) / 1e4) < 1e-9)
+    }
+    // cross-doc requirement: a doc whose every span is unique never appears
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("hybrid search: RRF recomputes from the ranks and ordering is total") {
+    val rows = SparkEntry.queries("q_hybrid_search")(spark, sfDir).collect()
+    assert(rows.length === 15)
+    var prev = Double.MaxValue
+    for (r <- rows) {
+      val rk = Option(r.getAs[Integer]("rank_kw")).map(_.toInt)
+      val rv = Option(r.getAs[Integer]("rank_vec")).map(_.toInt)
+      assert(rk.nonEmpty || rv.nonEmpty)
+      val expect = rk.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      val got = r.getAs[Double]("rrf")
+      assert(math.abs(got - math.rint(expect * 1e6) / 1e6) < 1e-9)
+      assert(got <= prev + 1e-12); prev = got
+    }
+  }
+
+  test("source entropy: bounded by ln(vocab), TTR in (0,1]") {
+    val rows = SparkEntry.queries("q_source_entropy")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val vocab = r.getAs[Long]("vocab")
+      val ent = r.getAs[Double]("entropy_nats")
+      val ttr = r.getAs[Double]("type_token_ratio")
+      assert(ent >= 0.0 && ent <= math.log(vocab.toDouble) + 1e-6,
+        s"entropy $ent outside [0, ln($vocab)]")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
