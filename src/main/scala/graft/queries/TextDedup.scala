@@ -467,6 +467,58 @@ object TextDedup {
        |WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)
        |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q_dup_matrix
+  /** Cross-source duplication matrix: verified near-dup pairs (jaccard ≥
+    * 0.6, the q_dedup_clusters edge set) rolled up by unordered source
+    * pair — the provenance view a corpus curator reads before dropping a
+    * source ("is B mostly a mirror of A?"). Augmented ids (+10000) map
+    * back to their base doc's source.
+    *
+    * Scale shape: pair generation is the stored-index LSH chain; the
+    * source lookup is two keyed joins against the documents table; the
+    * matrix aggregate is O(sources²) — tiny. Jaccard averages are summed
+    * as exact µ-units so the fold order cannot surface. */
+  def qDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+    val base = (id: Column) =>
+      when(id >= 10000, id - 10000).otherwise(id)
+    val pairs = jaccardScored(s, dir)
+      .filter(col("jaccard") >= ClusterJaccard)
+      .select(base(col("a")).as("base_a"), base(col("b")).as("base_b"),
+        (round(col("jaccard") * 1e6, 0)).cast("long").as("jmu"))
+    pairs
+      .join(docs.select(col("doc_id").as("base_a"), col("source").as("sa")),
+        Seq("base_a"))
+      .join(docs.select(col("doc_id").as("base_b"), col("source").as("sb")),
+        Seq("base_b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jmu")).cast("double") / count(lit(1)) / lit(1e6), 6)
+          .as("avg_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val qDupMatrixSql =
+    s"""WITH $jacSqlCtes,
+       |edges AS (
+       |  SELECT CASE WHEN a >= 10000 THEN a - 10000 ELSE a END AS base_a,
+       |         CASE WHEN b >= 10000 THEN b - 10000 ELSE b END AS base_b,
+       |         CAST(round(jaccard * 1e6, 0) AS BIGINT) AS jmu
+       |  FROM jac WHERE jaccard >= $ClusterJaccard),
+       |srcd AS (
+       |  SELECT e.jmu, da.source AS sa, db.source AS sb
+       |  FROM edges e
+       |  JOIN documents da ON da.doc_id = e.base_a
+       |  JOIN documents db ON db.doc_id = e.base_b)
+       |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+       |  count(*) AS n_pairs,
+       |  round(CAST(sum(jmu) AS DOUBLE) / count(*) / 1e6, 6) AS avg_jaccard
+       |FROM srcd
+       |GROUP BY 1, 2
+       |ORDER BY src_a, src_b""".stripMargin
+
   // -------------------------------------------------------------- q_simhash
   /** 16-bit SimHash fingerprints: per token, bit b contributes +1/−1 by the
     * b-th hex nibble of md5(token) (top bit of the nibble); fingerprint bit =
@@ -877,6 +929,7 @@ object TextDedup {
     "q_contain_dup"    -> (qContainDup _),
     "q_exact_dup"      -> (qExactDup _),
     "q_span_dedup"     -> (qSpanDedup _),
+    "q_dup_matrix"     -> (qDupMatrix _),
     "q_minhash_bucket" -> (qMinhashBucket _),
     "q_minhash_pairs"  -> (qMinhashPairs _),
     "q_jaccard_pairs"  -> (qJaccardPairs _),
@@ -894,6 +947,7 @@ object TextDedup {
     "q_contain_dup"    -> qContainDupSql,
     "q_exact_dup"      -> qExactDupSql,
     "q_span_dedup"     -> qSpanDedupSql,
+    "q_dup_matrix"     -> qDupMatrixSql,
     "q_minhash_bucket" -> qMinhashBucketSql,
     "q_minhash_pairs"  -> qMinhashPairsSql,
     "q_jaccard_pairs"  -> qJaccardPairsSql,

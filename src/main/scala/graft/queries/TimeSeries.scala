@@ -290,8 +290,59 @@ object TimeSeries {
       |FROM ranked GROUP BY user_id, bar
       |ORDER BY user_id, bar""".stripMargin
 
+  // -------------------------------------------------------- q_rolling_median
+  /** Rolling 7-event median of purchase amounts per user — the robust
+    * smoother of the repair family (EWMA tracks trend but one corrupted
+    * spike drags it; the windowed median rejects it outright). Frame =
+    * ROWS 6 PRECEDING..CURRENT over the (ts, event_id) total order.
+    *
+    * Scale shape: one shuffle on user_id, per-user sorted windows; the
+    * collected frame is a constant-bounded 7-element array, so state per
+    * row is O(1) — this is the per-key bounded-frame window Spark
+    * executes without ever materializing a group.
+    *
+    * Engine parity: amounts become integer cents (exact decimal), the
+    * sorted frame's two middle elements (equal when the frame is odd) are
+    * summed as integers, and the single /200.0 division emits the median
+    * in currency units — one double op, identical both engines. */
+  def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .withColumn("cents",
+        (OP.dec2($"value") * 100).cast("long"))
+      .withColumn("arr", sort_array(collect_list($"cents").over(w)))
+      .select($"event_id", $"user_id", $"value",
+        size($"arr").as("n_window"),
+        ((element_at($"arr", expr("CAST((size(arr) + 1) div 2 AS INT)")) +
+          element_at($"arr", expr("CAST(size(arr) div 2 + 1 AS INT)")))
+          .cast("double") / lit(200.0)).as("rolling_median"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val qRollingMedianSql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts, value,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |framed AS (
+      |  SELECT event_id, user_id, value,
+      |    list_sort(list(cents) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      |  FROM p)
+      |SELECT event_id, user_id, value,
+      |  CAST(len(arr) AS INT) AS n_window,
+      |  CAST(arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1] AS DOUBLE)
+      |    / 200.0 AS rolling_median
+      |FROM framed
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> (qRollingMedian _),
     "q_ohlc_bars"      -> (qOhlcBars _),
     "q_forward_fill"   -> (qForwardFill _),
     "q_cdc_apply"      -> (qCdcApply _),
@@ -300,6 +351,7 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_median" -> qRollingMedianSql,
     "q_ohlc_bars"      -> qOhlcBarsSql,
     "q_forward_fill"   -> qForwardFillSql,
     "q_cdc_apply"      -> qCdcApplySql,

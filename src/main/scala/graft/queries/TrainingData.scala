@@ -263,8 +263,47 @@ object TrainingData {
       |        FROM documents))
       |WHERE rn <= 5 ORDER BY source, rk""".stripMargin
 
+  // -------------------------------------------------------- q_length_buckets
+  /** Length-curriculum bucketing: within each source, docs are split into
+    * ntile(10) deciles of character length — the assignment step of
+    * curriculum schedules and length-balanced batch construction (train
+    * short-to-long, or cap each batch's decile mix). Output is the
+    * per-(source, decile) summary a scheduler consumes.
+    *
+    * Scale shape: the ntile window partitions BY SOURCE, so no global
+    * single-partition sort; per-source ordering is (n_chars, doc_id) —
+    * total, both engines. The summary aggregate is O(sources × 10).
+    *
+    * ntile semantics (identical in Spark and DuckDB): equal buckets,
+    * remainder distributed one-each to the leading buckets. */
+  def qLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  private val qLengthBucketsSql =
+    """SELECT source, decile, count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(ntile(10) OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS INT) AS decile
+      |  FROM documents)
+      |GROUP BY source, decile
+      |ORDER BY source, decile""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_buckets"  -> (qLengthBuckets _),
     "q_hash_sample"     -> (qHashSample _),
     "q_train_split"     -> (qTrainSplit _),
     "q_source_mixture"  -> (qSourceMixture _),
@@ -275,6 +314,7 @@ object TrainingData {
     "q_group_sample"    -> (qGroupSample _))
 
   val oracle: Map[String, String] = Map(
+    "q_length_buckets"  -> qLengthBucketsSql,
     "q_hash_sample"     -> qHashSampleSql,
     "q_train_split"     -> qTrainSplitSql,
     "q_source_mixture"  -> qSourceMixtureSql,

@@ -202,6 +202,50 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling median: windowed, bounded, degenerate frame = the value itself") {
+    val rows = SparkEntry.queries("q_rolling_median")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Int]("n_window")
+      assert(n >= 1 && n <= 7)
+      if (n == 1) {
+        val cents = math.rint(r.getAs[Double]("value") * 100)
+        assert(math.abs(r.getAs[Double]("rolling_median") - cents / 100) < 1e-9)
+      }
+    }
+  }
+
+  test("dup matrix: accounts for every verified pair, averages in range") {
+    val rows = SparkEntry.queries("q_dup_matrix")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"))
+      val aj = r.getAs[Double]("avg_jaccard")
+      assert(aj >= 0.6 && aj <= 1.0 + 1e-9)
+    }
+    val totalPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    val clusterEdges = SparkEntry.queries("q_jaccard_pairs")(spark, sfDir)
+      .filter(col("jaccard") >= 0.6).count()
+    assert(totalPairs === clusterEdges)
+  }
+
+  test("length buckets: deciles partition each source in length order") {
+    val bySrc = SparkEntry.queries("q_length_buckets")(spark, sfDir)
+      .collect().groupBy(_.getAs[String]("source"))
+    val docCounts = graft.core.Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, rows) <- bySrc) {
+      val sorted = rows.sortBy(_.getAs[Int]("decile"))
+      assert(sorted.map(_.getAs[Int]("decile")).toSeq ==
+        (1 to sorted.length))
+      assert(sorted.map(_.getAs[Long]("n_docs")).sum === docCounts(src))
+      for (Array(a, b) <- sorted.sliding(2))
+        assert(a.getAs[Long]("max_chars") <= b.getAs[Long]("min_chars"),
+          s"$src deciles overlap in length")
+    }
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
