@@ -336,7 +336,76 @@ object WarehouseOps {
       |FROM sb FULL OUTER JOIN ss ON sb.bucket = ss.bucket
       |ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------------------- q_cascade_delete
+  /** Right-to-be-forgotten cascade audit: a deletion set of customers
+    * (every 97th key — the deterministic stand-in for a GDPR request
+    * batch) cascades through the FK chain customer → orders → lineitem,
+    * and the audit reports per-table deleted/remaining counts BEFORE any
+    * data is touched — the dry-run every compliance pipeline runs first.
+    *
+    * Scale shape: the deletion keys are a small broadcast side on the
+    * orders probe; the lineitem probe joins on the deleted-orders key set
+    * (keyed semi join — stays a shuffle join when the request batch is
+    * large). Counts are map-side-combinable; the 3-row summary unions
+    * 1-row aggregates. The actual delete is the same joins with
+    * `left_anti` feeding [[graft.io.Sinks.overwriteSwap]] — this audit and
+    * the delete share one predicate definition, so the report can never
+    * disagree with the action. */
+  def qCascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val delC = Tables.customer(s, dir)
+      .filter($"c_custkey" % 97 === 0).select($"c_custkey")
+    val cRow = Tables.customer(s, dir)
+      .agg(count(lit(1)).as("t"),
+        count(when($"c_custkey" % 97 === 0, 1)).as("d"))
+    val delO = Tables.orders(s, dir)
+      .join(broadcast(delC), $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey")
+    val oRow = Tables.orders(s, dir).agg(count(lit(1)).as("t"))
+      .crossJoin(broadcast(delO.agg(count(lit(1)).as("d"))))
+    val lRow = Tables.lineitem(s, dir).agg(count(lit(1)).as("t"))
+      .crossJoin(broadcast(
+        Tables.lineitem(s, dir)
+          .join(delO, $"l_orderkey" === $"o_orderkey", "left_semi")
+          .agg(count(lit(1)).as("d"))))
+    def shape(tbl: String, df: DataFrame): DataFrame =
+      df.select(lit(tbl).as("tbl"), $"d".as("n_deleted"),
+        ($"t" - $"d").as("n_remaining"))
+    shape("customer", cRow)
+      .unionByName(shape("orders", oRow))
+      .unionByName(shape("lineitem", lRow))
+      .orderBy($"tbl")
+  }
+
+  private val qCascadeDeleteSql =
+    """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |delo AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+      |c AS (
+      |  SELECT 'customer' AS tbl,
+      |    (SELECT count(*) FROM delc) AS n_deleted,
+      |    count(*) - (SELECT count(*) FROM delc) AS n_remaining
+      |  FROM customer),
+      |o AS (
+      |  SELECT 'orders' AS tbl,
+      |    (SELECT count(*) FROM delo) AS n_deleted,
+      |    count(*) - (SELECT count(*) FROM delo) AS n_remaining
+      |  FROM orders),
+      |l AS (
+      |  SELECT 'lineitem' AS tbl,
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_orderkey IN (SELECT o_orderkey FROM delo)) AS n_deleted,
+      |    count(*) - (SELECT count(*) FROM lineitem
+      |     WHERE l_orderkey IN (SELECT o_orderkey FROM delo)) AS n_remaining
+      |  FROM lineitem)
+      |SELECT tbl, n_deleted, n_remaining FROM c
+      |UNION ALL SELECT tbl, n_deleted, n_remaining FROM o
+      |UNION ALL SELECT tbl, n_deleted, n_remaining FROM l
+      |ORDER BY tbl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cascade_delete" -> (qCascadeDelete _),
     "q_scd2_merge"  -> (qScd2Merge _),
     "q_dedup_log"   -> (qDedupLog _),
     "q_impute_mean" -> (qImputeMean _),
@@ -345,6 +414,7 @@ object WarehouseOps {
     "q_incremental_agg" -> (qIncrementalAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_cascade_delete" -> qCascadeDeleteSql,
     "q_scd2_merge"  -> qScd2MergeSql,
     "q_dedup_log"   -> qDedupLogSql,
     "q_impute_mean" -> qImputeMeanSql,

@@ -247,4 +247,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(smjOnWedges.isEmpty,
       s"wedge pipeline must not sort-merge-shuffle: $smjOnWedges")
   }
+
+  test("hybrid search: both input rankings plan as TakeOrderedAndProject") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val plan = staticPlan(SparkEntry.queries("q_hybrid_search")(spark, sfDir))
+    val topk = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    // bm25 top-20, cosine top-20, and the fused top-15 itself
+    assert(topk.size >= 3,
+      s"expected 3 top-k operators (kw, vec, fused), got ${topk.size}\n$plan")
+  }
+
+  test("source entropy: per-source totals join back broadcast") {
+    val plan = staticPlan(SparkEntry.queries("q_source_entropy")(spark, sfDir))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"totals join must broadcast\n$plan")
+  }
+
+  test("cascade delete: deletion keys broadcast into the orders probe") {
+    val plan = staticPlan(SparkEntry.queries("q_cascade_delete")(spark, sfDir))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.exists(_.joinType.toString == "LeftSemi"),
+      s"expected a broadcast left-semi probe\n$plan")
+  }
 }
