@@ -374,10 +374,14 @@ object Graph {
     * large-star/small-star variant drops in without changing the per-round
     * algebra if that ever grows. Hoisted from TextDedup.qDedupClusters so
     * the dedup-cluster and graph-component operators share one loop.
-    * Returns (node, label). */
+    * Returns (node, label), an eager checkpoint — the helper CONSUMES its
+    * input: each round's predecessor and finally `bidir` itself (when
+    * checkpointed) are released, since the result no longer references
+    * them. */
   private[graft] def minLabelComponents(bidir: DataFrame): DataFrame = {
     var labels = bidir.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
+    var prevCheckpoint: Option[DataFrame] = None
     var iter = 0
     var converged = false
     while (!converged && iter < 30) {
@@ -387,12 +391,20 @@ object Graph {
             .select(col("b").as("node"), col("label")))
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
+      // the convergence probe is the last reader of the PREVIOUS round's
+      // checkpoint — release it right after (the qBfsLevels discipline;
+      // matters once rounds grow past the dedup family's 2-3)
       converged = next
         .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
         .filter(col("label") =!= col("prev")).isEmpty
+      prevCheckpoint.foreach(freeCheckpoint)
+      prevCheckpoint = Some(next)
       labels = next
       iter += 1
     }
+    // the returned labels are an (eager) checkpoint, so the edge input has
+    // no remaining reader — release it if the caller checkpointed it
+    freeCheckpoint(bidir)
     labels
   }
 
