@@ -730,6 +730,84 @@ object Embeddings {
        |ORDER BY a.approx_dist, a.vec_id LIMIT 10""".stripMargin
   }
 
+  // ----------------------------------------------------- q_contrastive_pairs
+  /** Contrastive-pair mining for embedding-model training: for every
+    * anchor (each 50th vector), one positive (its manufactured exact copy,
+    * cos ≥ 0.999 — copies always share the anchor's LSH bucket since their
+    * signatures are equal) and one HARD negative — the highest-cosine
+    * in-bucket candidate below the positive band. Hard negatives mined
+    * from the ANN candidate set (not random ones) are what make a
+    * contrastive fine-tune converge; this is the assembly step of that
+    * training set.
+    *
+    * Scale shape: identical candidate generation to q_embed_neardup —
+    * bucket-keyed join, cost Σ bucket·anchors-in-bucket, never corpus²;
+    * the per-anchor top-1 selections are rank windows over in-bucket
+    * candidates. Anchors without an in-bucket negative drop out (at scale,
+    * multi-probe recovers them — q_embed_ann_mp's machinery). */
+  def qContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .unionByName(base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+    val anchors = corpus
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000)
+      .select(col("bucket"), col("vec_id").as("anchor_id"),
+        col("embedding").as("aemb"), col("norm").as("anorm"))
+    val cand = anchors
+      .join(corpus.select(col("bucket"), col("vec_id").as("cid"),
+        col("embedding").as("cemb"), col("norm").as("cnorm")), Seq("bucket"))
+      .filter(col("cid") =!= col("anchor_id"))
+      .withColumn("cos_sim", pairCos("aemb", "cemb", "anorm", "cnorm"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    val pos = cand.filter(col("cos_sim") >= 0.999)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cid").as("pos_id"),
+        col("cos_sim").as("pos_cos"))
+    val neg = cand.filter(col("cos_sim") < 0.999)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("cid").as("neg_id"),
+        col("cos_sim").as("neg_cos"))
+    pos.join(neg, Seq("anchor_id"))
+      .orderBy(col("anchor_id"))
+  }
+
+  private val qContrastivePairsSql =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, embedding FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |b AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketSql("embedding")} AS bucket,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM corpus),
+       |cand AS (
+       |  SELECT a.vec_id AS anchor_id, c.vec_id AS cid,
+       |    round(${dotSql("a.embedding", "c.embedding")}
+       |      / (a.nrm * c.nrm), 4) AS cos_sim
+       |  FROM b a JOIN b c ON c.bucket = a.bucket AND c.vec_id <> a.vec_id
+       |  WHERE a.vec_id % 50 = 0 AND a.vec_id < 10000),
+       |pos AS (
+       |  SELECT anchor_id, cid AS pos_id, cos_sim AS pos_cos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |          ORDER BY cos_sim DESC, cid) AS rn
+       |        FROM cand WHERE cos_sim >= 0.999)
+       |  WHERE rn = 1),
+       |neg AS (
+       |  SELECT anchor_id, cid AS neg_id, cos_sim AS neg_cos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |          ORDER BY cos_sim DESC, cid) AS rn
+       |        FROM cand WHERE cos_sim < 0.999)
+       |  WHERE rn = 1)
+       |SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos
+       |FROM pos JOIN neg USING (anchor_id)
+       |ORDER BY anchor_id""".stripMargin
+
   // --------------------------------------------------------- q_hybrid_search
   /** Hybrid retrieval: reciprocal-rank fusion (k = 60) of the BM25
     * keyword ranking ([[TextAnalysis.qBm25]]'s top-20) and the exact
@@ -806,6 +884,7 @@ object Embeddings {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_search"  -> (qHybridSearch _),
+    "q_contrastive_pairs" -> (qContrastivePairs _),
     "q_pq_ann"         -> (qPqAnn _),
     "q_embed_filtered" -> (qEmbedFiltered _),
     "q_embed_ann_mp"  -> (qEmbedAnnMp _),
@@ -820,6 +899,7 @@ object Embeddings {
 
   val oracle: Map[String, String] = Map(
     "q_hybrid_search"  -> qHybridSearchSql,
+    "q_contrastive_pairs" -> qContrastivePairsSql,
     "q_pq_ann"         -> qPqAnnSql,
     "q_embed_filtered" -> qEmbedFilteredSql,
     "q_embed_ann_mp"  -> qEmbedAnnMpSql,

@@ -204,11 +204,60 @@ object Layout {
        |${encodingStatsCol("o_orderpriority")})
        |ORDER BY column_name""".stripMargin
 
+  // ------------------------------------------------------------ q_skew_stats
+  /** Join-key skew diagnostic over the three hottest fact keys — the
+    * number that decides whether a join needs salting (core/Skew) BEFORE
+    * it runs: per key column, the distinct-key count, row count, heaviest
+    * key's rows, and skew ratio (heaviest key vs the uniform share). A
+    * ratio near 1 means hash partitioning balances; a ratio of 100 means
+    * one reducer gets 100× the average and the join stalls on it.
+    *
+    * Scale shape: each diagnostic is one map-side-combinable count per
+    * key + a second O(keys) aggregate — the cheapest possible full-data
+    * pass, and exactly the stats a production pipeline snapshots per load.
+    * Exact integers until the single ratio division. */
+  def qSkewStats(s: SparkSession, dir: String): DataFrame = {
+    def one(df: DataFrame, keyCol: String, label: String): DataFrame =
+      df.select(col(keyCol).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_rows"))
+        .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_rows"),
+          round((col("max_rows") * col("n_keys")).cast("double")
+            / col("n_rows"), 4).as("skew_ratio"))
+    one(Tables.lineitem(s, dir), "l_partkey", "lineitem.l_partkey")
+      .unionByName(one(Tables.lineitem(s, dir), "l_orderkey",
+        "lineitem.l_orderkey"))
+      .unionByName(one(Tables.orders(s, dir), "o_custkey",
+        "orders.o_custkey"))
+      .orderBy(col("key_col"))
+  }
+
+  private val qSkewStatsSql = {
+    def one(tbl: String, keyCol: String): String =
+      s"""SELECT '$tbl.$keyCol' AS key_col,
+         |  count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         |  max(c) AS max_rows,
+         |  round(CAST(max(c) * count(*) AS DOUBLE) / sum(c), 4) AS skew_ratio
+         |FROM (SELECT CAST($keyCol AS BIGINT) AS k, count(*) AS c
+         |      FROM $tbl GROUP BY 1)""".stripMargin
+    s"""SELECT * FROM (
+       |${one("lineitem", "l_partkey")}
+       |UNION ALL
+       |${one("lineitem", "l_orderkey")}
+       |UNION ALL
+       |${one("orders", "o_custkey")})
+       |ORDER BY key_col""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder"         -> (qZorder _),
-    "q_encoding_stats" -> (qEncodingStats _))
+    "q_encoding_stats" -> (qEncodingStats _),
+    "q_skew_stats"     -> (qSkewStats _))
 
   val oracle: Map[String, String] = Map(
     "q_zorder"         -> qZorderSql,
-    "q_encoding_stats" -> qEncodingStatsSql)
+    "q_encoding_stats" -> qEncodingStatsSql,
+    "q_skew_stats"     -> qSkewStatsSql)
 }

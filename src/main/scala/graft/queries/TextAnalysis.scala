@@ -597,7 +597,74 @@ object TextAnalysis {
       |FROM tot JOIN e USING (source)
       |ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------- q_topic_keywords
+  /** Per-source distinctive keywords: the top-5 tokens by frequency lift
+    * (source rate ÷ corpus rate) at support ≥ 5 — the "what is this
+    * source about" profiler a mixture designer reads next to
+    * q_source_entropy's diversity numbers. Lift over TF-IDF here because
+    * the corpus shares one small vocabulary: document frequency carries no
+    * contrast, relative rates do.
+    *
+    * Scale shape: one corpus shuffle to (source, token) counts; source
+    * totals and corpus token totals are vocab-bounded broadcasts; the
+    * rank window runs over the O(sources × vocab) aggregate only. Lift is
+    * an exact integer cross-product ratio — one double division, rounded
+    * once. */
+  def qTopicKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_src"))
+    val srcTot = sc.groupBy(col("source")).agg(sum(col("c_src")).as("n_src"))
+    val corpTok = sc.groupBy(col("tok")).agg(sum(col("c_src")).as("c_all"))
+    val corpTot = sc.agg(sum(col("c_src")).as("n_all"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("tok"))
+    sc.filter(col("c_src") >= 5)
+      .join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(corpTok), Seq("tok"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("lift",
+        round((col("c_src") * col("n_all")).cast("double")
+          / (col("n_src") * col("c_all")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank"), col("tok"), col("c_src"),
+        col("lift"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val qTopicKeywordsSql =
+    """WITH sc AS (
+      |  SELECT source, tok, count(*) AS c_src
+      |  FROM (SELECT source,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS n_src
+      |       FROM sc GROUP BY source),
+      |ct AS (SELECT tok, CAST(sum(c_src) AS BIGINT) AS c_all
+      |       FROM sc GROUP BY tok),
+      |nt AS (SELECT CAST(sum(c_src) AS BIGINT) AS n_all FROM sc),
+      |scored AS (
+      |  SELECT sc.source, sc.tok, sc.c_src,
+      |    round(CAST(sc.c_src * nt.n_all AS DOUBLE)
+      |      / (st.n_src * ct.c_all), 6) AS lift
+      |  FROM sc
+      |  JOIN st USING (source)
+      |  JOIN ct USING (tok)
+      |  CROSS JOIN nt
+      |  WHERE sc.c_src >= 5),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY lift DESC, tok) AS INT) AS rank
+      |  FROM scored)
+      |SELECT source, rank, tok, c_src, lift
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topic_keywords" -> (qTopicKeywords _),
     "q_source_entropy" -> (qSourceEntropy _),
     "q_colloc_lift"    -> (qCollocLift _),
     "q_inverted_index" -> (qInvertedIndex _),
@@ -612,6 +679,7 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_topic_keywords" -> qTopicKeywordsSql,
     "q_source_entropy" -> qSourceEntropySql,
     "q_colloc_lift"    -> qCollocLiftSql,
     "q_inverted_index" -> qInvertedIndexSql,

@@ -340,8 +340,46 @@ object TimeSeries {
       |FROM framed
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------------------ q_freshness
+  /** Data-freshness audit: per event type, the event count, the last event
+    * time (µs since epoch — integer, so both engines hash identically) and
+    * staleness in whole seconds behind the stream's global high watermark.
+    * The first page of every pipeline-health dashboard: a feed whose
+    * staleness grows is broken upstream no matter what its volume says.
+    *
+    * Scale shape: two map-side-combinable max/count aggregates (one per
+    * type, one global) and a broadcast 1-row join — a single pass over the
+    * fact, O(types) output. */
+  def qFreshness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros($"ts")).as("last_us"))
+    val global = Tables.events(s, dir)
+      .agg(max(unix_micros($"ts")).as("g_us"))
+    byType.crossJoin(broadcast(global))
+      .select($"event_type", $"n_events", $"last_us",
+        expr("(g_us - last_us) div 1000000").as("staleness_sec"))
+      .orderBy($"event_type")
+  }
+
+  private val qFreshnessSql =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type, count(*) AS n_events, max(us) AS last_us
+      |  FROM e GROUP BY event_type),
+      |g AS (SELECT max(us) AS g_us FROM e)
+      |SELECT event_type, n_events, last_us,
+      |  (g_us - last_us) // 1000000 AS staleness_sec
+      |FROM t CROSS JOIN g
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_freshness"      -> (qFreshness _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_ohlc_bars"      -> (qOhlcBars _),
     "q_forward_fill"   -> (qForwardFill _),
@@ -351,6 +389,7 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_freshness"      -> qFreshnessSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_ohlc_bars"      -> qOhlcBarsSql,
     "q_forward_fill"   -> qForwardFillSql,

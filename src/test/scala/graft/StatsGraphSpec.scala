@@ -246,6 +246,37 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("contrastive pairs: positive is the exact copy, negative is strictly below the band") {
+    val rows = SparkEntry.queries("q_contrastive_pairs")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("pos_id") === r.getAs[Long]("anchor_id") + 10000,
+        s"positive must be the manufactured copy: $r")
+      assert(r.getAs[Double]("pos_cos") >= 0.999)
+      val neg = r.getAs[Double]("neg_cos")
+      assert(neg < 0.999 && neg <= r.getAs[Double]("pos_cos"))
+      assert(r.getAs[Long]("neg_id") !== r.getAs[Long]("anchor_id"))
+    }
+  }
+
+  test("skew stats: ratios >= 1, key counts bounded by row counts") {
+    val rows = SparkEntry.queries("q_skew_stats")(spark, sfDir).collect()
+    assert(rows.length === 3)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("max_rows") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Double]("skew_ratio") >= 1.0 - 1e-9)
+    }
+  }
+
+  test("freshness: staleness non-negative and zero for the watermark holder") {
+    val rows = SparkEntry.queries("q_freshness")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val stal = rows.map(_.getAs[Long]("staleness_sec"))
+    assert(stal.forall(_ >= 0))
+    assert(stal.min === 0, "some event type must hold the global watermark")
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
