@@ -442,8 +442,49 @@ object CorpusQuality {
        |WHERE x.doc_id IS NULL
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------- q_ngram_novelty
+  /** Marginal-novelty curve: per doc (in ingestion = doc_id order), the
+    * fraction of its distinct 3-gram shingles never seen in ANY earlier
+    * doc. The curve a curation loop watches while growing a corpus — when
+    * marginal novelty flattens, new data from that firehose is mostly
+    * repetition and the crawl budget should move elsewhere.
+    *
+    * Scale shape: one shingle explode (distinct), one min-aggregate per
+    * shingle for its first-seen doc, one keyed join back — the same
+    * two-shuffle budget as the dedup index build, with no window over the
+    * raw stream. */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingleRows(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))).distinct()
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_seen"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_seen") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 4)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qNgramNoveltySql =
+    s"""WITH ${TextOps.shingleSql("documents", "sh")},
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |first AS (
+       |  SELECT shingle, min(doc_id) AS first_seen FROM shd GROUP BY shingle)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  round(CAST(sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 4) AS novelty
+       |FROM shd JOIN first USING (shingle)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty"      -> (qNgramNovelty _),
     "q_corpus_pipeline"    -> (qCorpusPipeline _),
     "q_chunk_docs"         -> (qChunkDocs _),
     "q_decontaminate"      -> (qDecontaminate _),
@@ -454,6 +495,7 @@ object CorpusQuality {
     "q_oov_rate"           -> (qOovRate _))
 
   val oracle: Map[String, String] = Map(
+    "q_ngram_novelty"      -> qNgramNoveltySql,
     "q_corpus_pipeline"    -> qCorpusPipelineSql,
     "q_chunk_docs"         -> qChunkDocsSql,
     "q_decontaminate"      -> qDecontaminateSql,

@@ -730,6 +730,74 @@ object Embeddings {
        |ORDER BY a.approx_dist, a.vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------- q_label_noise
+  /** Label-noise audit (confident-learning-lite): every vector is checked
+    * against the majority label of its 3 nearest in-bucket neighbors;
+    * disagreements are the label-error SUSPECTS a human (or a stronger
+    * model) re-annotates first. On randomly-labeled synthetic data most
+    * vectors disagree with their neighborhood — the audit's value is the
+    * deterministic machinery, which is identical on real clustered labels.
+    *
+    * Scale shape: same bucket-keyed candidate join as the ANN family; the
+    * top-3 and majority-vote selections are rank windows over in-bucket
+    * candidates (bounded by bucket size); output is the flagged subset.
+    * Vectors with no in-bucket neighbor drop out (multi-probe recovers
+    * them at scale). */
+  def qLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+    val l = emb.select(col("bucket"), col("vec_id"), col("label"),
+      col("embedding"), col("norm"))
+    val r = emb.select(col("bucket"), col("vec_id").as("nid"),
+      col("label").as("nlabel"), col("embedding").as("emb2"),
+      col("norm").as("norm2"))
+    val wNn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nid"))
+    val top3 = l.join(r, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("cos_sim", pairCos("embedding", "emb2", "norm", "norm2"))
+      .withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") <= 3)
+    val wVote = Window.partitionBy(col("vec_id"))
+      .orderBy(col("n_votes").desc, col("nlabel"))
+    top3.groupBy(col("vec_id"), col("label"), col("nlabel"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1 && col("label") =!= col("nlabel"))
+      .select(col("vec_id"), col("label"),
+        col("nlabel").as("nn_majority"), col("n_votes"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qLabelNoiseSql =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${bucketSql("embedding")} AS bucket,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |top3 AS (
+       |  SELECT * FROM (
+       |    SELECT v.vec_id, v.label, n.label AS nlabel,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        round(${dotSql("v.embedding", "n.embedding")}
+       |          / (v.nrm * n.nrm), 4) DESC, n.vec_id) AS rn
+       |    FROM b v JOIN b n
+       |      ON n.bucket = v.bucket AND n.vec_id <> v.vec_id)
+       |  WHERE rn <= 3),
+       |votes AS (
+       |  SELECT vec_id, label, nlabel, count(*) AS n_votes
+       |  FROM top3 GROUP BY 1, 2, 3),
+       |winner AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY n_votes DESC, nlabel) AS vr
+       |    FROM votes)
+       |  WHERE vr = 1)
+       |SELECT vec_id, label, nlabel AS nn_majority, n_votes
+       |FROM winner WHERE label <> nlabel
+       |ORDER BY vec_id""".stripMargin
+
   // ----------------------------------------------------- q_contrastive_pairs
   /** Contrastive-pair mining for embedding-model training: for every
     * anchor (each 50th vector), one positive (its manufactured exact copy,
@@ -885,6 +953,7 @@ object Embeddings {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_search"  -> (qHybridSearch _),
     "q_contrastive_pairs" -> (qContrastivePairs _),
+    "q_label_noise"    -> (qLabelNoise _),
     "q_pq_ann"         -> (qPqAnn _),
     "q_embed_filtered" -> (qEmbedFiltered _),
     "q_embed_ann_mp"  -> (qEmbedAnnMp _),
@@ -900,6 +969,7 @@ object Embeddings {
   val oracle: Map[String, String] = Map(
     "q_hybrid_search"  -> qHybridSearchSql,
     "q_contrastive_pairs" -> qContrastivePairsSql,
+    "q_label_noise"    -> qLabelNoiseSql,
     "q_pq_ann"         -> qPqAnnSql,
     "q_embed_filtered" -> qEmbedFilteredSql,
     "q_embed_ann_mp"  -> qEmbedAnnMpSql,

@@ -846,6 +846,59 @@ object TextDedup {
        |WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 7
        |ORDER BY a, b""".stripMargin
 
+  // -------------------------------------------------------- q_minhash_recall
+  /** LSH index-quality diagnostic: candidate recall of the banded minhash
+    * index against the COMPLETE exact ground truth at Jaccard ≥ 0.7 (the
+    * prefix-filter join, whose completeness lemma PropertiesSpec proves).
+    * The text sibling of q_ann_recall: banding is probabilistic
+    * (P(candidate) = 1−(1−J³)⁴), and this one number is what decides
+    * whether to add bands or widen rows before trusting the index.
+    *
+    * Scale shape: both pair sets come from stored indexes (bands, ranked
+    * prefix); the intersection is one keyed semi join on (a, b); output is
+    * a single row of counts. */
+  def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = qPrefixJoin(s, dir).select($"a", $"b")
+    val bands = augBuckets(s, dir)
+    val cand = bands.select($"band_id", $"band_sig", $"doc_id".as("a"))
+      .join(bands.select($"band_id", $"band_sig", $"doc_id".as("b")),
+        Seq("band_id", "band_sig"))
+      .filter($"a" < $"b").select($"a", $"b").distinct()
+    val hit = exact.join(cand, Seq("a", "b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select($"n_exact", $"n_candidates", $"n_hit",
+        round($"n_hit".cast("double") / $"n_exact", 4).as("recall"))
+  }
+
+  private val qMinhashRecallSql =
+    s"""WITH $augmentedSqlCte,
+       |$shingleSqlCte,
+       |$minhashSqlCte,
+       |$bandSqlCte,
+       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+       |  FROM shd x JOIN shd y
+       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT a, b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b
+       |  WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 7),
+       |$candSqlCte,
+       |hit AS (SELECT e.a, e.b FROM exact e
+       |        JOIN cand c ON c.a = e.a AND c.b = e.b)
+       |SELECT (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM cand) AS n_candidates,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+       |    / (SELECT count(*) FROM exact), 4) AS recall""".stripMargin
+
   // ----------------------------------------------------------- q_cdc_chunks
   /** Content-defined chunking dedup — the storage-level complement of the
     * document dedup family: split every document into chunks whose
@@ -930,6 +983,7 @@ object TextDedup {
     "q_exact_dup"      -> (qExactDup _),
     "q_span_dedup"     -> (qSpanDedup _),
     "q_dup_matrix"     -> (qDupMatrix _),
+    "q_minhash_recall" -> (qMinhashRecall _),
     "q_minhash_bucket" -> (qMinhashBucket _),
     "q_minhash_pairs"  -> (qMinhashPairs _),
     "q_jaccard_pairs"  -> (qJaccardPairs _),
@@ -948,6 +1002,7 @@ object TextDedup {
     "q_exact_dup"      -> qExactDupSql,
     "q_span_dedup"     -> qSpanDedupSql,
     "q_dup_matrix"     -> qDupMatrixSql,
+    "q_minhash_recall" -> qMinhashRecallSql,
     "q_minhash_bucket" -> qMinhashBucketSql,
     "q_minhash_pairs"  -> qMinhashPairsSql,
     "q_jaccard_pairs"  -> qJaccardPairsSql,

@@ -340,6 +340,57 @@ object TimeSeries {
       |FROM framed
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ----------------------------------------------------------------- q_twap
+  /** Time-weighted average value per user — each event's value is "held"
+    * until the user's next event, so a value that persisted for an hour
+    * weighs 3600× one that was replaced in a second. The standard
+    * time-weighted aggregate (TWAP in finance; duration-weighted state in
+    * telemetry) that a plain AVG silently gets wrong on irregular feeds.
+    *
+    * Scale shape: one shuffle on user_id; lead() over the per-user total
+    * order supplies the holding duration; the weighted sum is exact
+    * integer cents × whole seconds, with two double divisions at the end
+    * (identical order both engines). Users whose events all fall inside
+    * one second carry zero total duration and drop out — documented, and
+    * identical in the oracle's HAVING. */
+  def qTwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("cents", (OP.dec2($"value") * 100).cast("long"))
+      .withColumn("next_us", lead($"us", 1).over(w))
+      .filter($"next_us".isNotNull)
+      .withColumn("dur_sec", expr("(next_us - us) div 1000000"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"dur_sec").as("total_sec"),
+        round(sum($"cents" * $"dur_sec").cast("double")
+          / sum($"dur_sec") / lit(100.0), 4).as("twap"))
+      .filter($"total_sec" > 0)
+      .orderBy($"user_id")
+  }
+
+  private val qTwapSql =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, cents, (next_us - us) // 1000000 AS dur_sec
+      |  FROM e WHERE next_us IS NOT NULL)
+      |SELECT user_id, count(*) AS n_intervals,
+      |  CAST(sum(dur_sec) AS BIGINT) AS total_sec,
+      |  round(CAST(sum(cents * dur_sec) AS DOUBLE)
+      |    / sum(dur_sec) / 100.0, 4) AS twap
+      |FROM d
+      |GROUP BY user_id
+      |HAVING sum(dur_sec) > 0
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ q_freshness
   /** Data-freshness audit: per event type, the event count, the last event
     * time (µs since epoch — integer, so both engines hash identically) and
@@ -380,6 +431,7 @@ object TimeSeries {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_freshness"      -> (qFreshness _),
+    "q_twap"           -> (qTwap _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_ohlc_bars"      -> (qOhlcBars _),
     "q_forward_fill"   -> (qForwardFill _),
@@ -390,6 +442,7 @@ object TimeSeries {
 
   val oracle: Map[String, String] = Map(
     "q_freshness"      -> qFreshnessSql,
+    "q_twap"           -> qTwapSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_ohlc_bars"      -> qOhlcBarsSql,
     "q_forward_fill"   -> qForwardFillSql,

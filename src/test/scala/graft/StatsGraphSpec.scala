@@ -277,6 +277,55 @@ class StatsGraphSpec extends AnyFunSuite {
     assert(stal.min === 0, "some event type must hold the global watermark")
   }
 
+  test("minhash recall: hit set bounded by both sides, ratio recomputes") {
+    val r = SparkEntry.queries("q_minhash_recall")(spark, sfDir).collect()(0)
+    val (ex, cand, hit) = (r.getAs[Long]("n_exact"),
+      r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hit"))
+    assert(ex > 0 && hit <= ex && hit <= cand)
+    assert(math.abs(r.getAs[Double]("recall") -
+      math.rint(hit.toDouble / ex * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("ngram novelty: first doc fully novel, totals account for the vocabulary") {
+    val rows = SparkEntry.queries("q_ngram_novelty")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") === 1.0)
+    for (r <- rows)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_shingles"))
+    val distinctShingles = graft.core.Tables.documents(spark, sfDir)
+      .select(split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(explode(expr("transform(sequence(0, size(w)-3), " +
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("shingle"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === distinctShingles)
+  }
+
+  test("label noise: flagged rows disagree, vote counts within panel size") {
+    val rows = SparkEntry.queries("q_label_noise")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Int]("label") !== r.getAs[Int]("nn_majority"))
+      val v = r.getAs[Long]("n_votes")
+      assert(v >= 1 && v <= 3)
+    }
+  }
+
+  test("TWAP stays within each user's value range") {
+    val bounds = graft.core.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val out = SparkEntry.queries("q_twap")(spark, sfDir)
+      .join(bounds, Seq("user_id")).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val t = r.getAs[Double]("twap")
+      assert(t >= r.getAs[Double]("lo") - 0.01 &&
+        t <= r.getAs[Double]("hi") + 0.01)
+    }
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
