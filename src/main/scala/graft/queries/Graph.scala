@@ -107,15 +107,21 @@ object Graph {
     * oracles), so the derivation materializes ONCE per corpus through
     * IndexStore — each consumer's plan scans the stored edge list, the
     * same build-once asset shape the LSH index family uses. */
+  /** Raw co-order pair stream (u < v, one row per line pair) — the shared
+    * derivation under both edge tables; callers aggregate it their own way
+    * (distinct vs weight-filtered). */
+  private def coOrderPairRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
+    li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v"))
+  }
+
   private[graft] def coOrderEdges(s: SparkSession, dir: String): DataFrame =
     graft.io.IndexStore.materialized(s, dir, "coorder_edges") {
-      import s.implicits._
-      val li = Tables.lineitem(s, dir)
-        .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
-      li.as("a").join(li.as("b"),
-          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-        .select($"a.pk".as("u"), $"b.pk".as("v"))
-        .distinct()
+      coOrderPairRows(s, dir).distinct()
     }
 
   private val coOrderEdgesCte =
@@ -417,11 +423,8 @@ object Graph {
   private[graft] def strongEdges(s: SparkSession, dir: String): DataFrame =
     graft.io.IndexStore.materialized(s, dir, "coorder_strong") {
       import s.implicits._
-      val li = Tables.lineitem(s, dir)
-        .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
-      li.as("a").join(li.as("b"),
-          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-        .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
+      coOrderPairRows(s, dir)
+        .groupBy($"u", $"v")
         .agg(count(lit(1)).as("w"))
         .filter($"w" >= 2)
         .select($"u", $"v")
