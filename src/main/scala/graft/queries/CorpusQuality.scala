@@ -482,8 +482,54 @@ object CorpusQuality {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- q_quality_vs_dup
+  /** Quality-vs-duplication calibration: docs banded by composite quality
+    * score (5 fixed 0.2-wide bands — no global window, unlike a ntile)
+    * cross-tabbed against span-level duplication membership. The curation
+    * question it answers: are the low-quality docs also the duplicated
+    * ones (one filter suffices) or independent failure modes (both
+    * filters earn their keep)?
+    *
+    * Composes two gated operators — [[TextAnalysis.qQualityScore]] and
+    * [[TextDedup.qSpanDedup]] — and the oracle composes their published
+    * SQL the same way, so this cross-tab can never drift from the
+    * operators it summarizes. Scale shape: both inputs are per-doc maps /
+    * aggregates; the cross-tab is one O(5) aggregate after a keyed left
+    * join. */
+  def qQualityVsDup(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qQualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val dup = TextDedup.qSpanDedup(s, dir)
+      .select(col("doc_id"), lit(1).as("is_dup"))
+    q.withColumn("band",
+        least(lit(4), floor(col("quality_score") * 5).cast("int")))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), count(col("is_dup")).as("n_dup"))
+      .select(col("band"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs"), 4).as("dup_rate"))
+      .orderBy(col("band"))
+  }
+
+  private val qQualityVsDupSql =
+    s"""WITH q AS (
+       |  SELECT doc_id, quality_score FROM (
+       |${TextAnalysis.qQualityScoreSql})),
+       |dup AS (
+       |  SELECT doc_id, 1 AS is_dup FROM (
+       |${TextDedup.qSpanDedupSql}))
+       |SELECT band, count(*) AS n_docs, count(is_dup) AS n_dup,
+       |  round(CAST(count(is_dup) AS DOUBLE) / count(*), 4) AS dup_rate
+       |FROM (SELECT q.doc_id,
+       |        least(4, CAST(floor(quality_score * 5) AS INT)) AS band,
+       |        d.is_dup
+       |      FROM q LEFT JOIN dup d USING (doc_id))
+       |GROUP BY band
+       |ORDER BY band""".stripMargin
+
   // --------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_vs_dup"     -> (qQualityVsDup _),
     "q_ngram_novelty"      -> (qNgramNovelty _),
     "q_corpus_pipeline"    -> (qCorpusPipeline _),
     "q_chunk_docs"         -> (qChunkDocs _),
@@ -495,6 +541,7 @@ object CorpusQuality {
     "q_oov_rate"           -> (qOovRate _))
 
   val oracle: Map[String, String] = Map(
+    "q_quality_vs_dup"     -> qQualityVsDupSql,
     "q_ngram_novelty"      -> qNgramNoveltySql,
     "q_corpus_pipeline"    -> qCorpusPipelineSql,
     "q_chunk_docs"         -> qChunkDocsSql,

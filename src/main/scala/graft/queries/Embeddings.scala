@@ -730,6 +730,55 @@ object Embeddings {
        |ORDER BY a.approx_dist, a.vec_id LIMIT 10""".stripMargin
   }
 
+  // --------------------------------------------------------------- q_maxsim
+  /** Late-interaction retrieval scoring (the ColBERT shape): query and
+    * document vectors are treated as 4 blocks of 16 dims ("token
+    * embeddings"), and the score is Σ over query blocks of the MAX dot
+    * product against any document block — fine-grained matching that a
+    * single pooled dot product washes out. Top-10 against the vec_id = 0
+    * query.
+    *
+    * Scale shape: a pure map over the corpus (block dots are `float_dot`
+    * over array slices, all codegen; the query rides in as a broadcast
+    * 1-row scalar) + one TakeOrderedAndProject — the brute-force tier; the
+    * LSH/IVF bucketing tiers compose with it exactly as they do with the
+    * pooled cosine.
+    *
+    * Engine parity: 16-element block dots are the same left-to-right
+    * double folds as the 64-dim family; greatest() and the fixed-order
+    * 4-term sum are order-identical in both engines; one 4-dp round at the
+    * end. */
+  def qMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    def blockDot(db: Int, qb: Int): Column = expr(
+      s"float_dot(slice(embedding, ${db * 16 + 1}, 16), " +
+        s"slice(qv, ${qb * 16 + 1}, 16))")
+    val score = (0 until 4)
+      .map(qb => greatest((0 until 4).map(db => blockDot(db, qb)): _*))
+      .reduce(_ + _)
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"), round(score, 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val qMaxsimSql = {
+    def blockDot(db: Int, qb: Int): String =
+      s"list_sum(list_transform(range(1, 17), i -> " +
+        s"CAST(e.embedding[i + ${db * 16}] AS DOUBLE) * " +
+        s"CAST(q.qv[i + ${qb * 16}] AS DOUBLE)))"
+    val score = (0 until 4)
+      .map(qb => s"greatest(${(0 until 4).map(db => blockDot(db, qb)).mkString(", ")})")
+      .mkString(" + ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, round($score, 4) AS maxsim
+       |FROM embeddings e CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   // ---------------------------------------------------------- q_label_noise
   /** Label-noise audit (confident-learning-lite): every vector is checked
     * against the majority label of its 3 nearest in-bucket neighbors;
@@ -954,6 +1003,7 @@ object Embeddings {
     "q_hybrid_search"  -> (qHybridSearch _),
     "q_contrastive_pairs" -> (qContrastivePairs _),
     "q_label_noise"    -> (qLabelNoise _),
+    "q_maxsim"         -> (qMaxsim _),
     "q_pq_ann"         -> (qPqAnn _),
     "q_embed_filtered" -> (qEmbedFiltered _),
     "q_embed_ann_mp"  -> (qEmbedAnnMp _),
@@ -970,6 +1020,7 @@ object Embeddings {
     "q_hybrid_search"  -> qHybridSearchSql,
     "q_contrastive_pairs" -> qContrastivePairsSql,
     "q_label_noise"    -> qLabelNoiseSql,
+    "q_maxsim"         -> qMaxsimSql,
     "q_pq_ann"         -> qPqAnnSql,
     "q_embed_filtered" -> qEmbedFilteredSql,
     "q_embed_ann_mp"  -> qEmbedAnnMpSql,

@@ -251,13 +251,55 @@ object Layout {
        |ORDER BY key_col""".stripMargin
   }
 
+  // -------------------------------------------------------- q_partition_stats
+  /** Partition-size audit over the natural day partitioning of the event
+    * stream — the small-files/hot-partition diagnostic: per day bucket,
+    * the row count and a status flag (under half the average = "small",
+    * over double = "large"). Small partitions mean file explosion and
+    * task-scheduling overhead; large ones mean stragglers — both are fixed
+    * at WRITE time (coalesce/repartitionByRange), and this report is what
+    * triggers that.
+    *
+    * Scale shape: one map-side-combinable count per day + a broadcast
+    * 1-row average join. Day buckets are integer µs-epoch divisions —
+    * engine-identical, no calendar functions. */
+  def qPartitionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDay = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day_bucket"))
+      .groupBy($"day_bucket").agg(count(lit(1)).as("n_rows"))
+    val avg = byDay
+      .agg((sum($"n_rows").cast("double") / count(lit(1))).as("avg_rows"))
+    byDay.crossJoin(broadcast(avg))
+      .select($"day_bucket", $"n_rows",
+        when($"n_rows" * 2 < $"avg_rows", "small")
+          .when($"n_rows" > $"avg_rows" * 2, "large")
+          .otherwise("ok").as("status"))
+      .orderBy($"day_bucket")
+  }
+
+  private val qPartitionStatsSql =
+    """WITH d AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_bucket
+      |  FROM events),
+      |b AS (SELECT day_bucket, count(*) AS n_rows FROM d GROUP BY 1),
+      |a AS (SELECT CAST(sum(n_rows) AS DOUBLE) / count(*) AS avg_rows FROM b)
+      |SELECT day_bucket, n_rows,
+      |  CASE WHEN n_rows * 2 < avg_rows THEN 'small'
+      |       WHEN n_rows > avg_rows * 2 THEN 'large'
+      |       ELSE 'ok' END AS status
+      |FROM b CROSS JOIN a
+      |ORDER BY day_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder"         -> (qZorder _),
     "q_encoding_stats" -> (qEncodingStats _),
-    "q_skew_stats"     -> (qSkewStats _))
+    "q_skew_stats"     -> (qSkewStats _),
+    "q_partition_stats" -> (qPartitionStats _))
 
   val oracle: Map[String, String] = Map(
     "q_zorder"         -> qZorderSql,
     "q_encoding_stats" -> qEncodingStatsSql,
-    "q_skew_stats"     -> qSkewStatsSql)
+    "q_skew_stats"     -> qSkewStatsSql,
+    "q_partition_stats" -> qPartitionStatsSql)
 }

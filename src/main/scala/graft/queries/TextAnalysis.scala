@@ -118,7 +118,7 @@ object TextAnalysis {
           4).as("quality_score"))
       .orderBy(col("doc_id"))
 
-  private val qQualityScoreSql =
+  private[queries] val qQualityScoreSql =
     s"""SELECT doc_id,
        |  CAST(len(w) AS INT) AS n_tokens,
        |  round(

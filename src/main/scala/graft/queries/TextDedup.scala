@@ -271,7 +271,7 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
-  private val qSpanDedupSql =
+  private[queries] val qSpanDedupSql =
     s"""WITH d AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
        |  FROM documents),

@@ -326,6 +326,42 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("maxsim dominates the pooled dot product on every returned row") {
+    // sum-of-blockwise-max >= sum of diagonal blocks = full 64-dim dot
+    val full = graft.core.Tables.embeddings(spark, sfDir).as("e")
+      .crossJoin(graft.core.Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      .select(col("vec_id"), expr("float_dot(embedding, qv)").as("dot"))
+    val out = SparkEntry.queries("q_maxsim")(spark, sfDir)
+      .join(full, Seq("vec_id")).collect()
+    assert(out.length === 10)
+    for (r <- out)
+      assert(r.getAs[Double]("maxsim") >= r.getAs[Double]("dot") - 1e-4)
+  }
+
+  test("partition stats: statuses recompute and rows account for the stream") {
+    val rows = SparkEntry.queries("q_partition_stats")(spark, sfDir).collect()
+    val total = graft.core.Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === total)
+    val avg = total.toDouble / rows.length
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_rows")
+      val expect = if (n * 2 < avg) "small"
+        else if (n > avg * 2) "large" else "ok"
+      assert(r.getAs[String]("status") === expect)
+    }
+  }
+
+  test("quality-vs-dup cross-tab accounts for every doc and every flagged doc") {
+    val rows = SparkEntry.queries("q_quality_vs_dup")(spark, sfDir).collect()
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    val nFlagged = SparkEntry.queries("q_span_dedup")(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(rows.map(_.getAs[Long]("n_dup")).sum === nFlagged)
+    for (r <- rows)
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_docs"))
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
