@@ -519,6 +519,47 @@ object TextDedup {
        |GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  // -------------------------------------------------------- q_threshold_sweep
+  /** Dedup-threshold operating characteristic: for Jaccard cutoffs 0.5 to
+    * 0.9, how many verified pairs and how many distinct affected docs
+    * survive — the tuning curve read before committing a corpus to one
+    * threshold (too low merges distinct docs, too high leaves mirrors in).
+    *
+    * Scale shape: the scored pairs come from the stored-index LSH chain
+    * once; the sweep is a 5-row broadcast threshold list joined against
+    * the O(pairs) table — the whole sweep costs one extra aggregate, not
+    * five corpus passes. */
+  def qThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val thr = s.range(5, 10).select(($"id" / 10.0).as("thr"))
+    val pairs = jaccardScored(s, dir).select($"a", $"b", $"jaccard")
+    val hits = pairs.crossJoin(broadcast(thr))
+      .filter($"jaccard" >= $"thr")
+    val nPairs = hits.groupBy($"thr").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hits.select($"thr", $"a".as("d"))
+      .unionByName(hits.select($"thr", $"b".as("d")))
+      .groupBy($"thr").agg(countDistinct($"d").as("n_docs"))
+    nPairs.join(nDocs, Seq("thr"))
+      .select($"thr", $"n_pairs", $"n_docs")
+      .orderBy($"thr")
+  }
+
+  private val qThresholdSweepSql =
+    s"""WITH $jacSqlCtes,
+       |thr AS (SELECT CAST(i AS DOUBLE) / 10 AS thr FROM range(5, 10) t(i)),
+       |hits AS (
+       |  SELECT t.thr, j.a, j.b FROM jac j
+       |  CROSS JOIN thr t WHERE j.jaccard >= t.thr),
+       |np AS (SELECT thr, count(*) AS n_pairs FROM hits GROUP BY thr),
+       |nd AS (
+       |  SELECT thr, count(DISTINCT d) AS n_docs
+       |  FROM (SELECT thr, a AS d FROM hits
+       |        UNION ALL SELECT thr, b AS d FROM hits)
+       |  GROUP BY thr)
+       |SELECT thr, n_pairs, n_docs
+       |FROM np JOIN nd USING (thr)
+       |ORDER BY thr""".stripMargin
+
   // -------------------------------------------------------------- q_simhash
   /** 16-bit SimHash fingerprints: per token, bit b contributes +1/−1 by the
     * b-th hex nibble of md5(token) (top bit of the nibble); fingerprint bit =
@@ -984,6 +1025,7 @@ object TextDedup {
     "q_span_dedup"     -> (qSpanDedup _),
     "q_dup_matrix"     -> (qDupMatrix _),
     "q_minhash_recall" -> (qMinhashRecall _),
+    "q_threshold_sweep" -> (qThresholdSweep _),
     "q_minhash_bucket" -> (qMinhashBucket _),
     "q_minhash_pairs"  -> (qMinhashPairs _),
     "q_jaccard_pairs"  -> (qJaccardPairs _),
@@ -1003,6 +1045,7 @@ object TextDedup {
     "q_span_dedup"     -> qSpanDedupSql,
     "q_dup_matrix"     -> qDupMatrixSql,
     "q_minhash_recall" -> qMinhashRecallSql,
+    "q_threshold_sweep" -> qThresholdSweepSql,
     "q_minhash_bucket" -> qMinhashBucketSql,
     "q_minhash_pairs"  -> qMinhashPairsSql,
     "q_jaccard_pairs"  -> qJaccardPairsSql,

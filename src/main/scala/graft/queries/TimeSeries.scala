@@ -340,6 +340,42 @@ object TimeSeries {
       |FROM framed
       |ORDER BY user_id, event_id""".stripMargin
 
+  // -------------------------------------------------------------- q_seasonal
+  /** Hour-of-day seasonality profile: event volume per UTC hour slot and
+    * its index against the uniform share (index 2.0 = that hour carries
+    * twice the average load). What capacity planning and anomaly
+    * baselining read first — a volume z-score is meaningless until the
+    * daily shape is factored out.
+    *
+    * Scale shape: hour slots are integer µs-epoch arithmetic (no calendar
+    * functions — engine-identical); one map-side-combinable count to 24
+    * groups + a broadcast 1-row total. Index = exact integer product over
+    * integer total, one double division. */
+  def qSeasonal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byHour = Tables.events(s, dir)
+      .select(expr("(unix_micros(ts) div 3600000000) % 24").as("hour_slot"))
+      .groupBy($"hour_slot").agg(count(lit(1)).as("n_events"))
+    val total = Tables.events(s, dir).agg(count(lit(1)).as("n_total"))
+    byHour.crossJoin(broadcast(total))
+      .select($"hour_slot", $"n_events",
+        round(($"n_events" * lit(24)).cast("double") / $"n_total", 4)
+          .as("load_index"))
+      .orderBy($"hour_slot")
+  }
+
+  private val qSeasonalSql =
+    """WITH h AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+      |    AS hour_slot
+      |  FROM events),
+      |b AS (SELECT hour_slot, count(*) AS n_events FROM h GROUP BY 1),
+      |t AS (SELECT count(*) AS n_total FROM h)
+      |SELECT hour_slot, n_events,
+      |  round(CAST(n_events * 24 AS DOUBLE) / n_total, 4) AS load_index
+      |FROM b CROSS JOIN t
+      |ORDER BY hour_slot""".stripMargin
+
   // ----------------------------------------------------------------- q_twap
   /** Time-weighted average value per user — each event's value is "held"
     * until the user's next event, so a value that persisted for an hour
@@ -432,6 +468,7 @@ object TimeSeries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_freshness"      -> (qFreshness _),
     "q_twap"           -> (qTwap _),
+    "q_seasonal"       -> (qSeasonal _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_ohlc_bars"      -> (qOhlcBars _),
     "q_forward_fill"   -> (qForwardFill _),
@@ -443,6 +480,7 @@ object TimeSeries {
   val oracle: Map[String, String] = Map(
     "q_freshness"      -> qFreshnessSql,
     "q_twap"           -> qTwapSql,
+    "q_seasonal"       -> qSeasonalSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_ohlc_bars"      -> qOhlcBarsSql,
     "q_forward_fill"   -> qForwardFillSql,

@@ -234,4 +234,40 @@ class PropertiesSpec extends AnyFunSuite {
         s"topk(k=$k) diverged from the window reference")
     }
   }
+
+  test("min-label propagation equals union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 18)
+      m <- Gen.choose(1, 28)
+      es <- Gen.listOfN(m, for {
+        u <- Gen.choose(0L, n.toLong - 1)
+        v <- Gen.choose(0L, n.toLong - 1) if u != v
+      } yield (math.min(u, v), math.max(u, v)))
+    } yield es
+    forAllSampled(edgeGen, n = 6) { es =>
+      import spark.implicits._
+      val e = es.toDF("u", "v")
+      val bidir = e.select($"u".as("a"), $"v".as("b"))
+        .unionByName(e.select($"v".as("a"), $"u".as("b")))
+      val got = graft.queries.Graph.minLabelComponents(bidir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((u, v) <- es) {
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val nodes = es.flatMap(p => Seq(p._1, p._2)).distinct
+      // canonical rep = min node of the component, on both sides
+      val want = nodes.map { x =>
+        val r = find(x)
+        x -> nodes.filter(y => find(y) == r).min
+      }.toMap
+      assert(got === want, s"CC diverged on edges $es")
+    }
+  }
 }
