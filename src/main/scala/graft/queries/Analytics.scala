@@ -587,7 +587,86 @@ object Analytics {
       |FROM cells GROUP BY cd, offset_d
       |ORDER BY cohort_day, offset_d""".stripMargin
 
+  // ---------------------------------------------------------- q_concentration
+  /** Market-concentration (Herfindahl–Hirschman) index per customer
+    * segment: Σᵢ shareᵢ² over each segment's customers' order counts —
+    * 1/n for perfectly even demand, → 1 as one buyer dominates. The
+    * concentration report behind quota decisions and skew forecasting
+    * (a segment with HHI ≫ 1/n is a salting candidate when joined on
+    * customer).
+    *
+    * Engine parity: HHI = Σc² / (Σc)² is an exact integer ratio — the two
+    * sums are map-side-combinable BIGINT aggregates, the division is the
+    * single double op, rounded once. Two shuffles: (segment, customer)
+    * counts, then the O(segments) rollup. */
+  def qConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"c_custkey")
+      .agg(count(lit(1)).as("c"))
+    perCust.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"c").as("n_orders"),
+        sum($"c" * $"c").as("sum_sq"))
+      .select($"c_mktsegment", $"n_customers", $"n_orders",
+        round($"sum_sq".cast("double") / ($"n_orders" * $"n_orders"), 6)
+          .as("hhi"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val qConcentrationSql =
+    """WITH pc AS (
+      |  SELECT c.c_mktsegment, o.o_custkey, count(*) AS c
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_mktsegment,
+      |  count(*) AS n_customers,
+      |  CAST(sum(c) AS BIGINT) AS n_orders,
+      |  round(CAST(sum(c * c) AS DOUBLE)
+      |    / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)), 6) AS hhi
+      |FROM pc
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------- q_daily_percentiles
+  /** Daily percentile bands of purchase amounts — p50/p90 per day bucket
+    * next to min/max, the spread view a monitoring dashboard charts over
+    * time (a drifting p90 with a flat median = a growing tail, invisible
+    * to averages). Exact-decimal inputs feed the interpolating percentile
+    * on BOTH engines (Analytics.qPercentile precedent).
+    *
+    * Scale shape: one shuffle to day grain; percentile state is per-group
+    * and spills never — day groups are bounded by daily volume. */
+  def qDailyPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000").as("day_bucket"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)").as("v"))
+      .groupBy($"day_bucket")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .orderBy($"day_bucket")
+  }
+
+  private val qDailyPercentilesSql =
+    """SELECT day_bucket, count(*) AS n,
+      |  quantile_cont(v, 0.5) AS p50,
+      |  quantile_cont(v, 0.9) AS p90,
+      |  min(v) AS min_v, max(v) AS max_v
+      |FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+      |        AS day_bucket,
+      |      CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+      |      FROM events WHERE event_type = 'purchase')
+      |GROUP BY day_bucket
+      |ORDER BY day_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concentration" -> (qConcentration _),
+    "q_daily_percentiles" -> (qDailyPercentiles _),
     "q_retention"     -> (qRetention _),
     "q_funnel"        -> (qFunnel _),
     "q_unpivot"       -> (qUnpivot _),
@@ -606,6 +685,8 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_concentration" -> qConcentrationSql,
+    "q_daily_percentiles" -> qDailyPercentilesSql,
     "q_retention"     -> qRetentionSql,
     "q_funnel"        -> qFunnelSql,
     "q_unpivot"       -> qUnpivotSql,

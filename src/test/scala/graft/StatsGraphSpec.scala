@@ -362,6 +362,20 @@ class StatsGraphSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_docs"))
   }
 
+  test("HHI bounded by [1/n, 1]; percentile bands ordered within min/max") {
+    for (r <- SparkEntry.queries("q_concentration")(spark, sfDir).collect()) {
+      val h = r.getAs[Double]("hhi")
+      val n = r.getAs[Long]("n_customers")
+      assert(h >= 1.0 / n - 1e-9 && h <= 1.0 + 1e-9, s"HHI out of range: $r")
+    }
+    for (r <- SparkEntry.queries("q_daily_percentiles")(spark, sfDir).collect()) {
+      val (lo, p50, p90, hi) = (r.getAs[Double]("min_v"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+        r.getAs[Double]("max_v"))
+      assert(lo <= p50 && p50 <= p90 && p90 <= hi, s"bands unordered: $r")
+    }
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
