@@ -527,8 +527,73 @@ object CorpusQuality {
        |GROUP BY band
        |ORDER BY band""".stripMargin
 
+  // ----------------------------------------------------------- q_source_card
+  /** The per-source dataset card: document/token volume, distribution
+    * entropy, mean quality, and span-duplication rate on ONE page — the
+    * artifact a mixture designer actually reads (each column is a gated
+    * operator; this is their join). Everything after the component
+    * operators is O(sources).
+    *
+    * Mean quality is averaged in exact 10⁻⁴ units (the score's own
+    * precision) so the fold order cannot surface; the dup rate is an
+    * integer ratio. */
+  def qSourceCard(s: SparkSession, dir: String): DataFrame = {
+    val docsSrc = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+    val base = docsSrc.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val ent = TextAnalysis.qSourceEntropy(s, dir)
+      .select(col("source"), col("n_tokens"), col("entropy_nats"))
+    val qual = TextAnalysis.qQualityScore(s, dir)
+      .select(col("doc_id"),
+        round(col("quality_score") * 1e4, 0).cast("long").as("qmu"))
+      .join(docsSrc, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("qmu")).cast("double") / count(lit(1)) / lit(1e4), 4)
+        .as("mean_quality"))
+    val dup = TextDedup.qSpanDedup(s, dir).select(col("doc_id"))
+      .join(docsSrc, Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+    base.join(ent, Seq("source"))
+      .join(qual, Seq("source"))
+      .join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("entropy_nats"), col("mean_quality"),
+        round(coalesce(col("n_dup_docs"), lit(0L)).cast("double")
+          / col("n_docs"), 4).as("dup_doc_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val qSourceCardSql =
+    s"""WITH base AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |ent AS (
+       |  SELECT source, n_tokens, entropy_nats FROM (
+       |${TextAnalysis.qSourceEntropySql})),
+       |qual AS (
+       |  SELECT d.source,
+       |    round(CAST(sum(CAST(round(q.quality_score * 1e4, 0) AS BIGINT))
+       |      AS DOUBLE) / count(*) / 1e4, 4) AS mean_quality
+       |  FROM (${TextAnalysis.qQualityScoreSql}) q
+       |  JOIN documents d ON d.doc_id = q.doc_id
+       |  GROUP BY d.source),
+       |dup AS (
+       |  SELECT d.source, count(*) AS n_dup_docs
+       |  FROM (${TextDedup.qSpanDedupSql}) sp
+       |  JOIN documents d ON d.doc_id = sp.doc_id
+       |  GROUP BY d.source)
+       |SELECT b.source, b.n_docs, e.n_tokens, e.entropy_nats,
+       |  q.mean_quality,
+       |  round(CAST(coalesce(u.n_dup_docs, 0) AS DOUBLE) / b.n_docs, 4)
+       |    AS dup_doc_rate
+       |FROM base b
+       |JOIN ent e USING (source)
+       |JOIN qual q ON q.source = b.source
+       |LEFT JOIN dup u ON u.source = b.source
+       |ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_card"        -> (qSourceCard _),
     "q_quality_vs_dup"     -> (qQualityVsDup _),
     "q_ngram_novelty"      -> (qNgramNovelty _),
     "q_corpus_pipeline"    -> (qCorpusPipeline _),
@@ -541,6 +606,7 @@ object CorpusQuality {
     "q_oov_rate"           -> (qOovRate _))
 
   val oracle: Map[String, String] = Map(
+    "q_source_card"        -> qSourceCardSql,
     "q_quality_vs_dup"     -> qQualityVsDupSql,
     "q_ngram_novelty"      -> qNgramNoveltySql,
     "q_corpus_pipeline"    -> qCorpusPipelineSql,

@@ -573,7 +573,7 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
-  private val qSourceEntropySql =
+  private[queries] val qSourceEntropySql =
     """WITH t AS (
       |  SELECT source,
       |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok

@@ -376,6 +376,22 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("source card margins agree with the component operators") {
+    val rows = SparkEntry.queries("q_source_card")(spark, sfDir).collect()
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    val nFlagged = SparkEntry.queries("q_span_dedup")(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val dupTotal = rows.map(r =>
+      math.rint(r.getAs[Double]("dup_doc_rate") * r.getAs[Long]("n_docs")))
+      .sum
+    assert(dupTotal === nFlagged.toDouble)
+    for (r <- rows) {
+      val q = r.getAs[Double]("mean_quality")
+      assert(q > 0.0 && q <= 1.0)
+      assert(r.getAs[Double]("entropy_nats") >= 0.0)
+    }
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
