@@ -404,7 +404,56 @@ object WarehouseOps {
       |UNION ALL SELECT tbl, n_deleted, n_remaining FROM l
       |ORDER BY tbl""".stripMargin
 
+  // ------------------------------------------------------------- q_reconcile
+  /** Header/detail reconciliation audit: every order's stored total vs
+    * the recomputed Σ extendedprice·(1−discount)·(1+tax) of its lines,
+    * bucketed match / diverged / no_lines — the financial-close check
+    * every warehouse runs between a fact header and its detail table.
+    * (On this synthetic data all joined orders diverge and 257-per-15k
+    * are childless — the report IS the finding.)
+    *
+    * Engine parity: the recomputation runs entirely in exact decimal
+    * (price 18,2 × two 4,2 factors), the comparison is |diff| < 0.01 in
+    * decimal space — no doubles anywhere. One keyed aggregate + one
+    * left join on the order key. */
+  def qReconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lineTotals = Tables.lineitem(s, dir)
+      .select($"l_orderkey",
+        (OP.dec2($"l_extendedprice")
+          * (lit(1) - $"l_discount".cast(DecimalType(4, 2)))
+          * (lit(1) + $"l_tax".cast(DecimalType(4, 2)))).as("line_amt"))
+      .groupBy($"l_orderkey").agg(sum($"line_amt").as("computed"))
+    Tables.orders(s, dir)
+      .join(lineTotals, $"o_orderkey" === $"l_orderkey", "left")
+      .select(
+        when($"computed".isNull, "no_lines")
+          .when(abs(OP.dec2($"o_totalprice") - $"computed")
+            < lit(0.01).cast(DecimalType(4, 2)), "match")
+          .otherwise("diverged").as("status"))
+      .groupBy($"status").agg(count(lit(1)).as("n_orders"))
+      .orderBy($"status")
+  }
+
+  private val qReconcileSql =
+    """WITH lt AS (
+      |  SELECT l_orderkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |      * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS computed
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT status, count(*) AS n_orders FROM (
+      |  SELECT CASE
+      |    WHEN lt.computed IS NULL THEN 'no_lines'
+      |    WHEN abs(CAST(o.o_totalprice AS DECIMAL(18,2)) - lt.computed)
+      |         < CAST(0.01 AS DECIMAL(4,2)) THEN 'match'
+      |    ELSE 'diverged' END AS status
+      |  FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey)
+      |GROUP BY status
+      |ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_reconcile"      -> (qReconcile _),
     "q_cascade_delete" -> (qCascadeDelete _),
     "q_scd2_merge"  -> (qScd2Merge _),
     "q_dedup_log"   -> (qDedupLog _),
@@ -414,6 +463,7 @@ object WarehouseOps {
     "q_incremental_agg" -> (qIncrementalAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_reconcile"      -> qReconcileSql,
     "q_cascade_delete" -> qCascadeDeleteSql,
     "q_scd2_merge"  -> qScd2MergeSql,
     "q_dedup_log"   -> qDedupLogSql,
