@@ -610,7 +610,10 @@ object Analytics {
         sum($"c").as("n_orders"),
         sum($"c" * $"c").as("sum_sq"))
       .select($"c_mktsegment", $"n_customers", $"n_orders",
-        round($"sum_sq".cast("double") / ($"n_orders" * $"n_orders"), 6)
+        // denominator squared in DOUBLE: n² overflows BIGINT at extreme
+        // order counts; both engines square the same exact double
+        round($"sum_sq".cast("double")
+          / ($"n_orders".cast("double") * $"n_orders".cast("double")), 6)
           .as("hhi"))
       .orderBy($"c_mktsegment")
   }
@@ -624,7 +627,7 @@ object Analytics {
       |  count(*) AS n_customers,
       |  CAST(sum(c) AS BIGINT) AS n_orders,
       |  round(CAST(sum(c * c) AS DOUBLE)
-      |    / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)), 6) AS hhi
+      |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6) AS hhi
       |FROM pc
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin

@@ -625,8 +625,10 @@ object TextAnalysis {
       .join(broadcast(corpTok), Seq("tok"))
       .crossJoin(broadcast(corpTot))
       .withColumn("lift",
-        round((col("c_src") * col("n_all")).cast("double")
-          / (col("n_src") * col("c_all")), 6))
+        // both products in DOUBLE: corpus-scale token counts overflow a
+        // BIGINT product; the engines multiply the same exact doubles
+        round((col("c_src").cast("double") * col("n_all").cast("double"))
+          / (col("n_src").cast("double") * col("c_all").cast("double")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("source"), col("rank"), col("tok"), col("c_src"),
@@ -648,8 +650,9 @@ object TextAnalysis {
       |nt AS (SELECT CAST(sum(c_src) AS BIGINT) AS n_all FROM sc),
       |scored AS (
       |  SELECT sc.source, sc.tok, sc.c_src,
-      |    round(CAST(sc.c_src * nt.n_all AS DOUBLE)
-      |      / (st.n_src * ct.c_all), 6) AS lift
+      |    round((CAST(sc.c_src AS DOUBLE) * CAST(nt.n_all AS DOUBLE))
+      |      / (CAST(st.n_src AS DOUBLE) * CAST(ct.c_all AS DOUBLE)), 6)
+      |      AS lift
       |  FROM sc
       |  JOIN st USING (source)
       |  JOIN ct USING (tok)
