@@ -519,6 +519,44 @@ object TextDedup {
        |GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------------------------- q_lsh_cost
+  /** LSH self-join cost model from the stored bucket table: per band, the
+    * bucket count, the heaviest bucket, and the EXACT candidate-pair
+    * volume Σ c·(c−1)/2 the bucket self-join will generate — the
+    * pre-flight number that decides whether to widen the signature before
+    * running the join (the dedup-index sibling of q_join_size_est). A hot
+    * bucket shows up here as max_bucket² before it shows up as a straggler
+    * task.
+    *
+    * Scale shape: two map-side-combinable aggregates over the stored
+    * index — strictly cheaper than the join it prices. */
+  def qLshCost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    augBuckets(s, dir)
+      .groupBy($"band_id", $"band_sig").agg(count(lit(1)).as("c"))
+      .groupBy($"band_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"c").as("n_rows"),
+        max($"c").as("max_bucket"),
+        sum(expr("(c * (c - 1)) div 2")).cast("long").as("est_pairs"))
+      .orderBy($"band_id")
+  }
+
+  private val qLshCostSql =
+    s"""WITH $augmentedSqlCte,
+       |$shingleSqlCte,
+       |$minhashSqlCte,
+       |$bandSqlCte,
+       |bc AS (
+       |  SELECT band_id, band_sig, count(*) AS c
+       |  FROM bands GROUP BY 1, 2)
+       |SELECT band_id, count(*) AS n_buckets,
+       |  CAST(sum(c) AS BIGINT) AS n_rows,
+       |  max(c) AS max_bucket,
+       |  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS est_pairs
+       |FROM bc GROUP BY band_id
+       |ORDER BY band_id""".stripMargin
+
   // -------------------------------------------------------- q_threshold_sweep
   /** Dedup-threshold operating characteristic: for Jaccard cutoffs 0.5 to
     * 0.9, how many verified pairs and how many distinct affected docs
@@ -1026,6 +1064,7 @@ object TextDedup {
     "q_dup_matrix"     -> (qDupMatrix _),
     "q_minhash_recall" -> (qMinhashRecall _),
     "q_threshold_sweep" -> (qThresholdSweep _),
+    "q_lsh_cost"       -> (qLshCost _),
     "q_minhash_bucket" -> (qMinhashBucket _),
     "q_minhash_pairs"  -> (qMinhashPairs _),
     "q_jaccard_pairs"  -> (qJaccardPairs _),
@@ -1046,6 +1085,7 @@ object TextDedup {
     "q_dup_matrix"     -> qDupMatrixSql,
     "q_minhash_recall" -> qMinhashRecallSql,
     "q_threshold_sweep" -> qThresholdSweepSql,
+    "q_lsh_cost"       -> qLshCostSql,
     "q_minhash_bucket" -> qMinhashBucketSql,
     "q_minhash_pairs"  -> qMinhashPairsSql,
     "q_jaccard_pairs"  -> qJaccardPairsSql,

@@ -340,6 +340,56 @@ object TimeSeries {
       |FROM framed
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------------- q_window_distinct
+  /** EXACT trailing-7-day distinct users per day — the exact twin of the
+    * q_window_kmv sketch (run both, and the sketch's error is measurable
+    * in-house before anyone trusts it at scale). Sliding distinct does not
+    * decompose into per-day partials, so the scalable exact form maps each
+    * distinct (day, user) fact to the ≤7 windows it can serve (bounded
+    * ×7 fan-out of an already-deduplicated stream) and distinct-counts per
+    * window — never a giant per-window state, never a window function
+    * over raw events.
+    *
+    * Shuffles: dedup to (day, user), then one count-distinct keyed on the
+    * window day. Windows are only emitted for days present in the data
+    * (the same day-bucket arithmetic as q_partition_stats). */
+  def qWindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), $"user_id")
+      .distinct()
+    val days = du.select($"d").distinct()
+    val contrib = du
+      .select(explode(expr("sequence(d, d + 6)")).as("wend"), $"user_id")
+    val daily = du.groupBy($"d".as("wend"))
+      .agg(countDistinct($"user_id").as("n_users_1d"))
+    contrib
+      .join(days.withColumnRenamed("d", "wend"), Seq("wend"))
+      .groupBy($"wend").agg(countDistinct($"user_id").as("n_users_7d"))
+      .join(daily, Seq("wend"))
+      .select($"wend".as("day_bucket"), $"n_users_1d", $"n_users_7d")
+      .orderBy($"day_bucket")
+  }
+
+  private val qWindowDistinctSql =
+    """WITH du AS (
+      |  SELECT DISTINCT
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT d FROM du),
+      |contrib AS (
+      |  SELECT unnest(range(d, d + 7)) AS wend, user_id FROM du),
+      |w7 AS (
+      |  SELECT wend, count(DISTINCT user_id) AS n_users_7d
+      |  FROM contrib JOIN days ON days.d = contrib.wend
+      |  GROUP BY wend),
+      |w1 AS (
+      |  SELECT d AS wend, count(DISTINCT user_id) AS n_users_1d
+      |  FROM du GROUP BY d)
+      |SELECT wend AS day_bucket, n_users_1d, n_users_7d
+      |FROM w7 JOIN w1 USING (wend)
+      |ORDER BY day_bucket""".stripMargin
+
   // -------------------------------------------------------------- q_seasonal
   /** Hour-of-day seasonality profile: event volume per UTC hour slot and
     * its index against the uniform share (index 2.0 = that hour carries
@@ -469,6 +519,7 @@ object TimeSeries {
     "q_freshness"      -> (qFreshness _),
     "q_twap"           -> (qTwap _),
     "q_seasonal"       -> (qSeasonal _),
+    "q_window_distinct" -> (qWindowDistinct _),
     "q_rolling_median" -> (qRollingMedian _),
     "q_ohlc_bars"      -> (qOhlcBars _),
     "q_forward_fill"   -> (qForwardFill _),
@@ -481,6 +532,7 @@ object TimeSeries {
     "q_freshness"      -> qFreshnessSql,
     "q_twap"           -> qTwapSql,
     "q_seasonal"       -> qSeasonalSql,
+    "q_window_distinct" -> qWindowDistinctSql,
     "q_rolling_median" -> qRollingMedianSql,
     "q_ohlc_bars"      -> qOhlcBarsSql,
     "q_forward_fill"   -> qForwardFillSql,

@@ -392,6 +392,29 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH cost model upper-bounds the distinct candidate set") {
+    val rows = SparkEntry.queries("q_lsh_cost")(spark, sfDir).collect()
+    assert(rows.length === 4)
+    for (r <- rows) {
+      assert(r.getAs[Long]("max_bucket") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_buckets") <= r.getAs[Long]("n_rows"))
+    }
+    // Σ per-band pair slots >= |distinct union| (pairs can repeat across bands)
+    val slotTotal = rows.map(_.getAs[Long]("est_pairs")).sum
+    val distinctCand = SparkEntry.queries("q_minhash_pairs")(spark, sfDir).count()
+    assert(slotTotal >= distinctCand)
+  }
+
+  test("window distinct: 7d >= 1d, equal on the first day") {
+    val rows = SparkEntry.queries("q_window_distinct")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("day_bucket"))
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Long]("n_users_7d") >= r.getAs[Long]("n_users_1d"))
+    assert(rows.head.getAs[Long]("n_users_7d") ===
+      rows.head.getAs[Long]("n_users_1d"))
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
