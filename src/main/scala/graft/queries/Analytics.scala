@@ -587,6 +587,62 @@ object Analytics {
       |FROM cells GROUP BY cd, offset_d
       |ORDER BY cohort_day, offset_d""".stripMargin
 
+  // ------------------------------------------------------ q_growth_accounting
+  /** Weekly growth accounting: for every pair of consecutive active weeks,
+    * the retained / churned / new user split and the retention rate — the
+    * table a growth dashboard leads with (q_retention's cohort matrix
+    * answers "how do cohorts age"; this answers "what happened to last
+    * week's actives"). Week buckets are integer µs-epoch divisions.
+    *
+    * Scale shape: one dedup to (week, user), a self-join keyed on
+    * (user, adjacent week) — shuffle on user id, never a cross of weeks —
+    * and O(weeks) rollups. The left join + coalesce keeps boundaries with
+    * zero retention honest instead of dropping them. */
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val au = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 604800000000").as("w"), $"user_id")
+      .distinct()
+    val perWeek = au.groupBy($"w").agg(count(lit(1)).as("n_active"))
+    val retained = au.as("a").join(au.as("b"),
+        $"a.user_id" === $"b.user_id" && $"b.w" === $"a.w" + 1)
+      .groupBy($"a.w".as("week_from")).agg(count(lit(1)).as("n_retained"))
+    perWeek.select($"w".as("week_from"), $"n_active".as("n_prev"))
+      .join(perWeek.select(($"w" - 1).as("week_from"),
+        $"n_active".as("n_cur")), Seq("week_from"))
+      .join(retained, Seq("week_from"), "left")
+      .withColumn("n_retained", coalesce($"n_retained", lit(0L)))
+      .select($"week_from", ($"week_from" + 1).as("week_to"),
+        $"n_prev", $"n_cur", $"n_retained",
+        ($"n_prev" - $"n_retained").as("n_churned"),
+        ($"n_cur" - $"n_retained").as("n_new"),
+        round($"n_retained".cast("double") / $"n_prev", 4)
+          .as("retention_rate"))
+      .orderBy($"week_from")
+  }
+
+  private val qGrowthAccountingSql =
+    """WITH au AS (
+      |  SELECT DISTINCT
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w, user_id
+      |  FROM events),
+      |pw AS (SELECT w, count(*) AS n_active FROM au GROUP BY w),
+      |ret AS (
+      |  SELECT a.w AS week_from, count(*) AS n_retained
+      |  FROM au a JOIN au b ON b.user_id = a.user_id AND b.w = a.w + 1
+      |  GROUP BY a.w)
+      |SELECT p.w AS week_from, p.w + 1 AS week_to,
+      |  p.n_active AS n_prev, c.n_active AS n_cur,
+      |  coalesce(r.n_retained, 0) AS n_retained,
+      |  p.n_active - coalesce(r.n_retained, 0) AS n_churned,
+      |  c.n_active - coalesce(r.n_retained, 0) AS n_new,
+      |  round(CAST(coalesce(r.n_retained, 0) AS DOUBLE) / p.n_active, 4)
+      |    AS retention_rate
+      |FROM pw p
+      |JOIN pw c ON c.w = p.w + 1
+      |LEFT JOIN ret r ON r.week_from = p.w
+      |ORDER BY week_from""".stripMargin
+
   // ---------------------------------------------------------- q_concentration
   /** Market-concentration (Herfindahl–Hirschman) index per customer
     * segment: Σᵢ shareᵢ² over each segment's customers' order counts —
@@ -668,6 +724,7 @@ object Analytics {
       |ORDER BY day_bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_growth_accounting" -> (qGrowthAccounting _),
     "q_concentration" -> (qConcentration _),
     "q_daily_percentiles" -> (qDailyPercentiles _),
     "q_retention"     -> (qRetention _),
@@ -688,6 +745,7 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_growth_accounting" -> qGrowthAccountingSql,
     "q_concentration" -> qConcentrationSql,
     "q_daily_percentiles" -> qDailyPercentilesSql,
     "q_retention"     -> qRetentionSql,

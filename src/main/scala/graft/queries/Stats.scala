@@ -376,7 +376,58 @@ object Stats {
       |ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ----------------------------------------------------------- q_anomaly_days
+  /** Daily-volume anomaly flags: each day's event count z²-tested against
+    * the moments of the daily-count series (same exact-sums z² form as
+    * q_outliers — `(n·x − Σx)² / (n·Σx² − (Σx)²)` with explicit
+    * parenthesization, evaluated in double from exact integers on both
+    * engines). |z| > 2 flags the day. The pipeline-monitoring primitive
+    * layered over q_partition_stats' structural view: counts can be
+    * well-shaped yet anomalous against their own history.
+    *
+    * Scale shape: one count per day (map-side-combined), a broadcast
+    * 1-row moment join over the O(days) aggregate — the raw stream is
+    * touched once. */
+  def qAnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day_bucket"))
+      .groupBy($"day_bucket").agg(count(lit(1)).as("x"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n_d"),
+      sum($"x").cast("double").as("s_d"),
+      sum($"x" * $"x").cast("double").as("q_d"))
+    d.crossJoin(broadcast(stats))
+      .withColumn("x_d", $"x".cast("double"))
+      .withColumn("z2", round(
+        (($"n_d" * $"x_d" - $"s_d") * ($"n_d" * $"x_d" - $"s_d"))
+          / ($"n_d" * $"q_d" - $"s_d" * $"s_d"), 6))
+      .select($"day_bucket", $"x".as("n_rows"), $"z2",
+        ($"z2" > 4.0).as("is_anomaly"))
+      .orderBy($"day_bucket")
+  }
+
+  private val qAnomalyDaysSql =
+    """WITH d AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_bucket,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_d,
+      |    CAST(sum(x) AS DOUBLE) AS s_d,
+      |    CAST(sum(x * x) AS DOUBLE) AS q_d
+      |  FROM d)
+      |SELECT day_bucket, x AS n_rows,
+      |  round(((n_d * CAST(x AS DOUBLE) - s_d)
+      |    * (n_d * CAST(x AS DOUBLE) - s_d))
+      |    / (n_d * q_d - s_d * s_d), 6) AS z2,
+      |  round(((n_d * CAST(x AS DOUBLE) - s_d)
+      |    * (n_d * CAST(x AS DOUBLE) - s_d))
+      |    / (n_d * q_d - s_d * s_d), 6) > 4.0 AS is_anomaly
+      |FROM d CROSS JOIN st
+      |ORDER BY day_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_days" -> (qAnomalyDays _),
     "q_mode"       -> (qMode _),
     "q_histogram"  -> (qHistogram _),
     "q_outliers"   -> (qOutliers _),
@@ -386,6 +437,7 @@ object Stats {
     "q_dist_drift" -> (qDistDrift _))
 
   val oracle: Map[String, String] = Map(
+    "q_anomaly_days" -> qAnomalyDaysSql,
     "q_mode"       -> qModeSql,
     "q_histogram"  -> qHistogramSql,
     "q_outliers"   -> qOutliersSql,

@@ -415,6 +415,31 @@ class StatsGraphSpec extends AnyFunSuite {
       rows.head.getAs[Long]("n_users_1d"))
   }
 
+  test("growth accounting balances: prev = retained + churned, cur = retained + new") {
+    val rows = SparkEntry.queries("q_growth_accounting")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (p, c, ret, ch, nw) = (r.getAs[Long]("n_prev"), r.getAs[Long]("n_cur"),
+        r.getAs[Long]("n_retained"), r.getAs[Long]("n_churned"),
+        r.getAs[Long]("n_new"))
+      assert(p === ret + ch && c === ret + nw)
+      assert(ret >= 0 && ch >= 0 && nw >= 0)
+      assert(r.getAs[Long]("week_to") === r.getAs[Long]("week_from") + 1)
+    }
+  }
+
+  test("anomaly z-squared recomputes from the daily counts") {
+    val rows = SparkEntry.queries("q_anomaly_days")(spark, sfDir).collect()
+    val xs = rows.map(_.getAs[Long]("n_rows").toDouble)
+    val (n, s, q) = (xs.length.toDouble, xs.sum, xs.map(x => x * x).sum)
+    for (r <- rows) {
+      val x = r.getAs[Long]("n_rows").toDouble
+      val expect = ((n * x - s) * (n * x - s)) / (n * q - s * s)
+      assert(math.abs(r.getAs[Double]("z2") - math.rint(expect * 1e6) / 1e6) < 1e-6)
+      assert(r.getAs[Boolean]("is_anomaly") === (r.getAs[Double]("z2") > 4.0))
+    }
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
