@@ -730,6 +730,93 @@ object Embeddings {
        |ORDER BY a.approx_dist, a.vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------- q_mutual_info
+  /** Mutual information between the label and the LSH bucket — the
+    * one-number answer to "does the embedding space know about the
+    * labels?". MI ≈ 0 (vs the label entropy) means bucket membership
+    * carries no label signal (expected on random labels); a high
+    * normalized MI means the ANN index is effectively a classifier and
+    * label-stratified probing becomes viable. Companion to q_label_noise:
+    * that flags rows, this grades the space.
+    *
+    * Engine parity: joint/margin counts are exact integers over an
+    * O(labels × buckets) table; each MI/entropy term rounds its single ln
+    * to 6 dp and nano-scales to a BIGINT (the BM25 idiom), so the sums
+    * are order-independent; products run in DOUBLE (overflow-hardened
+    * from day one). */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.embeddings(s, dir)
+      .select(col("label"), bucketCol("embedding").as("bucket"))
+    val joint = b.groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("n_lb"))
+    val ml = joint.groupBy(col("label")).agg(sum(col("n_lb")).as("n_l"))
+    val mb = joint.groupBy(col("bucket")).agg(sum(col("n_lb")).as("n_b"))
+    val tot = joint.agg(sum(col("n_lb")).as("n"))
+    def nanoSum(term: Column): Column =
+      (sum(round(term * lit(1e9), 0).cast("long")) / lit(1e9))
+    val mi = joint.join(broadcast(ml), Seq("label"))
+      .join(broadcast(mb), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("n_lb").cast("double") / col("n"))
+      .withColumn("lr", round(log(
+        (col("n_lb").cast("double") * col("n").cast("double"))
+          / (col("n_l").cast("double") * col("n_b").cast("double"))), 6))
+      .agg(nanoSum(col("p") * col("lr")).as("mi_nats"))
+    def entropy(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .withColumn("p", col(cnt).cast("double") / col("n"))
+        .agg(nanoSum((-col("p")) * round(log(col("p")), 6)).as("h"))
+    val hl = entropy(ml, "n_l").withColumnRenamed("h", "h_label")
+    val hb = entropy(mb, "n_b").withColumnRenamed("h", "h_bucket")
+    tot.select(col("n").as("n_vectors"))
+      .crossJoin(broadcast(ml.agg(count(lit(1)).as("n_labels"))))
+      .crossJoin(broadcast(mb.agg(count(lit(1)).as("n_buckets"))))
+      .crossJoin(broadcast(mi))
+      .crossJoin(broadcast(hl))
+      .crossJoin(broadcast(hb))
+      .select(col("n_vectors"), col("n_labels"), col("n_buckets"),
+        col("mi_nats"), col("h_label"), col("h_bucket"),
+        round(col("mi_nats") / least(col("h_label"), col("h_bucket")), 6)
+          .as("nmi"))
+  }
+
+  private val qMutualInfoSql =
+    s"""WITH b AS (
+       |  SELECT label, ${bucketSql("embedding")} AS bucket FROM embeddings),
+       |joint AS (
+       |  SELECT label, bucket, count(*) AS n_lb FROM b GROUP BY 1, 2),
+       |ml AS (SELECT label, CAST(sum(n_lb) AS BIGINT) AS n_l
+       |       FROM joint GROUP BY label),
+       |mb AS (SELECT bucket, CAST(sum(n_lb) AS BIGINT) AS n_b
+       |       FROM joint GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(n_lb) AS BIGINT) AS n FROM joint),
+       |mi AS (
+       |  SELECT CAST(sum(CAST(round(
+       |      (CAST(j.n_lb AS DOUBLE) / t.n)
+       |        * round(ln((CAST(j.n_lb AS DOUBLE) * CAST(t.n AS DOUBLE))
+       |            / (CAST(ml.n_l AS DOUBLE) * CAST(mb.n_b AS DOUBLE))), 6)
+       |      * 1e9, 0) AS BIGINT)) AS BIGINT) / 1e9 AS mi_nats
+       |  FROM joint j
+       |  JOIN ml USING (label) JOIN mb USING (bucket) CROSS JOIN tot t),
+       |hl AS (
+       |  SELECT CAST(sum(CAST(round(
+       |      (-(CAST(n_l AS DOUBLE) / t.n))
+       |        * round(ln(CAST(n_l AS DOUBLE) / t.n), 6) * 1e9, 0)
+       |      AS BIGINT)) AS BIGINT) / 1e9 AS h_label
+       |  FROM ml CROSS JOIN tot t),
+       |hb AS (
+       |  SELECT CAST(sum(CAST(round(
+       |      (-(CAST(n_b AS DOUBLE) / t.n))
+       |        * round(ln(CAST(n_b AS DOUBLE) / t.n), 6) * 1e9, 0)
+       |      AS BIGINT)) AS BIGINT) / 1e9 AS h_bucket
+       |  FROM mb CROSS JOIN tot t)
+       |SELECT t.n AS n_vectors,
+       |  (SELECT count(*) FROM ml) AS n_labels,
+       |  (SELECT count(*) FROM mb) AS n_buckets,
+       |  mi.mi_nats, hl.h_label, hb.h_bucket,
+       |  round(mi.mi_nats / least(hl.h_label, hb.h_bucket), 6) AS nmi
+       |FROM tot t CROSS JOIN mi CROSS JOIN hl CROSS JOIN hb""".stripMargin
+
   // --------------------------------------------------------------- q_maxsim
   /** Late-interaction retrieval scoring (the ColBERT shape): query and
     * document vectors are treated as 4 blocks of 16 dims ("token
@@ -1004,6 +1091,7 @@ object Embeddings {
     "q_contrastive_pairs" -> (qContrastivePairs _),
     "q_label_noise"    -> (qLabelNoise _),
     "q_maxsim"         -> (qMaxsim _),
+    "q_mutual_info"    -> (qMutualInfo _),
     "q_pq_ann"         -> (qPqAnn _),
     "q_embed_filtered" -> (qEmbedFiltered _),
     "q_embed_ann_mp"  -> (qEmbedAnnMp _),
@@ -1021,6 +1109,7 @@ object Embeddings {
     "q_contrastive_pairs" -> qContrastivePairsSql,
     "q_label_noise"    -> qLabelNoiseSql,
     "q_maxsim"         -> qMaxsimSql,
+    "q_mutual_info"    -> qMutualInfoSql,
     "q_pq_ann"         -> qPqAnnSql,
     "q_embed_filtered" -> qEmbedFilteredSql,
     "q_embed_ann_mp"  -> qEmbedAnnMpSql,

@@ -470,6 +470,75 @@ object Graph {
       |FROM cc GROUP BY label
       |ORDER BY n_nodes DESC, component_rep""".stripMargin
 
+  // ---------------------------------------------------------- q_basket_rules
+  /** Association rules over order-level co-occurrence: for item pairs
+    * bought together in ≥ 3 orders, both directed rules a→b with
+    * confidence c_ab/c_a and lift c_ab·N/(c_a·c_b); top-20 by lift. The
+    * classic market-basket output (support/confidence/lift), built on the
+    * same pair derivation as the graph family but at ORDER grain
+    * (distinct (order, part) first, so duplicate lines never inflate
+    * support).
+    *
+    * Scale shape: pair counts are one self-join keyed on the order + one
+    * map-side-combinable aggregate; item counts and N broadcast back; the
+    * top-20 is TakeOrderedAndProject. Ratios run in DOUBLE off exact
+    * integers. */
+  def qBasketRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li2 = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
+      .distinct()
+    val pairCnt = li2.as("a").join(li2.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= 3)
+    val itemCnt = li2.groupBy($"pk").agg(count(lit(1)).as("c_i"))
+    val nOrders = li2.select($"ok").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val directed = pairCnt
+      .select($"u".as("antecedent"), $"v".as("consequent"), $"c_ab")
+      .unionByName(pairCnt
+        .select($"v".as("antecedent"), $"u".as("consequent"), $"c_ab"))
+    directed
+      .join(broadcast(itemCnt.select($"pk".as("antecedent"),
+        $"c_i".as("c_a"))), Seq("antecedent"))
+      .join(broadcast(itemCnt.select($"pk".as("consequent"),
+        $"c_i".as("c_b"))), Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select($"antecedent", $"consequent", $"c_ab",
+        round($"c_ab".cast("double") / $"c_a", 4).as("confidence"),
+        round(($"c_ab".cast("double") * $"n_orders".cast("double"))
+          / ($"c_a".cast("double") * $"c_b".cast("double")), 4).as("lift"))
+      .orderBy($"lift".desc, $"confidence".desc, $"antecedent", $"consequent")
+      .limit(20)
+  }
+
+  private val qBasketRulesSql =
+    """WITH li2 AS (
+      |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+      |  FROM lineitem),
+      |pc AS (
+      |  SELECT a.pk AS u, b.pk AS v, count(*) AS c_ab
+      |  FROM li2 a JOIN li2 b ON b.ok = a.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |ic AS (SELECT pk, count(*) AS c_i FROM li2 GROUP BY pk),
+      |no AS (SELECT count(DISTINCT ok) AS n_orders FROM li2),
+      |directed AS (
+      |  SELECT u AS antecedent, v AS consequent, c_ab FROM pc
+      |  UNION ALL
+      |  SELECT v AS antecedent, u AS consequent, c_ab FROM pc)
+      |SELECT d.antecedent, d.consequent, d.c_ab,
+      |  round(CAST(d.c_ab AS DOUBLE) / ia.c_i, 4) AS confidence,
+      |  round((CAST(d.c_ab AS DOUBLE) * CAST(no.n_orders AS DOUBLE))
+      |    / (CAST(ia.c_i AS DOUBLE) * CAST(ib.c_i AS DOUBLE)), 4) AS lift
+      |FROM directed d
+      |JOIN ic ia ON ia.pk = d.antecedent
+      |JOIN ic ib ON ib.pk = d.consequent
+      |CROSS JOIN no
+      |ORDER BY lift DESC, confidence DESC, antecedent, consequent
+      |LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"    -> (qPagerank _),
@@ -477,7 +546,8 @@ object Graph {
     "q_bfs_levels"  -> (qBfsLevels _),
     "q_item_cf"     -> (qItemCf _),
     "q_degree_dist" -> (qDegreeDist _),
-    "q_components"  -> (qComponents _))
+    "q_components"  -> (qComponents _),
+    "q_basket_rules" -> (qBasketRules _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank"   -> PagerankOracle.sql,
@@ -485,7 +555,8 @@ object Graph {
     "q_bfs_levels"  -> qBfsLevelsSql,
     "q_item_cf"     -> qItemCfSql,
     "q_degree_dist" -> qDegreeDistSql,
-    "q_components"  -> qComponentsSql)
+    "q_components"  -> qComponentsSql,
+    "q_basket_rules" -> qBasketRulesSql)
 }
 
 /** The unrolled-iteration DuckDB replay of [[Graph.qPagerank]] — 5 chained

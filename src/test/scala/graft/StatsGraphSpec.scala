@@ -440,6 +440,30 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("mutual information bounded by the smaller marginal entropy") {
+    val r = SparkEntry.queries("q_mutual_info")(spark, sfDir).collect()(0)
+    val (mi, hl, hb) = (r.getAs[Double]("mi_nats"),
+      r.getAs[Double]("h_label"), r.getAs[Double]("h_bucket"))
+    // nano-quantized terms can dip a hair below 0 on independent data
+    assert(mi >= -1e-3 && mi <= math.min(hl, hb) + 1e-6)
+    assert(hl >= 0 && hl <= math.log(r.getAs[Long]("n_labels").toDouble) + 1e-6)
+    assert(hb >= 0 && hb <= math.log(r.getAs[Long]("n_buckets").toDouble) + 1e-6)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-3 && nmi <= 1.0 + 1e-6)
+  }
+
+  test("basket rules: support floor, confidence and lift in range") {
+    val rows = SparkEntry.queries("q_basket_rules")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    for (r <- rows) {
+      assert(r.getAs[Long]("c_ab") >= 3)
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+      assert(r.getAs[Long]("antecedent") !== r.getAs[Long]("consequent"))
+    }
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
