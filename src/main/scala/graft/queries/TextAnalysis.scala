@@ -480,6 +480,62 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(array_distinct(toks(col("text")))).as("tok"))
 
+  // -------------------------------------------------------- q_posting_cost
+  /** Inverted-index size estimator: per token, the raw 8-byte-per-posting
+    * cost vs the delta+varint encoding a real index writes (gaps between
+    * sorted doc ids, 7 payload bits per byte — the varint byte count is an
+    * exact integer CASE ladder, engine-portable). The index-layout sibling
+    * of q_lsh_cost / q_join_size_est: it prices the posting lists BEFORE
+    * the index is built, and the compression ratio is what decides
+    * doc-id reassignment work.
+    *
+    * Scale shape: the lag window per token partition IS the index-build
+    * shape (postings are materialized term-sorted per segment); a hot
+    * term's postings are segment-local in production, corpus-local here.
+    * First gap is measured from −1 so a lone doc 0 still costs one byte. */
+  def qPostingCost(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    val varint = (g: Column) =>
+      when(g < 128L, 1L).when(g < 16384L, 2L)
+        .when(g < 2097152L, 3L).when(g < 268435456L, 4L).otherwise(5L)
+    docTokenPairs(s, dir)
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(-1L)))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        (count(lit(1)) * 8).as("raw_bytes"),
+        sum(varint(col("gap"))).as("varint_bytes"))
+      .select(col("tok"), col("df"), col("raw_bytes"), col("varint_bytes"),
+        round(col("varint_bytes").cast("double") / col("raw_bytes"), 4)
+          .as("compression_ratio"))
+      .orderBy(col("tok"))
+  }
+
+  private val qPostingCostSql =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, tok
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents)),
+      |g AS (
+      |  SELECT tok,
+      |    doc_id - coalesce(lag(doc_id, 1) OVER (
+      |      PARTITION BY tok ORDER BY doc_id), -1) AS gap
+      |  FROM dt)
+      |SELECT tok, count(*) AS df,
+      |  count(*) * 8 AS raw_bytes,
+      |  CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+      |           WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+      |           ELSE 5 END) AS BIGINT) AS varint_bytes,
+      |  round(CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+      |           WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+      |           ELSE 5 END) AS DOUBLE) / (count(*) * 8), 4)
+      |    AS compression_ratio
+      |FROM g
+      |GROUP BY tok
+      |ORDER BY tok""".stripMargin
+
   // -------------------------------------------------------- q_colloc_lift
   /** Token collocation mining: document-level co-occurrence lift
     * N·c(a,b) / (c(a)·c(b)) for token pairs appearing together in ≥ 20% of
@@ -668,6 +724,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topic_keywords" -> (qTopicKeywords _),
+    "q_posting_cost"   -> (qPostingCost _),
     "q_source_entropy" -> (qSourceEntropy _),
     "q_colloc_lift"    -> (qCollocLift _),
     "q_inverted_index" -> (qInvertedIndex _),
@@ -683,6 +740,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "q_topic_keywords" -> qTopicKeywordsSql,
+    "q_posting_cost"   -> qPostingCostSql,
     "q_source_entropy" -> qSourceEntropySql,
     "q_colloc_lift"    -> qCollocLiftSql,
     "q_inverted_index" -> qInvertedIndexSql,

@@ -263,6 +263,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bhj.nonEmpty, s"totals join must broadcast\n$plan")
   }
 
+  test("basket rules: margins broadcast, final ranking is TakeOrderedAndProject") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val plan = staticPlan(SparkEntry.queries("q_basket_rules")(spark, sfDir))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"item-count margins must broadcast\n$plan")
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"top-20 must plan as TakeOrderedAndProject\n$plan")
+  }
+
   test("cascade delete: deletion keys broadcast into the orders probe") {
     val plan = staticPlan(SparkEntry.queries("q_cascade_delete")(spark, sfDir))
     val bhj = plan.collect { case j: BroadcastHashJoinExec => j }

@@ -464,6 +464,21 @@ class StatsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("posting cost: varint never exceeds raw, df margins account for all pairs") {
+    val rows = SparkEntry.queries("q_posting_cost")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("varint_bytes") <= r.getAs[Long]("raw_bytes"))
+      assert(r.getAs[Long]("varint_bytes") >= r.getAs[Long]("df"))
+      assert(r.getAs[Double]("compression_ratio") <= 1.0)
+    }
+    val pairTotal = graft.core.Tables.documents(spark, sfDir)
+      .select(explode(array_distinct(
+        split(lower(trim(col("text"))), "\\s+"))).as("tok"))
+      .count()
+    assert(rows.map(_.getAs[Long]("df")).sum === pairTotal)
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
