@@ -470,6 +470,51 @@ object Graph {
       |FROM cc GROUP BY label
       |ORDER BY n_nodes DESC, component_rep""".stripMargin
 
+  // ------------------------------------------------------- q_clustering_coef
+  /** Global clustering coefficient of the co-order graph: 3·triangles /
+    * wedges, where the wedge count Σ deg·(deg−1)/2 comes from the degree
+    * table and the triangle count from the degree-oriented pipeline
+    * q_triangles already prices. The transitivity number that says whether
+    * co-purchases CLUSTER (items bought with two others are bought
+    * together) or just radiate from hubs — it decides whether
+    * neighborhood-based recommendation has signal here at all.
+    *
+    * Scale shape: the wedge count is one O(nodes) aggregate over the
+    * stored edge list; the triangle side is the audited broadcast
+    * pipeline; the division is one double op off exact BIGINTs. */
+  def qClusteringCoef(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coOrderEdges(s, dir)
+    val deg = edges.select($"u".as("x")).union(edges.select($"v".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    val oriented = orientByDegree(s, edges).persist()
+    val out = triangleSummary(s, edges, oriented)
+      .crossJoin(broadcast(wedges))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        round(lit(3) * $"n_triangles".cast("double")
+          / $"n_wedges".cast("double"), 6).as("global_cc"))
+      .localCheckpoint()
+    oriented.unpersist()
+    out
+  }
+
+  private val qClusteringCoefSql =
+    s"""WITH $coOrderEdgesCte,
+       |deg AS (
+       |  SELECT x, count(*) AS deg FROM (
+       |    SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+       |  GROUP BY x),
+       |w AS (
+       |  SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |t AS (SELECT n_nodes, n_edges, n_triangles FROM ($qTrianglesSql))
+       |SELECT t.n_nodes, t.n_edges, w.n_wedges, t.n_triangles,
+       |  round(3 * CAST(t.n_triangles AS DOUBLE)
+       |    / CAST(w.n_wedges AS DOUBLE), 6) AS global_cc
+       |FROM t CROSS JOIN w""".stripMargin
+
   // ---------------------------------------------------------- q_basket_rules
   /** Association rules over order-level co-occurrence: for item pairs
     * bought together in ≥ 3 orders, both directed rules a→b with
@@ -547,7 +592,8 @@ object Graph {
     "q_item_cf"     -> (qItemCf _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_components"  -> (qComponents _),
-    "q_basket_rules" -> (qBasketRules _))
+    "q_basket_rules" -> (qBasketRules _),
+    "q_clustering_coef" -> (qClusteringCoef _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank"   -> PagerankOracle.sql,
@@ -556,7 +602,8 @@ object Graph {
     "q_item_cf"     -> qItemCfSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_components"  -> qComponentsSql,
-    "q_basket_rules" -> qBasketRulesSql)
+    "q_basket_rules" -> qBasketRulesSql,
+    "q_clustering_coef" -> qClusteringCoefSql)
 }
 
 /** The unrolled-iteration DuckDB replay of [[Graph.qPagerank]] — 5 chained

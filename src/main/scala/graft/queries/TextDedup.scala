@@ -519,6 +519,68 @@ object TextDedup {
        |GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------- q_dedup_impact
+  /** Curation ROI of near-dup removal: docs and TOKENS before vs after
+    * cluster-based dedup (q_dedup_corpus's keep-min policy), with removal
+    * percentages. Token impact ≠ doc impact — dedup that drops 8% of docs
+    * but 1% of tokens removed boilerplate stubs, not capacity — and this
+    * one-row report is the number that justifies (or kills) the dedup
+    * stage's compute budget.
+    *
+    * Scale shape: two token-count aggregates (full and kept corpus — the
+    * kept set comes from the already-priced cluster pipeline) and a 1-row
+    * combine; integer ratios, two double divisions. */
+  def qDedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(Tables.documents(s, dir))
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("tk"))
+    val losers = qDedupClusters(s, dir)
+      .filter(col("cluster_rep") =!= col("doc_id")).select(col("doc_id"))
+    val kept = aug.join(losers, Seq("doc_id"), "left_anti")
+    val full = aug.agg(count(lit(1)).as("n_docs_total"),
+      sum(col("tk")).as("tokens_total"))
+    val after = kept.agg(count(lit(1)).as("n_docs_kept"),
+      sum(col("tk")).as("tokens_kept"))
+    full.crossJoin(broadcast(after))
+      .select(col("n_docs_total"), col("n_docs_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        round((col("n_docs_total") - col("n_docs_kept")).cast("double")
+          / col("n_docs_total"), 4).as("pct_docs_removed"),
+        round((col("tokens_total") - col("tokens_kept")).cast("double")
+          / col("tokens_total"), 4).as("pct_tokens_removed"))
+  }
+
+  private val qDedupImpactSql =
+    s"""WITH RECURSIVE $jacSqlCtes,
+       |cedges AS (
+       |  SELECT a, b FROM jac WHERE jaccard >= $ClusterJaccard
+       |  UNION ALL
+       |  SELECT b AS a, a AS b FROM jac WHERE jaccard >= $ClusterJaccard),
+       |walk(node, label) AS (
+       |  SELECT DISTINCT a, a FROM cedges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN cedges e ON e.a = w.node),
+       |losers AS (
+       |  SELECT node AS doc_id FROM walk
+       |  GROUP BY node HAVING node <> min(label)),
+       |tk AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+       |      AS tk
+       |  FROM aug),
+       |full_c AS (
+       |  SELECT count(*) AS n_docs_total,
+       |    CAST(sum(tk) AS BIGINT) AS tokens_total FROM tk),
+       |after_c AS (
+       |  SELECT count(*) AS n_docs_kept,
+       |    CAST(sum(tk) AS BIGINT) AS tokens_kept
+       |  FROM tk WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+       |SELECT n_docs_total, n_docs_kept, tokens_total, tokens_kept,
+       |  round(CAST(n_docs_total - n_docs_kept AS DOUBLE) / n_docs_total, 4)
+       |    AS pct_docs_removed,
+       |  round(CAST(tokens_total - tokens_kept AS DOUBLE) / tokens_total, 4)
+       |    AS pct_tokens_removed
+       |FROM full_c CROSS JOIN after_c""".stripMargin
+
   // ------------------------------------------------------------- q_lsh_cost
   /** LSH self-join cost model from the stored bucket table: per band, the
     * bucket count, the heaviest bucket, and the EXACT candidate-pair
@@ -1065,6 +1127,7 @@ object TextDedup {
     "q_minhash_recall" -> (qMinhashRecall _),
     "q_threshold_sweep" -> (qThresholdSweep _),
     "q_lsh_cost"       -> (qLshCost _),
+    "q_dedup_impact"   -> (qDedupImpact _),
     "q_minhash_bucket" -> (qMinhashBucket _),
     "q_minhash_pairs"  -> (qMinhashPairs _),
     "q_jaccard_pairs"  -> (qJaccardPairs _),
@@ -1086,6 +1149,7 @@ object TextDedup {
     "q_minhash_recall" -> qMinhashRecallSql,
     "q_threshold_sweep" -> qThresholdSweepSql,
     "q_lsh_cost"       -> qLshCostSql,
+    "q_dedup_impact"   -> qDedupImpactSql,
     "q_minhash_bucket" -> qMinhashBucketSql,
     "q_minhash_pairs"  -> qMinhashPairsSql,
     "q_jaccard_pairs"  -> qJaccardPairsSql,

@@ -479,6 +479,24 @@ class StatsGraphSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("df")).sum === pairTotal)
   }
 
+  test("clustering coefficient in [0,1], wedges dominate triangles") {
+    val r = SparkEntry.queries("q_clustering_coef")(spark, sfDir).collect()(0)
+    val cc = r.getAs[Double]("global_cc")
+    assert(cc >= 0.0 && cc <= 1.0 + 1e-9)
+    assert(3 * r.getAs[Long]("n_triangles") <= r.getAs[Long]("n_wedges"))
+  }
+
+  test("dedup impact: kept is a subset, percentages recompute") {
+    val r = SparkEntry.queries("q_dedup_impact")(spark, sfDir).collect()(0)
+    val (dt, dk) = (r.getAs[Long]("n_docs_total"), r.getAs[Long]("n_docs_kept"))
+    val (tt, tk) = (r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_kept"))
+    assert(dk <= dt && tk <= tt && dk > 0)
+    assert(math.abs(r.getAs[Double]("pct_docs_removed") -
+      math.rint((dt - dk).toDouble / dt * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pct_tokens_removed") -
+      math.rint((tt - tk).toDouble / tt * 1e4) / 1e4) < 1e-9)
+  }
+
   test("EWMA stays within each user's observed value range") {
     val out = SparkEntry.queries("q_ewma")(spark, sfDir)
       .groupBy(col("user_id"))
