@@ -49,6 +49,16 @@ object Graph {
     * across iterations, so the join co-locates after the first shuffle. */
   def qPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    pagerankRanks(s, dir)
+      .orderBy($"rank".desc, $"node")
+      .limit(20)
+      .select($"node".as("p_partkey"), $"rank")
+  }
+
+  /** Full per-node rank table (no top-k) — qPagerank's source, exposed so
+    * tests can audit the #20/#21 boundary and full-table determinism. */
+  private[graft] def pagerankRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber", $"l_partkey")
     val edges = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey")
@@ -66,8 +76,19 @@ object Graph {
     val n = nodes.count() // dim-sized scalar (the N in (1-d)/N)
     val base = (Scale / 100) * (100 - Damp) / n
 
+    // Iteration machinery: persist + count + unpersist-previous, with the
+    // FULL lineage kept. localCheckpoint was the previous shape here and is
+    // the wrong tool for a correctness-gated result: its blocks are
+    // non-replicated and the lineage is truncated, so an executor- or
+    // driver-side block eviction under memory pressure (e.g. a long session
+    // running the whole registry) turns into recompute-impossible — lost or
+    // wrong rows. With persist the materialized blocks are a cache, not the
+    // source of truth: eviction falls back to recomputing through lineage,
+    // which at 5 iterations is a bounded, exactly-replayable integer plan.
+    // The count() forces materialization so unpersisting iteration k-1
+    // never strands iteration k's input mid-build.
     var ranks = nodes.withColumn("rank", lit(Scale / n))
-    var prevCheckpoint: Option[DataFrame] = None
+    var prevIter: Option[DataFrame] = None
     for (_ <- 1 to Iters) {
       val contrib = linked
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -77,28 +98,14 @@ object Graph {
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select($"node",
           (lit(base) + expr(s"($Damp * coalesce(contrib, 0L)) div 100")).as("rank"))
-        .localCheckpoint() // eager: cut lineage, drop dependence on prior iter
-      // iteration k is materialized, so k-1's checkpoint blocks are dead —
-      // release them now rather than waiting for GC + ContextCleaner (at
-      // real iteration counts the pinned blocks add up to executor pressure)
-      prevCheckpoint.foreach(freeCheckpoint)
-      prevCheckpoint = Some(ranks)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranks.count() // materialize k before releasing k-1's cache
+      prevIter.foreach(_.unpersist(blocking = false))
+      prevIter = Some(ranks)
     }
     Seq(edges, linked, nodes).foreach(_.unpersist())
-    ranks.orderBy($"rank".desc, $"node")
-      .limit(20)
-      .select($"node".as("p_partkey"), $"rank")
+    ranks
   }
-
-  /** Release the storage blocks behind a localCheckpoint'd DataFrame.
-    * DataFrame.unpersist() only consults the CacheManager and is a no-op
-    * for checkpoints; the blocks belong to the LogicalRDD's backing RDD. */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
 
   /** Distinct undirected co-order edges (u < v): parts appearing in the
     * same order are connected. One self-join on the order key + one
@@ -242,17 +249,20 @@ object Graph {
     val nodes = Tables.part(s, dir).select($"p_partkey".cast("long").as("node"))
     val src = adj.agg(min($"u").as("node")) // 1-row scalar aggregate
     var dist = src.withColumn("dist", lit(0))
-    var prevCheckpoint: Option[DataFrame] = None
     for (_ <- 1 to Iters - 1) {
       // dist is node-bounded (tiny next to the edge list) — broadcast it so
-      // the only per-iteration shuffle is the min-aggregation on node id
+      // the only per-iteration shuffle is the min-aggregation on node id.
+      // localCheckpoint (MEMORY_AND_DISK) keeps the plan O(1) per round —
+      // dist feeds BOTH union branches, so persist-with-lineage would
+      // double the plan every round. Checkpoint blocks are NOT released
+      // mid-query: manual block eviction on truncated lineage is the
+      // lost-data hazard class (round-5 verdict); ContextCleaner reclaims
+      // them once the loop's references are dropped.
       val reached = adj.join(broadcast(dist.withColumnRenamed("node", "u")), "u")
         .select($"v".as("node"), ($"dist" + 1).as("dist"))
       dist = dist.union(reached)
         .groupBy($"node").agg(min($"dist").as("dist"))
         .localCheckpoint()
-      prevCheckpoint.foreach(freeCheckpoint)
-      prevCheckpoint = Some(dist)
     }
     adj.unpersist()
     nodes.join(dist, Seq("node"), "left")
@@ -387,30 +397,27 @@ object Graph {
   private[graft] def minLabelComponents(bidir: DataFrame): DataFrame = {
     var labels = bidir.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-    var prevCheckpoint: Option[DataFrame] = None
     var iter = 0
     var converged = false
     while (!converged && iter < 30) {
+      // localCheckpoint keeps the plan O(1) per round (labels feeds both
+      // the union and the join branch — keeping lineage would double the
+      // plan every round). Blocks are deliberately NOT released mid-query:
+      // manually evicting blocks whose lineage is truncated is the
+      // lost-data hazard class the round-5 verdict flagged; the rounds are
+      // node-sized and ContextCleaner reclaims them after the loop.
       val next = labels
         .unionByName(
           bidir.join(labels.withColumnRenamed("node", "a"), Seq("a"))
             .select(col("b").as("node"), col("label")))
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      // the convergence probe is the last reader of the PREVIOUS round's
-      // checkpoint — release it right after (the qBfsLevels discipline;
-      // matters once rounds grow past the dedup family's 2-3)
       converged = next
         .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
         .filter(col("label") =!= col("prev")).isEmpty
-      prevCheckpoint.foreach(freeCheckpoint)
-      prevCheckpoint = Some(next)
       labels = next
       iter += 1
     }
-    // the returned labels are an (eager) checkpoint, so the edge input has
-    // no remaining reader — release it if the caller checkpointed it
-    freeCheckpoint(bidir)
     labels
   }
 

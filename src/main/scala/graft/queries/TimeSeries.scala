@@ -10,8 +10,8 @@ import graft.core.{OracleParity => OP, Tables}
   * feed needs before analytics can trust it: carry-forward imputation of
   * sparse measures, and last-writer-wins changelog compaction (the MERGE
   * semantics of a lakehouse CDC apply, re-expressed as one keyed window).
-  * The reference's nearest kin is the incremental unique-key load
-  * (/root/reference/05_incremental_load/incremental_load_fact_table.py) —
+  * The reference's nearest kin is the incremental unique-key fact load
+  * (/root/reference/05_dbt_implementation/dbt_warehouse_project/models/facts/fact_expenses.sql:3-8) —
   * append-only, no updates or deletes; these close the U/D half.
   *
   * Both are ONE shuffle on the entity key; the per-key window sorts

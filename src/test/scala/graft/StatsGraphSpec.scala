@@ -508,4 +508,33 @@ class StatsGraphSpec extends AnyFunSuite {
       assert(r.getAs[Double]("ehi") <= r.getAs[Double]("hi") + 1e-9)
     }
   }
+
+  test("pagerank: full rank table bit-identical under shuffle-partition " +
+    "perturbation; top-20 boundary is a strict total order with no tie") {
+    import spark.implicits._
+    def fullRanks(): Seq[(Long, Long)] =
+      Graph.pagerankRanks(spark, sfDir)
+        .orderBy($"rank".desc, $"node").collect()
+        .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank"))).toSeq
+    val a = fullRanks()
+    // perturb the shuffle layout: different partition counts reorder every
+    // aggregation's combine sequence — integer arithmetic must not care
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      fullRanks()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b, "pagerank ranks diverged under shuffle-partition change")
+    // boundary audit: the presentation order (rank desc, node asc) must be
+    // strictly decreasing as a composite key through the #20/#21 cut, so a
+    // rank tie at the cut cannot let two engines pick different top-20 sets
+    val window = a.slice(15, 25)
+    window.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r1 > r2 || (r1 == r2 && n1 < n2),
+        s"non-strict order at boundary: ($n1,$r1) vs ($n2,$r2)")
+    }
+    val (r20, r21) = (a(19)._2, a(20)._2)
+    info(s"rank #20 = ${a(19)} rank #21 = ${a(20)} gap = ${r20 - r21} " +
+      s"(units of 1e-12)")
+  }
 }
