@@ -145,13 +145,26 @@ object Graph {
     * is counted once — and, the scale point, out-degrees are bounded by
     * O(√m), which caps the wedge fan-out that a naive node-id orientation
     * lets explode on hub nodes. Three joins, all on node keys, no window. */
-  def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val edges = coOrderEdges(s, dir) // stored-index scan — no persist needed
-    val oriented = orientByDegree(s, edges).persist()
-    // materialize the 1-row summary while the caches are live (the eager-
-    // release lesson from the round-5 qKmeans review finding), then drop them
-    val out = triangleSummary(s, edges, oriented).localCheckpoint()
-    oriented.unpersist()
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleStats(s, dir)
+
+  /** The (n_nodes, n_edges, n_triangles) summary as a build-once IndexStore
+    * asset — the wedge expansion is the most expensive derivation in the
+    * graph family and has TWO consumers (q_triangles, q_clustering_coef);
+    * before round 6 each re-ran the whole pipeline, paying the wedge cost
+    * twice per corpus. Now the first consumer writes the 1-row summary
+    * through [[graft.io.IndexStore]] (same discipline as `coorder_edges`)
+    * and every later consumer's plan is a parquet scan of the stored row. */
+  private[graft] def triangleStats(s: SparkSession, dir: String): DataFrame = {
+    var oriented: Option[DataFrame] = None
+    val out = graft.io.IndexStore.materialized(s, dir, "triangle_stats") {
+      val edges = coOrderEdges(s, dir) // stored-index scan — no persist needed
+      val o = orientByDegree(s, edges).persist()
+      oriented = Some(o)
+      triangleSummary(s, edges, o)
+    }
+    // the build (if it ran) wrote the summary eagerly; its cache is dead
+    oriented.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -487,8 +500,10 @@ object Graph {
     * neighborhood-based recommendation has signal here at all.
     *
     * Scale shape: the wedge count is one O(nodes) aggregate over the
-    * stored edge list; the triangle side is the audited broadcast
-    * pipeline; the division is one double op off exact BIGINTs. */
+    * stored edge list; the triangle side is a scan of the shared
+    * [[triangleStats]] IndexStore asset (the audited broadcast pipeline
+    * runs at most once per corpus); the division is one double op off
+    * exact BIGINTs. */
   def qClusteringCoef(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = coOrderEdges(s, dir)
@@ -496,15 +511,13 @@ object Graph {
       .groupBy($"x").agg(count(lit(1)).as("deg"))
     val wedges = deg.agg(
       sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
-    val oriented = orientByDegree(s, edges).persist()
-    val out = triangleSummary(s, edges, oriented)
+    // triangle side is the shared stored asset (built at most once per
+    // corpus by whichever of q_triangles / q_clustering_coef runs first)
+    triangleStats(s, dir)
       .crossJoin(broadcast(wedges))
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
         round(lit(3) * $"n_triangles".cast("double")
           / $"n_wedges".cast("double"), 6).as("global_cc"))
-      .localCheckpoint()
-    oriented.unpersist()
-    out
   }
 
   private val qClusteringCoefSql =
