@@ -130,6 +130,23 @@ object Streams {
     }
   }
 
+  /** Stateful micro-batch cost is dominated by per-partition fixed work —
+    * every trigger opens/commits ONE state store per shuffle partition, so
+    * at the session default (32) a 3-batch AvailableNow run pays ~96 store
+    * lifecycles regardless of row volume. A stream's state partition count
+    * is pinned at FIRST start (persisted in the checkpoint), so the gated
+    * queries — fresh checkpoint each run — lower it for the duration of
+    * `start()`: identical results (state sharding is invisible to
+    * semantics), fewer fixed-cost units. At production volume the inverse
+    * applies: size this UP so each store's delta fits memory. */
+  private val StreamShufflePartitions = 8
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** The events table as a bounded file-source STREAM (same ns→µs ts fix as
     * [[graft.core.Tables.events]] so batch and stream see identical rows). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
@@ -158,14 +175,16 @@ object Streams {
     val name = "graft_stream_tumbling"
     s.catalog.dropTempView(name)
     val ck = scratch()
-    val q = windowedEventStats(eventsStream(s, dir))
-      .writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ck.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStreamShuffle(s) {
+      windowedEventStats(eventsStream(s, dir))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     deleteRecursively(ck)
     s.table(name).orderBy(col("window_start"), col("event_type"))
@@ -199,14 +218,16 @@ object Streams {
     deleteRecursively(root)
     val out = s"$root/events_deduped"
     val ck = scratch()
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", ck.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.io.Sinks.appendParquet(batch, out)
-      }
-      .start()
+    val q = withStreamShuffle(s) {
+      deduped.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.io.Sinks.appendParquet(batch, out)
+        }
+        .start()
+    }
     q.awaitTermination()
     deleteRecursively(ck)
     s.read.parquet(out).orderBy(col("event_id"))
@@ -299,15 +320,17 @@ object Streams {
     val name = "graft_stream_sessions"
     s.catalog.dropTempView(name)
     val ck = scratch()
-    val q = sessionizeStream(s, eventsStream(s, dir))
-      .toDF("user_id", "session_start", "session_end", "n_events", "total_value")
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ck.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStreamShuffle(s) {
+      sessionizeStream(s, eventsStream(s, dir))
+        .toDF("user_id", "session_start", "session_end", "n_events", "total_value")
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     deleteRecursively(ck)
     s.table(name).orderBy(col("user_id"), col("session_start"))
@@ -360,13 +383,15 @@ object Streams {
       eventsStream(s, dir).filter(col("event_type") === "purchase"),
       eventsStream(s, dir).filter(col("event_type") === "click"),
       within = "6 hours", watermark = "60 days")
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ck.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStreamShuffle(s) {
+      joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     deleteRecursively(ck)
     s.table(name).orderBy(col("user_id"), col("l_ts"), col("r_ts"))
@@ -395,14 +420,16 @@ object Streams {
     val name = "graft_stream_counts"
     s.catalog.dropTempView(name)
     val ck = scratch()
-    val q = userRunningCounts(s, eventsStream(s, dir))
-      .writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ck.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStreamShuffle(s) {
+      userRunningCounts(s, eventsStream(s, dir))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     deleteRecursively(ck)
     s.table(name).groupBy(col("user_id"))
@@ -476,13 +503,15 @@ object Streams {
       eventsStream(s, dir).filter(col("event_type") === "purchase"),
       eventsStream(s, dir).filter(col("event_type") === "click"),
       within = "6 hours", watermark = "2 days", joinType = "left_outer")
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ck.toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withStreamShuffle(s) {
+      joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     deleteRecursively(ck)
     s.table(name).orderBy(col("user_id"), col("l_ts"),
