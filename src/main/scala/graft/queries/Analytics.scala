@@ -705,16 +705,19 @@ object Analytics {
         expr("CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)").as("v"))
       .groupBy($"day_bucket")
       .agg(count(lit(1)).as("n"),
-        expr("percentile(v, 0.5)").as("p50"),
-        expr("percentile(v, 0.9)").as("p90"),
+        // round-at-final-projection: both engines interpolate in binary
+        // doubles, so parity rests on the rounded scale-4 value, not on
+        // bit-identical float interpolation across engine versions
+        round(expr("percentile(v, 0.5)"), 4).as("p50"),
+        round(expr("percentile(v, 0.9)"), 4).as("p90"),
         min($"v").as("min_v"), max($"v").as("max_v"))
       .orderBy($"day_bucket")
   }
 
   private val qDailyPercentilesSql =
     """SELECT day_bucket, count(*) AS n,
-      |  quantile_cont(v, 0.5) AS p50,
-      |  quantile_cont(v, 0.9) AS p90,
+      |  round(quantile_cont(v, 0.5), 4) AS p50,
+      |  round(quantile_cont(v, 0.9), 4) AS p90,
       |  min(v) AS min_v, max(v) AS max_v
       |FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
       |        AS day_bucket,

@@ -131,6 +131,50 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: window end exactly AT the watermark is NOT evicted") {
+    // Pins the eviction inclusivity the q_stream_outer_join oracle depends
+    // on: a left row whose match window closes exactly at the final
+    // watermark (l_ts + within == watermark) can in principle still match
+    // an on-time right row with r_ts == watermark, so Spark must KEEP it in
+    // state — the unmatched-null row is emitted only when the watermark
+    // moves strictly PAST the window end. The oracle's strict `<`
+    // comparator encodes exactly that; this fixture fails if either side's
+    // inclusivity ever flips.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val buys = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val out = Streams.intervalJoin(buys.toDF(), clicks.toDF(),
+      within = "1 hour", watermark = "1 hour", joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ojoin_boundary")
+      .outputMode("append").start()
+    def unmatched(u: Long) = spark.table("ojoin_boundary")
+      .filter(col("user_id") === u && col("r_ts").isNull).count()
+    try {
+      // user 1's purchase at 10:00 (window end 11:00) with no click; both
+      // streams' max ts is 12:00 → final watermark 12:00 − 1h == 11:00,
+      // landing EXACTLY on the window end
+      buys.addData(ev(0, 1, "purchase", 1.0))
+      buys.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), 9, "purchase", 0.0))
+      clicks.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), 8, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2 at the same max ts: watermark stays 11:00, eviction runs
+      clicks.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), 8, "click", 0.0))
+      q.processAllAvailable()
+      assert(unmatched(1L) == 0,
+        "window end == watermark must stay in state (oracle uses strict <)")
+      // advance the watermark one second PAST the window end → now provably
+      // unmatchable, the null row must flush
+      clicks.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:01"), 8, "click", 0.0))
+      buys.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:01"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:01"), 8, "click", 0.0))
+      q.processAllAvailable()
+      assert(unmatched(1L) == 1,
+        "watermark strictly past window end must emit the unmatched row")
+    } finally q.stop()
+  }
+
   test("restart with the same checkpoint resumes exactly: old files never reprocess") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_resume")
