@@ -180,10 +180,9 @@ object Stats {
     * duplicates are mutually non-dominating and both survive).
     *
     * The unpartitioned window is confined to the dim-sized part table —
-    * the same budget rule as every other global window here; a fact-sized
-    * skyline swaps in the distributed prefix-min (range-partition by
-    * price, per-partition running min + broadcast per-partition offsets —
-    * the q_pack_sequences shape). */
+    * the same budget rule as every other global window here; the
+    * fact-sized variant is [[qSkylineFact]] (distributed prefix-min over
+    * price bands, the q_pack_sequences shape). */
   def qSkyline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = Tables.part(s, dir)
@@ -220,6 +219,73 @@ object Stats {
       |WHERE (min_size_cheaper IS NULL OR min_size_cheaper > p_size)
       |  AND p_size = min_size_same
       |ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------- q_skyline_fact
+  /** The FACT-scale skyline q_skyline's scaladoc promises: the 2-D Pareto
+    * frontier of lineitem rows on (extended price ↓, quantity ↓), computed
+    * as a DISTRIBUTED prefix-min instead of q_skyline's single global
+    * RANGE window — the q_pack_sequences shape applied to dominance.
+    *
+    * Rows are value-bucketed into price bands (cents div 5·10⁵, ≈$5k — a
+    * fixed-width map-side derivation, no sampling pass, so equal prices
+    * are co-located by construction); each band computes its local
+    * strictly-cheaper running min and its same-price min in ONE sort via
+    * two RANGE frames over the same (band, price) window; and the
+    * cross-band term is a per-band min aggregate turned into a prefix-min
+    * offset table (≤ the band count in rows) broadcast back. One fact
+    * shuffle on the band key, every window parallel across bands, and the
+    * offset table stays driver-trivial at any scale — at 100 TB the band
+    * width narrows so bands ≈ cluster parallelism, nothing else changes.
+    * Output stays integer cents end-to-end (no float parity surface). */
+  def qSkylineFact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val BandCents = 500000L // $5,000 price bands
+    val li = Tables.lineitem(s, dir).select(
+        $"l_orderkey", $"l_linenumber",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("price_c"),
+        (OP.dec2($"l_quantity") * 100).cast("long").as("qty_c"))
+      .withColumn("band", $"price_c".divide(lit(BandCents)).cast("long"))
+    val wBand = Window.partitionBy($"band").orderBy($"price_c")
+    val marked = li
+      .withColumn("min_cheaper_local",
+        min($"qty_c").over(wBand.rangeBetween(Window.unboundedPreceding, -1)))
+      // RANGE frame (0,0) = all peer rows at the SAME price — the
+      // equal-price minimum without a second shuffle on price_c
+      .withColumn("min_same", min($"qty_c").over(wBand.rangeBetween(0, 0)))
+    // prefix-min over strictly-earlier bands: band-count rows, broadcast
+    val wOff = Window.orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = li.groupBy($"band").agg(min($"qty_c").as("bmin"))
+      .withColumn("min_prev_bands", min($"bmin").over(wOff))
+      .select($"band", $"min_prev_bands")
+    marked.join(broadcast(offsets), Seq("band"))
+      .withColumn("min_cheaper",
+        least($"min_prev_bands", $"min_cheaper_local"))
+      .filter(($"min_cheaper".isNull || $"min_cheaper" > $"qty_c") &&
+        $"qty_c" === $"min_same")
+      .select($"l_orderkey", $"l_linenumber", $"price_c", $"qty_c")
+      .orderBy($"price_c", $"qty_c", $"l_orderkey", $"l_linenumber")
+  }
+
+  private val qSkylineFactSql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS price_c,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c
+      |  FROM lineitem),
+      |marked AS (
+      |  SELECT *,
+      |    min(qty_c) OVER (ORDER BY price_c
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS min_cheaper,
+      |    min(qty_c) OVER (PARTITION BY price_c) AS min_same
+      |  FROM li)
+      |SELECT l_orderkey, l_linenumber, price_c, qty_c
+      |FROM marked
+      |WHERE (min_cheaper IS NULL OR min_cheaper > qty_c)
+      |  AND qty_c = min_same
+      |ORDER BY price_c, qty_c, l_orderkey, l_linenumber""".stripMargin
 
   // -------------------------------------------------------------- q_ab_test
   /** Pairwise Welch t² between event-type arms, entirely from the exact
@@ -433,6 +499,7 @@ object Stats {
     "q_outliers"   -> (qOutliers _),
     "q_linreg"     -> (qLinreg _),
     "q_skyline"    -> (qSkyline _),
+    "q_skyline_fact" -> (qSkylineFact _),
     "q_ab_test"    -> (qAbTest _),
     "q_dist_drift" -> (qDistDrift _))
 
@@ -443,6 +510,7 @@ object Stats {
     "q_outliers"   -> qOutliersSql,
     "q_linreg"     -> qLinregSql,
     "q_skyline"    -> qSkylineSql,
+    "q_skyline_fact" -> qSkylineFactSql,
     "q_ab_test"    -> qAbTestSql,
     "q_dist_drift" -> qDistDriftSql)
 }

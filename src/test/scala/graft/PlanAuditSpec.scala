@@ -190,6 +190,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"group sample must use the topk aggregate, not a rank window\n$plan")
   }
 
+  test("fact skyline: no single-partition window touches raw lineitem rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = staticPlan(SparkEntry.queries("q_skyline_fact")(spark, sfDir))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected window operators\n$plan")
+    // the per-band dominance windows (the ones that see every fact row)
+    // must be partitioned — a band key in partitionSpec means parallel
+    val partitioned = wins.filter(_.partitionSpec.nonEmpty)
+    assert(partitioned.nonEmpty,
+      s"expected band-partitioned dominance windows\n$plan")
+    // any UNpartitioned window is the band-count offset prefix-min: its
+    // input must pass through an aggregate (rows collapsed to one per
+    // band) before the window — never raw lineitem rows
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggBelow = w.collect { case a: BaseAggregateExec => a }
+      assert(aggBelow.nonEmpty,
+        s"single-partition window over un-aggregated fact rows\n$w")
+    }
+  }
+
   test("PIT join plans as a keyed join, never a nested-loop over the facts") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val plan = staticPlan(SparkEntry.queries("q_pit_join")(spark, sfDir))
