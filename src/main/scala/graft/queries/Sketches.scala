@@ -93,6 +93,59 @@ object Sketches {
        |  abs(n_est - n_exact) / n_exact AS rel_err
        |FROM est ORDER BY flag""".stripMargin
 
+  // -------------------------------------------------------- q_aqp_distinct
+  /** The [[graft.plans.SketchDistinctRewrite]] optimizer rule under the
+    * correctness gate, end-to-end: the query below is a PLAIN exact
+    * `countDistinct` — no kmv anywhere in its text — and the oracle
+    * replays the KMV ESTIMATE, so the row is green only if the rule
+    * actually rewrote the aggregate at optimization time. (If the rule
+    * ever silently stopped firing, the exact counts would hash-mismatch
+    * the estimate oracle — the gate is the detector.)
+    *
+    * Session hygiene: the flag + runtime rule injection live in a CHILD
+    * session (`newSession`: shared SparkContext, isolated conf/optimizer),
+    * so the shared Verify/Bench session never sees the AQP dial — the
+    * other 19 exact COUNT(DISTINCT) entries keep their semantics. This is
+    * also the deployment story: an analyst flips the dial on their own
+    * session; nothing global changes. */
+  def qAqpDistinct(s: SparkSession, dir: String): DataFrame = {
+    val child = s.newSession()
+    graft.core.Sessions.tune(child)
+    if (!child.experimental.extraOptimizations.contains(
+        graft.plans.SketchDistinctRewrite))
+      child.experimental.extraOptimizations ++=
+        Seq(graft.plans.SketchDistinctRewrite)
+    child.conf.set(graft.plans.SketchDistinctRewrite.Flag, "true")
+    Tables.lineitem(child, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(countDistinct(col("l_partkey")).as("n_est"))
+      .orderBy(col("flag"))
+  }
+
+  /** The rule emits `CAST(double AS BIGINT)` (Spark non-ANSI: truncation
+    * toward zero); DuckDB's double→BIGINT cast ROUNDS, so the replay
+    * floors explicitly. Below k the sketch keeps exact longs — same
+    * branch shape as [[qKmvDistinctSql]]. */
+  private val qAqpDistinctSql =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag AS flag,
+       |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT flag, hv,
+       |    row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+       |    count(*) OVER (PARTITION BY flag) AS nh
+       |  FROM h),
+       |sk AS (
+       |  SELECT flag, max(CASE WHEN rn = $K THEN hv END) AS kth,
+       |    max(nh) AS nh
+       |  FROM r GROUP BY flag)
+       |SELECT flag,
+       |  CASE WHEN nh < $K THEN nh
+       |       ELSE CAST(floor(${K - 1}.0 * 4294967296.0 / kth) AS BIGINT)
+       |  END AS n_est
+       |FROM sk ORDER BY flag""".stripMargin
+
   // ------------------------------------------------------- q_profile_approx
   private val profNumeric = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val profStrings = Seq("l_returnflag", "l_linestatus")
@@ -595,6 +648,7 @@ object Sketches {
     "q_winsorize"       -> (qWinsorize _),
     "q_window_kmv"      -> (qWindowKmv _),
     "q_kmv_distinct"    -> (qKmvDistinct _),
+    "q_aqp_distinct"    -> (qAqpDistinct _),
     "q_profile_approx"  -> (qProfileApprox _),
     "q_heavy_hitters"   -> (qHeavyHitters _),
     "q_bloom_join"      -> (qBloomJoin _),
@@ -606,6 +660,7 @@ object Sketches {
     "q_winsorize"      -> qWinsorizeSql,
     "q_window_kmv"     -> qWindowKmvSql,
     "q_kmv_distinct"   -> qKmvDistinctSql,
+    "q_aqp_distinct"   -> qAqpDistinctSql,
     "q_profile_approx" -> qProfileApproxSql,
     "q_heavy_hitters"   -> qHeavyHittersSql,
     "q_bloom_join"      -> qBloomJoinSql,
