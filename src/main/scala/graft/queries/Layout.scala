@@ -291,13 +291,89 @@ object Layout {
       |FROM b CROSS JOIN a
       |ORDER BY day_bucket""".stripMargin
 
+  // ----------------------------------------------------------- q_bucket_join
+  /** The write-side answer to the shuffle bill: both join sides stored as
+    * BUCKETED tables on the join key (8 buckets, sorted in-bucket), so the
+    * fact-fact join reads co-located buckets and the plan contains NO
+    * exchange below the join — bucket i of lineitem joins bucket i of
+    * orders directly. This is the `bucketBy` technique the 100 TB brief
+    * calls out: a recurring join key (orderkey here) is paid for ONCE at
+    * write time, and every subsequent join on it is shuffle-free. The
+    * reference's warehouse rebuilds facts per load with no physical key
+    * (/root/reference/03_load_into_fact_and_dim_tables/TL_combine.sql:189-203);
+    * at its scale that's free, at 100 TB the repeated o_orderkey shuffle
+    * would dominate every mart refresh.
+    *
+    * Build-once discipline mirrors IndexStore: the bucketed copies
+    * materialize once per (session, corpus) into a PID-scoped tmp
+    * warehouse (a real deployment writes them as the canonical tables —
+    * the write cost is the load job's, not the query's). The oracle runs
+    * the plain join on the raw parquet: green = bucketing changed the
+    * physical plan, not the answer. PlanAuditSpec pins the no-exchange-
+    * below-the-join shape. */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.{OracleParity => OP}
+    val (liTable, ordTable) = bucketedOrderTables(s, dir)
+    s.table(liTable)
+      .join(s.table(ordTable), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(OP.discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val bucketRoot: String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_buckets_${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(f): Unit))
+    f.getAbsolutePath
+  }
+
+  /** Bucketed (lineitem, orders) external tables for `dir`, built at most
+    * once per session+corpus (bucketed scans need catalog metadata, hence
+    * saveAsTable rather than a bare parquet write). */
+  private def bucketedOrderTables(s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val lt = s"graft_bkt_lineitem_$dirHash"
+      val ot = s"graft_bkt_orders_$dirHash"
+      if (!s.catalog.tableExists(lt)) {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write.format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$bucketRoot/$lt")
+          .mode("overwrite").saveAsTable(lt)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$bucketRoot/$ot")
+          .mode("overwrite").saveAsTable(ot)
+      }
+      (lt, ot)
+    }
+
+  private val qBucketJoinSql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_join"    -> (qBucketJoin _),
     "q_zorder"         -> (qZorder _),
     "q_encoding_stats" -> (qEncodingStats _),
     "q_skew_stats"     -> (qSkewStats _),
     "q_partition_stats" -> (qPartitionStats _))
 
   val oracle: Map[String, String] = Map(
+    "q_bucket_join"    -> qBucketJoinSql,
     "q_zorder"         -> qZorderSql,
     "q_encoding_stats" -> qEncodingStatsSql,
     "q_skew_stats"     -> qSkewStatsSql,

@@ -190,6 +190,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"group sample must use the topk aggregate, not a rank window\n$plan")
   }
 
+  test("bucketed join: no exchange below the fact-fact join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // at test SF orders fits the broadcast threshold, which would sidestep
+    // the shape under audit; at 100 TB neither side broadcasts — disable
+    // it so the plan is the at-scale one
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try staticPlan(SparkEntry.queries("q_bucket_join")(spark, sfDir))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val joins = plan.collect { case j: SortMergeJoinExec => j }
+    assert(joins.nonEmpty, s"expected a sort-merge join over buckets\n$plan")
+    // co-located buckets: neither join child may contain a shuffle — the
+    // whole point of paying the bucketBy at write time
+    joins.foreach { j =>
+      val ex = j.children.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+      assert(ex.isEmpty, s"bucketed join must not shuffle its inputs: $ex\n$plan")
+    }
+  }
+
   test("fact skyline: no single-partition window touches raw lineitem rows") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
