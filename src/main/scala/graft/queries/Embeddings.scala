@@ -158,6 +158,86 @@ object Embeddings {
        |  FROM pairs)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------- q_knn_classify
+  /** Leave-one-out k-NN majority-vote classification accuracy per label —
+    * the standard "are these labels learnable from the geometry" diagnostic
+    * run before training on a labeled embedding set (complements
+    * q_label_noise, which flags individual suspect rows; this scores the
+    * label space wholesale).
+    *
+    * Candidates come from the SAME hyperplane buckets as q_embed_ann
+    * (never all-pairs): each vector takes its top-k (k=5) in-bucket
+    * neighbors by rounded cosine + id tiebreak, votes are counted per
+    * neighbor label, and the majority label (ties → smallest label id)
+    * is the prediction. Singleton-bucket vectors drop out, exactly like
+    * q_embed_ann — at scale multi-table LSH recovers them. All windows
+    * are per-vector (bucket-bounded); the accuracy rollup is an
+    * O(labels) aggregate. */
+  def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+    val l = emb.select(col("bucket"), col("vec_id"), col("label"),
+      col("embedding"), col("norm"))
+    val r = emb.select(col("bucket"), col("vec_id").as("nn_id"),
+      col("label").as("nn_label"),
+      col("embedding").as("emb2"), col("norm").as("norm2"))
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    val votes = l.join(r, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos_sim", pairCos("embedding", "emb2", "norm", "norm2"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= K)
+      .groupBy(col("vec_id"), col("label"), col("nn_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("vec_id"))
+      .orderBy(col("n_votes").desc, col("nn_label"))
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nn_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc",
+        round(col("n_correct").cast("double") / col("n"), 4))
+      .orderBy(col("label"))
+  }
+
+  private val qKnnClassifySql =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${bucketSql("embedding")} AS bucket,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT l.vec_id, l.label, r.label AS nn_label, r.vec_id AS nn_id,
+       |    round(${dotSql("l.embedding", "r.embedding")}
+       |      / (l.nrm * r.nrm), 4) AS cos_sim
+       |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+       |topk AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
+       |    FROM pairs)
+       |  WHERE rn <= 5),
+       |votes AS (
+       |  SELECT vec_id, label, nn_label, count(*) AS n_votes
+       |  FROM topk GROUP BY vec_id, label, nn_label),
+       |pred AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY n_votes DESC, nn_label) AS vr
+       |    FROM votes)
+       |  WHERE vr = 1)
+       |SELECT label, count(*) AS n,
+       |  CAST(sum(CASE WHEN nn_label = label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  round(CAST(sum(CASE WHEN nn_label = label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 4) AS acc
+       |FROM pred GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------- q_embed_neardup
   /** Embedding-cosine near-duplicate detection — the vector-space dedup
     * mode (semantic dups that shingle/minhash miss). Candidates come from
@@ -1098,6 +1178,7 @@ object Embeddings {
     "q_embed_ivf2"    -> (qEmbedIvf2 _),
     "q_embed_topk"    -> (qEmbedTopk _),
     "q_embed_ann"     -> (qEmbedAnn _),
+    "q_knn_classify"  -> (qKnnClassify _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_ivf"     -> (qEmbedIvf _),
     "q_embed_buckets" -> (qEmbedBuckets _),
@@ -1116,6 +1197,7 @@ object Embeddings {
     "q_embed_ivf2"    -> qEmbedIvf2Sql,
     "q_embed_topk"    -> qEmbedTopkSql,
     "q_embed_ann"     -> qEmbedAnnSql,
+    "q_knn_classify"  -> qKnnClassifySql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_embed_ivf"     -> qEmbedIvfSql,
     "q_embed_buckets" -> qEmbedBucketsSql,
