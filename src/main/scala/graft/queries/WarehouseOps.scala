@@ -404,6 +404,78 @@ object WarehouseOps {
       |UNION ALL SELECT tbl, n_deleted, n_remaining FROM l
       |ORDER BY tbl""".stripMargin
 
+  // ---------------------------------------------------------- q_k_anonymity
+  /** k-anonymity audit over customer quasi-identifiers — the governance
+    * check run before a table (or a training corpus's metadata) leaves the
+    * warehouse: an equivalence class of quasi-identifier values smaller
+    * than k re-identifies its members (Sweeney 2002). The reference's
+    * role-based grants (/root/reference/01_DW_schema_and_roles_creation/
+    * combined_dw_schema.sql roles) control WHO reads; this measures what
+    * the data itself leaks, per generalization level of the standard
+    * ladder: (segment, nation, balance-band) → drop the band → drop the
+    * nation. One row per level with its class count, k (min class size),
+    * and how many classes/rows sit below k = 5 — the publisher walks down
+    * until n_risky_rows hits zero.
+    *
+    * Scale shape: each level is one map-side-combinable aggregate to its
+    * class table (bounded by the QI domain, dim-sized) and an O(classes)
+    * rollup; levels union to 3 rows. The balance band is floor(cents /
+    * 10⁵) over the EXACT cents value — band boundaries land on exactly
+    * representable doubles, so both engines band identically (negative
+    * balances floor toward -∞ on both). */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 5
+    val cust = Tables.customer(s, dir).select(
+      $"c_mktsegment", $"c_nationkey",
+      floor((OP.dec2($"c_acctbal") * 100).cast("long") / lit(100000.0))
+        .as("bal_band"))
+    def level(name: String, qis: Seq[String]): DataFrame =
+      cust.groupBy(qis.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          min($"n").as("k_anon"),
+          sum(when($"n" < K, 1L).otherwise(0L)).as("n_risky_classes"),
+          sum(when($"n" < K, $"n").otherwise(0L)).as("n_risky_rows"))
+        .select(lit(name).as("level"), $"n_classes", $"k_anon",
+          $"n_risky_classes", $"n_risky_rows")
+    level("1_seg_nation_band", Seq("c_mktsegment", "c_nationkey", "bal_band"))
+      .unionByName(level("2_seg_nation", Seq("c_mktsegment", "c_nationkey")))
+      .unionByName(level("3_seg", Seq("c_mktsegment")))
+      .orderBy($"level")
+  }
+
+  private val qKAnonymitySql =
+    """WITH cust AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      / 100000.0) AS bal_band
+      |  FROM customer),
+      |l1 AS (SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS n
+      |       FROM cust GROUP BY 1, 2, 3),
+      |l2 AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+      |       FROM cust GROUP BY 1, 2),
+      |l3 AS (SELECT c_mktsegment, count(*) AS n FROM cust GROUP BY 1),
+      |lvl AS (
+      |  SELECT '1_seg_nation_band' AS level, count(*) AS n_classes,
+      |    min(n) AS k_anon,
+      |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_risky_classes,
+      |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_risky_rows
+      |  FROM l1
+      |  UNION ALL
+      |  SELECT '2_seg_nation', count(*), min(n),
+      |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |  FROM l2
+      |  UNION ALL
+      |  SELECT '3_seg', count(*), min(n),
+      |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |  FROM l3)
+      |SELECT * FROM lvl ORDER BY level""".stripMargin
+
   // ------------------------------------------------------------- q_reconcile
   /** Header/detail reconciliation audit: every order's stored total vs
     * the recomputed Σ extendedprice·(1−discount)·(1+tax) of its lines,
@@ -454,6 +526,7 @@ object WarehouseOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_reconcile"      -> (qReconcile _),
+    "q_k_anonymity"    -> (qKAnonymity _),
     "q_cascade_delete" -> (qCascadeDelete _),
     "q_scd2_merge"  -> (qScd2Merge _),
     "q_dedup_log"   -> (qDedupLog _),
@@ -464,6 +537,7 @@ object WarehouseOps {
 
   val oracle: Map[String, String] = Map(
     "q_reconcile"      -> qReconcileSql,
+    "q_k_anonymity"    -> qKAnonymitySql,
     "q_cascade_delete" -> qCascadeDeleteSql,
     "q_scd2_merge"  -> qScd2MergeSql,
     "q_dedup_log"   -> qDedupLogSql,
