@@ -287,6 +287,64 @@ object Stats {
       |  AND qty_c = min_same
       |ORDER BY price_c, qty_c, l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------- q_exact_median
+  /** Exact per-group median WITHOUT holding values in aggregate state —
+    * the scale path [[Analytics.qPercentile]]'s `percentile()` aggregate
+    * doesn't have (its state is every value in the group; at fact scale
+    * that's executor memory, not a plan). Two passes, textbook
+    * order-statistic narrowing:
+    *
+    *   1. one map-side-combinable aggregate to (group, $100-price-band)
+    *      counts — O(groups × bands) rows; a prefix-count window over that
+    *      TINY table locates each group's median band and the rank still
+    *      needed inside it;
+    *   2. the fact scan re-filtered to median bands only (a broadcast join
+    *      against the O(groups) band table — at 10⁹ rows/group the band
+    *      holds ~1/1000th of them), ranked per group by value, and the
+    *      needed-rank row picked.
+    *
+    * The selected VALUE is deterministic even with duplicate prices (rank
+    * ties are value-identical). Lower median (k = (n+1) div 2), integer
+    * cents. */
+  def qExactMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val BandCents = 10000L
+    val li = Tables.lineitem(s, dir).select(
+      $"l_returnflag".as("flag"),
+      (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("band", $"cents".divide(lit(BandCents)).cast("long"))
+    val bands = li.groupBy($"flag", $"band").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"flag").orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val target = bands
+      .withColumn("cum_before", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"flag")))
+      .withColumn("k", ($"n" + 1).divide(lit(2)).cast("long"))
+      .filter($"cum_before" < $"k" && $"cum_before" + $"cnt" >= $"k")
+      .select($"flag", $"band", $"n", ($"k" - $"cum_before").as("need"))
+    val wRank = Window.partitionBy($"flag").orderBy($"cents")
+    li.join(broadcast(target), Seq("flag", "band"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter($"rn" === $"need")
+      .select($"flag", $"n", $"cents".as("median_c"))
+      .orderBy($"flag")
+  }
+
+  private val qExactMedianSql =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, cents,
+      |    row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY flag) AS n
+      |  FROM li)
+      |SELECT flag, n, cents AS median_c
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY flag""".stripMargin
+
   // -------------------------------------------------------------- q_ab_test
   /** Pairwise Welch t² between event-type arms, entirely from the exact
     * per-arm moments (n, Σcents, Σcents²): one map-side-combinable
@@ -500,6 +558,7 @@ object Stats {
     "q_linreg"     -> (qLinreg _),
     "q_skyline"    -> (qSkyline _),
     "q_skyline_fact" -> (qSkylineFact _),
+    "q_exact_median" -> (qExactMedian _),
     "q_ab_test"    -> (qAbTest _),
     "q_dist_drift" -> (qDistDrift _))
 
@@ -511,6 +570,7 @@ object Stats {
     "q_linreg"     -> qLinregSql,
     "q_skyline"    -> qSkylineSql,
     "q_skyline_fact" -> qSkylineFactSql,
+    "q_exact_median" -> qExactMedianSql,
     "q_ab_test"    -> qAbTestSql,
     "q_dist_drift" -> qDistDriftSql)
 }
