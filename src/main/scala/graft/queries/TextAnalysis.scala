@@ -426,6 +426,89 @@ object TextAnalysis {
       |FROM pairs GROUP BY 1, 2
       |ORDER BY cnt DESC, left_ch, right_ch LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------ q_bpe_train
+  /** The BPE TRAINING LOOP q_bpe_step counts one round of: three full
+    * merge iterations, each picking the corpus-weighted best adjacent
+    * symbol pair and rewriting every word's symbol sequence — the
+    * Sennrich et al. (ACL 2016) subword-induction algorithm as it
+    * actually runs.
+    *
+    * State lives where real BPE trainers keep it: a WORD-FREQUENCY table
+    * (vocab-sized — symbol sequences never ride the corpus), built by one
+    * fact-scale token count. Symbol sequences are sentinel-delimited
+    * strings (`|s||p||a||r||k|`), so the merge is a plain `replace` of
+    * `|a||b|` with `|ab|` — leftmost non-overlapping, exactly canonical
+    * BPE's one-pass greedy semantics, identical in both engines (the
+    * wrapped-sentinel form makes overlapping runs like `aaa` merge to
+    * `(aa)(a)` correctly, which naive space-delimited replace gets
+    * wrong). Each iteration: pair fan-out over the vocab table
+    * (alphabet²-bounded aggregate), best pair by (count, a, b) total
+    * order as a 1-row broadcast, rewrite. Output = the 3 chosen merges
+    * with their counts — the artifact a tokenizer ships. */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(TextOps.words(col("text"))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    var vocab = words.select(
+      concat(lit("|"), array_join(split($"tok", ""), "||"), lit("|"))
+        .as("seq"),
+      $"cnt")
+    val steps = (1 to 3).map { it =>
+      val pairs = vocab
+        .withColumn("syms",
+          split(expr("substring(seq, 2, length(seq) - 2)"), "\\|\\|"))
+        .filter(size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          "transform(sequence(0, size(syms)-2), " +
+            "i -> named_struct('a', syms[i], 'b', syms[i+1]))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"cnt").as("pair_cnt"))
+      val best = pairs.orderBy($"pair_cnt".desc, $"a", $"b").limit(1)
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("seq", expr(
+          "replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|')"))
+        .select($"seq", $"cnt")
+      best.select(lit(it).as("merge_rank"), $"a", $"b", $"pair_cnt")
+    }
+    steps.reduce(_ unionByName _).orderBy($"merge_rank")
+  }
+
+  /** One unrolled oracle iteration (same generator pattern as morton8Sql —
+    * the three stages must be mechanically identical). */
+  private def bpeStageSql(i: Int): String =
+    s"""p$i AS (
+       |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM (
+       |    SELECT unnest(syms[1:len(syms)-1]) AS a,
+       |           unnest(syms[2:len(syms)]) AS b, cnt
+       |    FROM (SELECT string_split(substring(seq, 2, length(seq) - 2),
+       |                   '||') AS syms, cnt
+       |          FROM w${i - 1})
+       |    WHERE len(syms) >= 2)
+       |  GROUP BY a, b),
+       |b$i AS (SELECT * FROM p$i ORDER BY pair_cnt DESC, a, b LIMIT 1),
+       |w$i AS (
+       |  SELECT replace(seq, '|' || b$i.a || '||' || b$i.b || '|',
+       |           '|' || b$i.a || b$i.b || '|') AS seq, cnt
+       |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+
+  private val qBpeTrainSql =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |words AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       |w0 AS (
+       |  SELECT '|' || array_to_string(string_split(tok, ''), '||') || '|'
+       |           AS seq, cnt
+       |  FROM words),
+       |${bpeStageSql(1)},
+       |${bpeStageSql(2)},
+       |${bpeStageSql(3)}
+       |SELECT 1 AS merge_rank, a, b, pair_cnt FROM b1
+       |UNION ALL SELECT 2, a, b, pair_cnt FROM b2
+       |UNION ALL SELECT 3, a, b, pair_cnt FROM b3
+       |ORDER BY merge_rank""".stripMargin
+
   // ------------------------------------------------------ q_inverted_index
   /** Inverted-index build: token → document frequency + the first 8 doc ids
     * as an ascending postings CSV. `array_distinct` inside each document
@@ -729,6 +812,7 @@ object TextAnalysis {
     "q_colloc_lift"    -> (qCollocLift _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_step"    -> (qBpeStep _),
+    "q_bpe_train"   -> (qBpeTrain _),
     "q_lm_score"    -> (qLmScore _),
     "q_text_stats"    -> (qTextStats _),
     "q_lang_id"       -> (qLangId _),
@@ -745,6 +829,7 @@ object TextAnalysis {
     "q_colloc_lift"    -> qCollocLiftSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_bpe_step"    -> qBpeStepSql,
+    "q_bpe_train"   -> qBpeTrainSql,
     "q_lm_score"    -> qLmScoreSql,
     "q_text_stats"    -> qTextStatsSql,
     "q_lang_id"       -> qLangIdSql,
