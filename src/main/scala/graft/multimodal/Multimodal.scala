@@ -58,6 +58,39 @@ object Multimodal {
         .withColumn("frame_px", bytesCsv(col("frame"), headerBytes = 0))
         .drop("frame")
         .orderBy(col("media_id"), col("frame_no"))),
+    // Audio framing: the audio-modality rows treated as mono PCM sample
+    // streams (payload body = samples), cut into 16-sample windows with
+    // hop 8 — the standard feature-extraction front end (and the shape a
+    // real STFT/VAD plugs into). Per frame: integer energy Σ|b−128| and
+    // an activity flag; per media: frame/active counts + total energy.
+    // Pure codegen expression chain over the hex rendering (no UDF, no
+    // mapPartitions — framing is index arithmetic, not codec work);
+    // corrupt payloads fail the magic+length check and drop out, same
+    // contract as decode. Oracle replays the LCG samples byte-for-byte.
+    "q_audio_frames" -> ((s: SparkSession, _: String) => {
+      val body = length(col("payload")) - 7
+      syntheticMedia(s, 200)
+        .filter(col("modality") === "audio")
+        .filter(expr("substring(hex(payload), 1, 8) = '47465431'") &&
+          length(col("payload")) ===
+            col("meta.width") * col("meta.height") * col("meta.channels") + 7)
+        .select(col("media_id"), hex(col("payload")).as("hx"),
+          body.cast("long").as("nb"))
+        .filter(col("nb") >= 16)
+        .select(col("media_id"), col("hx"),
+          explode(expr("sequence(cast(0 as bigint), (nb - 16) div 8)"))
+            .as("k"))
+        .withColumn("energy", expr(
+          "aggregate(transform(sequence(0, 15), j -> " +
+            "abs(cast(conv(substr(hx, cast(15 + (k * 8 + j) * 2 as int), 2)," +
+            " 16, 10) as bigint) - 128)), cast(0 as bigint), " +
+            "(acc, e) -> acc + e)"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("energy") >= 1024, 1L).otherwise(0L)).as("n_active"),
+          sum(col("energy")).as("total_energy"))
+        .orderBy(col("media_id"))
+    }),
     // Media near-dup: the decode→features→similarity bridge, end to end.
     // Blocking key = shape metadata (you never compare a thumbnail to a 4K
     // frame — and the block join replaces the cartesian product), then
@@ -111,6 +144,35 @@ object Multimodal {
     * mean_intensity is one division of identical integers in both engines
     * → bit-identical doubles. */
   val oracle: Map[String, String] = Map(
+    // Replay of q_audio_frames: audio rows are i % 4 = 3 (all odd → c = 1,
+    // body = w·h samples ≥ 64); sample k·8+j replays the fake-codec LCG;
+    // frame k ∈ [0, (nb−16)//8]; energy/activity identical integer ops.
+    "q_audio_frames" ->
+      """WITH m AS (
+        |  SELECT CAST(i AS BIGINT) AS media_id,
+        |         8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h,
+        |         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS c
+        |  FROM generate_series(0, 199) AS t(i)),
+        |audio AS (
+        |  SELECT media_id, w * h * c AS nb FROM m
+        |  WHERE media_id % 4 = 3
+        |    AND NOT (media_id % 13 = 0 AND media_id > 0)),
+        |frames AS (
+        |  SELECT a.media_id, k.k FROM audio a
+        |  JOIN (SELECT CAST(v AS BIGINT) AS k
+        |        FROM generate_series(0, 200) AS s(v)) k
+        |    ON k.k <= (a.nb - 16) // 8),
+        |j AS (SELECT CAST(v AS BIGINT) AS j FROM generate_series(0, 15) AS s(v)),
+        |en AS (
+        |  SELECT f.media_id, f.k,
+        |    sum(abs(((f.media_id + f.k * 8 + j.j) * 1103515245 + 12345)
+        |      // 65536 % 256 - 128)) AS energy
+        |  FROM frames f CROSS JOIN j GROUP BY 1, 2)
+        |SELECT media_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN energy >= 1024 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active,
+        |  CAST(sum(energy) AS BIGINT) AS total_energy
+        |FROM en GROUP BY media_id ORDER BY media_id""".stripMargin,
     "q_multimodal_features" ->
       """WITH m AS (
         |  SELECT CAST(i AS BIGINT) AS media_id,
