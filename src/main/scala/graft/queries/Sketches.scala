@@ -93,6 +93,72 @@ object Sketches {
        |  abs(n_est - n_exact) / n_exact AS rel_err
        |FROM est ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------------------ q_cms_freq
+  /** Count-min sketch frequency estimation: the fixed-size counter table
+    * that answers "how often does key X appear?" over a stream too wide to
+    * count exactly per key. d=3 independent md5-derived hash rows × w=32
+    * buckets; estimate = min over rows of the probed bucket counts — a
+    * one-sided overestimate (collisions only ever inflate). The probe set
+    * is the top-10 suppliers by exact count (deterministic tiebreak), so
+    * the output prices the sketch: exact vs estimate vs overcount.
+    *
+    * Scale shape: the build is ONE map-side-combinable aggregate — each
+    * mapper reduces its share of the ×3 seed fan-out to ≤ d·w = 96
+    * partial counters before the exchange, so the shuffle moves O(d·w)
+    * scalars per partition regardless of row volume (the same budget as
+    * KMV, vs exact per-key counting which shuffles every key). The probe
+    * join broadcasts the 96-row sketch. Reference kin: the exact
+    * COUNT(*)-per-key views in /root/reference/04_KPI/KPIs.sql:1-40 — this
+    * is their bounded-memory stand-in at stream scale. */
+  def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 32
+    val keyed = Tables.lineitem(s, dir).select($"l_suppkey".as("k"))
+    val seeds = array(lit(0), lit(1), lit(2))
+    val cms = keyed
+      .select($"k", explode(seeds).as("seed"))
+      .withColumn("bkt", expr(s"cast(conv(substring(md5(concat(cast(seed" +
+        s" as string), ':', cast(k as string))), 1, 8), 16, 10) as bigint)" +
+        s" % $W"))
+      .groupBy($"seed", $"bkt").agg(count(lit(1)).as("c"))
+    val probes = keyed.groupBy($"k").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"k").limit(10)
+      .select($"k", $"n_exact", explode(seeds).as("seed"))
+      .withColumn("bkt", expr(s"cast(conv(substring(md5(concat(cast(seed" +
+        s" as string), ':', cast(k as string))), 1, 8), 16, 10) as bigint)" +
+        s" % $W"))
+    probes.join(broadcast(cms), Seq("seed", "bkt"))
+      .groupBy($"k", $"n_exact")
+      .agg(min($"c").as("n_est"))
+      .select($"k".as("suppkey"), $"n_exact", $"n_est",
+        ($"n_est" - $"n_exact").as("overcount"))
+      .orderBy($"suppkey")
+  }
+
+  private val qCmsFreqSql =
+    """WITH keyed AS (SELECT l_suppkey AS k FROM lineitem),
+      |seeds AS (SELECT CAST(v AS INT) AS seed
+      |          FROM generate_series(0, 2) s(v)),
+      |h AS (
+      |  SELECT k, seed,
+      |    ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' ||
+      |      CAST(k AS VARCHAR)), 1, 8))::BIGINT % 32 AS bkt
+      |  FROM keyed CROSS JOIN seeds),
+      |cms AS (SELECT seed, bkt, count(*) AS c FROM h GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT k, count(*) AS n_exact FROM keyed GROUP BY 1
+      |  ORDER BY n_exact DESC, k LIMIT 10),
+      |probes AS (
+      |  SELECT e.k, e.n_exact, s.seed,
+      |    ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
+      |      CAST(e.k AS VARCHAR)), 1, 8))::BIGINT % 32 AS bkt
+      |  FROM exact e CROSS JOIN seeds s)
+      |SELECT p.k AS suppkey, p.n_exact, min(c.c) AS n_est,
+      |  min(c.c) - p.n_exact AS overcount
+      |FROM probes p JOIN cms c USING (seed, bkt)
+      |GROUP BY 1, 2
+      |ORDER BY suppkey""".stripMargin
+
   // -------------------------------------------------------- q_aqp_distinct
   /** The [[graft.plans.SketchDistinctRewrite]] optimizer rule under the
     * correctness gate, end-to-end: the query below is a PLAIN exact
@@ -648,6 +714,7 @@ object Sketches {
     "q_winsorize"       -> (qWinsorize _),
     "q_window_kmv"      -> (qWindowKmv _),
     "q_kmv_distinct"    -> (qKmvDistinct _),
+    "q_cms_freq"        -> (qCmsFreq _),
     "q_aqp_distinct"    -> (qAqpDistinct _),
     "q_profile_approx"  -> (qProfileApprox _),
     "q_heavy_hitters"   -> (qHeavyHitters _),
@@ -660,6 +727,7 @@ object Sketches {
     "q_winsorize"      -> qWinsorizeSql,
     "q_window_kmv"     -> qWindowKmvSql,
     "q_kmv_distinct"   -> qKmvDistinctSql,
+    "q_cms_freq"       -> qCmsFreqSql,
     "q_aqp_distinct"   -> qAqpDistinctSql,
     "q_profile_approx" -> qProfileApproxSql,
     "q_heavy_hitters"   -> qHeavyHittersSql,
