@@ -171,6 +171,75 @@ object Stats {
       |  round((sy - slope * sx) / n_d, 6) AS intercept
       |FROM sl ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------- q_autocorr
+  /** Autocorrelation function of the daily revenue series at lags 1..7 —
+    * the seasonality detector run before fitting any forecast (a weekly
+    * cycle shows as a lag-7 peak). ACF here is the Pearson correlation of
+    * the (day, day+k) revenue pairs, computed from six exact decimal sums
+    * per lag (n, Σx, Σy, Σx², Σy², Σxy) exactly like [[qLinreg]]; the only
+    * doubles are the final closed-form expression, identically
+    * parenthesized in the oracle, rounded at the projection.
+    *
+    * Scale shape: the fact scan collapses to the O(days) daily aggregate
+    * FIRST (one map-side-combinable shuffle); the ×7 lag fan-out and the
+    * self-join run on the aggregate-sized series (broadcast), and the
+    * per-lag sums are a second O(lags) aggregate. Nothing downstream of
+    * the first groupBy touches fact volume. Reference kin: the per-month
+    * expense trend view (/root/reference/04_KPI/KPIs.sql) — this is the
+    * same series asked "does it repeat?". */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+    val lagged = daily
+      .select($"day", $"x", explode(array((1 to 7).map(lit): _*)).as("lag"))
+      .withColumn("probe_day", expr("date_add(day, lag)"))
+    val pairs = lagged.alias("a")
+      .join(broadcast(daily.alias("b")), $"a.probe_day" === $"b.day")
+      .select($"a.lag".as("lag"),
+        $"a.x".cast(DecimalType(38, 0)).as("x"),
+        $"b.x".cast(DecimalType(38, 0)).as("y"))
+    pairs.groupBy($"lag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"),
+        sum($"x" * $"y").cast("double").as("sxy"))
+      .select($"lag", $"n".cast("long").as("n_pairs"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("acf"))
+      .orderBy($"lag")
+  }
+
+  private val qAutocorrSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |lags AS (SELECT CAST(v AS INT) AS lag
+      |         FROM generate_series(1, 7) s(v)),
+      |pairs AS (
+      |  SELECT l.lag, CAST(a.x AS HUGEINT) AS x, CAST(b.x AS HUGEINT) AS y
+      |  FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.day = a.day + to_days(l.lag)),
+      |g AS (
+      |  SELECT lag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy,
+      |    CAST(sum(x * y) AS DOUBLE) AS sxy
+      |  FROM pairs GROUP BY lag)
+      |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+      |FROM g ORDER BY lag""".stripMargin
+
   // -------------------------------------------------------------- q_skyline
   /** 2-D Pareto frontier (skyline) of parts on (retail price ↓, size ↓) via
     * the sort-based O(n log n) algorithm, not the O(n²) dominance
@@ -556,6 +625,7 @@ object Stats {
     "q_histogram"  -> (qHistogram _),
     "q_outliers"   -> (qOutliers _),
     "q_linreg"     -> (qLinreg _),
+    "q_autocorr"   -> (qAutocorr _),
     "q_skyline"    -> (qSkyline _),
     "q_skyline_fact" -> (qSkylineFact _),
     "q_exact_median" -> (qExactMedian _),
@@ -568,6 +638,7 @@ object Stats {
     "q_histogram"  -> qHistogramSql,
     "q_outliers"   -> qOutliersSql,
     "q_linreg"     -> qLinregSql,
+    "q_autocorr"   -> qAutocorrSql,
     "q_skyline"    -> qSkylineSql,
     "q_skyline_fact" -> qSkylineFactSql,
     "q_exact_median" -> qExactMedianSql,
