@@ -240,6 +240,52 @@ object Stats {
       |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
       |FROM g ORDER BY lag""".stripMargin
 
+  // -------------------------------------------------------------- q_benford
+  /** Benford first-digit audit of order totals — the classic fabricated-
+    * data screen: natural multi-magnitude amounts follow
+    * P(d) = log10(1 + 1/d); a flat or spiked distribution flags synthetic
+    * or tampered figures. Emits observed vs expected proportion and the
+    * absolute deviation per digit (TPC-H's uniform price generator is
+    * expected to FAIL the law — the audit's value is the measured gap).
+    *
+    * Exactness: digit extraction is integer-cents string slicing (no
+    * float log on the data path); the two proportions are each ONE double
+    * division/log10 rounded at the projection, so both engines agree
+    * bit-for-bit. Scale shape: one map-side-combinable 9-group aggregate
+    * + a broadcast 1-row total — parquet-scan speed at any volume.
+    * Reference kin: the expense-total views it would audit,
+    * /root/reference/04_KPI/KPIs.sql. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = Tables.orders(s, dir)
+      .select((OP.dec2($"o_totalprice") * 100).cast("long").as("c"))
+      .filter($"c" > 0)
+      .select(substring($"c".cast("string"), 1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy($"digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select($"digit", $"n",
+        round($"n" / $"total", 6).as("observed_p"),
+        round(log10(lit(1.0) + lit(1.0) / $"digit"), 6).as("benford_p"))
+      .withColumn("abs_dev", round(abs($"observed_p" - $"benford_p"), 6))
+      .orderBy($"digit")
+  }
+
+  private val qBenfordSql =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |                 AS BIGINT) AS c
+      |        FROM orders) WHERE c > 0),
+      |counts AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |tot AS (SELECT count(*) AS total FROM d)
+      |SELECT digit, n,
+      |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS observed_p,
+      |  round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+      |  round(abs(round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) -
+      |            round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
+      |FROM counts CROSS JOIN tot ORDER BY digit""".stripMargin
+
   // -------------------------------------------------------------- q_skyline
   /** 2-D Pareto frontier (skyline) of parts on (retail price ↓, size ↓) via
     * the sort-based O(n log n) algorithm, not the O(n²) dominance
@@ -626,6 +672,7 @@ object Stats {
     "q_outliers"   -> (qOutliers _),
     "q_linreg"     -> (qLinreg _),
     "q_autocorr"   -> (qAutocorr _),
+    "q_benford"    -> (qBenford _),
     "q_skyline"    -> (qSkyline _),
     "q_skyline_fact" -> (qSkylineFact _),
     "q_exact_median" -> (qExactMedian _),
@@ -639,6 +686,7 @@ object Stats {
     "q_outliers"   -> qOutliersSql,
     "q_linreg"     -> qLinregSql,
     "q_autocorr"   -> qAutocorrSql,
+    "q_benford"    -> qBenfordSql,
     "q_skyline"    -> qSkylineSql,
     "q_skyline_fact" -> qSkylineFactSql,
     "q_exact_median" -> qExactMedianSql,
