@@ -460,6 +460,63 @@ object Stats {
       |FROM r WHERE rn = (n + 1) // 2
       |ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------------------ q_equidepth
+  /** Equi-depth (equal-frequency) decile boundaries per return flag — the
+    * histogram that adapts to skew where [[qHistogram]]'s fixed-width bins
+    * can't, and the exact twin of what `approxQuantile` estimates. Same
+    * two-pass order-statistic machinery as [[qExactMedian]], generalized
+    * to 9 target ranks per group (k_i = ceil(i·n/10)): pass 1 locates
+    * each decile's $100 price band from the O(groups × bands) count
+    * table; pass 2 re-scans only the located bands and ranks WITHIN each
+    * (group, band, decile) partition — no value-holding aggregate state,
+    * no single-partition sort, the rank window bounded to ~1/bands of the
+    * group. Boundary VALUES are deterministic under rank ties (equal
+    * cents). */
+  def qEquidepth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val BandCents = 10000L
+    val li = Tables.lineitem(s, dir).select(
+      $"l_returnflag".as("flag"),
+      (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("band", $"cents".divide(lit(BandCents)).cast("long"))
+    val bands = li.groupBy($"flag", $"band").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"flag").orderBy($"band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val targets = bands
+      .withColumn("cum_before", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"flag")))
+      .select($"flag", $"band", $"cum_before", $"cnt", $"n",
+        explode(array((1 to 9).map(lit): _*)).as("decile"))
+      .withColumn("k",
+        ($"decile" * $"n" + 9).divide(lit(10)).cast("long"))
+      .filter($"cum_before" < $"k" && $"cum_before" + $"cnt" >= $"k")
+      .select($"flag", $"band", $"decile", $"n",
+        ($"k" - $"cum_before").as("need"))
+    val wRank = Window.partitionBy($"flag", $"band", $"decile")
+      .orderBy($"cents")
+    li.join(broadcast(targets), Seq("flag", "band"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter($"rn" === $"need")
+      .select($"flag", $"decile", $"n", $"cents".as("boundary_c"))
+      .orderBy($"flag", $"decile")
+  }
+
+  private val qEquidepthSql =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, cents,
+      |    row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY flag) AS n
+      |  FROM li),
+      |d AS (SELECT CAST(v AS INT) AS decile FROM generate_series(1, 9) s(v))
+      |SELECT r.flag, d.decile, r.n, r.cents AS boundary_c
+      |FROM r JOIN d ON r.rn = (d.decile * r.n + 9) // 10
+      |ORDER BY flag, decile""".stripMargin
+
   // -------------------------------------------------------------- q_ab_test
   /** Pairwise Welch t² between event-type arms, entirely from the exact
     * per-arm moments (n, Σcents, Σcents²): one map-side-combinable
@@ -676,6 +733,7 @@ object Stats {
     "q_skyline"    -> (qSkyline _),
     "q_skyline_fact" -> (qSkylineFact _),
     "q_exact_median" -> (qExactMedian _),
+    "q_equidepth"  -> (qEquidepth _),
     "q_ab_test"    -> (qAbTest _),
     "q_dist_drift" -> (qDistDrift _))
 
@@ -690,6 +748,7 @@ object Stats {
     "q_skyline"    -> qSkylineSql,
     "q_skyline_fact" -> qSkylineFactSql,
     "q_exact_median" -> qExactMedianSql,
+    "q_equidepth"  -> qEquidepthSql,
     "q_ab_test"    -> qAbTestSql,
     "q_dist_drift" -> qDistDriftSql)
 }
