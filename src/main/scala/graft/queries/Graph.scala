@@ -107,6 +107,64 @@ object Graph {
     ranks
   }
 
+  // ---------------------------------------------------------------- q_hits
+  /** HITS hubs & authorities over the same directed co-purchase graph as
+    * [[qPagerank]] — the bipartite-flavored centrality that separates
+    * "points at good parts" (hub) from "is pointed at" (authority), the
+    * ranking pair a recommendation surface wants where PageRank conflates
+    * them. 3 iterations, each two half-steps (auth ← Σ hub over in-edges,
+    * hub ← Σ auth over out-edges), max-normalized in fixed-point integer
+    * arithmetic: scores are BIGINTs of 10⁻¹², the normalize step is ONE
+    * decimal multiply + integral divide by the exact integer max — every
+    * aggregation an exact integer sum, bit-replayed by the oracle's
+    * unrolled CTEs.
+    *
+    * Scale shape: identical to pagerank — edges build once and persist;
+    * each half-step is a keyed edges⋈scores join + one aggregation
+    * (shuffle on node id) + a 1-row max broadcast back. The score table
+    * stays dim-sized; same persist+count+unpersist lineage discipline. */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber", $"l_partkey")
+    val edges = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .withColumn("prev", lag($"l_partkey", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" =!= $"l_partkey")
+      .select($"prev".cast("long").as("src"),
+        $"l_partkey".cast("long").as("dst"))
+      .distinct().persist()
+    val nodes = Tables.part(s, dir)
+      .select($"p_partkey".cast("long").as("node"))
+    val norm = s"cast((cast(coalesce(raw, 0L) as decimal(38,0)) * $Scale)" +
+      " div mx as bigint)"
+    var cur = nodes.withColumn("auth", lit(0L)).withColumn("hub", lit(Scale))
+    var prevIter: Option[DataFrame] = None
+    for (_ <- 1 to 3) {
+      val authRaw = edges
+        .join(cur.select($"node".as("src"), $"hub".as("h")), "src")
+        .groupBy($"dst".as("node")).agg(sum($"h").as("raw"))
+      val auth = nodes.join(authRaw, Seq("node"), "left")
+        .crossJoin(broadcast(authRaw.agg(max($"raw").as("mx"))))
+        .select($"node", expr(norm).as("auth"))
+      val hubRaw = edges
+        .join(auth.select($"node".as("dst"), $"auth".as("a")), "dst")
+        .groupBy($"src".as("node")).agg(sum($"a").as("raw"))
+      cur = auth.join(
+          hubRaw.crossJoin(broadcast(hubRaw.agg(max($"raw").as("mx"))))
+            .select($"node", expr(norm).as("hub_n")),
+          Seq("node"), "left")
+        .select($"node", $"auth", coalesce($"hub_n", lit(0L)).as("hub"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cur.count() // materialize before releasing the previous iteration
+      prevIter.foreach(_.unpersist(blocking = false))
+      prevIter = Some(cur)
+    }
+    edges.unpersist()
+    cur.orderBy($"auth".desc, $"node").limit(20)
+      .select($"node".as("p_partkey"), $"auth", $"hub")
+  }
+
   /** Distinct undirected co-order edges (u < v): parts appearing in the
     * same order are connected. One self-join on the order key + one
     * distinct — both shuffles on natural keys. Shared by q_triangles,
@@ -607,6 +665,7 @@ object Graph {
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"    -> (qPagerank _),
+    "q_hits"        -> (qHits _),
     "q_triangles"   -> (qTriangles _),
     "q_bfs_levels"  -> (qBfsLevels _),
     "q_item_cf"     -> (qItemCf _),
@@ -617,6 +676,7 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank"   -> PagerankOracle.sql,
+    "q_hits"       -> HitsOracle.sql,
     "q_triangles"  -> qTrianglesSql,
     "q_bfs_levels"  -> qBfsLevelsSql,
     "q_item_cf"     -> qItemCfSql,
@@ -633,6 +693,50 @@ object Graph {
   * non-negative anyway). Unrolled rather than recursive because aggregation
   * inside a recursive CTE is engine-version-sensitive; five explicit CTEs
   * are boring and portable. */
+/** Unrolled DuckDB replay of [[Graph.qHits]] — 3 iterations × 2 half-step
+  * CTE pairs in the same fixed-point arithmetic (HUGEINT mirrors Spark's
+  * decimal(38,0) for the normalize multiply; `//` and `div` agree on
+  * non-negatives). Same edge derivation text as PagerankOracle. */
+private object HitsOracle {
+  private val Scale = 1000000000000L
+
+  private def iterCtes(i: Int): String =
+    s"""a${i}raw AS (
+       |  SELECT e.dst AS node, sum(h.hub) AS raw
+       |  FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+       |a$i AS (
+       |  SELECT n.node,
+       |    (CAST(coalesce(r.raw, 0) AS HUGEINT) * $Scale)
+       |      // (SELECT max(raw) FROM a${i}raw) AS auth
+       |  FROM nodes n LEFT JOIN a${i}raw r USING (node)),
+       |h${i}raw AS (
+       |  SELECT e.src AS node, sum(a.auth) AS raw
+       |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+       |h$i AS (
+       |  SELECT n.node,
+       |    (CAST(coalesce(r.raw, 0) AS HUGEINT) * $Scale)
+       |      // (SELECT max(raw) FROM h${i}raw) AS hub
+       |  FROM nodes n LEFT JOIN h${i}raw r USING (node))""".stripMargin
+
+  val sql: String =
+    s"""WITH ordered AS (
+       |  SELECT l_orderkey, l_partkey,
+       |    lag(l_partkey) OVER (PARTITION BY l_orderkey
+       |      ORDER BY l_linenumber, l_partkey) AS prev
+       |  FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT CAST(prev AS BIGINT) AS src,
+       |    CAST(l_partkey AS BIGINT) AS dst
+       |  FROM ordered WHERE prev IS NOT NULL AND prev <> l_partkey),
+       |nodes AS (SELECT CAST(p_partkey AS BIGINT) AS node FROM part),
+       |h0 AS (SELECT node, CAST($Scale AS HUGEINT) AS hub FROM nodes),
+       |${(1 to 3).map(iterCtes).mkString(",\n")}
+       |SELECT a3.node AS p_partkey, CAST(a3.auth AS BIGINT) AS auth,
+       |  CAST(h3.hub AS BIGINT) AS hub
+       |FROM a3 JOIN h3 USING (node)
+       |ORDER BY auth DESC, p_partkey LIMIT 20""".stripMargin
+}
+
 private object PagerankOracle {
   private val Scale = 1000000000000L
   private val Damp = 85
