@@ -509,6 +509,98 @@ object TextAnalysis {
        |UNION ALL SELECT 3, a, b, pair_cnt FROM b3
        |ORDER BY merge_rank""".stripMargin
 
+  // ------------------------------------------------------------ q_bpe_encode
+  /** The ENCODE side of BPE: train the 3 merges exactly as [[qBpeTrain]]
+    * (same word-frequency state, same wrapped-sentinel rewrite), then
+    * tokenize the whole corpus with the learned vocabulary and emit each
+    * document's size accounting — words, characters, BPE tokens — the
+    * number a training-data budget is actually denominated in.
+    *
+    * Scale shape: the merges train on the vocab-sized word table; the
+    * encode step is a BROADCAST join of the corpus token stream against
+    * the final (token → symbol count) map — no per-document re-running of
+    * the merge loop, which is the difference between O(corpus) and
+    * O(corpus × merges) at 100 TB. One final per-doc aggregate. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksd = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.words(col("text"))).as("tok"))
+    var vocab = toksd.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .select($"tok",
+        concat(lit("|"), array_join(split($"tok", ""), "||"), lit("|"))
+          .as("seq"),
+        $"cnt")
+    for (_ <- 1 to 3) {
+      val pairs = vocab
+        .withColumn("syms",
+          split(expr("substring(seq, 2, length(seq) - 2)"), "\\|\\|"))
+        .filter(size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          "transform(sequence(0, size(syms)-2), " +
+            "i -> named_struct('a', syms[i], 'b', syms[i+1]))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"cnt").as("pair_cnt"))
+      val best = pairs.orderBy($"pair_cnt".desc, $"a", $"b").limit(1)
+        .select($"a", $"b")
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("seq", expr(
+          "replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|')"))
+        .select($"tok", $"seq", $"cnt")
+    }
+    val enc = vocab.select($"tok",
+      size(split(expr("substring(seq, 2, length(seq) - 2)"), "\\|\\|"))
+        .as("n_syms"))
+    toksd.join(broadcast(enc), "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"tok")).as("n_chars"),
+        sum($"n_syms").as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+
+  /** bpeStageSql with the token key carried through the rewrite CTEs —
+    * the encode oracle needs tok → final seq, not just the merges. */
+  private def bpeEncStageSql(i: Int): String =
+    s"""p$i AS (
+       |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_cnt FROM (
+       |    SELECT unnest(syms[1:len(syms)-1]) AS a,
+       |           unnest(syms[2:len(syms)]) AS b, cnt
+       |    FROM (SELECT string_split(substring(seq, 2, length(seq) - 2),
+       |                   '||') AS syms, cnt
+       |          FROM w${i - 1})
+       |    WHERE len(syms) >= 2)
+       |  GROUP BY a, b),
+       |b$i AS (SELECT * FROM p$i ORDER BY pair_cnt DESC, a, b LIMIT 1),
+       |w$i AS (
+       |  SELECT tok, replace(seq, '|' || b$i.a || '||' || b$i.b || '|',
+       |           '|' || b$i.a || b$i.b || '|') AS seq, cnt
+       |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+
+  private val qBpeEncodeSql =
+    s"""WITH toksd AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |words AS (SELECT tok, count(*) AS cnt FROM toksd GROUP BY tok),
+       |w0 AS (
+       |  SELECT tok,
+       |    '|' || array_to_string(string_split(tok, ''), '||') || '|'
+       |      AS seq, cnt
+       |  FROM words),
+       |${bpeEncStageSql(1)},
+       |${bpeEncStageSql(2)},
+       |${bpeEncStageSql(3)},
+       |enc AS (
+       |  SELECT tok,
+       |    len(string_split(substring(seq, 2, length(seq) - 2), '||'))
+       |      AS n_syms
+       |  FROM w3)
+       |SELECT d.doc_id, count(*) AS n_words,
+       |  CAST(sum(length(d.tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(e.n_syms) AS BIGINT) AS n_bpe
+       |FROM toksd d JOIN enc e USING (tok)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------ q_inverted_index
   /** Inverted-index build: token → document frequency + the first 8 doc ids
     * as an ascending postings CSV. `array_distinct` inside each document
@@ -813,6 +905,7 @@ object TextAnalysis {
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_step"    -> (qBpeStep _),
     "q_bpe_train"   -> (qBpeTrain _),
+    "q_bpe_encode"  -> (qBpeEncode _),
     "q_lm_score"    -> (qLmScore _),
     "q_text_stats"    -> (qTextStats _),
     "q_lang_id"       -> (qLangId _),
@@ -830,6 +923,7 @@ object TextAnalysis {
     "q_inverted_index" -> qInvertedIndexSql,
     "q_bpe_step"    -> qBpeStepSql,
     "q_bpe_train"   -> qBpeTrainSql,
+    "q_bpe_encode"  -> qBpeEncodeSql,
     "q_lm_score"    -> qLmScoreSql,
     "q_text_stats"    -> qTextStatsSql,
     "q_lang_id"       -> qLangIdSql,
