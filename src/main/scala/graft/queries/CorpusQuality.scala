@@ -482,6 +482,63 @@ object CorpusQuality {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ q_heaps_law
+  /** Heaps-law vocabulary growth curve: cumulative distinct word types vs
+    * cumulative tokens as the corpus grows in ingestion (doc_id) order —
+    * the sub-linear curve whose flattening tells a data buyer the next
+    * billion tokens add few new words. Sampled at 100-doc corpus-position
+    * checkpoints: per-token first-seen bucket (min aggregate, the
+    * [[qNgramNovelty]] machinery) gives new types per bucket; the
+    * cumulative window then runs over the O(corpus/100) bucket aggregate,
+    * never the raw token stream (at larger corpora you widen the bucket,
+    * not the window). Type/token ratio is one double division, rounded. */
+  def qHeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksd = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.words(col("text"))).as("tok"))
+      .withColumn("bucket", expr("doc_id div 100"))
+    val perBucket = toksd.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"doc_id").as("n_docs"))
+    val newTypes = toksd.groupBy($"tok").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("cum_types", sum($"n_new_types").over(w))
+      .select($"bucket", $"n_docs", $"cum_tokens", $"cum_types",
+        round($"cum_types".cast("double") / $"cum_tokens", 6).as("ttr"))
+      .orderBy($"bucket")
+  }
+
+  private val qHeapsLawSql =
+    """WITH toksd AS (
+      |  SELECT doc_id, doc_id // 100 AS bucket,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |pb AS (
+      |  SELECT bucket, count(*) AS n_tokens,
+      |    count(DISTINCT doc_id) AS n_docs
+      |  FROM toksd GROUP BY 1),
+      |nt AS (
+      |  SELECT bucket, count(*) AS n_new_types FROM (
+      |    SELECT tok, min(bucket) AS bucket FROM toksd GROUP BY tok)
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT pb.bucket, pb.n_docs,
+      |    CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens,
+      |    CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY pb.bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_types
+      |  FROM pb LEFT JOIN nt USING (bucket))
+      |SELECT bucket, n_docs, cum_tokens, cum_types,
+      |  round(CAST(cum_types AS DOUBLE) / cum_tokens, 6) AS ttr
+      |FROM cum ORDER BY bucket""".stripMargin
+
   // -------------------------------------------------------- q_quality_vs_dup
   /** Quality-vs-duplication calibration: docs banded by composite quality
     * score (5 fixed 0.2-wide bands — no global window, unlike a ntile)
@@ -596,6 +653,7 @@ object CorpusQuality {
     "q_source_card"        -> (qSourceCard _),
     "q_quality_vs_dup"     -> (qQualityVsDup _),
     "q_ngram_novelty"      -> (qNgramNovelty _),
+    "q_heaps_law"          -> (qHeapsLaw _),
     "q_corpus_pipeline"    -> (qCorpusPipeline _),
     "q_chunk_docs"         -> (qChunkDocs _),
     "q_decontaminate"      -> (qDecontaminate _),
@@ -609,6 +667,7 @@ object CorpusQuality {
     "q_source_card"        -> qSourceCardSql,
     "q_quality_vs_dup"     -> qQualityVsDupSql,
     "q_ngram_novelty"      -> qNgramNoveltySql,
+    "q_heaps_law"          -> qHeapsLawSql,
     "q_corpus_pipeline"    -> qCorpusPipelineSql,
     "q_chunk_docs"         -> qChunkDocsSql,
     "q_decontaminate"      -> qDecontaminateSql,

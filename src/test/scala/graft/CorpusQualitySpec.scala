@@ -163,6 +163,27 @@ class CorpusQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("heaps law: curve is cumulative, ttr falls, vocab total is exact") {
+    val rows = q("q_heaps_law").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("cum_types"), r.getAs[Double]("ttr")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // both series strictly ordered by construction of a cumulative sum
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._2, "cum_tokens must strictly grow per bucket")
+      assert(a._3 <= b._3, "cum_types can never shrink")
+    }
+    // the last checkpoint's cum_types IS the corpus vocabulary size
+    val vocab = graft.core.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .distinct().count()
+    assert(rows.last._3 == vocab, s"final cum_types ${rows.last._3} != vocab $vocab")
+    // sub-linear growth: type/token ratio at the end below the start
+    assert(rows.last._4 <= rows.head._4, "ttr must not rise as the corpus grows")
+    for (r <- rows) assert(r._4 == math.rint(r._3.toDouble / r._2 * 1e6) / 1e6)
+  }
+
   test("sub-3-token docs are classified by the repetition filter, not dropped") {
     import spark.implicits._
     // the fixture corpus has no short docs (min 10 tokens), so build one:
