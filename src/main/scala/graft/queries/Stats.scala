@@ -722,7 +722,142 @@ object Stats {
       |FROM d CROSS JOIN st
       |ORDER BY day_bucket""".stripMargin
 
+  // ---------------------------------------------------------- q_corr_matrix
+  /** Pairwise Pearson correlations among lineitem's numeric measures
+    * (quantity, extendedprice, discount) from ONE aggregation pass: the
+    * nine exact sums (n, Σx per column, Σx² per column, Σxy per pair) are
+    * integer-cents DECIMAL(38,0) accumulations — associative, shuffle-
+    * order-free — and each r is a single double expression over the exact
+    * sums with identical parenthesization on both engines. The reference's
+    * statistical surface has no correlation at all; a feature-selection
+    * pass over training data needs exactly this matrix.
+    *
+    * Scale shape: one map-side-combined aggregation to a SINGLE row (the
+    * widest shuffle payload is 10 decimals), then a constant-sized unpivot
+    * into pair rows — at 100 TB this is scan speed, no second pass, no
+    * window, no per-pair re-scan. `corr()` built-ins are avoided for the
+    * usual reason: float accumulation is shuffle-order-dependent. */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.lineitem(s, dir)
+      .select(cents38($"l_quantity").as("x1"),
+        cents38($"l_extendedprice").as("x2"),
+        cents38($"l_discount").as("x3"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x1").cast("double").as("s1"),
+        sum($"x2").cast("double").as("s2"),
+        sum($"x3").cast("double").as("s3"),
+        sum($"x1" * $"x1").cast("double").as("q1"),
+        sum($"x2" * $"x2").cast("double").as("q2"),
+        sum($"x3" * $"x3").cast("double").as("q3"),
+        sum($"x1" * $"x2").cast("double").as("p12"),
+        sum($"x1" * $"x3").cast("double").as("p13"),
+        sum($"x2" * $"x3").cast("double").as("p23"))
+    def r(sx: String, sy: String, qx: String, qy: String, pxy: String) =
+      round((($"n" * col(pxy) - col(sx) * col(sy)) /
+        (sqrt($"n" * col(qx) - col(sx) * col(sx)) *
+          sqrt($"n" * col(qy) - col(sy) * col(sy)))), 6)
+    m.select(lit("quantity").as("col_x"), lit("extendedprice").as("col_y"),
+        $"n".cast("long").as("n_rows"), r("s1", "s2", "q1", "q2", "p12").as("r"))
+      .unionAll(m.select(lit("quantity").as("col_x"), lit("discount").as("col_y"),
+        $"n".cast("long").as("n_rows"), r("s1", "s3", "q1", "q3", "p13").as("r")))
+      .unionAll(m.select(lit("extendedprice").as("col_x"), lit("discount").as("col_y"),
+        $"n".cast("long").as("n_rows"), r("s2", "s3", "q2", "q3", "p23").as("r")))
+      .orderBy($"col_x", $"col_y")
+  }
+
+  private val qCorrMatrixSql =
+    """WITH c AS (
+      |  SELECT
+      |    CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS x1,
+      |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS x2,
+      |    CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT) AS x3
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+      |    CAST(sum(x3) AS DOUBLE) AS s3,
+      |    CAST(sum(x1 * x1) AS DOUBLE) AS q1, CAST(sum(x2 * x2) AS DOUBLE) AS q2,
+      |    CAST(sum(x3 * x3) AS DOUBLE) AS q3,
+      |    CAST(sum(x1 * x2) AS DOUBLE) AS p12, CAST(sum(x1 * x3) AS DOUBLE) AS p13,
+      |    CAST(sum(x2 * x3) AS DOUBLE) AS p23
+      |  FROM c)
+      |SELECT 'quantity' AS col_x, 'extendedprice' AS col_y,
+      |  CAST(n AS BIGINT) AS n_rows,
+      |  round((n * p12 - s1 * s2) / (sqrt(n * q1 - s1 * s1) * sqrt(n * q2 - s2 * s2)), 6) AS r
+      |FROM m
+      |UNION ALL
+      |SELECT 'quantity', 'discount', CAST(n AS BIGINT),
+      |  round((n * p13 - s1 * s3) / (sqrt(n * q1 - s1 * s1) * sqrt(n * q3 - s3 * s3)), 6)
+      |FROM m
+      |UNION ALL
+      |SELECT 'extendedprice', 'discount', CAST(n AS BIGINT),
+      |  round((n * p23 - s2 * s3) / (sqrt(n * q2 - s2 * s2) * sqrt(n * q3 - s3 * s3)), 6)
+      |FROM m
+      |ORDER BY col_x, col_y""".stripMargin
+
+  // ----------------------------------------------------------- q_chi_square
+  /** Chi-square independence audit of returnflag × linestatus: per cell,
+    * observed count vs the independence expectation E = rowΣ·colΣ/N and
+    * its χ² contribution (O−E)²/E — the categorical-association test a
+    * data-quality pass runs before trusting a crosstab. The contribution
+    * is computed from the EXACT integer identity
+    * (O·N − rowΣ·colΣ)² / (N·rowΣ·colΣ): the deviation is an exact
+    * DECIMAL(38,0)/HUGEINT integer (O·N needs 128 bits at sf0.1); the
+    * square and denominator then run in double FROM the exact integers —
+    * deterministic, and immune to the 38-digit overflow squaring in
+    * decimal would hit at 10¹²⁺ rows.
+    *
+    * Scale shape: one map-side-combined aggregation to O(cells) rows
+    * (6 here, bounded by the categorical domain), then window sums OVER
+    * THE CELL AGGREGATE — never over the fact. At 100 TB the fact is
+    * touched once, at scan speed. */
+  def qChiSquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wN = Window.partitionBy()
+    val obs = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("flag"), $"l_linestatus".as("status"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("rt", sum($"n_obs").over(Window.partitionBy($"flag")))
+      .withColumn("ct", sum($"n_obs").over(Window.partitionBy($"status")))
+      .withColumn("tt", sum($"n_obs").over(wN))
+    // dev = O·N − rowΣ·colΣ stays an exact ≤26-digit integer even at
+    // 6·10¹² rows; its square and the denominator are computed in DOUBLE
+    // from the exact integers (squaring in DECIMAL(38,0) would overflow at
+    // that N) — double rounding of an exact integer is deterministic, so
+    // both engines still compare bit-identical values.
+    val dev = ($"n_obs".cast(DecimalType(38, 0)) * $"tt" -
+      $"rt".cast(DecimalType(38, 0)) * $"ct").cast("double")
+    obs.select($"flag", $"status", $"n_obs",
+        round(($"rt".cast(DecimalType(38, 0)) * $"ct").cast("double") / $"tt".cast("double"), 6)
+          .as("n_exp"),
+        round((dev * dev) /
+          ($"tt".cast("double") * $"rt".cast("double") * $"ct".cast("double")), 6).as("contrib"))
+      .orderBy($"flag", $"status")
+  }
+
+  private val qChiSquareSql =
+    """WITH obs AS (
+      |  SELECT l_returnflag AS flag, l_linestatus AS status,
+      |    count(*) AS n_obs
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (
+      |  SELECT flag, status, n_obs,
+      |    sum(n_obs) OVER (PARTITION BY flag) AS rt,
+      |    sum(n_obs) OVER (PARTITION BY status) AS ct,
+      |    sum(n_obs) OVER () AS tt
+      |  FROM obs)
+      |SELECT flag, status, n_obs,
+      |  round(CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS n_exp,
+      |  round((CAST(CAST(n_obs AS HUGEINT) * tt - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+      |          * CAST(CAST(n_obs AS HUGEINT) * tt - CAST(rt AS HUGEINT) * ct AS DOUBLE))
+      |        / (CAST(tt AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)), 6) AS contrib
+      |FROM t ORDER BY flag, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix" -> (qCorrMatrix _),
+    "q_chi_square" -> (qChiSquare _),
     "q_anomaly_days" -> (qAnomalyDays _),
     "q_mode"       -> (qMode _),
     "q_histogram"  -> (qHistogram _),
@@ -738,6 +873,8 @@ object Stats {
     "q_dist_drift" -> (qDistDrift _))
 
   val oracle: Map[String, String] = Map(
+    "q_corr_matrix" -> qCorrMatrixSql,
+    "q_chi_square" -> qChiSquareSql,
     "q_anomaly_days" -> qAnomalyDaysSql,
     "q_mode"       -> qModeSql,
     "q_histogram"  -> qHistogramSql,
