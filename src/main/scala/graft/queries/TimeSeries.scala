@@ -514,8 +514,236 @@ object TimeSeries {
       |FROM t CROSS JOIN g
       |ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------------------- q_cusum
+  /** CUSUM changepoint audit over the daily order-revenue series: the
+    * cumulative sum of deviations from the global mean, with the peak
+    * |CUSUM| day flagged — where the running deviation turns around is
+    * where the level shifted (the classic Page test statistic, read
+    * directly off the curve). All accumulation is EXACT: the deviation is
+    * scaled by n (cusumₜ·n = Σᵢ≤ₜ (n·xᵢ − S), every term an integer), so
+    * the peak flag is an exact integer comparison, never a float ulp call.
+    *
+    * Scale shape: the fact collapses to O(days) rows in one map-side-
+    * combined aggregation; the running sum and peak max are windows over
+    * that DAY aggregate (bounded: 10 years ≈ 3.7k rows), never over the
+    * fact. 100 TB changes the scan cost only. */
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("day_bucket"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("xc"))
+    val wAll = Window.partitionBy()
+    val wRun = Window.partitionBy().orderBy($"day_bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum($"xc").over(wAll))
+      // n·x − S per day, summed in DECIMAL(38,0): exact at any scale
+      .withColumn("dev_n", ($"n".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"xc") - $"s")
+      .withColumn("cusum_n", sum($"dev_n").over(wRun))
+      .withColumn("peak_n", max(abs($"cusum_n")).over(wAll))
+      .select($"day_bucket",
+        ($"xc".cast("double") / 100.0d).as("revenue"),
+        round($"cusum_n".cast("double") / ($"n".cast("double") * 100.0d), 4).as("cusum"),
+        (abs($"cusum_n") === $"peak_n").as("is_peak"))
+      .orderBy($"day_bucket")
+  }
+
+  private val qCusumSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day_bucket,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS xc
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day_bucket, xc,
+      |    count(*) OVER () AS n,
+      |    sum(xc) OVER () AS s
+      |  FROM daily),
+      |c AS (
+      |  SELECT day_bucket, xc, n,
+      |    sum(CAST(n AS HUGEINT) * xc - s)
+      |      OVER (ORDER BY day_bucket ROWS UNBOUNDED PRECEDING) AS cusum_n
+      |  FROM t)
+      |SELECT day_bucket,
+      |  CAST(xc AS DOUBLE) / 100.0 AS revenue,
+      |  round(CAST(cusum_n AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4) AS cusum,
+      |  abs(cusum_n) = max(abs(cusum_n)) OVER () AS is_peak
+      |FROM c ORDER BY day_bucket""".stripMargin
+
+  // ------------------------------------------------------------- q_crosscorr
+  /** Lead-lag cross-correlation between the daily click and purchase
+    * series at lags −3..+3 — does activity today predict purchases
+    * tomorrow? The r at each lag is Pearson over the overlapping days,
+    * from exact integer count sums (same discipline as q_autocorr, which
+    * correlates ONE series with itself; this is the two-series variant a
+    * funnel owner actually asks for).
+    *
+    * Scale shape: one conditional aggregation to O(days), a 7-way lag
+    * explode of that DAY table joined broadcast back to itself, exact
+    * sums per lag. The fact is scanned once. */
+  def qCrosscorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day_bucket"))
+      .agg(count(when($"event_type" === "click", 1)).as("x"),
+        count(when($"event_type" === "purchase", 1)).as("y"))
+    val pairs = daily
+      .select($"day_bucket", $"x", explode(array((-3 to 3).map(lit): _*)).as("lag"))
+      .withColumn("probe", $"day_bucket" + $"lag")
+      .alias("a")
+      .join(broadcast(daily.select($"day_bucket".as("probe"), $"y").alias("b")), "probe")
+      .select($"lag", $"a.x".as("x"), $"b.y".as("y"))
+    pairs.groupBy($"lag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"),
+        sum($"x" * $"y").cast("double").as("sxy"))
+      .select($"lag", $"n".cast("long").as("n_days"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r"))
+      .orderBy($"lag")
+  }
+
+  private val qCrosscorrSql =
+    """WITH daily AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_bucket,
+      |    count(*) FILTER (WHERE event_type = 'click') AS x,
+      |    count(*) FILTER (WHERE event_type = 'purchase') AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY 1),
+      |lags AS (SELECT CAST(v AS INT) AS lag FROM generate_series(-3, 3) s(v)),
+      |pairs AS (
+      |  SELECT l.lag, a.x, b.y
+      |  FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.day_bucket = a.day_bucket + l.lag),
+      |g AS (
+      |  SELECT lag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+      |    CAST(sum(x * y) AS DOUBLE) AS sxy
+      |  FROM pairs GROUP BY lag)
+      |SELECT lag, CAST(n AS BIGINT) AS n_days,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+      |FROM g ORDER BY lag""".stripMargin
+
+  // --------------------------------------------------------- q_interval_merge
+  /** Union-coverage of overlapping intervals per user: each event opens a
+    * 30-minute activity window; overlapping windows merge, and the output
+    * is each user's merged-interval count and total covered seconds — the
+    * interval-union problem (downtime coverage, ad exposure, machine
+    * utilization) that naive SUM(length) double-counts. An interval
+    * starts a new merged run iff its start exceeds the running max end of
+    * all earlier intervals (exact microsecond integers); run ids are a
+    * conditional running count, coverage a per-run max(end)−min(start).
+    *
+    * Scale shape: ONE shuffle on user_id; both windows (running max,
+    * running count) ride the same per-user sort. Per-entity history is
+    * bounded, the classic salting candidate if one user were a firehose. */
+  def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val span = 1800000000L // 30 min in microseconds
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val runs = Tables.events(s, dir)
+      .select($"user_id", $"event_id", expr("unix_micros(ts)").as("st"))
+      .withColumn("en", $"st" + span)
+      .withColumn("prev_max_en", max($"en").over(wPrev))
+      .withColumn("is_new", ($"prev_max_en".isNull || $"st" > $"prev_max_en").cast("int"))
+      .withColumn("run_id", sum($"is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy($"user_id", $"run_id")
+      .agg(min($"st").as("run_st"), max($"en").as("run_en"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        expr("sum(run_en - run_st) div 1000000").as("covered_sec"))
+      .orderBy($"user_id")
+  }
+
+  private val qIntervalMergeSql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS en
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, st, en,
+      |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_en
+      |  FROM iv),
+      |r AS (
+      |  SELECT user_id, st, en,
+      |    sum(CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY st, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM m),
+      |runs AS (
+      |  SELECT user_id, run_id, min(st) AS run_st, max(en) AS run_en
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_intervals,
+      |  sum(run_en - run_st) // 1000000 AS covered_sec
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------- q_gaps_islands
+  /** Gaps-and-islands over each customer's distinct order days: runs of
+    * CONSECUTIVE calendar days collapse to islands via the classic
+    * day − row_number() constant-per-run key — no join, no iteration, one
+    * per-customer window. Output is each customer's island count, longest
+    * streak, and widest gap — the retention-mechanics summary (streaks
+    * and lapses) a lifecycle model consumes.
+    *
+    * Scale shape: distinct (cust, day) is one map-side-combinable
+    * aggregation; the two windows ride ONE shuffle on o_custkey. Per-key
+    * cardinality is bounded by the calendar. */
+  def qGapsIslands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"cust").orderBy($"day")
+    val days = Tables.orders(s, dir)
+      .select($"o_custkey".as("cust"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .distinct()
+      .withColumn("isl", $"day" - row_number().over(w))
+      .withColumn("gap", $"day" - lag($"day", 1).over(w) - 1L)
+    days.groupBy($"cust", $"isl")
+      .agg(count(lit(1)).as("len"), max($"gap").as("gap_before"))
+      .groupBy($"cust")
+      .agg(count(lit(1)).as("n_islands"),
+        max($"len").as("longest_streak"),
+        coalesce(max($"gap_before"), lit(0L)).as("widest_gap"))
+      .orderBy($"cust")
+  }
+
+  private val qGapsIslandsSql =
+    """WITH days AS (
+      |  SELECT DISTINCT o_custkey AS cust,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM orders),
+      |isl AS (
+      |  SELECT cust, day,
+      |    day - row_number() OVER (PARTITION BY cust ORDER BY day) AS isl,
+      |    day - lag(day) OVER (PARTITION BY cust ORDER BY day) - 1 AS gap
+      |  FROM days),
+      |runs AS (
+      |  SELECT cust, isl, count(*) AS len, max(gap) AS gap_before
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT cust, count(*) AS n_islands,
+      |  max(len) AS longest_streak,
+      |  coalesce(max(gap_before), 0) AS widest_gap
+      |FROM runs GROUP BY cust ORDER BY cust""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum"          -> (qCusum _),
+    "q_crosscorr"      -> (qCrosscorr _),
+    "q_interval_merge" -> (qIntervalMerge _),
+    "q_gaps_islands"   -> (qGapsIslands _),
     "q_freshness"      -> (qFreshness _),
     "q_twap"           -> (qTwap _),
     "q_seasonal"       -> (qSeasonal _),
@@ -529,6 +757,10 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_cusum"          -> qCusumSql,
+    "q_crosscorr"      -> qCrosscorrSql,
+    "q_interval_merge" -> qIntervalMergeSql,
+    "q_gaps_islands"   -> qGapsIslandsSql,
     "q_freshness"      -> qFreshnessSql,
     "q_twap"           -> qTwapSql,
     "q_seasonal"       -> qSeasonalSql,
