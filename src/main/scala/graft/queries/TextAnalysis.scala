@@ -897,7 +897,132 @@ object TextAnalysis {
       |FROM ranked WHERE rank <= 5
       |ORDER BY source, rank""".stripMargin
 
+  // ------------------------------------------------------------------ q_zipf
+  /** Zipf's-law audit of the corpus token distribution: global frequencies
+    * ranked descending, with the rank×frequency product that the law
+    * predicts is ~constant — the one-glance sanity check that a corpus'
+    * token distribution is natural-language-shaped (a bot-generated or
+    * template corpus shows a flat head or a truncated tail). Everything is
+    * exact integers (counts, ranks, products): no log-log fit, no float
+    * accumulation, bit-identical on both engines by construction.
+    *
+    * Scale shape: explode → ONE map-side-combined count per token (vocab-
+    * bounded shuffle), rank window over the VOCAB aggregate. The
+    * rank-1-frequency join-back is a broadcast of one row. */
+  def qZipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+    ranked
+      .withColumn("top_freq", max(col("freq")).over(Window.partitionBy()))
+      .select(col("rank"), col("tok"), col("freq"),
+        (col("rank") * col("freq")).as("rank_x_freq"),
+        expr("(100 * freq) div top_freq").as("pct_of_top"))
+      .orderBy(col("rank"))
+      .limit(40)
+  }
+
+  private val qZipfSql =
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |f AS (
+      |  SELECT tok, count(*) AS freq FROM t WHERE tok <> '' GROUP BY tok),
+      |r AS (
+      |  SELECT tok, freq,
+      |    CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank,
+      |    max(freq) OVER () AS top_freq
+      |  FROM f)
+      |SELECT rank, tok, freq, rank * freq AS rank_x_freq,
+      |  (100 * freq) // top_freq AS pct_of_top
+      |FROM r ORDER BY rank LIMIT 40""".stripMargin
+
+  // ---------------------------------------------------------- q_tfidf_cosine
+  /** TF-IDF cosine retrieval: the 20 documents most similar to doc 0 under
+    * sparse tf-idf vectors, scored through a POSTING-LIST join — the
+    * weighted-vector retrieval that completes the similarity triad (sets →
+    * q_jaccard_pairs, dense vectors → q_embed_topk, weighted sparse →
+    * here). Weights are BM25-style fixed-point: idf = round(ln(N/df), 6)
+    * snapped to a 10⁻⁶ grid, w = tf·idf·10⁶ as an exact long, so every
+    * dot/norm sum is an exact 128-bit integer aggregation (the established
+    * order-independence trick from q_bm25) and the cosine is one double
+    * division at the end.
+    *
+    * Scale shape: postings build in one explode+count pass; per-doc norms
+    * in one more vocab-bounded aggregation; the query vector is a
+    * broadcast of O(|query doc| tokens) rows, so scoring is a map-side
+    * hash join over the postings — no all-pairs, no fact-sized shuffle
+    * beyond the tf build. This is the 100 TB retrieval shape: index once,
+    * score by posting intersection. */
+  def qTfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = docs.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf6",
+        (round(log(col("n_docs").cast("double") / col("df").cast("double")), 6) * 1e6)
+          .cast("long"))
+    val w = tf.join(broadcast(df.select(col("tok"), col("idf6"))), "tok")
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * col("idf6")).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).cast("double").as("nrm2"))
+    val qv = w.filter(col("doc_id") === 0L)
+      .select(col("tok"), col("w").as("wq"))
+    val qn = norms.filter(col("doc_id") === 0L).select(col("nrm2").as("qn2"))
+    w.filter(col("doc_id") =!= 0L)
+      .join(broadcast(qv), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("wq")).cast("double").as("dot"),
+        count(lit(1)).as("n_shared"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"), col("n_shared"),
+        round(col("dot") / (sqrt(col("nrm2")) * sqrt(col("qn2"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val qTfidfCosineSql =
+    """WITH d AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM d WHERE tok <> ''
+      |  GROUP BY doc_id, tok),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |idf AS (
+      |  SELECT tok,
+      |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+      |      * 1e6 AS BIGINT) AS idf6
+      |  FROM tf CROSS JOIN nd GROUP BY tok, n_docs),
+      |w AS (
+      |  SELECT doc_id, tok, CAST(tf * idf6 AS HUGEINT) AS w
+      |  FROM tf JOIN idf USING (tok)),
+      |norms AS (
+      |  SELECT doc_id, CAST(sum(w * w) AS DOUBLE) AS nrm2 FROM w GROUP BY doc_id),
+      |qv AS (SELECT tok, w AS wq FROM w WHERE doc_id = 0),
+      |qn AS (SELECT nrm2 AS qn2 FROM norms WHERE doc_id = 0),
+      |sc AS (
+      |  SELECT w.doc_id, CAST(sum(w.w * q.wq) AS DOUBLE) AS dot,
+      |    count(*) AS n_shared
+      |  FROM w JOIN qv q USING (tok) WHERE w.doc_id <> 0
+      |  GROUP BY w.doc_id)
+      |SELECT s.doc_id, s.n_shared,
+      |  round(s.dot / (sqrt(n.nrm2) * sqrt(qn.qn2)), 4) AS cos_sim
+      |FROM sc s JOIN norms n USING (doc_id) CROSS JOIN qn
+      |ORDER BY cos_sim DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf"          -> (qZipf _),
+    "q_tfidf_cosine"  -> (qTfidfCosine _),
     "q_topic_keywords" -> (qTopicKeywords _),
     "q_posting_cost"   -> (qPostingCost _),
     "q_source_entropy" -> (qSourceEntropy _),
@@ -916,6 +1041,8 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_zipf"          -> qZipfSql,
+    "q_tfidf_cosine"  -> qTfidfCosineSql,
     "q_topic_keywords" -> qTopicKeywordsSql,
     "q_posting_cost"   -> qPostingCostSql,
     "q_source_entropy" -> qSourceEntropySql,
