@@ -663,7 +663,86 @@ object Graph {
       |LIMIT 20""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------------- q_graph_jaccard
+  /** Neighborhood-Jaccard link strength for every co-order edge:
+    * |N(u)∩N(v)| / |N(u)∪N(v)| — the link-prediction / tie-strength score
+    * (two parts whose co-purchase neighborhoods mostly overlap are
+    * substitutes or a bundle; an edge between disjoint neighborhoods is a
+    * bridge). Top 20 strongest edges, exact integer counts, one double
+    * division at the end.
+    *
+    * Scale shape: candidates are the EXISTING edges (never all pairs);
+    * common-neighbor wedges expand from each edge's smaller-degree
+    * endpoint — the same degree-orientation trick as q_triangles, so
+    * fan-out is Σ min-degree = O(m·√m) worst case — then one left-semi
+    * probe against the stored edge set confirms closure. Reads the
+    * build-once coorder_edges IndexStore asset; all joins are on node/edge
+    * keys, no windows on anything fact-sized. */
+  def qGraphJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coOrderEdges(s, dir)
+    val adj = edges.select($"u".as("x"), $"v".as("nbr"))
+      .union(edges.select($"v".as("x"), $"u".as("nbr")))
+    val deg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))
+    val cand = edges
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+    val probe = cand
+      .withColumn("a", when($"du" <= $"dv", $"u").otherwise($"v"))
+      .withColumn("b", when($"du" <= $"dv", $"v").otherwise($"u"))
+      .join(adj.withColumnRenamed("x", "a").withColumnRenamed("nbr", "w"), "a")
+      .filter($"w" =!= $"b")
+      .withColumn("pu", least($"b", $"w"))
+      .withColumn("pv", greatest($"b", $"w"))
+    val closed = probe.join(
+      edges.select($"u".as("pu"), $"v".as("pv")), Seq("pu", "pv"), "left_semi")
+    val common = closed.groupBy($"u", $"v").agg(count(lit(1)).as("n_common"))
+    cand.join(common, Seq("u", "v"), "left")
+      .withColumn("n_common", coalesce($"n_common", lit(0L)))
+      .select($"u", $"v", $"n_common",
+        ($"du" + $"dv" - lit(2) - $"n_common").as("n_union_other"),
+        round($"n_common".cast("double") /
+          ($"du" + $"dv" - lit(2) - $"n_common").cast("double"), 4).as("jaccard"))
+      .filter($"n_union_other" > 0L)
+      .orderBy($"jaccard".desc, $"u", $"v")
+      .limit(20)
+  }
+
+  /** Union size excludes the endpoints themselves: N(u) contains v and
+    * N(v) contains u (they are adjacent), neither can be a COMMON
+    * neighbor, so |N(u)∪N(v)| over candidate commons = du + dv − 2 −
+    * common — mirrored in the oracle. */
+  private val qGraphJaccardSql =
+    s"""WITH $coOrderEdgesCte,
+       |adj AS (
+       |  SELECT u AS x, v AS nbr FROM edges
+       |  UNION ALL SELECT v AS x, u AS nbr FROM edges),
+       |deg AS (SELECT x, count(*) AS deg FROM adj GROUP BY x),
+       |cand AS (
+       |  SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+       |  FROM edges e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+       |probe AS (
+       |  SELECT c.u, c.v, c.du, c.dv,
+       |    CASE WHEN c.du <= c.dv THEN c.v ELSE c.u END AS b, a.nbr AS w
+       |  FROM cand c
+       |  JOIN adj a ON a.x = (CASE WHEN c.du <= c.dv THEN c.u ELSE c.v END)
+       |  WHERE a.nbr <> (CASE WHEN c.du <= c.dv THEN c.v ELSE c.u END)),
+       |closed AS (
+       |  SELECT u, v FROM probe p
+       |  WHERE EXISTS (SELECT 1 FROM edges e
+       |                WHERE e.u = least(p.b, p.w)
+       |                  AND e.v = greatest(p.b, p.w))),
+       |common AS (SELECT u, v, count(*) AS n_common FROM closed GROUP BY u, v)
+       |SELECT c.u, c.v, coalesce(m.n_common, 0) AS n_common,
+       |  c.du + c.dv - 2 - coalesce(m.n_common, 0) AS n_union_other,
+       |  round(CAST(coalesce(m.n_common, 0) AS DOUBLE)
+       |    / CAST(c.du + c.dv - 2 - coalesce(m.n_common, 0) AS DOUBLE), 4) AS jaccard
+       |FROM cand c LEFT JOIN common m ON m.u = c.u AND m.v = c.v
+       |WHERE c.du + c.dv - 2 - coalesce(m.n_common, 0) > 0
+       |ORDER BY jaccard DESC, c.u, c.v LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_jaccard" -> (qGraphJaccard _),
     "q_pagerank"    -> (qPagerank _),
     "q_hits"        -> (qHits _),
     "q_triangles"   -> (qTriangles _),
@@ -675,6 +754,7 @@ object Graph {
     "q_clustering_coef" -> (qClusteringCoef _))
 
   val oracle: Map[String, String] = Map(
+    "q_graph_jaccard" -> qGraphJaccardSql,
     "q_pagerank"   -> PagerankOracle.sql,
     "q_hits"       -> HitsOracle.sql,
     "q_triangles"  -> qTrianglesSql,
