@@ -404,6 +404,133 @@ object WarehouseOps {
       |UNION ALL SELECT tbl, n_deleted, n_remaining FROM l
       |ORDER BY tbl""".stripMargin
 
+  // ---------------------------------------------------------- q_l_diversity
+  /** l-diversity audit — k-anonymity's necessary complement: a class of
+    * 50 identical rows is 50-anonymous yet leaks everything if all 50
+    * share one sensitive value. Per (mktsegment, nationkey) equivalence
+    * class: row count (the k), distinct sensitive balance-bands (the l),
+    * and the risk flag l < 3. Publishing decisions read THIS table, not
+    * the k table alone.
+    *
+    * Scale shape: one exact two-level aggregation (rows → class), the
+    * same shuffle the k-anonymity audit pays; distinct-count per class is
+    * map-side partial. Class count is QI-domain-bounded. */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_nationkey",
+        floor((OP.dec2($"c_acctbal") * 100).cast("long") / lit(100000.0))
+          .as("bal_band"))
+      .groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("k_size"),
+        countDistinct($"bal_band").as("l_div"))
+      .withColumn("is_risky", $"l_div" < 3L)
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  private val qLDiversitySql =
+    """SELECT c_mktsegment, c_nationkey,
+      |  count(*) AS k_size,
+      |  count(DISTINCT floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) / 100000.0)) AS l_div,
+      |  count(DISTINCT floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) / 100000.0)) < 3 AS is_risky
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  // ----------------------------------------------------------- q_fd_discover
+  /** Functional-dependency discovery over orders: for each candidate
+    * det → dep pair, count determinant values with more than one distinct
+    * dependent — zero violators means the FD holds (schema-inference /
+    * key-discovery primitive a catalog crawler runs on unknown tables).
+    * o_orderkey → o_custkey holds (key); the behavioral candidates don't.
+    *
+    * Scale shape: each candidate is one two-level exact aggregation
+    * (det,dep → det → 1 row), map-side combinable; candidates are a
+    * fixed small list so the scan count is bounded (a production crawler
+    * would batch all pairs of one determinant into a single grouping). */
+  def qFdDiscover(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    def audit(det: String, dep: String): DataFrame =
+      o.groupBy(col(det)).agg(countDistinct(col(dep)).as("n_dep"))
+        .agg(count(lit(1)).as("n_det_values"),
+          sum(when($"n_dep" > 1L, 1L).otherwise(0L)).as("n_violating"),
+          max($"n_dep").as("max_dep_per_det"))
+        .select(lit(det).as("det_col"), lit(dep).as("dep_col"),
+          $"n_det_values", $"n_violating", $"max_dep_per_det",
+          ($"n_violating" === 0L).as("fd_holds"))
+    audit("o_orderkey", "o_custkey")
+      .unionByName(audit("o_custkey", "o_orderpriority"))
+      .unionByName(audit("o_orderpriority", "o_orderstatus"))
+      .orderBy($"det_col", $"dep_col")
+  }
+
+  private val qFdDiscoverSql =
+    """WITH f1 AS (
+      |  SELECT o_orderkey AS det, count(DISTINCT o_custkey) AS n_dep
+      |  FROM orders GROUP BY 1),
+      |f2 AS (
+      |  SELECT o_custkey AS det, count(DISTINCT o_orderpriority) AS n_dep
+      |  FROM orders GROUP BY 1),
+      |f3 AS (
+      |  SELECT o_orderpriority AS det, count(DISTINCT o_orderstatus) AS n_dep
+      |  FROM orders GROUP BY 1),
+      |a AS (
+      |  SELECT 'o_orderkey' AS det_col, 'o_custkey' AS dep_col,
+      |    count(*) AS n_det_values,
+      |    CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violating,
+      |    max(n_dep) AS max_dep_per_det
+      |  FROM f1
+      |  UNION ALL
+      |  SELECT 'o_custkey', 'o_orderpriority', count(*),
+      |    CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    max(n_dep)
+      |  FROM f2
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', 'o_orderstatus', count(*),
+      |    CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |    max(n_dep)
+      |  FROM f3)
+      |SELECT det_col, dep_col, n_det_values, n_violating, max_dep_per_det,
+      |  n_violating = 0 AS fd_holds
+      |FROM a ORDER BY det_col, dep_col""".stripMargin
+
+  // -------------------------------------------------------------- q_dp_noise
+  /** Noisy-count release per market segment — the differential-privacy
+    * PLUMBING (group, true count, additive noise, released count) with a
+    * deterministic noise source so the gate can replay it: noise is a
+    * uniform integer in [−25, 25] drawn from the md5 hash of the group
+    * key (the engine-portable uniform this repo already uses for KMV /
+    * sampling). A production release swaps the draw for calibrated
+    * Laplace sampled from a real RNG — one line — without touching the
+    * aggregation shape; bounded-uniform keeps the gate bit-exact where a
+    * float ln() inverse-CDF would be last-ulp fragile across engines.
+    *
+    * Scale shape: one map-side-combined count per group; noise is O(1)
+    * arithmetic on the group key. */
+  def qDpNoise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise",
+        expr("cast(conv(substring(md5(c_mktsegment), 1, 8), 16, 10) as bigint) % 51")
+          - lit(25L))
+      .select($"c_mktsegment", $"n_true", $"noise",
+        ($"n_true" + $"noise").as("n_released"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val qDpNoiseSql =
+    """SELECT c_mktsegment, count(*) AS n_true,
+      |  ('0x' || substr(md5(c_mktsegment), 1, 8))::BIGINT % 51 - 25 AS noise,
+      |  count(*) + ('0x' || substr(md5(c_mktsegment), 1, 8))::BIGINT % 51 - 25
+      |    AS n_released
+      |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------- q_k_anonymity
   /** k-anonymity audit over customer quasi-identifiers — the governance
     * check run before a table (or a training corpus's metadata) leaves the
@@ -526,6 +653,9 @@ object WarehouseOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_reconcile"      -> (qReconcile _),
+    "q_l_diversity"    -> (qLDiversity _),
+    "q_fd_discover"    -> (qFdDiscover _),
+    "q_dp_noise"       -> (qDpNoise _),
     "q_k_anonymity"    -> (qKAnonymity _),
     "q_cascade_delete" -> (qCascadeDelete _),
     "q_scd2_merge"  -> (qScd2Merge _),
@@ -537,6 +667,9 @@ object WarehouseOps {
 
   val oracle: Map[String, String] = Map(
     "q_reconcile"      -> qReconcileSql,
+    "q_l_diversity"    -> qLDiversitySql,
+    "q_fd_discover"    -> qFdDiscoverSql,
+    "q_dp_noise"       -> qDpNoiseSql,
     "q_k_anonymity"    -> qKAnonymitySql,
     "q_cascade_delete" -> qCascadeDeleteSql,
     "q_scd2_merge"  -> qScd2MergeSql,
