@@ -1165,8 +1165,119 @@ object Embeddings {
        |FROM bm b FULL OUTER JOIN vec v ON v.doc_id = b.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
 
+  // ------------------------------------------------------------ q_mmr_rerank
+  /** Maximal-marginal-relevance re-rank: from the top-12 cosine candidates
+    * for the vec-0 query, greedily pick 5 maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) (λ = 0.7) — the
+    * diversification step a retrieval stack runs between ANN recall and
+    * the consumer, so the context window isn't five near-duplicates of
+    * the same hit. Greedy selection is inherently sequential in k, so the
+    * k = 5 steps are UNROLLED as five tiny plans over the candidate pool:
+    * each step anti-joins out the picked ids, computes the penalty as a
+    * max-join against the pairwise-sim table, and takes the (mmr, id)
+    * argmax as TakeOrderedAndProject(1).
+    *
+    * Determinism: every sim is rounded to 4 dp before any comparison
+    * (the repo-wide pair-scoring discipline), mmr arithmetic over the
+    * rounded sims is the same double expression on both engines, ties
+    * break on id. The oracle replays the greedy loop as a recursive CTE
+    * carrying the selected list.
+    *
+    * Scale shape: the fact-sized work is the ONE distributed scoring pass
+    * (brute force here; at 100 TB the pool feeds from q_embed_ivf's
+    * bucketed recall instead — same downstream). Everything after the
+    * top-12 TakeOrderedAndProject is constant-sized: a 132-row pair
+    * table and five 12-row plans. */
+  def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"), col("embedding").as("emb"),
+        round(dot("embedding", "qv") /
+          (sqrt(sqNorm("embedding")) * sqrt(sqNorm("qv"))), 4).as("simq"))
+      .orderBy(col("simq").desc, col("id"))
+      .limit(12)
+      .persist()
+    val a = cand.select(col("id").as("a"), col("emb").as("ea"))
+    val b = cand.select(col("id").as("b"), col("emb").as("eb"))
+    val pairs = a.join(b, col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(dot("ea", "eb") /
+          (sqrt(sqNorm("ea")) * sqrt(sqNorm("eb"))), 4).as("sim"))
+      .persist()
+    var sel: DataFrame = null
+    for (step <- 1 to 5) {
+      val pool =
+        if (sel == null) cand.withColumn("penalty", lit(0.0d))
+        else {
+          val pen = pairs
+            .join(sel.select(col("id").as("b")), "b")
+            .groupBy(col("a")).agg(max(col("sim")).as("pmax"))
+            .withColumnRenamed("a", "id")
+          cand.join(sel.select(col("id")), Seq("id"), "left_anti")
+            .join(pen, Seq("id"), "left")
+            .withColumn("penalty", coalesce(col("pmax"), lit(0.0d)))
+        }
+      val pick = pool
+        .withColumn("mmr", lit(0.7d) * col("simq") - lit(0.3d) * col("penalty"))
+        .orderBy(col("mmr").desc, col("id"))
+        .limit(1)
+        .select(lit(step).as("step"), col("id"), col("simq"), col("penalty"), col("mmr"))
+      sel = if (sel == null) pick else sel.unionByName(pick)
+    }
+    sel.select(col("step"), col("id").as("vec_id"), col("simq").as("sim_q"),
+        round(col("penalty"), 4).as("penalty"), round(col("mmr"), 4).as("mmr"))
+      .orderBy(col("step"))
+  }
+
+  private val qMmrRerankSql =
+    s"""WITH RECURSIVE
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id AS id, e.embedding AS emb,
+       |    round(${dotSql("e.embedding", "q.qv")}
+       |      / (sqrt(${dotSql("e.embedding", "e.embedding")})
+       |         * sqrt(${dotSql("q.qv", "q.qv")})), 4) AS simq
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY simq DESC, id LIMIT 12),
+       |pairs AS (
+       |  SELECT a.id AS a, b.id AS b,
+       |    round(${dotSql("a.emb", "b.emb")}
+       |      / (sqrt(${dotSql("a.emb", "a.emb")})
+       |         * sqrt(${dotSql("b.emb", "b.emb")})), 4) AS sim
+       |  FROM cand a JOIN cand b ON a.id <> b.id),
+       |g AS (
+       |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS sel
+       |  UNION ALL
+       |  SELECT step + 1, list_append(sel, (
+       |      SELECT c.id FROM cand c
+       |      WHERE NOT list_contains(g.sel, c.id)
+       |      ORDER BY 0.7 * c.simq - 0.3 * coalesce(
+       |          (SELECT max(p.sim) FROM pairs p
+       |           WHERE p.a = c.id AND list_contains(g.sel, p.b)), 0.0) DESC,
+       |        c.id
+       |      LIMIT 1))
+       |  FROM g WHERE step < 5),
+       |final AS (SELECT sel FROM g WHERE step = 5),
+       |picks AS (
+       |  SELECT CAST(i AS INT) AS step, sel[i] AS id
+       |  FROM final, generate_series(1, 5) s(i))
+       |SELECT p.step, p.id AS vec_id, c.simq AS sim_q,
+       |  coalesce((SELECT round(max(pr.sim), 4) FROM pairs pr
+       |            JOIN picks p2 ON pr.b = p2.id
+       |            WHERE pr.a = p.id AND p2.step < p.step), 0.0) AS penalty,
+       |  round(0.7 * c.simq - 0.3 * coalesce(
+       |    (SELECT max(pr.sim) FROM pairs pr JOIN picks p2 ON pr.b = p2.id
+       |     WHERE pr.a = p.id AND p2.step < p.step), 0.0), 4) AS mmr
+       |FROM picks p JOIN cand c ON c.id = p.id
+       |ORDER BY p.step""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr_rerank"     -> (qMmrRerank _),
     "q_hybrid_search"  -> (qHybridSearch _),
     "q_contrastive_pairs" -> (qContrastivePairs _),
     "q_label_noise"    -> (qLabelNoise _),
@@ -1186,6 +1297,7 @@ object Embeddings {
     "q_ann_recall"    -> (qAnnRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_mmr_rerank"     -> qMmrRerankSql,
     "q_hybrid_search"  -> qHybridSearchSql,
     "q_contrastive_pairs" -> qContrastivePairsSql,
     "q_label_noise"    -> qLabelNoiseSql,
