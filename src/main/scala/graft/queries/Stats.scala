@@ -758,12 +758,18 @@ object Stats {
       round((($"n" * col(pxy) - col(sx) * col(sy)) /
         (sqrt($"n" * col(qx) - col(sx) * col(sx)) *
           sqrt($"n" * col(qy) - col(sy) * col(sy)))), 6)
-    m.select(lit("quantity").as("col_x"), lit("extendedprice").as("col_y"),
-        $"n".cast("long").as("n_rows"), r("s1", "s2", "q1", "q2", "p12").as("r"))
-      .unionAll(m.select(lit("quantity").as("col_x"), lit("discount").as("col_y"),
-        $"n".cast("long").as("n_rows"), r("s1", "s3", "q1", "q3", "p13").as("r")))
-      .unionAll(m.select(lit("extendedprice").as("col_x"), lit("discount").as("col_y"),
-        $"n".cast("long").as("n_rows"), r("s2", "s3", "q2", "q3", "p23").as("r")))
+    // explode a literal pair-struct array from the ONE aggregated row —
+    // a union of three selects over `m` would re-run the aggregation (and
+    // re-scan the fact) once per pair
+    m.select(explode(array(
+        struct(lit("quantity").as("col_x"), lit("extendedprice").as("col_y"),
+          $"n".cast("long").as("n_rows"), r("s1", "s2", "q1", "q2", "p12").as("r")),
+        struct(lit("quantity").as("col_x"), lit("discount").as("col_y"),
+          $"n".cast("long").as("n_rows"), r("s1", "s3", "q1", "q3", "p13").as("r")),
+        struct(lit("extendedprice").as("col_x"), lit("discount").as("col_y"),
+          $"n".cast("long").as("n_rows"), r("s2", "s3", "q2", "q3", "p23").as("r"))))
+        .as("p"))
+      .select($"p.col_x", $"p.col_y", $"p.n_rows", $"p.r")
       .orderBy($"col_x", $"col_y")
   }
 

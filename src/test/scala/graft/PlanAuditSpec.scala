@@ -317,4 +317,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bhj.exists(_.joinType.toString == "LeftSemi"),
       s"expected a broadcast left-semi probe\n$plan")
   }
+
+  test("corr matrix runs as ONE aggregation pass: a single scan, a single exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = staticPlan(SparkEntry.queries("q_corr_matrix")(spark, sfDir))
+    assert(scans(plan).size == 1,
+      s"pair unpivot must not re-scan the fact per pair: ${scans(plan).size} scans\n$plan")
+    // partial→final aggregation is one exchange; the 3-row presentation
+    // sort may add at most one more
+    val ex = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 2, s"expected <=2 exchanges (agg + sort), got ${ex.size}\n$plan")
+  }
+
+  test("tf-idf retrieval: query vector broadcast into postings, top-k as TakeOrderedAndProject") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val plan = staticPlan(SparkEntry.queries("q_tfidf_cosine")(spark, sfDir))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"query postings must broadcast into the postings join\n$plan")
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"top-20 must plan as TakeOrderedAndProject, not a global sort\n$plan")
+  }
+
+  test("MMR rerank: candidate pool and greedy argmax plan as TakeOrderedAndProject") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val plan = staticPlan(SparkEntry.queries("q_mmr_rerank")(spark, sfDir))
+    val topk = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    // 1 pool top-12 (+ cached reuse) and 5 unrolled argmax limit(1)s
+    assert(topk.size >= 5,
+      s"expected the unrolled argmax steps as TakeOrderedAndProject, got ${topk.size}\n$plan")
+  }
 }
