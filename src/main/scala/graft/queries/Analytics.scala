@@ -726,7 +726,68 @@ object Analytics {
       |GROUP BY day_bucket
       |ORDER BY day_bucket""".stripMargin
 
+  // ------------------------------------------------------------ q_attribution
+  /** Last-touch marketing attribution: each purchase is attributed iff the
+    * same user clicked within the preceding 7 days, rolled up to daily
+    * attach rates — the campaign-measurement join every events warehouse
+    * runs. The as-of lookup is NOT an inequality join (the range-join
+    * blowup) but a carry-forward window: max(click ts) over the user's
+    * preceding events — max ≡ "most recent" because the frame is
+    * ts-ordered — then one integer age comparison. Same one-shuffle
+    * pattern as q_forward_fill, different consumer.
+    *
+    * Scale shape: one shuffle on user_id for the window, one map-side-
+    * combined rollup to days. All microsecond integers until the final
+    * rounded rate. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val winUs = 7L * 86400000000L
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("last_click_us",
+        max(when($"event_type" === "click", $"us")).over(w))
+    ev.filter($"event_type" === "purchase")
+      .withColumn("attributed",
+        $"last_click_us".isNotNull && ($"us" - $"last_click_us" <= winUs))
+      .groupBy(expr("us div 86400000000").as("day_bucket"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"))
+      .select($"day_bucket", $"n_purchases", $"n_attributed",
+        round($"n_attributed".cast("double") / $"n_purchases".cast("double"), 4)
+          .as("attach_rate"))
+      .orderBy($"day_bucket")
+  }
+
+  private val qAttributionSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |lc AS (
+      |  SELECT user_id, event_type, us,
+      |    max(CASE WHEN event_type = 'click' THEN us END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_click_us
+      |  FROM ev),
+      |p AS (
+      |  SELECT us // 86400000000 AS day_bucket,
+      |    CASE WHEN last_click_us IS NOT NULL
+      |          AND us - last_click_us <= 604800000000 THEN 1 ELSE 0 END
+      |      AS attributed
+      |  FROM lc WHERE event_type = 'purchase')
+      |SELECT day_bucket, count(*) AS n_purchases,
+      |  CAST(sum(attributed) AS BIGINT) AS n_attributed,
+      |  round(CAST(sum(attributed) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+      |    AS attach_rate
+      |FROM p GROUP BY day_bucket ORDER BY day_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_concentration" -> (qConcentration _),
     "q_daily_percentiles" -> (qDailyPercentiles _),
@@ -748,6 +809,7 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" -> qAttributionSql,
     "q_growth_accounting" -> qGrowthAccountingSql,
     "q_concentration" -> qConcentrationSql,
     "q_daily_percentiles" -> qDailyPercentilesSql,

@@ -861,7 +861,58 @@ object Stats {
       |        / (CAST(tt AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)), 6) AS contrib
       |FROM t ORDER BY flag, status""".stripMargin
 
+  // ------------------------------------------------------------------ q_mad
+  /** Median absolute deviation per return flag — the robust dispersion
+    * that, unlike σ (q_outliers), a few wild rows cannot drag. Two exact
+    * passes: median of integer cents, then median of |x − med|. The
+    * interpolated medians are EXACT half-integers (midpoints of integer
+    * cents, far below 2⁻⁵² loss), so doubling them recovers exact longs
+    * and both engines agree bit-for-bit with no rounding leap of faith —
+    * deviations are computed against med2 = 2·median as pure integers.
+    *
+    * Scale shape: two aggregation passes over the fact with the O(groups)
+    * median table broadcast back between them (the q_outliers join-back
+    * shape); percentile state is per-group, no window over fact rows. */
+  def qMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select(
+      $"l_returnflag".as("flag"),
+      (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+    val med = li.groupBy($"flag")
+      .agg(expr("cast(round(percentile(cents, 0.5) * 2, 0) as bigint)").as("med2"))
+    li.join(broadcast(med), "flag")
+      .withColumn("dev2", abs($"cents" * 2 - $"med2"))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        max($"med2").as("med2"),
+        expr("cast(round(percentile(dev2, 0.5) * 2, 0) as bigint)").as("mad4"))
+      .select($"flag", $"n",
+        round($"med2".cast("double") / 200.0d, 4).as("median"),
+        round($"mad4".cast("double") / 400.0d, 4).as("mad"))
+      .orderBy($"flag")
+  }
+
+  private val qMadSql =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |med AS (
+      |  SELECT flag,
+      |    CAST(round(quantile_cont(CAST(cents AS DOUBLE), 0.5) * 2, 0) AS BIGINT)
+      |      AS med2
+      |  FROM li GROUP BY flag),
+      |dev AS (
+      |  SELECT li.flag, med.med2, abs(li.cents * 2 - med.med2) AS dev2
+      |  FROM li JOIN med USING (flag))
+      |SELECT flag, count(*) AS n,
+      |  round(CAST(max(med2) AS DOUBLE) / 200.0, 4) AS median,
+      |  round(CAST(CAST(round(quantile_cont(CAST(dev2 AS DOUBLE), 0.5) * 2, 0)
+      |    AS BIGINT) AS DOUBLE) / 400.0, 4) AS mad
+      |FROM dev GROUP BY flag ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad"         -> (qMad _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_chi_square" -> (qChiSquare _),
     "q_anomaly_days" -> (qAnomalyDays _),
@@ -879,6 +930,7 @@ object Stats {
     "q_dist_drift" -> (qDistDrift _))
 
   val oracle: Map[String, String] = Map(
+    "q_mad"         -> qMadSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_chi_square" -> qChiSquareSql,
     "q_anomaly_days" -> qAnomalyDaysSql,
