@@ -786,7 +786,99 @@ object Analytics {
       |    AS attach_rate
       |FROM p GROUP BY day_bucket ORDER BY day_bucket""".stripMargin
 
+  // --------------------------------------------------------------- q_rfm
+  /** RFM segmentation: every customer scored 1–5 on Recency, Frequency,
+    * Monetary by quintile, rolled up to segment cells — the lifecycle
+    * segmentation a CRM feeds on. Quintile boundaries come from ONE
+    * percentile aggregate broadcast back over the per-customer table
+    * (score = 1 + Σ(x > bᵢ)), NOT from a global ntile window — ntile
+    * needs a single-partition sort of every customer, the classic
+    * 100 TB window trap; boundary comparison is embarrassingly parallel.
+    * Boundaries interpolate integer inputs → exact quarter-integers,
+    * bit-identical on both engines.
+    *
+    * Scale shape: one shuffle to per-customer grain, one 1-row boundary
+    * aggregate broadcast back, one map-side-combined rollup to ≤125
+    * segment cells. Higher score = higher value on all three axes
+    * (recency is inverted: recent buyers land in high quintiles). */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+          .as("last_day"),
+        count(lit(1)).as("freq"),
+        sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("mon"))
+    val scalars = cust.agg(
+      max($"last_day").as("maxd"),
+      expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(mon,  array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    val withRec = cust.crossJoin(broadcast(scalars))
+      .withColumn("rec", $"maxd" - $"last_day")
+    val recB = withRec.agg(
+      expr("percentile(rec, array(0.2, 0.4, 0.6, 0.8))").as("rb"))
+    def quint(x: org.apache.spark.sql.Column, b: String, invert: Boolean) = {
+      val gt = (i: Int) => when(x.cast("double") > col(b).getItem(i), 1).otherwise(0)
+      val sc = lit(1) + gt(0) + gt(1) + gt(2) + gt(3)
+      if (invert) lit(6) - sc else sc
+    }
+    withRec.crossJoin(broadcast(recB))
+      .select(
+        quint($"rec", "rb", invert = true).as("r_score"),
+        quint($"freq", "fb", invert = false).as("f_score"),
+        quint($"mon", "mb", invert = false).as("m_score"),
+        $"mon")
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum($"mon").cast("double") / 100.0d, 2).as("total_spend"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  private val qRfmSql =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+      |      AS last_day,
+      |    count(*) AS freq,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mon
+      |  FROM orders GROUP BY 1),
+      |s1 AS (
+      |  SELECT max(last_day) AS maxd,
+      |    quantile_cont(CAST(freq AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS fb,
+      |    quantile_cont(CAST(mon AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mb
+      |  FROM cust),
+      |wr AS (
+      |  SELECT c.*, s1.maxd - c.last_day AS rec, s1.fb, s1.mb
+      |  FROM cust c CROSS JOIN s1),
+      |s2 AS (
+      |  SELECT quantile_cont(CAST(rec AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS rb
+      |  FROM wr),
+      |scored AS (
+      |  SELECT
+      |    6 - (1 + CASE WHEN CAST(rec AS DOUBLE) > rb[1] THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(rec AS DOUBLE) > rb[2] THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(rec AS DOUBLE) > rb[3] THEN 1 ELSE 0 END
+      |           + CASE WHEN CAST(rec AS DOUBLE) > rb[4] THEN 1 ELSE 0 END)
+      |      AS r_score,
+      |    1 + CASE WHEN CAST(freq AS DOUBLE) > fb[1] THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(freq AS DOUBLE) > fb[2] THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(freq AS DOUBLE) > fb[3] THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(freq AS DOUBLE) > fb[4] THEN 1 ELSE 0 END
+      |      AS f_score,
+      |    1 + CASE WHEN CAST(mon AS DOUBLE) > mb[1] THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(mon AS DOUBLE) > mb[2] THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(mon AS DOUBLE) > mb[3] THEN 1 ELSE 0 END
+      |      + CASE WHEN CAST(mon AS DOUBLE) > mb[4] THEN 1 ELSE 0 END
+      |      AS m_score,
+      |    mon
+      |  FROM wr CROSS JOIN s2)
+      |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+      |  round(CAST(sum(mon) AS DOUBLE) / 100.0, 2) AS total_spend
+      |FROM scored GROUP BY 1, 2, 3
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm"         -> (qRfm _),
     "q_attribution" -> (qAttribution _),
     "q_growth_accounting" -> (qGrowthAccounting _),
     "q_concentration" -> (qConcentration _),
@@ -809,6 +901,7 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_rfm"         -> qRfmSql,
     "q_attribution" -> qAttributionSql,
     "q_growth_accounting" -> qGrowthAccountingSql,
     "q_concentration" -> qConcentrationSql,
