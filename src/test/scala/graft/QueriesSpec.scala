@@ -55,6 +55,42 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("MMR picks are greedy-consistent: step 1 is the relevance argmax, " +
+    "penalties never decrease marginal-score order") {
+    import org.apache.spark.sql.functions._
+    val picks = SparkEntry.queries("q_mmr_rerank")(spark, sfDir)
+      .orderBy(col("step")).collect()
+    assert(picks.length == 5)
+    // step 1 has no penalty and must be the pure-relevance argmax: its
+    // sim_q is the max sim_q over ALL picks (a later pick can't beat it)
+    val sims = picks.map(_.getAs[Double]("sim_q"))
+    assert(sims.head == sims.max,
+      s"first pick sim_q ${sims.head} < a later pick's ${sims.max}")
+    assert(picks.head.getAs[Double]("penalty") == 0.0)
+    // mmr scores are non-increasing across steps: each step maximizes over
+    // a shrinking pool with only-growing penalties
+    val mmrs = picks.map(_.getAs[Double]("mmr"))
+    mmrs.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"mmr increased across steps: $a -> $b")
+    }
+  }
+
+  test("interval merge coverage is bounded: each user covers at least one " +
+    "span and never more than events x span") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_interval_merge")(spark, sfDir).collect()
+    val nEvents = graft.core.Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (user, n, sec) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(sec >= 1800, s"user $user covered $sec s < one 30-min span")
+      assert(sec <= nEvents(user) * 1800,
+        s"user $user covered $sec s > ${nEvents(user)} events x 1800 s")
+      assert(n >= 1 && n <= nEvents(user))
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sfDir)
