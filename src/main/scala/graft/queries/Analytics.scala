@@ -877,7 +877,106 @@ object Analytics {
       |FROM scored GROUP BY 1, 2, 3
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  // ----------------------------------------------------- q_transition_matrix
+  /** Behavioral Markov transition matrix: P(next event type | current) per
+    * user journey — q_ngram_next's machinery pointed at the events stream,
+    * the session-flow summary a product team reads (what follows an
+    * error? how often does view → purchase?). Transition pairs come from
+    * one lag window on the user's total (ts, event_id) order; the
+    * probability is an exact integer ratio over the O(types²) aggregate.
+    *
+    * Scale shape: one shuffle on user_id, one map-side-combined count to
+    * ≤ types² rows, row-total window over that aggregate only. */
+  def qTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("row_total", sum($"n").over(Window.partitionBy($"from_type")))
+      .select($"from_type", $"to_type", $"n",
+        round($"n".cast("double") / $"row_total".cast("double"), 4).as("p"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private val qTransitionMatrixSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS to_type
+      |  FROM ev),
+      |cnt AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE)
+      |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+      |FROM cnt ORDER BY from_type, to_type""".stripMargin
+
+  // ----------------------------------------------------------- q_cohort_ltv
+  /** Cohort LTV triangle: cumulative revenue per signup-month cohort by
+    * months-since-first-order — the payback curve that tells a growth team
+    * when a cohort breaks even. Cohort = the customer's first order month;
+    * every order lands in an (cohort, age) cell; cumulative revenue is a
+    * running sum over the O(months²) triangle, never the fact.
+    *
+    * Scale shape: one shuffle to per-customer first-month, broadcast back
+    * over the orders scan (the q_outliers join-back shape), one rollup to
+    * triangle cells, one window over the triangle. Exact cents until the
+    * final division. */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthOf = (c: String) =>
+      expr(s"(year(cast($c as timestamp)) * 12 + month(cast($c as timestamp))) - 1")
+    val orders = Tables.orders(s, dir)
+      .select($"o_custkey", monthOf("o_orderdate").as("m"),
+        (OP.dec2($"o_totalprice") * 100).cast("long").as("cents"))
+    val cohorts = orders.groupBy($"o_custkey").agg(min($"m").as("cohort_m"))
+    val cells = orders.join(broadcast(cohorts), "o_custkey")
+      .groupBy($"cohort_m", ($"m" - $"cohort_m").as("age_m"))
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("rev_cents"))
+    cells
+      .withColumn("cum_cents", sum($"rev_cents").over(
+        Window.partitionBy($"cohort_m").orderBy($"age_m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"cohort_m", $"age_m", $"n_orders",
+        round($"rev_cents".cast("double") / 100.0d, 2).as("revenue"),
+        round($"cum_cents".cast("double") / 100.0d, 2).as("cum_revenue"))
+      .orderBy($"cohort_m", $"age_m")
+  }
+
+  private val qCohortLtvSql =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    (year(CAST(o_orderdate AS TIMESTAMP)) * 12
+      |      + month(CAST(o_orderdate AS TIMESTAMP))) - 1 AS m,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |coh AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+      |cells AS (
+      |  SELECT coh.cohort_m, o.m - coh.cohort_m AS age_m,
+      |    count(*) AS n_orders, sum(cents) AS rev_cents
+      |  FROM o JOIN coh USING (o_custkey)
+      |  GROUP BY 1, 2)
+      |SELECT cohort_m, age_m, n_orders,
+      |  round(CAST(rev_cents AS DOUBLE) / 100.0, 2) AS revenue,
+      |  round(CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age_m
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0, 2) AS cum_revenue
+      |FROM cells ORDER BY cohort_m, age_m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transition_matrix" -> (qTransitionMatrix _),
+    "q_cohort_ltv"  -> (qCohortLtv _),
     "q_rfm"         -> (qRfm _),
     "q_attribution" -> (qAttribution _),
     "q_growth_accounting" -> (qGrowthAccounting _),
@@ -901,6 +1000,8 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_transition_matrix" -> qTransitionMatrixSql,
+    "q_cohort_ltv"  -> qCohortLtvSql,
     "q_rfm"         -> qRfmSql,
     "q_attribution" -> qAttributionSql,
     "q_growth_accounting" -> qGrowthAccountingSql,

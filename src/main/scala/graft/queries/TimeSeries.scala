@@ -738,8 +738,54 @@ object TimeSeries {
       |  coalesce(max(gap_before), 0) AS widest_gap
       |FROM runs GROUP BY cust ORDER BY cust""".stripMargin
 
+  // -------------------------------------------------------------- q_lateness
+  /** Event-lateness histogram — the number that SIZES a watermark before
+    * anyone picks one: treating event_id as per-user arrival order,
+    * lateness = running max(event time seen so far) − this event's time;
+    * the histogram of those lags says what delay bound covers 99% of
+    * arrivals (the `withWatermark` argument the streaming suite needs as
+    * an input). Buckets are exact integer minute decades.
+    *
+    * Scale shape: one shuffle on user_id for the running-max window, one
+    * map-side-combined rollup to O(buckets) rows. */
+  def qLateness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", expr("unix_micros(ts)").as("us"))
+      .withColumn("hwm", max($"us").over(w))
+      .withColumn("late_us", greatest($"hwm" - $"us", lit(0L)))
+      .withColumn("bucket",
+        when($"hwm".isNull, lit(-1L))
+          .otherwise(expr("late_us div 600000000"))) // 10-minute decades
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_events"),
+        expr("cast(max(late_us) div 1000000 as bigint)").as("max_late_sec"))
+      .orderBy($"bucket")
+  }
+
+  private val qLatenessSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, us,
+      |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM ev),
+      |b AS (
+      |  SELECT CASE WHEN hwm IS NULL THEN -1
+      |              ELSE greatest(hwm - us, 0) // 600000000 END AS bucket,
+      |    greatest(coalesce(hwm - us, 0), 0) AS late_us
+      |  FROM l)
+      |SELECT bucket, count(*) AS n_events,
+      |  max(late_us) // 1000000 AS max_late_sec
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateness"       -> (qLateness _),
     "q_cusum"          -> (qCusum _),
     "q_crosscorr"      -> (qCrosscorr _),
     "q_interval_merge" -> (qIntervalMerge _),
@@ -757,6 +803,7 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_lateness"       -> qLatenessSql,
     "q_cusum"          -> qCusumSql,
     "q_crosscorr"      -> qCrosscorrSql,
     "q_interval_merge" -> qIntervalMergeSql,
