@@ -1276,7 +1276,101 @@ object Embeddings {
        |ORDER BY p.step""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------------------------- q_scalar_quant
+  /** Int8 scalar quantization — the OTHER standard vector-compression path
+    * next to [[qPqAnn]]'s product quantization: each dimension is affinely
+    * mapped to an 8-bit code using the corpus per-dim min/max, cutting the
+    * index to ¼ float size while (unlike PQ) keeping every dimension
+    * addressable. The gated result is the honest error report: top-10
+    * nearest to the query vector by QUANTIZED distance, with the exact
+    * distance and each vector's reconstruction error alongside — the
+    * recall-vs-memory evidence a deployment reads before switching the
+    * fleet to int8.
+    *
+    * Engine parity: micro-unit integer inputs (Clustering's quantization);
+    * codes are `((x−mn)·255) div span` with non-negative operands, so
+    * Spark `div` and DuckDB `//` agree; reconstruction and both distances
+    * are exact integer sums.
+    *
+    * Scale shape: per-dim min/max is ONE map-side-combinable aggregate
+    * collapsed to a 1-row array pair and broadcast back (O(dim) state —
+    * never a driver collect); encode/reconstruct/distance are pure map
+    * stages inside codegen; the only other exchange is the top-10
+    * TakeOrderedAndProject. At 100 TB the encoded table is the asset you'd
+    * persist via IndexStore; the stats row is the model. */
+  def qScalarQuant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        expr("transform(embedding, " +
+          "x -> cast(floor(cast(x as double) * 1000000d) as bigint))")
+          .as("v"))
+    val stats = vecs
+      .select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)")
+          .as("mn"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)")
+          .as("mx"))
+    val recon =
+      "transform(sequence(1, 64), i -> element_at(mn, i) + " +
+        "(CASE WHEN element_at(mx, i) > element_at(mn, i) THEN " +
+        "((element_at(v, i) - element_at(mn, i)) * 255) " +
+        "div (element_at(mx, i) - element_at(mn, i)) ELSE 0L END " +
+        "* (element_at(mx, i) - element_at(mn, i))) div 255)"
+    def l2(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as bigint), (acc, e) -> acc + e)"
+    val coded = vecs.crossJoin(broadcast(stats))
+      .withColumn("vr", expr(recon))
+    val qrow = coded.filter($"vec_id" === 0)
+      .select($"v".as("qv"), $"vr".as("qvr"))
+    coded.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qrow))
+      .select($"vec_id",
+        expr(l2("vr", "qvr")).as("approx_dist"),
+        expr(l2("v", "qv")).as("exact_dist"),
+        expr(l2("v", "vr")).as("q_err"))
+      .orderBy($"approx_dist", $"vec_id")
+      .limit(10)
+  }
+
+  private val qScalarQuantSql = {
+    def l2(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val recon =
+      "list_transform(range(1, 65), i -> s.mn[i] + " +
+        "(CASE WHEN s.mx[i] > s.mn[i] THEN " +
+        "((v.v[i] - s.mn[i]) * 255) // (s.mx[i] - s.mn[i]) ELSE 0 END " +
+        "* (s.mx[i] - s.mn[i])) // 255)"
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT i, min(v.v[i]) AS mn, max(v.v[i]) AS mx
+       |  FROM v CROSS JOIN range(1, 65) AS t(i)
+       |  GROUP BY i),
+       |s AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+       |      FROM d),
+       |r AS (
+       |  SELECT v.vec_id, v.v, $recon AS vr
+       |  FROM v CROSS JOIN s),
+       |q AS (SELECT v AS qv, vr AS qvr FROM r WHERE vec_id = 0)
+       |SELECT r.vec_id,
+       |  ${l2("r.vr", "q.qvr")} AS approx_dist,
+       |  ${l2("r.v", "q.qv")} AS exact_dist,
+       |  ${l2("r.v", "r.vr")} AS q_err
+       |FROM r CROSS JOIN q
+       |WHERE r.vec_id <> 0
+       |ORDER BY approx_dist, r.vec_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_quant"   -> (qScalarQuant _),
     "q_mmr_rerank"     -> (qMmrRerank _),
     "q_hybrid_search"  -> (qHybridSearch _),
     "q_contrastive_pairs" -> (qContrastivePairs _),
@@ -1297,6 +1391,7 @@ object Embeddings {
     "q_ann_recall"    -> (qAnnRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_scalar_quant"   -> qScalarQuantSql,
     "q_mmr_rerank"     -> qMmrRerankSql,
     "q_hybrid_search"  -> qHybridSearchSql,
     "q_contrastive_pairs" -> qContrastivePairsSql,

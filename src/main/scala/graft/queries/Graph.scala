@@ -31,6 +31,7 @@ object Graph {
   private val Scale = 1000000000000L
   private val Damp = 85 // d = 0.85, in percent
   private val Iters = 5
+  private val NSeeds = 5 // q_ppr's personalization set size
 
   // ----------------------------------------------------------- q_pagerank
   /** PageRank over the co-purchase graph: within each order, consecutive
@@ -741,7 +742,146 @@ object Graph {
        |WHERE c.du + c.dv - 2 - coalesce(m.n_common, 0) > 0
        |ORDER BY jaccard DESC, c.u, c.v LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------ q_label_prop
+  /** Community detection by synchronous label propagation over the
+    * undirected co-order graph: every node starts labeled with its own id;
+    * each round it adopts the most frequent label among its neighbors
+    * (ties → smallest label — a total order, so both engines converge
+    * identically); 3 rounds, then communities summarized by size. Where
+    * q_components answers "what is CONNECTED", this answers "what is
+    * DENSELY connected" — on a co-purchase graph the components collapse
+    * into one giant blob while propagation labels carve out the actual
+    * purchase neighborhoods a merchandiser would recognize.
+    *
+    * Scale shape: the edge list is the stored coorder_edges asset; each
+    * round is one keyed adjacency⋈labels join, one (node, label) count
+    * aggregate, and one rank window over that aggregate — the window is
+    * per-node over ≤ degree rows, never over raw data. Same persist+count+
+    * unpersist lineage discipline as [[qPagerank]]. The reference kin is
+    * the role→segment grouping its KPI views hand-maintain
+    * (/root/reference/07_looker_studio_dashboard/README.md); here the
+    * segments fall out of the data. */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = coOrderEdges(s, dir)
+    val adj = e.select($"u".as("x"), $"v".as("nbr"))
+      .unionByName(e.select($"v".as("x"), $"u".as("nbr")))
+      .persist()
+    var labels = adj.select($"x".as("node")).distinct()
+      .withColumn("label", $"node")
+    var prevIter: Option[DataFrame] = None
+    for (_ <- 1 to 3) {
+      val counts = adj
+        .join(labels.select($"node".as("nbr"), $"label"), "nbr")
+        .groupBy($"x", $"label").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"x").orderBy($"c".desc, $"label")
+      val picked = counts
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"x".as("node"), $"label".as("new_label"))
+      labels = labels
+        .join(picked, Seq("node"), "left")
+        .select($"node", coalesce($"new_label", $"label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels.count() // materialize before releasing the previous round
+      prevIter.foreach(_.unpersist(blocking = false))
+      prevIter = Some(labels)
+    }
+    val out = labels.groupBy($"label").agg(count(lit(1)).as("n_nodes"))
+      .select($"label".as("community_rep"), $"n_nodes")
+      .orderBy($"n_nodes".desc, $"community_rep")
+      .limit(20)
+    adj.unpersist()
+    out
+  }
+
+  private val qLabelPropSql = {
+    def round(i: Int): String =
+      s"""c$i AS (
+         |  SELECT a.x, r.label, count(*) AS c
+         |  FROM adj a JOIN r${i - 1} r ON r.node = a.nbr
+         |  GROUP BY a.x, r.label),
+         |p$i AS (
+         |  SELECT x AS node, label, row_number() OVER (
+         |    PARTITION BY x ORDER BY c DESC, label) AS rn
+         |  FROM c$i),
+         |r$i AS (
+         |  SELECT n.node, coalesce(p.label, n.label) AS label
+         |  FROM r${i - 1} n
+         |  LEFT JOIN (SELECT node, label FROM p$i WHERE rn = 1) p
+         |    USING (node))""".stripMargin
+    s"""WITH $coOrderEdgesCte,
+       |adj AS (
+       |  SELECT u AS x, v AS nbr FROM edges
+       |  UNION ALL SELECT v AS x, u AS nbr FROM edges),
+       |r0 AS (SELECT DISTINCT x AS node, x AS label FROM adj),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT label AS community_rep, count(*) AS n_nodes
+       |FROM r3 GROUP BY label
+       |ORDER BY n_nodes DESC, community_rep LIMIT 20""".stripMargin
+  }
+
+  // ------------------------------------------------------------------- q_ppr
+  /** Personalized PageRank: the same damped fixed-point iteration as
+    * [[qPagerank]], but teleport mass returns to a SEED SET (the 5
+    * highest-out-degree parts, degree-then-id tiebreak — the "anchor
+    * products" a recommender personalizes around) instead of spreading
+    * uniformly. Rank concentrates in the seeds' neighborhoods; nodes
+    * unreachable from the seeds stay at exactly 0 — PPR is the
+    * related-to-THESE ranking, vs PageRank's globally-important.
+    *
+    * Scale shape: identical to qPagerank (edges/degrees build once and
+    * persist, each iteration one keyed join + aggregation), plus one
+    * O(nodes) top-5 to pick seeds — TakeOrderedAndProject, broadcast back.
+    * Integer 10⁻¹² fixed-point throughout; the oracle unrolls the same 5
+    * iterations with the same seed derivation. */
+  def qPpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber", $"l_partkey")
+    val edges = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+      .withColumn("prev", lag($"l_partkey", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" =!= $"l_partkey")
+      .select($"prev".cast("long").as("src"), $"l_partkey".cast("long").as("dst"))
+      .distinct().persist()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
+    val linked = edges.join(deg, "src").persist()
+    val seeds = deg.orderBy($"outdeg".desc, $"src").limit(NSeeds)
+      .select($"src".as("node")).withColumn("is_seed", lit(true))
+    val nodes = Tables.part(s, dir).select($"p_partkey".cast("long").as("node"))
+      .join(broadcast(seeds), Seq("node"), "left")
+      .select($"node", coalesce($"is_seed", lit(false)).as("is_seed"))
+      .persist()
+    val seedBase = (Scale / 100) * (100 - Damp) / NSeeds
+    var ranks = nodes.select($"node",
+      when($"is_seed", lit(Scale / NSeeds)).otherwise(lit(0L)).as("rank"))
+    var prevIter: Option[DataFrame] = None
+    for (_ <- 1 to Iters) {
+      val contrib = linked
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select($"dst", expr("rank div outdeg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("contrib"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          (when($"is_seed", lit(seedBase)).otherwise(lit(0L))
+            + expr(s"($Damp * coalesce(contrib, 0L)) div 100")).as("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranks.count() // materialize before releasing the previous iteration
+      prevIter.foreach(_.unpersist(blocking = false))
+      prevIter = Some(ranks)
+    }
+    val out = ranks.filter($"rank" > 0L)
+      .orderBy($"rank".desc, $"node")
+      .limit(20)
+      .select($"node".as("p_partkey"), $"rank")
+    Seq(edges, deg, linked, nodes).foreach(_.unpersist())
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_prop"  -> (qLabelProp _),
+    "q_ppr"         -> (qPpr _),
     "q_graph_jaccard" -> (qGraphJaccard _),
     "q_pagerank"    -> (qPagerank _),
     "q_hits"        -> (qHits _),
@@ -754,6 +894,8 @@ object Graph {
     "q_clustering_coef" -> (qClusteringCoef _))
 
   val oracle: Map[String, String] = Map(
+    "q_label_prop" -> qLabelPropSql,
+    "q_ppr"        -> PprOracle.sql,
     "q_graph_jaccard" -> qGraphJaccardSql,
     "q_pagerank"   -> PagerankOracle.sql,
     "q_hits"       -> HitsOracle.sql,
@@ -773,6 +915,58 @@ object Graph {
   * non-negative anyway). Unrolled rather than recursive because aggregation
   * inside a recursive CTE is engine-version-sensitive; five explicit CTEs
   * are boring and portable. */
+/** Unrolled DuckDB replay of [[Graph.qPpr]] — PagerankOracle's structure
+  * with the teleport term gated on seed membership (top-5 out-degree,
+  * degree-then-id order) instead of uniform. Same integer fixed-point. */
+private object PprOracle {
+  private val Scale = 1000000000000L
+  private val Damp = 85
+  private val Iters = 5
+  private val NSeeds = 5
+
+  private def iterCte(i: Int): String =
+    s"""r$i AS (
+       |  SELECT p.node,
+       |    (CASE WHEN p.is_seed
+       |          THEN ($Scale // 100) * ${100 - Damp} // $NSeeds
+       |          ELSE 0 END)
+       |      + ($Damp * coalesce(c.contrib, 0)) // 100 AS rank
+       |  FROM nodes p
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS contrib
+       |    FROM edges e
+       |    JOIN r${i - 1} r ON r.node = e.src
+       |    JOIN deg d ON d.src = e.src
+       |    GROUP BY e.dst) c USING (node))""".stripMargin
+
+  val sql: String =
+    s"""WITH ordered AS (
+       |  SELECT l_orderkey, l_partkey,
+       |    lag(l_partkey) OVER (PARTITION BY l_orderkey
+       |      ORDER BY l_linenumber, l_partkey) AS prev
+       |  FROM lineitem),
+       |edges AS (
+       |  SELECT DISTINCT CAST(prev AS BIGINT) AS src,
+       |    CAST(l_partkey AS BIGINT) AS dst
+       |  FROM ordered WHERE prev IS NOT NULL AND prev <> l_partkey),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |seeds AS (
+       |  SELECT src AS node FROM deg
+       |  ORDER BY outdeg DESC, src LIMIT $NSeeds),
+       |nodes AS (
+       |  SELECT CAST(p.p_partkey AS BIGINT) AS node,
+       |    s.node IS NOT NULL AS is_seed
+       |  FROM part p LEFT JOIN seeds s ON s.node = p.p_partkey),
+       |r0 AS (
+       |  SELECT node,
+       |    CASE WHEN is_seed THEN $Scale // $NSeeds ELSE 0 END AS rank
+       |  FROM nodes),
+       |${(1 to Iters).map(iterCte).mkString(",\n")}
+       |SELECT node AS p_partkey, rank FROM r$Iters
+       |WHERE rank > 0
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+}
+
 /** Unrolled DuckDB replay of [[Graph.qHits]] — 3 iterations × 2 half-step
   * CTE pairs in the same fixed-point arithmetic (HUGEINT mirrors Spark's
   * decimal(38,0) for the normalize multiply; `//` and `div` agree on

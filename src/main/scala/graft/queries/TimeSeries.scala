@@ -784,7 +784,76 @@ object TimeSeries {
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // ------------------------------------------------------- q_stl_decompose
+  /** Classical seasonal decomposition of the daily-revenue series (the STL
+    * shape with moving-average smoothing): trend = centered 7-day moving
+    * average (full windows only), seasonal = day-of-week mean of the
+    * detrended residual, remainder = what neither explains. The series
+    * diagnostic behind q_seasonal's profile and q_anomaly_days' flags —
+    * remainder spikes are anomalies AFTER the weekly rhythm is accounted
+    * for, which a plain z-score misses.
+    *
+    * Engine parity: revenue in integer cents; trend and seasonal use
+    * truncating integer division (`div` / `//` agree on non-negatives —
+    * revenue sums are positive); day-of-week = days-since-epoch mod 7
+    * (calendar-convention-free, identical on both engines).
+    *
+    * Scale shape: the fact scan collapses to O(days) in one map-side-
+    * combinable aggregate; the moving-average window and the DOW rollup
+    * run over that aggregate only (the global window is dim-sized by
+    * construction — the WindowExec single-partition warning is the
+    * documented cost of a ~2.4k-row table, not a fact-data sort). */
+  def qStlDecompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+    val w = Window.orderBy($"day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("trend",
+        when($"n_win" === 7, expr("(sum(x) OVER (ORDER BY day " +
+          "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) div 7")))
+      .withColumn("dow", expr("datediff(day, DATE '1970-01-01') % 7"))
+    val seasonal = trended.filter($"trend".isNotNull)
+      .groupBy($"dow")
+      .agg(expr("sum(x - trend) div count(*)").as("seasonal"))
+    trended
+      .join(broadcast(seasonal), Seq("dow"), "left")
+      .select($"day", $"x",
+        $"trend",
+        when($"trend".isNotNull, $"seasonal").as("seasonal"),
+        when($"trend".isNotNull, $"x" - $"trend" - $"seasonal")
+          .as("remainder"))
+      .orderBy($"day")
+  }
+
+  private val qStlDecomposeSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day, x,
+      |    CASE WHEN count(*) OVER w = 7
+      |         THEN (sum(x) OVER w) // 7 END AS trend,
+      |    datediff('day', DATE '1970-01-01', day) % 7 AS dow
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |               AND 3 FOLLOWING)),
+      |s AS (
+      |  SELECT dow, sum(x - trend) // count(*) AS seasonal
+      |  FROM t WHERE trend IS NOT NULL GROUP BY dow)
+      |SELECT t.day, t.x, t.trend,
+      |  CASE WHEN t.trend IS NOT NULL THEN s.seasonal END AS seasonal,
+      |  CASE WHEN t.trend IS NOT NULL
+      |       THEN t.x - t.trend - s.seasonal END AS remainder
+      |FROM t LEFT JOIN s USING (dow)
+      |ORDER BY t.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stl_decompose"  -> (qStlDecompose _),
     "q_lateness"       -> (qLateness _),
     "q_cusum"          -> (qCusum _),
     "q_crosscorr"      -> (qCrosscorr _),
@@ -803,6 +872,7 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_stl_decompose"  -> qStlDecomposeSql,
     "q_lateness"       -> qLatenessSql,
     "q_cusum"          -> qCusumSql,
     "q_crosscorr"      -> qCrosscorrSql,

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.sql.Date
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -651,7 +651,126 @@ object WarehouseOps {
       |GROUP BY status
       |ORDER BY status""".stripMargin
 
+  // ------------------------------------------------------ q_constraint_audit
+  /** Whole-schema constraint audit — the declarative-constraints layer a
+    * warehouse DDL states (PRIMARY KEY / FOREIGN KEY / CHECK / NOT NULL,
+    * the reference declares these in
+    * /root/reference/01_DW_schema_and_roles_creation/combined_dw_schema.sql)
+    * re-expressed as one verification report over tables that, like most
+    * lake tables, ENFORCE none of them: per constraint, total rows and
+    * violation count. The testdata's deliberate duplicate
+    * (l_orderkey, l_linenumber) rows surface here as pk_lineitem
+    * violations — the audit proves it detects, not just recounts.
+    *
+    * Scale shape: each PK/CHECK/NOT NULL row is ONE map-side-combinable
+    * aggregate over its table; each FK row is one keyed left join against
+    * the DISTINCT parent keys (dim parents broadcast; the lineitem→orders
+    * probe shuffles on the join key — the honest cost of auditing a fact-
+    * to-fact FK). The exact COUNT(DISTINCT) PK probes are the audit-grade
+    * path; at 100 TB swap in the kmv sketch (q_profile_approx's pattern)
+    * for a monitoring-grade pass. Output is O(constraints) rows. */
+  def qConstraintAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir)
+    val p  = Tables.part(s, dir)
+    val ev = Tables.events(s, dir)
+    def tag(name: String, table: String)(df: DataFrame): DataFrame =
+      df.select(lit(name).as("constraint_name"), lit(table).as("table_name"),
+        $"n_rows", $"n_violations")
+    def pk(name: String, table: String, df: DataFrame,
+           keys: Column*): DataFrame =
+      tag(name, table)(df.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(keys.head, keys.tail: _*))
+          .as("n_violations")))
+    def fk(name: String, table: String, child: DataFrame, childKey: Column,
+           parentKeys: DataFrame): DataFrame =
+      tag(name, table)(child
+        .join(parentKeys.withColumnRenamed(parentKeys.columns.head, "pkey")
+          .distinct(), childKey === $"pkey", "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"pkey".isNull, lit(1))).as("n_violations")))
+    def chk(name: String, table: String, df: DataFrame,
+            bad: Column): DataFrame =
+      tag(name, table)(df.agg(count(lit(1)).as("n_rows"),
+        count(when(bad, lit(1))).as("n_violations")))
+    Seq(
+      pk("pk_customer", "customer", c, $"c_custkey"),
+      pk("pk_orders", "orders", o, $"o_orderkey"),
+      pk("pk_part", "part", p, $"p_partkey"),
+      pk("pk_lineitem", "lineitem", li, $"l_orderkey", $"l_linenumber"),
+      fk("fk_orders_customer", "orders", o, $"o_custkey",
+        c.select($"c_custkey")),
+      fk("fk_lineitem_orders", "lineitem", li, $"l_orderkey",
+        o.select($"o_orderkey")),
+      fk("fk_lineitem_part", "lineitem", li, $"l_partkey",
+        p.select($"p_partkey")),
+      chk("chk_lineitem_quantity", "lineitem", li,
+        $"l_quantity" < 1 || $"l_quantity" > 50),
+      chk("chk_lineitem_discount", "lineitem", li,
+        $"l_discount" < 0 || $"l_discount" > 1),
+      chk("chk_orders_totalprice", "orders", o, $"o_totalprice" <= 0),
+      chk("nn_events_user", "events", ev, $"user_id".isNull))
+      .reduce(_ unionByName _)
+      .withColumn("ok", $"n_violations" === 0L)
+      .orderBy($"constraint_name")
+  }
+
+  private val qConstraintAuditSql =
+    """SELECT constraint_name, table_name, n_rows, n_violations,
+      |  n_violations = 0 AS ok
+      |FROM (
+      |  SELECT 'pk_customer' AS constraint_name, 'customer' AS table_name,
+      |    count(*) AS n_rows,
+      |    count(*) - count(DISTINCT c_custkey) AS n_violations
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'pk_orders', 'orders', count(*),
+      |    count(*) - count(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'pk_part', 'part', count(*),
+      |    count(*) - count(DISTINCT p_partkey) FROM part
+      |  UNION ALL
+      |  SELECT 'pk_lineitem', 'lineitem', count(*),
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer', 'orders', count(*),
+      |    count(CASE WHEN c.pkey IS NULL THEN 1 END)
+      |  FROM orders o LEFT JOIN
+      |    (SELECT DISTINCT c_custkey AS pkey FROM customer) c
+      |    ON c.pkey = o.o_custkey
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders', 'lineitem', count(*),
+      |    count(CASE WHEN p.pkey IS NULL THEN 1 END)
+      |  FROM lineitem l LEFT JOIN
+      |    (SELECT DISTINCT o_orderkey AS pkey FROM orders) p
+      |    ON p.pkey = l.l_orderkey
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_part', 'lineitem', count(*),
+      |    count(CASE WHEN p.pkey IS NULL THEN 1 END)
+      |  FROM lineitem l LEFT JOIN
+      |    (SELECT DISTINCT p_partkey AS pkey FROM part) p
+      |    ON p.pkey = l.l_partkey
+      |  UNION ALL
+      |  SELECT 'chk_lineitem_quantity', 'lineitem', count(*),
+      |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'chk_lineitem_discount', 'lineitem', count(*),
+      |    count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'chk_orders_totalprice', 'orders', count(*),
+      |    count(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'nn_events_user', 'events', count(*),
+      |    count(CASE WHEN user_id IS NULL THEN 1 END) FROM events)
+      |ORDER BY constraint_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_constraint_audit" -> (qConstraintAudit _),
     "q_reconcile"      -> (qReconcile _),
     "q_l_diversity"    -> (qLDiversity _),
     "q_fd_discover"    -> (qFdDiscover _),
@@ -666,6 +785,7 @@ object WarehouseOps {
     "q_incremental_agg" -> (qIncrementalAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_constraint_audit" -> qConstraintAuditSql,
     "q_reconcile"      -> qReconcileSql,
     "q_l_diversity"    -> qLDiversitySql,
     "q_fd_discover"    -> qFdDiscoverSql,

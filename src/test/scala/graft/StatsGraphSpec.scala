@@ -537,4 +537,97 @@ class StatsGraphSpec extends AnyFunSuite {
     info(s"rank #20 = ${a(19)} rank #21 = ${a(20)} gap = ${r20 - r21} " +
       s"(units of 1e-12)")
   }
+
+  test("label propagation: communities partition the co-order node set " +
+    "and the result is run-to-run deterministic") {
+    import spark.implicits._
+    val a = SparkEntry.queries("q_label_prop")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = SparkEntry.queries("q_label_prop")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, "label propagation diverged between identical runs")
+    // the top-20 community sizes can never exceed the graph's node count,
+    // and every representative must be a real node id
+    val e = graft.queries.Graph.coOrderEdges(spark, sfDir)
+    val nodes = e.select($"u".as("x")).union(e.select($"v".as("x")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(a.map(_._2).sum <= nodes.size)
+    a.foreach { case (rep, n) =>
+      assert(nodes.contains(rep), s"community rep $rep is not a node")
+      assert(n >= 1)
+    }
+  }
+
+  test("personalized pagerank: total mass never exceeds the teleport " +
+    "budget and every rank is non-negative") {
+    val rows = SparkEntry.queries("q_ppr")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // mass bound: teleport injects at most Scale per iteration (split over
+    // seeds) and damping keeps propagated mass <= received mass, so no
+    // node can ever hold more than the full 10^12 budget
+    rows.foreach { case (node, rank) =>
+      assert(rank > 0L, s"node $node emitted with non-positive rank")
+      assert(rank <= 1000000000000L, s"node $node exceeds the mass budget")
+    }
+    // presentation order is a strict total order (rank desc, node asc)
+    rows.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r1 > r2 || (r1 == r2 && n1 < n2))
+    }
+  }
+
+  test("scalar quantization: reconstruction error is non-negative and " +
+    "bounded by the worst per-dim quantization cell") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_scalar_quant")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (approx, exact, qerr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(approx >= 0L && exact >= 0L && qerr >= 0L)
+    }
+    // worst-case per-dim cell width: span/255 + 1 micro-units; the summed
+    // squared error can never exceed 64 * cell^2
+    val spans = graft.core.Tables.embeddings(spark, sfDir)
+      .select(explode(expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000d)" +
+          " as bigint))")).as("x"))
+      .agg(max($"x") - min($"x")).collect()(0).getLong(0)
+    val cell = spans / 255 + 1
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 64L * cell * cell,
+        s"q_err ${r.getLong(3)} exceeds the 64-dim worst cell bound")
+    }
+  }
+
+  test("STL decomposition: trend+seasonal+remainder reassembles x exactly " +
+    "on every full-window day; edges carry null trend") {
+    val rows = SparkEntry.queries("q_stl_decompose")(spark, sfDir).collect()
+    val n = rows.length
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val full = i >= 3 && i < n - 3
+      assert(!r.isNullAt(2) == full,
+        s"trend nullity wrong at row $i of $n")
+      if (full) {
+        val (x, t, sea, rem) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(x == t + sea + rem,
+          s"decomposition does not reassemble at row $i: $x != $t+$sea+$rem")
+      } else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+  }
+
+  test("constraint audit: detects the deliberate lineitem duplicate keys " +
+    "and ok mirrors the violation count") {
+    val rows = SparkEntry.queries("q_constraint_audit")(spark, sfDir)
+      .collect()
+    assert(rows.length == 11)
+    rows.foreach { r =>
+      val (nRows, nViol, ok) =
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(nRows > 0L, s"${r.getString(0)} audited an empty table")
+      assert(nViol >= 0L && nViol <= nRows)
+      assert(ok == (nViol == 0L))
+    }
+    val pkLi = rows.find(_.getString(0) == "pk_lineitem").get
+    assert(pkLi.getLong(3) > 0L,
+      "pk_lineitem must flag the testdata's deliberate duplicate keys")
+  }
 }
