@@ -24,7 +24,7 @@ object SparkEntry {
       TextAnalysis.queries ++ WarehouseOps.queries ++ Analytics.queries ++
       TemporalJoins.queries ++ Sketches.queries ++ Layout.queries ++
       Graph.queries ++ Clustering.queries ++ Stats.queries ++
-      TimeSeries.queries ++
+      TimeSeries.queries ++ Inference.queries ++
       graft.kpi.Kpi.queries ++ graft.multimodal.Multimodal.queries ++
       graft.streaming.Streams.queries ++ TrainingData.queries ++
       CorpusQuality.queries
@@ -48,7 +48,7 @@ object SparkEntry {
       TextDedup.oracle ++ Embeddings.oracle ++ TextAnalysis.oracle ++
       WarehouseOps.oracle ++ Analytics.oracle ++ TemporalJoins.oracle ++
       Sketches.oracle ++ Layout.oracle ++ Graph.oracle ++ Clustering.oracle ++
-      Stats.oracle ++ TimeSeries.oracle ++
+      Stats.oracle ++ TimeSeries.oracle ++ Inference.oracle ++
       graft.kpi.Kpi.oracle ++ graft.multimodal.Multimodal.oracle ++
       graft.streaming.Streams.oracle ++
       TrainingData.oracle ++ CorpusQuality.oracle

@@ -33,13 +33,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is nanosecond-precision in parquet; Spark timestamps are
-    * microsecond. Truncate ns→µs exactly (integer div) — the DuckDB oracle
-    * mirrors this with CAST(ts AS TIMESTAMP), which also truncates to µs. */
+  /** events.ts has shipped in two physical parquet types across harness
+    * generations: INT64 TIMESTAMP(NANOS) (read as raw nanos via
+    * `nanosAsLong`, truncated ns→µs here with integer div) and plain
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ, cast to the session-UTC
+    * timestamp — value-identical under the UTC session Sessions enforces).
+    * Dispatch on the observed schema so the engine works against either
+    * vintage; the DuckDB oracle's CAST(ts AS TIMESTAMP) is the same
+    * wall-clock value in both cases. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

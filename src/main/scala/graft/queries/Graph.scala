@@ -879,7 +879,123 @@ object Graph {
     out
   }
 
+  // --------------------------------------------------------------- q_kcore
+  /** Bounded-round k-core decomposition of the co-order graph for
+    * k ∈ {2,3,4} — the degeneracy peel that separates the dense
+    * frequently-co-bought core from pendant structure (the subgraph every
+    * community/embedding step should run on). Each round removes nodes
+    * whose degree in the SURVIVING subgraph is < k; [[KcoreRounds]] fixed
+    * rounds run in both engines (parity does not depend on convergence —
+    * both stop at the same round; the spec checks convergence on the
+    * fixture). Every round is one map-side-combinable degree aggregate
+    * plus two semi-joins, all keyed on node id — no windows, no
+    * driver-side state; the edge list is the build-once `coorder_edges`
+    * IndexStore asset, dim-bounded (parts), so the ×3k×5-round fan-out
+    * never touches fact volume. */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges0 = coOrderEdges(s, dir)
+    // each k's peel seeds from the previous core (3-core ⊆ 2-core): the
+    // peel result is superset-invariant, so this is pure work reduction,
+    // mirrored CTE-for-CTE in the oracle chain
+    val core2 = kcoreEdges(s, edges0, 2)
+    val core3 = kcoreEdges(s, core2, 3)
+    val core4 = kcoreEdges(s, core3, 4)
+    val perK = Seq(2 -> core2, 3 -> core3, 4 -> core4).map { case (k, edges) =>
+      edges.select($"u".as("node")).unionAll(edges.select($"v".as("node")))
+        .agg(lit(k).as("k"), countDistinct($"node").as("n_nodes"),
+          count(lit(1)).as("deg_sum"))
+        .select($"k", $"n_nodes", ($"deg_sum" / 2).cast("long").as("n_edges"))
+    }
+    val out = perK.reduce(_ unionAll _).orderBy($"k")
+    // materialize before releasing the per-round cached edge sets the
+    // peels left pinned (they are inputs to out's plan)
+    val rows = out.collect()
+    Seq(core2, core3, core4).foreach(_.unpersist())
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+  }
+
+  /** The [[KcoreRounds]]-round peel, factored out so StatsGraphSpec can
+    * check hand-countable fixtures and the converged-fixpoint property
+    * (a surviving node's degree is ≥ k once the peel stabilizes).
+    *
+    * Each round PERSISTS its surviving edge set and unpersists the
+    * previous round: without that, round r's plan references round r−1's
+    * THREE times (once direct, twice through the keep-list), so the fully
+    * inlined tree grows 5^rounds leaf scans — the same exponential the
+    * oracle kills with MATERIALIZED CTEs. The returned frame is left
+    * cached; callers unpersist when done. */
+  private[graft] def kcoreEdges(s: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    var edges = edges0
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to KcoreRounds) {
+      val deg = edges.select($"u".as("node"))
+        .unionAll(edges.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter($"deg" >= k).select($"node")
+      val survived = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      // re-root on the physical RDD: round r's plan references round r−1
+      // three times, so keeping the Catalyst tree would grow 5^rounds
+      // nodes (measured: heap death at sf0.01). The RDD object graph is a
+      // shared DAG — linear — and, unlike localCheckpoint, keeps full
+      // lineage, so an evicted block recomputes instead of failing (the
+      // r5 pagerank-flake lesson).
+      val next = s.createDataFrame(survived.rdd, survived.schema).persist()
+      next.count() // materialize so the previous round can be released
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      edges = next
+    }
+    edges
+  }
+
+  private[graft] val KcoreRounds = 5
+
+  private val qKcoreSql: String = {
+    // every CTE is MATERIALIZED: inlining would expand each round's three
+    // references to the previous round into 5^rounds base scans (the same
+    // exponential the Spark side kills with per-round persist)
+    def chain(k: Int, src: String): String = {
+      val steps = (1 to KcoreRounds).map { r =>
+        s"""k${k}_n$r AS MATERIALIZED (
+           |  SELECT node FROM (
+           |    SELECT node, count(*) AS deg FROM (
+           |      SELECT u AS node FROM k${k}_e${r - 1}
+           |      UNION ALL SELECT v FROM k${k}_e${r - 1}) GROUP BY node)
+           |  WHERE deg >= $k),
+           |k${k}_e$r AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM k${k}_e${r - 1} e
+           |  WHERE e.u IN (SELECT node FROM k${k}_n$r)
+           |    AND e.v IN (SELECT node FROM k${k}_n$r))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""k${k}_e0 AS MATERIALIZED (SELECT u, v FROM $src),
+         |$steps""".stripMargin
+    }
+    // chained seeding, mirroring the engine: k=3 peels the 2-core, k=4
+    // peels the 3-core
+    val chains = Seq(
+      chain(2, "edges"),
+      chain(3, s"k2_e$KcoreRounds"),
+      chain(4, s"k3_e$KcoreRounds")).mkString(",\n")
+    val summaries = Seq(2, 3, 4).map { k =>
+      s"""SELECT $k AS k, count(DISTINCT node) AS n_nodes,
+         |  CAST(count(*) / 2 AS BIGINT) AS n_edges
+         |FROM (SELECT u AS node FROM k${k}_e$KcoreRounds
+         |      UNION ALL SELECT v FROM k${k}_e$KcoreRounds)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $coOrderEdgesCte,
+       |$chains
+       |$summaries
+       |ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kcore"       -> (qKcore _),
     "q_label_prop"  -> (qLabelProp _),
     "q_ppr"         -> (qPpr _),
     "q_graph_jaccard" -> (qGraphJaccard _),
@@ -894,6 +1010,7 @@ object Graph {
     "q_clustering_coef" -> (qClusteringCoef _))
 
   val oracle: Map[String, String] = Map(
+    "q_kcore"      -> qKcoreSql,
     "q_label_prop" -> qLabelPropSql,
     "q_ppr"        -> PprOracle.sql,
     "q_graph_jaccard" -> qGraphJaccardSql,

@@ -1,0 +1,548 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{OracleParity => OP, Tables}
+
+/** Rank-based and distribution-comparison statistics — the nonparametric
+  * half of the analyst toolkit (the parametric half lives in [[Stats]]:
+  * t², Pearson, linreg). These answer "are these two segments drawn from
+  * the same distribution?" without normality assumptions, the question the
+  * reference's KPI views stop one step short of (the salary-by-gender and
+  * downtime-by-dept views in /root/reference/04_KPI/KPIs.sql compare group
+  * MEANS; Mann-Whitney/KS compare whole distributions).
+  *
+  * Scale shape, shared by every operator here: the fact scan collapses to
+  * a bounded aggregate FIRST — daily revenue (O(days)), per-customer
+  * spend (O(customers), a dimension), per-part revenue (O(parts), a
+  * dimension) — via one map-side-combinable shuffle; every rank / window /
+  * self-join below that point runs on the aggregate, never on fact volume.
+  * At 100 TB the fact scans scale out and the aggregate sizes are
+  * unchanged. A rank over a genuinely fact-sized column would instead use
+  * range-partitioned rank (sort within range partitions + broadcast
+  * per-partition offsets — the q_pack_sequences shape).
+  *
+  * Float parity discipline (same as [[Stats.qAutocorr]]): all sums are
+  * exact integer cents / 2-scaled ranks, promoted to DECIMAL(38,0) before
+  * products; doubles appear only in the final closed-form expression,
+  * identically parenthesized in the DuckDB oracle, rounded at the
+  * projection.
+  */
+object Inference {
+
+  /** Daily order revenue in exact cents with a weekend flag — the shared
+    * two-sample fixture (weekday days vs weekend days) for the KS and
+    * Mann-Whitney tests. Spark `weekday` = 0..6 from Monday; the oracle
+    * mirrors with DuckDB `isodow - 1`. */
+  private def dailyFlagged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+      .withColumn("we", dayofweek($"day").isin(1, 7))
+  }
+
+  private val dailyFlaggedSql =
+    """SELECT o_orderdate AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS x,
+      |    isodow(o_orderdate) IN (6, 7) AS we
+      |  FROM orders GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------------- q_ks_test
+  /** Two-sample Kolmogorov–Smirnov statistic between the weekend and
+    * weekday daily-revenue distributions: D = max over revenue thresholds
+    * of |F_we(v) − F_wd(v)|. The ECDFs are cumulative counts over a RANGE
+    * frame on the revenue value (range, not rows, so tied values step
+    * together — the ECDF is evaluated after all ties), and D stays the
+    * exact integer numerator |c_we·n_wd − c_wd·n_we| until the single
+    * final division. The global window runs over the O(days) aggregate,
+    * never the fact table; the sample totals ride in as the house 1-row
+    * broadcast. */
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = dailyFlagged(s, dir)
+    val tot = daily.agg(
+      sum(when($"we", 1L).otherwise(0L)).as("n_we"),
+      sum(when($"we", 0L).otherwise(1L)).as("n_wd"))
+    val w = Window.orderBy($"x")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select($"x",
+        sum(when($"we", 1L).otherwise(0L)).over(w).as("c_we"),
+        sum(when($"we", 0L).otherwise(1L)).over(w).as("c_wd"))
+      .crossJoin(broadcast(tot))
+      .agg(max($"n_wd").as("n_wd"), max($"n_we").as("n_we"),
+        max(abs($"c_we" * $"n_wd" - $"c_wd" * $"n_we")).as("d_num"))
+      .select($"n_wd", $"n_we",
+        round($"d_num".cast("double") /
+          ($"n_we" * $"n_wd").cast("double"), 6).as("ks"))
+  }
+
+  private val qKsTestSql =
+    s"""WITH daily AS (
+       |  $dailyFlaggedSql),
+       |tot AS (
+       |  SELECT sum(CASE WHEN we THEN 1 ELSE 0 END) AS n_we,
+       |         sum(CASE WHEN we THEN 0 ELSE 1 END) AS n_wd
+       |  FROM daily),
+       |cum AS (
+       |  SELECT x,
+       |    sum(CASE WHEN we THEN 1 ELSE 0 END) OVER (ORDER BY x
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_we,
+       |    sum(CASE WHEN we THEN 0 ELSE 1 END) OVER (ORDER BY x
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_wd
+       |  FROM daily)
+       |SELECT max(n_wd) AS n_wd, max(n_we) AS n_we,
+       |  round(CAST(max(abs(c_we * n_wd - c_wd * n_we)) AS DOUBLE) /
+       |    CAST(max(n_we) * max(n_wd) AS DOUBLE), 6) AS ks
+       |FROM cum, tot""".stripMargin
+
+  // --------------------------------------------------------- q_mann_whitney
+  /** Mann–Whitney rank-sum U for the same weekend/weekday daily-revenue
+    * samples. Tie handling is the textbook average rank, kept exact by
+    * 2-scaling: avg-rank·2 = 2·min_rank + (ties − 1), an integer, so the
+    * rank sums are exact and U = (ΣR·2 − n(n+1))/2 divides out to an
+    * exact binary half. Emits both U's; U_we + U_wd = n_we·n_wd is the
+    * built-in consistency identity (InferenceSpec asserts it). */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = dailyFlagged(s, dir)
+    val r2 = daily
+      .withColumn("rk", rank().over(Window.orderBy($"x")))
+      .withColumn("ties", count(lit(1)).over(Window.partitionBy($"x")))
+      .withColumn("r2", lit(2) * $"rk" + $"ties" - 1)
+    r2.agg(
+        sum(when($"we", 0L).otherwise(1L)).as("n_wd"),
+        sum(when($"we", 1L).otherwise(0L)).as("n_we"),
+        sum(when($"we", $"r2").otherwise(0L)).as("r2_we"),
+        sum(when($"we", 0L).otherwise($"r2")).as("r2_wd"))
+      .select($"n_wd", $"n_we",
+        (($"r2_we" - $"n_we" * ($"n_we" + 1)).cast("double") / 2)
+          .as("u_we"),
+        (($"r2_wd" - $"n_wd" * ($"n_wd" + 1)).cast("double") / 2)
+          .as("u_wd"))
+  }
+
+  private val qMannWhitneySql =
+    s"""WITH daily AS (
+       |  $dailyFlaggedSql),
+       |r AS (
+       |  SELECT we,
+       |    2 * rank() OVER (ORDER BY x)
+       |      + count(*) OVER (PARTITION BY x) - 1 AS r2
+       |  FROM daily),
+       |g AS (
+       |  SELECT
+       |    sum(CASE WHEN we THEN 0 ELSE 1 END) AS n_wd,
+       |    sum(CASE WHEN we THEN 1 ELSE 0 END) AS n_we,
+       |    sum(CASE WHEN we THEN r2 ELSE 0 END) AS r2_we,
+       |    sum(CASE WHEN we THEN 0 ELSE r2 END) AS r2_wd
+       |  FROM r)
+       |SELECT n_wd, n_we,
+       |  CAST(r2_we - n_we * (n_we + 1) AS DOUBLE) / 2 AS u_we,
+       |  CAST(r2_wd - n_wd * (n_wd + 1) AS DOUBLE) / 2 AS u_wd
+       |FROM g""".stripMargin
+
+  // ------------------------------------------------------------- q_spearman
+  /** Spearman rank correlation between per-customer total spend and order
+    * count — "do frequent buyers spend more?" asked monotonically, immune
+    * to the heavy right tail that distorts Pearson on revenue. Both
+    * variables get exact 2-scaled average ranks (ties are endemic in the
+    * count variable), then the Pearson closed form runs on the ranks with
+    * DECIMAL(38,0) sums. The rank windows are global but run over the
+    * customer aggregate — a dimension, not a fact. */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("spend"),
+        count(lit(1)).as("n_orders"))
+    def r2(c: String) =
+      (lit(2) * rank().over(Window.orderBy(col(c)))
+        + count(lit(1)).over(Window.partitionBy(col(c))) - 1)
+        .cast(DecimalType(38, 0))
+    val ranked = perCust
+      .withColumn("rx", r2("spend"))
+      .withColumn("ry", r2("n_orders"))
+    ranked
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"rx").cast("double").as("sx"),
+        sum($"ry").cast("double").as("sy"),
+        sum($"rx" * $"rx").cast("double").as("sxx"),
+        sum($"ry" * $"ry").cast("double").as("syy"),
+        sum($"rx" * $"ry").cast("double").as("sxy"))
+      .select($"n".cast("long").as("n_customers"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("rho"))
+  }
+
+  private val qSpearmanSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS spend,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT
+      |    CAST(2 * rank() OVER (ORDER BY spend)
+      |      + count(*) OVER (PARTITION BY spend) - 1 AS HUGEINT) AS rx,
+      |    CAST(2 * rank() OVER (ORDER BY n_orders)
+      |      + count(*) OVER (PARTITION BY n_orders) - 1 AS HUGEINT) AS ry
+      |  FROM per_cust),
+      |g AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+      |    CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+      |    CAST(sum(ry * ry) AS DOUBLE) AS syy,
+      |    CAST(sum(rx * ry) AS DOUBLE) AS sxy
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+      |FROM g""".stripMargin
+
+  // ----------------------------------------------------------------- q_gini
+  /** Gini coefficient of customer spend concentration — the single-number
+    * Lorenz summary behind "what share of revenue comes from the top
+    * customers?" (the distributional completion of q_concentration's
+    * top-k shares). Closed form on the ascending sort:
+    * G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), with i = row_number over a
+    * TOTAL order (spend, custkey) so both engines index ties identically;
+    * all sums exact DECIMAL(38,0), one final double division. */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("spend"))
+    perCust
+      .withColumn("i",
+        row_number().over(Window.orderBy($"spend", $"o_custkey"))
+          .cast(DecimalType(38, 0)))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"spend".cast(DecimalType(38, 0))).cast("double").as("sx"),
+        sum($"i" * $"spend").cast("double").as("six"))
+      .select($"n".cast("long").as("n_customers"),
+        round((lit(2) * $"six" - ($"n" + 1) * $"sx") /
+          ($"n" * $"sx"), 6).as("gini"))
+  }
+
+  private val qGiniSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS spend
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT spend,
+      |    CAST(row_number() OVER (ORDER BY spend, o_custkey) AS HUGEINT)
+      |      AS i
+      |  FROM per_cust),
+      |g AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(spend AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(i * spend) AS DOUBLE) AS six
+      |  FROM idx)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  round((2 * six - (n + 1) * sx) / (n * sx), 6) AS gini
+      |FROM g""".stripMargin
+
+  // ------------------------------------------------------------ q_abc_class
+  /** ABC inventory classification of parts by revenue contribution — the
+    * warehouse-ops classic: A = parts inside the first 80% of cumulative
+    * revenue, B = to 95%, C = the tail. Revenue ranks by exact 4-decimal
+    * ticks with a TOTAL order (revenue desc, partkey); the 80/95 cuts are
+    * exact integer comparisons (5·cum ≤ 4·total, 20·cum ≤ 19·total) so no
+    * float boundary can flip a class between engines. The cumulative
+    * window runs over the part aggregate (a dimension); revenue-per-part
+    * is the only fact-volume shuffle. */
+  def qAbcClass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(sum((OP.discounted($"l_extendedprice", $"l_discount") * 10000)
+        .cast("long")).as("rev"))
+    val tot = perPart.agg(sum($"rev").as("total"))
+    val w = Window.orderBy($"rev".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart
+      .withColumn("cum", sum($"rev").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when($"cum" * 5 <= $"total" * 4, "A")
+          .when($"cum" * 20 <= $"total" * 19, "B")
+          .otherwise("C"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum($"rev").cast("double") / max($"total").cast("double"), 6)
+          .as("rev_share"))
+      .orderBy($"cls")
+  }
+
+  private val qAbcClassSql =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT))
+      |      AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(rev) AS total FROM per_part),
+      |cum AS (
+      |  SELECT rev, total,
+      |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM per_part, tot),
+      |cls AS (
+      |  SELECT rev, total,
+      |    CASE WHEN cum * 5 <= total * 4 THEN 'A'
+      |         WHEN cum * 20 <= total * 19 THEN 'B'
+      |         ELSE 'C' END AS cls
+      |  FROM cum)
+      |SELECT cls, count(*) AS n_parts,
+      |  round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+      |    AS rev_share
+      |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
+
+  // ------------------------------------------------------------ q_theil_sen
+  /** Theil–Sen robust trend of the last 60 days of daily revenue: the
+    * median of all pairwise slopes (yⱼ−yᵢ)/(dⱼ−dᵢ), the estimator that
+    * shrugs off the outlier days that wreck [[Stats.qLinreg]]'s OLS slope.
+    * The pair fan-out is a non-equi self-join on the 60-row tail of the
+    * daily aggregate (≤ 1770 pairs — broadcast nested loop on purpose,
+    * dim-sized); each slope is one double division of exact integers, and
+    * the median picks the middle row_number positions so both engines
+    * average the same two doubles. */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("y"))
+    val maxD = daily.agg(max($"day").as("max_day"))
+    val tail = daily.crossJoin(broadcast(maxD))
+      .filter($"day" >= date_sub($"max_day", 59))
+      .select($"day", $"y")
+    val slopes = tail.alias("a")
+      .join(broadcast(tail.alias("b")), $"a.day" < $"b.day")
+      .select((($"b.y" - $"a.y").cast("double") /
+        datediff($"b.day", $"a.day").cast("double")).as("slope"))
+    val m = slopes.agg(count(lit(1)).as("m"))
+    slopes
+      .withColumn("pos", row_number().over(Window.orderBy($"slope")))
+      .crossJoin(broadcast(m))
+      .filter($"pos" === floor(($"m" + 1) / 2) ||
+        $"pos" === floor($"m" / 2) + 1)
+      .agg(max($"m").as("n_pairs"),
+        round(avg($"slope"), 4).as("slope_cents_per_day"))
+  }
+
+  private val qTheilSenSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |tail AS (
+      |  SELECT day, y FROM daily
+      |  WHERE day >= (SELECT max(day) FROM daily) - INTERVAL 59 DAY),
+      |slopes AS (
+      |  SELECT CAST(b.y - a.y AS DOUBLE)
+      |       / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+      |  FROM tail a JOIN tail b ON a.day < b.day),
+      |pos AS (
+      |  SELECT slope, row_number() OVER (ORDER BY slope) AS pos,
+      |    count(*) OVER () AS m
+      |  FROM slopes)
+      |SELECT max(m) AS n_pairs,
+      |  round(avg(slope), 4) AS slope_cents_per_day
+      |FROM pos
+      |WHERE pos = (m + 1) // 2 OR pos = m // 2 + 1""".stripMargin
+
+  // ---------------------------------------------------------- q_kendall_tau
+  /** Kendall's τ-b for the time-trend of the 60-day daily-revenue tail —
+    * the pairwise companion of [[qSpearman]]: counts concordant vs
+    * discordant (day, revenue) pairs instead of ranking. Days are
+    * distinct, so the x-tie term vanishes and
+    * τ = (C − D)/√(n₀·(n₀ − t_y)); C, D, t_y are exact pair counts from
+    * the same ≤1770-pair broadcast self-join as [[qTheilSen]], and the
+    * one sqrt+division is the final projection. */
+  def qKendallTau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("y"))
+    val maxD = daily.agg(max($"day").as("max_day"))
+    val tail = daily.crossJoin(broadcast(maxD))
+      .filter($"day" >= date_sub($"max_day", 59))
+      .select($"day", $"y")
+    tail.alias("a")
+      .join(broadcast(tail.alias("b")), $"a.day" < $"b.day")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"b.y" > $"a.y", 1L).otherwise(0L)).as("n_concordant"),
+        sum(when($"b.y" < $"a.y", 1L).otherwise(0L)).as("n_discordant"),
+        sum(when($"b.y" === $"a.y", 1L).otherwise(0L)).as("ties_y"))
+      .select($"n_pairs", $"n_concordant", $"n_discordant",
+        round(($"n_concordant" - $"n_discordant").cast("double") /
+          sqrt($"n_pairs".cast("double") *
+            ($"n_pairs" - $"ties_y").cast("double")), 6).as("tau"))
+  }
+
+  private val qKendallTauSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |tail AS (
+      |  SELECT day, y FROM daily
+      |  WHERE day >= (SELECT max(day) FROM daily) - INTERVAL 59 DAY),
+      |g AS (
+      |  SELECT count(*) AS n_pairs,
+      |    sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS n_concordant,
+      |    sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS n_discordant,
+      |    sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS ties_y
+      |  FROM tail a JOIN tail b ON a.day < b.day)
+      |SELECT n_pairs, n_concordant, n_discordant,
+      |  round(CAST(n_concordant - n_discordant AS DOUBLE) /
+      |    sqrt(CAST(n_pairs AS DOUBLE) *
+      |      CAST(n_pairs - ties_y AS DOUBLE)), 6) AS tau
+      |FROM g""".stripMargin
+
+  // ------------------------------------------------------------ q_runs_test
+  /** Wald–Wolfowitz runs test on the daily revenue series: is the
+    * above/below-median sign sequence random, or does it trend/cluster?
+    * The median uses the repo's exact ×2 trick (interpolated halves stay
+    * representable; both engines round the same integer), equal-to-median
+    * days are dropped per the textbook procedure, runs are counted with a
+    * lag over the day order, and the z-score closed form runs on exact
+    * counts. Day-ordered window over the O(days) aggregate only. */
+  def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+    val med = daily.agg(
+      round(expr("percentile(x * 2, 0.5)"), 0).cast("long").as("med2"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter($"x" * 2 =!= $"med2")
+      .withColumn("above", ($"x" * 2 > $"med2").cast("int"))
+    val w = Window.orderBy($"day")
+    val runs = signed
+      .withColumn("brk",
+        when(lag($"above", 1).over(w).isNull, 1)
+          .when(lag($"above", 1).over(w) =!= $"above", 1).otherwise(0))
+    runs.agg(
+        sum($"above").cast("long").as("n_above"),
+        sum(lit(1) - $"above").cast("long").as("n_below"),
+        sum($"brk").cast("long").as("n_runs"))
+      .select($"n_above", $"n_below", $"n_runs",
+        round(($"n_runs".cast("double") -
+          (lit(2.0) * $"n_above" * $"n_below" /
+            ($"n_above" + $"n_below") + 1)) /
+          sqrt(lit(2.0) * $"n_above" * $"n_below" *
+            (lit(2.0) * $"n_above" * $"n_below" - $"n_above" - $"n_below") /
+            (($"n_above" + $"n_below") * ($"n_above" + $"n_below") *
+              ($"n_above" + $"n_below" - 1)).cast("double")), 6).as("z"))
+  }
+
+  private val qRunsTestSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |med AS (
+      |  SELECT CAST(round(quantile_cont(CAST(x * 2 AS DOUBLE), 0.5), 0)
+      |    AS BIGINT) AS med2
+      |  FROM daily),
+      |signed AS (
+      |  SELECT day, CAST(x * 2 > med2 AS INT) AS above
+      |  FROM daily, med WHERE x * 2 <> med2),
+      |runs AS (
+      |  SELECT above,
+      |    CASE WHEN lag(above) OVER (ORDER BY day) IS NULL THEN 1
+      |         WHEN lag(above) OVER (ORDER BY day) <> above THEN 1
+      |         ELSE 0 END AS brk
+      |  FROM signed),
+      |g AS (
+      |  SELECT CAST(sum(above) AS BIGINT) AS n_above,
+      |    CAST(sum(1 - above) AS BIGINT) AS n_below,
+      |    CAST(sum(brk) AS BIGINT) AS n_runs
+      |  FROM runs)
+      |SELECT n_above, n_below, n_runs,
+      |  round((CAST(n_runs AS DOUBLE) -
+      |    (2.0 * n_above * n_below / (n_above + n_below) + 1)) /
+      |    sqrt(2.0 * n_above * n_below *
+      |      (2.0 * n_above * n_below - n_above - n_below) /
+      |      CAST((n_above + n_below) * (n_above + n_below) *
+      |        (n_above + n_below - 1) AS DOUBLE)), 6) AS z
+      |FROM g""".stripMargin
+
+  // --------------------------------------------------------- q_trimmed_mean
+  /** 5%-trimmed mean of customer spend — the robust center that survives
+    * both the dormant-account floor and the whale ceiling. Drops exactly
+    * ⌊0.05·n⌋ rows from each end of the TOTAL (spend, custkey) order —
+    * integer positions, no percentile interpolation, so no float boundary
+    * exists — then takes the exact decimal mean of the kept middle. The
+    * rank runs over the customer aggregate (a dimension); at fact scale
+    * the same positions come from range-partitioned rank. */
+  def qTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("spend"))
+    val n = perCust.agg(count(lit(1)).as("n"))
+    perCust
+      .withColumn("pos",
+        row_number().over(Window.orderBy($"spend", $"o_custkey")))
+      .crossJoin(broadcast(n))
+      .filter($"pos" > floor($"n" * 0.05) && $"pos" <= $"n" - floor($"n" * 0.05))
+      .agg(max($"n").as("n_customers"), count(lit(1)).as("n_kept"),
+        round(sum($"spend".cast(DecimalType(38, 0))).cast("double") /
+          count(lit(1)) / 100, 4).as("trimmed_mean"))
+  }
+
+  private val qTrimmedMeanSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS spend
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM per_cust),
+      |pos AS (
+      |  SELECT spend, n,
+      |    row_number() OVER (ORDER BY spend, o_custkey) AS pos
+      |  FROM per_cust, n)
+      |SELECT max(n) AS n_customers, count(*) AS n_kept,
+      |  round(CAST(sum(CAST(spend AS HUGEINT)) AS DOUBLE) / count(*) / 100,
+      |    4) AS trimmed_mean
+      |FROM pos
+      |WHERE pos > floor(n * 0.05) AND pos <= n - floor(n * 0.05)""".stripMargin
+
+  // ------------------------------------------------------------ registry --
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test"      -> (qKsTest _),
+    "q_mann_whitney" -> (qMannWhitney _),
+    "q_spearman"     -> (qSpearman _),
+    "q_gini"         -> (qGini _),
+    "q_abc_class"    -> (qAbcClass _),
+    "q_kendall_tau"  -> (qKendallTau _),
+    "q_runs_test"    -> (qRunsTest _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_theil_sen"    -> (qTheilSen _))
+
+  val oracle: Map[String, String] = Map(
+    "q_ks_test"      -> qKsTestSql,
+    "q_mann_whitney" -> qMannWhitneySql,
+    "q_spearman"     -> qSpearmanSql,
+    "q_gini"         -> qGiniSql,
+    "q_abc_class"    -> qAbcClassSql,
+    "q_kendall_tau"  -> qKendallTauSql,
+    "q_runs_test"    -> qRunsTestSql,
+    "q_trimmed_mean" -> qTrimmedMeanSql,
+    "q_theil_sen"    -> qTheilSenSql)
+}

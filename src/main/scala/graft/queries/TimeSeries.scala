@@ -852,7 +852,172 @@ object TimeSeries {
       |FROM t LEFT JOIN s USING (dow)
       |ORDER BY t.day""".stripMargin
 
+  // ------------------------------------------------------------------ q_vwap
+  /** Per-ship-day volume-weighted average price — revenue per unit shipped,
+    * the finance-desk VWAP re-read over the lineitem fact. One map-side-
+    * combinable groupBy(day) over the fact scan, no window, no join; both
+    * sums are exact decimals (cents, 2-decimal quantity) and the single
+    * division happens at the projection, rounded. The day grain keeps the
+    * output O(days) at any fact scale. */
+  def qVwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_shipdate".as("day"))
+      .agg(
+        sum((OP.dec2($"l_extendedprice") * 100).cast("long")).as("cents"),
+        sum((OP.dec2($"l_quantity") * 100).cast("long")).as("qty100"))
+      .select($"day",
+        ($"qty100".cast("double") / 100).as("total_qty"),
+        round(($"cents".cast("double") / 100) /
+          ($"qty100".cast("double") / 100), 4).as("vwap"))
+      .orderBy($"day")
+  }
+
+  private val qVwapSql =
+    """SELECT day,
+      |  CAST(qty100 AS DOUBLE) / 100 AS total_qty,
+      |  round((CAST(cents AS DOUBLE) / 100) /
+      |    (CAST(qty100 AS DOUBLE) / 100), 4) AS vwap
+      |FROM (
+      |  SELECT l_shipdate AS day,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents,
+      |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS qty100
+      |  FROM lineitem GROUP BY 1)
+      |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------- q_bollinger
+  /** 7-day Bollinger bands over daily order revenue: rolling mean ± 2
+    * population std-devs, the volatility envelope read before calling any
+    * daily move anomalous (the windowed companion to [[Stats]]' global
+    * outlier fences). The fact scan collapses to the O(days) daily series
+    * first; the rolling frame (6 preceding + current) then runs on the
+    * aggregate. Sums stay exact (cents and cents² in DECIMAL(38,0));
+    * mean/σ appear only in the final closed form — σ² = (n·Σx² − (Σx)²)/n²
+    * — identically parenthesized in the oracle and rounded at the
+    * projection. */
+  def qBollinger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+      .select($"day",
+        $"x".cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("x"))
+    val w = Window.orderBy($"day").rowsBetween(-6, Window.currentRow)
+    daily
+      .select($"day",
+        count(lit(1)).over(w).cast("double").as("n"),
+        sum($"x").over(w).cast("double").as("sx"),
+        sum($"x" * $"x").over(w).cast("double").as("sxx"))
+      .select($"day", $"n".cast("long").as("n7"),
+        round($"sx" / $"n" / 100, 4).as("mean7"),
+        round(($"sx" / $"n" +
+          lit(2) * sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * $"n")))
+          / 100, 4).as("upper"),
+        round(($"sx" / $"n" -
+          lit(2) * sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * $"n")))
+          / 100, 4).as("lower"))
+      .orderBy($"day")
+  }
+
+  private val qBollingerSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS HUGEINT) AS x
+      |  FROM orders GROUP BY 1),
+      |roll AS (
+      |  SELECT day,
+      |    CAST(count(*) OVER w AS DOUBLE) AS n,
+      |    CAST(sum(x) OVER w AS DOUBLE) AS sx,
+      |    CAST(sum(x * x) OVER w AS DOUBLE) AS sxx
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day, CAST(n AS BIGINT) AS n7,
+      |  round(sx / n / 100, 4) AS mean7,
+      |  round((sx / n + 2 * sqrt((n * sxx - sx * sx) / (n * n))) / 100, 4)
+      |    AS upper,
+      |  round((sx / n - 2 * sqrt((n * sxx - sx * sx) / (n * n))) / 100, 4)
+      |    AS lower
+      |FROM roll ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------------- q_sax
+  /** SAX (symbolic aggregate approximation) of the last 56 days of daily
+    * revenue: 8 seven-day PAA segments, z-normalized against the 56-day
+    * window, mapped to a 4-symbol alphabet at the Gaussian quartile
+    * breakpoints ±0.6745 and 0 — the discretization that turns a series
+    * into a string for motif/novelty search (the time-series analogue of
+    * [[TextDedup]]'s shingles). Segment sums and the window moments are
+    * exact cents; the z-score and breakpoints compare in doubles computed
+    * by one identically-parenthesized formula in both engines. The whole
+    * computation runs on the O(days) aggregate. */
+  def qSax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+    val maxD = daily.agg(max($"day").as("max_day"))
+    val tail = daily.crossJoin(broadcast(maxD))
+      .filter($"day" >= date_sub($"max_day", 55))
+      .withColumn("seg",
+        floor(datediff($"max_day", $"day") / 7).cast("int"))
+      .withColumn("xd",
+        $"x".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val moments = tail.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"xd").cast("double").as("sx"),
+      sum($"xd" * $"xd").cast("double").as("sxx"))
+    tail
+      .groupBy($"seg")
+      .agg(count(lit(1)).cast("double").as("m"),
+        sum($"xd").cast("double").as("sseg"))
+      .crossJoin(broadcast(moments))
+      .withColumn("z",
+        ($"sseg" / $"m" - $"sx" / $"n") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * $"n")))
+      .select((lit(7) - $"seg").as("segment"),
+        round($"sseg" / $"m" / 100, 4).as("paa_mean"),
+        when($"z" < -0.6745, "a").when($"z" < 0.0, "b")
+          .when($"z" < 0.6745, "c").otherwise("d").as("symbol"))
+      .orderBy($"segment")
+  }
+
+  private val qSaxSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |tail AS (
+      |  SELECT day, CAST(x AS HUGEINT) AS xd,
+      |    CAST(floor(date_diff('day', day,
+      |      (SELECT max(day) FROM daily)) / 7) AS INT) AS seg
+      |  FROM daily
+      |  WHERE day >= (SELECT max(day) FROM daily) - INTERVAL 55 DAY),
+      |mom AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(xd) AS DOUBLE) AS sx,
+      |    CAST(sum(xd * xd) AS DOUBLE) AS sxx
+      |  FROM tail),
+      |segs AS (
+      |  SELECT seg, CAST(count(*) AS DOUBLE) AS m,
+      |    CAST(sum(xd) AS DOUBLE) AS sseg
+      |  FROM tail GROUP BY seg),
+      |z AS (
+      |  SELECT seg, m, sseg,
+      |    (sseg / m - sx / n) / sqrt((n * sxx - sx * sx) / (n * n)) AS z
+      |  FROM segs, mom)
+      |SELECT 7 - seg AS segment,
+      |  round(sseg / m / 100, 4) AS paa_mean,
+      |  CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+      |       WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+      |FROM z ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sax"            -> (qSax _),
+    "q_vwap"           -> (qVwap _),
+    "q_bollinger"      -> (qBollinger _),
     "q_stl_decompose"  -> (qStlDecompose _),
     "q_lateness"       -> (qLateness _),
     "q_cusum"          -> (qCusum _),
@@ -872,6 +1037,9 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_sax"            -> qSaxSql,
+    "q_vwap"           -> qVwapSql,
+    "q_bollinger"      -> qBollingerSql,
     "q_stl_decompose"  -> qStlDecomposeSql,
     "q_lateness"       -> qLatenessSql,
     "q_cusum"          -> qCusumSql,

@@ -147,20 +147,30 @@ object Streams {
     try body finally s.conf.set(key, prev)
   }
 
-  /** The events table as a bounded file-source STREAM (same ns→µs ts fix as
-    * [[graft.core.Tables.events]] so batch and stream see identical rows). */
+  /** The events table as a bounded file-source STREAM, normalizing ts
+    * exactly as [[graft.core.Tables.events]] does (nanos-as-long vintage →
+    * integer-div truncate; µs-timestamp vintage → session-UTC cast) so
+    * batch and stream see identical rows. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // idempotent session tune (nanosAsLong etc.) — the stream entries must
     // not depend on a batch query having touched Tables.load first in the
     // same session (latent ordering bug caught by a subset Verify run)
     graft.core.Sessions.tune(s)
     val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
     // the file source requires a DIRECTORY base path; select the single
     // table file out of the dataset dir with a glob filter
-    s.readStream.schema(s.read.parquet(path).schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Streaming twin of q_tumbling: [[windowedEventStats]] over the bounded

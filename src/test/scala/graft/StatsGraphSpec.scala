@@ -41,6 +41,27 @@ class StatsGraphSpec extends AnyFunSuite {
       (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5))) === 4L)
   }
 
+  test("k-core peel: hand-countable fixtures, and survivors satisfy deg >= k") {
+    // K4 with a pendant chain 4-5-6: 2-core and 3-core are exactly K4
+    // (pendants peel off), 4-core is empty (K4 max degree is 3)
+    val g = edgesDf(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6))
+    def survivors(k: Int) = {
+      val e = graft.queries.Graph.kcoreEdges(spark, g, k)
+      e.select(col("u")).union(e.select(col("v")))
+        .distinct().collect().map(_.getLong(0)).toSet
+    }
+    assert(survivors(2) === Set(1L, 2L, 3L, 4L))
+    assert(survivors(3) === Set(1L, 2L, 3L, 4L))
+    assert(survivors(4) === Set.empty[Long])
+    // converged fixpoint: every surviving node has degree >= k in the core
+    val core2 = graft.queries.Graph.kcoreEdges(spark, g, 2)
+    val degs = core2.select(col("u").as("n"))
+      .unionAll(core2.select(col("v").as("n")))
+      .groupBy("n").count().collect()
+    assert(degs.forall(_.getLong(1) >= 2))
+  }
+
   test("skyline: kept points are mutually undominated, dropped points are dominated") {
     val all = graft.core.Tables.part(spark, sfDir)
       .select(col("p_partkey"),
