@@ -1369,7 +1369,95 @@ object Embeddings {
        |ORDER BY approx_dist, r.vec_id LIMIT 10""".stripMargin
   }
 
+  // ----------------------------------------------------------------- q_ndcg
+  /** nDCG@10 of the exact cosine ranking against label-match relevance —
+    * the graded ranking-quality metric that [[qAnnRecall]]'s set-overlap
+    * recall can't express (a relevant hit at rank 1 should count more than
+    * at rank 10). DCG = Σ rel/log₂(rank+1) over the top-10; the ideal DCG
+    * places all min(|label|−1, 10) relevant docs first, generated from a
+    * broadcast 10-row position table, so ndcg = DCG/IDCG ∈ [0,1].
+    *
+    * Scale shape: the ranking reuses the broadcast-query × corpus pattern
+    * (queries are the sampled 1/20 slice, broadcast; the corpus side
+    * streams), the per-query window ranks ≤ corpus rows per query key, and
+    * everything after the top-10 filter is O(queries). log₂ on identical
+    * integer ranks is engine-deterministic; the ≤10-term double sum is
+    * round-4 neutralized (q_source_entropy precedent). */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val K = 10
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("norm", sqrt(sqNorm("embedding")))
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val corpus = emb.select(col("vec_id").as("nn_id"),
+      col("embedding").as("emb2"), col("norm").as("norm2"),
+      col("label").as("nn_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("nn_id"))
+    val ranked = corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos_sim", pairCos("qv", "emb2", "q_norm", "norm2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+    val dcg = ranked.groupBy(col("q_id"), col("q_label"))
+      .agg(
+        sum(when(col("nn_label") === col("q_label"),
+          lit(1.0) / log2(col("rn") + 1)).otherwise(0.0)).as("dcg"),
+        sum(when(col("nn_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_rel_top10"))
+    val labCounts = emb.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_lab"))
+    val positions = s.range(1, K + 1).select(col("id").as("i"))
+    dcg
+      .join(broadcast(labCounts), "q_label")
+      .withColumn("lim", least(col("n_lab") - 1, lit(K.toLong)))
+      .crossJoin(broadcast(positions))
+      .groupBy(col("q_id"), col("dcg"), col("n_rel_top10"))
+      .agg(sum(when(col("i") <= col("lim"),
+        lit(1.0) / log2(col("i") + 1)).otherwise(0.0)).as("idcg"))
+      .select(col("q_id"), col("n_rel_top10"),
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 4))
+          .otherwise(0.0).as("ndcg_at_10"))
+      .orderBy(col("q_id"))
+  }
+
+  private val qNdcgSql =
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+       |      FROM e WHERE vec_id % 20 = 0),
+       |ranked AS (
+       |  SELECT q_id, q_label, nn_label, rn FROM (
+       |    SELECT q.q_id, q.q_label, c.label AS nn_label,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        round(${dotSql("q.qv", "c.embedding")}
+       |          / (sqrt(${dotSql("q.qv", "q.qv")})
+       |             * sqrt(${dotSql("c.embedding", "c.embedding")})), 4) DESC,
+       |        c.vec_id) AS rn
+       |    FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+       |  WHERE rn <= 10),
+       |dcg AS (
+       |  SELECT q_id, q_label,
+       |    sum(CASE WHEN nn_label = q_label
+       |        THEN 1.0 / log2(rn + 1) ELSE 0 END) AS dcg,
+       |    sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0 END)
+       |      AS n_rel_top10
+       |  FROM ranked GROUP BY 1, 2),
+       |lab AS (SELECT label, count(*) AS n_lab FROM e GROUP BY 1),
+       |pos AS (SELECT unnest(range(1, 11)) AS i),
+       |idcg AS (
+       |  SELECT d.q_id, d.dcg, d.n_rel_top10,
+       |    sum(CASE WHEN i <= least(l.n_lab - 1, 10)
+       |        THEN 1.0 / log2(i + 1) ELSE 0 END) AS idcg
+       |  FROM dcg d JOIN lab l ON l.label = d.q_label CROSS JOIN pos
+       |  GROUP BY 1, 2, 3)
+       |SELECT q_id, CAST(n_rel_top10 AS BIGINT) AS n_rel_top10,
+       |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) ELSE 0.0 END
+       |    AS ndcg_at_10
+       |FROM idcg ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ndcg"          -> (qNdcg _),
     "q_scalar_quant"   -> (qScalarQuant _),
     "q_mmr_rerank"     -> (qMmrRerank _),
     "q_hybrid_search"  -> (qHybridSearch _),
@@ -1391,6 +1479,7 @@ object Embeddings {
     "q_ann_recall"    -> (qAnnRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_ndcg"          -> qNdcgSql,
     "q_scalar_quant"   -> qScalarQuantSql,
     "q_mmr_rerank"     -> qMmrRerankSql,
     "q_hybrid_search"  -> qHybridSearchSql,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
@@ -742,6 +743,127 @@ object Graph {
        |WHERE c.du + c.dv - 2 - coalesce(m.n_common, 0) > 0
        |ORDER BY jaccard DESC, c.u, c.v LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- q_adamic_adar
+  /** Adamic–Adar link strength for co-order edges with ≥1 common
+    * neighbor: Σ_w 1/ln(deg(w)) over common neighbors w — [[qGraphJaccard]]
+    * re-weighted so that a shared RARE neighbor certifies a stronger tie
+    * than a shared hub (the classic link-prediction refinement). Identical
+    * degree-oriented wedge pipeline and stored-edge probe as the Jaccard
+    * variant; the only addition is a broadcast-sized degree join on the
+    * common neighbor before the per-edge sum. deg(w) ≥ 2 for any common
+    * neighbor (w is adjacent to both endpoints), so ln(deg) > 0. ln is
+    * IEEE-double in both engines on identical integer inputs and the sum
+    * order is neutralized by the round-4 projection (the q_source_entropy
+    * precedent). */
+  def qAdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coOrderEdges(s, dir)
+    val adj = edges.select($"u".as("x"), $"v".as("nbr"))
+      .union(edges.select($"v".as("x"), $"u".as("nbr")))
+    val deg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))
+    val cand = edges
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+    val probe = cand
+      .withColumn("a", when($"du" <= $"dv", $"u").otherwise($"v"))
+      .withColumn("b", when($"du" <= $"dv", $"v").otherwise($"u"))
+      .join(adj.withColumnRenamed("x", "a").withColumnRenamed("nbr", "w"), "a")
+      .filter($"w" =!= $"b")
+      .withColumn("pu", least($"b", $"w"))
+      .withColumn("pv", greatest($"b", $"w"))
+    val closed = probe.join(
+      edges.select($"u".as("pu"), $"v".as("pv")), Seq("pu", "pv"), "left_semi")
+    closed
+      .join(deg.withColumnRenamed("x", "w").withColumnRenamed("deg", "dw"), "w")
+      .groupBy($"u", $"v")
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log($"dw".cast("double"))).as("aa_raw"))
+      .select($"u", $"v", $"n_common", round($"aa_raw", 4).as("adamic_adar"))
+      .orderBy($"adamic_adar".desc, $"u", $"v")
+      .limit(20)
+  }
+
+  private val qAdamicAdarSql =
+    s"""WITH $coOrderEdgesCte,
+       |adj AS (
+       |  SELECT u AS x, v AS nbr FROM edges
+       |  UNION ALL SELECT v AS x, u AS nbr FROM edges),
+       |deg AS (SELECT x, count(*) AS deg FROM adj GROUP BY x),
+       |cand AS (
+       |  SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+       |  FROM edges e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+       |probe AS (
+       |  SELECT c.u, c.v,
+       |    CASE WHEN c.du <= c.dv THEN c.v ELSE c.u END AS b, a.nbr AS w
+       |  FROM cand c
+       |  JOIN adj a ON a.x = (CASE WHEN c.du <= c.dv THEN c.u ELSE c.v END)
+       |  WHERE a.nbr <> (CASE WHEN c.du <= c.dv THEN c.v ELSE c.u END)),
+       |closed AS (
+       |  SELECT u, v, w FROM probe p
+       |  WHERE EXISTS (SELECT 1 FROM edges e
+       |                WHERE e.u = least(p.b, p.w)
+       |                  AND e.v = greatest(p.b, p.w)))
+       |SELECT c.u, c.v, count(*) AS n_common,
+       |  round(sum(1.0 / ln(CAST(d.deg AS DOUBLE))), 4) AS adamic_adar
+       |FROM closed c JOIN deg d ON d.x = c.w
+       |GROUP BY c.u, c.v
+       |ORDER BY adamic_adar DESC, c.u, c.v LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------- q_assortativity
+  /** Degree assortativity of the co-order graph: the Pearson correlation
+    * of (deg(x), deg(nbr)) over the directed edge list — positive means
+    * hubs buy with hubs (a core-periphery signal for partitioning
+    * strategy), negative means hubs fan out to leaves. Exact DECIMAL
+    * moment sums over the O(m) adjacency (one degree aggregate + one
+    * broadcast-sized degree join per endpoint), one closed-form double at
+    * the projection — the [[Stats]] qLinreg discipline on a graph. */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = coOrderEdges(s, dir)
+    val adj = edges.select($"u".as("x"), $"v".as("nbr"))
+      .union(edges.select($"v".as("x"), $"u".as("nbr")))
+    val deg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))
+    val pairs = adj
+      .join(deg, "x")
+      .join(deg.withColumnRenamed("x", "nbr").withColumnRenamed("deg", "dn"),
+        "nbr")
+      .select($"deg".cast(DecimalType(38, 0)).as("dx"),
+        $"dn".cast(DecimalType(38, 0)).as("dy"))
+    pairs
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"dx").cast("double").as("sx"),
+        sum($"dy").cast("double").as("sy"),
+        sum($"dx" * $"dx").cast("double").as("sxx"),
+        sum($"dy" * $"dy").cast("double").as("syy"),
+        sum($"dx" * $"dy").cast("double").as("sxy"))
+      .select($"n".cast("long").as("n_directed_edges"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("assortativity"))
+  }
+
+  private val qAssortativitySql =
+    s"""WITH $coOrderEdgesCte,
+       |adj AS (
+       |  SELECT u AS x, v AS nbr FROM edges
+       |  UNION ALL SELECT v AS x, u AS nbr FROM edges),
+       |deg AS (SELECT x, count(*) AS deg FROM adj GROUP BY x),
+       |pairs AS (
+       |  SELECT CAST(dx.deg AS HUGEINT) AS dx, CAST(dy.deg AS HUGEINT) AS dy
+       |  FROM adj a JOIN deg dx ON dx.x = a.x JOIN deg dy ON dy.x = a.nbr),
+       |g AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+       |    CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+       |    CAST(sum(dy * dy) AS DOUBLE) AS syy,
+       |    CAST(sum(dx * dy) AS DOUBLE) AS sxy
+       |  FROM pairs)
+       |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       |  round((n * sxy - sx * sy) /
+       |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       |    AS assortativity
+       |FROM g""".stripMargin
+
   // ------------------------------------------------------------ q_label_prop
   /** Community detection by synchronous label propagation over the
     * undirected co-order graph: every node starts labeled with its own id;
@@ -996,6 +1118,8 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kcore"       -> (qKcore _),
+    "q_adamic_adar" -> (qAdamicAdar _),
+    "q_assortativity" -> (qAssortativity _),
     "q_label_prop"  -> (qLabelProp _),
     "q_ppr"         -> (qPpr _),
     "q_graph_jaccard" -> (qGraphJaccard _),
@@ -1011,6 +1135,8 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "q_kcore"      -> qKcoreSql,
+    "q_adamic_adar" -> qAdamicAdarSql,
+    "q_assortativity" -> qAssortativitySql,
     "q_label_prop" -> qLabelPropSql,
     "q_ppr"        -> PprOracle.sql,
     "q_graph_jaccard" -> qGraphJaccardSql,

@@ -1020,7 +1020,74 @@ object TextAnalysis {
       |FROM sc s JOIN norms n USING (doc_id) CROSS JOIN qn
       |ORDER BY cos_sim DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------ q_prf_expand
+  /** Pseudo-relevance-feedback query expansion (Rocchio-style): run the
+    * seed query, take the top-10 matching docs as presumed-relevant
+    * feedback, and surface the 5 terms that are common in the feedback set
+    * but rare in the corpus — weight = (fb_df/10)·ln(N/df), the idf-damped
+    * feedback frequency. The retrieval-side companion to [[qBm25]]: BM25
+    * scores a fixed query, this grows the query.
+    *
+    * Scale shape: the feedback set is a TakeOrderedAndProject top-10
+    * (never a full sort), broadcast into the term scan; candidate terms
+    * are distinct (doc, term) pairs of TEN docs — tiny; the corpus df
+    * aggregate is the one fact-sized shuffle and is map-side combinable.
+    * Stopword/shape filters prune the candidate space before any join. */
+  def qPrfExpand(s: SparkSession, dir: String): DataFrame = {
+    val q0 = Seq("vector", "hash")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+    val tok = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+    val fb = tok.filter(col("tok").isin(q0: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("q_tf"))
+      .orderBy(col("q_tf").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"))
+    val fbTerms = tok.join(broadcast(fb), "doc_id")
+      .filter(!col("tok").isin((q0 ++ enStops ++ frStops ++ esStops): _*))
+      .filter(length(col("tok")) >= 3 && col("tok").rlike("^[a-z]+$"))
+      .distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("fb_df"))
+    val corpusDf = tok.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("corpus_df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    fbTerms.join(corpusDf, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("weight",
+        round((col("fb_df") / lit(10.0)) *
+          log(col("n_docs").cast("double") / col("corpus_df")), 4))
+      .select(col("tok").as("term"), col("fb_df"), col("corpus_df"),
+        col("weight"))
+      .orderBy(col("weight").desc, col("term")).limit(5)
+  }
+
+  private val qPrfExpandSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS tok FROM d),
+       |fb AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, count(*) AS q_tf FROM tok
+       |    WHERE tok IN ('vector', 'hash') GROUP BY 1)
+       |  ORDER BY q_tf DESC, doc_id LIMIT 10),
+       |fbt AS (
+       |  SELECT tok, count(*) AS fb_df FROM (
+       |    SELECT DISTINCT t.doc_id, t.tok
+       |    FROM tok t JOIN fb USING (doc_id)
+       |    WHERE t.tok NOT IN ${inList(Seq("vector", "hash") ++ enStops ++ frStops ++ esStops)}
+       |      AND len(t.tok) >= 3 AND regexp_full_match(t.tok, '[a-z]+'))
+       |  GROUP BY tok),
+       |cdf AS (
+       |  SELECT tok, count(*) AS corpus_df FROM (
+       |    SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+       |n AS (SELECT count(*) AS n_docs FROM d)
+       |SELECT f.tok AS term, f.fb_df, c.corpus_df,
+       |  round((f.fb_df / 10.0) *
+       |    ln(CAST(n_docs AS DOUBLE) / c.corpus_df), 4) AS weight
+       |FROM fbt f JOIN cdf c USING (tok) CROSS JOIN n
+       |ORDER BY weight DESC, term LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_prf_expand"   -> (qPrfExpand _),
     "q_zipf"          -> (qZipf _),
     "q_tfidf_cosine"  -> (qTfidfCosine _),
     "q_topic_keywords" -> (qTopicKeywords _),
@@ -1041,6 +1108,7 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_prf_expand"   -> qPrfExpandSql,
     "q_zipf"          -> qZipfSql,
     "q_tfidf_cosine"  -> qTfidfCosineSql,
     "q_topic_keywords" -> qTopicKeywordsSql,

@@ -439,6 +439,93 @@ object WarehouseOps {
       |GROUP BY 1, 2
       |ORDER BY c_mktsegment, c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------- q_t_closeness
+  /** t-closeness audit completing the k-anonymity / l-diversity triad: for
+    * each (segment, nation) equivalence class, the Earth Mover's Distance
+    * between the class's balance-band distribution and the global one —
+    * l-diversity counts DISTINCT sensitive values; t-closeness catches the
+    * class whose values are distinct but skewed (an attacker learns the
+    * class is mostly band 9 even if 3 bands appear). For the ordered bands,
+    * EMD = Σ|cumulative(p−q)|/(m−1), kept exact over the common denominator
+    * n_class·n_total: r_i = Σ_{j≤i}(cnt_cb·total − cnt_b·n_class), all
+    * integer, one double division at the projection.
+    *
+    * Scale shape: three exact aggregates off the one customer scan (class,
+    * band, class×band), a broadcast class×band grid so zero-count bands
+    * participate in the cumsum, and a per-class window over ≤ m band rows —
+    * every post-scan structure is O(classes·bands), dimension-sized. */
+  def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_nationkey",
+        floor((OP.dec2($"c_acctbal") * 100).cast("long") / lit(100000.0))
+          .as("bal_band"))
+    val cls = rows.groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("n_class"))
+    val bands = rows.groupBy($"bal_band").agg(count(lit(1)).as("n_band"))
+    val tot = rows.agg(count(lit(1)).as("n_total"),
+      countDistinct($"bal_band").as("m"))
+    val cb = rows.groupBy($"c_mktsegment", $"c_nationkey", $"bal_band")
+      .agg(count(lit(1)).as("n_cb"))
+    val grid = cls.crossJoin(broadcast(bands))
+      .join(cb, Seq("c_mktsegment", "c_nationkey", "bal_band"), "left")
+      .na.fill(0L, Seq("n_cb"))
+      .crossJoin(broadcast(tot))
+    val w = Window.partitionBy($"c_mktsegment", $"c_nationkey")
+      .orderBy($"bal_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("r", sum($"n_cb" * $"n_total" - $"n_band" * $"n_class").over(w))
+      .groupBy($"c_mktsegment", $"c_nationkey", $"n_class")
+      .agg(sum(abs($"r")).as("sum_abs_r"),
+        max($"n_total").as("n_total"), max($"m").as("m"))
+      .select($"c_mktsegment", $"c_nationkey", $"n_class".as("k_size"),
+        round($"sum_abs_r".cast("double") /
+          ($"n_class" * $"n_total" * ($"m" - 1)).cast("double"), 6)
+          .as("t_closeness"))
+      .withColumn("is_risky", $"t_closeness" > 0.25)
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  private val qTClosenessSql =
+    """WITH rows_ AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      / 100000.0) AS bal_band
+      |  FROM customer),
+      |cls AS (
+      |  SELECT c_mktsegment, c_nationkey, count(*) AS n_class
+      |  FROM rows_ GROUP BY 1, 2),
+      |bands AS (SELECT bal_band, count(*) AS n_band FROM rows_ GROUP BY 1),
+      |tot AS (
+      |  SELECT count(*) AS n_total, count(DISTINCT bal_band) AS m
+      |  FROM rows_),
+      |cb AS (
+      |  SELECT c_mktsegment, c_nationkey, bal_band, count(*) AS n_cb
+      |  FROM rows_ GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT c.c_mktsegment, c.c_nationkey, b.bal_band, c.n_class,
+      |    b.n_band, coalesce(x.n_cb, 0) AS n_cb, t.n_total, t.m
+      |  FROM cls c CROSS JOIN bands b CROSS JOIN tot t
+      |  LEFT JOIN cb x ON x.c_mktsegment = c.c_mktsegment
+      |    AND x.c_nationkey = c.c_nationkey AND x.bal_band = b.bal_band),
+      |cum AS (
+      |  SELECT c_mktsegment, c_nationkey, n_class, n_total, m,
+      |    sum(n_cb * n_total - n_band * n_class) OVER (
+      |      PARTITION BY c_mktsegment, c_nationkey ORDER BY bal_band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      |  FROM grid)
+      |SELECT c_mktsegment, c_nationkey, n_class AS k_size,
+      |  round(CAST(sum(abs(r)) AS DOUBLE) /
+      |    CAST(n_class * max(n_total) * (max(m) - 1) AS DOUBLE), 6)
+      |    AS t_closeness,
+      |  round(CAST(sum(abs(r)) AS DOUBLE) /
+      |    CAST(n_class * max(n_total) * (max(m) - 1) AS DOUBLE), 6) > 0.25
+      |    AS is_risky
+      |FROM cum
+      |GROUP BY c_mktsegment, c_nationkey, n_class
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
   // ----------------------------------------------------------- q_fd_discover
   /** Functional-dependency discovery over orders: for each candidate
     * det → dep pair, count determinant values with more than one distinct
@@ -773,6 +860,7 @@ object WarehouseOps {
     "q_constraint_audit" -> (qConstraintAudit _),
     "q_reconcile"      -> (qReconcile _),
     "q_l_diversity"    -> (qLDiversity _),
+    "q_t_closeness"    -> (qTCloseness _),
     "q_fd_discover"    -> (qFdDiscover _),
     "q_dp_noise"       -> (qDpNoise _),
     "q_k_anonymity"    -> (qKAnonymity _),
@@ -788,6 +876,7 @@ object WarehouseOps {
     "q_constraint_audit" -> qConstraintAuditSql,
     "q_reconcile"      -> qReconcileSql,
     "q_l_diversity"    -> qLDiversitySql,
+    "q_t_closeness"    -> qTClosenessSql,
     "q_fd_discover"    -> qFdDiscoverSql,
     "q_dp_noise"       -> qDpNoiseSql,
     "q_k_anonymity"    -> qKAnonymitySql,
