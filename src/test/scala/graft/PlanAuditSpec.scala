@@ -229,6 +229,42 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("inference family: every global window runs over an aggregate, never raw facts") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    for (q <- Seq("q_gini", "q_trimmed_mean", "q_abc_class", "q_ks_test",
+      "q_mann_whitney", "q_spearman", "q_runs_test", "q_bollinger")) {
+      val plan = staticPlan(SparkEntry.queries(q)(spark, sfDir))
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$q: expected a rank/cumulative window\n$plan")
+      wins.foreach { w =>
+        val aggBelow = w.collect { case a: BaseAggregateExec => a }
+        assert(aggBelow.nonEmpty,
+          s"$q: global window over un-aggregated fact rows\n$w")
+      }
+    }
+  }
+
+  test("q_vwap is one aggregation pass: no window, no join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = staticPlan(SparkEntry.queries("q_vwap")(spark, sfDir))
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"vwap must not window\n$plan")
+    val joins = plan.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }
+    assert(joins.isEmpty, s"vwap must not join: $joins")
+  }
+
+  test("PRF expansion: feedback selection and final ranking are TakeOrderedAndProject") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val plan = staticPlan(SparkEntry.queries("q_prf_expand")(spark, sfDir))
+    val topk = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topk.size >= 2,
+      s"expected top-10 feedback + top-5 term rankings as top-k, got ${topk.size}\n$plan")
+  }
+
   test("PIT join plans as a keyed join, never a nested-loop over the facts") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val plan = staticPlan(SparkEntry.queries("q_pit_join")(spark, sfDir))
