@@ -244,7 +244,61 @@ object Windows {
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // -------------------------------------------------------------- q_fact_rank
+  /** Global dense ranking of every lineitem by price WITHOUT a global
+    * window — the distributed-rank primitive the Inference family's
+    * scaladocs point to for fact-scale order statistics. Decomposition:
+    * (1) min/max in one aggregate, broadcast as a 1-row frame; (2) rows
+    * bucket by fixed price width (64 buckets, integer arithmetic — bucket
+    * order is value order); (3) per-bucket counts collapse to a 64-row
+    * aggregate whose running sum (a window over 64 rows) yields each
+    * bucket's global offset; (4) within each bucket a PARTITIONED
+    * row_number over the total key (price, orderkey, linenumber) ranks
+    * locally; global_rank = offset + local rank. Every window is either
+    * bucket-partitioned or over the O(buckets) aggregate — nothing sorts
+    * the fact globally, so the shape holds at any scale (add buckets, not
+    * sort width). The oracle is the plain global row_number — the
+    * decomposition must be invisible. */
+  def qFactRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+    val B = 64
+    val mm = li.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    val bucketed = li.crossJoin(broadcast(mm))
+      .withColumn("b",
+        (($"cents" - $"lo") * B / ($"hi" - $"lo" + 1)).cast("long"))
+    val offsets = bucketed.groupBy($"b").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum($"cnt").over(Window.orderBy($"b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"b", $"offset")
+    val wLocal = Window.partitionBy($"b")
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+    bucketed
+      .withColumn("rn", row_number().over(wLocal))
+      .join(broadcast(offsets), "b")
+      .select($"l_orderkey", $"l_linenumber",
+        ($"cents".cast("double") / 100).as("price"),
+        ($"offset" + $"rn").as("global_rank"))
+      .orderBy($"global_rank")
+  }
+
+  private val qFactRankSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(cents AS DOUBLE) / 100 AS price,
+      |  row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+      |    AS global_rank
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |ORDER BY global_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fact_rank" -> (qFactRank _),
     "q_window_rownum"  -> (qWindowRownum _),
     "q_window_topk"    -> (qWindowTopk _),
     "q_topk_native"    -> (qTopkNative _),
@@ -254,6 +308,7 @@ object Windows {
     "q_scd2_prune"     -> (qScd2Prune _))
 
   val oracle: Map[String, String] = Map(
+    "q_fact_rank" -> qFactRankSql,
     "q_window_rownum"  -> qWindowRownumSql,
     "q_window_topk"    -> qWindowTopkSql,
     // the native-aggregate variant must reproduce the window result exactly

@@ -245,6 +245,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("fact rank: the only unpartitioned window runs over the O(buckets) aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = staticPlan(SparkEntry.queries("q_fact_rank")(spark, sfDir))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"expected the bucket-partitioned local rank\n$plan")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggBelow = w.collect { case a: BaseAggregateExec => a }
+      assert(aggBelow.nonEmpty,
+        s"offset window must run over bucket counts, not raw rows\n$w")
+    }
+  }
+
   test("q_vwap is one aggregation pass: no window, no join") {
     import org.apache.spark.sql.execution.window.WindowExec
     val plan = staticPlan(SparkEntry.queries("q_vwap")(spark, sfDir))
