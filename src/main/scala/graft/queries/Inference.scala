@@ -33,16 +33,42 @@ import graft.core.{OracleParity => OP, Tables}
   */
 object Inference {
 
-  /** Daily order revenue in exact cents with a weekend flag — the shared
-    * two-sample fixture (weekday days vs weekend days) for the KS and
-    * Mann-Whitney tests. Spark `weekday` = 0..6 from Monday; the oracle
-    * mirrors with DuckDB `isodow - 1`. */
-  private def dailyFlagged(s: SparkSession, dir: String): DataFrame = {
+  /** Daily order revenue in exact cents — the shared O(days) series every
+    * series-statistic here collapses the fact scan to first. */
+  private def dailyRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, dir)
       .groupBy($"o_orderdate".as("day"))
       .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
-      .withColumn("we", dayofweek($"day").isin(1, 7))
+  }
+
+  /** Last-60-day tail of the daily series — the bounded input both
+    * pairwise estimators ([[qTheilSen]], [[qKendallTau]]) fan out over. */
+  private def dailyTail60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = dailyRevenue(s, dir)
+    daily.crossJoin(broadcast(daily.agg(max($"day").as("max_day"))))
+      .filter($"day" >= date_sub($"max_day", 59))
+      .select($"day", $"x".as("y"))
+  }
+
+  /** Per-customer total spend in exact cents — the dimension-sized
+    * aggregate the rank statistics ([[qSpearman]], [[qGini]],
+    * [[qTrimmedMean]]) order over. */
+  private def custSpend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("spend"))
+  }
+
+  /** The daily series with a weekend flag — the two-sample fixture
+    * (weekday days vs weekend days) for the KS and Mann-Whitney tests.
+    * Spark `dayofweek` 1=Sun/7=Sat; the oracle mirrors with DuckDB
+    * `isodow IN (6,7)`. */
+  private def dailyFlagged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dailyRevenue(s, dir).withColumn("we", dayofweek($"day").isin(1, 7))
   }
 
   private val dailyFlaggedSql =
@@ -160,7 +186,7 @@ object Inference {
     val perCust = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("spend"),
-        count(lit(1)).as("n_orders"))
+        count(lit(1)).as("n_orders")) // spend+count in one pass, not custSpend
     def r2(c: String) =
       (lit(2) * rank().over(Window.orderBy(col(c)))
         + count(lit(1)).over(Window.partitionBy(col(c))) - 1)
@@ -217,10 +243,7 @@ object Inference {
     * all sums exact DECIMAL(38,0), one final double division. */
   def qGini(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perCust = Tables.orders(s, dir)
-      .groupBy($"o_custkey")
-      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("spend"))
-    perCust
+    custSpend(s, dir)
       .withColumn("i",
         row_number().over(Window.orderBy($"spend", $"o_custkey"))
           .cast(DecimalType(38, 0)))
@@ -267,11 +290,14 @@ object Inference {
       .groupBy($"l_partkey")
       .agg(sum((OP.discounted($"l_extendedprice", $"l_discount") * 10000)
         .cast("long")).as("rev"))
-    val tot = perPart.agg(sum($"rev").as("total"))
+    val tot = perPart.agg(sum($"rev".cast(DecimalType(38, 0))).as("total"))
     val w = Window.orderBy($"rev".desc, $"l_partkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perPart
-      .withColumn("cum", sum($"rev").over(w))
+      // DECIMAL(38) before the running sum and ×5/×20 cut comparisons:
+      // long ticks would not overflow until ~9e14 total revenue, but the
+      // corpus-scale ratio hardening costs nothing here (O(parts) rows)
+      .withColumn("cum", sum($"rev".cast(DecimalType(38, 0))).over(w))
       .crossJoin(broadcast(tot))
       .withColumn("cls",
         when($"cum" * 5 <= $"total" * 4, "A")
@@ -319,13 +345,7 @@ object Inference {
     * average the same two doubles. */
   def qTheilSen(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.orders(s, dir)
-      .groupBy($"o_orderdate".as("day"))
-      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("y"))
-    val maxD = daily.agg(max($"day").as("max_day"))
-    val tail = daily.crossJoin(broadcast(maxD))
-      .filter($"day" >= date_sub($"max_day", 59))
-      .select($"day", $"y")
+    val tail = dailyTail60(s, dir)
     val slopes = tail.alias("a")
       .join(broadcast(tail.alias("b")), $"a.day" < $"b.day")
       .select((($"b.y" - $"a.y").cast("double") /
@@ -372,13 +392,7 @@ object Inference {
     * one sqrt+division is the final projection. */
   def qKendallTau(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.orders(s, dir)
-      .groupBy($"o_orderdate".as("day"))
-      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("y"))
-    val maxD = daily.agg(max($"day").as("max_day"))
-    val tail = daily.crossJoin(broadcast(maxD))
-      .filter($"day" >= date_sub($"max_day", 59))
-      .select($"day", $"y")
+    val tail = dailyTail60(s, dir)
     tail.alias("a")
       .join(broadcast(tail.alias("b")), $"a.day" < $"b.day")
       .agg(count(lit(1)).as("n_pairs"),
@@ -422,9 +436,7 @@ object Inference {
     * counts. Day-ordered window over the O(days) aggregate only. */
   def qRunsTest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.orders(s, dir)
-      .groupBy($"o_orderdate".as("day"))
-      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+    val daily = dailyRevenue(s, dir)
     val med = daily.agg(
       round(expr("percentile(x * 2, 0.5)"), 0).cast("long").as("med2"))
     val signed = daily.crossJoin(broadcast(med))
@@ -492,9 +504,7 @@ object Inference {
     * the same positions come from range-partitioned rank. */
   def qTrimmedMean(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perCust = Tables.orders(s, dir)
-      .groupBy($"o_custkey")
-      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("spend"))
+    val perCust = custSpend(s, dir)
     val n = perCust.agg(count(lit(1)).as("n"))
     perCust
       .withColumn("pos",
