@@ -140,31 +140,61 @@ object Graph {
       .select($"p_partkey".cast("long").as("node"))
     val norm = s"cast((cast(coalesce(raw, 0L) as decimal(38,0)) * $Scale)" +
       " div mx as bigint)"
-    var cur = nodes.withColumn("auth", lit(0L)).withColumn("hub", lit(Scale))
+    // Job-count discipline (this loop was 29-42 s at sf0.1 in its
+    // max-as-broadcast-subquery formulations — every broadcast(agg) and
+    // in-loop nodes re-join was a separate ~1 s job × 4+ per round):
+    //  - the max-normalization rides a window over the O(nodes) aggregate,
+    //    not a separate aggregate job;
+    //  - the rank vectors (node-sized dims) broadcast into the edge
+    //    probes, so the fact-derived edge list never shuffles;
+    //  - no nodes re-join inside the loop: a node absent from both raw
+    //    vectors scores 0 and can never reach the top-20 — the full-outer
+    //    of the two vectors carries exactly the nonzero support.
+    val wAll = Window.partitionBy()
+    var cur = nodes.withColumn("hub", lit(Scale))
+    var prevAuth: Option[DataFrame] = None
     var prevIter: Option[DataFrame] = None
     for (_ <- 1 to 3) {
-      val authRaw = edges
-        .join(cur.select($"node".as("src"), $"hub".as("h")), "src")
+      val auth = edges
+        .join(broadcast(cur.select($"node".as("src"), $"hub".as("h"))), "src")
         .groupBy($"dst".as("node")).agg(sum($"h").as("raw"))
-      val auth = nodes.join(authRaw, Seq("node"), "left")
-        .crossJoin(broadcast(authRaw.agg(max($"raw").as("mx"))))
+        .withColumn("mx", max($"raw").over(wAll))
         .select($"node", expr(norm).as("auth"))
-      val hubRaw = edges
-        .join(auth.select($"node".as("dst"), $"auth".as("a")), "dst")
-        .groupBy($"src".as("node")).agg(sum($"a").as("raw"))
-      cur = auth.join(
-          hubRaw.crossJoin(broadcast(hubRaw.agg(max($"raw").as("mx"))))
-            .select($"node", expr(norm).as("hub_n")),
-          Seq("node"), "left")
-        .select($"node", $"auth", coalesce($"hub_n", lit(0L)).as("hub"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cur.count() // materialize before releasing the previous iteration
+      val hubN = edges
+        .join(broadcast(auth.select($"node".as("dst"), $"auth".as("a"))), "dst")
+        .groupBy($"src".as("node")).agg(sum($"a").as("raw"))
+        .withColumn("mx", max($"raw").over(wAll))
+        .select($"node", expr(norm).as("hub"))
+      val next = auth.join(hubN, Seq("node"), "full_outer")
+        .select($"node", coalesce($"auth", lit(0L)).as("auth"),
+          coalesce($"hub", lit(0L)).as("hub"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the previous iteration
+      prevAuth.foreach(_.unpersist(blocking = false))
+      prevAuth = Some(auth)
       prevIter.foreach(_.unpersist(blocking = false))
-      prevIter = Some(cur)
+      prevIter = Some(next)
+      cur = next
     }
     edges.unpersist()
+    prevAuth.foreach(_.unpersist(blocking = false))
     cur.orderBy($"auth".desc, $"node").limit(20)
       .select($"node".as("p_partkey"), $"auth", $"hub")
+  }
+
+  /** Iterative graph loops run on dim-bounded node/edge tables, so the
+    * session's fact-sized shuffle-partition count is pure per-round fixed
+    * cost (store/commit/schedule ×partitions ×rounds). Pin 8 partitions
+    * for the duration of a loop's in-builder materializations — the exact
+    * discipline (and rationale) of Streams.withStreamShuffle. Only jobs
+    * EXECUTED inside `body` see the override; plans merely built here and
+    * executed later read the session value at execution time. */
+  private def withFewShuffles[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
   }
 
   /** Distinct undirected co-order edges (u < v): parts appearing in the
@@ -682,25 +712,7 @@ object Graph {
     * keys, no windows on anything fact-sized. */
   def qGraphJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = coOrderEdges(s, dir)
-    val adj = edges.select($"u".as("x"), $"v".as("nbr"))
-      .union(edges.select($"v".as("x"), $"u".as("nbr")))
-    val deg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))
-    val cand = edges
-      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
-      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
-    val probe = cand
-      .withColumn("a", when($"du" <= $"dv", $"u").otherwise($"v"))
-      .withColumn("b", when($"du" <= $"dv", $"v").otherwise($"u"))
-      .join(adj.withColumnRenamed("x", "a").withColumnRenamed("nbr", "w"), "a")
-      .filter($"w" =!= $"b")
-      .withColumn("pu", least($"b", $"w"))
-      .withColumn("pv", greatest($"b", $"w"))
-    val closed = probe.join(
-      edges.select($"u".as("pu"), $"v".as("pv")), Seq("pu", "pv"), "left_semi")
-    val common = closed.groupBy($"u", $"v").agg(count(lit(1)).as("n_common"))
-    cand.join(common, Seq("u", "v"), "left")
-      .withColumn("n_common", coalesce($"n_common", lit(0L)))
+    edgeOverlap(s, dir)
       .select($"u", $"v", $"n_common",
         ($"du" + $"dv" - lit(2) - $"n_common").as("n_union_other"),
         round($"n_common".cast("double") /
@@ -755,29 +767,46 @@ object Graph {
     * IEEE-double in both engines on identical integer inputs and the sum
     * order is neutralized by the round-4 projection (the q_source_entropy
     * precedent). */
+  /** Per-edge neighborhood-overlap table — the shared wedge derivation
+    * behind [[qGraphJaccard]] and [[qAdamicAdar]], materialized ONCE per
+    * corpus through IndexStore (the r5 triangle lesson: two consumers of
+    * the most expensive graph derivation must not each re-run it —
+    * measured 13.6 s × 2 before sharing). One row per stored edge with
+    * endpoint degrees, the common-neighbor count, and the Adamic–Adar sum
+    * (null when no common neighbor). */
+  private[graft] def edgeOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.io.IndexStore.materialized(s, dir, "edge_overlap") {
+      import s.implicits._
+      val edges = coOrderEdges(s, dir)
+      val adj = edges.select($"u".as("x"), $"v".as("nbr"))
+        .union(edges.select($"v".as("x"), $"u".as("nbr")))
+      val deg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))
+      val cand = edges
+        .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
+      val probe = cand
+        .withColumn("a", when($"du" <= $"dv", $"u").otherwise($"v"))
+        .withColumn("b", when($"du" <= $"dv", $"v").otherwise($"u"))
+        .join(adj.withColumnRenamed("x", "a").withColumnRenamed("nbr", "w"), "a")
+        .filter($"w" =!= $"b")
+        .withColumn("pu", least($"b", $"w"))
+        .withColumn("pv", greatest($"b", $"w"))
+      val closed = probe.join(
+        edges.select($"u".as("pu"), $"v".as("pv")), Seq("pu", "pv"), "left_semi")
+      val common = closed
+        .join(deg.withColumnRenamed("x", "w").withColumnRenamed("deg", "dw"), "w")
+        .groupBy($"u", $"v")
+        .agg(count(lit(1)).as("n_common"),
+          sum(lit(1.0) / log($"dw".cast("double"))).as("aa_raw"))
+      cand.join(common, Seq("u", "v"), "left")
+        .select($"u", $"v", $"du", $"dv",
+          coalesce($"n_common", lit(0L)).as("n_common"), $"aa_raw")
+    }
+
   def qAdamicAdar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = coOrderEdges(s, dir)
-    val adj = edges.select($"u".as("x"), $"v".as("nbr"))
-      .union(edges.select($"v".as("x"), $"u".as("nbr")))
-    val deg = adj.groupBy($"x").agg(count(lit(1)).as("deg"))
-    val cand = edges
-      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("deg", "du"), "u")
-      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("deg", "dv"), "v")
-    val probe = cand
-      .withColumn("a", when($"du" <= $"dv", $"u").otherwise($"v"))
-      .withColumn("b", when($"du" <= $"dv", $"v").otherwise($"u"))
-      .join(adj.withColumnRenamed("x", "a").withColumnRenamed("nbr", "w"), "a")
-      .filter($"w" =!= $"b")
-      .withColumn("pu", least($"b", $"w"))
-      .withColumn("pv", greatest($"b", $"w"))
-    val closed = probe.join(
-      edges.select($"u".as("pu"), $"v".as("pv")), Seq("pu", "pv"), "left_semi")
-    closed
-      .join(deg.withColumnRenamed("x", "w").withColumnRenamed("deg", "dw"), "w")
-      .groupBy($"u", $"v")
-      .agg(count(lit(1)).as("n_common"),
-        sum(lit(1.0) / log($"dw".cast("double"))).as("aa_raw"))
+    edgeOverlap(s, dir)
+      .filter($"n_common" > 0L)
       .select($"u", $"v", $"n_common", round($"aa_raw", 4).as("adamic_adar"))
       .orderBy($"adamic_adar".desc, $"u", $"v")
       .limit(20)
@@ -1047,7 +1076,7 @@ object Graph {
     * inlined tree grows 5^rounds leaf scans — the same exponential the
     * oracle kills with MATERIALIZED CTEs. The returned frame is left
     * cached; callers unpersist when done. */
-  private[graft] def kcoreEdges(s: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+  private[graft] def kcoreEdges(s: SparkSession, edges0: DataFrame, k: Int): DataFrame = withFewShuffles(s) {
     import s.implicits._
     var edges = edges0
     var prev: Option[DataFrame] = None
