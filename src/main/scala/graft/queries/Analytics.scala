@@ -974,7 +974,134 @@ object Analytics {
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0, 2) AS cum_revenue
       |FROM cells ORDER BY cohort_m, age_m""".stripMargin
 
+  // --------------------------------------------------------- q_kaplan_meier
+  /** Kaplan–Meier survival curve over user lifetimes: per user, lifetime =
+    * whole hours between first and last event; a user whose last event
+    * precedes the corpus watermark by >12 hours is an observed churn
+    * ("death"), otherwise censored — the estimator that q_retention's
+    * fixed-offset matrix can't give you when observation windows differ
+    * per user. At each churn duration: n_risk (suffix cumulative over the
+    * O(durations) table), deaths, S(t) = Π(1 − d/n). The product is
+    * exp(Σ ln) over an ORDERED running frame, so the double summation
+    * order is the frame order in both engines; a 1−d/n = 0 terminal term
+    * short-circuits to exactly 0 via a running flag rather than ln(0).
+    *
+    * Scale shape: one fact shuffle (per-user min/max), then everything on
+    * the per-duration aggregate. */
+  def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val life = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+    val wm = Tables.events(s, dir).agg(max($"ts").as("max_ts"))
+    val perUser = life.crossJoin(broadcast(wm))
+      .select(
+        expr("(cast(last_ts as long) - cast(first_ts as long)) div 3600")
+          .as("dur"),
+        ($"last_ts" < $"max_ts" - expr("INTERVAL 12 HOURS")).as("observed"))
+    val byDur = perUser.groupBy($"dur")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when($"observed", 1L).otherwise(0L)).as("deaths"))
+    val wRisk = Window.orderBy($"dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wRun = Window.orderBy($"dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk", sum($"n_at").over(wRisk))
+      .filter($"deaths" > 0L)
+      .withColumn("term",
+        lit(1.0) - $"deaths".cast("double") / $"n_risk".cast("double"))
+      .withColumn("lnterm", when($"term" > 0.0, log($"term")).otherwise(0.0))
+      .withColumn("dead_all",
+        max(when($"term" === 0.0, 1).otherwise(0)).over(wRun))
+      .select($"dur".as("duration_hours"), $"n_risk", $"deaths",
+        when($"dead_all" === 1, 0.0)
+          .otherwise(round(exp(sum($"lnterm").over(wRun)), 6)).as("survival"),
+        round(sum($"deaths".cast("double") / $"n_risk".cast("double"))
+          .over(wRun), 6).as("cum_hazard"))
+      .orderBy($"duration_hours")
+  }
+
+  private val qKaplanMeierSql =
+    """WITH life AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts,
+      |         max(CAST(ts AS TIMESTAMP)) AS last_ts
+      |  FROM events GROUP BY 1),
+      |wm AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+      |per_user AS (
+      |  -- floor to whole seconds first: DuckDB epoch() keeps microsecond
+      |  -- fractions, Spark's long cast truncates — without the floor the
+      |  -- two engines split shared durations differently
+      |  SELECT (CAST(floor(epoch(last_ts)) AS BIGINT)
+      |          - CAST(floor(epoch(first_ts)) AS BIGINT)) // 3600 AS dur,
+      |         last_ts < max_ts - INTERVAL 12 HOUR AS observed
+      |  FROM life, wm),
+      |by_dur AS (
+      |  SELECT dur, count(*) AS n_at,
+      |         sum(CASE WHEN observed THEN 1 ELSE 0 END) AS deaths
+      |  FROM per_user GROUP BY 1),
+      |risk AS (
+      |  SELECT dur, deaths,
+      |    sum(n_at) OVER (ORDER BY dur
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+      |  FROM by_dur),
+      |terms AS (
+      |  SELECT dur, n_risk, deaths,
+      |    1.0 - CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE) AS term
+      |  FROM risk WHERE deaths > 0),
+      |curve AS (
+      |  SELECT dur, n_risk, deaths,
+      |    CASE WHEN term > 0.0 THEN ln(term) ELSE 0.0 END AS lnterm,
+      |    CASE WHEN term = 0.0 THEN 1 ELSE 0 END AS dead,
+      |    CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hz
+      |  FROM terms)
+      |SELECT dur AS duration_hours, n_risk, deaths,
+      |  CASE WHEN max(dead) OVER w = 1 THEN 0.0
+      |       ELSE round(exp(sum(lnterm) OVER w), 6) END AS survival,
+      |  round(sum(hz) OVER w, 6) AS cum_hazard
+      |FROM curve
+      |WINDOW w AS (ORDER BY dur
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY duration_hours""".stripMargin
+
+  // -------------------------------------------------------- q_path_trigrams
+  /** Top-20 three-step behavioral paths: consecutive event-type triples
+    * per user on the total (ts, event_id) order — the path-mining step up
+    * from [[qTransitionMatrix]]'s bigrams (where do users go in TWO hops).
+    * Two lags off one entity-keyed window, one map-side-combined count,
+    * TakeOrderedAndProject top-20. */
+  def qPathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("e2", lead($"event_type", 1).over(w))
+      .withColumn("e3", lead($"event_type", 2).over(w))
+      .filter($"e2".isNotNull && $"e3".isNotNull)
+      .groupBy($"event_type".as("step1"), $"e2".as("step2"),
+        $"e3".as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy($"n_paths".desc, $"step1", $"step2", $"step3")
+      .limit(20)
+  }
+
+  private val qPathTrigramsSql =
+    """SELECT step1, step2, step3, count(*) AS n_paths
+      |FROM (
+      |  SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER w AS step2,
+      |    lead(event_type, 2) OVER w AS step3
+      |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |               event_type FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_paths DESC, step1, step2, step3
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kaplan_meier"  -> (qKaplanMeier _),
+    "q_path_trigrams" -> (qPathTrigrams _),
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_cohort_ltv"  -> (qCohortLtv _),
     "q_rfm"         -> (qRfm _),
@@ -1000,6 +1127,8 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_kaplan_meier"  -> qKaplanMeierSql,
+    "q_path_trigrams" -> qPathTrigramsSql,
     "q_transition_matrix" -> qTransitionMatrixSql,
     "q_cohort_ltv"  -> qCohortLtvSql,
     "q_rfm"         -> qRfmSql,

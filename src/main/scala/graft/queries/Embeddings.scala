@@ -1456,7 +1456,69 @@ object Embeddings {
        |    AS ndcg_at_10
        |FROM idcg ORDER BY q_id""".stripMargin
 
+  // ------------------------------------------------------ q_label_centroids
+  /** Pairwise cosine similarity between label centroids — the class-
+    * separation diagnostic read next to [[qKnnClassify]] (high inter-
+    * centroid cosine = classes the geometry cannot separate). Vectors
+    * explode to (label, dim, µ-unit) rows — micro-unit longs so the
+    * per-dimension sums are exact integers (the q_kmeans discipline) —
+    * then centroids join pairwise on the dimension index: O(labels²·dim)
+    * work on aggregates, one double closed form per pair, round 4. */
+  def qLabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(sum(round($"x".cast("double") * 1e6, 0).cast("long")).as("sx"),
+        count(lit(1)).as("cnt"))
+      // centroid in µ-units; explicit floor so both engines agree on
+      // negative sums (Spark's long cast truncates toward zero, DuckDB's
+      // BIGINT cast rounds — floor is the one shared semantic)
+      .select($"label", $"dim", floor($"sx" / $"cnt").cast("long").as("c"))
+    val pairs = cells.alias("a")
+      .join(cells.alias("b"),
+        $"a.dim" === $"b.dim" && $"a.label" < $"b.label")
+      .groupBy($"a.label".as("label_a"), $"b.label".as("label_b"))
+      .agg(
+        sum(($"a.c".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"b.c")).cast("double")
+          .as("dot"),
+        sum(($"a.c".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"a.c")).cast("double")
+          .as("na"),
+        sum(($"b.c".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"b.c")).cast("double")
+          .as("nb"))
+    pairs
+      .select($"label_a", $"label_b",
+        round($"dot" / (sqrt($"na") * sqrt($"nb")), 4).as("cos_centroid"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  private val qLabelCentroidsSql =
+    s"""WITH cells AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1e6, 0) AS BIGINT))
+       |      AS HUGEINT) AS sx,
+       |    count(*) AS cnt
+       |  FROM (
+       |    SELECT label, unnest(range(1, ${Dims + 1})) AS dim,
+       |           unnest(embedding) AS x
+       |    FROM embeddings)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, dim, CAST(floor(sx / cnt) AS BIGINT) AS c
+       |  FROM cells),
+       |pairs AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS DOUBLE) AS dot,
+       |    CAST(sum(CAST(a.c AS HUGEINT) * a.c) AS DOUBLE) AS na,
+       |    CAST(sum(CAST(b.c AS HUGEINT) * b.c) AS DOUBLE) AS nb
+       |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT label_a, label_b,
+       |  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_centroid
+       |FROM pairs ORDER BY label_a, label_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_centroids" -> (qLabelCentroids _),
     "q_ndcg"          -> (qNdcg _),
     "q_scalar_quant"   -> (qScalarQuant _),
     "q_mmr_rerank"     -> (qMmrRerank _),
@@ -1479,6 +1541,7 @@ object Embeddings {
     "q_ann_recall"    -> (qAnnRecall _))
 
   val oracle: Map[String, String] = Map(
+    "q_label_centroids" -> qLabelCentroidsSql,
     "q_ndcg"          -> qNdcgSql,
     "q_scalar_quant"   -> qScalarQuantSql,
     "q_mmr_rerank"     -> qMmrRerankSql,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 
 /** Per-document text-analysis operators for LLM training-data curation:
@@ -1086,7 +1087,67 @@ object TextAnalysis {
        |FROM fbt f JOIN cdf c USING (tok) CROSS JOIN n
        |ORDER BY weight DESC, term LIMIT 5""".stripMargin
 
+  // -------------------------------------------------------------- q_powerlaw
+  /** Power-law exponent of the token frequency distribution: least-squares
+    * slope of ln(freq) on ln(rank) over the top-100 ranks — the one-number
+    * completion of [[qZipf]]'s rank×freq table (Zipf predicts slope ≈ −1).
+    * ln terms are nano-scaled to exact longs before summing (the
+    * q_source_entropy order-independence trick), so the five regression
+    * sums are exact integers and the closed form is one double expression.
+    * Rank window runs over the vocab-bounded aggregate. */
+  def qPowerlaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"freq".desc, $"tok")))
+      .filter($"rank" <= 100)
+      .select(
+        round(log($"rank".cast("double")) * 1e9, 0).cast("long").as("lx"),
+        round(log($"freq".cast("double")) * 1e9, 0).cast("long").as("ly"))
+    freq
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"lx".cast(DecimalType38)).cast("double").as("sx"),
+        sum($"ly".cast(DecimalType38)).cast("double").as("sy"),
+        sum(($"lx".cast(DecimalType38) * $"lx")).cast("double").as("sxx"),
+        sum(($"lx".cast(DecimalType38) * $"ly")).cast("double").as("sxy"))
+      .select($"n".cast("long").as("n_ranks"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"))
+  }
+
+  private val qPowerlawSql =
+    """WITH freq AS (
+      |  SELECT tok, count(*) AS freq
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+      |          AS tok
+      |        FROM documents)
+      |  GROUP BY tok),
+      |ranked AS (
+      |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9, 0) AS BIGINT)
+      |           AS lx,
+      |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e9, 0) AS BIGINT)
+      |           AS ly
+      |  FROM (SELECT freq,
+      |          row_number() OVER (ORDER BY freq DESC, tok) AS rank
+      |        FROM freq)
+      |  WHERE rank <= 100),
+      |g AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(lx AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(ly AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(lx AS HUGEINT) * lx) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(lx AS HUGEINT) * ly) AS DOUBLE) AS sxy
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n_ranks,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+      |FROM g""".stripMargin
+
+  private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_powerlaw"     -> (qPowerlaw _),
     "q_prf_expand"   -> (qPrfExpand _),
     "q_zipf"          -> (qZipf _),
     "q_tfidf_cosine"  -> (qTfidfCosine _),
@@ -1108,6 +1169,7 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_powerlaw"     -> qPowerlawSql,
     "q_prf_expand"   -> qPrfExpandSql,
     "q_zipf"          -> qZipfSql,
     "q_tfidf_cosine"  -> qTfidfCosineSql,
