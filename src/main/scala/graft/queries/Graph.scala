@@ -909,9 +909,9 @@ object Graph {
     * aggregate, and one rank window over that aggregate — the window is
     * per-node over ≤ degree rows, never over raw data. Same persist+count+
     * unpersist lineage discipline as [[qPagerank]]. The reference kin is
-    * the role→segment grouping its KPI views hand-maintain
-    * (/root/reference/07_looker_studio_dashboard/README.md); here the
-    * segments fall out of the data. */
+    * the department/process grouping its KPI views hand-maintain
+    * (/root/reference/04_KPI/KPIs.sql); here the segments fall out of the
+    * data. */
   def qLabelProp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = coOrderEdges(s, dir)
