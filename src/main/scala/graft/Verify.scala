@@ -15,10 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val colStats = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.selectedQueries
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        colStats(name) = columnStats(spark, s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -38,6 +42,48 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Hash-debug artifact (round-6 verdict ask): when a driver-side hash
+    // mismatch doesn't reproduce locally, this localizes it to a COLUMN
+    // — per-column dtype, null count, min/max, and an order-independent
+    // xxhash64 checksum of the written parquet.
+    val statsJson = colStats
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/colstats.json"), statsJson)
     spark.stop()
+  }
+
+  /** Per-column diagnostics over a just-written (small, coalesced) query
+    * output: dtype, nulls, min/max as strings, and sum(xxhash64(col)) —
+    * order-independent, so it isolates value divergence from row-order
+    * divergence. Reads the parquet back, so it checks the bytes the
+    * driver will hash, not the pre-write plan. */
+  private def columnStats(spark: SparkSession, path: String): String = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(path)
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(when(c.isNull, 1)).as(s"${f.name}::nulls"),
+        min(c.cast("string")).as(s"${f.name}::min"),
+        max(c.cast("string")).as(s"${f.name}::max"),
+        sum(xxhash64(c)).as(s"${f.name}::xxh"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = df.count()
+    val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val base = i * 4
+      s"""${esc(f.name)}: {"dtype": ${esc(f.dataType.simpleString)}, """ +
+        s""""nulls": ${row.getLong(base)}, """ +
+        s""""min": ${Option(row.get(base + 1)).map(v => esc(v.toString)).getOrElse("null")}, """ +
+        s""""max": ${Option(row.get(base + 2)).map(v => esc(v.toString)).getOrElse("null")}, """ +
+        s""""xxh": ${Option(row.get(base + 3)).map(_.toString).getOrElse("null")}}"""
+    }
+    s"""{"rows": $n, "cols": {${cols.mkString(",")}}}"""
   }
 }

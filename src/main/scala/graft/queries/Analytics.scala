@@ -692,39 +692,79 @@ object Analytics {
   /** Daily percentile bands of purchase amounts — p50/p90 per day bucket
     * next to min/max, the spread view a monitoring dashboard charts over
     * time (a drifting p90 with a flat median = a growing tail, invisible
-    * to averages). Exact-decimal inputs feed the interpolating percentile
-    * on BOTH engines (Analytics.qPercentile precedent).
+    * to averages).
     *
-    * Scale shape: one shuffle to day grain; percentile state is per-group
-    * and spills never — day groups are bounded by daily volume. */
+    * Engine parity (round-6 verdict item 3): the old `round(percentile(),
+    * 4)` interpolated in binary doubles — the same boundary-flip class
+    * that burned the round-6 red rows. Now EXACT: amounts are integer
+    * cents; linear interpolation at p = 0.5 / 0.9 lands on fractions
+    * h = (n−1)·p whose fractional part is an exact tenth, so the
+    * interpolated value lo + frac·(hi − lo) is an exact INTEGER in
+    * tenth-cent units — two ranked values and pure integer arithmetic.
+    * The only double op left is the final /1000.0, which is IEEE-exact
+    * division (deterministic everywhere), not libm.
+    *
+    * Scale shape: one shuffle to day grain; the per-day rank window
+    * replaces `percentile()`'s hold-all-values aggregate state with a
+    * sort within bounded daily volume — strictly friendlier at scale. */
   def qDailyPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
+    val w = Window.partitionBy($"day_bucket").orderBy($"cents")
+    val ranked = Tables.events(s, dir)
       .filter($"event_type" === "purchase")
       .select(expr("unix_micros(ts) div 86400000000").as("day_bucket"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)").as("v"))
-      .groupBy($"day_bucket")
-      .agg(count(lit(1)).as("n"),
-        // round-at-final-projection: both engines interpolate in binary
-        // doubles, so parity rests on the rounded scale-4 value, not on
-        // bit-identical float interpolation across engine versions
-        round(expr("percentile(v, 0.5)"), 4).as("p50"),
-        round(expr("percentile(v, 0.9)"), 4).as("p90"),
-        min($"v").as("min_v"), max($"v").as("max_v"))
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"day_bucket")))
+    def interp(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+        frac10: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (lo * 10 + frac10 * (coalesce(hi, lo) - lo)).cast("double") / 1000.0
+    ranked.groupBy($"day_bucket")
+      .agg(max($"n").as("n"),
+        // `div`, not `/`: Column./ is double division on any input type
+        max(when($"rn" === expr("(n - 1) div 2 + 1"), $"cents")).as("lo50"),
+        max(when($"rn" === expr("(n - 1) div 2 + 2"), $"cents")).as("hi50"),
+        max(when($"rn" === expr("(n - 1) * 9 div 10 + 1"), $"cents"))
+          .as("lo90"),
+        max(when($"rn" === expr("(n - 1) * 9 div 10 + 2"), $"cents"))
+          .as("hi90"),
+        min($"cents").as("min_c"), max($"cents").as("max_c"))
+      .select($"day_bucket", $"n",
+        interp($"lo50", $"hi50", ($"n" - 1) * 5 % 10).as("p50"),
+        interp($"lo90", $"hi90", ($"n" - 1) * 9 % 10).as("p90"),
+        ($"min_c".cast("double") / 100.0).as("min_v"),
+        ($"max_c".cast("double") / 100.0).as("max_v"))
       .orderBy($"day_bucket")
   }
 
   private val qDailyPercentilesSql =
-    """SELECT day_bucket, count(*) AS n,
-      |  round(quantile_cont(v, 0.5), 4) AS p50,
-      |  round(quantile_cont(v, 0.9), 4) AS p90,
-      |  min(v) AS min_v, max(v) AS max_v
-      |FROM (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
-      |        AS day_bucket,
-      |      CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
-      |      FROM events WHERE event_type = 'purchase')
-      |GROUP BY day_bucket
-      |ORDER BY day_bucket""".stripMargin
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+      |      AS day_bucket,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT day_bucket, cents,
+      |    row_number() OVER (PARTITION BY day_bucket ORDER BY cents) AS rn,
+      |    count(*) OVER (PARTITION BY day_bucket) AS n
+      |  FROM e),
+      |g AS (
+      |  SELECT day_bucket, max(n) AS n,
+      |    max(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END) AS lo50,
+      |    max(CASE WHEN rn = (n - 1) // 2 + 2 THEN cents END) AS hi50,
+      |    max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN cents END) AS lo90,
+      |    max(CASE WHEN rn = (n - 1) * 9 // 10 + 2 THEN cents END) AS hi90,
+      |    min(cents) AS min_c, max(cents) AS max_c
+      |  FROM r GROUP BY day_bucket)
+      |SELECT day_bucket, n,
+      |  CAST(lo50 * 10 + ((n - 1) * 5 % 10) * (coalesce(hi50, lo50) - lo50)
+      |    AS DOUBLE) / 1000.0 AS p50,
+      |  CAST(lo90 * 10 + ((n - 1) * 9 % 10) * (coalesce(hi90, lo90) - lo90)
+      |    AS DOUBLE) / 1000.0 AS p90,
+      |  CAST(min_c AS DOUBLE) / 100.0 AS min_v,
+      |  CAST(max_c AS DOUBLE) / 100.0 AS max_v
+      |FROM g ORDER BY day_bucket""".stripMargin
 
   // ------------------------------------------------------------ q_attribution
   /** Last-touch marketing attribution: each purchase is attributed iff the
@@ -1055,7 +1095,10 @@ object Analytics {
       |    CASE WHEN term = 0.0 THEN 1 ELSE 0 END AS dead,
       |    CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hz
       |  FROM terms)
-      |SELECT dur AS duration_hours, n_risk, deaths,
+      |-- CAST: DuckDB sum(BIGINT) is HUGEINT → float64 in pandas → the
+      |-- driver's value hash sees 52.0 vs Spark's 52. Pin to BIGINT.
+      |SELECT dur AS duration_hours, CAST(n_risk AS BIGINT) AS n_risk,
+      |  CAST(deaths AS BIGINT) AS deaths,
       |  CASE WHEN max(dead) OVER w = 1 THEN 0.0
       |       ELSE round(exp(sum(lnterm) OVER w), 6) END AS survival,
       |  round(sum(hz) OVER w, 6) AS cum_hazard

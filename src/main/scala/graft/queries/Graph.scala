@@ -147,9 +147,11 @@ object Graph {
     //    not a separate aggregate job;
     //  - the rank vectors (node-sized dims) broadcast into the edge
     //    probes, so the fact-derived edge list never shuffles;
-    //  - no nodes re-join inside the loop: a node absent from both raw
-    //    vectors scores 0 and can never reach the top-20 — the full-outer
-    //    of the two vectors carries exactly the nonzero support.
+    //  - no nodes re-join inside the LOOP: a node absent from both raw
+    //    vectors scores 0, so iterating over the nonzero support only is
+    //    lossless; the full universe is restored by ONE left join after
+    //    the loop so sparse corpora (<20 nonzero-auth nodes) still fill
+    //    the oracle's trailing zero-auth top-20 slots.
     val wAll = Window.partitionBy()
     var cur = nodes.withColumn("hub", lit(Scale))
     var prevAuth: Option[DataFrame] = None
@@ -179,7 +181,15 @@ object Graph {
     }
     edges.unpersist()
     prevAuth.foreach(_.unpersist(blocking = false))
-    cur.orderBy($"auth".desc, $"node").limit(20)
+    // Re-join the full node universe ONCE, outside the loop: the oracle
+    // ranks ALL part nodes (zero-auth included), so if fewer than 20
+    // nodes have nonzero auth the trailing top-20 slots must be the
+    // smallest zero-auth part keys on both sides. Dim-sized left join,
+    // no effect on the per-iteration plans.
+    nodes.join(cur, Seq("node"), "left")
+      .select($"node", coalesce($"auth", lit(0L)).as("auth"),
+        coalesce($"hub", lit(0L)).as("hub"))
+      .orderBy($"auth".desc, $"node").limit(20)
       .select($"node".as("p_partkey"), $"auth", $"hub")
   }
 
@@ -189,7 +199,14 @@ object Graph {
     * for the duration of a loop's in-builder materializations — the exact
     * discipline (and rationale) of Streams.withStreamShuffle. Only jobs
     * EXECUTED inside `body` see the override; plans merely built here and
-    * executed later read the session value at execution time. */
+    * executed later read the session value at execution time.
+    *
+    * SINGLE-THREADED ASSUMPTION (review finding): the override is
+    * session-global for the duration of `body` — any query running
+    * concurrently on the same SparkSession would silently get 8-partition
+    * shuffles. Safe under the sequential Verify/Bench harness; if a
+    * concurrent harness ever appears, scope this with `s.newSession()`
+    * (per-session conf clone) instead. */
   private def withFewShuffles[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -1234,7 +1251,12 @@ private object PprOracle {
        |    CASE WHEN is_seed THEN $Scale // $NSeeds ELSE 0 END AS rank
        |  FROM nodes),
        |${(1 to Iters).map(iterCte).mkString(",\n")}
-       |SELECT node AS p_partkey, rank FROM r$Iters
+       |-- CAST: the // chain over sum() is HUGEINT in DuckDB → float64
+       |-- in pandas → the driver's value hash sees 52.0 vs Spark's 52
+       |-- (the exact two-round q_ppr red-row signature; HitsOracle,
+       |-- which always cast, stayed green).
+       |SELECT node AS p_partkey, CAST(rank AS BIGINT) AS rank
+       |FROM r$Iters
        |WHERE rank > 0
        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
 }
@@ -1317,6 +1339,11 @@ private object PagerankOracle {
        |r0 AS (
        |  SELECT node, (SELECT $Scale // n FROM nn) AS rank FROM nodes),
        |${(1 to Iters).map(iterCte).mkString(",\n")}
-       |SELECT node AS p_partkey, rank FROM r$Iters
+       |-- CAST: the // chain over sum() is HUGEINT in DuckDB → float64
+       |-- in pandas → the driver's value hash sees 52.0 vs Spark's 52
+       |-- (the exact two-round q_pagerank red-row signature; HitsOracle,
+       |-- which always cast, stayed green).
+       |SELECT node AS p_partkey, CAST(rank AS BIGINT) AS rank
+       |FROM r$Iters
        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
 }

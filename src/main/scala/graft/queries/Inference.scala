@@ -122,7 +122,10 @@ object Inference {
        |    sum(CASE WHEN we THEN 0 ELSE 1 END) OVER (ORDER BY x
        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_wd
        |  FROM daily)
-       |SELECT max(n_wd) AS n_wd, max(n_we) AS n_we,
+       |-- CAST: sum(int) is HUGEINT in DuckDB → float64 in pandas →
+       |-- the driver's value hash sees 52.0 vs Spark's 52.
+       |SELECT CAST(max(n_wd) AS BIGINT) AS n_wd,
+       |  CAST(max(n_we) AS BIGINT) AS n_we,
        |  round(CAST(max(abs(c_we * n_wd - c_wd * n_we)) AS DOUBLE) /
        |    CAST(max(n_we) * max(n_wd) AS DOUBLE), 6) AS ks
        |FROM cum, tot""".stripMargin
@@ -168,7 +171,9 @@ object Inference {
        |    sum(CASE WHEN we THEN r2 ELSE 0 END) AS r2_we,
        |    sum(CASE WHEN we THEN 0 ELSE r2 END) AS r2_wd
        |  FROM r)
-       |SELECT n_wd, n_we,
+       |-- CAST: sum(int) is HUGEINT in DuckDB → float64 in pandas →
+       |-- the driver's value hash sees 52.0 vs Spark's 52.
+       |SELECT CAST(n_wd AS BIGINT) AS n_wd, CAST(n_we AS BIGINT) AS n_we,
        |  CAST(r2_we - n_we * (n_we + 1) AS DOUBLE) / 2 AS u_we,
        |  CAST(r2_wd - n_wd * (n_wd + 1) AS DOUBLE) / 2 AS u_wd
        |FROM g""".stripMargin
@@ -420,7 +425,10 @@ object Inference {
       |    sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS n_discordant,
       |    sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS ties_y
       |  FROM tail a JOIN tail b ON a.day < b.day)
-      |SELECT n_pairs, n_concordant, n_discordant,
+      |-- CAST: sum(int) is HUGEINT in DuckDB → float64 in pandas →
+      |-- the driver's value hash sees 52.0 vs Spark's 52.
+      |SELECT n_pairs, CAST(n_concordant AS BIGINT) AS n_concordant,
+      |  CAST(n_discordant AS BIGINT) AS n_discordant,
       |  round(CAST(n_concordant - n_discordant AS DOUBLE) /
       |    sqrt(CAST(n_pairs AS DOUBLE) *
       |      CAST(n_pairs - ties_y AS DOUBLE)), 6) AS tau

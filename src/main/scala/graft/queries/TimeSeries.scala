@@ -687,8 +687,11 @@ object TimeSeries {
       |runs AS (
       |  SELECT user_id, run_id, min(st) AS run_st, max(en) AS run_en
       |  FROM r GROUP BY 1, 2)
+      |-- CAST: DuckDB promotes sum(BIGINT) to HUGEINT, which pandas
+      |-- renders as float64 — the driver's value hash then sees 52.0 vs
+      |-- Spark's 52. Pin every emitted integer back to BIGINT.
       |SELECT user_id, count(*) AS n_intervals,
-      |  sum(run_en - run_st) // 1000000 AS covered_sec
+      |  CAST(sum(run_en - run_st) // 1000000 AS BIGINT) AS covered_sec
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------- q_gaps_islands
@@ -845,10 +848,17 @@ object TimeSeries {
       |s AS (
       |  SELECT dow, sum(x - trend) // count(*) AS seasonal
       |  FROM t WHERE trend IS NOT NULL GROUP BY dow)
-      |SELECT t.day, t.x, t.trend,
-      |  CASE WHEN t.trend IS NOT NULL THEN s.seasonal END AS seasonal,
-      |  CASE WHEN t.trend IS NOT NULL
-      |       THEN t.x - t.trend - s.seasonal END AS remainder
+      |-- CAST: sum(BIGINT) is HUGEINT in DuckDB → float64 in pandas →
+      |-- driver hash sees 52.0 vs Spark's 52. Pin to BIGINT. (trend/
+      |-- seasonal/remainder carry NULLs, so BOTH engines' frames go
+      |-- int64→float64 in pandas identically — only the HUGEINT
+      |-- asymmetry diverges.)
+      |SELECT t.day, CAST(t.x AS BIGINT) AS x,
+      |  CAST(t.trend AS BIGINT) AS trend,
+      |  CAST(CASE WHEN t.trend IS NOT NULL THEN s.seasonal END
+      |    AS BIGINT) AS seasonal,
+      |  CAST(CASE WHEN t.trend IS NOT NULL
+      |       THEN t.x - t.trend - s.seasonal END AS BIGINT) AS remainder
       |FROM t LEFT JOIN s USING (dow)
       |ORDER BY t.day""".stripMargin
 

@@ -254,11 +254,15 @@ object Windows {
     * aggregate whose running sum (a window over 64 rows) yields each
     * bucket's global offset; (4) within each bucket a PARTITIONED
     * row_number over the total key (price, orderkey, linenumber) ranks
-    * locally; global_rank = offset + local rank. Every window is either
-    * bucket-partitioned or over the O(buckets) aggregate — nothing sorts
-    * the fact globally, so the shape holds at any scale (add buckets, not
-    * sort width). The oracle is the plain global row_number — the
-    * decomposition must be invisible. */
+    * locally; global_rank = offset + local rank. Every window in the RANK
+    * COMPUTATION is either bucket-partitioned or over the O(buckets)
+    * aggregate — no global window/sort feeds the rank, so that shape
+    * holds at any scale (add buckets, not sort width). The trailing
+    * .orderBy(global_rank) IS a fact-sized global range sort, but it is
+    * presentation-only for oracle row-order parity (the oracle's ORDER BY
+    * pays the same) — drop it when consuming ranks downstream. The oracle
+    * is the plain global row_number — the decomposition must be
+    * invisible. */
   def qFactRank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)

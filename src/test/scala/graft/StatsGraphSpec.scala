@@ -46,10 +46,14 @@ class StatsGraphSpec extends AnyFunSuite {
     // (pendants peel off), 4-core is empty (K4 max degree is 3)
     val g = edgesDf(
       (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6))
+    // kcoreEdges returns a CACHED frame (callers unpersist when done) —
+    // unpersist each core after its assertions so four calls don't leak
+    // cached edge sets into the shared test session (review finding).
     def survivors(k: Int) = {
       val e = graft.queries.Graph.kcoreEdges(spark, g, k)
-      e.select(col("u")).union(e.select(col("v")))
+      try e.select(col("u")).union(e.select(col("v")))
         .distinct().collect().map(_.getLong(0)).toSet
+      finally e.unpersist(blocking = false)
     }
     assert(survivors(2) === Set(1L, 2L, 3L, 4L))
     assert(survivors(3) === Set(1L, 2L, 3L, 4L))
@@ -59,6 +63,7 @@ class StatsGraphSpec extends AnyFunSuite {
     val degs = core2.select(col("u").as("n"))
       .unionAll(core2.select(col("v").as("n")))
       .groupBy("n").count().collect()
+    core2.unpersist(blocking = false)
     assert(degs.forall(_.getLong(1) >= 2))
   }
 

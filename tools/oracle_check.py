@@ -36,8 +36,23 @@ def main(sf_dir: str, out_dir: str) -> int:
         if name not in oracle:
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
+        # Declared-type lint BEFORE the value compare: DuckDB promotes
+        # sum(BIGINT) to HUGEINT, which fetchdf() renders as float64.
+        # pandas `==` says 52.0 == 52, so values still "match" here —
+        # but the driver's gate HASHES values, and hash("52.0") !=
+        # hash("52"). This exact asymmetry was the whole 8-query red
+        # class of rounds 5-6. Fail loudly on any final-select type
+        # pandas maps differently than the Spark parquet side would.
+        desc = con.execute(f"DESCRIBE ({oracle[name]})").fetchall()
+        bad_types = [(c, t) for c, t, *_ in desc
+                     if t.upper() in ("HUGEINT", "UHUGEINT")
+                     or t.upper().startswith("DECIMAL")]
         want = con.execute(oracle[name]).fetchdf()
         ok, msg = compare(got, want)
+        if ok and bad_types:
+            ok, msg = False, (f"oracle emits driver-hash-unsafe types "
+                              f"{bad_types}: CAST to BIGINT/DOUBLE in "
+                              f"the final SELECT")
         status = "OK " if ok else "FAIL"
         print(f"[{status}] {name}: {msg}")
         if not ok:
@@ -49,6 +64,15 @@ def compare(got, want):
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
         return False, f"schema mismatch: spark={gc} oracle={wc}"
+    # dtype-kind check: int-vs-float divergence hashes differently at
+    # the driver even when pandas `==` passes (5 vs 5.0). Width-only
+    # differences (int32 vs int64) hash identically — allow those.
+    for c in gc:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if gk != wk and not ({gk, wk} <= {"i", "u"}):
+            return False, (f"col {c} dtype kind differs: "
+                           f"spark={got[c].dtype} oracle={want[c].dtype} "
+                           f"(driver hash would mismatch)")
     got = got[gc].sort_values(by=gc, ignore_index=True)
     want = want[wc].sort_values(by=wc, ignore_index=True)
     if len(got) != len(want):
