@@ -541,6 +541,245 @@ object Inference {
       |FROM pos
       |WHERE pos > floor(n * 0.05) AND pos <= n - floor(n * 0.05)""".stripMargin
 
+  // ------------------------------------------------------------ q_qq_deciles
+  /** Quantile–quantile comparison of the weekend vs weekday daily-revenue
+    * distributions: the nine decile boundary values of EACH distribution
+    * side by side, plus the per-decile gap — the distribution-shape view
+    * behind the KS statistic's single number (where exactly do the two
+    * samples diverge: in the body or the tail?). Nearest-rank deciles
+    * (k_i = ceil(i·n/10), the [[Stats]] equi-depth convention) — exact
+    * integer cents end to end, no interpolation.
+    *
+    * Scale shape: the fact scan collapses to the O(days) flagged series
+    * first; rank windows and the 9-row decile join run on that aggregate
+    * only. */
+  def qQqDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = dailyFlagged(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"we").orderBy($"x")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"we")))
+    val deciles = s.range(1, 10).select($"id".cast("int").as("decile"))
+    r.join(broadcast(deciles),
+        $"rn" === expr("(decile * n + 9) div 10"))
+      .groupBy($"decile")
+      .agg(max(when(!$"we", $"x")).as("wd_c"),
+        max(when($"we", $"x")).as("we_c"))
+      .select($"decile", $"wd_c", $"we_c",
+        ($"we_c" - $"wd_c").as("gap_c"))
+      .orderBy($"decile")
+  }
+
+  private val qQqDecilesSql =
+    s"""WITH daily AS (
+       |$dailyFlaggedSql),
+       |r AS (
+       |  -- CAST: daily.x is a HUGEINT sum; pin to BIGINT so the emitted
+       |  -- decile values hash as integers at the driver
+       |  SELECT CAST(x AS BIGINT) AS x, we,
+       |    row_number() OVER (PARTITION BY we ORDER BY x) AS rn,
+       |    count(*) OVER (PARTITION BY we) AS n
+       |  FROM daily),
+       |d AS (SELECT CAST(v AS INT) AS decile FROM generate_series(1, 9) s(v)),
+       |j AS (
+       |  SELECT d.decile, r.we, r.x
+       |  FROM r JOIN d ON r.rn = (d.decile * r.n + 9) // 10)
+       |SELECT decile,
+       |  max(CASE WHEN NOT we THEN x END) AS wd_c,
+       |  max(CASE WHEN we THEN x END) AS we_c,
+       |  max(CASE WHEN we THEN x END) - max(CASE WHEN NOT we THEN x END)
+       |    AS gap_c
+       |FROM j GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** Per-customer (arm, covariate-period cents, metric-period cents) —
+    * the unit table under both causal-inference estimators ([[qCuped]],
+    * [[qDid]]). Deterministic arm assignment by customer-key parity; the
+    * metric window is the last 90 days of the corpus, the covariate
+    * window the 90 days before that. One fact shuffle to customer grain. */
+  private def abUnits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_orderdate").as("mx"))
+    Tables.orders(s, dir).crossJoin(broadcast(mx))
+      .filter($"o_orderdate" > date_sub($"mx", 180))
+      .select($"o_custkey",
+        ($"o_custkey" % 2 === 0).as("treat"),
+        when($"o_orderdate" > date_sub($"mx", 90),
+          (OP.dec2($"o_totalprice") * 100).cast("long")).otherwise(0L)
+          .as("y_c"),
+        when($"o_orderdate" <= date_sub($"mx", 90),
+          (OP.dec2($"o_totalprice") * 100).cast("long")).otherwise(0L)
+          .as("x_c"))
+      .groupBy($"o_custkey", $"treat")
+      .agg(sum($"y_c").as("y"), sum($"x_c").as("x"))
+  }
+
+  private val abUnitsSql =
+    """SELECT o_custkey, o_custkey % 2 = 0 AS treat,
+      |    CAST(sum(CASE WHEN o_orderdate > mx - INTERVAL 90 DAY
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(sum(CASE WHEN o_orderdate <= mx - INTERVAL 90 DAY
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS x
+      |  FROM orders, (SELECT max(o_orderdate) AS mx FROM orders)
+      |  WHERE o_orderdate > mx - INTERVAL 180 DAY
+      |  GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q_cuped
+  /** CUPED variance reduction for the parity-split experiment: customers'
+    * pre-period spend is the covariate, θ = cov(x,y)/var(x) estimated
+    * pooled, and each arm reports its raw mean, adjusted mean
+    * (m_y − θ·(m_x − pooled m_x)) and the variance-reduction ratio
+    * 1 − var(y−θx)/var(y) — the standard trick that shrinks experiment
+    * read-out noise using only pre-experiment data. All sums are exact
+    * integer cents promoted to DECIMAL(38,0) (HUGEINT in the oracle)
+    * before products; θ and the per-arm outputs are single double
+    * closed forms over those exact sums, identically parenthesized in
+    * both engines ([[Stats]] q_ab_test discipline).
+    *
+    * Scale shape: one fact shuffle to customer grain (the [[abUnits]]
+    * aggregate), one map-side-combinable moment aggregate to ONE pooled
+    * row + 2 arm rows. Nothing below the customer aggregate is
+    * fact-sized. */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = abUnits(s, dir)
+      .select($"treat", $"y".cast(DecimalType(38, 0)).as("yd"),
+        $"x".cast(DecimalType(38, 0)).as("xd"))
+    def moments(df: DataFrame) = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"yd").cast("double").as("sy"),
+      sum($"xd").cast("double").as("sx"),
+      sum($"yd" * $"yd").cast("double").as("syy"),
+      sum($"xd" * $"xd").cast("double").as("sxx"),
+      sum($"xd" * $"yd").cast("double").as("sxy"))
+    val pooled = moments(u)
+      .select((($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx")).as("theta"),
+        ($"sx" / $"n").as("mx_all"))
+    u.groupBy($"treat").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"yd").cast("double").as("sy"),
+        sum($"xd").cast("double").as("sx"),
+        sum($"yd" * $"yd").cast("double").as("syy"),
+        sum($"xd" * $"xd").cast("double").as("sxx"),
+        sum($"xd" * $"yd").cast("double").as("sxy"))
+      .crossJoin(broadcast(pooled))
+      .select($"treat", $"n".cast("long").as("n_units"),
+        round($"sy" / $"n" / 100.0d, 4).as("mean_y"),
+        round(($"sy" / $"n" - $"theta" * ($"sx" / $"n" - $"mx_all"))
+          / 100.0d, 4).as("mean_y_adj"),
+        round((($"syy" - $"sy" * $"sy" / $"n")
+            - lit(2.0d) * $"theta" * ($"sxy" - $"sx" * $"sy" / $"n")
+            + $"theta" * $"theta" * ($"sxx" - $"sx" * $"sx" / $"n"))
+          / ($"syy" - $"sy" * $"sy" / $"n"), 6).as("var_ratio"))
+      .orderBy($"treat")
+  }
+
+  private val qCupedSql =
+    s"""WITH u AS (
+       |$abUnitsSql),
+       |h AS (
+       |  SELECT treat, CAST(y AS HUGEINT) AS yd, CAST(x AS HUGEINT) AS xd
+       |  FROM u),
+       |pooled AS (
+       |  SELECT
+       |    (CAST(count(*) AS DOUBLE) * CAST(sum(xd * yd) AS DOUBLE)
+       |      - CAST(sum(xd) AS DOUBLE) * CAST(sum(yd) AS DOUBLE))
+       |    / (CAST(count(*) AS DOUBLE) * CAST(sum(xd * xd) AS DOUBLE)
+       |      - CAST(sum(xd) AS DOUBLE) * CAST(sum(xd) AS DOUBLE)) AS theta,
+       |    CAST(sum(xd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mx_all
+       |  FROM h),
+       |arm AS (
+       |  SELECT treat,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(yd) AS DOUBLE) AS sy, CAST(sum(xd) AS DOUBLE) AS sx,
+       |    CAST(sum(yd * yd) AS DOUBLE) AS syy,
+       |    CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+       |    CAST(sum(xd * yd) AS DOUBLE) AS sxy
+       |  FROM h GROUP BY treat)
+       |SELECT treat, CAST(n AS BIGINT) AS n_units,
+       |  round(sy / n / 100.0, 4) AS mean_y,
+       |  round((sy / n - theta * (sx / n - mx_all)) / 100.0, 4)
+       |    AS mean_y_adj,
+       |  round(((syy - sy * sy / n)
+       |      - 2.0 * theta * (sxy - sx * sy / n)
+       |      + theta * theta * (sxx - sx * sx / n))
+       |    / (syy - sy * sy / n), 6) AS var_ratio
+       |FROM arm, pooled ORDER BY treat""".stripMargin
+
+  // ------------------------------------------------------------------ q_did
+  /** Difference-in-differences over the parity-split panel: order-level
+    * mean spend per (arm × pre/post) cell around the 90-day cutoff, and
+    * the DiD estimate (Δtreat − Δcontrol) — the four-cell causal read-out
+    * every launch retro starts from. Cell sums are exact integer cents;
+    * the five emitted means/effects are single IEEE divisions over them.
+    *
+    * Scale shape: ONE map-side-combinable aggregate to 4 cells; the
+    * pivot and the estimate are driver-trivial arithmetic on the 4-row
+    * frame. */
+  def qDid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_orderdate").as("mx"))
+    val cells = Tables.orders(s, dir).crossJoin(broadcast(mx))
+      .filter($"o_orderdate" > date_sub($"mx", 180))
+      .select(($"o_custkey" % 2 === 0).as("treat"),
+        ($"o_orderdate" > date_sub($"mx", 90)).as("post"),
+        (OP.dec2($"o_totalprice") * 100).cast("long").as("c"))
+      .groupBy($"treat", $"post")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"))
+    cells.groupBy()
+      .agg(
+        sum(when($"treat" && $"post", $"n")).as("n_tp"),
+        sum(when($"treat" && !$"post", $"n")).as("n_t0"),
+        sum(when(!$"treat" && $"post", $"n")).as("n_cp"),
+        sum(when(!$"treat" && !$"post", $"n")).as("n_c0"),
+        sum(when($"treat" && $"post", $"s")).as("s_tp"),
+        sum(when($"treat" && !$"post", $"s")).as("s_t0"),
+        sum(when(!$"treat" && $"post", $"s")).as("s_cp"),
+        sum(when(!$"treat" && !$"post", $"s")).as("s_c0"))
+      .select($"n_tp", $"n_t0", $"n_cp", $"n_c0",
+        round($"s_tp".cast("double") / $"n_tp" / 100.0d, 4).as("m_treat_post"),
+        round($"s_t0".cast("double") / $"n_t0" / 100.0d, 4).as("m_treat_pre"),
+        round($"s_cp".cast("double") / $"n_cp" / 100.0d, 4).as("m_ctrl_post"),
+        round($"s_c0".cast("double") / $"n_c0" / 100.0d, 4).as("m_ctrl_pre"),
+        round(($"s_tp".cast("double") / $"n_tp"
+            - $"s_t0".cast("double") / $"n_t0"
+            - ($"s_cp".cast("double") / $"n_cp"
+              - $"s_c0".cast("double") / $"n_c0")) / 100.0d, 4).as("did"))
+  }
+
+  private val qDidSql =
+    """WITH cells AS (
+      |  SELECT o_custkey % 2 = 0 AS treat,
+      |    o_orderdate > mx - INTERVAL 90 DAY AS post,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS s
+      |  FROM orders, (SELECT max(o_orderdate) AS mx FROM orders)
+      |  WHERE o_orderdate > mx - INTERVAL 180 DAY
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN treat AND post THEN n END) AS BIGINT) AS n_tp,
+      |    CAST(sum(CASE WHEN treat AND NOT post THEN n END) AS BIGINT) AS n_t0,
+      |    CAST(sum(CASE WHEN NOT treat AND post THEN n END) AS BIGINT) AS n_cp,
+      |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN n END) AS BIGINT) AS n_c0,
+      |    CAST(sum(CASE WHEN treat AND post THEN s END) AS BIGINT) AS s_tp,
+      |    CAST(sum(CASE WHEN treat AND NOT post THEN s END) AS BIGINT) AS s_t0,
+      |    CAST(sum(CASE WHEN NOT treat AND post THEN s END) AS BIGINT) AS s_cp,
+      |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN s END) AS BIGINT) AS s_c0
+      |  FROM cells)
+      |SELECT n_tp, n_t0, n_cp, n_c0,
+      |  round(CAST(s_tp AS DOUBLE) / n_tp / 100.0, 4) AS m_treat_post,
+      |  round(CAST(s_t0 AS DOUBLE) / n_t0 / 100.0, 4) AS m_treat_pre,
+      |  round(CAST(s_cp AS DOUBLE) / n_cp / 100.0, 4) AS m_ctrl_post,
+      |  round(CAST(s_c0 AS DOUBLE) / n_c0 / 100.0, 4) AS m_ctrl_pre,
+      |  round((CAST(s_tp AS DOUBLE) / n_tp - CAST(s_t0 AS DOUBLE) / n_t0
+      |    - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_c0 AS DOUBLE) / n_c0))
+      |    / 100.0, 4) AS did
+      |FROM g""".stripMargin
+
   // ------------------------------------------------------------ registry --
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test"      -> (qKsTest _),
@@ -551,7 +790,10 @@ object Inference {
     "q_kendall_tau"  -> (qKendallTau _),
     "q_runs_test"    -> (qRunsTest _),
     "q_trimmed_mean" -> (qTrimmedMean _),
-    "q_theil_sen"    -> (qTheilSen _))
+    "q_theil_sen"    -> (qTheilSen _),
+    "q_qq_deciles"   -> (qQqDeciles _),
+    "q_cuped"        -> (qCuped _),
+    "q_did"          -> (qDid _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test"      -> qKsTestSql,
@@ -562,5 +804,8 @@ object Inference {
     "q_kendall_tau"  -> qKendallTauSql,
     "q_runs_test"    -> qRunsTestSql,
     "q_trimmed_mean" -> qTrimmedMeanSql,
-    "q_theil_sen"    -> qTheilSenSql)
+    "q_theil_sen"    -> qTheilSenSql,
+    "q_qq_deciles"   -> qQqDecilesSql,
+    "q_cuped"        -> qCupedSql,
+    "q_did"          -> qDidSql)
 }

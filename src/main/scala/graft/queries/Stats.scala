@@ -911,7 +911,66 @@ object Stats {
       |    AS BIGINT) AS DOUBLE) / 400.0, 4) AS mad
       |FROM dev GROUP BY flag ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------------- q_weighted_median
+  /** Exact weighted median of line price per return flag, weighted by
+    * quantity — "the price at which half the shipped UNITS are cheaper",
+    * the inventory-weighted center [[qExactMedian]]'s row-median ignores
+    * (one 50-unit cheap line outweighs ten 1-unit luxury lines). The
+    * median is the smallest price whose running unit weight reaches half
+    * the total: one per-group value-ordered window over exact integer
+    * (cents, units), then a min-over-qualifying aggregate — no
+    * interpolation, no doubles.
+    *
+    * Determinism with duplicate prices: the cumulative weight of
+    * same-price rows depends on their (arbitrary) relative order, but the
+    * SMALLEST qualifying price does not — every ordering crosses the
+    * half-total threshold inside the same price tie-group, and all rows
+    * in a tie-group carry the same price. So the value-only sort key is
+    * total ENOUGH for the emitted value (the lineitem duplicate-row trap
+    * doesn't bite a min-over-threshold).
+    *
+    * Scale shape: one shuffle on (flag) for the window over the fact —
+    * the honest cost of an exact weighted order statistic; the band-
+    * narrowing two-pass of [[qExactMedian]] generalizes here the same
+    * way if the per-group volume ever exceeds a partition. */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select(
+      $"l_returnflag".as("flag"),
+      (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"),
+      OP.dec2($"l_quantity").cast("long").as("qty"))
+    val wRun = Window.partitionBy($"flag").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li
+      .withColumn("cumw", sum($"qty").over(wRun))
+      .withColumn("w_total", sum($"qty").over(Window.partitionBy($"flag")))
+      .filter($"cumw" * 2 >= $"w_total")
+      .groupBy($"flag")
+      .agg(max($"w_total").as("total_units"),
+        min($"cents").as("wmedian_c"))
+      .orderBy($"flag")
+  }
+
+  private val qWeightedMedianSql =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS qty
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, cents,
+      |    CAST(sum(qty) OVER (PARTITION BY flag ORDER BY cents
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+      |    CAST(sum(qty) OVER (PARTITION BY flag) AS BIGINT) AS w_total
+      |  FROM li)
+      |SELECT flag, max(w_total) AS total_units,
+      |  min(cents) AS wmedian_c
+      |FROM r WHERE cumw * 2 >= w_total
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_median" -> (qWeightedMedian _),
     "q_mad"         -> (qMad _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_chi_square" -> (qChiSquare _),
@@ -930,6 +989,7 @@ object Stats {
     "q_dist_drift" -> (qDistDrift _))
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_median" -> qWeightedMedianSql,
     "q_mad"         -> qMadSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_chi_square" -> qChiSquareSql,

@@ -1114,7 +1114,58 @@ object TextDedup {
       |HAVING count(*) > 1
       |ORDER BY n_occ DESC, chunk_hash LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------- q_string_sim_join
+  /** Fuzzy string self-join over the part-name domain: name pairs within
+    * edit distance 2, with how many parts each variant covers — the
+    * entity-resolution primitive ("cold anvil" vs "old anvil" are the
+    * same product line; MinHash can't see it because shingle overlap is
+    * word-level). Three scale moves, in order:
+    *   1. collapse the FACT to its distinct value domain first (64 names
+    *      for 2M parts — pairwise work is domain², never rows²);
+    *   2. block on the last token (the entity head noun) so candidates
+    *      are per-block, not domain² — the LSH-bucket shape in string
+    *      space. Blocking trades recall for scale exactly like LSH bands:
+    *      a pair differing in the head noun is invisible (at distance ≤ 2
+    *      none such exists here — head nouns differ by ≥ 3 edits);
+    *   3. cheap length prefilter (|Δlen| ≤ 2 is NECESSARY for edit
+    *      distance ≤ 2) before the O(len²) Levenshtein verify.
+    * Both engines implement the identical textbook Levenshtein, so the
+    * verify step is engine-portable. */
+  def qStringSimJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.part(s, dir)
+      .groupBy($"p_name".as("nm"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split($"nm", " "), -1))
+      .withColumn("ln", length($"nm"))
+    val a = names.select($"nm".as("name_a"), $"n_parts".as("n_parts_a"),
+      $"blk", $"ln".as("la"))
+    val b = names.select($"nm".as("name_b"), $"n_parts".as("n_parts_b"),
+      $"blk", $"ln".as("lb"))
+    a.join(b, Seq("blk"))
+      .filter($"name_a" < $"name_b" && abs($"la" - $"lb") <= 2)
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 2)
+      .select($"name_a", $"name_b", $"dist", $"n_parts_a", $"n_parts_b")
+      .orderBy($"dist", $"name_a", $"name_b")
+  }
+
+  private val qStringSimJoinSql =
+    """WITH names AS (
+      |  SELECT p_name AS nm, count(*) AS n_parts,
+      |    split_part(p_name, ' ', -1) AS blk, length(p_name) AS ln
+      |  FROM part GROUP BY 1)
+      |SELECT a.nm AS name_a, b.nm AS name_b,
+      |  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist,
+      |  CAST(a.n_parts AS BIGINT) AS n_parts_a,
+      |  CAST(b.n_parts AS BIGINT) AS n_parts_b
+      |FROM names a JOIN names b
+      |  ON a.blk = b.blk AND a.nm < b.nm AND abs(a.ln - b.ln) <= 2
+      |WHERE levenshtein(a.nm, b.nm) <= 2
+      |ORDER BY dist, name_a, name_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_sim_join" -> (qStringSimJoin _),
     "q_incr_dedup"      -> (qIncrDedup _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_prefix_join"    -> (qPrefixJoin _),
@@ -1137,6 +1188,7 @@ object TextDedup {
     "q_dedup_corpus"   -> (qDedupCorpus _))
 
   val oracle: Map[String, String] = Map(
+    "q_string_sim_join" -> qStringSimJoinSql,
     "q_incr_dedup"      -> qIncrDedupSql,
     "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_prefix_join"    -> qPrefixJoinSql,

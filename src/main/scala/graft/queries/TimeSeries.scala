@@ -1024,7 +1024,188 @@ object TimeSeries {
       |       WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
       |FROM z ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------- q_changepoint
+  /** Depth-2 binary-segmentation changepoint detection on the daily
+    * revenue series: the level-1 split point is the day maximizing the
+    * scaled CUSUM statistic |n·C_t − t·T| (C_t = running sum, T = total —
+    * the mean-shift statistic kept as an EXACT integer by scaling with n
+    * instead of dividing), then each side is re-segmented once by the
+    * same rule — three rows: where the series breaks, and where each
+    * half breaks. The monitoring primitive behind [[qCusum]]'s alarm:
+    * CUSUM says "drifted", this says WHEN.
+    *
+    * Engine parity: everything is BIGINT (cents, counts, products
+    * n·C ≲ 10¹⁶); argmax tiebreak is (stat DESC, day) — total. Segment
+    * means use truncating integer division.
+    *
+    * Scale shape: the fact collapses to O(days) first; both passes are
+    * windows over that aggregate (the global window is dim-sized by
+    * construction). The 1-row level-1 split broadcasts back. */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+    val wd = Window.orderBy($"day")
+    val cum = daily
+      .withColumn("rn", row_number().over(wd).cast("long"))
+      .withColumn("c", sum($"x").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cum.agg(max($"rn").as("n"), sum($"x").as("t"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .filter($"rn" < $"n")
+      .withColumn("s", abs($"n" * $"c" - $"rn" * $"t"))
+    val lvl1 = scored
+      .withColumn("pick", row_number().over(
+        Window.orderBy($"s".desc, $"day")))
+      .filter($"pick" === 1)
+      .select(lit("all").as("segment"), $"day".as("change_day"), $"s".as("stat"),
+        $"n".as("n_days"), expr("c div rn").as("mean_before_c"),
+        expr("(t - c) div (n - rn)").as("mean_after_c"))
+    val tau = scored
+      .withColumn("pick", row_number().over(
+        Window.orderBy($"s".desc, $"day")))
+      .filter($"pick" === 1).select($"rn".as("tau_rn"))
+    val wSeg = Window.partitionBy($"seg").orderBy($"day")
+    val seg = cum.crossJoin(broadcast(tau))
+      .withColumn("seg", when($"rn" <= $"tau_rn", "pre").otherwise("post"))
+      .withColumn("rn2", row_number().over(wSeg).cast("long"))
+      .withColumn("c2", sum($"x").over(
+        wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nseg", count(lit(1)).over(Window.partitionBy($"seg")))
+      .withColumn("tseg", sum($"x").over(Window.partitionBy($"seg")))
+      .filter($"rn2" < $"nseg")
+      .withColumn("s", abs($"nseg" * $"c2" - $"rn2" * $"tseg"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"seg").orderBy($"s".desc, $"day")))
+      .filter($"pick" === 1)
+      .select($"seg".as("segment"), $"day".as("change_day"), $"s".as("stat"),
+        $"nseg".as("n_days"), expr("c2 div rn2").as("mean_before_c"),
+        expr("(tseg - c2) div (nseg - rn2)").as("mean_after_c"))
+    lvl1.unionAll(seg).orderBy($"segment")
+  }
+
+  private val qChangepointSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |cum AS (
+      |  SELECT day, x,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+      |    CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS c
+      |  FROM daily),
+      |tot AS (
+      |  SELECT max(rn) AS n, CAST(sum(x) AS BIGINT) AS t FROM cum),
+      |scored AS (
+      |  SELECT day, rn, c, n, t, abs(n * c - rn * t) AS s
+      |  FROM cum, tot WHERE rn < n),
+      |lvl1 AS (
+      |  SELECT 'all' AS segment, day AS change_day, s AS stat,
+      |    n AS n_days, c // rn AS mean_before_c,
+      |    (t - c) // (n - rn) AS mean_after_c
+      |  FROM scored ORDER BY s DESC, day LIMIT 1),
+      |tau AS (SELECT rn AS tau_rn FROM scored ORDER BY s DESC, day LIMIT 1),
+      |seg0 AS (
+      |  SELECT day, x, CASE WHEN rn <= tau_rn THEN 'pre' ELSE 'post' END
+      |    AS seg
+      |  FROM cum, tau),
+      |segc AS (
+      |  SELECT day, seg,
+      |    CAST(row_number() OVER (PARTITION BY seg ORDER BY day) AS BIGINT)
+      |      AS rn2,
+      |    CAST(sum(x) OVER (PARTITION BY seg ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2,
+      |    CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS nseg,
+      |    CAST(sum(x) OVER (PARTITION BY seg) AS BIGINT) AS tseg
+      |  FROM seg0),
+      |seg AS (
+      |  SELECT segment, change_day, stat, n_days, mean_before_c,
+      |    mean_after_c
+      |  FROM (
+      |    SELECT seg AS segment, day AS change_day,
+      |      abs(nseg * c2 - rn2 * tseg) AS stat, nseg AS n_days,
+      |      c2 // rn2 AS mean_before_c,
+      |      (tseg - c2) // (nseg - rn2) AS mean_after_c,
+      |      row_number() OVER (PARTITION BY seg
+      |        ORDER BY abs(nseg * c2 - rn2 * tseg) DESC, day) AS pick
+      |    FROM segc WHERE rn2 < nseg)
+      |  WHERE pick = 1)
+      |SELECT * FROM (SELECT * FROM lvl1 UNION ALL SELECT * FROM seg)
+      |ORDER BY segment""".stripMargin
+
+  // -------------------------------------------------- q_seasonal_backtest
+  /** Forecast backtest of two baseline models over the daily revenue
+    * series — naive-1 (yesterday's value) vs seasonal-naive-7 (same value
+    * a week of OBSERVED days ago): per model, days evaluated, total
+    * absolute error, MAE, and MAPE in exact ppm. The model-selection
+    * read-out that justifies (or kills) the weekly-seasonality assumption
+    * [[qStlDecompose]] bakes in: if seasonal-naive doesn't beat naive-1,
+    * there is no week to model.
+    *
+    * Engine parity: errors are exact integer cents; per-day APE is a
+    * truncating integer division to ppm BEFORE summing (exact, order-
+    * free); MAE is one IEEE division at the end. Both models evaluate on
+    * the same day set (where the 7-lag exists) so the comparison is
+    * apples-to-apples.
+    *
+    * Scale shape: O(days) aggregate first; two lags ride one dim-sized
+    * window; the rollup is a 2-row aggregate. */
+  def qSeasonalBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wd = Window.orderBy($"day")
+    val lagged = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+      .withColumn("l1", lag($"x", 1).over(wd))
+      .withColumn("l7", lag($"x", 7).over(wd))
+      .filter($"l7".isNotNull)
+    def model(name: String, pred: org.apache.spark.sql.Column) =
+      lagged.agg(
+        count(lit(1)).as("n_days"),
+        sum(abs($"x" - pred)).as("total_abs_err_c"),
+        expr(s"sum(abs(x - ${name}) * 1000000 div x)").as("ape_sum"))
+        .select(lit(if (name == "l1") "naive_1" else "seasonal_7")
+            .as("model"),
+          $"n_days", $"total_abs_err_c",
+          ($"total_abs_err_c".cast("double") / $"n_days").as("mae_c"),
+          expr("ape_sum div n_days").as("mape_ppm"))
+    model("l1", $"l1").unionAll(model("l7", $"l7")).orderBy($"model")
+  }
+
+  private val qSeasonalBacktestSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT day, x,
+      |    lag(x, 1) OVER (ORDER BY day) AS l1,
+      |    lag(x, 7) OVER (ORDER BY day) AS l7
+      |  FROM daily),
+      |ev AS (SELECT * FROM lagged WHERE l7 IS NOT NULL),
+      |m1 AS (
+      |  SELECT 'naive_1' AS model, count(*) AS n_days,
+      |    CAST(sum(abs(x - l1)) AS BIGINT) AS total_abs_err_c,
+      |    CAST(sum(abs(x - l1) * 1000000 // x) AS BIGINT) AS ape_sum
+      |  FROM ev),
+      |m7 AS (
+      |  SELECT 'seasonal_7' AS model, count(*) AS n_days,
+      |    CAST(sum(abs(x - l7)) AS BIGINT) AS total_abs_err_c,
+      |    CAST(sum(abs(x - l7) * 1000000 // x) AS BIGINT) AS ape_sum
+      |  FROM ev)
+      |SELECT model, n_days, total_abs_err_c,
+      |  CAST(total_abs_err_c AS DOUBLE) / n_days AS mae_c,
+      |  ape_sum // n_days AS mape_ppm
+      |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m7)
+      |ORDER BY model""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint" -> (qChangepoint _),
+    "q_seasonal_backtest" -> (qSeasonalBacktest _),
     "q_sax"            -> (qSax _),
     "q_vwap"           -> (qVwap _),
     "q_bollinger"      -> (qBollinger _),
@@ -1047,6 +1228,8 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_changepoint" -> qChangepointSql,
+    "q_seasonal_backtest" -> qSeasonalBacktestSql,
     "q_sax"            -> qSaxSql,
     "q_vwap"           -> qVwapSql,
     "q_bollinger"      -> qBollingerSql,
