@@ -302,7 +302,72 @@ object TrainingData {
       |ORDER BY source, decile""".stripMargin
 
   // ------------------------------------------------------------- registry
+  // --------------------------------------------- q_context_window_stats
+  /** Context-window budget audit: for each candidate training sequence
+    * length (512 / 2048 / 8192 BPE-ish tokens), how much of the corpus
+    * survives doc-level truncation — docs over budget, tokens kept vs
+    * lost, and the padding waste of one-doc-per-sequence batching
+    * (kept / (sequences × window)). The sizing table a pretraining run
+    * reads BEFORE [[qPackSequences]] commits to a window: truncation
+    * loss rises with shorter windows, padding waste with longer — this
+    * emits both sides of that tradeoff from one corpus pass.
+    *
+    * All counts are exact integers (per-doc token counts, min/ceil in
+    * integer arithmetic); utilization is one IEEE division. Scale shape:
+    * one projection to per-doc token counts, then a 3-row broadcast
+    * cross join and ONE map-side-combinable aggregate — no shuffle of
+    * document text. */
+  def qContextWindowStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(expr(
+        """regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+        .cast("long").as("t"))
+    val windows = Seq(512L, 2048L, 8192L)
+    val w = toks.sparkSession.createDataFrame(
+      windows.map(Tuple1(_))).toDF("win")
+    toks.crossJoin(broadcast(w))
+      .select(col("win"), col("t"),
+        least(col("t"), col("win")).as("kept"),
+        expr("(least(t, win) + win - 1) div win").as("seqs"))
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("t") > col("win"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(col("t")).as("tokens_total"),
+        sum(col("kept")).as("tokens_kept"),
+        sum(col("t") - col("kept")).as("tokens_lost"),
+        sum(col("seqs")).as("n_sequences"))
+      .withColumn("utilization",
+        col("tokens_kept").cast("double")
+          / (col("n_sequences") * col("win")).cast("double"))
+      .orderBy(col("win"))
+  }
+
+  private val qContextWindowStatsSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(trim(text)),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS t
+      |  FROM documents),
+      |w AS (SELECT CAST(v AS BIGINT) AS win
+      |      FROM (VALUES (512), (2048), (8192)) s(v)),
+      |x AS (
+      |  SELECT win, t, least(t, win) AS kept,
+      |    (least(t, win) + win - 1) // win AS seqs
+      |  FROM toks, w)
+      |SELECT win, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN t > win THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_truncated,
+      |  CAST(sum(t) AS BIGINT) AS tokens_total,
+      |  CAST(sum(kept) AS BIGINT) AS tokens_kept,
+      |  CAST(sum(t - kept) AS BIGINT) AS tokens_lost,
+      |  CAST(sum(seqs) AS BIGINT) AS n_sequences,
+      |  CAST(sum(kept) AS DOUBLE)
+      |    / (CAST(sum(seqs) AS BIGINT) * win) AS utilization
+      |FROM x GROUP BY win ORDER BY win""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_context_window_stats" -> (qContextWindowStats _),
     "q_length_buckets"  -> (qLengthBuckets _),
     "q_hash_sample"     -> (qHashSample _),
     "q_train_split"     -> (qTrainSplit _),
@@ -314,6 +379,7 @@ object TrainingData {
     "q_group_sample"    -> (qGroupSample _))
 
   val oracle: Map[String, String] = Map(
+    "q_context_window_stats" -> qContextWindowStatsSql,
     "q_length_buckets"  -> qLengthBucketsSql,
     "q_hash_sample"     -> qHashSampleSql,
     "q_train_split"     -> qTrainSplitSql,

@@ -92,8 +92,10 @@ object Streams {
     l.join(r, expr(
       s"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval $within"),
       joinType)
-      .select(col("l_user").as("user_id"), col("l_event"), col("r_event"),
-        col("l_ts"), col("r_ts"))
+      // coalesce: under full_outer an unmatched RIGHT row carries a null
+      // l_user; for inner/left_outer the coalesce is an identity
+      .select(coalesce(col("l_user"), col("r_user")).as("user_id"),
+        col("l_event"), col("r_event"), col("l_ts"), col("r_ts"))
   }
 
   /** foreachBatch bridge: run any batch-library stage (cleaning, DQ,
@@ -554,7 +556,83 @@ object Streams {
       |ORDER BY user_id, l_ts,
       |  coalesce(r_ts, TIMESTAMP '1970-01-01 00:00:00')""".stripMargin
 
+  // --------------------------------------------- q_stream_full_outer
+  /** FULL OUTER stream-stream interval join — both null-emission paths at
+    * once: a purchase with no click within 6 hours emits with right-nulls
+    * once the watermark passes its window end (the [[qStreamOuterJoin]]
+    * rule), and a click never claimed by any purchase emits with
+    * left-nulls once the watermark passes the click's own timestamp (a
+    * left matching it would need l_ts ≤ r_ts, and a new left below the
+    * watermark would be dropped as late — so wm > r_ts proves
+    * unmatchable; StreamsSpec pins the boundary empirically). The oracle
+    * replays both rules in batch SQL against the final watermark
+    * min(max purchase ts, max click ts) − 2 days. Rows whose proof
+    * window is still open when the bounded stream ends stay in state
+    * and are never emitted — both sides. */
+  def qStreamFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_stream_fojoin"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
+    val joined = intervalJoin(
+      eventsStream(s, dir).filter(col("event_type") === "purchase"),
+      eventsStream(s, dir).filter(col("event_type") === "click"),
+      within = "6 hours", watermark = "2 days", joinType = "full_outer")
+    val q = withStreamShuffle(s) {
+      joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    deleteRecursively(ck)
+    s.table(name).orderBy(col("user_id"),
+      coalesce(col("l_ts"), lit("1970-01-01 00:00:00").cast("timestamp")),
+      coalesce(col("r_ts"), lit("1970-01-01 00:00:00").cast("timestamp")))
+  }
+
+  private val qStreamFullOuterSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click'),
+      |wm AS (
+      |  SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+      |         - INTERVAL 2 DAY AS w),
+      |matched AS (
+      |  SELECT l.user_id, l.event_type AS l_event, r.event_type AS r_event,
+      |    l.ts AS l_ts, r.ts AS r_ts
+      |  FROM p l JOIN c r ON l.user_id = r.user_id
+      |    AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR),
+      |unmatched_l AS (
+      |  SELECT l.user_id, l.event_type AS l_event,
+      |    CAST(NULL AS VARCHAR) AS r_event,
+      |    l.ts AS l_ts, CAST(NULL AS TIMESTAMP) AS r_ts
+      |  FROM p l
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM c r WHERE r.user_id = l.user_id
+      |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR)
+      |    AND l.ts + INTERVAL 6 HOUR < (SELECT w FROM wm)),
+      |unmatched_r AS (
+      |  SELECT r.user_id, CAST(NULL AS VARCHAR) AS l_event,
+      |    r.event_type AS r_event,
+      |    CAST(NULL AS TIMESTAMP) AS l_ts, r.ts AS r_ts
+      |  FROM c r
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM p l WHERE l.user_id = r.user_id
+      |        AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR)
+      |    AND r.ts < (SELECT w FROM wm))
+      |SELECT * FROM (SELECT * FROM matched
+      |  UNION ALL SELECT * FROM unmatched_l
+      |  UNION ALL SELECT * FROM unmatched_r)
+      |ORDER BY user_id,
+      |  coalesce(l_ts, TIMESTAMP '1970-01-01 00:00:00'),
+      |  coalesce(r_ts, TIMESTAMP '1970-01-01 00:00:00')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_full_outer"     -> (qStreamFullOuter _),
     "q_stream_outer_join"     -> (qStreamOuterJoin _),
     "q_stream_tumbling"       -> (qStreamTumbling _),
     "q_stream_dedup"          -> (qStreamDedup _),
@@ -564,6 +642,7 @@ object Streams {
     "q_stream_enrich"         -> (qStreamEnrich _))
 
   val oracle: Map[String, String] = Map(
+    "q_stream_full_outer"     -> qStreamFullOuterSql,
     "q_stream_outer_join"     -> qStreamOuterJoinSql,
     "q_stream_tumbling"       -> qStreamTumblingSql,
     "q_stream_dedup"          -> qStreamDedupSql,

@@ -175,6 +175,45 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer interval join: unmatched RIGHT row evicts when watermark passes r_ts") {
+    // Pins the right-side null-emission rule the q_stream_full_outer
+    // oracle encodes: a click at r_ts can only match a purchase with
+    // l_ts <= r_ts; once the watermark moves strictly past r_ts no such
+    // purchase can still arrive, so the click must flush with left-nulls
+    // — and not before (r_ts == watermark could still match an on-time
+    // l_ts == watermark purchase).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val buys = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val out = Streams.intervalJoin(buys.toDF(), clicks.toDF(),
+      within = "1 hour", watermark = "1 hour", joinType = "full_outer")
+    val q = out.writeStream.format("memory").queryName("fojoin_boundary")
+      .outputMode("append").start()
+    def unmatchedRight(u: Long) = spark.table("fojoin_boundary")
+      .filter(col("user_id") === u && col("l_ts").isNull).count()
+    try {
+      // user 1's click at 10:00 with no purchase; both streams' max ts
+      // 11:00 → watermark 11:00 − 1h == 10:00, EXACTLY r_ts
+      clicks.addData(ev(0, 1, "click", 1.0))
+      clicks.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:00"), 8, "click", 0.0))
+      buys.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:00"), 8, "click", 0.0))
+      q.processAllAvailable()
+      assert(unmatchedRight(1L) == 0,
+        "r_ts == watermark must stay in state (oracle uses strict <)")
+      // advance one second past r_ts → provably unmatchable, must flush
+      clicks.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:01"), 8, "click", 0.0))
+      buys.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:01"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:01"), 8, "click", 0.0))
+      q.processAllAvailable()
+      assert(unmatchedRight(1L) == 1,
+        "watermark strictly past r_ts must emit the left-null row")
+    } finally q.stop()
+  }
+
   test("restart with the same checkpoint resumes exactly: old files never reprocess") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_resume")
