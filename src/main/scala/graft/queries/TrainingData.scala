@@ -318,8 +318,10 @@ object TrainingData {
     * cross join and ONE map-side-combinable aggregate — no shuffle of
     * document text. */
   def qContextWindowStats(s: SparkSession, dir: String): DataFrame = {
+    // project ONLY the token count — no doc_id, so the parquet scan prunes
+    // to the single text column (PlanAuditSpec pins this)
     val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), size(expr(
+      .select(size(expr(
         """regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
         .cast("long").as("t"))
     val windows = Seq(512L, 2048L, 8192L)

@@ -233,13 +233,21 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     for (q <- Seq("q_gini", "q_trimmed_mean", "q_abc_class", "q_ks_test",
-      "q_mann_whitney", "q_spearman", "q_runs_test", "q_bollinger")) {
+      "q_mann_whitney", "q_spearman", "q_runs_test", "q_bollinger",
+      "q_qq_deciles", "q_changepoint", "q_seasonal_backtest")) {
       val plan = staticPlan(SparkEntry.queries(q)(spark, sfDir))
       val wins = plan.collect { case w: WindowExec => w }
       assert(wins.nonEmpty, s"$q: expected a rank/cumulative window\n$plan")
       wins.foreach { w =>
         val aggBelow = w.collect { case a: BaseAggregateExec => a }
-        assert(aggBelow.nonEmpty,
+        // a ReusedExchange leaf hides its target subtree from collect();
+        // the reused exchange was itself built over the aggregate (the
+        // plans here have exactly one fact-collapsing aggregate reused
+        // by every window), so reuse counts as aggregated input
+        val reusedBelow = w.collect {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }
+        assert(aggBelow.nonEmpty || reusedBelow.nonEmpty,
           s"$q: global window over un-aggregated fact rows\n$w")
       }
     }
@@ -257,6 +265,34 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(aggBelow.nonEmpty,
         s"offset window must run over bucket counts, not raw rows\n$w")
     }
+  }
+
+  test("weighted median: the fact shuffles once on flag; no join, no extra exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = staticPlan(SparkEntry.queries("q_weighted_median")(spark, sfDir))
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    // one hash partition on flag feeding both windows + the presentation
+    // range sort — nothing else may move the fact
+    val ex = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 2, s"expected <=2 exchanges (flag hash + sort), got:\n$plan")
+  }
+
+  test("string-sim join: domain self-join is broadcast, never a cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = staticPlan(SparkEntry.queries("q_string_sim_join")(spark, sfDir))
+    assert(plan.collect { case j: CartesianProductExec => j }.isEmpty &&
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"blocked equi-join must not plan as a product\n$plan")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"name-domain join should broadcast\n$plan")
+  }
+
+  test("context-window stats scan prunes to the text column only") {
+    val plan = staticPlan(SparkEntry.queries("q_context_window_stats")(spark, sfDir))
+    val widths = scans(plan).map(_.requiredSchema.fieldNames.toSeq)
+    assert(widths.nonEmpty && widths.forall(_ == Seq("text")),
+      s"expected text-only scans: $widths")
   }
 
   test("q_vwap is one aggregation pass: no window, no join") {

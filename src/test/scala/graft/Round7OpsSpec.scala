@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Stats, TimeSeries, TextDedup, TrainingData}
+
+/** Driver-side exact replications for the round-7 operator batch: each
+  * test recomputes the operator's answer from first principles on the
+  * small sf0.001 tables (collected to the driver) and compares exactly —
+  * a second, independent implementation next to the DuckDB oracle.
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4, "graft-r7-test")
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def dailyCents(): Array[Long] =
+    graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("x"))
+      .orderBy(col("day"))
+      .collect().map(_.getAs[Long]("x"))
+
+  test("weighted median: exact replication from collected lineitem") {
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"),
+        col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { r => cum += r._3; cum * 2 >= total }.get._2
+      (flag, total, med)
+    }.toSeq.sortBy(_._1)
+    val got = Stats.qWeightedMedian(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("changepoint: level-1 split is the brute-force scaled-CUSUM argmax") {
+    val x = dailyCents()
+    val n = x.length.toLong
+    val t = x.sum
+    var c = 0L
+    val stats = x.dropRight(1).zipWithIndex.map { case (xi, i) =>
+      c += xi
+      (math.abs(n * c - (i + 1) * t), i + 1)
+    }
+    val best = stats.minBy { case (s, rn) => (-s, rn) }
+    val all = TimeSeries.qChangepoint(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(all("all") === best._1)
+    // segment rows exist and sit on their own side of the split
+    // change_day surfaces as whatever temporal class the vintage maps to —
+    // compare on the ISO string, which orders correctly for all of them
+    val bySeg = TimeSeries.qChangepoint(spark, sfDir).collect()
+      .map(r => r.getString(0) -> String.valueOf(r.get(1))).toMap
+    assert(bySeg.keySet === Set("all", "pre", "post"))
+    assert(bySeg("pre") <= bySeg("all"))
+    assert(bySeg("post") > bySeg("all"))
+  }
+
+  test("seasonal backtest: exact replication of both models' MAE and MAPE") {
+    val x = dailyCents()
+    val idx = 7 until x.length
+    def expect(lagN: Int, name: String): (String, Long, Long, Double, Long) = {
+      val errs = idx.map(i => math.abs(x(i) - x(i - lagN)))
+      val apes = idx.map(i => math.abs(x(i) - x(i - lagN)) * 1000000L / x(i))
+      (name, idx.length.toLong, errs.sum,
+        errs.sum.toDouble / idx.length, apes.sum / idx.length)
+    }
+    val got = TimeSeries.qSeasonalBacktest(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got === Seq(expect(1, "naive_1"), expect(7, "seasonal_7")))
+  }
+
+  test("string-sim join: sound (all pairs verified <= 2) and complete " +
+    "within the block+length candidate set") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.core.Tables.part(spark, sfDir)
+      .select(col("p_name")).distinct().collect().map(_.getString(0))
+    val expected = (for {
+      a <- names; b <- names
+      if a < b
+      if a.split(" ").last == b.split(" ").last
+      if math.abs(a.length - b.length) <= 2
+      if lev(a, b) <= 2
+    } yield (a, b, lev(a, b))).toSet
+    val got = TextDedup.qStringSimJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === expected)
+  }
+
+  test("context-window stats: exact replication from per-doc token counts") {
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .select(size(expr(
+        """regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+        .cast("long").as("t"))
+      .collect().map(_.getLong(0))
+    val got = TrainingData.qContextWindowStats(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("win")).toSeq === Seq(512L, 2048L, 8192L))
+    got.foreach { r =>
+      val w = r.getAs[Long]("win")
+      val kept = toks.map(t => math.min(t, w))
+      val seqs = toks.map(t => (math.min(t, w) + w - 1) / w)
+      assert(r.getAs[Long]("n_docs") === toks.length.toLong)
+      assert(r.getAs[Long]("n_truncated") === toks.count(_ > w).toLong)
+      assert(r.getAs[Long]("tokens_total") === toks.sum)
+      assert(r.getAs[Long]("tokens_kept") === kept.sum)
+      assert(r.getAs[Long]("tokens_lost") === toks.sum - kept.sum)
+      assert(r.getAs[Long]("n_sequences") === seqs.sum)
+      assert(r.getAs[Double]("utilization") ===
+        kept.sum.toDouble / (seqs.sum * w).toDouble)
+    }
+  }
+}
