@@ -780,6 +780,91 @@ object Inference {
       |    / 100.0, 4) AS did
       |FROM g""".stripMargin
 
+  // --------------------------------------------------------- q_bootstrap_ci
+  /** Poisson-bootstrap confidence interval for mean customer spend — the
+    * one-pass distributed bootstrap: instead of resampling n units with
+    * replacement (which needs global coordination), each unit enters
+    * replica b with an independent Poisson(1) weight, and each replica's
+    * weighted mean is one exact-sum aggregate. 50 replicas; the 95% CI is
+    * the nearest-rank 2.5%/97.5% order statistics of the replica means.
+    *
+    * Engine parity: the "randomness" is a deterministic md5 draw per
+    * (unit, replica) — top 8 hex chars as a 32-bit uniform, inverted
+    * through the Poisson(1) CDF as INTEGER threshold compares (the
+    * [[graft.queries.TrainingData]] md5-sampling discipline, so both
+    * engines materialize the identical resample). Replica means are one
+    * IEEE division of exact integer sums; the CI picks stored values,
+    * never interpolates.
+    *
+    * Scale shape: the fact collapses to the O(customers) unit aggregate
+    * FIRST; the ×50 replica fan-out happens on that dimension-sized
+    * table via a broadcast range join, and the replica rollup is a
+    * 50-row map-side-combinable aggregate. At 100 TB the fan-out cost
+    * scales with units, not facts — and never shuffles unit rows twice. */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val units = custSpend(s, dir)
+    val reps = s.range(1, 51).select($"id".cast("int").as("b"))
+    val weighted = units.crossJoin(broadcast(reps))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat(cast(o_custkey as string), ':', " +
+          "cast(b as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("w", expr(
+        """CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+          |WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+          |WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+          |WHEN u < 4294609777 THEN 6 ELSE 7 END""".stripMargin))
+    val means = weighted.groupBy($"b")
+      .agg(sum($"w" * $"spend").as("ws"), sum($"w").as("wn"))
+      .select($"b", ($"ws".cast("double") / $"wn".cast("double")).as("m"))
+    val ranked = means
+      .withColumn("rk", row_number().over(Window.orderBy($"m", $"b")))
+    val point = units.agg(
+      (sum($"spend").cast("double") / count(lit(1))).as("mean_c"),
+      count(lit(1)).as("n_units"))
+    point.crossJoin(broadcast(
+        ranked.agg(max(when($"rk" === 2, $"m")).as("ci_lo_c"),
+          max(when($"rk" === 49, $"m")).as("ci_hi_c"),
+          count(lit(1)).as("n_replicas"))))
+      .select($"n_units", $"n_replicas", $"mean_c", $"ci_lo_c", $"ci_hi_c")
+  }
+
+  private val qBootstrapCiSql =
+    """WITH units AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS spend
+      |  FROM orders GROUP BY 1),
+      |reps AS (SELECT CAST(v AS INT) AS b FROM generate_series(1, 50) s(v)),
+      |weighted AS (
+      |  SELECT b, spend,
+      |    CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+      |         WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+      |         WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+      |         WHEN u < 4294609777 THEN 6 ELSE 7 END AS w
+      |  FROM (
+      |    SELECT b, spend,
+      |      CAST(concat('0x', substr(md5(concat(CAST(o_custkey AS VARCHAR),
+      |        ':', CAST(b AS VARCHAR))), 1, 8)) AS BIGINT) AS u
+      |    FROM units, reps)),
+      |means AS (
+      |  SELECT b,
+      |    CAST(sum(w * spend) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+      |  FROM weighted GROUP BY b),
+      |ranked AS (
+      |  SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk FROM means),
+      |ci AS (
+      |  SELECT max(CASE WHEN rk = 2 THEN m END) AS ci_lo_c,
+      |    max(CASE WHEN rk = 49 THEN m END) AS ci_hi_c,
+      |    count(*) AS n_replicas
+      |  FROM ranked),
+      |pt AS (
+      |  SELECT CAST(sum(spend) AS DOUBLE) / count(*) AS mean_c,
+      |    count(*) AS n_units
+      |  FROM units)
+      |SELECT n_units, n_replicas, mean_c, ci_lo_c, ci_hi_c
+      |FROM pt, ci""".stripMargin
+
   // ------------------------------------------------------------ registry --
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ks_test"      -> (qKsTest _),
@@ -793,7 +878,8 @@ object Inference {
     "q_theil_sen"    -> (qTheilSen _),
     "q_qq_deciles"   -> (qQqDeciles _),
     "q_cuped"        -> (qCuped _),
-    "q_did"          -> (qDid _))
+    "q_did"          -> (qDid _),
+    "q_bootstrap_ci" -> (qBootstrapCi _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test"      -> qKsTestSql,
@@ -807,5 +893,6 @@ object Inference {
     "q_theil_sen"    -> qTheilSenSql,
     "q_qq_deciles"   -> qQqDecilesSql,
     "q_cuped"        -> qCupedSql,
-    "q_did"          -> qDidSql)
+    "q_did"          -> qDidSql,
+    "q_bootstrap_ci" -> qBootstrapCiSql)
 }

@@ -86,6 +86,18 @@ class InferenceSpec extends AnyFunSuite {
       assert(r.getAs[Long](c) > 0, s"empty cell $c"))
   }
 
+  test("bootstrap CI: lo < hi, brackets the point estimate, 50 replicas") {
+    val r = Inference.qBootstrapCi(spark, sfDir).collect()(0)
+    val (lo, hi, m) = (r.getAs[Double]("ci_lo_c"),
+      r.getAs[Double]("ci_hi_c"), r.getAs[Double]("mean_c"))
+    assert(lo < hi)
+    // a 95% CI of the mean should bracket the full-sample mean on any
+    // non-adversarial sample; fails only if the weighting is broken
+    assert(lo <= m && m <= hi, s"CI [$lo,$hi] misses mean $m")
+    assert(r.getAs[Long]("n_replicas") === 50L)
+    assert(r.getAs[Long]("n_units") > 0L)
+  }
+
   test("theil-sen pair count is C(k,2) for the k-day tail") {
     val r = Inference.qTheilSen(spark, sfDir).collect()(0)
     val daily = graft.core.Tables.orders(spark, sfDir)
