@@ -604,6 +604,71 @@ object CorpusQuality {
     graft.io.IndexStore.materialized(s, dir, "comp_source_entropy")(
       TextAnalysis.qSourceEntropy(s, dir))
 
+  private def corpusPipelineStored(s: SparkSession, dir: String): DataFrame =
+    graft.io.IndexStore.materialized(s, dir, "comp_corpus_pipeline")(
+      qCorpusPipeline(s, dir))
+
+  // ------------------------------------------------------------ q_calibration
+  /** Reliability diagram of the composite quality score against actual
+    * e2e-curation survival: docs binned by score (ten fixed 0.1 bands),
+    * per bin the mean score vs the observed survival rate through
+    * [[qCorpusPipeline]], and the gap — is a 0.8-scoring doc really
+    * ~80%-likely to survive curation, or is the score mis-calibrated?
+    * (Σ n·|gap|/N over these rows is the expected calibration error.)
+    * The model-eval primitive that decides whether the score can gate
+    * admission directly or needs recalibration first.
+    *
+    * Engine parity: scores are exact 10⁻⁴ units summed as integers;
+    * means/rates are IEEE divisions rounded at the projection. Scale:
+    * reads two materialized per-doc component outputs; the cross-tab is
+    * O(10). */
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val score = qualityScoreStored(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val kept = corpusPipelineStored(s, dir)
+      .select(col("doc_id"), lit(1L).as("kept"))
+    score
+      .withColumn("bin",
+        least(lit(9), floor(col("quality_score") * 10).cast("int")))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("kept"), lit(0L))).as("n_kept"),
+        sum(round(col("quality_score") * 1e4, 0).cast("long")).as("s4"))
+      .select(col("bin"), col("n_docs"), col("n_kept"),
+        round(col("s4").cast("double") / col("n_docs") / 1e4, 6)
+          .as("mean_score"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("keep_rate"),
+        round(col("s4").cast("double") / col("n_docs") / 1e4
+          - col("n_kept").cast("double") / col("n_docs"), 6).as("gap"))
+      .orderBy(col("bin"))
+  }
+
+  private val qCalibrationSql =
+    s"""WITH q AS (
+       |  SELECT doc_id, quality_score FROM (
+       |${TextAnalysis.qQualityScoreSql})),
+       |kept AS (
+       |  SELECT doc_id, 1 AS kept FROM (
+       |${qCorpusPipelineSql})),
+       |b AS (
+       |  SELECT least(9, CAST(floor(quality_score * 10) AS INT)) AS bin,
+       |    CAST(round(quality_score * 1e4, 0) AS BIGINT) AS s4,
+       |    coalesce(kept, 0) AS kept
+       |  FROM q LEFT JOIN kept USING (doc_id)),
+       |g AS (
+       |  SELECT bin, count(*) AS n_docs,
+       |    CAST(sum(kept) AS BIGINT) AS n_kept,
+       |    CAST(sum(s4) AS BIGINT) AS s4
+       |  FROM b GROUP BY bin)
+       |SELECT bin, n_docs, n_kept,
+       |  round(CAST(s4 AS DOUBLE) / n_docs / 1e4, 6) AS mean_score,
+       |  round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS keep_rate,
+       |  round(CAST(s4 AS DOUBLE) / n_docs / 1e4
+       |    - CAST(n_kept AS DOUBLE) / n_docs, 6) AS gap
+       |FROM g ORDER BY bin""".stripMargin
+
   // ----------------------------------------------------------- q_source_card
   /** The per-source dataset card: document/token volume, distribution
     * entropy, mean quality, and span-duplication rate on ONE page — the
@@ -673,6 +738,7 @@ object CorpusQuality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_card"        -> (qSourceCard _),
     "q_quality_vs_dup"     -> (qQualityVsDup _),
+    "q_calibration"        -> (qCalibration _),
     "q_ngram_novelty"      -> (qNgramNovelty _),
     "q_heaps_law"          -> (qHeapsLaw _),
     "q_corpus_pipeline"    -> (qCorpusPipeline _),
@@ -687,6 +753,7 @@ object CorpusQuality {
   val oracle: Map[String, String] = Map(
     "q_source_card"        -> qSourceCardSql,
     "q_quality_vs_dup"     -> qQualityVsDupSql,
+    "q_calibration"        -> qCalibrationSql,
     "q_ngram_novelty"      -> qNgramNoveltySql,
     "q_heaps_law"          -> qHeapsLawSql,
     "q_corpus_pipeline"    -> qCorpusPipelineSql,

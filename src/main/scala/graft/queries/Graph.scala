@@ -1162,7 +1162,115 @@ object Graph {
        |ORDER BY k""".stripMargin
   }
 
+  // ------------------------------------------------ q_harmonic_centrality
+  /** 3-hop harmonic centrality for the 20 highest-degree parts: H(v) =
+    * Σ_{u: d(v,u)≤3} 1/d(v,u) — the "how quickly can this node reach the
+    * graph" score that, unlike closeness, is defined on disconnected
+    * graphs. Exact-distance shells come from three frontier expansions
+    * (expand, then subtract every earlier shell with left-antis); the
+    * score is emitted as the exact integer 6·n1 + 3·n2 + 2·n3 (6×H), so
+    * no division ever happens.
+    *
+    * Scale shape: all-pairs BFS is quadratic, so centrality is computed
+    * for a SEEDED candidate set (top-degree nodes — the hubs a
+    * recommendation surface actually ranks), the standard scale
+    * compromise (HyperBall-style sketches being the approximate
+    * alternative). Each expansion is a keyed join of the (seed, node)
+    * frontier against the adjacency — shuffles on node id, frontier
+    * bounded by seeds × nodes; the seed list broadcasts. */
+  def qHarmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // The three shells are a build-once IndexStore asset: the lazy DAG
+    // otherwise re-derives adj→l1→l2 for every count and anti-join
+    // consumer (~6 recomputes of the most expensive joins — measured
+    // 8.95 s vs 1.5 s stored at sf0.1). Same discipline as
+    // triangle_stats: persist intermediates during the ONE build,
+    // unpersist after the write, consumers scan the stored shells.
+    var cached: Seq[DataFrame] = Nil
+    val shells = graft.io.IndexStore.materialized(s, dir, "harmonic_shells") {
+      val e = coOrderEdges(s, dir)
+      val adj = e.select($"u".as("s"), $"v".as("d"))
+        .unionAll(e.select($"v".as("s"), $"u".as("d")))
+        .persist()
+      val seeds = adj.groupBy($"s".as("node")).agg(count(lit(1)).as("deg"))
+        .orderBy($"deg".desc, $"node").limit(20)
+        .select($"node".as("seed"))
+      val l1 = adj.join(broadcast(seeds), $"s" === $"seed")
+        .filter($"d" =!= $"seed")
+        .select($"seed", $"d".as("n")).distinct().persist()
+      val l2 = l1.join(adj, $"n" === $"s")
+        .filter($"d" =!= $"seed")
+        .select($"seed", $"d".as("n2c")).distinct()
+        .join(l1.select($"seed", $"n".as("n2c")), Seq("seed", "n2c"),
+          "left_anti")
+        .select($"seed", $"n2c".as("n")).persist()
+      val l3 = l2.join(adj, $"n" === $"s")
+        .filter($"d" =!= $"seed")
+        .select($"seed", $"d".as("n3c")).distinct()
+        .join(l1.select($"seed", $"n".as("n3c")), Seq("seed", "n3c"),
+          "left_anti")
+        .join(l2.select($"seed", $"n".as("n3c")), Seq("seed", "n3c"),
+          "left_anti")
+        .select($"seed", $"n3c".as("n"))
+      cached = Seq(adj, l1, l2)
+      l1.withColumn("level", lit(1))
+        .unionAll(l2.withColumn("level", lit(2)))
+        .unionAll(l3.withColumn("level", lit(3)))
+    }
+    cached.foreach(_.unpersist(blocking = false))
+    // every seed has >=1 neighbor (it came from the adjacency), so the
+    // groupBy loses no seed rows
+    shells.groupBy($"seed")
+      .agg(sum(when($"level" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"level" === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"level" === 3, 1L).otherwise(0L)).as("n3"))
+      .select($"seed".as("p_partkey"), $"n1", $"n2", $"n3",
+        ($"n1" * 6 + $"n2" * 3 + $"n3" * 2).as("h6"))
+      .orderBy($"h6".desc, $"p_partkey")
+  }
+
+  private val qHarmonicCentralitySql =
+    s"""WITH $coOrderEdgesCte,
+       |adj AS (
+       |  SELECT CAST(u AS BIGINT) AS s, CAST(v AS BIGINT) AS d FROM edges
+       |  UNION ALL
+       |  SELECT CAST(v AS BIGINT), CAST(u AS BIGINT) FROM edges),
+       |seeds AS (
+       |  SELECT s AS seed FROM adj GROUP BY s
+       |  ORDER BY count(*) DESC, s LIMIT 20),
+       |l1 AS (
+       |  SELECT DISTINCT sd.seed, a.d AS n
+       |  FROM seeds sd JOIN adj a ON a.s = sd.seed WHERE a.d <> sd.seed),
+       |l2 AS (
+       |  SELECT seed, n FROM (
+       |    SELECT DISTINCT l.seed, a.d AS n
+       |    FROM l1 l JOIN adj a ON a.s = l.n WHERE a.d <> l.seed) c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM l1 x WHERE x.seed = c.seed AND x.n = c.n)),
+       |l3 AS (
+       |  SELECT seed, n FROM (
+       |    SELECT DISTINCT l.seed, a.d AS n
+       |    FROM l2 l JOIN adj a ON a.s = l.n WHERE a.d <> l.seed) c
+       |  WHERE NOT EXISTS (
+       |      SELECT 1 FROM l1 x WHERE x.seed = c.seed AND x.n = c.n)
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM l2 x WHERE x.seed = c.seed AND x.n = c.n)),
+       |c1 AS (SELECT seed, count(*) AS n1 FROM l1 GROUP BY 1),
+       |c2 AS (SELECT seed, count(*) AS n2 FROM l2 GROUP BY 1),
+       |c3 AS (SELECT seed, count(*) AS n3 FROM l3 GROUP BY 1)
+       |SELECT s.seed AS p_partkey,
+       |  coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+       |  coalesce(n3, 0) AS n3,
+       |  coalesce(n1, 0) * 6 + coalesce(n2, 0) * 3 + coalesce(n3, 0) * 2
+       |    AS h6
+       |FROM seeds s
+       |LEFT JOIN c1 ON c1.seed = s.seed
+       |LEFT JOIN c2 ON c2.seed = s.seed
+       |LEFT JOIN c3 ON c3.seed = s.seed
+       |ORDER BY h6 DESC, p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_harmonic_centrality" -> (qHarmonicCentrality _),
     "q_kcore"       -> (qKcore _),
     "q_adamic_adar" -> (qAdamicAdar _),
     "q_assortativity" -> (qAssortativity _),
@@ -1180,6 +1288,7 @@ object Graph {
     "q_clustering_coef" -> (qClusteringCoef _))
 
   val oracle: Map[String, String] = Map(
+    "q_harmonic_centrality" -> qHarmonicCentralitySql,
     "q_kcore"      -> qKcoreSql,
     "q_adamic_adar" -> qAdamicAdarSql,
     "q_assortativity" -> qAssortativitySql,

@@ -780,6 +780,69 @@ object Inference {
       |    / 100.0, 4) AS did
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- q_uplift
+  /** Segment-level uplift read-out for the parity-split experiment:
+    * response = customer placed any order in the last 90 days; per market
+    * segment, treated/control counts, response rates, and the uplift
+    * (rate difference) in basis points — the heterogeneous-treatment
+    * breakdown that tells you WHERE an average effect (q_did's single
+    * number) concentrates. The customer DIM is the unit universe (never
+    * buying is an outcome, not a missing row).
+    *
+    * Engine parity: counts are exact; rates and uplift are IEEE
+    * divisions rounded at the projection. Scale shape: the active-set is
+    * one fact aggregate joined broadcast-right into the dim; the rollup
+    * is O(segments). */
+  def qUplift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_orderdate").as("mx"))
+    val active = Tables.orders(s, dir).crossJoin(broadcast(mx))
+      .filter($"o_orderdate" > date_sub($"mx", 90))
+      .select($"o_custkey".as("ck")).distinct()
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment".as("segment"),
+        ($"c_custkey" % 2 === 0).as("treat"))
+      .join(active, $"c_custkey" === $"ck", "left")
+      .withColumn("resp", $"ck".isNotNull)
+      .groupBy($"segment")
+      .agg(
+        sum(when($"treat", 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!$"treat", 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when($"treat" && $"resp", 1L).otherwise(0L)).as("resp_treat"),
+        sum(when(!$"treat" && $"resp", 1L).otherwise(0L)).as("resp_ctrl"))
+      .select($"segment", $"n_treat", $"n_ctrl", $"resp_treat", $"resp_ctrl",
+        round($"resp_treat".cast("double") / $"n_treat", 6).as("rate_treat"),
+        round($"resp_ctrl".cast("double") / $"n_ctrl", 6).as("rate_ctrl"),
+        round(($"resp_treat".cast("double") / $"n_treat"
+          - $"resp_ctrl".cast("double") / $"n_ctrl") * 10000.0d, 2)
+          .as("uplift_bps"))
+      .orderBy($"segment")
+  }
+
+  private val qUpliftSql =
+    """WITH active AS (
+      |  SELECT DISTINCT o_custkey AS ck
+      |  FROM orders, (SELECT max(o_orderdate) AS mx FROM orders)
+      |  WHERE o_orderdate > mx - INTERVAL 90 DAY),
+      |g AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_treat,
+      |    CAST(sum(CASE WHEN c_custkey % 2 <> 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_ctrl,
+      |    CAST(sum(CASE WHEN c_custkey % 2 = 0 AND ck IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS resp_treat,
+      |    CAST(sum(CASE WHEN c_custkey % 2 <> 0 AND ck IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS resp_ctrl
+      |  FROM customer LEFT JOIN active ON c_custkey = ck
+      |  GROUP BY 1)
+      |SELECT segment, n_treat, n_ctrl, resp_treat, resp_ctrl,
+      |  round(CAST(resp_treat AS DOUBLE) / n_treat, 6) AS rate_treat,
+      |  round(CAST(resp_ctrl AS DOUBLE) / n_ctrl, 6) AS rate_ctrl,
+      |  round((CAST(resp_treat AS DOUBLE) / n_treat
+      |    - CAST(resp_ctrl AS DOUBLE) / n_ctrl) * 10000.0, 2) AS uplift_bps
+      |FROM g ORDER BY segment""".stripMargin
+
   // --------------------------------------------------------- q_bootstrap_ci
   /** Poisson-bootstrap confidence interval for mean customer spend — the
     * one-pass distributed bootstrap: instead of resampling n units with
@@ -879,6 +942,7 @@ object Inference {
     "q_qq_deciles"   -> (qQqDeciles _),
     "q_cuped"        -> (qCuped _),
     "q_did"          -> (qDid _),
+    "q_uplift"       -> (qUplift _),
     "q_bootstrap_ci" -> (qBootstrapCi _))
 
   val oracle: Map[String, String] = Map(
@@ -894,5 +958,6 @@ object Inference {
     "q_qq_deciles"   -> qQqDecilesSql,
     "q_cuped"        -> qCupedSql,
     "q_did"          -> qDidSql,
+    "q_uplift"       -> qUpliftSql,
     "q_bootstrap_ci" -> qBootstrapCiSql)
 }
