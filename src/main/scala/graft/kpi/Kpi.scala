@@ -137,7 +137,7 @@ object Kpi {
         OP.avgExact(col("value"), 2).as("avg_downtime"))
       .orderBy(col("total_downtime").desc, col("department"))
 
-  private val builders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+  private[graft] val builders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "vw_kpi_monthly_headcount" -> (headcount _),
     "vw_kpi_monthly_resignations" -> (resignations _),
     "vw_kpi_avg_salary_by_gender" -> (avgSalaryByGender _),
