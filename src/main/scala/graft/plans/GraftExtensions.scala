@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatDot, KmvAgg, RollingHash, SpaceSavingAgg, TopKAgg}
+import graft.expressions.{FloatDot, KmvAgg, LevWithin, RollingHash, SpaceSavingAgg, TopKAgg}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -54,6 +54,9 @@ object GraftExtensions {
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       checkArity("float_dot", 2)(c => FloatDot(c(0), c(1)))),
+    (new FunctionIdentifier("lev_within"),
+      new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
+      checkArity("lev_within", 3)(c => LevWithin(c(0), c(1), c(2)))),
     (new FunctionIdentifier("topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk"),
       checkArity("topk", 3)(c => TopKAgg(c(0), c(1), c(2)))),

@@ -1142,10 +1142,14 @@ object TextDedup {
       $"blk", $"ln".as("la"))
     val b = names.select($"nm".as("name_b"), $"n_parts".as("n_parts_b"),
       $"blk", $"ln".as("lb"))
+    // lev_within: native banded Levenshtein (graft.expressions.LevWithin)
+    // — O(k·n) cells with early exit instead of the built-in's full O(n·m)
+    // matrix; −1 encodes "> k", so the ≤2 decision and the emitted
+    // distance are exactly the built-in's (LevWithinSpec proves it)
     a.join(b, Seq("blk"))
       .filter($"name_a" < $"name_b" && abs($"la" - $"lb") <= 2)
-      .withColumn("dist", levenshtein($"name_a", $"name_b"))
-      .filter($"dist" <= 2)
+      .withColumn("dist", expr("lev_within(name_a, name_b, 2)"))
+      .filter($"dist" >= 0)
       .select($"name_a", $"name_b", $"dist", $"n_parts_a", $"n_parts_b")
       .orderBy($"dist", $"name_a", $"name_b")
   }
