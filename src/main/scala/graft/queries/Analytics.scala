@@ -1142,7 +1142,70 @@ object Analytics {
       |ORDER BY n_paths DESC, step1, step2, step3
       |LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------- q_funnel_ttc
+  /** Time-to-convert distribution: for every user whose first purchase
+    * follows their first click, the whole-second gap between the two,
+    * summarized as exact nearest-rank deciles — the "HOW LONG does the
+    * funnel take" companion to [[qFunnel]]'s "how many make it". A
+    * median TTC of minutes vs days changes what the attribution window
+    * ([[qAttribution]]) should even be.
+    *
+    * Engine parity: gaps are exact integer seconds (epoch micros div
+    * 10⁶ per endpoint — truncate-then-subtract, identical both engines);
+    * deciles are stored values at ceil-ranks, no interpolation. Scale
+    * shape: two fact aggregates to user grain (one shuffle each), a
+    * keyed join, then ranks over the O(converting-users) aggregate —
+    * the [[graft.queries.Inference]] family discipline. */
+  def qFunnelTtc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val firstClick = ev.filter($"event_type" === "click")
+      .groupBy($"user_id")
+      .agg(min(expr("unix_micros(ts) div 1000000")).as("c_sec"))
+    val ttc = ev.filter($"event_type" === "purchase")
+      .select($"user_id", expr("unix_micros(ts) div 1000000").as("p_sec"))
+      .join(firstClick, Seq("user_id"))
+      .filter($"p_sec" >= $"c_sec")
+      .groupBy($"user_id")
+      .agg((min($"p_sec") - max($"c_sec")).as("ttc_sec"))
+    val ranked = ttc
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"ttc_sec", $"user_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .join(broadcast(s.range(1, 10).select($"id".cast("int").as("decile"))),
+        $"rn" === expr("(decile * n + 9) div 10"))
+      .select($"decile", $"ttc_sec")
+      .orderBy($"decile")
+  }
+
+  private val qFunnelTtcSql =
+    """WITH fc AS (
+      |  SELECT user_id,
+      |    min(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+      |      AS c_sec
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |ttc AS (
+      |  SELECT e.user_id,
+      |    min(CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT))
+      |      - max(fc.c_sec) AS ttc_sec
+      |  FROM events e JOIN fc ON e.user_id = fc.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+      |      >= fc.c_sec
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT ttc_sec,
+      |    row_number() OVER (ORDER BY ttc_sec, user_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM ttc),
+      |d AS (SELECT CAST(v AS INT) AS decile FROM generate_series(1, 9) s(v))
+      |SELECT d.decile, r.ttc_sec
+      |FROM r JOIN d ON r.rn = (d.decile * r.n + 9) // 10
+      |ORDER BY d.decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_ttc"    -> (qFunnelTtc _),
     "q_kaplan_meier"  -> (qKaplanMeier _),
     "q_path_trigrams" -> (qPathTrigrams _),
     "q_transition_matrix" -> (qTransitionMatrix _),
@@ -1170,6 +1233,7 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_funnel_ttc"    -> qFunnelTtcSql,
     "q_kaplan_meier"  -> qKaplanMeierSql,
     "q_path_trigrams" -> qPathTrigramsSql,
     "q_transition_matrix" -> qTransitionMatrixSql,

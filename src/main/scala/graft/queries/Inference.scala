@@ -843,6 +843,76 @@ object Inference {
       |    - CAST(resp_ctrl AS DOUBLE) / n_ctrl) * 10000.0, 2) AS uplift_bps
       |FROM g ORDER BY segment""".stripMargin
 
+  // --------------------------------------------------------- q_neyman_alloc
+  /** Neyman-optimal stratified-sample allocation: for a 1% sampling
+    * budget over customers stratified by market segment, the sample size
+    * each stratum SHOULD get (n_h ∝ N_h·σ_h — big and volatile strata
+    * earn more rows) next to the proportional allocation a naive sampler
+    * uses. The survey-sampling design table behind
+    * [[graft.queries.TrainingData]]'s stratified sampler: proportional
+    * allocation wastes budget on large homogeneous strata.
+    *
+    * Engine parity: per-stratum moments are exact integer-cent sums in
+    * DECIMAL(38)/HUGEINT; σ_h uses IEEE sqrt (correctly-rounded basic
+    * op, not libm); the shares/allocations are identically parenthesized
+    * closed forms. Scale: one fact shuffle to customer grain, one
+    * aggregate to O(strata), a 1-row total broadcast back. */
+  def qNeymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long"))
+        .cast(DecimalType(38, 0)).as("y"))
+    val strata = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment".as("segment"))
+      .join(spend, $"c_custkey" === $"o_custkey")
+      .groupBy($"segment")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"y").cast("double").as("sy"),
+        sum($"y" * $"y").cast("double").as("qy"))
+      .withColumn("sd",
+        sqrt(($"n" * $"qy" - $"sy" * $"sy") / ($"n" * ($"n" - 1.0d))))
+    val tot = strata.agg(sum($"n").as("n_tot"),
+      sum($"n" * $"sd").as("nsd_tot"))
+    strata.crossJoin(broadcast(tot))
+      .select($"segment", $"n".cast("long").as("n_units"),
+        round($"sd" / 100.0d, 2).as("sd_spend"),
+        round($"n" * $"sd" / $"nsd_tot", 6).as("neyman_share"),
+        round($"n_tot" * 0.01d * ($"n" * $"sd" / $"nsd_tot"), 0)
+          .cast("long").as("n_neyman"),
+        round($"n_tot" * 0.01d * ($"n" / $"n_tot"), 0)
+          .cast("long").as("n_proportional"))
+      .orderBy($"segment")
+  }
+
+  private val qNeymanAllocSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS HUGEINT) AS y
+      |  FROM orders GROUP BY 1),
+      |strata AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(y * y) AS DOUBLE) AS qy
+      |  FROM customer JOIN spend ON c_custkey = o_custkey
+      |  GROUP BY 1),
+      |sd AS (
+      |  SELECT segment, n,
+      |    sqrt((n * qy - sy * sy) / (n * (n - 1.0))) AS sd
+      |  FROM strata),
+      |tot AS (
+      |  SELECT sum(n) AS n_tot, sum(n * sd) AS nsd_tot FROM sd)
+      |SELECT segment, CAST(n AS BIGINT) AS n_units,
+      |  round(sd / 100.0, 2) AS sd_spend,
+      |  round(n * sd / nsd_tot, 6) AS neyman_share,
+      |  CAST(round(n_tot * 0.01 * (n * sd / nsd_tot), 0) AS BIGINT)
+      |    AS n_neyman,
+      |  CAST(round(n_tot * 0.01 * (n / n_tot), 0) AS BIGINT)
+      |    AS n_proportional
+      |FROM sd, tot ORDER BY segment""".stripMargin
+
   // --------------------------------------------------------- q_bootstrap_ci
   /** Poisson-bootstrap confidence interval for mean customer spend — the
     * one-pass distributed bootstrap: instead of resampling n units with
@@ -943,6 +1013,7 @@ object Inference {
     "q_cuped"        -> (qCuped _),
     "q_did"          -> (qDid _),
     "q_uplift"       -> (qUplift _),
+    "q_neyman_alloc" -> (qNeymanAlloc _),
     "q_bootstrap_ci" -> (qBootstrapCi _))
 
   val oracle: Map[String, String] = Map(
@@ -959,5 +1030,6 @@ object Inference {
     "q_cuped"        -> qCupedSql,
     "q_did"          -> qDidSql,
     "q_uplift"       -> qUpliftSql,
+    "q_neyman_alloc" -> qNeymanAllocSql,
     "q_bootstrap_ci" -> qBootstrapCiSql)
 }
