@@ -98,6 +98,39 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_units") > 0L)
   }
 
+  test("neyman allocation: shares sum to 1 and beat-or-match proportional on paper") {
+    val rows = Inference.qNeymanAlloc(spark, sfDir).collect()
+    val shares = rows.map(_.getAs[Double]("neyman_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_neyman") >= 0L)
+      assert(r.getAs[Double]("sd_spend") > 0.0)
+    }
+    // total allocated ≈ 1% of units under either scheme (rounding slack)
+    val n = rows.map(_.getAs[Long]("n_units")).sum
+    val alloc = rows.map(_.getAs[Long]("n_neyman")).sum
+    assert(math.abs(alloc - n / 100.0) <= rows.length)
+  }
+
+  test("funnel TTC deciles are non-negative and non-decreasing") {
+    val rows = graft.queries.Analytics.qFunnelTtc(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq === (1 to 9))
+    val v = rows.map(_.getAs[Long]("ttc_sec"))
+    assert(v.forall(_ >= 0L))
+    assert(v.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("uplift: segment cells partition the customer dim") {
+    val rows = Inference.qUplift(spark, sfDir).collect()
+    val total = rows.map(r =>
+      r.getAs[Long]("n_treat") + r.getAs[Long]("n_ctrl")).sum
+    val nCust = graft.core.Tables.customer(spark, sfDir).count()
+    assert(total === nCust)
+    rows.foreach(r => assert(
+      r.getAs[Long]("resp_treat") <= r.getAs[Long]("n_treat") &&
+        r.getAs[Long]("resp_ctrl") <= r.getAs[Long]("n_ctrl")))
+  }
+
   test("theil-sen pair count is C(k,2) for the k-day tail") {
     val r = Inference.qTheilSen(spark, sfDir).collect()(0)
     val daily = graft.core.Tables.orders(spark, sfDir)
