@@ -21,7 +21,12 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        colStats(name) = columnStats(spark, s"$outDir/$name")
+        // stats are a debug artifact — a stats failure (e.g. an exotic
+        // column type xxhash64 rejects) must not read as a QUERY failure
+        try colStats(name) = columnStats(spark, s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name colstats skipped: ${e.getMessage}")
+        }
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
