@@ -1146,7 +1146,124 @@ object TextAnalysis {
 
   private val DecimalType38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
+  // ----------------------------------------------------------- q_naive_bayes
+  /** Multinomial naive-Bayes language classification, trained and
+    * evaluated inside the engine: even doc_ids train per-language
+    * Laplace-smoothed word log-probabilities, odd doc_ids are scored by
+    * summing their token counts against each class's table, and the
+    * output is the per-language confusion matrix — the from-scratch
+    * text classifier every curation stack keeps next to its heuristic
+    * [[qLangId]]. (On this synthetic corpus the shared template
+    * vocabulary caps accuracy at ~0.37 vs a 0.2 uniform baseline, with
+    * the majority-class prior visibly pulling predictions toward 'en' —
+    * exactly the diagnostic a confusion matrix exists to show.)
+    *
+    * Engine parity (the BM25/source-entropy ln discipline): each
+    * log-probability is ln of an exact rational, rounded to 6 dp at the
+    * ONE transcendental step, micro-scaled to a BIGINT; per-doc scores
+    * are exact integer sums of count×logprob, and the argmax breaks
+    * ties on (score DESC, lang ASC) — total.
+    *
+    * Scale shape: training is one (lang, token) map-side-combinable
+    * aggregate (O(classes × vocab)); scoring joins the per-doc token
+    * counts against the BROADCAST model (classes × vocab is
+    * dim-sized); the confusion rollup is O(classes²). At 100 TB the
+    * model table stays small — the fact-sized work is two token
+    * aggregations. */
+  def qNaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksOf = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("tok"))
+    val train = toksOf.filter(col("doc_id") % 2 === 0)
+    val test = toksOf.filter(col("doc_id") % 2 =!= 0)
+    val vocab = train.agg(countDistinct($"tok").as("v"))
+    val cls = train.groupBy($"lang")
+      .agg(count(lit(1)).as("total_c"),
+        countDistinct($"doc_id").as("n_docs_c"))
+      .crossJoin(broadcast(train.agg(
+        countDistinct($"doc_id").as("n_docs"))))
+      .crossJoin(broadcast(vocab))
+      .select($"lang", $"total_c", $"v",
+        expr("cast(round(round(ln(cast(n_docs_c as double)" +
+          " / cast(n_docs as double)), 6) * 1e6, 0) as bigint)")
+          .as("prior_micro"),
+        expr("cast(round(round(ln(1.0 / cast(total_c + v as double)), 6)" +
+          " * 1e6, 0) as bigint)").as("unseen_micro"))
+    val lp = train.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+      .join(cls.select($"lang", $"total_c", $"v"), Seq("lang"))
+      .select($"lang", $"tok",
+        expr("cast(round(round(ln(cast(cnt + 1 as double)" +
+          " / cast(total_c + v as double)), 6) * 1e6, 0) as bigint)")
+          .as("lp_micro"))
+    val docToks = test.groupBy($"doc_id", $"lang".as("lang_true"), $"tok")
+      .agg(count(lit(1)).as("cnt"))
+    val scored = docToks
+      .crossJoin(broadcast(cls.select($"lang".as("cand"), $"unseen_micro",
+        $"prior_micro")))
+      .join(broadcast(lp.withColumnRenamed("lang", "cand")),
+        Seq("cand", "tok"), "left")
+      .groupBy($"doc_id", $"lang_true", $"cand")
+      .agg((sum($"cnt" * coalesce($"lp_micro", $"unseen_micro"))
+        + max($"prior_micro")).as("score"))
+    val pred = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand")))
+      .filter($"rk" === 1)
+    pred.groupBy($"lang_true", $"cand".as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang_true", $"lang_pred")
+  }
+
+  private val qNaiveBayesSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |train AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+      |test AS (SELECT * FROM t WHERE doc_id % 2 <> 0),
+      |v AS (SELECT count(DISTINCT tok) AS v FROM train),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM train),
+      |cls AS (
+      |  SELECT lang, count(*) AS total_c,
+      |    CAST(round(round(ln(CAST(count(DISTINCT doc_id) AS DOUBLE)
+      |      / CAST(n_docs AS DOUBLE)), 6) * 1e6, 0) AS BIGINT)
+      |      AS prior_micro,
+      |    CAST(round(round(ln(1.0 / CAST(count(*) + v AS DOUBLE)), 6)
+      |      * 1e6, 0) AS BIGINT) AS unseen_micro,
+      |    v
+      |  FROM train, v, nd GROUP BY lang, v, n_docs),
+      |lp AS (
+      |  SELECT w.lang, w.tok,
+      |    CAST(round(round(ln(CAST(w.cnt + 1 AS DOUBLE)
+      |      / CAST(c.total_c + c.v AS DOUBLE)), 6) * 1e6, 0) AS BIGINT)
+      |      AS lp_micro
+      |  FROM (SELECT lang, tok, count(*) AS cnt
+      |        FROM train GROUP BY 1, 2) w
+      |  JOIN cls c USING (lang)),
+      |dt AS (
+      |  SELECT doc_id, lang AS lang_true, tok, count(*) AS cnt
+      |  FROM test GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT dt.doc_id, dt.lang_true, c.lang AS cand,
+      |    CAST(sum(dt.cnt * coalesce(lp.lp_micro, c.unseen_micro))
+      |      + max(c.prior_micro) AS BIGINT) AS score
+      |  FROM dt
+      |  CROSS JOIN cls c
+      |  LEFT JOIN lp ON lp.lang = c.lang AND lp.tok = dt.tok
+      |  GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT lang_true, cand AS lang_pred
+      |  FROM (SELECT lang_true, cand,
+      |          row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY score DESC, cand) AS rk
+      |        FROM scored)
+      |  WHERE rk = 1)
+      |SELECT lang_true, lang_pred, count(*) AS n_docs
+      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_naive_bayes"   -> (qNaiveBayes _),
     "q_powerlaw"     -> (qPowerlaw _),
     "q_prf_expand"   -> (qPrfExpand _),
     "q_zipf"          -> (qZipf _),
@@ -1169,6 +1286,7 @@ object TextAnalysis {
     "q_bm25"          -> (qBm25 _))
 
   val oracle: Map[String, String] = Map(
+    "q_naive_bayes"   -> qNaiveBayesSql,
     "q_powerlaw"     -> qPowerlawSql,
     "q_prf_expand"   -> qPrfExpandSql,
     "q_zipf"          -> qZipfSql,
