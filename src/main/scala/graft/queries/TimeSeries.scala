@@ -1203,7 +1203,82 @@ object TimeSeries {
       |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m7)
       |ORDER BY model""".stripMargin
 
+  // ---------------------------------------------------- q_robust_anomaly
+  /** Robust seasonal anomaly days: daily revenue compared against its
+    * day-of-week cohort by MEDIAN and MAD (median absolute deviation) —
+    * the outlier detector that, unlike q_anomaly_days' mean/σ z-score,
+    * is not dragged by the very outliers it hunts, and unlike a global
+    * median knows Mondays from Sundays. A day flags when
+    * |x − med_dow| > 3·1.4826·MAD_dow, evaluated as the EXACT integer
+    * compare |x−med|·10000 > 44478·MAD (3×1.4826 = 4.4478 exactly at
+    * 4 dp) — no doubles anywhere.
+    *
+    * Both medians are lower-median order statistics (k = (n+1) div 2)
+    * per DOW cohort — exact stored values, the [[Stats.qExactMedian]]
+    * convention. Scale shape: O(days) aggregate first; every window is
+    * DOW-partitioned over that aggregate. Output: the flagged days with
+    * their deviation ratio in exact tenths-of-MAD. */
+  def qRobustAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+      .withColumn("dow", expr("datediff(day, DATE '1970-01-01') % 7"))
+    val wRank = Window.partitionBy($"dow").orderBy($"x")
+    val med = daily
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"dow")))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"dow", $"x".as("med"))
+    val dev = daily.join(broadcast(med), Seq("dow"))
+      .withColumn("ad", abs($"x" - $"med"))
+    val wAd = Window.partitionBy($"dow").orderBy($"ad")
+    val mad = dev
+      .withColumn("rn", row_number().over(wAd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"dow")))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"dow", $"ad".as("mad"))
+    dev.join(broadcast(mad), Seq("dow"))
+      .filter($"ad" * 10000 > $"mad" * 44478)
+      .select($"day", $"dow", $"x", $"med", $"mad",
+        // greatest(mad,1): a zero MAD (constant cohort) would make the
+        // ratio a division by zero — DuckDB errors where Spark nulls
+        expr("(ad * 10) div greatest(mad, 1)").as("dev_tenths_of_mad"))
+      .orderBy($"day")
+  }
+
+  private val qRobustAnomalySql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS x,
+      |    datediff('day', DATE '1970-01-01', o_orderdate) % 7 AS dow
+      |  FROM orders GROUP BY 1, 3),
+      |med AS (
+      |  SELECT dow, x AS med FROM (
+      |    SELECT dow, x,
+      |      row_number() OVER (PARTITION BY dow ORDER BY x) AS rn,
+      |      count(*) OVER (PARTITION BY dow) AS n
+      |    FROM daily)
+      |  WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT d.day, d.dow, d.x, m.med, abs(d.x - m.med) AS ad
+      |  FROM daily d JOIN med m USING (dow)),
+      |mad AS (
+      |  SELECT dow, ad AS mad FROM (
+      |    SELECT dow, ad,
+      |      row_number() OVER (PARTITION BY dow ORDER BY ad) AS rn,
+      |      count(*) OVER (PARTITION BY dow) AS n
+      |    FROM dev)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT day, dev.dow, x, med, mad.mad,
+      |  (ad * 10) // greatest(mad.mad, 1) AS dev_tenths_of_mad
+      |FROM dev JOIN mad USING (dow)
+      |WHERE ad * 10000 > mad.mad * 44478
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_changepoint" -> (qChangepoint _),
     "q_seasonal_backtest" -> (qSeasonalBacktest _),
     "q_sax"            -> (qSax _),
@@ -1228,6 +1303,7 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_robust_anomaly" -> qRobustAnomalySql,
     "q_changepoint" -> qChangepointSql,
     "q_seasonal_backtest" -> qSeasonalBacktestSql,
     "q_sax"            -> qSaxSql,
