@@ -105,6 +105,54 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("naive bayes: confusion rows partition the odd-id test docs per language") {
+    val rows = graft.queries.TextAnalysis.qNaiveBayes(spark, sfDir).collect()
+    val byTrue = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val expected = graft.core.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 =!= 0)
+      // docs whose tokenization is empty produce no (doc, tok) rows and
+      // are unscoreable — mirror the operator's universe
+      .filter(size(expr(
+        """split(lower(trim(text)), '\\s+')""")) > 0)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTrue === expected)
+    // predictions live in the training label space
+    val langs = expected.keySet
+    rows.foreach(r => assert(langs.contains(r.getString(1))))
+  }
+
+  test("robust anomaly: every flagged day deviates by > 3*1.4826 MADs of its DOW cohort") {
+    val daily = dailyCents()
+    // replicate cohorts driver-side
+    val days = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("x"))
+      .select(expr("datediff(day, DATE '1970-01-01') % 7").as("dow"), col("x"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.length + 1) / 2 - 1)
+    }
+    val med = days.groupBy(_._1).view.mapValues(g => lowerMedian(g.map(_._2).toSeq)).toMap
+    val mad = days.groupBy(_._1).view.mapValues { g =>
+      lowerMedian(g.map(r => math.abs(r._2 - med(r._1))).toSeq)
+    }.toMap
+    val expectedFlagged = days.count { case (dow, x) =>
+      math.abs(x - med(dow)) * 10000 > mad(dow) * 44478
+    }
+    val got = graft.queries.TimeSeries.qRobustAnomaly(spark, sfDir).collect()
+    assert(got.length === expectedFlagged)
+    got.foreach { r =>
+      val (dow, x) = (r.getAs[Int]("dow"), r.getAs[Long]("x"))
+      assert(r.getAs[Long]("med") === med(dow))
+      assert(r.getAs[Long]("mad") === mad(dow))
+      assert(math.abs(x - med(dow)) * 10000 > mad(dow) * 44478)
+    }
+    assert(daily.nonEmpty) // the shared helper stays exercised
+  }
+
   test("context-window stats: exact replication from per-doc token counts") {
     val toks = graft.core.Tables.documents(spark, sfDir)
       .select(size(expr(
