@@ -36,6 +36,30 @@ class KpiSpec extends AnyFunSuite {
       AccessPolicy.roleViews.values.flatten.toSet)
   }
 
+  test("role sessions ENFORCE grants: ungranted views do not resolve at all") {
+    import graft.kpi.AccessPolicy
+    val hr = AccessPolicy.sessionFor(spark, "hr_analyst", sfDir)
+    // granted: resolves and answers
+    assert(hr.table("vw_kpi_monthly_headcount").count() > 0)
+    // ungranted: the view NAME does not exist in this session's catalog —
+    // the same failure a revoked Postgres grant produces, unbypassable
+    // because there is no wrapper to go around
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      hr.table("vw_kpi_downtime_by_dept").count()
+    }
+    assert(e.getMessage.toLowerCase.contains("cannot be found") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+    // admin session resolves every view
+    val admin = AccessPolicy.sessionFor(spark, "admin", sfDir)
+    AccessPolicy.roleViews("admin").foreach(v =>
+      assert(admin.table(v).count() > 0, s"admin missing $v"))
+    // isolation is one-way: the role session never leaks views back into
+    // the base session
+    intercept[IllegalArgumentException] {
+      AccessPolicy.sessionFor(spark, "intern", sfDir)
+    }
+  }
+
   test("net never exceeds gross") {
     val bad = Kpi.netVsGrossByType(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("net_amount") >
