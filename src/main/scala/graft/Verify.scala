@@ -71,16 +71,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // min/max in the column's OWN type, cast to string only after the
+    // aggregate — min(cast-to-string) would order "10" < "9"
+    // lexicographically and point a divergence hunt at the wrong range
+    // (review finding). Row count rides the same single aggregate job.
     val aggs = df.schema.fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         count(when(c.isNull, 1)).as(s"${f.name}::nulls"),
-        min(c.cast("string")).as(s"${f.name}::min"),
-        max(c.cast("string")).as(s"${f.name}::max"),
+        min(c).cast("string").as(s"${f.name}::min"),
+        max(c).cast("string").as(s"${f.name}::max"),
         sum(xxhash64(c)).as(s"${f.name}::xxh"))
-    }
+    } :+ count(lit(1)).as("::rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = df.count()
+    val n = row.getLong(row.length - 1)
     val cols = df.schema.fields.zipWithIndex.map { case (f, i) =>
       val base = i * 4
       s"""${esc(f.name)}: {"dtype": ${esc(f.dataType.simpleString)}, """ +

@@ -15,11 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * between the verify step costing k·n per candidate pair and n².
   *
   * Matches `levenshtein(a, b)` exactly on every pair whose distance is
-  * ≤ k (unit-cost insert/delete/substitute over UTF-8 code points via
-  * UTF8String.toString — same comparison basis as Spark's built-in);
-  * LevWithinSpec proves the equivalence on random pairs. Null inputs →
-  * null (ternary null-intolerance); k must be a non-negative literal-ish
-  * int at runtime.
+  * ≤ k: the DP runs over Unicode CODE POINTS (surrogate pairs count as
+  * one edit, matching the built-in — comparing UTF-16 chars would count
+  * an emoji as two); LevWithinSpec proves the equivalence on random
+  * pairs including supplementary characters. Oversized budgets clamp to
+  * the longer length (the distance can never exceed it), so k =
+  * Int.MaxValue degrades to the full computation instead of
+  * overflowing. Null inputs → null (ternary null-intolerance).
   */
 case class LevWithin(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -54,14 +56,20 @@ case class LevWithin(first: Expression, second: Expression, third: Expression)
 object LevWithin {
   /** The kernel, shared by interpreted eval and codegen: diagonal band of
     * half-width k over the DP matrix; any row whose band minimum already
-    * exceeds k aborts. Returns −1 for "distance > k". */
-  def banded(a: String, b: String, k: Int): Int = {
+    * exceeds k aborts. Returns −1 for "distance > k". Operates on code
+    * points (Spark's built-in counts code points, not UTF-16 units). */
+  def banded(aStr: String, bStr: String, k0: Int): Int = {
+    if (k0 < 0) return -1
+    val a = aStr.codePoints().toArray
+    val b = bStr.codePoints().toArray
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val n = s.length
     val m = t.length
-    if (k < 0) return -1
-    if (m - n > k) return -1 // length gap alone exceeds the budget
-    if (n == 0) return m     // m - n <= k here
+    if (m - n > k0) return -1 // length gap alone exceeds the budget
+    if (n == 0) return m      // m - n <= k0 here
+    // distance never exceeds m, so an oversized budget clamps — keeps
+    // inf = k+1 and i+k inside Int for any caller-supplied k
+    val k = math.min(k0, m)
     val inf = k + 1
     // prev(j) = distance for prefix (i-1, j); band j ∈ [i-k, i+k]
     val prev = new Array[Int](m + 1)
@@ -78,7 +86,7 @@ object LevWithin {
       var best = cur(0)
       j = lo
       while (j <= hi) {
-        val sub = prev(j - 1) + (if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1)
+        val sub = prev(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1)
         val del = if (prev(j) < inf) prev(j) + 1 else inf
         val ins = if (cur(j - 1) < inf) cur(j - 1) + 1 else inf
         var v = math.min(sub, math.min(del, ins))

@@ -1143,11 +1143,13 @@ object Analytics {
       |LIMIT 20""".stripMargin
 
   // --------------------------------------------------------- q_funnel_ttc
-  /** Time-to-convert distribution: for every user whose first purchase
-    * follows their first click, the whole-second gap between the two,
-    * summarized as exact nearest-rank deciles — the "HOW LONG does the
-    * funnel take" companion to [[qFunnel]]'s "how many make it". A
-    * median TTC of minutes vs days changes what the attribution window
+  /** Time-to-convert distribution: per user, the whole-second gap from
+    * their FIRST click to their earliest purchase AT OR AFTER that click
+    * (purchases before the first click don't disqualify the user — they
+    * are simply not conversions of this click), summarized as exact
+    * nearest-rank deciles — the "HOW LONG does the funnel take"
+    * companion to [[qFunnel]]'s "how many make it". A median TTC of
+    * minutes vs days changes what the attribution window
     * ([[qAttribution]]) should even be.
     *
     * Engine parity: gaps are exact integer seconds (epoch micros div

@@ -34,8 +34,11 @@ import graft.core.{OracleParity => OP, Tables}
 object Inference {
 
   /** Daily order revenue in exact cents — the shared O(days) series every
-    * series-statistic here collapses the fact scan to first. */
-  private def dailyRevenue(s: SparkSession, dir: String): DataFrame = {
+    * series-statistic here AND the TimeSeries structure operators
+    * (changepoint/backtest/robust-anomaly) collapse the fact scan to
+    * first; one definition so the cents-scaling convention cannot drift
+    * per query (review finding). */
+  private[queries] def dailyRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, dir)
       .groupBy($"o_orderdate".as("day"))
@@ -646,24 +649,21 @@ object Inference {
     val u = abUnits(s, dir)
       .select($"treat", $"y".cast(DecimalType(38, 0)).as("yd"),
         $"x".cast(DecimalType(38, 0)).as("xd"))
-    def moments(df: DataFrame) = df.agg(
+    // ONE moment list for the pooled AND per-arm aggregates — a cast
+    // edited in only one copy would silently skew θ against the arm
+    // read-outs (review finding)
+    val momentCols = Seq(
       count(lit(1)).cast("double").as("n"),
       sum($"yd").cast("double").as("sy"),
       sum($"xd").cast("double").as("sx"),
       sum($"yd" * $"yd").cast("double").as("syy"),
       sum($"xd" * $"xd").cast("double").as("sxx"),
       sum($"xd" * $"yd").cast("double").as("sxy"))
-    val pooled = moments(u)
+    val pooled = u.agg(momentCols.head, momentCols.tail: _*)
       .select((($"n" * $"sxy" - $"sx" * $"sy") /
           ($"n" * $"sxx" - $"sx" * $"sx")).as("theta"),
         ($"sx" / $"n").as("mx_all"))
-    u.groupBy($"treat").agg(
-        count(lit(1)).cast("double").as("n"),
-        sum($"yd").cast("double").as("sy"),
-        sum($"xd").cast("double").as("sx"),
-        sum($"yd" * $"yd").cast("double").as("syy"),
-        sum($"xd" * $"xd").cast("double").as("sxx"),
-        sum($"xd" * $"yd").cast("double").as("sxy"))
+    u.groupBy($"treat").agg(momentCols.head, momentCols.tail: _*)
       .crossJoin(broadcast(pooled))
       .select($"treat", $"n".cast("long").as("n_units"),
         round($"sy" / $"n" / 100.0d, 4).as("mean_y"),

@@ -1043,9 +1043,7 @@ object TimeSeries {
     * construction). The 1-row level-1 split broadcasts back. */
   def qChangepoint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.orders(s, dir)
-      .groupBy($"o_orderdate".as("day"))
-      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+    val daily = Inference.dailyRevenue(s, dir)
     val wd = Window.orderBy($"day")
     val cum = daily
       .withColumn("rn", row_number().over(wd).cast("long"))
@@ -1055,17 +1053,17 @@ object TimeSeries {
     val scored = cum.crossJoin(broadcast(tot))
       .filter($"rn" < $"n")
       .withColumn("s", abs($"n" * $"c" - $"rn" * $"t"))
-    val lvl1 = scored
+    // ONE argmax pipeline; lvl1 and the level-2 split key both read off
+    // it (two identical copies risked tiebreak drift — review finding)
+    val picked = scored
       .withColumn("pick", row_number().over(
         Window.orderBy($"s".desc, $"day")))
       .filter($"pick" === 1)
+    val lvl1 = picked
       .select(lit("all").as("segment"), $"day".as("change_day"), $"s".as("stat"),
         $"n".as("n_days"), expr("c div rn").as("mean_before_c"),
         expr("(t - c) div (n - rn)").as("mean_after_c"))
-    val tau = scored
-      .withColumn("pick", row_number().over(
-        Window.orderBy($"s".desc, $"day")))
-      .filter($"pick" === 1).select($"rn".as("tau_rn"))
+    val tau = picked.select($"rn".as("tau_rn"))
     val wSeg = Window.partitionBy($"seg").orderBy($"day")
     val seg = cum.crossJoin(broadcast(tau))
       .withColumn("seg", when($"rn" <= $"tau_rn", "pre").otherwise("post"))
@@ -1156,9 +1154,7 @@ object TimeSeries {
   def qSeasonalBacktest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wd = Window.orderBy($"day")
-    val lagged = Tables.orders(s, dir)
-      .groupBy($"o_orderdate".as("day"))
-      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+    val lagged = Inference.dailyRevenue(s, dir)
       .withColumn("l1", lag($"x", 1).over(wd))
       .withColumn("l7", lag($"x", 7).over(wd))
       .filter($"l7".isNotNull)
@@ -1220,9 +1216,7 @@ object TimeSeries {
     * their deviation ratio in exact tenths-of-MAD. */
   def qRobustAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.orders(s, dir)
-      .groupBy($"o_orderdate".as("day"))
-      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("x"))
+    val daily = Inference.dailyRevenue(s, dir)
       .withColumn("dow", expr("datediff(day, DATE '1970-01-01') % 7"))
     val wRank = Window.partitionBy($"dow").orderBy($"x")
     val med = daily

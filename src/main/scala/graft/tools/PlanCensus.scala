@@ -7,18 +7,25 @@ import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNes
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Whole-registry plan census: for every batch entry in
-  * `SparkEntry.queries`, build (never execute) the DataFrame and count
-  * the plan features the 100-TB review cares about — exchanges,
+  * `SparkEntry.queries`, build the DataFrame and count the plan features
+  * the 100-TB review cares about — exchanges,
   * join strategies, cartesians, scans and their projected widths,
   * whole-stage-codegen coverage, unpartitioned windows. One JSON line
   * per query to `<outPath>`, plus a summary line to stdout. This backs
   * the BENCH_NOTES plan-audit claims ("no cartesian products, no
   * unpushed scans") with a checkable artifact instead of prose.
   *
-  * Streaming entries execute their pipeline inside the builder, so they
-  * are skipped (their plan properties are pinned by StreamsSpec
-  * fixtures instead). AQE is disabled for the census — under AQE the
-  * static plan is one opaque adaptive node.
+  * Caveats on "build": most builders are lazy, but IndexStore-backed
+  * queries (the LSH/shingle/shell/graph asset consumers) MATERIALIZE
+  * their stored assets on first build, and the iterative graph loops
+  * run their persist+count rounds — so run the census at a SMALL sfDir,
+  * and read those queries' counts as the consumer plan over the stored
+  * asset (the build pipelines' own shapes are pinned by their gated
+  * entries and PlanAuditSpec, not here). Streaming entries execute
+  * their pipeline inside the builder, so they are skipped (their plan
+  * properties are pinned by StreamsSpec fixtures instead). AQE is
+  * disabled for the census — under AQE the static plan is one opaque
+  * adaptive node.
   *
   * Usage: `sbt "runMain graft.tools.PlanCensus <sfDir> <outPath>"`. */
 object PlanCensus {

@@ -53,10 +53,19 @@ class KpiSpec extends AnyFunSuite {
     val admin = AccessPolicy.sessionFor(spark, "admin", sfDir)
     AccessPolicy.roleViews("admin").foreach(v =>
       assert(admin.table(v).count() > 0, s"admin missing $v"))
-    // isolation is one-way: the role session never leaks views back into
-    // the base session
+    // unknown roles fail closed before any session is built
     intercept[IllegalArgumentException] {
       AccessPolicy.sessionFor(spark, "intern", sfDir)
+    }
+    // isolation is one-way: building a role session must not leak its
+    // views into the parent — use a FRESH parent (the shared `spark`
+    // already has registerAll's views), grant from it, and confirm the
+    // parent still resolves nothing
+    val freshBase = spark.newSession()
+    val ops = AccessPolicy.sessionFor(freshBase, "ops_analyst", sfDir)
+    assert(ops.table("vw_kpi_downtime_by_process").count() > 0)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      freshBase.table("vw_kpi_downtime_by_process").count()
     }
   }
 

@@ -13,7 +13,8 @@ import graft.expressions.LevWithin
 class LevWithinSpec extends AnyFunSuite {
   lazy val spark = graft.core.Sessions.local(4, "graft-lev-test")
 
-  private def full(a: String, b: String): Int = {
+  private def full(aS: String, bS: String): Int = {
+    val (a, b) = (aS.codePoints().toArray, bS.codePoints().toArray)
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)
@@ -37,12 +38,28 @@ class LevWithinSpec extends AnyFunSuite {
     }
   }
 
-  test("edge cases: empty strings, identical, negative k") {
+  test("edge cases: empty strings, identical, negative k, oversized k, code points") {
     assert(LevWithin.banded("", "", 0) === 0)
     assert(LevWithin.banded("", "abc", 3) === 3)
     assert(LevWithin.banded("", "abc", 2) === -1)
     assert(LevWithin.banded("same", "same", 0) === 0)
     assert(LevWithin.banded("a", "b", -1) === -1)
+    // an "unbounded" budget must clamp, not overflow (review finding)
+    assert(LevWithin.banded("ab", "ab", Int.MaxValue) === 0)
+    assert(LevWithin.banded("kitten", "sitting", Int.MaxValue) === 3)
+    // code-point semantics: a surrogate-pair emoji is ONE edit, exactly
+    // like Spark's built-in — not two UTF-16 units (review finding)
+    assert(LevWithin.banded("😀a", "a", 1) === 1)
+    assert(LevWithin.banded("😀", "😁", 1) === 1)
+  }
+
+  test("codegen'd expression matches the built-in on supplementary characters") {
+    import spark.implicits._
+    val pairs = Seq(("😀abc", "abc"), ("a😀b", "ab"),
+      ("😀", "😁"), ("café", "cafe")).toDF("a", "b")
+    pairs.select(expr("lev_within(a, b, 4)").as("banded"),
+      levenshtein(col("a"), col("b")).as("exact")).collect()
+      .foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
   test("codegen'd expression matches the built-in levenshtein on a frame") {
