@@ -556,6 +556,56 @@ object Streams {
       |ORDER BY user_id, l_ts,
       |  coalesce(r_ts, TIMESTAMP '1970-01-01 00:00:00')""".stripMargin
 
+  // ------------------------------------------------- q_stream_topk
+  /** The native bounded-heap `topk` aggregate under the STREAMING
+    * runtime: top-3 events by value per event type, maintained
+    * incrementally in Complete mode — the state per group is ≤ k
+    * (score, id) scalars, the exact property that makes a custom
+    * TypedImperativeAggregate viable as streaming state where the
+    * row_number-window formulation cannot run on a stream at all
+    * (ranking needs the whole partition; the heap needs k entries).
+    * Exercises the aggregate's serialize/merge path across micro-batches
+    * — a codepath no batch query reaches. Oracle: the batch row_number
+    * equivalent (bounded stream ⇒ batch answer). */
+  def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Sessions.tune(s) // topk must be registered on this session
+    val name = "graft_stream_topk"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
+    val q = eventsStream(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("topk(cast(cast(value as decimal(18,2)) as double), " +
+        "event_id, 3)").as("top"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ck)
+    s.table(name)
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"),
+        col("col.score").as("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  private val qStreamTopkSql =
+    """SELECT event_type, rank, event_id,
+      |  CAST(v AS DOUBLE) AS value
+      |FROM (
+      |  SELECT event_type, event_id,
+      |    CAST(value AS DECIMAL(18,2)) AS v,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id) AS INT)
+      |      AS rank
+      |  FROM events)
+      |WHERE rank <= 3
+      |ORDER BY event_type, rank""".stripMargin
+
   // --------------------------------------------- q_stream_full_outer
   /** FULL OUTER stream-stream interval join — both null-emission paths at
     * once: a purchase with no click within 6 hours emits with right-nulls
@@ -632,6 +682,7 @@ object Streams {
       |  coalesce(r_ts, TIMESTAMP '1970-01-01 00:00:00')""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_topk"           -> (qStreamTopk _),
     "q_stream_full_outer"     -> (qStreamFullOuter _),
     "q_stream_outer_join"     -> (qStreamOuterJoin _),
     "q_stream_tumbling"       -> (qStreamTumbling _),
@@ -642,6 +693,7 @@ object Streams {
     "q_stream_enrich"         -> (qStreamEnrich _))
 
   val oracle: Map[String, String] = Map(
+    "q_stream_topk"           -> qStreamTopkSql,
     "q_stream_full_outer"     -> qStreamFullOuterSql,
     "q_stream_outer_join"     -> qStreamOuterJoinSql,
     "q_stream_tumbling"       -> qStreamTumblingSql,
