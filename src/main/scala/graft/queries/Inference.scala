@@ -843,6 +843,178 @@ object Inference {
       |    - CAST(resp_ctrl AS DOUBLE) / n_ctrl) * 10000.0, 2) AS uplift_bps
       |FROM g ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------------- q_log_rank
+  /** Two-group log-rank test: does the parity-split cohort CHURN at a
+    * different rate? The hypothesis test over the whole survival curve
+    * that [[graft.queries.Analytics]]'s Kaplan–Meier estimates — at each
+    * churn time, group 1's observed deaths vs the hypergeometric
+    * expectation from the pooled risk set, accumulated into the χ²(1)
+    * statistic (O−E)²/V.
+    *
+    * Engine parity: per-time expectation and variance terms are exact
+    * integer micro-units via DECIMAL(38)/HUGEINT products and ONE
+    * truncating division per term (sums of engine-ordered doubles never
+    * happen); χ² is a single IEEE closed form over the exact integer
+    * accumulators. Lifetimes/censoring mirror qKaplanMeier exactly
+    * (whole-hour durations, 12-hour churn horizon).
+    *
+    * Scale shape: one fact shuffle to user grain, then everything on the
+    * O(distinct-durations) aggregate. */
+  def qLogRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val life = ev.groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+    val wm = ev.agg(max($"ts").as("max_ts"))
+    val perUser = life.crossJoin(broadcast(wm))
+      .select(($"user_id" % 2 === 0).as("g1"),
+        expr("(cast(last_ts as long) - cast(first_ts as long)) div 3600")
+          .as("dur"),
+        ($"last_ts" < $"max_ts" - expr("INTERVAL 12 HOURS")).as("observed"))
+    val byDur = perUser.groupBy($"dur")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when($"g1", 1L).otherwise(0L)).as("n1_at"),
+        sum(when($"observed", 1L).otherwise(0L)).as("d"),
+        sum(when($"observed" && $"g1", 1L).otherwise(0L)).as("d1"))
+    val wRisk = Window.orderBy($"dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val terms = byDur
+      .withColumn("n_risk", sum($"n_at").over(wRisk))
+      .withColumn("n1_risk", sum($"n1_at").over(wRisk))
+      .filter($"d" > 0L)
+      .select($"d", $"d1", $"n_risk", $"n1_risk",
+        expr("cast((cast(d as decimal(38,0)) * n1_risk * 1000000)" +
+          " div n_risk as bigint)").as("e_micro"),
+        expr("cast(CASE WHEN n_risk > 1 THEN" +
+          " (cast(d as decimal(38,0)) * n1_risk * (n_risk - n1_risk)" +
+          " * (n_risk - d) * 1000000)" +
+          " div (cast(n_risk as decimal(38,0)) * n_risk * (n_risk - 1))" +
+          " ELSE 0 END as bigint)").as("v_micro"))
+    val g = perUser.agg(
+      sum(when($"g1", 1L).otherwise(0L)).as("n1"),
+      sum(when(!$"g1", 1L).otherwise(0L)).as("n2"))
+    terms.agg(sum($"d1").as("o1"), sum($"e_micro").as("e1_micro"),
+        sum($"v_micro").as("v_micro"))
+      .crossJoin(broadcast(g))
+      .select($"n1", $"n2", $"o1", $"e1_micro", $"v_micro",
+        round(
+          ($"o1".cast("double") - $"e1_micro".cast("double") / 1e6)
+            * ($"o1".cast("double") - $"e1_micro".cast("double") / 1e6)
+            / ($"v_micro".cast("double") / 1e6), 4).as("chi2"))
+  }
+
+  private val qLogRankSql =
+    """WITH life AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts,
+      |         max(CAST(ts AS TIMESTAMP)) AS last_ts
+      |  FROM events GROUP BY 1),
+      |wm AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+      |per_user AS (
+      |  SELECT user_id % 2 = 0 AS g1,
+      |    (CAST(floor(epoch(last_ts)) AS BIGINT)
+      |      - CAST(floor(epoch(first_ts)) AS BIGINT)) // 3600 AS dur,
+      |    last_ts < max_ts - INTERVAL 12 HOUR AS observed
+      |  FROM life, wm),
+      |by_dur AS (
+      |  SELECT dur, count(*) AS n_at,
+      |    sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS n1_at,
+      |    sum(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+      |    sum(CASE WHEN observed AND g1 THEN 1 ELSE 0 END) AS d1
+      |  FROM per_user GROUP BY 1),
+      |risk AS (
+      |  SELECT dur, d, d1,
+      |    CAST(sum(n_at) OVER w AS BIGINT) AS n_risk,
+      |    CAST(sum(n1_at) OVER w AS BIGINT) AS n1_risk
+      |  FROM by_dur
+      |  WINDOW w AS (ORDER BY dur
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |terms AS (
+      |  SELECT d, d1, n_risk, n1_risk,
+      |    CAST((CAST(d AS HUGEINT) * n1_risk * 1000000) // n_risk
+      |      AS BIGINT) AS e_micro,
+      |    CAST(CASE WHEN n_risk > 1 THEN
+      |      (CAST(d AS HUGEINT) * n1_risk * (n_risk - n1_risk)
+      |        * (n_risk - d) * 1000000)
+      |      // (CAST(n_risk AS HUGEINT) * n_risk * (n_risk - 1))
+      |      ELSE 0 END AS BIGINT) AS v_micro
+      |  FROM risk WHERE d > 0),
+      |g AS (
+      |  SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM per_user),
+      |acc AS (
+      |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+      |    CAST(sum(e_micro) AS BIGINT) AS e1_micro,
+      |    CAST(sum(v_micro) AS BIGINT) AS v_micro
+      |  FROM terms)
+      |SELECT n1, n2, o1, e1_micro, v_micro,
+      |  round((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6)
+      |    * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6)
+      |    / (CAST(v_micro AS DOUBLE) / 1e6), 4) AS chi2
+      |FROM acc, g""".stripMargin
+
+  // ------------------------------------------------------------------ q_mde
+  /** Minimum-detectable-effect table per market segment — the
+    * experiment-design read-out BEFORE a test runs: with the segment's N
+    * split 50/50 and its measured spend variance, the smallest true lift
+    * a two-sided α=0.05 test detects with 80% power
+    * (MDE = (z₀.₉₇₅+z₀.₈)·σ·√(2/(N/2)) = 2.801586·σ·√(4/N)). The
+    * planning companion to [[qCuped]] (which shrinks σ) and [[qUplift]]
+    * (which reads the result).
+    *
+    * Engine parity: moments are exact DECIMAL(38)/HUGEINT sums; the z
+    * constant is the same literal both sides; σ and MDE are IEEE
+    * sqrt/mult/div closed forms rounded at the projection. One fact
+    * shuffle to customer grain, one O(segments) aggregate. */
+  def qMde(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long"))
+        .cast(DecimalType(38, 0)).as("y"))
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment".as("segment"))
+      .join(spend, $"c_custkey" === $"o_custkey")
+      .groupBy($"segment")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"y").cast("double").as("sy"),
+        sum($"y" * $"y").cast("double").as("qy"))
+      .withColumn("sd",
+        sqrt(($"n" * $"qy" - $"sy" * $"sy") / ($"n" * ($"n" - 1.0d))))
+      .select($"segment", $"n".cast("long").as("n_units"),
+        round($"sy" / $"n" / 100.0d, 2).as("mean_spend"),
+        round($"sd" / 100.0d, 2).as("sd_spend"),
+        round(lit(2.801586d) * $"sd" * sqrt(lit(4.0d) / $"n") / 100.0d, 2)
+          .as("mde_spend"),
+        round(lit(2.801586d) * $"sd" * sqrt(lit(4.0d) / $"n")
+          / ($"sy" / $"n"), 6).as("mde_relative"))
+      .orderBy($"segment")
+  }
+
+  private val qMdeSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS HUGEINT) AS y
+      |  FROM orders GROUP BY 1),
+      |m AS (
+      |  SELECT c_mktsegment AS segment,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(y * y) AS DOUBLE) AS qy
+      |  FROM customer JOIN spend ON c_custkey = o_custkey
+      |  GROUP BY 1),
+      |sd AS (
+      |  SELECT segment, n, sy,
+      |    sqrt((n * qy - sy * sy) / (n * (n - 1.0))) AS sd
+      |  FROM m)
+      |SELECT segment, CAST(n AS BIGINT) AS n_units,
+      |  round(sy / n / 100.0, 2) AS mean_spend,
+      |  round(sd / 100.0, 2) AS sd_spend,
+      |  round(2.801586 * sd * sqrt(4.0 / n) / 100.0, 2) AS mde_spend,
+      |  round(2.801586 * sd * sqrt(4.0 / n) / (sy / n), 6) AS mde_relative
+      |FROM sd ORDER BY segment""".stripMargin
+
   // --------------------------------------------------------- q_neyman_alloc
   /** Neyman-optimal stratified-sample allocation: for a 1% sampling
     * budget over customers stratified by market segment, the sample size
@@ -1014,6 +1186,8 @@ object Inference {
     "q_did"          -> (qDid _),
     "q_uplift"       -> (qUplift _),
     "q_neyman_alloc" -> (qNeymanAlloc _),
+    "q_log_rank"     -> (qLogRank _),
+    "q_mde"          -> (qMde _),
     "q_bootstrap_ci" -> (qBootstrapCi _))
 
   val oracle: Map[String, String] = Map(
@@ -1031,5 +1205,7 @@ object Inference {
     "q_did"          -> qDidSql,
     "q_uplift"       -> qUpliftSql,
     "q_neyman_alloc" -> qNeymanAllocSql,
+    "q_log_rank"     -> qLogRankSql,
+    "q_mde"          -> qMdeSql,
     "q_bootstrap_ci" -> qBootstrapCiSql)
 }
