@@ -843,6 +843,109 @@ object Inference {
       |    - CAST(resp_ctrl AS DOUBLE) / n_ctrl) * 10000.0, 2) AS uplift_bps
       |FROM g ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------- q_psm_match
+  /** Nearest-neighbor covariate matching (the propensity-score-matching
+    * shape): every treated customer is matched to the control whose
+    * PRE-period spend is closest, and the treatment effect is read off
+    * the matched pairs' POST-period spend difference — the
+    * observational-causal estimator that [[qDid]] and [[qCuped]] assume
+    * away. Matching is BY SORT, not by pairwise search: one value-order
+    * window carries each treated row its nearest preceding and following
+    * control (ignore-nulls carry), and the closer of the two wins (ties
+    * to the preceding) — O(n log n) where naive matching is O(n²), and
+    * with-replacement by construction (standard greedy NN-matching).
+    *
+    * Engine parity: covariate and outcome are exact integer cents; the
+    * pick is integer compares; the three emitted means are IEEE
+    * divisions of exact sums. The global value-order window runs over
+    * the O(customers) aggregate (the [[qTrimmedMean]]/[[qGini]]
+    * precedent); at fact scale the same sort-match runs per
+    * range-partition with boundary-control handoff. */
+  def qPsmMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = abUnits(s, dir)
+      .select($"o_custkey".as("cust"), $"treat", $"x", $"y")
+    val wPrev = Window.orderBy($"x", $"cust")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy($"x", $"cust")
+      .rowsBetween(1, Window.unboundedFollowing)
+    def carry(c: String, w: org.apache.spark.sql.expressions.WindowSpec,
+        useFirst: Boolean) = {
+      val src = when(!$"treat", col(c))
+      (if (useFirst) first(src, ignoreNulls = true)
+       else last(src, ignoreNulls = true)).over(w)
+    }
+    val matched = u
+      .withColumn("px", carry("x", wPrev, useFirst = false))
+      .withColumn("py", carry("y", wPrev, useFirst = false))
+      .withColumn("nx", carry("x", wNext, useFirst = true))
+      .withColumn("ny", carry("y", wNext, useFirst = true))
+      .filter($"treat")
+      .withColumn("use_prev",
+        $"px".isNotNull &&
+          ($"nx".isNull || ($"x" - $"px") <= ($"nx" - $"x")))
+      .withColumn("mx", when($"use_prev", $"px").otherwise($"nx"))
+      .withColumn("my", when($"use_prev", $"py").otherwise($"ny"))
+      .filter($"mx".isNotNull)
+    matched.agg(
+        count(lit(1)).as("n_matched"),
+        sum(abs($"x" - $"mx")).as("dist_c"),
+        sum($"y").as("yt_c"), sum($"my").as("yc_c"))
+      .select($"n_matched",
+        round($"dist_c".cast("double") / $"n_matched" / 100.0d, 2)
+          .as("mean_match_dist"),
+        round($"yt_c".cast("double") / $"n_matched" / 100.0d, 2)
+          .as("mean_y_treated"),
+        round($"yc_c".cast("double") / $"n_matched" / 100.0d, 2)
+          .as("mean_y_control"),
+        round(($"yt_c".cast("double") - $"yc_c".cast("double"))
+          / $"n_matched" / 100.0d, 2).as("att"))
+  }
+
+  private val qPsmMatchSql =
+    s"""WITH u AS (
+       |$abUnitsSql),
+       |c AS (
+       |  SELECT o_custkey AS cust, treat, x, y,
+       |    last_value(CASE WHEN NOT treat THEN x END IGNORE NULLS)
+       |      OVER wp AS px,
+       |    last_value(CASE WHEN NOT treat THEN y END IGNORE NULLS)
+       |      OVER wp AS py,
+       |    first_value(CASE WHEN NOT treat THEN x END IGNORE NULLS)
+       |      OVER wn AS nx,
+       |    first_value(CASE WHEN NOT treat THEN y END IGNORE NULLS)
+       |      OVER wn AS ny
+       |  FROM u
+       |  WINDOW wp AS (ORDER BY x, cust
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |  wn AS (ORDER BY x, cust
+       |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       |m AS (
+       |  SELECT x, y,
+       |    CASE WHEN px IS NOT NULL
+       |           AND (nx IS NULL OR (x - px) <= (nx - x))
+       |         THEN px ELSE nx END AS mx,
+       |    CASE WHEN px IS NOT NULL
+       |           AND (nx IS NULL OR (x - px) <= (nx - x))
+       |         THEN py ELSE ny END AS my
+       |  FROM c WHERE treat),
+       |acc AS (
+       |  SELECT count(*) AS n_matched,
+       |    CAST(sum(abs(x - mx)) AS BIGINT) AS dist_c,
+       |    CAST(sum(y) AS BIGINT) AS yt_c,
+       |    CAST(sum(my) AS BIGINT) AS yc_c
+       |  FROM m WHERE mx IS NOT NULL)
+       |SELECT n_matched,
+       |  round(CAST(dist_c AS DOUBLE) / n_matched / 100.0, 2)
+       |    AS mean_match_dist,
+       |  round(CAST(yt_c AS DOUBLE) / n_matched / 100.0, 2)
+       |    AS mean_y_treated,
+       |  round(CAST(yc_c AS DOUBLE) / n_matched / 100.0, 2)
+       |    AS mean_y_control,
+       |  round((CAST(yt_c AS DOUBLE) - CAST(yc_c AS DOUBLE))
+       |    / n_matched / 100.0, 2) AS att
+       |FROM acc""".stripMargin
+
   // ------------------------------------------------------------- q_log_rank
   /** Two-group log-rank test: does the parity-split cohort CHURN at a
     * different rate? The hypothesis test over the whole survival curve
@@ -1187,6 +1290,7 @@ object Inference {
     "q_uplift"       -> (qUplift _),
     "q_neyman_alloc" -> (qNeymanAlloc _),
     "q_log_rank"     -> (qLogRank _),
+    "q_psm_match"    -> (qPsmMatch _),
     "q_mde"          -> (qMde _),
     "q_bootstrap_ci" -> (qBootstrapCi _))
 
@@ -1206,6 +1310,7 @@ object Inference {
     "q_uplift"       -> qUpliftSql,
     "q_neyman_alloc" -> qNeymanAllocSql,
     "q_log_rank"     -> qLogRankSql,
+    "q_psm_match"    -> qPsmMatchSql,
     "q_mde"          -> qMdeSql,
     "q_bootstrap_ci" -> qBootstrapCiSql)
 }
