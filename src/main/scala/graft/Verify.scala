@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // tune up front: with SPARK_GRAFT_ONLY selecting a query that never
+    // touches Tables (the synthetic-media entries), nothing else applies
+    // the session conf — ANSI mode would stay at the Spark 4 default and
+    // the colstats hash sum throws on long overflow
+    graft.core.Sessions.tune(spark)
     new java.io.File(outDir).mkdirs()
     val colStats = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.selectedQueries

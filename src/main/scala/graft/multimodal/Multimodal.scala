@@ -91,6 +91,49 @@ object Multimodal {
           sum(col("energy")).as("total_energy"))
         .orderBy(col("media_id"))
     }),
+    // Perceptual hash near-dup (dHash): the ORDER-sensitive complement of
+    // q_media_neardup's histogram cosine — a dHash encodes the horizontal
+    // gradient STRUCTURE (8×9 stride-sampled grid, bit = left<right), so
+    // two images with identical color distributions but different layout
+    // diverge here and match there. 64 bits packed as two 32-bit words in
+    // BIGINTs (one << 63 would overflow the sign), Hamming distance =
+    // bit_count(xor) per word, top-10 closest same-shape pairs. Pure
+    // codegen over the hex rendering (the q_audio_frames idiom); the
+    // oracle replays the LCG pixels arithmetically, never touching bytes.
+    "q_media_phash" -> ((s: SparkSession, _: String) => {
+      // first-channel byte of grid cell (r, c9): row = r·h div 8,
+      // col = c9·w div 9 — valid for every synthetic shape (w,h ≥ 8)
+      def pix(rExpr: String, cExpr: String): String =
+        "cast(conv(substr(hx, cast(15 + (((" + rExpr + ") * h div 8) * w + " +
+          "((" + cExpr + ") * w div 9)) * ch * 2 as int), 2), 16, 10) as bigint)"
+      def word(lo: Int): String =
+        s"aggregate(sequence($lo, ${lo + 31}), cast(0 as bigint), (acc, k) -> " +
+          "acc + (CASE WHEN " + pix("(k - " + lo + ") div 8 + " + (lo / 8).toString,
+            "(k - " + lo + ") % 8") + " < " +
+          pix("(k - " + lo + ") div 8 + " + (lo / 8).toString,
+            "(k - " + lo + ") % 8 + 1") +
+          s" THEN shiftleft(cast(1 as bigint), cast(k - $lo as int)) ELSE cast(0 as bigint) END))"
+      val hashed = syntheticMedia(s, 200)
+        .filter(col("modality") === "image")
+        .filter(expr("substring(hex(payload), 1, 8) = '47465431'") &&
+          length(col("payload")) ===
+            col("meta.width") * col("meta.height") * col("meta.channels") + 7)
+        .select(col("media_id"), hex(col("payload")).as("hx"),
+          col("meta.width").as("w"), col("meta.height").as("h"),
+          col("meta.channels").as("ch"))
+        .select(col("media_id"), col("w"), col("h"), col("ch"),
+          expr(word(0)).as("h1"), expr(word(32)).as("h2"))
+      def side(n: String) = hashed.select(col("media_id").as(n),
+        col("w"), col("h"), col("ch"),
+        col("h1").as(s"h1_$n"), col("h2").as(s"h2_$n"))
+      side("a").join(side("b"), Seq("w", "h", "ch"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("bit_count(h1_a ^ h1_b) + bit_count(h2_a ^ h2_b)")
+            .cast("int").as("hamming"))
+        .orderBy(col("hamming"), col("a"), col("b"))
+        .limit(10)
+    }),
     // Media near-dup: the decode→features→similarity bridge, end to end.
     // Blocking key = shape metadata (you never compare a thumbnail to a 4K
     // frame — and the block join replaces the cartesian product), then
@@ -144,6 +187,49 @@ object Multimodal {
     * mean_intensity is one division of identical integers in both engines
     * → bit-identical doubles. */
   val oracle: Map[String, String] = Map(
+    // Replay of q_media_phash: the dHash grid cells replay the LCG body
+    // bytes arithmetically (byte j of media i = ((i+j)·1103515245+12345)
+    // // 65536 % 256 — the q_multimodal_features idiom); identical bit
+    // packing into two 32-bit words and bit_count(xor) Hamming.
+    "q_media_phash" ->
+      """WITH m AS (
+        |  SELECT CAST(i AS BIGINT) AS media_id,
+        |         8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h,
+        |         CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |  FROM generate_series(0, 199) AS t(i)),
+        |img AS (
+        |  SELECT * FROM m
+        |  WHERE media_id % 4 <> 3
+        |    AND NOT (media_id % 13 = 0 AND media_id > 0)),
+        |kk AS (SELECT CAST(v AS BIGINT) AS k FROM generate_series(0, 63) s(v)),
+        |bits AS (
+        |  SELECT i.media_id, i.w, i.h, i.ch, kk.k,
+        |    CASE WHEN
+        |      ((i.media_id + (((kk.k // 8) * i.h // 8) * i.w
+        |        + ((kk.k % 8) * i.w // 9)) * i.ch)
+        |        * 1103515245 + 12345) // 65536 % 256
+        |      <
+        |      ((i.media_id + (((kk.k // 8) * i.h // 8) * i.w
+        |        + (((kk.k % 8) + 1) * i.w // 9)) * i.ch)
+        |        * 1103515245 + 12345) // 65536 % 256
+        |    THEN 1 ELSE 0 END AS bit
+        |  FROM img i CROSS JOIN kk),
+        |hashes AS (
+        |  SELECT media_id, w, h, ch,
+        |    CAST(sum(CASE WHEN k < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+        |      ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN k >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS h2
+        |  FROM bits GROUP BY 1, 2, 3, 4)
+        |SELECT a.media_id AS a, b.media_id AS b,
+        |  CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+        |    AS INT) AS hamming
+        |FROM hashes a JOIN hashes b
+        |  ON a.w = b.w AND a.h = b.h AND a.ch = b.ch
+        |  AND a.media_id < b.media_id
+        |ORDER BY hamming, a, b LIMIT 10""".stripMargin,
     // Replay of q_audio_frames: audio rows are i % 4 = 3 (all odd → c = 1,
     // body = w·h samples ≥ 64); sample k·8+j replays the fake-codec LCG;
     // frame k ∈ [0, (nb−16)//8]; energy/activity identical integer ops.
