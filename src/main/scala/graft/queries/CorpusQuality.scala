@@ -608,6 +608,80 @@ object CorpusQuality {
     graft.io.IndexStore.materialized(s, dir, "comp_corpus_pipeline")(
       qCorpusPipeline(s, dir))
 
+  // -------------------------------------------------------- q_mixture_greedy
+  /** Greedy mixture allocation under caps: spend a token budget (half the
+    * corpus) across sources in mean-quality order, capping any single
+    * source at 30% of the corpus — the closed-form solution of the
+    * budget-constrained mixture LP when the objective is linear in
+    * per-source quality. Complements [[graft.queries.TrainingData]]'s
+    * samplers (WHICH rows) with the design table (HOW MUCH of each
+    * source), next to the temperature/proportional mixtures it
+    * outperforms whenever quality varies by source.
+    *
+    * Greedy-by-prefix is exact here: alloc_i = min(capped_i, remaining
+    * budget after all better-quality sources take theirs) — one ordered
+    * window over the O(sources) aggregate, all integer tokens; epochs
+    * are exact ppm. Component inputs read from their materialized
+    * stores. */
+  def qMixtureGreedy(s: SparkSession, dir: String): DataFrame = {
+    val toks = sourceEntropyStored(s, dir)
+      .select(col("source"), col("n_tokens"))
+    val qual = qualityScoreStored(s, dir)
+      .select(col("doc_id"),
+        round(col("quality_score") * 1e4, 0).cast("long").as("qmu"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      // exact 1e-4-unit integer mean via one truncating division — the
+      // ORDERING key, so it must be engine-identical
+      .agg(expr("sum(qmu) div count(1)").as("q4"))
+    val tot = toks.agg(sum(col("n_tokens")).as("t"))
+    val w = Window.orderBy(col("q4").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(qual, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", expr("t div 2"))
+      .withColumn("cap", expr("(t * 3) div 10"))
+      .withColumn("m", least(col("n_tokens"), col("cap")))
+      .withColumn("cum_before",
+        coalesce(sum(col("m")).over(w), lit(0L)))
+      .withColumn("alloc",
+        least(col("m"), greatest(lit(0L), col("budget") - col("cum_before"))))
+      .select(col("source"), col("n_tokens"), col("q4"), col("m"),
+        col("alloc"),
+        expr("(alloc * 1000000) div n_tokens").as("epochs_ppm"))
+      .orderBy(col("q4").desc, col("source"))
+  }
+
+  private val qMixtureGreedySql =
+    s"""WITH toks AS (
+       |  SELECT source, n_tokens FROM (
+       |${TextAnalysis.qSourceEntropySql})),
+       |qual AS (
+       |  SELECT d.source,
+       |    CAST(sum(CAST(round(q.quality_score * 1e4, 0) AS BIGINT))
+       |      // count(*) AS BIGINT) AS q4
+       |  FROM (${TextAnalysis.qQualityScoreSql}) q
+       |  JOIN documents d ON d.doc_id = q.doc_id
+       |  GROUP BY d.source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM toks),
+       |base AS (
+       |  SELECT toks.source, CAST(toks.n_tokens AS BIGINT) AS n_tokens,
+       |    qual.q4, t // 2 AS budget, (t * 3) // 10 AS cap,
+       |    least(CAST(toks.n_tokens AS BIGINT), (t * 3) // 10) AS m
+       |  FROM toks JOIN qual USING (source), tot),
+       |alloc AS (
+       |  SELECT source, n_tokens, q4, m, budget,
+       |    coalesce(CAST(sum(m) OVER (ORDER BY q4 DESC, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cum_before
+       |  FROM base)
+       |SELECT source, n_tokens, q4, m,
+       |  least(m, greatest(0, budget - cum_before)) AS alloc,
+       |  (least(m, greatest(0, budget - cum_before)) * 1000000) // n_tokens
+       |    AS epochs_ppm
+       |FROM alloc ORDER BY q4 DESC, source""".stripMargin
+
   // ------------------------------------------------------------ q_calibration
   /** Reliability diagram of the composite quality score against actual
     * e2e-curation survival: docs binned by score (ten fixed 0.1 bands),
@@ -739,6 +813,7 @@ object CorpusQuality {
     "q_source_card"        -> (qSourceCard _),
     "q_quality_vs_dup"     -> (qQualityVsDup _),
     "q_calibration"        -> (qCalibration _),
+    "q_mixture_greedy"     -> (qMixtureGreedy _),
     "q_ngram_novelty"      -> (qNgramNovelty _),
     "q_heaps_law"          -> (qHeapsLaw _),
     "q_corpus_pipeline"    -> (qCorpusPipeline _),
@@ -754,6 +829,7 @@ object CorpusQuality {
     "q_source_card"        -> qSourceCardSql,
     "q_quality_vs_dup"     -> qQualityVsDupSql,
     "q_calibration"        -> qCalibrationSql,
+    "q_mixture_greedy"     -> qMixtureGreedySql,
     "q_ngram_novelty"      -> qNgramNoveltySql,
     "q_heaps_law"          -> qHeapsLawSql,
     "q_corpus_pipeline"    -> qCorpusPipelineSql,
