@@ -1199,6 +1199,67 @@ object TimeSeries {
       |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m7)
       |ORDER BY model""".stripMargin
 
+  // -------------------------------------------------------------- q_motif
+  /** Top-5 recurring weekly motifs in the daily-revenue series — the
+    * matrix-profile question ("which two non-overlapping weeks look most
+    * alike?") answered exactly: every 7-day window is a vector of
+    * integer cents (6 leads off one ordered pass), and all
+    * non-overlapping window pairs are scored by exact integer squared
+    * Euclidean distance in DECIMAL(38) (cent diffs square past int64 at
+    * scale). The shape-mining complement of [[qSax]]'s symbolic
+    * compression: SAX finds approximate families, this certifies the
+    * exact closest pairs.
+    *
+    * Scale shape: the fact collapses to O(days) first; the pair join is
+    * the O(days²) diagnostic over that bounded aggregate (2.9M pairs at
+    * 6.5 years — priced like q_prefix_join, deliberately exact; the
+    * scale path for long series is SAX-bucket candidates + this verify
+    * on the candidates). */
+  def qMotif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wd = Window.orderBy($"day")
+    val vecs = Inference.dailyRevenue(s, dir)
+      .withColumn("rn", row_number().over(wd).cast("long"))
+    val withLeads = (1 to 6).foldLeft(vecs) { (df, k) =>
+      df.withColumn(s"x$k", lead($"x", k).over(wd))
+    }.filter($"x6".isNotNull)
+    def sq(a: String, b: String) =
+      s"(cast($a.x as decimal(38,0)) - $b.x) * (cast($a.x as decimal(38,0)) - $b.x)" +
+        (1 to 6).map(k =>
+          s" + (cast($a.x$k as decimal(38,0)) - $b.x$k)" +
+            s" * (cast($a.x$k as decimal(38,0)) - $b.x$k)").mkString
+    withLeads.as("a").join(withLeads.as("b"),
+        expr("b.rn >= a.rn + 7")) // non-overlapping, each pair once
+      .select($"a.day".as("day_a"), $"b.day".as("day_b"),
+        expr(s"cast(${sq("a", "b")} as decimal(38,0))").as("d2"))
+      .orderBy($"d2", $"day_a", $"day_b")
+      .limit(5)
+      .select($"day_a", $"day_b", $"d2".cast("long").as("dist2_c"))
+  }
+
+  private val qMotifSql = {
+    val sq = "(CAST(a.x AS HUGEINT) - b.x) * (CAST(a.x AS HUGEINT) - b.x)" +
+      (1 to 6).map(k =>
+        s" + (CAST(a.x$k AS HUGEINT) - b.x$k)" +
+          s" * (CAST(a.x$k AS HUGEINT) - b.x$k)").mkString
+    s"""WITH daily AS (
+       |  SELECT o_orderdate AS day,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |v AS (
+       |  SELECT day, x,
+       |    ${(1 to 6).map(k =>
+            s"lead(x, $k) OVER (ORDER BY day) AS x$k").mkString(", ")},
+       |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+       |  FROM daily),
+       |w AS (SELECT * FROM v WHERE x6 IS NOT NULL)
+       |SELECT a.day AS day_a, b.day AS day_b,
+       |  CAST($sq AS BIGINT) AS dist2_c
+       |FROM w a JOIN w b ON b.rn >= a.rn + 7
+       |ORDER BY $sq, day_a, day_b LIMIT 5""".stripMargin
+  }
+
   // ---------------------------------------------------- q_robust_anomaly
   /** Robust seasonal anomaly days: daily revenue compared against its
     * day-of-week cohort by MEDIAN and MAD (median absolute deviation) —
@@ -1271,7 +1332,53 @@ object TimeSeries {
       |WHERE ad * 10000 > mad.mad * 44478
       |ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------- q_burstiness
+  /** Burstiest users by the Fano factor of their daily event counts
+    * (variance-to-mean ratio over the user's OBSERVED active days —
+    * Poisson arrivals give ≈1, batch/bot-like schedules ≫1): the
+    * behavioral-shape flag that rate limits and bot heuristics key on,
+    * invisible to total-volume rankings. Top-20 among users active ≥ 30
+    * days, exact end to end: the Fano factor is emitted in micro-units
+    * via ONE truncating integer division of exact count moments —
+    * ((n·Σc² − (Σc)²)·10⁶) div ((n−1)·Σc) — no doubles anywhere.
+    *
+    * Scale shape: one map-side-combinable (user, day) count, one user
+    * rollup, TakeOrderedAndProject top-20. */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"), sum($"c").as("s"),
+        sum($"c" * $"c").as("q"))
+      .filter($"n_days" >= 30)
+      .select($"user_id", $"n_days", $"s".as("n_events"),
+        expr("((n_days * q - s * s) * 1000000) div ((n_days - 1) * s)")
+          .as("fano_micro"))
+      .orderBy($"fano_micro".desc, $"user_id")
+      .limit(20)
+  }
+
+  private val qBurstinessSql =
+    """WITH dc AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, count(*) AS n_days,
+      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM dc GROUP BY 1)
+      |SELECT user_id, n_days, s AS n_events,
+      |  ((n_days * q - s * s) * 1000000) // ((n_days - 1) * s)
+      |    AS fano_micro
+      |FROM u WHERE n_days >= 30
+      |ORDER BY fano_micro DESC, user_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_motif"        -> (qMotif _),
+    "q_burstiness"   -> (qBurstiness _),
     "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_changepoint" -> (qChangepoint _),
     "q_seasonal_backtest" -> (qSeasonalBacktest _),
@@ -1297,6 +1404,8 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_motif"        -> qMotifSql,
+    "q_burstiness"   -> qBurstinessSql,
     "q_robust_anomaly" -> qRobustAnomalySql,
     "q_changepoint" -> qChangepointSql,
     "q_seasonal_backtest" -> qSeasonalBacktestSql,
