@@ -1142,6 +1142,57 @@ object Analytics {
       |ORDER BY n_paths DESC, step1, step2, step3
       |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- q_active_users
+  /** DAU / WAU / MAU and the stickiness ratio per day over the last 30
+    * observed days — THE product-analytics headline table. Exact rolling
+    * distincts: the fact collapses to distinct (user, day) once, and
+    * each report day joins the activity within its trailing 7/30-day
+    * window — O(report-days × window × daily-actives) pair volume,
+    * bounded here by the 30-day report range. At 100 TB the exact join
+    * is the backfill/audit path; the serving path swaps in mergeable
+    * HLL sketches per day ([[graft.queries.Sketches]] kmv precedent) —
+    * same output schema, documented error.
+    *
+    * Stickiness = DAU/MAU in exact ppm (integer division); every count
+    * is an exact distinct. */
+  def qActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, dir)
+      .select($"user_id",
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct()
+    val maxD = ud.agg(max($"d").as("mx"))
+    val report = ud.crossJoin(broadcast(maxD))
+      .filter($"d" > $"mx" - 30)
+      .select($"d".as("rd")).distinct()
+    report.join(ud, $"d" > $"rd" - 30 && $"d" <= $"rd")
+      .groupBy($"rd")
+      .agg(
+        countDistinct(when($"d" === $"rd", $"user_id")).as("dau"),
+        countDistinct(when($"d" > $"rd" - 7, $"user_id")).as("wau"),
+        countDistinct($"user_id").as("mau"))
+      .select($"rd".as("day_bucket"), $"dau", $"wau", $"mau",
+        expr("(dau * 1000000) div mau").as("stickiness_ppm"))
+      .orderBy($"day_bucket")
+  }
+
+  private val qActiveUsersSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      |  FROM events),
+      |mx AS (SELECT max(d) AS mx FROM ud),
+      |report AS (
+      |  SELECT DISTINCT d AS rd FROM ud, mx WHERE d > mx - 30)
+      |SELECT rd AS day_bucket,
+      |  count(DISTINCT CASE WHEN d = rd THEN user_id END) AS dau,
+      |  count(DISTINCT CASE WHEN d > rd - 7 THEN user_id END) AS wau,
+      |  count(DISTINCT user_id) AS mau,
+      |  (count(DISTINCT CASE WHEN d = rd THEN user_id END) * 1000000)
+      |    // count(DISTINCT user_id) AS stickiness_ppm
+      |FROM report JOIN ud ON d > rd - 30 AND d <= rd
+      |GROUP BY rd ORDER BY day_bucket""".stripMargin
+
   // --------------------------------------------------------- q_funnel_ttc
   /** Time-to-convert distribution: per user, the whole-second gap from
     * their FIRST click to their earliest purchase AT OR AFTER that click
@@ -1207,6 +1258,7 @@ object Analytics {
       |ORDER BY d.decile""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_active_users"  -> (qActiveUsers _),
     "q_funnel_ttc"    -> (qFunnelTtc _),
     "q_kaplan_meier"  -> (qKaplanMeier _),
     "q_path_trigrams" -> (qPathTrigrams _),
@@ -1235,6 +1287,7 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_active_users"  -> qActiveUsersSql,
     "q_funnel_ttc"    -> qFunnelTtcSql,
     "q_kaplan_meier"  -> qKaplanMeierSql,
     "q_path_trigrams" -> qPathTrigramsSql,

@@ -843,6 +843,78 @@ object Inference {
       |    - CAST(resp_ctrl AS DOUBLE) / n_ctrl) * 10000.0, 2) AS uplift_bps
       |FROM g ORDER BY segment""".stripMargin
 
+  // ------------------------------------------------------- q_poststrat
+  /** Post-stratified estimation: a deterministic 10% md5 sample of
+    * customers estimates mean spend three ways — naively, and
+    * post-stratified by market segment (each segment's sample mean
+    * weighted by its TRUE population share — the one-step raking that
+    * fixes a sample whose segment mix drifted), next to the full-data
+    * truth for the audit. The survey-statistics primitive behind every
+    * "estimate on a sample, weight back to the population" pipeline.
+    *
+    * Engine parity: the sample membership is an md5 threshold (the
+    * hash-sample idiom), all sums exact integer cents; the
+    * post-stratified numerator uses ONE truncating division per segment
+    * ((N_seg·s_seg) div n_seg) so the fold is integer-exact; final
+    * means are IEEE divisions rounded at the projection. One fact
+    * shuffle to customer grain, O(segments) rollup. */
+  def qPoststrat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment".as("segment"))
+      .join(Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("y")),
+        $"c_custkey" === $"o_custkey")
+      .withColumn("in_sample",
+        expr("substring(md5(concat('ps:', cast(c_custkey as string))), 1, 2)") < "1a")
+    val seg = u.groupBy($"segment")
+      .agg(count(lit(1)).as("n_pop"), sum($"y").as("s_pop"),
+        sum(when($"in_sample", 1L).otherwise(0L)).as("n_smp"),
+        sum(when($"in_sample", $"y").otherwise(0L)).as("s_smp"))
+      .filter($"n_smp" > 0)
+    seg.agg(
+        sum($"n_pop").as("n_pop"), sum($"s_pop").as("s_pop"),
+        sum($"n_smp").as("n_smp"), sum($"s_smp").as("s_smp"),
+        sum(expr("(n_pop * s_smp) div n_smp")).as("ps_num"))
+      .select($"n_pop", $"n_smp",
+        round($"s_pop".cast("double") / $"n_pop" / 100.0d, 2).as("mean_true"),
+        round($"s_smp".cast("double") / $"n_smp" / 100.0d, 2).as("mean_naive"),
+        round($"ps_num".cast("double") / $"n_pop" / 100.0d, 2)
+          .as("mean_poststrat"))
+  }
+
+  private val qPoststratSql =
+    """WITH u AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS y,
+      |    substr(md5(concat('ps:', CAST(c_custkey AS VARCHAR))), 1, 2)
+      |      < '1a' AS in_sample
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT segment, count(*) AS n_pop,
+      |    CAST(sum(y) AS BIGINT) AS s_pop,
+      |    CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_smp,
+      |    CAST(sum(CASE WHEN in_sample THEN y ELSE 0 END) AS BIGINT)
+      |      AS s_smp
+      |  FROM u GROUP BY 1),
+      |ok AS (SELECT * FROM seg WHERE n_smp > 0),
+      |acc AS (
+      |  SELECT CAST(sum(n_pop) AS BIGINT) AS n_pop,
+      |    CAST(sum(s_pop) AS BIGINT) AS s_pop,
+      |    CAST(sum(n_smp) AS BIGINT) AS n_smp,
+      |    CAST(sum(s_smp) AS BIGINT) AS s_smp,
+      |    CAST(sum((n_pop * s_smp) // n_smp) AS BIGINT) AS ps_num
+      |  FROM ok)
+      |SELECT n_pop, n_smp,
+      |  round(CAST(s_pop AS DOUBLE) / n_pop / 100.0, 2) AS mean_true,
+      |  round(CAST(s_smp AS DOUBLE) / n_smp / 100.0, 2) AS mean_naive,
+      |  round(CAST(ps_num AS DOUBLE) / n_pop / 100.0, 2) AS mean_poststrat
+      |FROM acc""".stripMargin
+
   // ------------------------------------------------------- q_psm_match
   /** Nearest-neighbor covariate matching (the propensity-score-matching
     * shape): every treated customer is matched to the control whose
@@ -1291,6 +1363,7 @@ object Inference {
     "q_neyman_alloc" -> (qNeymanAlloc _),
     "q_log_rank"     -> (qLogRank _),
     "q_psm_match"    -> (qPsmMatch _),
+    "q_poststrat"    -> (qPoststrat _),
     "q_mde"          -> (qMde _),
     "q_bootstrap_ci" -> (qBootstrapCi _))
 
@@ -1311,6 +1384,7 @@ object Inference {
     "q_neyman_alloc" -> qNeymanAllocSql,
     "q_log_rank"     -> qLogRankSql,
     "q_psm_match"    -> qPsmMatchSql,
+    "q_poststrat"    -> qPoststratSql,
     "q_mde"          -> qMdeSql,
     "q_bootstrap_ci" -> qBootstrapCiSql)
 }
