@@ -1142,6 +1142,76 @@ object Analytics {
       |ORDER BY n_paths DESC, step1, step2, step3
       |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- q_journey_sim
+  /** Most-similar user journeys: each user's first 30 events collapse
+    * to a string of event-type initials in (ts, event_id) order, and
+    * same-block journey pairs rank by edit distance — behavioral
+    * twin-finding (bot rings, scripted flows, copied sessions) where
+    * sequence ORDER matters, which the bag-of-events views
+    * ([[qTransitionMatrix]], [[qPathTrigrams]]) cannot see. On organic
+    * traffic even the closest pairs sit at distance ~13 of 30 (measured
+    * here — true twins would stand out at ≤ 3 immediately); the budget
+    * of 16 keeps the native `lev_within` verify BANDED (O(k·n)) while
+    * comfortably covering the ranking's head. Blocking = (length band,
+    * first event) — the string-space LSH-bucket shape of
+    * [[graft.queries.TextDedup]]'s fuzzy join. Top-20 pairs by
+    * (distance, user_a, user_b).
+    *
+    * Scale shape: one shuffle to user grain (the journey aggregate);
+    * candidates are per-block, never users². */
+  def qJourneySim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s) // lev_within registration
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val journeys = Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 30)
+      .groupBy($"user_id")
+      // initials are position-ordered by the same total (ts, event_id)
+      // key on both engines
+      .agg(concat_ws("", sort_array(collect_list(
+        struct($"rn", substring($"event_type", 1, 1).as("i"))))
+          .getField("i")).as("j"))
+      .withColumn("ln", length($"j"))
+      .filter($"ln" >= 10)
+      .withColumn("blk", concat(expr("ln div 4"), substring($"j", 1, 1)))
+    val a = journeys.select($"user_id".as("user_a"), $"j".as("ja"),
+      $"ln".as("la"), $"blk")
+    val b = journeys.select($"user_id".as("user_b"), $"j".as("jb"),
+      $"ln".as("lb"), $"blk")
+    a.join(b, Seq("blk"))
+      .filter($"user_a" < $"user_b" && abs($"la" - $"lb") <= 3)
+      .withColumn("dist", expr("lev_within(ja, jb, 16)"))
+      .filter($"dist" >= 0)
+      .select($"user_a", $"user_b", $"la".as("len_a"), $"lb".as("len_b"),
+        $"dist")
+      .orderBy($"dist", $"user_a", $"user_b")
+      .limit(20)
+  }
+
+  private val qJourneySimSql =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events),
+      |j AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY rn) AS j
+      |  FROM r WHERE rn <= 30 GROUP BY user_id),
+      |jj AS (
+      |  SELECT user_id, j, length(j) AS ln,
+      |    concat(length(j) // 4, substr(j, 1, 1)) AS blk
+      |  FROM j WHERE length(j) >= 10)
+      |SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |  CAST(a.ln AS INT) AS len_a, CAST(b.ln AS INT) AS len_b,
+      |  CAST(levenshtein(a.j, b.j) AS INT) AS dist
+      |FROM jj a JOIN jj b
+      |  ON a.blk = b.blk AND a.user_id < b.user_id
+      |  AND abs(a.ln - b.ln) <= 3
+      |WHERE levenshtein(a.j, b.j) <= 16
+      |ORDER BY dist, user_a, user_b LIMIT 20""".stripMargin
+
   // ------------------------------------------------------- q_active_users
   /** DAU / WAU / MAU and the stickiness ratio per day over the last 30
     * observed days — THE product-analytics headline table. Exact rolling
@@ -1259,6 +1329,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_active_users"  -> (qActiveUsers _),
+    "q_journey_sim"   -> (qJourneySim _),
     "q_funnel_ttc"    -> (qFunnelTtc _),
     "q_kaplan_meier"  -> (qKaplanMeier _),
     "q_path_trigrams" -> (qPathTrigrams _),
@@ -1288,6 +1359,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q_active_users"  -> qActiveUsersSql,
+    "q_journey_sim"   -> qJourneySimSql,
     "q_funnel_ttc"    -> qFunnelTtcSql,
     "q_kaplan_meier"  -> qKaplanMeierSql,
     "q_path_trigrams" -> qPathTrigramsSql,
