@@ -1142,6 +1142,82 @@ object Analytics {
       |ORDER BY n_paths DESC, step1, step2, step3
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------- q_revenue_bridge
+  /** Month-over-month revenue bridge (the MRR waterfall): each month's
+    * change decomposed into new + expansion − contraction − churned
+    * customer revenue, via a shifted full-outer self-join of the
+    * (customer, month) revenue table — the finance-review artifact that
+    * explains WHY revenue moved where [[qGrowthAccounting]] explains
+    * user counts. The bridge identity
+    * rev_m = rev_{m−1} + new + expansion − contraction − churned holds
+    * exactly by construction (all integer cents), so the table
+    * self-audits.
+    *
+    * Scale shape: one fact shuffle to (customer, month); the bridge is
+    * a keyed self-join on that aggregate; the rollup is O(months). */
+  def qRevenueBridge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .groupBy($"o_custkey".as("cust"),
+        expr("(year(cast(o_orderdate as timestamp)) * 12" +
+          " + month(cast(o_orderdate as timestamp))) - 1").as("m"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("c"))
+    val bounds = rev.agg(min($"m").as("lo"), max($"m").as("hi"))
+    val prev = rev.select($"cust", ($"m" + 1).as("m"), $"c".as("prev_c"))
+    rev.join(prev, Seq("cust", "m"), "full_outer")
+      .crossJoin(broadcast(bounds))
+      .filter($"m" > $"lo" && $"m" <= $"hi")
+      .groupBy($"m")
+      .agg(
+        sum(when($"prev_c".isNull, $"c").otherwise(0L)).as("new_c"),
+        sum(when($"prev_c".isNotNull && $"c".isNotNull && $"c" > $"prev_c",
+          $"c" - $"prev_c").otherwise(0L)).as("expansion_c"),
+        sum(when($"prev_c".isNotNull && $"c".isNotNull && $"c" < $"prev_c",
+          $"prev_c" - $"c").otherwise(0L)).as("contraction_c"),
+        sum(when($"c".isNull, $"prev_c").otherwise(0L)).as("churned_c"))
+      .select($"m".as("month_key"), $"new_c", $"expansion_c",
+        $"contraction_c", $"churned_c",
+        ($"new_c" + $"expansion_c" - $"contraction_c" - $"churned_c")
+          .as("net_change_c"))
+      .orderBy($"month_key")
+  }
+
+  private val qRevenueBridgeSql =
+    """WITH rev AS (
+      |  SELECT o_custkey AS cust,
+      |    (year(CAST(o_orderdate AS TIMESTAMP)) * 12
+      |      + month(CAST(o_orderdate AS TIMESTAMP))) - 1 AS m,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM rev),
+      |j AS (
+      |  SELECT coalesce(a.cust, p.cust) AS cust,
+      |    coalesce(a.m, p.m) AS m, a.c, p.prev_c
+      |  FROM rev a
+      |  FULL OUTER JOIN (SELECT cust, m + 1 AS m, c AS prev_c FROM rev) p
+      |    ON a.cust = p.cust AND a.m = p.m)
+      |SELECT m AS month_key,
+      |  CAST(sum(CASE WHEN prev_c IS NULL THEN c ELSE 0 END) AS BIGINT)
+      |    AS new_c,
+      |  CAST(sum(CASE WHEN prev_c IS NOT NULL AND c IS NOT NULL
+      |    AND c > prev_c THEN c - prev_c ELSE 0 END) AS BIGINT)
+      |    AS expansion_c,
+      |  CAST(sum(CASE WHEN prev_c IS NOT NULL AND c IS NOT NULL
+      |    AND c < prev_c THEN prev_c - c ELSE 0 END) AS BIGINT)
+      |    AS contraction_c,
+      |  CAST(sum(CASE WHEN c IS NULL THEN prev_c ELSE 0 END) AS BIGINT)
+      |    AS churned_c,
+      |  CAST(sum(CASE WHEN prev_c IS NULL THEN c ELSE 0 END)
+      |    + sum(CASE WHEN prev_c IS NOT NULL AND c IS NOT NULL
+      |        AND c > prev_c THEN c - prev_c ELSE 0 END)
+      |    - sum(CASE WHEN prev_c IS NOT NULL AND c IS NOT NULL
+      |        AND c < prev_c THEN prev_c - c ELSE 0 END)
+      |    - sum(CASE WHEN c IS NULL THEN prev_c ELSE 0 END) AS BIGINT)
+      |    AS net_change_c
+      |FROM j, bounds WHERE m > lo AND m <= hi
+      |GROUP BY m ORDER BY month_key""".stripMargin
+
   // ------------------------------------------------------- q_journey_sim
   /** Most-similar user journeys: each user's first 30 events collapse
     * to a string of event-type initials in (ts, event_id) order, and
@@ -1330,6 +1406,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_active_users"  -> (qActiveUsers _),
     "q_journey_sim"   -> (qJourneySim _),
+    "q_revenue_bridge" -> (qRevenueBridge _),
     "q_funnel_ttc"    -> (qFunnelTtc _),
     "q_kaplan_meier"  -> (qKaplanMeier _),
     "q_path_trigrams" -> (qPathTrigrams _),
@@ -1360,6 +1437,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_active_users"  -> qActiveUsersSql,
     "q_journey_sim"   -> qJourneySimSql,
+    "q_revenue_bridge" -> qRevenueBridgeSql,
     "q_funnel_ttc"    -> qFunnelTtcSql,
     "q_kaplan_meier"  -> qKaplanMeierSql,
     "q_path_trigrams" -> qPathTrigramsSql,

@@ -1199,6 +1199,69 @@ object TimeSeries {
       |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m7)
       |ORDER BY model""".stripMargin
 
+  // --------------------------------------------------- q_seasonal_strength
+  /** Trend/seasonality strength of the daily-revenue series, read off the
+    * [[qStlDecompose]] parts (Hyndman's F-measures): F_seasonal =
+    * max(0, 1 − Var(R)/Var(S+R)) and F_trend = max(0, 1 − Var(R)/Var(T+R))
+    * — the two numbers that say whether the weekly rhythm and the level
+    * drift are real structure or noise, gating whether [[qStlDecompose]]'s
+    * components deserve downstream weight at all.
+    *
+    * Engine parity: the decomposition parts are already exact integer
+    * cents; variances come from exact DECIMAL(38) moment sums; the two
+    * F ratios are single IEEE closed forms rounded at the projection.
+    * O(days) everything. */
+  def qSeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = qStlDecompose(s, dir)
+      .filter($"remainder".isNotNull)
+      .select($"trend".cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("t"),
+        $"seasonal".cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("sc"),
+        $"remainder".cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("r"))
+    def varOf(n: org.apache.spark.sql.Column, sumC: org.apache.spark.sql.Column,
+        sumSq: org.apache.spark.sql.Column) =
+      (n * sumSq - sumC * sumC) / (n * (n - lit(1.0d)))
+    parts.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"r").cast("double").as("sr"),
+        sum($"r" * $"r").cast("double").as("qr"),
+        sum($"sc" + $"r").cast("double").as("ssr"),
+        sum(($"sc" + $"r") * ($"sc" + $"r")).cast("double").as("qsr"),
+        sum($"t" + $"r").cast("double").as("str"),
+        sum(($"t" + $"r") * ($"t" + $"r")).cast("double").as("qtr"))
+      .select($"n".cast("long").as("n_days"),
+        round(greatest(lit(0.0d),
+          lit(1.0d) - varOf($"n", $"sr", $"qr")
+            / varOf($"n", $"ssr", $"qsr")), 6).as("f_seasonal"),
+        round(greatest(lit(0.0d),
+          lit(1.0d) - varOf($"n", $"sr", $"qr")
+            / varOf($"n", $"str", $"qtr")), 6).as("f_trend"))
+  }
+
+  private val qSeasonalStrengthSql =
+    s"""WITH stl AS (
+       |${qStlDecomposeSql.replace("ORDER BY t.day", "")}),
+       |p AS (
+       |  SELECT CAST(trend AS HUGEINT) AS t,
+       |    CAST(seasonal AS HUGEINT) AS sc,
+       |    CAST(remainder AS HUGEINT) AS r
+       |  FROM stl WHERE remainder IS NOT NULL),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(r) AS DOUBLE) AS sr,
+       |    CAST(sum(r * r) AS DOUBLE) AS qr,
+       |    CAST(sum(sc + r) AS DOUBLE) AS ssr,
+       |    CAST(sum((sc + r) * (sc + r)) AS DOUBLE) AS qsr,
+       |    CAST(sum(t + r) AS DOUBLE) AS str,
+       |    CAST(sum((t + r) * (t + r)) AS DOUBLE) AS qtr
+       |  FROM p)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |  round(greatest(0.0, 1.0 - ((n * qr - sr * sr) / (n * (n - 1.0)))
+       |    / ((n * qsr - ssr * ssr) / (n * (n - 1.0)))), 6) AS f_seasonal,
+       |  round(greatest(0.0, 1.0 - ((n * qr - sr * sr) / (n * (n - 1.0)))
+       |    / ((n * qtr - str * str) / (n * (n - 1.0)))), 6) AS f_trend
+       |FROM m""".stripMargin
+
   // -------------------------------------------------------------- q_motif
   /** Top-5 recurring weekly motifs in the daily-revenue series — the
     * matrix-profile question ("which two non-overlapping weeks look most
@@ -1378,6 +1441,7 @@ object TimeSeries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_motif"        -> (qMotif _),
+    "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_burstiness"   -> (qBurstiness _),
     "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_changepoint" -> (qChangepoint _),
@@ -1405,6 +1469,7 @@ object TimeSeries {
 
   val oracle: Map[String, String] = Map(
     "q_motif"        -> qMotifSql,
+    "q_seasonal_strength" -> qSeasonalStrengthSql,
     "q_burstiness"   -> qBurstinessSql,
     "q_robust_anomaly" -> qRobustAnomalySql,
     "q_changepoint" -> qChangepointSql,
