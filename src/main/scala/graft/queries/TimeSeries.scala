@@ -1199,6 +1199,64 @@ object TimeSeries {
       |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m7)
       |ORDER BY model""".stripMargin
 
+  // ----------------------------------------------------------- q_drawdown
+  /** Maximum drawdown of the daily-revenue series: the worst
+    * peak-to-trough decline — for each day, the gap to the running
+    * historical peak; the day with the widest gap is the trough, and
+    * its peak is recovered by a second pass over the O(days) aggregate
+    * (the financial-risk read-out that a mean/σ summary hides: two
+    * series with equal variance can have wildly different worst runs).
+    * Emits the peak/trough days, the drawdown in exact cents, and its
+    * ppm of the peak (truncating integer division).
+    *
+    * Scale shape: O(days) aggregate, two running-max windows over it,
+    * one argmax — everything dim-sized. */
+  def qDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wRun = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = Inference.dailyRevenue(s, dir)
+      .withColumn("peak", max($"x").over(wRun))
+      .withColumn("dd", $"peak" - $"x")
+    val trough = dd
+      .withColumn("pick", row_number().over(
+        Window.orderBy($"dd".desc, $"day")))
+      .filter($"pick" === 1)
+      .select($"day".as("trough_day"), $"x".as("trough_c"),
+        $"peak".as("peak_c"), $"dd".as("drawdown_c"))
+    // the peak day: earliest day attaining the trough's peak value
+    val peakDay = dd.join(broadcast(trough), $"x" === $"peak_c")
+      .agg(min($"day").as("peak_day"))
+    trough.crossJoin(broadcast(peakDay))
+      .select($"peak_day", $"trough_day", $"peak_c", $"trough_c",
+        $"drawdown_c",
+        expr("(drawdown_c * 1000000) div peak_c").as("drawdown_ppm"))
+  }
+
+  private val qDrawdownSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |dd AS (
+      |  SELECT day, x,
+      |    CAST(max(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS peak,
+      |    CAST(max(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) - x AS dd
+      |  FROM daily),
+      |trough AS (
+      |  SELECT day AS trough_day, x AS trough_c, peak AS peak_c,
+      |    dd AS drawdown_c
+      |  FROM dd ORDER BY dd DESC, day LIMIT 1),
+      |pk AS (
+      |  SELECT min(dd.day) AS peak_day
+      |  FROM dd, trough WHERE dd.x = trough.peak_c)
+      |SELECT peak_day, trough_day, peak_c, trough_c, drawdown_c,
+      |  (drawdown_c * 1000000) // peak_c AS drawdown_ppm
+      |FROM trough, pk""".stripMargin
+
   // --------------------------------------------------- q_seasonal_strength
   /** Trend/seasonality strength of the daily-revenue series, read off the
     * [[qStlDecompose]] parts (Hyndman's F-measures): F_seasonal =
@@ -1442,6 +1500,7 @@ object TimeSeries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_motif"        -> (qMotif _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
+    "q_drawdown"     -> (qDrawdown _),
     "q_burstiness"   -> (qBurstiness _),
     "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_changepoint" -> (qChangepoint _),
@@ -1470,6 +1529,7 @@ object TimeSeries {
   val oracle: Map[String, String] = Map(
     "q_motif"        -> qMotifSql,
     "q_seasonal_strength" -> qSeasonalStrengthSql,
+    "q_drawdown"     -> qDrawdownSql,
     "q_burstiness"   -> qBurstinessSql,
     "q_robust_anomaly" -> qRobustAnomalySql,
     "q_changepoint" -> qChangepointSql,
