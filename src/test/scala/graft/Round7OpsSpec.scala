@@ -153,6 +153,47 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(daily.nonEmpty) // the shared helper stays exercised
   }
 
+  test("revenue bridge: the waterfall identity reconstructs each month's revenue delta") {
+    import org.apache.spark.sql.functions.{col => c}
+    val monthly = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(expr("(year(cast(o_orderdate as timestamp)) * 12" +
+        " + month(cast(o_orderdate as timestamp))) - 1").as("m"))
+      .agg(sum((c("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("rev"))
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val bridge = graft.queries.Analytics.qRevenueBridge(spark, sfDir).collect()
+    assert(bridge.nonEmpty)
+    bridge.foreach { r =>
+      val m = r.getAs[Number](0).longValue
+      val delta = monthly.getOrElse(m, 0L) - monthly.getOrElse(m - 1, 0L)
+      assert(r.getAs[Long]("net_change_c") === delta,
+        s"month $m bridge ${r.getAs[Long]("net_change_c")} != delta $delta")
+    }
+  }
+
+  test("drawdown: brute-force replication over the collected daily series") {
+    val x = dailyCents()
+    var peak = Long.MinValue
+    var best = -1L; var bestIdx = -1
+    x.zipWithIndex.foreach { case (v, i) =>
+      peak = math.max(peak, v)
+      if (peak - v > best) { best = peak - v; bestIdx = i }
+    }
+    val r = graft.queries.TimeSeries.qDrawdown(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("drawdown_c") === best)
+    assert(r.getAs[Long]("trough_c") === x(bestIdx))
+    assert(r.getAs[Long]("peak_c") === x.take(bestIdx + 1).max)
+  }
+
+  test("seasonal strength F-measures are in [0,1]") {
+    val r = graft.queries.TimeSeries.qSeasonalStrength(spark, sfDir).collect()(0)
+    val (fs, ft) = (r.getAs[Double]("f_seasonal"), r.getAs[Double]("f_trend"))
+    assert(fs >= 0.0 && fs <= 1.0, s"f_seasonal $fs")
+    assert(ft >= 0.0 && ft <= 1.0, s"f_trend $ft")
+    assert(r.getAs[Long]("n_days") > 0)
+  }
+
   test("context-window stats: exact replication from per-doc token counts") {
     val toks = graft.core.Tables.documents(spark, sfDir)
       .select(size(expr(
