@@ -1458,7 +1458,7 @@ object TimeSeries {
     * (variance-to-mean ratio over the user's OBSERVED active days —
     * Poisson arrivals give ≈1, batch/bot-like schedules ≫1): the
     * behavioral-shape flag that rate limits and bot heuristics key on,
-    * invisible to total-volume rankings. Top-20 among users active ≥ 30
+    * invisible to total-volume rankings. Top-20 among users active ≥ 10
     * days, exact end to end: the Fano factor is emitted in micro-units
     * via ONE truncating integer division of exact count moments —
     * ((n·Σc² − (Σc)²)·10⁶) div ((n−1)·Σc) — no doubles anywhere.
@@ -1473,7 +1473,9 @@ object TimeSeries {
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_days"), sum($"c").as("s"),
         sum($"c" * $"c").as("q"))
-      .filter($"n_days" >= 30)
+      // >= 10 observed days: enough for a stable Fano factor and
+      // non-vacuous at the smallest test scale (sf0.001 max is 28 days)
+      .filter($"n_days" >= 10)
       .select($"user_id", $"n_days", $"s".as("n_events"),
         expr("((n_days * q - s * s) * 1000000) div ((n_days - 1) * s)")
           .as("fano_micro"))
@@ -1494,7 +1496,7 @@ object TimeSeries {
       |SELECT user_id, n_days, s AS n_events,
       |  ((n_days * q - s * s) * 1000000) // ((n_days - 1) * s)
       |    AS fano_micro
-      |FROM u WHERE n_days >= 30
+      |FROM u WHERE n_days >= 10
       |ORDER BY fano_micro DESC, user_id LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
