@@ -1142,6 +1142,80 @@ object Analytics {
       |ORDER BY n_paths DESC, step1, step2, step3
       |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------ q_interarrival
+  /** Inter-arrival cadence per event type, summarized hierarchically:
+    * each user's median gap between consecutive same-type events (exact
+    * whole seconds, lower median over their bounded sequence), then the
+    * median and p90 of those per-user medians across users — "how often
+    * does the TYPICAL user do this", robust to one firehose user in a
+    * way a pooled-gap percentile is not.
+    *
+    * Scale shape: gaps ride ONE per-(user, type) window; the per-user
+    * median is another window over the same partitioning; only the
+    * O(users × types) aggregate reaches the per-type rank windows
+    * (the [[graft.queries.Inference]] trimmed-mean discipline). All
+    * values exact integer seconds, nearest-rank picks, no doubles. */
+  def qInterarrival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"sec", $"event_id")
+    val gaps = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"event_id",
+        expr("unix_micros(ts) div 1000000").as("sec"))
+      .withColumn("gap", $"sec" - lag($"sec", 1).over(w))
+      .filter($"gap".isNotNull)
+    val wRank = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"gap")
+    val userMed = gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"user_id", $"event_type")))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"event_type", $"gap".as("umed"))
+    val wType = Window.partitionBy($"event_type").orderBy($"umed")
+    userMed
+      .withColumn("rn", row_number().over(wType))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+      .filter($"rn" === expr("(n + 1) div 2") ||
+        $"rn" === expr("(9 * n + 9) div 10"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n_users"),
+        min($"umed").as("p50_user_gap_sec"),
+        max($"umed").as("p90_user_gap_sec"))
+      .orderBy($"event_type")
+  }
+
+  private val qInterarrivalSql =
+    """WITH g AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |      - lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT), 1)
+      |        OVER (PARTITION BY user_id, event_type
+      |          ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT),
+      |            event_id) AS gap
+      |  FROM events),
+      |gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+      |um AS (
+      |  SELECT event_type, gap AS umed FROM (
+      |    SELECT event_type, gap,
+      |      row_number() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY gap) AS rn,
+      |      count(*) OVER (PARTITION BY user_id, event_type) AS n
+      |    FROM gg)
+      |  WHERE rn = (n + 1) // 2),
+      |r AS (
+      |  SELECT event_type, umed,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY umed) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM um)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+      |  min(umed) AS p50_user_gap_sec,
+      |  max(umed) AS p90_user_gap_sec
+      |FROM r
+      |WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------- q_revenue_bridge
   /** Month-over-month revenue bridge (the MRR waterfall): each month's
     * change decomposed into new + expansion − contraction − churned
@@ -1407,6 +1481,7 @@ object Analytics {
     "q_active_users"  -> (qActiveUsers _),
     "q_journey_sim"   -> (qJourneySim _),
     "q_revenue_bridge" -> (qRevenueBridge _),
+    "q_interarrival"  -> (qInterarrival _),
     "q_funnel_ttc"    -> (qFunnelTtc _),
     "q_kaplan_meier"  -> (qKaplanMeier _),
     "q_path_trigrams" -> (qPathTrigrams _),
@@ -1438,6 +1513,7 @@ object Analytics {
     "q_active_users"  -> qActiveUsersSql,
     "q_journey_sim"   -> qJourneySimSql,
     "q_revenue_bridge" -> qRevenueBridgeSql,
+    "q_interarrival"  -> qInterarrivalSql,
     "q_funnel_ttc"    -> qFunnelTtcSql,
     "q_kaplan_meier"  -> qKaplanMeierSql,
     "q_path_trigrams" -> qPathTrigramsSql,

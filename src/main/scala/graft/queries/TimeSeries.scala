@@ -1199,6 +1199,79 @@ object TimeSeries {
       |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m7)
       |ORDER BY model""".stripMargin
 
+  // ------------------------------------------------------- q_rolling_corr
+  /** 30-day rolling Pearson correlation between daily CLICK volume and
+    * daily PURCHASE revenue — the engagement-to-spend coupling monitor
+    * (when does browsing stop converting?), reported for the final 60
+    * days. A single global corr ([[graft.queries.Stats]] corr-matrix)
+    * hides regime changes; the rolling window shows them.
+    *
+    * Engine parity: both daily series are exact integer cents; all
+    * rolling sums (Σx, Σy, Σx², Σy², Σxy) ride ONE ordered window as
+    * exact DECIMAL(38) accumulations; each day's correlation is a
+    * single IEEE closed form over them, identically parenthesized, and
+    * days with an undefined denominator emit null on both engines.
+    *
+    * Scale shape: two fact scans collapse to O(days) each, one keyed
+    * join, one dim-sized ordered window. */
+  def qRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy(expr("cast(ts as date)").as("day"))
+      .agg(count(lit(1)).cast(dec).as("xo"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy(expr("cast(ts as date)").as("day"))
+      .agg(sum((OP.dec2($"value") * 100).cast("long")).cast(dec).as("xe"))
+    val joined = clicks.join(purchases, Seq("day"))
+    val w = Window.orderBy($"day").rowsBetween(-29, 0)
+    val rolled = joined
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum($"xo").over(w).cast("double"))
+      .withColumn("sy", sum($"xe").over(w).cast("double"))
+      .withColumn("qx", sum($"xo" * $"xo").over(w).cast("double"))
+      .withColumn("qy", sum($"xe" * $"xe").over(w).cast("double"))
+      .withColumn("sxy", sum($"xo" * $"xe").over(w).cast("double"))
+    val mx = joined.agg(max($"day").as("mx"))
+    rolled.crossJoin(broadcast(mx))
+      .filter($"day" > date_sub($"mx", 60) && $"n" >= 10)
+      .select($"day", $"n".cast("long").as("n_window"),
+        round(($"n" * $"sxy" - $"sx" * $"sy")
+          / (sqrt($"n" * $"qx" - $"sx" * $"sx")
+            * sqrt($"n" * $"qy" - $"sy" * $"sy")), 6).as("corr"))
+      .orderBy($"day")
+  }
+
+  private val qRollingCorrSql =
+    """WITH c AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(count(*) AS HUGEINT) AS xo
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |e AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS HUGEINT) AS xe
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |j AS (SELECT c.day, xo, xe FROM c JOIN e USING (day)),
+      |r AS (
+      |  SELECT day,
+      |    CAST(count(*) OVER w AS DOUBLE) AS n,
+      |    CAST(sum(xo) OVER w AS DOUBLE) AS sx,
+      |    CAST(sum(xe) OVER w AS DOUBLE) AS sy,
+      |    CAST(sum(xo * xo) OVER w AS DOUBLE) AS qx,
+      |    CAST(sum(xe * xe) OVER w AS DOUBLE) AS qy,
+      |    CAST(sum(xo * xe) OVER w AS DOUBLE) AS sxy
+      |  FROM j
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING
+      |               AND CURRENT ROW)),
+      |mx AS (SELECT max(day) AS mx FROM j)
+      |SELECT day, CAST(n AS BIGINT) AS n_window,
+      |  round((n * sxy - sx * sy)
+      |    / (sqrt(n * qx - sx * sx) * sqrt(n * qy - sy * sy)), 6) AS corr
+      |FROM r, mx WHERE day > mx - 60 AND n >= 10
+      |ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------- q_drawdown
   /** Maximum drawdown of the daily-revenue series: the worst
     * peak-to-trough decline — for each day, the gap to the running
@@ -1503,6 +1576,7 @@ object TimeSeries {
     "q_motif"        -> (qMotif _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_drawdown"     -> (qDrawdown _),
+    "q_rolling_corr" -> (qRollingCorr _),
     "q_burstiness"   -> (qBurstiness _),
     "q_robust_anomaly" -> (qRobustAnomaly _),
     "q_changepoint" -> (qChangepoint _),
@@ -1532,6 +1606,7 @@ object TimeSeries {
     "q_motif"        -> qMotifSql,
     "q_seasonal_strength" -> qSeasonalStrengthSql,
     "q_drawdown"     -> qDrawdownSql,
+    "q_rolling_corr" -> qRollingCorrSql,
     "q_burstiness"   -> qBurstinessSql,
     "q_robust_anomaly" -> qRobustAnomalySql,
     "q_changepoint" -> qChangepointSql,
