@@ -829,6 +829,94 @@ object TextAnalysis {
       |FROM tot JOIN e USING (source)
       |ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------- q_js_divergence
+  /** Per-source Jensen-Shannon divergence (nats) between the source's
+    * unigram token distribution and the whole-corpus distribution — the
+    * mixture-drift read-out next to [[qSourceEntropy]]'s diversity numbers:
+    * a high-JSD source is lexically unlike the blend it feeds, so its
+    * mixture weight moves perplexity more than its token count suggests.
+    * JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2; tokens the source
+    * never emits still contribute the ½·q·ln(2) mass-coverage term.
+    *
+    * Scale shape: one corpus explode + one map-side-combinable
+    * (source, token) count — the only corpus-sized shuffle (shared with
+    * q_source_entropy); the JSD grid is sources × vocab rows built from
+    * broadcast O(vocab) aggregates, never a corpus-sized join. Output is
+    * O(sources).
+    *
+    * Engine parity: the q_source_entropy nano-ln discipline — p, q, m are
+    * IEEE doubles derived from exact BIGINT counts, ln is rounded to 6 dp
+    * at the one transcendental step, each token's term is nano-scaled to a
+    * BIGINT so the per-source sum is order-independent, and the final /1e9
+    * is one exact double division. */
+  def qJsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val srcTotals = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_src"))
+    val vocab = counts.groupBy(col("tok")).agg(sum(col("c")).as("cc"))
+    val nTotal = vocab.agg(sum(col("cc")).as("n_total"))
+    val grid = srcTotals
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(nTotal))
+      .join(counts, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val terms = grid
+      .withColumn("p", col("c").cast("double") / col("n_src"))
+      .withColumn("q", col("cc").cast("double") / col("n_total"))
+      .withColumn("m", (col("p") + col("q")) / lit(2))
+      .withColumn("term_nano",
+        round((when(col("c") > 0,
+            lit(0.5) * col("p") * round(log(col("p") / col("m")), 6))
+          .otherwise(lit(0.0))
+          + lit(0.5) * col("q") * round(log(col("q") / col("m")), 6))
+          * lit(1e9), 0).cast("long"))
+    terms.groupBy(col("source"), col("n_src"))
+      .agg(sum(when(col("c") > 0, 1L).otherwise(0L)).as("overlap_vocab"),
+        (sum(col("term_nano")) / lit(1e9)).as("jsd_nats"))
+      .select(col("source"), col("n_src").as("n_tokens"),
+        col("overlap_vocab"), col("jsd_nats"))
+      .orderBy(col("source"))
+  }
+
+  private[queries] val qJsDivergenceSql =
+    """WITH t AS (
+      |  SELECT source,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+      |       FROM c GROUP BY 1),
+      |cv AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM c GROUP BY 1),
+      |nt AS (SELECT CAST(sum(cc) AS BIGINT) AS n_total FROM cv),
+      |grid AS (
+      |  SELECT st.source, st.n_src, cv.tok, cv.cc, nt.n_total,
+      |    coalesce(c.c, 0) AS c
+      |  FROM st CROSS JOIN cv CROSS JOIN nt
+      |  LEFT JOIN c ON c.source = st.source AND c.tok = cv.tok),
+      |terms AS (
+      |  SELECT source, n_src,
+      |    CASE WHEN c > 0 THEN 1 ELSE 0 END AS hit,
+      |    CAST(round((
+      |      CASE WHEN c > 0 THEN
+      |        0.5 * (CAST(c AS DOUBLE) / n_src)
+      |          * round(ln((CAST(c AS DOUBLE) / n_src)
+      |            / ((CAST(c AS DOUBLE) / n_src
+      |                + CAST(cc AS DOUBLE) / n_total) / 2)), 6)
+      |      ELSE 0.0 END
+      |      + 0.5 * (CAST(cc AS DOUBLE) / n_total)
+      |        * round(ln((CAST(cc AS DOUBLE) / n_total)
+      |          / ((CAST(c AS DOUBLE) / n_src
+      |              + CAST(cc AS DOUBLE) / n_total) / 2)), 6)
+      |    ) * 1e9, 0) AS BIGINT) AS term_nano
+      |  FROM grid)
+      |SELECT source, n_src AS n_tokens,
+      |  CAST(sum(hit) AS BIGINT) AS overlap_vocab,
+      |  CAST(sum(term_nano) AS BIGINT) / 1e9 AS jsd_nats
+      |FROM terms GROUP BY source, n_src
+      |ORDER BY source""".stripMargin
+
   // -------------------------------------------------------- q_topic_keywords
   /** Per-source distinctive keywords: the top-5 tokens by frequency lift
     * (source rate ÷ corpus rate) at support ≥ 5 — the "what is this
@@ -1271,6 +1359,7 @@ object TextAnalysis {
     "q_topic_keywords" -> (qTopicKeywords _),
     "q_posting_cost"   -> (qPostingCost _),
     "q_source_entropy" -> (qSourceEntropy _),
+    "q_js_divergence" -> (qJsDivergence _),
     "q_colloc_lift"    -> (qCollocLift _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_bpe_step"    -> (qBpeStep _),
@@ -1294,6 +1383,7 @@ object TextAnalysis {
     "q_topic_keywords" -> qTopicKeywordsSql,
     "q_posting_cost"   -> qPostingCostSql,
     "q_source_entropy" -> qSourceEntropySql,
+    "q_js_divergence" -> qJsDivergenceSql,
     "q_colloc_lift"    -> qCollocLiftSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_bpe_step"    -> qBpeStepSql,

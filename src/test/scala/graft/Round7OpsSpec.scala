@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{Stats, TimeSeries, TextDedup, TrainingData}
+import graft.queries.{Stats, TextAnalysis, TimeSeries, TextDedup, TrainingData}
 
 /** Driver-side exact replications for the round-7 operator batch: each
   * test recomputes the operator's answer from first principles on the
@@ -214,6 +214,52 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_sequences") === seqs.sum)
       assert(r.getAs[Double]("utilization") ===
         kept.sum.toDouble / (seqs.sum * w).toDouble)
+    }
+  }
+
+  test("js divergence: exact replication from collected documents") {
+    // same rounding as Spark's Round on double: shortest-decimal BigDecimal
+    // (valueOf semantics — Scala 2.13 BigDecimal(Double) matches), HALF_UP
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def nano(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val counts = graft.core.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(1).trim.toLowerCase.split("\\s+")
+          .map(w => (r.getString(0), w))
+      }
+      .groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.length.toLong) }
+      .toSeq
+    val nSrc = counts.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val cv = counts.groupBy(_._2).map { case (w, xs) => w -> xs.map(_._3).sum }
+    val nTotal = cv.values.sum
+    val bySrc = counts.groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(t => t._2 -> t._3).toMap }
+    val expected = nSrc.keys.toSeq.sorted.map { s =>
+      val n = nSrc(s)
+      val cMap = bySrc(s)
+      var sumNano = 0L
+      var overlap = 0L
+      cv.toSeq.foreach { case (w, cc) =>
+        val c = cMap.getOrElse(w, 0L)
+        val q = cc.toDouble / nTotal
+        val p = c.toDouble / n
+        val m = (p + q) / 2
+        val t1 = if (c > 0) { overlap += 1; 0.5 * p * r6(math.log(p / m)) }
+                 else 0.0
+        sumNano += nano((t1 + 0.5 * q * r6(math.log(q / m))) * 1e9)
+      }
+      (s, n, overlap, sumNano / 1e9)
+    }
+    val got = TextAnalysis.qJsDivergence(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("overlap_vocab"), r.getAs[Double]("jsd_nats"))).toSeq
+    assert(got === expected)
+    // JSD is bounded by ln 2 and nonnegative
+    got.foreach { case (_, _, _, j) =>
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9, s"jsd out of range: $j")
     }
   }
 }
