@@ -861,6 +861,81 @@ object Stats {
       |        / (CAST(tt AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)), 6) AS contrib
       |FROM t ORDER BY flag, status""".stripMargin
 
+  // ----------------------------------------------------------- q_cramers_v
+  /** Cramér's V association strength of returnflag × linestatus — the
+    * normalized read-out over [[qChiSquare]]'s per-cell audit: one row with
+    * N, degrees of freedom, the χ² total, and V = √(χ² / (N·min(r−1,c−1)))
+    * in [0,1], the number a profiler compares across tables where raw χ²
+    * (which grows with N) cannot be compared.
+    *
+    * Scale shape: identical to q_chi_square — one map-side-combined
+    * aggregation to O(cells) rows, window sums over the cell aggregate,
+    * then a single-row reduce; the fact is touched once at scan speed.
+    *
+    * Engine parity: per-cell contributions use the exact integer identity
+    * (O·N − rowΣ·colΣ)²/(N·rowΣ·colΣ) with the square in double FROM exact
+    * integers, nano-scaled to BIGINT for an order-independent sum; the
+    * final √ and ÷ are IEEE-correctly-rounded doubles, identical both
+    * engines. */
+  def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("flag"), $"l_linestatus".as("status"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("rt", sum($"n_obs").over(Window.partitionBy($"flag")))
+      .withColumn("ct", sum($"n_obs").over(Window.partitionBy($"status")))
+      .withColumn("tt", sum($"n_obs").over(Window.partitionBy()))
+    val dev = ($"n_obs".cast(DecimalType(38, 0)) * $"tt" -
+      $"rt".cast(DecimalType(38, 0)) * $"ct").cast("double")
+    val cells = obs.withColumn("contrib_nano",
+      round((dev * dev) /
+        ($"tt".cast("double") * $"rt".cast("double") * $"ct".cast("double"))
+        * lit(1e9), 0).cast("long"))
+    cells.agg(
+        countDistinct($"flag").as("r"),
+        countDistinct($"status").as("c"),
+        max($"tt").as("n"),
+        sum($"contrib_nano").as("chi2_nano"))
+      .select($"n",
+        (($"r" - 1) * ($"c" - 1)).as("dof"),
+        ($"chi2_nano" / lit(1e9)).as("chi2"),
+        round(sqrt(($"chi2_nano" / lit(1e9)) /
+          ($"n".cast("double") * least($"r" - 1, $"c" - 1).cast("double"))),
+          6).as("cramers_v"))
+  }
+
+  private val qCramersVSql =
+    """WITH obs AS (
+      |  SELECT l_returnflag AS flag, l_linestatus AS status,
+      |    count(*) AS n_obs
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (
+      |  SELECT flag, status, n_obs,
+      |    sum(n_obs) OVER (PARTITION BY flag) AS rt,
+      |    sum(n_obs) OVER (PARTITION BY status) AS ct,
+      |    sum(n_obs) OVER () AS tt
+      |  FROM obs),
+      |cells AS (
+      |  SELECT flag, status, tt,
+      |    CAST(round(
+      |      (CAST(CAST(n_obs AS HUGEINT) * tt - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+      |       * CAST(CAST(n_obs AS HUGEINT) * tt - CAST(rt AS HUGEINT) * ct AS DOUBLE))
+      |      / (CAST(tt AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+      |      * 1e9, 0) AS BIGINT) AS contrib_nano
+      |  FROM t),
+      |agg AS (
+      |  SELECT CAST(count(DISTINCT flag) AS BIGINT) AS r,
+      |    CAST(count(DISTINCT status) AS BIGINT) AS c,
+      |    CAST(max(tt) AS BIGINT) AS n,
+      |    CAST(sum(contrib_nano) AS BIGINT) AS chi2_nano
+      |  FROM cells)
+      |SELECT n, (r - 1) * (c - 1) AS dof,
+      |  chi2_nano / 1e9 AS chi2,
+      |  round(sqrt((chi2_nano / 1e9)
+      |    / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)
+      |    AS cramers_v
+      |FROM agg""".stripMargin
+
   // ------------------------------------------------------------------ q_mad
   /** Median absolute deviation per return flag — the robust dispersion
     * that, unlike σ (q_outliers), a few wild rows cannot drag. Two exact
@@ -974,6 +1049,7 @@ object Stats {
     "q_mad"         -> (qMad _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_chi_square" -> (qChiSquare _),
+    "q_cramers_v" -> (qCramersV _),
     "q_anomaly_days" -> (qAnomalyDays _),
     "q_mode"       -> (qMode _),
     "q_histogram"  -> (qHistogram _),
@@ -993,6 +1069,7 @@ object Stats {
     "q_mad"         -> qMadSql,
     "q_corr_matrix" -> qCorrMatrixSql,
     "q_chi_square" -> qChiSquareSql,
+    "q_cramers_v" -> qCramersVSql,
     "q_anomaly_days" -> qAnomalyDaysSql,
     "q_mode"       -> qModeSql,
     "q_histogram"  -> qHistogramSql,

@@ -262,4 +262,33 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(j >= 0.0 && j <= math.log(2.0) + 1e-9, s"jsd out of range: $j")
     }
   }
+
+  test("cramers v: exact replication from collected lineitem") {
+    def nano(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = rows.groupBy(identity)
+      .map { case (k, xs) => (k._1, k._2, xs.length.toLong) }.toSeq
+    val rt = cells.groupBy(_._1).map { case (f, xs) => f -> xs.map(_._3).sum }
+    val ct = cells.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).sum }
+    val tt = rows.length.toLong
+    val chi2Nano = cells.map { case (f, t, o) =>
+      // dev exact in BigInt, then to double — same rounding as Spark's
+      // decimal(38,0) → double cast
+      val dev = (BigInt(o) * BigInt(tt) - BigInt(rt(f)) * BigInt(ct(t))).toDouble
+      nano(dev * dev / (tt.toDouble * rt(f).toDouble * ct(t).toDouble) * 1e9)
+    }.sum
+    val (rr, cc) = (rt.size.toLong, ct.size.toLong)
+    val expV = BigDecimal(math.sqrt((chi2Nano / 1e9)
+        / (tt.toDouble * math.min(rr - 1, cc - 1).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Stats.qCramersV(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n") === tt)
+    assert(r.getAs[Long]("dof") === (rr - 1) * (cc - 1))
+    assert(r.getAs[Double]("chi2") === chi2Nano / 1e9)
+    assert(r.getAs[Double]("cramers_v") === expV)
+    assert(expV >= 0.0 && expV <= 1.0, s"V out of range: $expV")
+  }
 }
