@@ -283,6 +283,94 @@ object Inference {
       |  round((2 * six - (n + 1) * sx) / (n * sx), 6) AS gini
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------- q_theil_index
+  /** Theil-T inequality decomposition of customer spend by nation — the
+    * additive counterpart to [[qGini]]: unlike Gini, Theil splits exactly
+    * into a within-group and a between-group component, so per nation this
+    * emits T_within = (1/n_g)·Σ (x/μ_g)·ln(x/μ_g) over its customers plus
+    * the nation's between-term p·ln(p/q) (p = revenue share, q = customer
+    * share); Σ between_terms + Σ (s_g/S)·T_within_g reassembles total
+    * inequality. The "which market's concentration drives the global
+    * number" read-out q_concentration's top-k shares can't give.
+    *
+    * Scale shape: the per-customer spend aggregate (one fact shuffle on
+    * custkey, map-side combined) is the only corpus-sized operation; the
+    * customer dim join rides the same key, the nation dim and the
+    * O(nations) group table broadcast back over the O(customers)
+    * aggregate, and the one-row total is a broadcast-scalar crossJoin.
+    *
+    * Engine parity: the nano-ln discipline — spend/μ ratios are IEEE
+    * doubles from exact BIGINT cents, ln rounded to 6 dp at the one
+    * transcendental step, each customer's term nano-scaled to BIGINT so
+    * the per-nation sum is order-independent, final /1e9 and /n_g exact
+    * double ops. */
+  def qTheilIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = custSpend(s, dir)
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"spend")
+    val grp = spend.groupBy($"nation")
+      .agg(count(lit(1)).as("n_g"), sum($"spend").as("s_g"))
+    val tot = spend.agg(count(lit(1)).as("n_all"), sum($"spend").as("s_all"))
+    val within = spend.join(broadcast(grp), "nation")
+      .withColumn("r",
+        $"spend".cast("double") / ($"s_g".cast("double") / $"n_g".cast("double")))
+      .withColumn("t_nano",
+        round($"r" * round(log($"r"), 6) * lit(1e9), 0).cast("long"))
+      .groupBy($"nation").agg(sum($"t_nano").as("tw_nano"))
+    grp.join(within, "nation").crossJoin(broadcast(tot))
+      .select($"nation", $"n_g".as("n_customers"), $"s_g".as("spend_cents"),
+        (($"tw_nano" / lit(1e9)) / $"n_g".cast("double")).as("theil_within"),
+        (($"s_g".cast("double") / $"s_all".cast("double")) *
+          round(log(($"s_g".cast("double") / $"s_all".cast("double")) /
+            ($"n_g".cast("double") / $"n_all".cast("double"))), 6))
+          .as("between_term"))
+      .orderBy($"nation")
+  }
+
+  private val qTheilIndexSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS spend
+      |  FROM orders GROUP BY 1),
+      |sp AS (
+      |  SELECT n.n_name AS nation, p.spend
+      |  FROM per_cust p
+      |  JOIN customer c ON c.c_custkey = p.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |g AS (
+      |  SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+      |    CAST(sum(spend) AS BIGINT) AS s_g
+      |  FROM sp GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+      |    CAST(sum(spend) AS BIGINT) AS s_all
+      |  FROM sp),
+      |terms AS (
+      |  SELECT sp.nation,
+      |    CAST(round(
+      |      (CAST(sp.spend AS DOUBLE)
+      |        / (CAST(g.s_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)))
+      |      * round(ln(CAST(sp.spend AS DOUBLE)
+      |          / (CAST(g.s_g AS DOUBLE) / CAST(g.n_g AS DOUBLE))), 6)
+      |      * 1e9, 0) AS BIGINT) AS t_nano
+      |  FROM sp JOIN g USING (nation)),
+      |tw AS (
+      |  SELECT nation, CAST(sum(t_nano) AS BIGINT) AS tw_nano
+      |  FROM terms GROUP BY 1)
+      |SELECT g.nation, g.n_g AS n_customers, g.s_g AS spend_cents,
+      |  (tw_nano / 1e9) / CAST(g.n_g AS DOUBLE) AS theil_within,
+      |  (CAST(g.s_g AS DOUBLE) / CAST(s_all AS DOUBLE))
+      |    * round(ln((CAST(g.s_g AS DOUBLE) / CAST(s_all AS DOUBLE))
+      |        / (CAST(g.n_g AS DOUBLE) / CAST(n_all AS DOUBLE))), 6)
+      |    AS between_term
+      |FROM g JOIN tw USING (nation) CROSS JOIN tot
+      |ORDER BY nation""".stripMargin
+
   // ------------------------------------------------------------ q_abc_class
   /** ABC inventory classification of parts by revenue contribution — the
     * warehouse-ops classic: A = parts inside the first 80% of cumulative
@@ -1351,6 +1439,7 @@ object Inference {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_spearman"     -> (qSpearman _),
     "q_gini"         -> (qGini _),
+    "q_theil_index"  -> (qTheilIndex _),
     "q_abc_class"    -> (qAbcClass _),
     "q_kendall_tau"  -> (qKendallTau _),
     "q_runs_test"    -> (qRunsTest _),
@@ -1372,6 +1461,7 @@ object Inference {
     "q_mann_whitney" -> qMannWhitneySql,
     "q_spearman"     -> qSpearmanSql,
     "q_gini"         -> qGiniSql,
+    "q_theil_index"  -> qTheilIndexSql,
     "q_abc_class"    -> qAbcClassSql,
     "q_kendall_tau"  -> qKendallTauSql,
     "q_runs_test"    -> qRunsTestSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{Stats, TextAnalysis, TimeSeries, TextDedup, TrainingData}
+import graft.queries.{Inference, Stats, TextAnalysis, TimeSeries, TextDedup, TrainingData}
 
 /** Driver-side exact replications for the round-7 operator batch: each
   * test recomputes the operator's answer from first principles on the
@@ -290,5 +290,62 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("chi2") === chi2Nano / 1e9)
     assert(r.getAs[Double]("cramers_v") === expV)
     assert(expV >= 0.0 && expV <= 1.0, s"V out of range: $expV")
+  }
+
+  test("theil index: exact replication + decomposition identity") {
+    def nano(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spend = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("spend"))
+      .join(graft.core.Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.core.Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("spend")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byNation = spend.groupBy(_._1)
+    val nAll = spend.length.toLong
+    val sAll = spend.map(_._2).sum
+    val expected = byNation.keys.toSeq.sorted.map { nat =>
+      val xs = byNation(nat).map(_._2)
+      val nG = xs.length.toLong
+      val sG = xs.sum
+      val mu = sG.toDouble / nG.toDouble
+      val twNano = xs.map { x =>
+        val r = x.toDouble / mu; nano(r * r6(math.log(r)) * 1e9)
+      }.sum
+      val p = sG.toDouble / sAll.toDouble
+      val q = nG.toDouble / nAll.toDouble
+      (nat, nG, sG, (twNano / 1e9) / nG.toDouble, p * r6(math.log(p / q)))
+    }
+    val got = Inference.qTheilIndex(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_customers"),
+        r.getAs[Long]("spend_cents"), r.getAs[Double]("theil_within"),
+        r.getAs[Double]("between_term"))).toSeq
+    assert(got === expected)
+    // the decomposition identity (unrounded doubles): total Theil equals
+    // sum of between-terms plus revenue-share-weighted within-terms
+    val muAll = sAll.toDouble / nAll.toDouble
+    val tAll = spend.map { case (_, x) =>
+      val r = x.toDouble / muAll; r * math.log(r)
+    }.sum / nAll.toDouble
+    val recomposed = byNation.map { case (_, xs0) =>
+      val xs = xs0.map(_._2)
+      val sG = xs.sum
+      val mu = sG.toDouble / xs.length
+      val tW = xs.map { x =>
+        val r = x.toDouble / mu; r * math.log(r)
+      }.sum / xs.length
+      val p = sG.toDouble / sAll.toDouble
+      p * tW + p * math.log(p / (xs.length.toDouble / nAll.toDouble))
+    }.sum
+    assert(math.abs(tAll - recomposed) < 1e-9,
+      s"decomposition broke: $tAll vs $recomposed")
   }
 }
