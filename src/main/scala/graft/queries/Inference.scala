@@ -371,6 +371,72 @@ object Inference {
       |FROM g JOIN tw USING (nation) CROSS JOIN tot
       |ORDER BY nation""".stripMargin
 
+  // ---------------------------------------------------------- q_lorenz_curve
+  /** Lorenz curve of customer spend in ten decile points — the table
+    * behind [[qGini]]'s single number: customers ranked ascending by
+    * spend, bucketed into tenths, each row carrying the decile's customer
+    * count, its spend, and the CUMULATIVE revenue share in exact parts per
+    * million. "The bottom 50% of customers hold cum_share_ppm/1e4 % of
+    * revenue" — the shape q_concentration's top-k view reads from the
+    * other end.
+    *
+    * Entirely integer arithmetic — rank over a TOTAL order
+    * (spend, custkey), decile = ((i−1)·10) div n, share = (cum·10⁶) div
+    * total in DECIMAL(38) — so no float boundary exists on any engine.
+    *
+    * Scale shape: the per-customer aggregate is the one fact shuffle; the
+    * rank sorts the DIMENSION-sized customer aggregate (the q_gini
+    * precedent), totals ride a broadcast-scalar crossJoin, and the
+    * cumulative window runs over exactly 10 rows. */
+  def qLorenzCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = custSpend(s, dir)
+    val tot = sp.agg(count(lit(1)).as("n_all"), sum($"spend").as("s_all"))
+    sp.withColumn("i",
+        row_number().over(Window.orderBy($"spend", $"o_custkey")))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("cast(((i - 1) * 10) div n_all as int)"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"spend").as("spend_cents"),
+        max($"s_all").as("s_all"))
+      .withColumn("cum_cents",
+        sum($"spend_cents").over(Window.orderBy($"decile")))
+      .select($"decile", $"n_customers", $"spend_cents",
+        expr("cast((cast(cum_cents as decimal(38,0)) * 1000000)" +
+          " div cast(s_all as decimal(38,0)) as bigint)").as("cum_share_ppm"))
+      .orderBy($"decile")
+  }
+
+  private val qLorenzCurveSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS spend
+      |  FROM orders GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+      |    CAST(sum(spend) AS BIGINT) AS s_all
+      |  FROM per_cust),
+      |idx AS (
+      |  SELECT spend,
+      |    CAST(row_number() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS i
+      |  FROM per_cust),
+      |d AS (
+      |  SELECT CAST(((i - 1) * 10) // n_all AS INT) AS decile, spend
+      |  FROM idx CROSS JOIN tot),
+      |g AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+      |    CAST(sum(spend) AS BIGINT) AS spend_cents
+      |  FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT decile, n_customers, spend_cents,
+      |    CAST(sum(spend_cents) OVER (ORDER BY decile) AS HUGEINT) AS cum_cents
+      |  FROM g)
+      |SELECT decile, n_customers, spend_cents,
+      |  CAST((cum_cents * 1000000) // s_all AS BIGINT) AS cum_share_ppm
+      |FROM c CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   // ------------------------------------------------------------ q_abc_class
   /** ABC inventory classification of parts by revenue contribution — the
     * warehouse-ops classic: A = parts inside the first 80% of cumulative
@@ -1440,6 +1506,7 @@ object Inference {
     "q_spearman"     -> (qSpearman _),
     "q_gini"         -> (qGini _),
     "q_theil_index"  -> (qTheilIndex _),
+    "q_lorenz_curve" -> (qLorenzCurve _),
     "q_abc_class"    -> (qAbcClass _),
     "q_kendall_tau"  -> (qKendallTau _),
     "q_runs_test"    -> (qRunsTest _),
@@ -1462,6 +1529,7 @@ object Inference {
     "q_spearman"     -> qSpearmanSql,
     "q_gini"         -> qGiniSql,
     "q_theil_index"  -> qTheilIndexSql,
+    "q_lorenz_curve" -> qLorenzCurveSql,
     "q_abc_class"    -> qAbcClassSql,
     "q_kendall_tau"  -> qKendallTauSql,
     "q_runs_test"    -> qRunsTestSql,

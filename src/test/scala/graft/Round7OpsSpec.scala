@@ -348,4 +348,29 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(math.abs(tAll - recomposed) < 1e-9,
       s"decomposition broke: $tAll vs $recomposed")
   }
+
+  test("lorenz curve: exact replication from collected orders") {
+    val sp = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("spend"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = sp.length.toLong
+    val sAll = sp.map(_._2).sum
+    val deciles = sp.sortBy { case (k, x) => (x, k) }.zipWithIndex
+      .map { case ((_, x), i0) => (((i0.toLong) * 10) / n, x) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, xs) => (d.toInt, xs.length.toLong, xs.map(_._2).sum) }
+    var cum = BigInt(0)
+    val expected = deciles.map { case (d, nc, sc) =>
+      cum += sc
+      (d, nc, sc, ((cum * 1000000) / sAll).toLong)
+    }
+    val got = Inference.qLorenzCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_customers"),
+        r.getAs[Long]("spend_cents"), r.getAs[Long]("cum_share_ppm"))).toSeq
+    assert(got === expected)
+    assert(got.last._4 === 1000000L, "full cumulative share must be 1e6 ppm")
+    assert(got.map(_._4) === got.map(_._4).sorted, "cum share must ascend")
+  }
 }
