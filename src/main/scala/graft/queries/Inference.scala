@@ -437,6 +437,55 @@ object Inference {
       |FROM c CROSS JOIN tot
       |ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------- q_hoover_index
+  /** Hoover (Robin Hood) index of customer spend — the share of total
+    * revenue that would have to move between customers for perfect
+    * equality: H = Σ|N·xᵢ − S| / (2·N·S), emitted in exact parts per
+    * million. Completes the inequality family: Gini (rank closed form),
+    * Theil (decomposable), Lorenz (the curve), Hoover (the maximum
+    * vertical gap between the Lorenz curve and the equality diagonal).
+    *
+    * Entirely integer arithmetic — |N·x − S| is an exact DECIMAL(38)
+    * deviation per customer (HUGEINT in the oracle), the sum is exact, and
+    * the ppm is one integer div — zero float surface on either engine.
+    *
+    * Scale shape: the per-customer aggregate is the one fact shuffle;
+    * totals ride a broadcast-scalar crossJoin; the deviation sum is one
+    * map-side-combinable reduce over the dimension-sized aggregate. */
+  def qHooverIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = custSpend(s, dir)
+    val tot = sp.agg(count(lit(1)).as("n_all"), sum($"spend").as("s_all"))
+    sp.crossJoin(broadcast(tot))
+      .select($"n_all", $"s_all",
+        abs($"spend".cast(DecimalType(38, 0)) * $"n_all" -
+          $"s_all".cast(DecimalType(38, 0))).as("dev"))
+      .groupBy($"n_all", $"s_all").agg(sum($"dev").as("sdev"))
+      .select($"n_all".as("n_customers"), $"s_all".as("spend_cents"),
+        expr("cast((sdev * 1000000) div" +
+          " (cast(2 as decimal(38,0)) * n_all * s_all) as bigint)")
+          .as("hoover_ppm"))
+  }
+
+  private val qHooverIndexSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS spend
+      |  FROM orders GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+      |    CAST(sum(spend) AS BIGINT) AS s_all
+      |  FROM per_cust),
+      |dev AS (
+      |  SELECT n_all, s_all,
+      |    abs(CAST(spend AS HUGEINT) * n_all - CAST(s_all AS HUGEINT)) AS d
+      |  FROM per_cust CROSS JOIN tot)
+      |SELECT n_all AS n_customers, s_all AS spend_cents,
+      |  CAST((sum(d) * 1000000)
+      |    // (CAST(2 AS HUGEINT) * n_all * s_all) AS BIGINT) AS hoover_ppm
+      |FROM dev GROUP BY n_all, s_all""".stripMargin
+
   // ------------------------------------------------------------ q_abc_class
   /** ABC inventory classification of parts by revenue contribution — the
     * warehouse-ops classic: A = parts inside the first 80% of cumulative
@@ -1507,6 +1556,7 @@ object Inference {
     "q_gini"         -> (qGini _),
     "q_theil_index"  -> (qTheilIndex _),
     "q_lorenz_curve" -> (qLorenzCurve _),
+    "q_hoover_index" -> (qHooverIndex _),
     "q_abc_class"    -> (qAbcClass _),
     "q_kendall_tau"  -> (qKendallTau _),
     "q_runs_test"    -> (qRunsTest _),
@@ -1530,6 +1580,7 @@ object Inference {
     "q_gini"         -> qGiniSql,
     "q_theil_index"  -> qTheilIndexSql,
     "q_lorenz_curve" -> qLorenzCurveSql,
+    "q_hoover_index" -> qHooverIndexSql,
     "q_abc_class"    -> qAbcClassSql,
     "q_kendall_tau"  -> qKendallTauSql,
     "q_runs_test"    -> qRunsTestSql,

@@ -373,4 +373,21 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.last._4 === 1000000L, "full cumulative share must be 1e6 ppm")
     assert(got.map(_._4) === got.map(_._4).sorted, "cum share must ascend")
   }
+
+  test("hoover index: exact replication from collected orders") {
+    val sp = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("spend"))
+      .collect().map(_.getAs[Long]("spend"))
+    val n = BigInt(sp.length)
+    val sAll = BigInt(sp.sum)
+    val sdev = sp.map(x => (BigInt(x) * n - sAll).abs).sum
+    val expPpm = ((sdev * 1000000) / (2 * n * sAll)).toLong
+    val r = Inference.qHooverIndex(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_customers") === sp.length.toLong)
+    assert(r.getAs[Long]("spend_cents") === sp.sum)
+    assert(r.getAs[Long]("hoover_ppm") === expPpm)
+    assert(expPpm >= 0L && expPpm <= 1000000L, s"out of range: $expPpm")
+  }
 }
