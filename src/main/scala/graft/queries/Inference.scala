@@ -486,6 +486,59 @@ object Inference {
       |    // (CAST(2 AS HUGEINT) * n_all * s_all) AS BIGINT) AS hoover_ppm
       |FROM dev GROUP BY n_all, s_all""".stripMargin
 
+  // ----------------------------------------------------------- q_palma_ratio
+  /** Palma ratio of customer spend — revenue of the top 10% of customers
+    * over revenue of the bottom 40%, the inequality ratio practitioners
+    * quote when Gini's middle-sensitivity hides tail movement. Cuts are
+    * exact integer rank positions off the TOTAL (spend, custkey) order
+    * (bottom = i ≤ (4N) div 10, top = i > N − N div 10), the two sums are
+    * exact BIGINT cents, and the ratio is one DECIMAL(38) integer div to
+    * parts per million — zero float surface on either engine.
+    *
+    * Scale shape: per-customer aggregate = the one fact shuffle; the rank
+    * sorts the dimension-sized customer aggregate (q_gini precedent);
+    * totals ride a broadcast-scalar crossJoin. */
+  def qPalmaRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = custSpend(s, dir)
+    val tot = sp.agg(count(lit(1)).as("n_all"))
+    sp.withColumn("i",
+        row_number().over(Window.orderBy($"spend", $"o_custkey")))
+      .crossJoin(broadcast(tot))
+      .groupBy($"n_all")
+      .agg(
+        sum(when($"i" <= expr("(4 * n_all) div 10"), $"spend")
+          .otherwise(lit(0L))).as("bottom40_cents"),
+        sum(when($"i" > expr("n_all - (n_all div 10)"), $"spend")
+          .otherwise(lit(0L))).as("top10_cents"))
+      .select($"n_all".as("n_customers"), $"top10_cents", $"bottom40_cents",
+        expr("cast((cast(top10_cents as decimal(38,0)) * 1000000)" +
+          " div cast(bottom40_cents as decimal(38,0)) as bigint)")
+          .as("palma_ppm"))
+  }
+
+  private val qPalmaRatioSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS spend
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM per_cust),
+      |idx AS (
+      |  SELECT spend,
+      |    CAST(row_number() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS i
+      |  FROM per_cust)
+      |SELECT n_all AS n_customers,
+      |  CAST(sum(CASE WHEN i > n_all - (n_all // 10) THEN spend ELSE 0 END)
+      |    AS BIGINT) AS top10_cents,
+      |  CAST(sum(CASE WHEN i <= (4 * n_all) // 10 THEN spend ELSE 0 END)
+      |    AS BIGINT) AS bottom40_cents,
+      |  CAST((CAST(sum(CASE WHEN i > n_all - (n_all // 10) THEN spend
+      |          ELSE 0 END) AS HUGEINT) * 1000000)
+      |    // CAST(sum(CASE WHEN i <= (4 * n_all) // 10 THEN spend ELSE 0 END)
+      |         AS HUGEINT) AS BIGINT) AS palma_ppm
+      |FROM idx CROSS JOIN tot GROUP BY n_all""".stripMargin
+
   // ------------------------------------------------------------ q_abc_class
   /** ABC inventory classification of parts by revenue contribution — the
     * warehouse-ops classic: A = parts inside the first 80% of cumulative
@@ -1557,6 +1610,7 @@ object Inference {
     "q_theil_index"  -> (qTheilIndex _),
     "q_lorenz_curve" -> (qLorenzCurve _),
     "q_hoover_index" -> (qHooverIndex _),
+    "q_palma_ratio"  -> (qPalmaRatio _),
     "q_abc_class"    -> (qAbcClass _),
     "q_kendall_tau"  -> (qKendallTau _),
     "q_runs_test"    -> (qRunsTest _),
@@ -1581,6 +1635,7 @@ object Inference {
     "q_theil_index"  -> qTheilIndexSql,
     "q_lorenz_curve" -> qLorenzCurveSql,
     "q_hoover_index" -> qHooverIndexSql,
+    "q_palma_ratio"  -> qPalmaRatioSql,
     "q_abc_class"    -> qAbcClassSql,
     "q_kendall_tau"  -> qKendallTauSql,
     "q_runs_test"    -> qRunsTestSql,

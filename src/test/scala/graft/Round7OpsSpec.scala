@@ -390,4 +390,22 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("hoover_ppm") === expPpm)
     assert(expPpm >= 0L && expPpm <= 1000000L, s"out of range: $expPpm")
   }
+
+  test("palma ratio: exact replication from collected orders") {
+    val sp = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("spend"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("spend")))
+    val n = sp.length.toLong
+    val sorted = sp.sortBy { case (k, x) => (x, k) }.map(_._2)
+    val bottom = sorted.take(((4 * n) / 10).toInt).sum
+    val top = sorted.drop((n - n / 10).toInt).sum
+    val expPpm = ((BigInt(top) * 1000000) / BigInt(bottom)).toLong
+    val r = Inference.qPalmaRatio(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_customers") === n)
+    assert(r.getAs[Long]("top10_cents") === top)
+    assert(r.getAs[Long]("bottom40_cents") === bottom)
+    assert(r.getAs[Long]("palma_ppm") === expPpm)
+  }
 }
