@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global rank without a global sort — the banded
+  * decomposition of `row_number() OVER (ORDER BY value, ties...)`,
+  * factored out of the proven `q_fact_rank` shape
+  * ([[graft.queries.Windows.qFactRank]]) so every fact- or
+  * unbounded-entity-grain order statistic shares one implementation
+  * (round-7 VERDICT item 1: the customer-grain inequality cluster must
+  * not ride single-partition `Window.orderBy`).
+  *
+  * Decomposition (identical to q_fact_rank):
+  *   1. one aggregate computes min/max of the value, broadcast as the
+  *      house 1-row frame;
+  *   2. every row maps to one of `buckets` fixed-width value bands —
+  *      pure map-side arithmetic, order-preserving by construction (the
+  *      band is a monotone function of the value, so ties never span
+  *      bands and band order IS value order);
+  *   3. per-band row counts collapse to an O(buckets) aggregate whose
+  *      prefix sum (a window over ≤ `buckets` rows — the ONLY
+  *      unpartitioned window, bounded by construction) is each band's
+  *      global offset, broadcast back;
+  *   4. a band-PARTITIONED window ranks locally; global = offset + local.
+  *
+  * At 100 TB nothing changes except the band count (add bands to match
+  * cluster parallelism — the offset table stays driver-trivial). The
+  * degenerate case (all values equal → one band) degrades to the dense
+  * sort it replaces, never worse.
+  *
+  * All helpers append internal columns prefixed `__band` and drop them
+  * before returning; callers' columns pass through untouched.
+  */
+object BandedRank {
+
+  /** Default band count — matches q_fact_rank; at real scale size this
+    * to the cluster's task parallelism. */
+  val DefaultBuckets = 64
+
+  /** Add `bCol`: the fixed-width value band of numeric column `value`,
+    * in [0, buckets), monotone non-decreasing in the value. One extra
+    * aggregate + 1-row broadcast; no shuffle of `df` itself. */
+  def withValueBand(df: DataFrame, value: String, bCol: String,
+                    buckets: Int = DefaultBuckets): DataFrame = {
+    val lo = s"${bCol}__lo"
+    val hi = s"${bCol}__hi"
+    val mm = df.agg(min(col(value)).as(lo), max(col(value)).as(hi))
+    df.crossJoin(broadcast(mm))
+      // double division then truncation: exact enough because IEEE
+      // division is monotone in the numerator, and (v-lo)*buckets < 2^63
+      // for any cents-scaled domain; (hi-lo+1) guards the all-equal case
+      .withColumn(bCol,
+        ((col(value) - col(lo)) * buckets / (col(hi) - col(lo) + 1))
+          .cast("long"))
+      .drop(lo, hi)
+  }
+
+  /** Append `out` = global `row_number() OVER (ORDER BY value, ties...)`
+    * (LongType, 1-based) via the banded decomposition above. `value`
+    * must be numeric; `(value, ties...)` should be a total order for a
+    * deterministic result (the same contract as the window it
+    * replaces). */
+  def rowNumber(df: DataFrame, value: String, ties: Seq[String], out: String,
+                buckets: Int = DefaultBuckets): DataFrame = {
+    val b = s"__band_$out"
+    val banded = withValueBand(df, value, b, buckets)
+    val cnt = s"${b}__cnt"
+    val off = s"${b}__off"
+    val offsets = banded.groupBy(col(b)).agg(count(lit(1)).as(cnt))
+      .withColumn(off,
+        coalesce(sum(col(cnt)).over(Window.orderBy(col(b))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(b), col(off))
+    val wLocal = Window.partitionBy(col(b))
+      .orderBy((value +: ties).map(col): _*)
+    banded
+      .withColumn(s"${b}__rn", row_number().over(wLocal))
+      .join(broadcast(offsets), b)
+      .withColumn(out, col(off) + col(s"${b}__rn"))
+      .drop(b, s"${b}__rn", off)
+  }
+
+  /** Append `out` = the exact 2-scaled average rank of `value`
+    * (`2*rank() OVER (ORDER BY value) + count(*) OVER (PARTITION BY
+    * value) - 1` — twice the tie-averaged midrank, always an integer),
+    * banded. The tie count comes from a RANGE(0,0) peer frame on the
+    * SAME band-partitioned sort as the local rank (the
+    * [[graft.queries.Stats.qSkylineFact]] `min_same` trick), so both
+    * window expressions share one WindowExec pass and no extra shuffle
+    * on the value is paid. Ties never span bands (band is a function of
+    * the value), so local peer count = global tie count and
+    * offset+local rank = global rank. */
+  def avgRank2(df: DataFrame, value: String, out: String,
+               buckets: Int = DefaultBuckets): DataFrame = {
+    val b = s"__band_$out"
+    val banded = withValueBand(df, value, b, buckets)
+    val cnt = s"${b}__cnt"
+    val off = s"${b}__off"
+    val offsets = banded.groupBy(col(b)).agg(count(lit(1)).as(cnt))
+      .withColumn(off,
+        coalesce(sum(col(cnt)).over(Window.orderBy(col(b))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(b), col(off))
+    val wLocal = Window.partitionBy(col(b)).orderBy(col(value))
+    banded
+      .withColumn(s"${b}__rk", rank().over(wLocal))
+      .withColumn(s"${b}__eq",
+        count(lit(1)).over(wLocal.rangeBetween(0, 0)))
+      .join(broadcast(offsets), b)
+      .withColumn(out,
+        lit(2) * (col(off) + col(s"${b}__rk")) + col(s"${b}__eq") - 1)
+      .drop(b, s"${b}__rk", s"${b}__eq", off)
+  }
+}
