@@ -82,6 +82,45 @@ object BandedRank {
       .drop(b, s"${b}__rn", off)
   }
 
+  /** Append, for each `(in, out)` pair in `sums`, `out` = the running sum
+    * of `in` over the global ROWS order `(value, ties...)` — the banded
+    * decomposition of `sum(in) OVER (ORDER BY value, ties ROWS UNBOUNDED
+    * PRECEDING)`. Same shape as [[rowNumber]], except the O(buckets)
+    * offset table carries per-band SUMS instead of counts (the
+    * [[graft.queries.Stats.qSkylineFact]] prefix-min generalized to
+    * prefix-sum, shared by the Pareto/ABC-style cumulative operators).
+    * All `in` columns ride one band assignment and one local window pass.
+    * For a DESCENDING cumulative order, pass the negated value as `value`
+    * and order-compatible `ties`. */
+  def prefixSum(df: DataFrame, value: String, ties: Seq[String],
+                sums: Seq[(String, String)],
+                buckets: Int = DefaultBuckets): DataFrame = {
+    require(sums.nonEmpty, "prefixSum needs at least one (in, out) pair")
+    val b = "__band_ps"
+    val banded = withValueBand(df, value, b, buckets)
+    val bandSums = sums.map { case (in, _) => sum(col(in)).as(s"${b}__s_$in") }
+    val offsets = banded.groupBy(col(b))
+      .agg(bandSums.head, bandSums.tail: _*)
+      .select(col(b) +: sums.map { case (in, _) =>
+        coalesce(sum(col(s"${b}__s_$in")).over(Window.orderBy(col(b))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+          .as(s"${b}__off_$in")
+      }: _*)
+    val wLocal = Window.partitionBy(col(b))
+      .orderBy((value +: ties).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = sums.foldLeft(banded) { case (d, (in, _)) =>
+      d.withColumn(s"${b}__c_$in", sum(col(in)).over(wLocal))
+    }
+    val joined = withLocal.join(broadcast(offsets), b)
+    val withOut = sums.foldLeft(joined) { case (d, (in, out)) =>
+      d.withColumn(out, col(s"${b}__off_$in") + col(s"${b}__c_$in"))
+    }
+    withOut.drop(
+      b +: sums.flatMap { case (in, _) =>
+        Seq(s"${b}__c_$in", s"${b}__off_$in") }: _*)
+  }
+
   /** Append `out` = the exact 2-scaled average rank of `value`
     * (`2*rank() OVER (ORDER BY value) + count(*) OVER (PARTITION BY
     * value) - 1` — twice the tie-averaged midrank, always an integer),

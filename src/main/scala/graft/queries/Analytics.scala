@@ -1427,8 +1427,11 @@ object Analytics {
     * 10⁶ per endpoint — truncate-then-subtract, identical both engines);
     * deciles are stored values at ceil-ranks, no interpolation. Scale
     * shape: two fact aggregates to user grain (one shuffle each), a
-    * keyed join, then ranks over the O(converting-users) aggregate —
-    * the [[graft.queries.Inference]] family discipline. */
+    * keyed join, then the BANDED distributed rank
+    * ([[graft.core.BandedRank.rowNumber]]) over the converting-user
+    * aggregate — users are an unbounded-entity grain, so no
+    * single-partition rank window and the total rides the house 1-row
+    * broadcast instead of a global count window. */
   def qFunnelTtc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -1441,10 +1444,13 @@ object Analytics {
       .filter($"p_sec" >= $"c_sec")
       .groupBy($"user_id")
       .agg((min($"p_sec") - max($"c_sec")).as("ttc_sec"))
-    val ranked = ttc
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"ttc_sec", $"user_id")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    // banded distributed rank + broadcast-scalar total: the converting-user
+    // aggregate is an unbounded-entity grain (grows with the fact table),
+    // so neither the rank nor the total may ride a single-partition window
+    // (the round-7 customer-grain finding applied to users)
+    val ranked = graft.core.BandedRank
+      .rowNumber(ttc, "ttc_sec", Seq("user_id"), "rn")
+      .crossJoin(broadcast(ttc.agg(count(lit(1)).as("n"))))
     ranked
       .join(broadcast(s.range(1, 10).select($"id".cast("int").as("decile"))),
         $"rn" === expr("(decile * n + 9) div 10"))

@@ -489,9 +489,13 @@ object CorpusQuality {
     * billion tokens add few new words. Sampled at 100-doc corpus-position
     * checkpoints: per-token first-seen bucket (min aggregate, the
     * [[qNgramNovelty]] machinery) gives new types per bucket; the
-    * cumulative window then runs over the O(corpus/100) bucket aggregate,
-    * never the raw token stream (at larger corpora you widen the bucket,
-    * not the window). Type/token ratio is one double division, rounded. */
+    * cumulative sums then run over the corpus/100 bucket aggregate via
+    * the BANDED prefix sum ([[graft.core.BandedRank.prefixSum]]) — a
+    * 100× reduction is not a bound, so the growth curve gets band-local
+    * running sums plus broadcast band offsets rather than one
+    * single-partition window (widen the bucket AND the decomposition
+    * holds at any corpus). Type/token ratio is one double division,
+    * rounded. */
   def qHeapsLaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toksd = Tables.documents(s, dir)
@@ -502,12 +506,15 @@ object CorpusQuality {
         countDistinct($"doc_id").as("n_docs"))
     val newTypes = toksd.groupBy($"tok").agg(min($"bucket").as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("n_new_types"))
-    val w = Window.orderBy($"bucket")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    perBucket.join(newTypes, Seq("bucket"), "left")
+    // banded prefix sums (BandedRank.prefixSum): the bucket aggregate is
+    // corpus/100 — a 100× reduction, not a bound — so the growth-curve
+    // cumsum gets band-local running sums + broadcast band offsets
+    // instead of a single-partition window (round-7 discipline)
+    val filled = perBucket.join(newTypes, Seq("bucket"), "left")
       .na.fill(0L, Seq("n_new_types"))
-      .withColumn("cum_tokens", sum($"n_tokens").over(w))
-      .withColumn("cum_types", sum($"n_new_types").over(w))
+    graft.core.BandedRank
+      .prefixSum(filled, "bucket", Seq.empty,
+        Seq("n_tokens" -> "cum_tokens", "n_new_types" -> "cum_types"))
       .select($"bucket", $"n_docs", $"cum_tokens", $"cum_types",
         round($"cum_types".cast("double") / $"cum_tokens", 6).as("ttr"))
       .orderBy($"bucket")

@@ -577,8 +577,11 @@ object Inference {
     * ticks with a TOTAL order (revenue desc, partkey); the 80/95 cuts are
     * exact integer comparisons (5·cum ≤ 4·total, 20·cum ≤ 19·total) so no
     * float boundary can flip a class between engines. The cumulative
-    * window runs over the part aggregate (a dimension); revenue-per-part
-    * is the only fact-volume shuffle. */
+    * revenue runs over the part aggregate via the banded DESCENDING
+    * prefix sum ([[graft.core.BandedRank.prefixSum]] on the negated
+    * revenue) — the part catalog grows with the data, so no
+    * single-partition window; revenue-per-part is the only fact-volume
+    * shuffle. */
   def qAbcClass(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perPart = Tables.lineitem(s, dir)
@@ -586,13 +589,19 @@ object Inference {
       .agg(sum((OP.discounted($"l_extendedprice", $"l_discount") * 10000)
         .cast("long")).as("rev"))
     val tot = perPart.agg(sum($"rev".cast(DecimalType(38, 0))).as("total"))
-    val w = Window.orderBy($"rev".desc, $"l_partkey")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perPart
-      // DECIMAL(38) before the running sum and ×5/×20 cut comparisons:
-      // long ticks would not overflow until ~9e14 total revenue, but the
-      // corpus-scale ratio hardening costs nothing here (O(parts) rows)
-      .withColumn("cum", sum($"rev".cast(DecimalType(38, 0))).over(w))
+    // banded prefix sum over the DESCENDING revenue order (negated value,
+    // BandedRank.prefixSum): the part catalog grows with the data, so the
+    // Pareto cumsum gets band-local running sums + broadcast band offsets
+    // instead of one single-partition window (round-7 discipline).
+    // DECIMAL(38) before the running sum and ×5/×20 cut comparisons:
+    // long ticks would not overflow until ~9e14 total revenue, but the
+    // corpus-scale ratio hardening costs nothing here (O(parts) rows)
+    graft.core.BandedRank
+      .prefixSum(
+        perPart.withColumn("rev_neg", -$"rev")
+          .withColumn("rev38", $"rev".cast(DecimalType(38, 0))),
+        "rev_neg", Seq("l_partkey"), Seq("rev38" -> "cum"))
+      .drop("rev_neg", "rev38")
       .crossJoin(broadcast(tot))
       .withColumn("cls",
         when($"cum" * 5 <= $"total" * 4, "A")

@@ -447,26 +447,34 @@ object Sketches {
     * an actual data value, identical on both engines.
     *
     * Scale shape: the only full-data work is the scan-level sample filter;
-    * the rank window runs over the SAMPLE, whose size the gate bounds at
-    * ~3% (and in production at whatever absolute size the threshold
-    * implies) — same bounded-input justification as the vocab-bounded
-    * window in q_ngram_next. Output includes n_sample so a consumer can
-    * see the sketch's resolution. */
+    * the rank over the sample is the banded distributed row_number
+    * ([[rankedPriceSample]]) — a percentage sample is still
+    * fact-proportional, so it gets the same no-single-partition-window
+    * treatment as the raw fact. Output includes n_sample so a consumer
+    * can see the sketch's resolution. */
   /** THE deterministic ~3% price sample (content-hash gate, 1966/65536)
     * with its total-order rank and size — q_quantile_sketch and
     * q_winsorize must draw the SAME sample (same seed, same row fate) or
     * their thresholds silently desynchronize (review finding: previously
-    * duplicated in both queries and both oracles). */
+    * duplicated in both queries and both oracles).
+    *
+    * The rank is the BANDED distributed row_number
+    * ([[graft.core.BandedRank.rowNumber]]) and the size a 1-row
+    * broadcast: a ~3% sample of the fact table is still fact-
+    * PROPORTIONAL (3 TB of a 100 TB corpus), so the previous global
+    * rank window and global count window were the round-7 single-
+    * partition anti-pattern in sampled clothing. The oracle keeps the
+    * plain global row_number — the decomposition is invisible. */
   private def rankedPriceSample(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.lineitem(s, dir)
+    val sample = Tables.lineitem(s, dir)
       .filter(substring(md5(concat_ws(":", lit("qs1"), col("l_orderkey"),
         col("l_linenumber"), col("l_partkey"))), 1, 4) < "07ae")
       .select(col("l_extendedprice").as("v"),
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
-      .withColumn("rn", row_number().over(Window.orderBy(
-        col("v"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))))
-      .withColumn("n_sample", count(lit(1)).over(Window.partitionBy()))
+    graft.core.BandedRank
+      .rowNumber(sample, "v",
+        Seq("l_orderkey", "l_linenumber", "l_partkey"), "rn")
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("n_sample"))))
   }
 
   /** DuckDB mirror of [[rankedPriceSample]], emitted as CTEs `sample` and
