@@ -18,9 +18,10 @@ import graft.io.Sinks
   *   - O(1): read the state row;
   *   - O(batch): filter candidates above the watermark;
   *   - O(tail): anti-join dedup against ONLY the fact partitions at/after
-  *     the watermark — facts are written `partitionBy(part_col)`, so the
-  *     existing-side read partition-prunes to the overlap window instead
-  *     of scanning history (TL_combine.sql:189-203 semantics, bounded).
+  *     the watermark — facts are written `partitionBy(p_year, p_month)`
+  *     derived from `part_col`, so the existing-side read
+  *     partition-prunes to the overlap window instead of scanning
+  *     history (TL_combine.sql:189-203 semantics, bounded).
   *
   * The dedup window assumption (late data never arrives more than one
   * watermark behind) is the standard incremental contract; widen the tail
@@ -64,24 +65,46 @@ object Incremental {
   final case class LoadStats(candidates: Long, nullPartition: Long,
                              aboveWatermark: Long, appended: Long)
 
+  /** Physical partition scheme for the fact tables: (year, month) derived
+    * from the watermark date column (SURVEY §4's deliberate improvement
+    * over the reference's unpartitioned Postgres facts, landed per the
+    * round-7 verdict). Day-grain `partitionBy(date)` — the previous
+    * layout — creates one directory per day: at 100 TB that is tens of
+    * thousands of partitions of small files and a metastore-sized
+    * listing per scan. (year, month) keeps the partition count bounded
+    * (12/year), each partition wide enough for full-size files, while
+    * the watermark prune still skips all history at planning time; the
+    * residual over-read is at most the watermark's own month, which the
+    * row-level date filter then trims. */
+  private[graft] val YearCol = "p_year"
+  private[graft] val MonthCol = "p_month"
+
   /** The existing-fact tail the anti-dedup compares against: only
-    * partitions at/after the watermark. The filter is on the physical
-    * partition column, so it resolves at planning time to a partition-list
-    * prune — the scan never touches historical partitions (PlanAuditSpec
-    * asserts this). At 100 TB this is the difference between reading a
-    * day and reading years. */
+    * partitions at/after the watermark's (year, month). The prune
+    * predicate references ONLY the physical partition columns, so it
+    * resolves at planning time to a partition-list prune — the scan
+    * never touches historical partitions (PlanAuditSpec asserts this);
+    * the row-level date filter tightens the surviving month to the
+    * exact watermark day. At 100 TB this is the difference between
+    * reading a month and reading years. */
   private[graft] def tailScan(spark: SparkSession, factPath: String,
                               partCol: String, hwm: Option[String]): DataFrame =
     hwm match {
-      case Some(w) => spark.read.parquet(factPath)
-        .filter(col(partCol) >= lit(w).cast(DateType))
-      case None => spark.read.parquet(factPath)
+      case Some(w) =>
+        val (y, m) = (w.substring(0, 4).toInt, w.substring(5, 7).toInt)
+        spark.read.parquet(factPath)
+          .filter(col(YearCol) > y ||
+            (col(YearCol) === y && col(MonthCol) >= m))
+          .filter(col(partCol) >= lit(w).cast(DateType))
+          .drop(YearCol, MonthCol)
+      case None => spark.read.parquet(factPath).drop(YearCol, MonthCol)
     }
 
   /** Append `candidates` to the partitioned fact at `factPath`:
     * watermark-filter → tail-bounded anti-dedup on `keyCols` → append →
-    * advance watermark. `partCol` must be a DateType column (becomes the
-    * physical partition key). */
+    * advance watermark. `partCol` must be a DateType column; the
+    * physical partition keys are its derived (p_year, p_month) and the
+    * column itself stays in the data files. */
   def appendIncremental(candidates: DataFrame, factPath: String,
                         statePath: String, table: String,
                         partCol: String, keyCols: Seq[String]): LoadStats = {
@@ -122,7 +145,10 @@ object Incremental {
       else None
 
     if (nNew > 0) {
-      rows.write.mode("append").partitionBy(partCol).parquet(factPath)
+      rows
+        .withColumn(YearCol, year(col(partCol)))
+        .withColumn(MonthCol, month(col(partCol)))
+        .write.mode("append").partitionBy(YearCol, MonthCol).parquet(factPath)
       // newMax is always defined here: null-partition rows were excluded
       // before the watermark filter, so appended rows carry real dates
       val advanced = (hwm, newMax) match {

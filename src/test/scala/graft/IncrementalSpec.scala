@@ -77,15 +77,25 @@ class IncrementalSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/fact").count() == 1)
   }
 
-  test("fact is physically partitioned by the date column") {
+  test("fact is physically partitioned by (year, month), date kept in data") {
     val dir = Files.createTempDirectory("graft-inc3").toString
     Incremental.appendIncremental(
-      batch((1L, "2024-03-01", 1.0), (2L, "2024-03-02", 2.0)),
+      batch((1L, "2024-03-01", 1.0), (2L, "2024-03-02", 2.0),
+        (3L, "2024-04-01", 3.0)),
       s"$dir/fact", s"$dir/state", "fact",
       "order_date", Seq("order_id", "order_date"))
-    val parts = new java.io.File(s"$dir/fact").list()
-      .filter(_.startsWith("order_date="))
-    assert(parts.toSet == Set("order_date=2024-03-01", "order_date=2024-03-02"))
+    val years = new java.io.File(s"$dir/fact").list()
+      .filter(_.startsWith("p_year="))
+    assert(years.toSet == Set("p_year=2024"))
+    val months = new java.io.File(s"$dir/fact/p_year=2024").list()
+      .filter(_.startsWith("p_month="))
+    assert(months.toSet == Set("p_month=3", "p_month=4"))
+    // the date column survives as real data (it is no longer the
+    // physical partition key, so it must live in the files themselves)
+    val back = spark.read.parquet(s"$dir/fact")
+    assert(back.columns.contains("order_date"))
+    assert(back.filter(col("order_date") === Date.valueOf("2024-03-02"))
+      .count() == 1)
   }
 
   test("state table tracks multiple facts independently") {

@@ -59,25 +59,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan reads more columns than the projection needs: $widths")
   }
 
-  test("incremental tail scan partition-prunes to the watermark") {
+  test("incremental tail scan partition-prunes to the watermark month") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/fact"
-    Seq(
-      ("a", "2024-01-01"), ("b", "2024-01-02"), ("c", "2024-01-03"),
-      ("d", "2024-01-04"), ("e", "2024-01-05"))
-      .toDF("k", "d")
-      .select($"k", $"d".cast("date").as("event_date"))
-      .write.partitionBy("event_date").parquet(dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val dir = s"$base/fact"
+    // write through the REAL sink so the fixture carries the shipped
+    // (p_year, p_month) layout — one row per month across a year boundary
+    graft.warehouse.Incremental.appendIncremental(
+      Seq(("a", "2023-11-15"), ("b", "2023-12-20"), ("c", "2024-01-03"),
+        ("d", "2024-02-04"), ("e", "2024-02-28"), ("f", "2024-03-05"))
+        .toDF("k", "d")
+        .select($"k", $"d".cast("date").as("event_date")),
+      dir, s"$base/state", "fact", "event_date", Seq("k"))
 
     val tail = graft.warehouse.Incremental.tailScan(
-      spark, dir, "event_date", Some("2024-01-04"))
+      spark, dir, "event_date", Some("2024-02-05"))
     val plan = staticPlan(tail)
     val scan = scans(plan).head
     assert(scan.partitionFilters.nonEmpty, s"no partition filters on tail scan\n$plan")
-    // the pruned scan must select exactly the 2 at/after-watermark partitions
+    // the prune must survive the year boundary: months >= 2024-02 are the
+    // 2 partitions (2024-02, 2024-03); 2023-11/2023-12/2024-01 never read
     assert(scan.selectedPartitions.partitionCount == 2,
       s"expected 2 surviving partitions, got ${scan.selectedPartitions.partitionCount}")
-    assert(tail.count() == 2)
+    // the row-level date filter then trims inside the watermark month
+    assert(tail.count() == 2) // 2024-02-28 and 2024-03-05
   }
 
   test("decontamination joins the corpus against a BROADCAST bench set") {
@@ -267,15 +272,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("weighted median: the fact shuffles once on flag; no join, no extra exchange") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  test("weighted median: banded fact window, offset/total sides broadcast") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
     val plan = staticPlan(SparkEntry.queries("q_weighted_median")(spark, sfDir))
-    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
-    // one hash partition on flag feeding both windows + the presentation
-    // range sort — nothing else may move the fact
-    val ex = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(ex.size <= 2, s"expected <=2 exchanges (flag hash + sort), got:\n$plan")
+    // the O(flags×bands) offset table and the 3-row totals must broadcast
+    // back — the fact side never sort-merges for them
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"offset/total joins must broadcast, not sort-merge\n$plan")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"expected broadcast joins for band offsets and flag totals\n$plan")
+    // the running-weight window over the FACT must ride the (flag, band)
+    // composite — partition count ≫ 3 (round-7 VERDICT item 2)
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"no partition-less window allowed\n$plan")
+    assert(windows.exists(
+      _.partitionSpec.flatMap(_.references.map(_.name)).contains("band")),
+      s"fact running-weight window must partition on the band key\n$plan")
   }
 
   test("string-sim join: domain self-join is broadcast, never a cartesian") {
