@@ -57,27 +57,44 @@ object BandedRank {
       .drop(lo, hi)
   }
 
-  /** Append `out` = global `row_number() OVER (ORDER BY value, ties...)`
-    * (LongType, 1-based) via the banded decomposition above. `value`
-    * must be numeric; `(value, ties...)` should be a total order for a
-    * deterministic result (the same contract as the window it
-    * replaces). */
+  /** Append `out` = `row_number() OVER ([PARTITION BY groups...]
+    * ORDER BY value, ties...)` (LongType, 1-based) via the banded
+    * decomposition above. `value` must be numeric; `(value, ties...)`
+    * should be a total order within each group for a deterministic
+    * result (the same contract as the window it replaces).
+    *
+    * With `groups` empty this replaces a GLOBAL rank (the round-7
+    * single-partition anti-pattern). With `groups` given it replaces a
+    * LOW-DISTINCT-KEY partitioned rank — a per-group rank whose groups
+    * are few but fact-proportional inside (e.g. experiment arms, return
+    * flags) would otherwise shuffle everything into #groups tasks; here
+    * every window partitions on (groups..., band) and even the offset
+    * prefix windows partition on the groups, so NO partition-less
+    * window remains at all. The band assignment uses the GLOBAL
+    * min/max (band order is value order within every group by
+    * monotonicity), so one 1-row broadcast serves all groups and the
+    * offset table stays O(groups × buckets). */
   def rowNumber(df: DataFrame, value: String, ties: Seq[String], out: String,
-                buckets: Int = DefaultBuckets): DataFrame = {
+                buckets: Int = DefaultBuckets,
+                groups: Seq[String] = Seq.empty): DataFrame = {
     val b = s"__band_$out"
     val banded = withValueBand(df, value, b, buckets)
     val cnt = s"${b}__cnt"
     val off = s"${b}__off"
-    val offsets = banded.groupBy(col(b)).agg(count(lit(1)).as(cnt))
-      .withColumn(off,
-        coalesce(sum(col(cnt)).over(Window.orderBy(col(b))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(b), col(off))
-    val wLocal = Window.partitionBy(col(b))
+    val offWindow =
+      (if (groups.isEmpty) Window.orderBy(col(b))
+       else Window.partitionBy(groups.map(col): _*).orderBy(col(b)))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val keyCols = groups :+ b
+    val offsets = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(cnt))
+      .withColumn(off, coalesce(sum(col(cnt)).over(offWindow), lit(0L)))
+      .select((keyCols :+ off).map(col): _*)
+    val wLocal = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((value +: ties).map(col): _*)
     banded
       .withColumn(s"${b}__rn", row_number().over(wLocal))
-      .join(broadcast(offsets), b)
+      .join(broadcast(offsets), keyCols)
       .withColumn(out, col(off) + col(s"${b}__rn"))
       .drop(b, s"${b}__rn", off)
   }

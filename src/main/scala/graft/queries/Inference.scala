@@ -570,6 +570,167 @@ object Inference {
       |  END AS palma_ppm
       |FROM g""".stripMargin
 
+  // ------------------------------------------------------- q_gini_by_nation
+  /** Per-nation Gini of customer spend — "WHICH market's concentration
+    * drives the global number", the rank-statistic completion of
+    * [[qTheilIndex]]'s decomposition (Theil splits additively; Gini per
+    * group is what the analyst actually quotes). Same closed form as
+    * [[qGini]] with i = row_number within the nation over the TOTAL
+    * (spend, custkey) order.
+    *
+    * Scale shape: the per-nation rank is the GROUPED banded rank
+    * ([[graft.core.BandedRank.rowNumber]] with `groups = nation`) — a
+    * plain `PARTITION BY nation` window would shuffle every customer
+    * into 25 tasks (the low-distinct-key anti-pattern round-7 flagged on
+    * q_weighted_median); here every window partitions on
+    * (nation, band) and even the offset prefix runs per nation over
+    * ≤64 band rows, so NO partition-less window exists at all. Customer
+    * and nation joins ride the custkey shuffle / a dim broadcast
+    * (the qTheilIndex plumbing). */
+  def qGiniByNation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = custSpend(s, dir)
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"o_custkey", $"spend")
+    graft.core.BandedRank
+      .rowNumber(spend, "spend", Seq("o_custkey"), "i",
+        groups = Seq("nation"))
+      .withColumn("i", $"i".cast(DecimalType(38, 0)))
+      .groupBy($"nation")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"spend".cast(DecimalType(38, 0))).cast("double").as("sx"),
+        sum($"i" * $"spend").cast("double").as("six"))
+      .select($"nation", $"n".cast("long").as("n_customers"),
+        round((lit(2) * $"six" - ($"n" + 1) * $"sx") /
+          ($"n" * $"sx"), 6).as("gini"))
+      .orderBy($"nation")
+  }
+
+  private val qGiniByNationSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS spend
+      |  FROM orders GROUP BY 1),
+      |sp AS (
+      |  SELECT n.n_name AS nation, p.o_custkey, p.spend
+      |  FROM per_cust p
+      |  JOIN customer c ON c.c_custkey = p.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |idx AS (
+      |  SELECT nation, spend,
+      |    CAST(row_number() OVER (PARTITION BY nation
+      |      ORDER BY spend, o_custkey) AS HUGEINT) AS i
+      |  FROM sp),
+      |g AS (
+      |  SELECT nation, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(spend AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(i * spend) AS DOUBLE) AS six
+      |  FROM idx GROUP BY 1)
+      |SELECT nation, CAST(n AS BIGINT) AS n_customers,
+      |  round((2 * six - (n + 1) * sx) / (n * sx), 6) AS gini
+      |FROM g ORDER BY nation""".stripMargin
+
+  // ------------------------------------------------------------ q_srm_check
+  /** Sample-ratio-mismatch check for the parity-split experiment — the
+    * first gate every A/B read-out must pass: with a 50/50 assignment,
+    * is the observed arm imbalance larger than chance? χ²(1) =
+    * (n_t − n_c)²/n against the 5% critical value 3.841. An SRM flag
+    * means the assignment mechanism is broken and every downstream
+    * effect estimate ([[qCuped]], [[qDid]], [[qUplift]]) is suspect —
+    * the reference's KPI views have no such guardrail.
+    *
+    * Engine parity: counts are exact; χ² is one IEEE closed form; the
+    * FLAG is decided by exact integer cross-multiplication
+    * (1000·d² > 3841·n in DECIMAL(38)/HUGEINT), so no float boundary
+    * can flip it between engines. Scale: one map-side-combinable
+    * aggregate over the unit table; nothing else. */
+  def qSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    abUnits(s, dir)
+      .agg(count(when($"treat", lit(1))).as("n_treat"),
+        count(when(!$"treat", lit(1))).as("n_control"))
+      .withColumn("d", $"n_treat" - $"n_control")
+      .withColumn("n", $"n_treat" + $"n_control")
+      .select($"n_treat", $"n_control",
+        round($"d".cast("double") * $"d".cast("double") /
+          $"n".cast("double"), 6).as("chi2"),
+        ($"d".cast(DecimalType(38, 0)) * $"d" * 1000 >
+          $"n".cast(DecimalType(38, 0)) * 3841).as("srm_flag"))
+  }
+
+  private lazy val qSrmCheckSql =
+    s"""WITH u AS (
+       |$abUnitsSql),
+       |g AS (
+       |  SELECT CAST(count(*) FILTER (treat) AS BIGINT) AS n_treat,
+       |    CAST(count(*) FILTER (NOT treat) AS BIGINT) AS n_control
+       |  FROM u),
+       |dd AS (
+       |  SELECT n_treat, n_control,
+       |    n_treat - n_control AS d, n_treat + n_control AS n
+       |  FROM g)
+       |SELECT n_treat, n_control,
+       |  round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS chi2,
+       |  CAST(d AS HUGEINT) * d * 1000 > CAST(n AS HUGEINT) * 3841
+       |    AS srm_flag
+       |FROM dd""".stripMargin
+
+  // ----------------------------------------------------------- q_qte_deciles
+  /** Quantile treatment effects: the nine per-arm outcome deciles side by
+    * side with their gap — does the treatment move the whole
+    * distribution or only the tail? The distributional read-out the
+    * mean-difference estimators ([[qCuped]], [[qUplift]]) flatten away
+    * (a lift concentrated in the top decile and a uniform lift report
+    * the same average effect). Nearest-rank deciles (k = ⌈d·n/10⌉, the
+    * [[qQqDeciles]] convention) — exact integer cents, no
+    * interpolation.
+    *
+    * Scale shape: per-arm ranks are the GROUPED banded rank
+    * ([[graft.core.BandedRank.rowNumber]] with `groups = treat`) — a
+    * `PARTITION BY treat` window would shuffle every customer into TWO
+    * tasks, the exact low-distinct-key anti-pattern round-7 flagged;
+    * here every window partitions on (treat, band). Arm sizes and the
+    * 9-row decile table broadcast. */
+  def qQteDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = abUnits(s, dir).select($"o_custkey".as("cust"), $"treat", $"y")
+    val counts = u.groupBy($"treat").agg(count(lit(1)).as("n_arm"))
+    val deciles = s.range(1, 10).select($"id".cast("int").as("decile"))
+    graft.core.BandedRank
+      .rowNumber(u, "y", Seq("cust"), "rn", groups = Seq("treat"))
+      .join(broadcast(counts), Seq("treat"))
+      .join(broadcast(deciles), $"rn" === expr("(decile * n_arm + 9) div 10"))
+      .groupBy($"decile")
+      .agg(max(when(!$"treat", $"y")).as("y_control_c"),
+        max(when($"treat", $"y")).as("y_treat_c"))
+      .select($"decile", $"y_control_c", $"y_treat_c",
+        ($"y_treat_c" - $"y_control_c").as("qte_c"))
+      .orderBy($"decile")
+  }
+
+  private lazy val qQteDecilesSql =
+    s"""WITH u AS (
+       |$abUnitsSql),
+       |r AS (
+       |  SELECT treat, y,
+       |    row_number() OVER (PARTITION BY treat ORDER BY y, o_custkey)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY treat) AS n_arm
+       |  FROM u),
+       |d AS (SELECT CAST(v AS INT) AS decile FROM generate_series(1, 9) s(v))
+       |SELECT d.decile,
+       |  CAST(max(CASE WHEN NOT treat THEN y END) AS BIGINT) AS y_control_c,
+       |  CAST(max(CASE WHEN treat THEN y END) AS BIGINT) AS y_treat_c,
+       |  CAST(max(CASE WHEN treat THEN y END)
+       |    - max(CASE WHEN NOT treat THEN y END) AS BIGINT) AS qte_c
+       |FROM r JOIN d ON r.rn = (d.decile * r.n_arm + 9) // 10
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ q_abc_class
   /** ABC inventory classification of parts by revenue contribution — the
     * warehouse-ops classic: A = parts inside the first 80% of cumulative
@@ -1695,7 +1856,10 @@ object Inference {
     "q_psm_match"    -> (qPsmMatch _),
     "q_poststrat"    -> (qPoststrat _),
     "q_mde"          -> (qMde _),
-    "q_bootstrap_ci" -> (qBootstrapCi _))
+    "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_gini_by_nation" -> (qGiniByNation _),
+    "q_srm_check"    -> (qSrmCheck _),
+    "q_qte_deciles"  -> (qQteDeciles _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test"      -> qKsTestSql,
@@ -1720,5 +1884,8 @@ object Inference {
     "q_psm_match"    -> qPsmMatchSql,
     "q_poststrat"    -> qPoststratSql,
     "q_mde"          -> qMdeSql,
-    "q_bootstrap_ci" -> qBootstrapCiSql)
+    "q_bootstrap_ci" -> qBootstrapCiSql,
+    "q_gini_by_nation" -> qGiniByNationSql,
+    "q_srm_check"    -> qSrmCheckSql,
+    "q_qte_deciles"  -> qQteDecilesSql)
 }
