@@ -66,7 +66,14 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // full machine-readable artifact per round (round-7 VERDICT item 5:
+    // the driver's BENCH_r{N}.json truncates to an alphabetical tail, so
+    // the repo commits its own complete sweep when this env var is set)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -6,6 +6,10 @@ is validated before the driver runs. Usage:
 
     sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
     python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/verify_out
+
+An optional third argument restricts to queries whose name falls in a
+[lo, hi) prefix range, e.g. `a:g` — lets the full 300-query compare be
+chunked under a per-command wall-clock cap.
 """
 import json
 import os
@@ -14,7 +18,7 @@ import sys
 import duckdb
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, name_range: str = "") -> int:
     con = duckdb.connect()
     for name in ("region nation customer supplier part orders lineitem "
                  "events documents embeddings").split():
@@ -26,10 +30,13 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
 
+    lo, hi = (name_range.split(":") + [""])[:2] if name_range else ("", "")
     failures = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            continue
+        if name_range and not ((not lo or name >= lo) and (not hi or name < hi)):
             continue
         got = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
@@ -90,4 +97,5 @@ def compare(got, want):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else ""))
