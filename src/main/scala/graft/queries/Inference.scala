@@ -731,6 +731,98 @@ object Inference {
        |FROM r JOIN d ON r.rn = (d.decile * r.n_arm + 9) // 10
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q_iv_wald
+  /** Instrumental-variable (Wald/LATE) estimator: parity assignment as
+    * the instrument, 90-day activity as the endogenous exposure, 90-day
+    * spend as the outcome — LATE = ITT_y / ITT_x, the spend effect per
+    * COMPLIER (customer whose activity the assignment moved), which the
+    * plain ITT dilutes by never-takers. Completes the causal family:
+    * [[qCuped]] (variance reduction), [[qDid]] (parallel trends),
+    * [[qPsmMatch]] (selection on observables), IV (selection on
+    * UNobservables, given an instrument).
+    *
+    * Engine parity: all accumulators exact BIGINT; ITTs and the ratio
+    * are identically-parenthesized IEEE expressions rounded at the
+    * projection; the zero-first-stage edge (ITT_x = 0) emits NULL on
+    * both engines via an exact integer cross-multiplication guard
+    * (x_t·n_c = x_c·n_t in DECIMAL(38)/HUGEINT — the q_palma_ratio
+    * divisor discipline).
+    *
+    * Scale shape: one 90-day fact aggregate to customer grain, one
+    * keyed left join onto the customer dim, one map-side-combinable
+    * rollup to 2 arms, then a 2-row pivot — nothing wider than the
+    * customer shuffle. */
+  def qIvWald(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_orderdate").as("mx"))
+    val post = Tables.orders(s, dir).crossJoin(broadcast(mx))
+      .filter($"o_orderdate" > date_sub($"mx", 90))
+      .groupBy($"o_custkey")
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("y_c"))
+    val arms = Tables.customer(s, dir)
+      .select($"c_custkey", ($"c_custkey" % 2 === 0).as("z"))
+      .join(post, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"z")
+      .agg(count(lit(1)).as("n"),
+        count($"o_custkey").as("nx"),
+        sum(coalesce($"y_c", lit(0L))).as("sy"))
+    val itty = $"y_treat_c".cast("double") / $"n_treat" -
+      $"y_control_c".cast("double") / $"n_control"
+    val ittx = $"x_treat".cast("double") / $"n_treat" -
+      $"x_control".cast("double") / $"n_control"
+    arms.agg(
+        sum(when($"z", $"n")).as("n_treat"),
+        sum(when(!$"z", $"n")).as("n_control"),
+        sum(when($"z", $"nx")).as("x_treat"),
+        sum(when(!$"z", $"nx")).as("x_control"),
+        sum(when($"z", $"sy")).as("y_treat_c"),
+        sum(when(!$"z", $"sy")).as("y_control_c"))
+      .select($"n_treat", $"n_control", $"x_treat", $"x_control",
+        round(itty / 100.0d, 4).as("itt_y"),
+        round(ittx, 6).as("itt_x"),
+        when($"x_treat".cast(DecimalType(38, 0)) * $"n_control" ===
+            $"x_control".cast(DecimalType(38, 0)) * $"n_treat",
+          lit(null).cast("double"))
+          .otherwise(round(itty / ittx / 100.0d, 4)).as("late_spend"))
+  }
+
+  private val qIvWaldSql =
+    """WITH post AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS y_c
+      |  FROM orders, (SELECT max(o_orderdate) AS mx FROM orders)
+      |  WHERE o_orderdate > mx - INTERVAL 90 DAY
+      |  GROUP BY 1),
+      |arms AS (
+      |  SELECT (c_custkey % 2 = 0) AS z, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(o_custkey) AS BIGINT) AS nx,
+      |    CAST(sum(coalesce(y_c, 0)) AS BIGINT) AS sy
+      |  FROM customer LEFT JOIN post ON c_custkey = o_custkey
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN z THEN n END) AS BIGINT) AS n_treat,
+      |    CAST(sum(CASE WHEN NOT z THEN n END) AS BIGINT) AS n_control,
+      |    CAST(sum(CASE WHEN z THEN nx END) AS BIGINT) AS x_treat,
+      |    CAST(sum(CASE WHEN NOT z THEN nx END) AS BIGINT) AS x_control,
+      |    CAST(sum(CASE WHEN z THEN sy END) AS BIGINT) AS y_treat_c,
+      |    CAST(sum(CASE WHEN NOT z THEN sy END) AS BIGINT) AS y_control_c
+      |  FROM arms)
+      |SELECT n_treat, n_control, x_treat, x_control,
+      |  round((CAST(y_treat_c AS DOUBLE) / n_treat
+      |    - CAST(y_control_c AS DOUBLE) / n_control) / 100.0, 4) AS itt_y,
+      |  round(CAST(x_treat AS DOUBLE) / n_treat
+      |    - CAST(x_control AS DOUBLE) / n_control, 6) AS itt_x,
+      |  CASE WHEN CAST(x_treat AS HUGEINT) * n_control
+      |         = CAST(x_control AS HUGEINT) * n_treat THEN NULL
+      |       ELSE round((CAST(y_treat_c AS DOUBLE) / n_treat
+      |           - CAST(y_control_c AS DOUBLE) / n_control)
+      |         / (CAST(x_treat AS DOUBLE) / n_treat
+      |           - CAST(x_control AS DOUBLE) / n_control) / 100.0, 4)
+      |  END AS late_spend
+      |FROM p""".stripMargin
+
   // ------------------------------------------------------------ q_abc_class
   /** ABC inventory classification of parts by revenue contribution — the
     * warehouse-ops classic: A = parts inside the first 80% of cumulative
@@ -1859,7 +1951,8 @@ object Inference {
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_gini_by_nation" -> (qGiniByNation _),
     "q_srm_check"    -> (qSrmCheck _),
-    "q_qte_deciles"  -> (qQteDeciles _))
+    "q_qte_deciles"  -> (qQteDeciles _),
+    "q_iv_wald"      -> (qIvWald _))
 
   val oracle: Map[String, String] = Map(
     "q_ks_test"      -> qKsTestSql,
@@ -1887,5 +1980,6 @@ object Inference {
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_gini_by_nation" -> qGiniByNationSql,
     "q_srm_check"    -> qSrmCheckSql,
-    "q_qte_deciles"  -> qQteDecilesSql)
+    "q_qte_deciles"  -> qQteDecilesSql,
+    "q_iv_wald"      -> qIvWaldSql)
 }

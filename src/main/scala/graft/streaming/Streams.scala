@@ -681,7 +681,83 @@ object Streams {
       |  coalesce(l_ts, TIMESTAMP '1970-01-01 00:00:00'),
       |  coalesce(r_ts, TIMESTAMP '1970-01-01 00:00:00')""".stripMargin
 
+  // ------------------------------------------------------------ q_stream_cdc
+  final case class CdcEvent(user_id: Long, ts_us: Long, event_id: Long,
+                            op: String, cents: Long)
+  final case class CdcState(tsUs: Long, eventId: Long, op: String,
+                            cents: Long, nOps: Long)
+
+  /** Streaming CDC upsert maintenance — the batch changelog compaction
+    * ([[graft.queries.TimeSeries]] q_cdc_apply: signup=I, error=D
+    * tombstone, else U, last-writer-wins by (ts, event_id)) run
+    * CONTINUOUSLY: per key, mapGroupsWithState holds only the current
+    * winner plus an op counter (~40 bytes/key — state bounded by live
+    * keys, not stream length) and emits the updated serving row every
+    * micro-batch that touches the key. This is the Delta/Hudi-MERGE
+    * serving-table shape without a table format. Tombstoned keys stay IN
+    * state (a later upsert must outrank the delete's sequence) and drop
+    * at read-out — exactly the batch rank-then-filter semantics.
+    *
+    * Gate: the SAME oracle as q_cdc_apply (the q_topk_native precedent:
+    * two operators proven equal through the gate). The final per-key
+    * emission is selected batching-independently as the max-n_ops row
+    * (n_ops strictly increases per key across emissions). */
+  def qStreamCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "graft_stream_cdc"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
+    val src = eventsStream(s, dir).select(
+        col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[CdcEvent]
+    val q = withStreamShuffle(s) {
+      src.groupByKey(_.user_id)
+        .mapGroupsWithState[CdcState, (Long, String, Long, Long, Long)](
+          GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[CdcEvent], state: GroupState[CdcState]) =>
+            var st = state.getOption
+              .getOrElse(CdcState(Long.MinValue, Long.MinValue, "", 0L, 0L))
+            rows.foreach { r =>
+              val n = st.nOps + 1
+              st =
+                if (r.ts_us > st.tsUs ||
+                    (r.ts_us == st.tsUs && r.event_id > st.eventId))
+                  CdcState(r.ts_us, r.event_id, r.op, r.cents, n)
+                else st.copy(nOps = n)
+            }
+            state.update(st)
+            (user, st.op, st.cents, st.tsUs, st.nOps)
+        }
+        .toDF("user_id", "last_op", "cents", "ts_us", "n_ops")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    deleteRecursively(ck)
+    s.table(name).groupBy(col("user_id"))
+      .agg(max(struct(col("n_ops"), col("ts_us"), col("last_op"),
+        col("cents"))).as("m"))
+      .select(col("user_id"), col("m.last_op").as("last_op"),
+        (col("m.cents").cast("double") / 100.0d).as("last_value"),
+        timestamp_micros(col("m.ts_us")).as("last_ts"),
+        col("m.n_ops").as("n_ops"))
+      .filter(col("last_op") =!= "D")
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_cdc"            -> (qStreamCdc _),
     "q_stream_topk"           -> (qStreamTopk _),
     "q_stream_full_outer"     -> (qStreamFullOuter _),
     "q_stream_outer_join"     -> (qStreamOuterJoin _),
@@ -693,6 +769,9 @@ object Streams {
     "q_stream_enrich"         -> (qStreamEnrich _))
 
   val oracle: Map[String, String] = Map(
+    // q_stream_cdc must reproduce the batch compaction EXACTLY — one
+    // oracle, two operators (the q_topk_native precedent)
+    "q_stream_cdc"            -> graft.queries.TimeSeries.oracle("q_cdc_apply"),
     "q_stream_topk"           -> qStreamTopkSql,
     "q_stream_full_outer"     -> qStreamFullOuterSql,
     "q_stream_outer_join"     -> qStreamOuterJoinSql,
