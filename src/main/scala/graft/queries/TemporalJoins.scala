@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,14 +154,97 @@ object TemporalJoins {
       |WHERE f.event_type = 'purchase'
       |ORDER BY f.event_id""".stripMargin
 
+  // ------------------------------------------------------------ q_bitemporal
+  /** Bitemporal as-of: the same VALID-time question answered at two
+    * TRANSACTION times. [[qPitJoin]] handles one time axis (what was
+    * true at event time); real warehouses need the second — "what did we
+    * BELIEVE on load T about the state valid on date V" — because late
+    * corrections rewrite history and auditors ask which reports were
+    * computed from the stale belief.
+    *
+    * Fixture: each event asserts a version of its user's state
+    * (valid day = event day, transaction sequence = event_id — load
+    * order). For the validity cut V = max_day − 7, the believed state at
+    * knowledge cut T is the last-writer-wins max over (valid_day,
+    * event_id) among assertions with event_id ≤ T and valid_day ≤ V.
+    * Output: per user, the belief at the HALF-load cut vs the belief
+    * now, with a `corrected` flag — the late-correction visibility
+    * report.
+    *
+    * Engine parity: both cuts are exact integer/date comparisons; the
+    * LWW pick is an order-free struct max ((valid_day, event_id) is
+    * unique per user). Scale shape: two map-side-combinable aggregates
+    * on the user key + one keyed self-join — no windows at all. */
+  def qBitemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.events(s, dir)
+      .agg(max($"event_id").as("mx_id"), max(to_date($"ts")).as("mx_d"))
+    val base = Tables.events(s, dir).crossJoin(broadcast(mx))
+      .select($"user_id", $"event_id", to_date($"ts").as("vd"),
+        $"event_type", (graft.core.OracleParity.dec2($"value") * 100).cast("long").as("v_c"),
+        $"mx_id")
+      .filter($"vd" <= date_sub($"mx_d", 7))
+    def believed(cutFilter: Column) = base.filter(cutFilter)
+      .groupBy($"user_id")
+      .agg(max(struct($"vd", $"event_id", $"event_type", $"v_c")).as("m"))
+      .select($"user_id", $"m.event_type".as("attr"), $"m.v_c".as("v_c"))
+    val early = believed($"event_id" <= expr("mx_id div 2"))
+      .withColumnRenamed("attr", "attr_asof_half")
+      .withColumnRenamed("v_c", "value_asof_half_c")
+    believed(lit(true))
+      .withColumnRenamed("attr", "attr_current")
+      .withColumnRenamed("v_c", "value_current_c")
+      .join(early, Seq("user_id"), "left")
+      .select($"user_id", $"attr_asof_half", $"value_asof_half_c",
+        $"attr_current", $"value_current_c",
+        ($"attr_asof_half".isNull ||
+          $"attr_asof_half" =!= $"attr_current" ||
+          $"value_asof_half_c" =!= $"value_current_c").as("corrected"))
+      .orderBy($"user_id")
+  }
+
+  private val qBitemporalSql =
+    """WITH mx AS (
+      |  SELECT max(event_id) AS mx_id,
+      |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS mx_d
+      |  FROM events),
+      |base AS (
+      |  SELECT user_id, event_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS vd, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c, mx_id
+      |  FROM events, mx
+      |  WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= mx_d - INTERVAL 7 DAY),
+      |early AS (
+      |  SELECT user_id, event_type AS attr_asof_half,
+      |    v_c AS value_asof_half_c
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY vd DESC, event_id DESC) AS rn
+      |        FROM base WHERE event_id <= mx_id // 2)
+      |  WHERE rn = 1),
+      |now_ AS (
+      |  SELECT user_id, event_type AS attr_current, v_c AS value_current_c
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY vd DESC, event_id DESC) AS rn
+      |        FROM base)
+      |  WHERE rn = 1)
+      |SELECT n.user_id, e.attr_asof_half, e.value_asof_half_c,
+      |  n.attr_current, n.value_current_c,
+      |  (e.attr_asof_half IS NULL
+      |    OR e.attr_asof_half <> n.attr_current
+      |    OR e.value_asof_half_c <> n.value_current_c) AS corrected
+      |FROM now_ n LEFT JOIN early e USING (user_id)
+      |ORDER BY n.user_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"  -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
-    "q_pit_join"   -> (qPitJoin _))
+    "q_pit_join"   -> (qPitJoin _),
+    "q_bitemporal" -> (qBitemporal _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join"  -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
-    "q_pit_join"   -> qPitJoinSql)
+    "q_pit_join"   -> qPitJoinSql,
+    "q_bitemporal" -> qBitemporalSql)
 }

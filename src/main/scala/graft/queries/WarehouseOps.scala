@@ -856,7 +856,60 @@ object WarehouseOps {
       |    count(CASE WHEN user_id IS NULL THEN 1 END) FROM events)
       |ORDER BY constraint_name""".stripMargin
 
+  // ------------------------------------------------------ q_inferred_members
+  /** Late-arriving-dimension handling (Kimball "inferred members"): facts
+    * referencing a dim key the dimension hasn't loaded yet get a
+    * PLACEHOLDER dim row (key + UNKNOWN attributes + inferred flag) so FK
+    * integrity and star joins hold; the real row later overwrites it via
+    * the normal SCD upsert. The reference's pipeline simply drops
+    * FK-misses to a log (J4, `q_fk_miss_log`) — this is the standard
+    * warehouse upgrade that keeps the fact row queryable instead.
+    *
+    * Fixture: the dim snapshot is simulated mid-load by withholding every
+    * 50th customer; the query emits the inferred-member rows that the
+    * fact load would insert, with the count of facts waiting on each —
+    * exactly the rows a dbt "inferred dimension" model materializes.
+    *
+    * Scale shape: one fact aggregate to the FK grain (map-side
+    * combined), one left_anti against the dim key set on the same key —
+    * both ride the custkey shuffle; output is the (small) missing-key
+    * set. */
+  def qInferredMembers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dimLoaded = Tables.customer(s, dir)
+      .filter($"c_custkey" % 50 =!= 0)
+      .select($"c_custkey")
+    val waiting = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_facts_waiting"),
+        min($"o_orderdate").as("first_seen"))
+    waiting
+      .join(dimLoaded, $"o_custkey" === $"c_custkey", "left_anti")
+      .select($"o_custkey".as("c_custkey"),
+        lit("UNKNOWN (inferred)").as("c_name"),
+        lit(true).as("is_inferred"),
+        $"n_facts_waiting", $"first_seen")
+      .orderBy($"c_custkey")
+  }
+
+  private val qInferredMembersSql =
+    """WITH dim_loaded AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 50 <> 0),
+      |waiting AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_facts_waiting,
+      |    min(o_orderdate) AS first_seen
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey AS c_custkey,
+      |  'UNKNOWN (inferred)' AS c_name,
+      |  true AS is_inferred,
+      |  n_facts_waiting, first_seen
+      |FROM waiting
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM dim_loaded d WHERE d.c_custkey = waiting.o_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inferred_members" -> (qInferredMembers _),
     "q_constraint_audit" -> (qConstraintAudit _),
     "q_reconcile"      -> (qReconcile _),
     "q_l_diversity"    -> (qLDiversity _),
@@ -873,6 +926,7 @@ object WarehouseOps {
     "q_incremental_agg" -> (qIncrementalAgg _))
 
   val oracle: Map[String, String] = Map(
+    "q_inferred_members" -> qInferredMembersSql,
     "q_constraint_audit" -> qConstraintAuditSql,
     "q_reconcile"      -> qReconcileSql,
     "q_l_diversity"    -> qLDiversitySql,
