@@ -1269,7 +1269,83 @@ object Graph {
        |LEFT JOIN c3 ON c3.seed = s.seed
        |ORDER BY h6 DESC, p_partkey""".stripMargin
 
+  // ------------------------------------------------------------ q_modularity
+  /** Newman modularity of the BRAND partition of the co-order graph —
+    * "do parts of the same brand get bought together more than chance?"
+    * For communities c: Q = Σ_c (m_c/m − (d_c/2m)²), emitted per brand
+    * as its exact contribution and decided entirely in integers:
+    * contribution_ppm = (4·m·m_c − d_c²)·10⁶ div (4·m²) in DECIMAL(38)/
+    * HUGEINT — zero float surface (the q_hoover_index discipline).
+    * Complements [[qAssortativity]] (degree mixing) with ATTRIBUTE
+    * mixing, and gives the label-propagation family a quality metric
+    * computable for ANY given partition without replaying the fixpoint.
+    *
+    * Scale shape: edges are the build-once IndexStore asset; brands
+    * arrive by two keyed joins on the part dim; degree sums and
+    * intra-edge counts are map-side-combinable aggregates on the
+    * O(brands) key; the edge total rides the 1-row broadcast. */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brand = Tables.part(s, dir).select($"p_partkey", $"p_brand")
+    val e = coOrderEdges(s, dir)
+      .join(brand.withColumnRenamed("p_partkey", "u")
+        .withColumnRenamed("p_brand", "bu"), Seq("u"))
+      .join(brand.withColumnRenamed("p_partkey", "v")
+        .withColumnRenamed("p_brand", "bv"), Seq("v"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val degrees = e.select($"bu".as("brand"))
+      .unionAll(e.select($"bv".as("brand")))
+      .groupBy($"brand").agg(count(lit(1)).as("degree_sum"))
+    val nodes = e.select($"u".as("node"), $"bu".as("brand"))
+      .unionAll(e.select($"v".as("node"), $"bv".as("brand")))
+      .distinct()
+      .groupBy($"brand").agg(count(lit(1)).as("n_nodes"))
+    val intra = e.filter($"bu" === $"bv")
+      .groupBy($"bu".as("brand")).agg(count(lit(1)).as("intra_edges"))
+    degrees.join(nodes, Seq("brand"))
+      .join(intra, Seq("brand"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(m))
+      .select($"brand", $"n_nodes", $"degree_sum", $"intra_edges",
+        expr("cast(((cast(4 as decimal(38,0)) * m * intra_edges" +
+          " - cast(degree_sum as decimal(38,0)) * degree_sum) * 1000000)" +
+          " div (cast(4 as decimal(38,0)) * m * m) as bigint)")
+          .as("contribution_ppm"))
+      .orderBy($"brand")
+  }
+
+  private val qModularitySql =
+    s"""WITH $coOrderEdgesCte,
+       |be AS (
+       |  SELECT e.u, e.v, pu.p_brand AS bu, pv.p_brand AS bv
+       |  FROM edges e
+       |  JOIN part pu ON pu.p_partkey = e.u
+       |  JOIN part pv ON pv.p_partkey = e.v),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM be),
+       |deg AS (
+       |  SELECT brand, CAST(count(*) AS BIGINT) AS degree_sum FROM (
+       |    SELECT bu AS brand FROM be UNION ALL SELECT bv FROM be)
+       |  GROUP BY 1),
+       |nodes AS (
+       |  SELECT brand, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+       |    SELECT DISTINCT node, brand FROM (
+       |      SELECT u AS node, bu AS brand FROM be
+       |      UNION ALL SELECT v, bv FROM be))
+       |  GROUP BY 1),
+       |intra AS (
+       |  SELECT bu AS brand, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM be WHERE bu = bv GROUP BY 1)
+       |SELECT brand, n_nodes, degree_sum,
+       |  CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+       |  CAST(((CAST(4 AS HUGEINT) * m * coalesce(intra_edges, 0)
+       |    - CAST(degree_sum AS HUGEINT) * degree_sum) * 1000000)
+       |    // (CAST(4 AS HUGEINT) * m * m) AS BIGINT) AS contribution_ppm
+       |FROM deg JOIN nodes USING (brand)
+       |LEFT JOIN intra USING (brand) CROSS JOIN m
+       |ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_modularity"  -> (qModularity _),
     "q_harmonic_centrality" -> (qHarmonicCentrality _),
     "q_kcore"       -> (qKcore _),
     "q_adamic_adar" -> (qAdamicAdar _),
@@ -1288,6 +1364,7 @@ object Graph {
     "q_clustering_coef" -> (qClusteringCoef _))
 
   val oracle: Map[String, String] = Map(
+    "q_modularity"  -> qModularitySql,
     "q_harmonic_centrality" -> qHarmonicCentralitySql,
     "q_kcore"      -> qKcoreSql,
     "q_adamic_adar" -> qAdamicAdarSql,

@@ -1572,7 +1572,78 @@ object TimeSeries {
       |FROM u WHERE n_days >= 10
       |ORDER BY fano_micro DESC, user_id LIMIT 20""".stripMargin
 
+  // ----------------------------------------------------------- q_periodogram
+  /** Discrete-Fourier periodogram of the daily-revenue series at candidate
+    * periods 2..14 days — the spectral read-out that DETECTS the weekly
+    * cycle [[qSeasonal]]/[[qStlDecompose]] assume: power(p) peaks at
+    * p = 7 when a 7-day rhythm is real. For each period p, R = Σ_t x_t·
+    * cos(2πt/p), I = Σ_t x_t·sin(2πt/p), power = the amplitude closed
+    * form.
+    *
+    * Engine parity (the q_theil_index transcendental discipline, applied
+    * to trig): the ONE libm call per term — cos/sin of identically-
+    * parenthesized (2·π·t)/p — is rounded to 6 dp before multiplying the
+    * exact cents, and each product rounds to an exact integer term, so
+    * both sums are order-independent BIGINT arithmetic; the final power
+    * is one identically-parenthesized IEEE expression.
+    *
+    * Scale shape: the fact collapses to the O(days) aggregate first; the
+    * 13-period fan-out is a broadcast crossJoin over that bounded series;
+    * sums are map-side-combinable — no windows at all. */
+  def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Inference.dailyRevenue(s, dir)
+    val mn = daily.agg(min($"day").as("d0"), count(lit(1)).as("n"))
+    val periods = s.range(2, 15).select($"id".cast("int").as("period"))
+    val theta = lit(2.0d) * lit(math.Pi) * $"t" / $"period"
+    daily.crossJoin(broadcast(mn))
+      .withColumn("t", datediff($"day", $"d0"))
+      .crossJoin(broadcast(periods))
+      .select($"period", $"n", $"x",
+        round($"x" * round(cos(theta), 6), 0).cast("long").as("tr"),
+        round($"x" * round(sin(theta), 6), 0).cast("long").as("ti"))
+      .groupBy($"period")
+      .agg(max($"n").as("n_days"),
+        sum($"tr").as("r_c"), sum($"ti").as("i_c"))
+      .select($"period", $"n_days", $"r_c", $"i_c",
+        round(
+          ($"r_c".cast("double") / 100.0d / $"n_days") *
+            ($"r_c".cast("double") / 100.0d / $"n_days") +
+            ($"i_c".cast("double") / 100.0d / $"n_days") *
+              ($"i_c".cast("double") / 100.0d / $"n_days"), 4)
+          .as("power"))
+      .orderBy($"period")
+  }
+
+  private val qPeriodogramSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |mn AS (SELECT min(day) AS d0, CAST(count(*) AS BIGINT) AS n
+      |       FROM daily),
+      |p AS (SELECT CAST(v AS INT) AS period FROM generate_series(2, 14) s(v)),
+      |terms AS (
+      |  SELECT period, n,
+      |    CAST(round(x * round(cos((2.0 * pi() * date_diff('day', d0, day))
+      |      / period), 6), 0) AS BIGINT) AS tr,
+      |    CAST(round(x * round(sin((2.0 * pi() * date_diff('day', d0, day))
+      |      / period), 6), 0) AS BIGINT) AS ti
+      |  FROM daily CROSS JOIN mn CROSS JOIN p),
+      |g AS (
+      |  SELECT period, max(n) AS n_days,
+      |    CAST(sum(tr) AS BIGINT) AS r_c, CAST(sum(ti) AS BIGINT) AS i_c
+      |  FROM terms GROUP BY 1)
+      |SELECT period, n_days, r_c, i_c,
+      |  round((CAST(r_c AS DOUBLE) / 100.0 / n_days)
+      |      * (CAST(r_c AS DOUBLE) / 100.0 / n_days)
+      |    + (CAST(i_c AS DOUBLE) / 100.0 / n_days)
+      |      * (CAST(i_c AS DOUBLE) / 100.0 / n_days), 4) AS power
+      |FROM g ORDER BY period""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_periodogram"  -> (qPeriodogram _),
     "q_motif"        -> (qMotif _),
     "q_seasonal_strength" -> (qSeasonalStrength _),
     "q_drawdown"     -> (qDrawdown _),
@@ -1603,6 +1674,7 @@ object TimeSeries {
     "q_feature_matrix" -> (qFeatureMatrix _))
 
   val oracle: Map[String, String] = Map(
+    "q_periodogram"  -> qPeriodogramSql,
     "q_motif"        -> qMotifSql,
     "q_seasonal_strength" -> qSeasonalStrengthSql,
     "q_drawdown"     -> qDrawdownSql,
