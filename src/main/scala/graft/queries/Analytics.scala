@@ -1483,7 +1483,95 @@ object Analytics {
       |FROM r JOIN d ON r.rn = (d.decile * r.n + 9) // 10
       |ORDER BY d.decile""".stripMargin
 
+  // ------------------------------------------------------------- q_lead_time
+  /** Supplier lead-time league table by nation: ship date minus order
+    * date per lineitem, aggregated supplier-first (so one mega-supplier
+    * cannot mask a slow tail), then rolled up per nation with the
+    * slowest supplier called out — the operations read-out the
+    * reference's KPI views stop short of (downtime is tracked, delivery
+    * latency is not).
+    *
+    * Engine parity: lead times are exact integer days; per-supplier and
+    * per-nation means are exact micro-day integers via one truncating
+    * division each ((sum·10⁶) div n — no double means anywhere until
+    * the final /1e6 projection); the slowest-supplier pick is an
+    * order-free struct max on (mean_micro, suppkey).
+    *
+    * Scale shape: lineitem⋈orders is the one honest fact⋈fact join
+    * (orderkey-keyed); everything after collapses supplier-grain →
+    * nation-grain via map-side-combinable aggregates; the supplier dim
+    * join rides the suppkey shuffle, nation broadcasts. */
+  def qLeadTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lead = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey",
+        datediff($"l_shipdate", $"o_orderdate").cast("long").as("lead_d"))
+    val perSupp = lead.groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"), sum($"lead_d").as("sum_d"))
+      .withColumn("mean_micro",
+        expr("cast((cast(sum_d as decimal(38,0)) * 1000000)" +
+          " div cast(n as decimal(38,0)) as bigint)"))
+    perSupp
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"n").as("n_lineitems"),
+        sum($"sum_d").as("sum_lead_d"),
+        max(struct($"mean_micro", $"l_suppkey")).as("slow"))
+      .select($"nation", $"n_suppliers", $"n_lineitems",
+        round(expr("cast((cast(sum_lead_d as decimal(38,0)) * 1000000)" +
+          " div cast(n_lineitems as decimal(38,0)) as bigint)")
+          .cast("double") / 1e6, 4).as("mean_lead_days"),
+        $"slow.l_suppkey".as("slowest_suppkey"),
+        round($"slow.mean_micro".cast("double") / 1e6, 4)
+          .as("slowest_mean_days"))
+      .orderBy($"nation")
+  }
+
+  private val qLeadTimeSql =
+    """WITH lead AS (
+      |  SELECT l_suppkey,
+      |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+      |      AS lead_d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |per_supp AS (
+      |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(lead_d) AS BIGINT) AS sum_d
+      |  FROM lead GROUP BY 1),
+      |pm AS (
+      |  SELECT l_suppkey, n, sum_d,
+      |    CAST((CAST(sum_d AS HUGEINT) * 1000000)
+      |      // CAST(n AS HUGEINT) AS BIGINT) AS mean_micro
+      |  FROM per_supp),
+      |g AS (
+      |  SELECT nn.n_name AS nation,
+      |    CAST(count(*) AS BIGINT) AS n_suppliers,
+      |    CAST(sum(pm.n) AS BIGINT) AS n_lineitems,
+      |    CAST(sum(pm.sum_d) AS BIGINT) AS sum_lead_d,
+      |    max(struct_pack(mean_micro := pm.mean_micro,
+      |                    l_suppkey := pm.l_suppkey)) AS slow
+      |  FROM pm
+      |  JOIN supplier s ON s.s_suppkey = pm.l_suppkey
+      |  JOIN nation nn ON nn.n_nationkey = s.s_nationkey
+      |  GROUP BY 1)
+      |SELECT nation, n_suppliers, n_lineitems,
+      |  round(CAST(CAST((CAST(sum_lead_d AS HUGEINT) * 1000000)
+      |    // CAST(n_lineitems AS HUGEINT) AS BIGINT) AS DOUBLE) / 1e6, 4)
+      |    AS mean_lead_days,
+      |  slow.l_suppkey AS slowest_suppkey,
+      |  round(CAST(slow.mean_micro AS DOUBLE) / 1e6, 4)
+      |    AS slowest_mean_days
+      |FROM g ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lead_time"     -> (qLeadTime _),
     "q_active_users"  -> (qActiveUsers _),
     "q_journey_sim"   -> (qJourneySim _),
     "q_revenue_bridge" -> (qRevenueBridge _),
@@ -1516,6 +1604,7 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_lead_time"     -> qLeadTimeSql,
     "q_active_users"  -> qActiveUsersSql,
     "q_journey_sim"   -> qJourneySimSql,
     "q_revenue_bridge" -> qRevenueBridgeSql,
