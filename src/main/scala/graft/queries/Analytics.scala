@@ -1570,7 +1570,111 @@ object Analytics {
       |    AS slowest_mean_days
       |FROM g ORDER BY nation""".stripMargin
 
+  // ------------------------------------------------------------ q_yoy_growth
+  /** Year-over-year revenue growth per nation — the first table on any
+    * executive dashboard: revenue by (nation, year), each year set next
+    * to the prior year's figure with the growth rate in exact basis
+    * points ((rev − prev)·10⁴ div prev — integer arithmetic, NULL for a
+    * nation's first year via lag's natural null, engine-identical).
+    *
+    * Scale shape: one fact shuffle collapses to the O(nations × years)
+    * grid; the lag window partitions by nation over a handful of year
+    * rows — calendar-bounded, never entity-grain. Customer and nation
+    * joins ride the custkey shuffle / a dim broadcast. */
+  def qYoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").as("yr"))
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long"))
+        .as("revenue_c"))
+    grid
+      .withColumn("prev_c", lag($"revenue_c", 1).over(
+        Window.partitionBy($"nation").orderBy($"yr")))
+      .select($"nation", $"yr", $"revenue_c", $"prev_c",
+        expr("cast(((cast(revenue_c as decimal(38,0)) - prev_c) * 10000)" +
+          " div cast(prev_c as decimal(38,0)) as bigint)").as("growth_bps"))
+      .orderBy($"nation", $"yr")
+  }
+
+  private val qYoyGrowthSql =
+    """WITH grid AS (
+      |  SELECT nn.n_name AS nation,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS revenue_c
+      |  FROM orders
+      |  JOIN customer c ON c.c_custkey = o_custkey
+      |  JOIN nation nn ON nn.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT nation, yr, revenue_c,
+      |    lag(revenue_c, 1) OVER (PARTITION BY nation ORDER BY yr)
+      |      AS prev_c
+      |  FROM grid)
+      |SELECT nation, yr, revenue_c, prev_c,
+      |  CAST(((CAST(revenue_c AS HUGEINT) - prev_c) * 10000)
+      |    // CAST(prev_c AS HUGEINT) AS BIGINT) AS growth_bps
+      |FROM lagged ORDER BY nation, yr""".stripMargin
+
+  // ---------------------------------------------------------- q_return_rates
+  /** Return-rate league table: share of lineitems (and of revenue)
+    * carrying returnflag R, per part brand — the merchandising quality
+    * read-out. Both shares in exact parts per million (integer div of
+    * exact counts/cents), so no float boundary exists on either engine.
+    * One fact scan with the part dim riding the partkey shuffle;
+    * O(brands) output. */
+  def qReturnRates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_returnflag",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        count(when($"l_returnflag" === "R", lit(1))).as("n_returned"),
+        sum($"cents").as("revenue_c"),
+        sum(when($"l_returnflag" === "R", $"cents").otherwise(0L))
+          .as("returned_c"))
+      .select($"brand", $"n_lineitems", $"n_returned",
+        expr("cast((cast(n_returned as decimal(38,0)) * 1000000)" +
+          " div cast(n_lineitems as decimal(38,0)) as bigint)")
+          .as("return_rate_ppm"),
+        expr("cast((cast(returned_c as decimal(38,0)) * 1000000)" +
+          " div cast(revenue_c as decimal(38,0)) as bigint)")
+          .as("revenue_at_risk_ppm"))
+      .orderBy($"brand")
+  }
+
+  private val qReturnRatesSql =
+    """WITH li AS (
+      |  SELECT p_brand AS brand, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |g AS (
+      |  SELECT brand, CAST(count(*) AS BIGINT) AS n_lineitems,
+      |    CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT)
+      |      AS n_returned,
+      |    CAST(sum(cents) AS BIGINT) AS revenue_c,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN cents ELSE 0 END)
+      |      AS BIGINT) AS returned_c
+      |  FROM li GROUP BY 1)
+      |SELECT brand, n_lineitems, n_returned,
+      |  CAST((CAST(n_returned AS HUGEINT) * 1000000)
+      |    // CAST(n_lineitems AS HUGEINT) AS BIGINT) AS return_rate_ppm,
+      |  CAST((CAST(returned_c AS HUGEINT) * 1000000)
+      |    // CAST(revenue_c AS HUGEINT) AS BIGINT) AS revenue_at_risk_ppm
+      |FROM g ORDER BY brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_yoy_growth"    -> (qYoyGrowth _),
+    "q_return_rates"  -> (qReturnRates _),
     "q_lead_time"     -> (qLeadTime _),
     "q_active_users"  -> (qActiveUsers _),
     "q_journey_sim"   -> (qJourneySim _),
@@ -1604,6 +1708,8 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_yoy_growth"    -> qYoyGrowthSql,
+    "q_return_rates"  -> qReturnRatesSql,
     "q_lead_time"     -> qLeadTimeSql,
     "q_active_users"  -> qActiveUsersSql,
     "q_journey_sim"   -> qJourneySimSql,
