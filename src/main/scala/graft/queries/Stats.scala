@@ -1062,7 +1062,79 @@ object Stats {
       |FROM r WHERE cumw * 2 >= w_total
       |GROUP BY flag ORDER BY flag""".stripMargin
 
+  // ------------------------------------------------------ q_price_elasticity
+  /** Log-log price elasticity of demand per part type: the slope of
+    * ln(quantity) on ln(catalog price) across a type's lineitems —
+    * elasticity < 0 means the type behaves like a normal good, the
+    * magnitude says how price-sensitive. The econometric completion of
+    * [[qLinreg]] (levels regression) on the reference's own star.
+    *
+    * Engine parity (the q_theil_index nano-ln discipline): each ln is
+    * rounded once — micro-scaled to an exact BIGINT per row
+    * (round(ln(x)·10⁶)) — so all five regression sums are
+    * order-independent DECIMAL(38,0) arithmetic; the slope is ONE
+    * identically-parenthesized IEEE closed form (the 10⁶ scale cancels
+    * in the ratio); a zero-variance type emits NULL on both engines via
+    * an exact decimal equality guard, never an engine-specific Inf/NaN.
+    *
+    * Scale shape: one fact scan with the part dim on the partkey
+    * shuffle, five map-side-combinable sums per O(types) group —
+    * no windows, no sort. */
+  def qPriceElasticity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, dir)
+      .select($"l_partkey", OP.dec2($"l_quantity").cast("long").as("qty"))
+      .join(Tables.part(s, dir)
+        .select($"p_partkey", $"p_type", OP.dec2($"p_retailprice")
+          .cast("double").as("price")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_type".as("ptype"),
+        round(log($"price") * 1e6, 0).cast("long").as("x6"),
+        round(log($"qty".cast("double")) * 1e6, 0).cast("long").as("y6"))
+    rows
+      .groupBy($"ptype")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum($"x6".cast(DecimalType(38, 0))).as("sx"),
+        sum($"y6".cast(DecimalType(38, 0))).as("sy"),
+        sum($"x6".cast(DecimalType(38, 0)) * $"x6").as("sxx"),
+        sum($"x6".cast(DecimalType(38, 0)) * $"y6").as("sxy"))
+      .select($"ptype", $"n".cast("long").as("n_lineitems"),
+        when($"n" * $"sxx" === $"sx" * $"sx", lit(null).cast("double"))
+          .otherwise(round(
+            ($"n".cast("double") * $"sxy".cast("double") -
+              $"sx".cast("double") * $"sy".cast("double")) /
+              ($"n".cast("double") * $"sxx".cast("double") -
+                $"sx".cast("double") * $"sx".cast("double")), 4))
+          .as("elasticity"))
+      .orderBy($"ptype")
+  }
+
+  private val qPriceElasticitySql =
+    """WITH rows_ AS (
+      |  SELECT p_type AS ptype,
+      |    CAST(round(ln(CAST(CAST(p_retailprice AS DECIMAL(18,2))
+      |      AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x6,
+      |    CAST(round(ln(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |      AS BIGINT) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y6
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |g AS (
+      |  SELECT ptype, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(x6 AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y6 AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x6 AS HUGEINT) * x6) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x6 AS HUGEINT) * y6) AS HUGEINT) AS sxy
+      |  FROM rows_ GROUP BY 1)
+      |SELECT ptype, CAST(n AS BIGINT) AS n_lineitems,
+      |  CASE WHEN n * sxx = sx * sx THEN NULL
+      |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+      |  END AS elasticity
+      |FROM g ORDER BY ptype""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_elasticity" -> (qPriceElasticity _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_mad"         -> (qMad _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -1083,6 +1155,7 @@ object Stats {
     "q_dist_drift" -> (qDistDrift _))
 
   val oracle: Map[String, String] = Map(
+    "q_price_elasticity" -> qPriceElasticitySql,
     "q_weighted_median" -> qWeightedMedianSql,
     "q_mad"         -> qMadSql,
     "q_corr_matrix" -> qCorrMatrixSql,
