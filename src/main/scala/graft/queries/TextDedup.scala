@@ -204,6 +204,69 @@ object TextDedup {
     * ET_combined.py:118-132 keep-first policy, hash-partitioned instead of
     * pandas row order). One groupBy shuffle on the 32-hex hash — uniform
     * partitioning at any scale. */
+  /** Dedup-debt growth curve: exact-duplicate rate per 100-doc ingestion
+    * bucket, with the cumulative rate — "is the duplicate fraction of the
+    * incoming stream rising as the corpus grows", the monitoring view a
+    * curation pipeline alarms on (a rising curve means the crawl is
+    * re-visiting, a flat one means dedup is keeping up). A doc is a dup
+    * when an earlier doc (lower doc_id) carries the same normalized text
+    * hash — the same [[graft.queries.TextOps.normTextHash]] key every
+    * dedup stage shares.
+    *
+    * Engine parity: counts and ppm shares are exact integers. Scale
+    * shape: one hash aggregate (first-seen per hash, map-side combined),
+    * one keyed join back, a bucket rollup, and the cumulative sums ride
+    * the banded prefix sum ([[graft.core.BandedRank.prefixSum]] — the
+    * q_heaps_law shape; bucket count grows with the corpus, so no
+    * single-partition window). */
+  def qDedupRateCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.normTextHash(col("text")).as("h"))
+    val firstSeen = docs.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val perBucket = docs.join(firstSeen, "h")
+      .withColumn("bucket", expr("doc_id div 100"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("doc_id") =!= col("first_id"), lit(1))).as("n_dups"))
+    graft.core.BandedRank
+      .prefixSum(perBucket, "bucket", Seq.empty,
+        Seq("n_docs" -> "cum_docs", "n_dups" -> "cum_dups"))
+      .select(col("bucket"), col("n_docs"), col("n_dups"),
+        expr("cast((cast(n_dups as decimal(38,0)) * 1000000)" +
+          " div cast(n_docs as decimal(38,0)) as bigint)").as("dup_ppm"),
+        expr("cast((cast(cum_dups as decimal(38,0)) * 1000000)" +
+          " div cast(cum_docs as decimal(38,0)) as bigint)")
+          .as("cum_dup_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  private val qDedupRateCurveSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${TextOps.normTextHashSql("text")} AS h
+       |  FROM documents),
+       |first_seen AS (
+       |  SELECT h, min(doc_id) AS first_id FROM docs GROUP BY 1),
+       |per_bucket AS (
+       |  SELECT doc_id // 100 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(*) FILTER (doc_id <> first_id) AS BIGINT) AS n_dups
+       |  FROM docs JOIN first_seen USING (h)
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT bucket, n_docs, n_dups,
+       |    CAST(sum(n_docs) OVER (ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+       |    CAST(sum(n_dups) OVER (ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_dups
+       |  FROM per_bucket)
+       |SELECT bucket, n_docs, n_dups,
+       |  CAST((CAST(n_dups AS HUGEINT) * 1000000)
+       |    // CAST(n_docs AS HUGEINT) AS BIGINT) AS dup_ppm,
+       |  CAST((CAST(cum_dups AS HUGEINT) * 1000000)
+       |    // CAST(cum_docs AS HUGEINT) AS BIGINT) AS cum_dup_ppm
+       |FROM c ORDER BY bucket""".stripMargin
+
   def qExactDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val corpus = docs.select(col("doc_id"), col("text"))
@@ -1176,6 +1239,7 @@ object TextDedup {
     "q_cdc_chunks"     -> (qCdcChunks _),
     "q_minhash_est"    -> (qMinhashEst _),
     "q_contain_dup"    -> (qContainDup _),
+    "q_dedup_rate_curve" -> (qDedupRateCurve _),
     "q_exact_dup"      -> (qExactDup _),
     "q_span_dedup"     -> (qSpanDedup _),
     "q_dup_matrix"     -> (qDupMatrix _),
@@ -1199,6 +1263,7 @@ object TextDedup {
     "q_cdc_chunks"     -> qCdcChunksSql,
     "q_minhash_est"    -> qMinhashEstSql,
     "q_contain_dup"    -> qContainDupSql,
+    "q_dedup_rate_curve" -> qDedupRateCurveSql,
     "q_exact_dup"      -> qExactDupSql,
     "q_span_dedup"     -> qSpanDedupSql,
     "q_dup_matrix"     -> qDupMatrixSql,
