@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 
 import graft.core.{OracleParity => OP, Tables}
 
@@ -1672,7 +1672,188 @@ object Analytics {
       |    // CAST(revenue_c AS HUGEINT) AS BIGINT) AS revenue_at_risk_ppm
       |FROM g ORDER BY brand""".stripMargin
 
+  // ------------------------------------------------------------ q_sla_attain
+  /** Shipping-SLA attainment by order priority: share of lineitems
+    * shipped within 30 days of order, per o_orderpriority — did paying
+    * for URGENT buy anything? Attainment and the mean lead gap are exact
+    * (ppm by integer division, mean in micro-days) so no float boundary
+    * exists on either engine. One orderkey-keyed fact join, O(priorities)
+    * rollup. */
+  def qSlaAttain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_shipdate")
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority".as("priority"),
+        datediff($"l_shipdate", $"o_orderdate").cast("long").as("lead_d"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n_lineitems"),
+        count(when($"lead_d" <= 30, lit(1))).as("n_within_sla"),
+        sum($"lead_d").as("sum_lead_d"))
+      .select($"priority", $"n_lineitems", $"n_within_sla",
+        expr("cast((cast(n_within_sla as decimal(38,0)) * 1000000)" +
+          " div cast(n_lineitems as decimal(38,0)) as bigint)")
+          .as("attain_ppm"),
+        round(expr("cast((cast(sum_lead_d as decimal(38,0)) * 1000000)" +
+          " div cast(n_lineitems as decimal(38,0)) as bigint)")
+          .cast("double") / 1e6, 4).as("mean_lead_days"))
+      .orderBy($"priority")
+  }
+
+  private val qSlaAttainSql =
+    """WITH li AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+      |      AS lead_d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |g AS (
+      |  SELECT priority, CAST(count(*) AS BIGINT) AS n_lineitems,
+      |    CAST(count(*) FILTER (lead_d <= 30) AS BIGINT) AS n_within_sla,
+      |    CAST(sum(lead_d) AS BIGINT) AS sum_lead_d
+      |  FROM li GROUP BY 1)
+      |SELECT priority, n_lineitems, n_within_sla,
+      |  CAST((CAST(n_within_sla AS HUGEINT) * 1000000)
+      |    // CAST(n_lineitems AS HUGEINT) AS BIGINT) AS attain_ppm,
+      |  round(CAST(CAST((CAST(sum_lead_d AS HUGEINT) * 1000000)
+      |    // CAST(n_lineitems AS HUGEINT) AS BIGINT) AS DOUBLE) / 1e6, 4)
+      |    AS mean_lead_days
+      |FROM g ORDER BY priority""".stripMargin
+
+  // ------------------------------------------------------- q_discount_impact
+  /** Revenue forgone to discounting, by order month: gross extended
+    * price, the discount give-back (price × discount in exact 4-decimal
+    * ticks), and the give-back share in ppm — the promotion-cost trend
+    * line. All integer arithmetic; one fact scan to an O(months)
+    * grid. */
+  def qDiscountImpact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey",
+        (OP.dec2($"l_extendedprice") * 10000).cast("long").as("gross_t"),
+        (OP.dec2($"l_extendedprice") *
+          OP.dec2($"l_discount") * 10000).cast("long").as("disc_t"))
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", trunc($"o_orderdate", "month").as("month")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"month".cast("string").as("month"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum($"gross_t").as("gross_ticks"),
+        sum($"disc_t").as("discount_ticks"))
+      .select($"month", $"n_lineitems", $"gross_ticks", $"discount_ticks",
+        expr("cast((cast(discount_ticks as decimal(38,0)) * 1000000)" +
+          " div cast(gross_ticks as decimal(38,0)) as bigint)")
+          .as("giveback_ppm"))
+      .orderBy($"month")
+  }
+
+  private val qDiscountImpactSql =
+    """WITH li AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS month,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT)
+      |      AS gross_t,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)
+      |      AS disc_t
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |g AS (
+      |  SELECT month, CAST(count(*) AS BIGINT) AS n_lineitems,
+      |    CAST(sum(gross_t) AS BIGINT) AS gross_ticks,
+      |    CAST(sum(disc_t) AS BIGINT) AS discount_ticks
+      |  FROM li GROUP BY 1)
+      |SELECT month, n_lineitems, gross_ticks, discount_ticks,
+      |  CAST((CAST(discount_ticks AS HUGEINT) * 1000000)
+      |    // CAST(gross_ticks AS HUGEINT) AS BIGINT) AS giveback_ppm
+      |FROM g ORDER BY month""".stripMargin
+
+  // ---------------------------------------------------------- q_supplier_hhi
+  /** Supply-concentration Herfindahl–Hirschman index per part type: HHI =
+    * Σ (supplier revenue share)², in exact ppm via the identity
+    * HHI = Σ rev_s² / (Σ rev_s)² — two integer sums and one DECIMAL(38)
+    * division, zero float surface. HHI > 2500 ppm·10³ is the antitrust
+    * "highly concentrated" line; in supply-chain terms it is the
+    * single-source risk number per category. Supplier-grain aggregate
+    * first (one fact shuffle), then an O(types) rollup. */
+  def qSupplierHhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySupp = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_type"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type".as("ptype"), $"l_suppkey")
+      .agg(sum($"cents").as("rev_c"))
+    bySupp.groupBy($"ptype")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"rev_c".cast(DecimalType(38, 0))).as("total_c"),
+        sum($"rev_c".cast(DecimalType(38, 0)) * $"rev_c").as("sq_c"))
+      .select($"ptype", $"n_suppliers",
+        $"total_c".cast("long").as("revenue_c"),
+        expr("cast((sq_c * 1000000) div (total_c * total_c) as bigint)")
+          .as("hhi_ppm"))
+      .orderBy($"ptype")
+  }
+
+  private val qSupplierHhiSql =
+    """WITH by_supp AS (
+      |  SELECT p_type AS ptype, l_suppkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT ptype, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |    CAST(sum(CAST(rev_c AS HUGEINT)) AS HUGEINT) AS total_c,
+      |    CAST(sum(CAST(rev_c AS HUGEINT) * rev_c) AS HUGEINT) AS sq_c
+      |  FROM by_supp GROUP BY 1)
+      |SELECT ptype, n_suppliers, CAST(total_c AS BIGINT) AS revenue_c,
+      |  CAST((sq_c * 1000000) // (total_c * total_c) AS BIGINT) AS hhi_ppm
+      |FROM g ORDER BY ptype""".stripMargin
+
+  // ------------------------------------------------------- q_basket_profile
+  /** Order-size profile: how many lineitems does an order carry, as the
+    * full distribution (orders per basket size) plus each size's revenue
+    * — the shape behind picking batch sizes, kitting rules, and the
+    * basket-analysis support thresholds. Exact integers end to end; one
+    * orderkey aggregate collapses the fact, then an O(distinct sizes)
+    * rollup. */
+  def qBasketProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("basket_size"), sum($"cents").as("order_c"))
+      .groupBy($"basket_size")
+      .agg(count(lit(1)).as("n_orders"), sum($"order_c").as("revenue_c"))
+      .select($"basket_size", $"n_orders", $"revenue_c",
+        expr("cast((cast(revenue_c as decimal(38,0)) * 100)" +
+          " div cast(n_orders as decimal(38,0)) as bigint)")
+          .as("avg_order_subcents"))
+      .orderBy($"basket_size")
+  }
+
+  private val qBasketProfileSql =
+    """WITH per_order AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket_size,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS order_c
+      |  FROM lineitem GROUP BY 1),
+      |g AS (
+      |  SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(order_c) AS BIGINT) AS revenue_c
+      |  FROM per_order GROUP BY 1)
+      |SELECT basket_size, n_orders, revenue_c,
+      |  CAST((CAST(revenue_c AS HUGEINT) * 100)
+      |    // CAST(n_orders AS HUGEINT) AS BIGINT) AS avg_order_subcents
+      |FROM g ORDER BY basket_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sla_attain"    -> (qSlaAttain _),
+    "q_discount_impact" -> (qDiscountImpact _),
+    "q_supplier_hhi"  -> (qSupplierHhi _),
+    "q_basket_profile" -> (qBasketProfile _),
     "q_yoy_growth"    -> (qYoyGrowth _),
     "q_return_rates"  -> (qReturnRates _),
     "q_lead_time"     -> (qLeadTime _),
@@ -1708,6 +1889,10 @@ object Analytics {
     "q_stats_moments" -> (qStatsMoments _))
 
   val oracle: Map[String, String] = Map(
+    "q_sla_attain"    -> qSlaAttainSql,
+    "q_discount_impact" -> qDiscountImpactSql,
+    "q_supplier_hhi"  -> qSupplierHhiSql,
+    "q_basket_profile" -> qBasketProfileSql,
     "q_yoy_growth"    -> qYoyGrowthSql,
     "q_return_rates"  -> qReturnRatesSql,
     "q_lead_time"     -> qLeadTimeSql,
