@@ -53,6 +53,7 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_quantile_sketch" -> "band-offset (rankedPriceSample)",
     "q_winsorize"       -> "band-offset (rankedPriceSample)",
     "q_heaps_law"       -> "band-offset (BandedRank.prefixSum)",
+    "q_dedup_rate_curve" -> "band-offset (BandedRank.prefixSum)",
     "q_abc_class"       -> "band-offset (BandedRank.prefixSum, desc)",
     "q_skyline_fact"    -> "band prefix-min offset table",
     "q_pack_sequences"  -> "16-row bucket-offset aggregate",
@@ -93,7 +94,7 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_fact_rank", "q_gini", "q_lorenz_curve", "q_palma_ratio",
     "q_trimmed_mean", "q_spearman", "q_psm_match", "q_funnel_ttc",
     "q_quantile_sketch", "q_winsorize", "q_heaps_law", "q_abc_class",
-    "q_skyline_fact", "q_pack_sequences")
+    "q_skyline_fact", "q_pack_sequences", "q_dedup_rate_curve")
 
   /** Grouping keys that certify a partition-less window as offset-table
     * shaped: its subtree collapses through an aggregate on a band/bucket
