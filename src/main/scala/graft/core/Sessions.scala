@@ -48,6 +48,9 @@ object Sessions {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native graft expressions (rolling_hash, …) for SQL + expr() use
       graft.plans.GraftExtensions.register(spark)
+      // distributed-rank rule + strategy (inert until the flag or the
+      // __dist_rank column-name marker appears in a plan)
+      graft.plans.DistributedRank.install(spark)
       spark.conf.set("graft.tuned", "true")
     }
     spark

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // opt-in AQP dial (spark.graft.sketchDistinct) — inert until flagged
     ext.injectOptimizerRule(_ => SketchDistinctRewrite)
+    // distributed global rank (spark.graft.distributedRank flag or the
+    // __dist_rank column marker) — rule + strategy pair, inert otherwise
+    ext.injectOptimizerRule(_ => DistributedRankRewrite)
+    ext.injectPlannerStrategy(_ => DistributedRankStrategy)
   }
 }
 

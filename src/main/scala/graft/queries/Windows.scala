@@ -301,8 +301,37 @@ object Windows {
       |  FROM lineitem)
       |ORDER BY global_rank""".stripMargin
 
+  // -------------------------------------------------------- q_fact_rank_dist
+  /** The SAME global fact rank as [[qFactRank]], written the NAIVE way —
+    * one partition-less `row_number()` window — and executed through the
+    * [[graft.plans.DistributedRank]] extension: the `__dist_rank` column
+    * marker triggers the Catalyst rewrite to [[graft.plans.GlobalRankExec]]
+    * (range-exchange distributed sort + per-partition offsets), so the
+    * single-task WindowExec never exists in ANY QueryExecution built over
+    * this plan (incl. the driver's write). Gate: the identical plain
+    * row_number oracle as q_fact_rank — three implementations (banded,
+    * naive-window semantics, custom physical operator) proven equal
+    * through one oracle. DistributedRankSpec pins the plan shape and
+    * flag-on == flag-off equality. */
+  def qFactRankDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s) // installs the rule + strategy
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn(graft.plans.DistributedRankRewrite.NameMarker,
+        row_number().over(
+          Window.orderBy($"cents", $"l_orderkey", $"l_linenumber")))
+      .select($"l_orderkey", $"l_linenumber",
+        ($"cents".cast("double") / 100).as("price"),
+        col(graft.plans.DistributedRankRewrite.NameMarker).cast("long")
+          .as("global_rank"))
+      .orderBy($"global_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fact_rank" -> (qFactRank _),
+    "q_fact_rank_dist" -> (qFactRankDist _),
     "q_window_rownum"  -> (qWindowRownum _),
     "q_window_topk"    -> (qWindowTopk _),
     "q_topk_native"    -> (qTopkNative _),
@@ -313,6 +342,10 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "q_fact_rank" -> qFactRankSql,
+    // the custom physical operator must reproduce the plain global
+    // row_number exactly — same oracle as q_fact_rank (operators proven
+    // equal through the gate, the q_topk_native precedent)
+    "q_fact_rank_dist" -> qFactRankSql,
     "q_window_rownum"  -> qWindowRownumSql,
     "q_window_topk"    -> qWindowTopkSql,
     // the native-aggregate variant must reproduce the window result exactly
