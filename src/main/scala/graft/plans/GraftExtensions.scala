@@ -13,12 +13,14 @@ import graft.expressions.{FloatDot, KmvAgg, LevWithin, RollingHash, SpaceSavingA
   * session). After injection, `rolling_hash(str)` is available to SQL and
   * `expr("rolling_hash(...)")` plans, codegen included.
   *
-  * This is the (c)-tier extension surface of the builder brief; graft
-  * needs no custom LogicalPlan/Strategy because every reference operator
-  * maps to built-ins (SURVEY §4) — the extension carries perf-motivated
-  * expressions plus the `topk` bounded-heap aggregate (a map-side-
-  * combinable top-k-per-group the built-in window formulation can't
-  * match on shuffle volume).
+  * This is the (c)-tier extension surface of the builder brief: every
+  * REFERENCE operator maps to built-ins (SURVEY §4), so the extension
+  * carries perf-motivated machinery — native codegen expressions, the
+  * `topk`/`kmv`/`spacesaving` mergeable aggregates, the opt-in
+  * COUNT(DISTINCT)→sketch optimizer dial, and (round 8) the
+  * [[DistributedRankRewrite]]/[[DistributedRankStrategy]] pair that
+  * executes a partition-less row_number window as the custom
+  * [[GlobalRankExec]] distributed rank instead of a single-task sort.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
