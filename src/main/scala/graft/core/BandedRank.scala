@@ -40,8 +40,12 @@ object BandedRank {
   val DefaultBuckets = 64
 
   /** Add `bCol`: the fixed-width value band of numeric column `value`,
-    * in [0, buckets), monotone non-decreasing in the value. One extra
-    * aggregate + 1-row broadcast; no shuffle of `df` itself. */
+    * in [0, buckets), monotone non-decreasing in the value. NULL values
+    * band to -1 — BEFORE every non-null band — so the helpers reproduce
+    * the `ASC NULLS FIRST` default of the windows they replace instead
+    * of silently dropping null rows at the offset join (review finding).
+    * One extra aggregate + 1-row broadcast; no shuffle of `df`
+    * itself. */
   def withValueBand(df: DataFrame, value: String, bCol: String,
                     buckets: Int = DefaultBuckets): DataFrame = {
     val lo = s"${bCol}__lo"
@@ -52,8 +56,9 @@ object BandedRank {
       // division is monotone in the numerator, and (v-lo)*buckets < 2^63
       // for any cents-scaled domain; (hi-lo+1) guards the all-equal case
       .withColumn(bCol,
-        ((col(value) - col(lo)) * buckets / (col(hi) - col(lo) + 1))
-          .cast("long"))
+        when(col(value).isNull, lit(-1L))
+          .otherwise(((col(value) - col(lo)) * buckets /
+            (col(hi) - col(lo) + 1)).cast("long")))
       .drop(lo, hi)
   }
 
@@ -108,28 +113,37 @@ object BandedRank {
     * prefix-sum, shared by the Pareto/ABC-style cumulative operators).
     * All `in` columns ride one band assignment and one local window pass.
     * For a DESCENDING cumulative order, pass the negated value as `value`
-    * and order-compatible `ties`. */
+    * and order-compatible `ties`. With `groups` given, the running sums
+    * restart per group (`sum OVER (PARTITION BY groups ORDER BY ...)`)
+    * and every window — including the offset prefix — partitions on the
+    * groups, replacing the low-distinct-key shuffle the same way
+    * [[rowNumber]]'s grouped form does. */
   def prefixSum(df: DataFrame, value: String, ties: Seq[String],
                 sums: Seq[(String, String)],
-                buckets: Int = DefaultBuckets): DataFrame = {
+                buckets: Int = DefaultBuckets,
+                groups: Seq[String] = Seq.empty): DataFrame = {
     require(sums.nonEmpty, "prefixSum needs at least one (in, out) pair")
     val b = "__band_ps"
     val banded = withValueBand(df, value, b, buckets)
+    val keyCols = groups :+ b
     val bandSums = sums.map { case (in, _) => sum(col(in)).as(s"${b}__s_$in") }
-    val offsets = banded.groupBy(col(b))
+    val offWindow =
+      (if (groups.isEmpty) Window.orderBy(col(b))
+       else Window.partitionBy(groups.map(col): _*).orderBy(col(b)))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(keyCols.map(col): _*)
       .agg(bandSums.head, bandSums.tail: _*)
-      .select(col(b) +: sums.map { case (in, _) =>
-        coalesce(sum(col(s"${b}__s_$in")).over(Window.orderBy(col(b))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+      .select((keyCols.map(col) ++ sums.map { case (in, _) =>
+        coalesce(sum(col(s"${b}__s_$in")).over(offWindow), lit(0))
           .as(s"${b}__off_$in")
-      }: _*)
-    val wLocal = Window.partitionBy(col(b))
+      }): _*)
+    val wLocal = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((value +: ties).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = sums.foldLeft(banded) { case (d, (in, _)) =>
       d.withColumn(s"${b}__c_$in", sum(col(in)).over(wLocal))
     }
-    val joined = withLocal.join(broadcast(offsets), b)
+    val joined = withLocal.join(broadcast(offsets), keyCols)
     val withOut = sums.foldLeft(joined) { case (d, (in, out)) =>
       d.withColumn(out, col(s"${b}__off_$in") + col(s"${b}__c_$in"))
     }

@@ -97,10 +97,12 @@ object Sinks {
            mode: String = "overwrite",
            options: Map[String, String] = Map.empty): Unit =
     df.write.format("jdbc")
+      // options first, explicit arguments last: a stray "url"/"dbtable"
+      // in a copied options map must not silently redirect the write
+      // away from the named target (review finding)
+      .options(Map("numPartitions" -> "8") ++ options)
       .option("url", url)
       .option("dbtable", table)
-      .option("numPartitions", options.getOrElse("numPartitions", "8"))
-      .options(options)
       .mode(mode)
       .save()
 

@@ -90,8 +90,10 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
   val NameMarker = "__dist_rank"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val flagOn =
-      conf.getConfString(DistributedRank.Flag, "false").toBoolean
+    // parseBoolean never throws — a malformed flag value must not crash
+    // EVERY query's optimization in the session (review finding)
+    val flagOn = java.lang.Boolean.parseBoolean(
+      conf.getConfString(DistributedRank.Flag, "false").trim)
     plan.transform {
       case Window(Seq(a @ Alias(
             WindowExpression(_: RowNumber,
@@ -137,7 +139,6 @@ case class GlobalRankExec(rankAttr: Attribute, order: Seq[SortOrder],
       Iterator.single(n)
     }, preservesPartitioning = true).collect()
     val offsets = counts.scanLeft(0L)(_ + _)
-    val attrs = child.output
     val outAttrs = output
     input.mapPartitionsWithIndex { (idx, it) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)

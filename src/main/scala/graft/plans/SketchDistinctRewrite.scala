@@ -50,7 +50,10 @@ object SketchDistinctRewrite extends Rule[LogicalPlan] {
   private val K = 64
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(Flag, "false").toBoolean) plan
+    // parseBoolean never throws — a malformed flag value must not crash
+    // EVERY query's optimization in the session (review finding)
+    if (!java.lang.Boolean.parseBoolean(
+        conf.getConfString(Flag, "false").trim)) plan
     else plan.transform {
       case a: Aggregate => a.transformExpressions {
         case ae @ AggregateExpression(c: Count, _, true, None, _)

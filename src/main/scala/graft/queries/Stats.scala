@@ -1006,38 +1006,31 @@ object Stats {
     *
     * Scale shape: BANDED running weight (round-7 VERDICT item 2 — the
     * previous (flag)-partitioned window shuffled the whole fact into 3
-    * tasks, a straggler factory at 100×). The [[qSkylineFact]] shape
-    * applied to prefix sums: rows band by fixed-width price
-    * (cents div 5·10⁵ ≈ $5k — map-side arithmetic, equal prices
-    * co-located by construction), the running weight is computed
-    * per (flag, band) partition — flags × bands ≫ cores of genuine
-    * parallelism — and each band's global offset is the per-flag prefix
-    * sum of an O(flags × bands) aggregate, broadcast back. Equal-price
-    * ties never span bands, so the min-qualifying price is unchanged
-    * (the determinism argument above). No unpartitioned window anywhere;
-    * at 100 TB the band width narrows so bands ≈ cluster parallelism. */
+    * tasks, a straggler factory at 100×), via the GROUPED
+    * [[graft.core.BandedRank.prefixSum]]: rows band by price, the
+    * running weight is computed per (flag, band) partition — flags ×
+    * bands ≫ cores of genuine parallelism — and each band's offset is
+    * the per-flag prefix sum of an O(flags × bands) aggregate,
+    * broadcast back. Equal-price ties never span bands, so the
+    * min-qualifying price is unchanged (the determinism argument
+    * above). No unpartitioned window anywhere; at 100 TB add bands, not
+    * sort width. */
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val BandCents = 500000L // $5,000 price bands (the qSkylineFact width)
     val li = Tables.lineitem(s, dir).select(
       $"l_returnflag".as("flag"),
       (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"),
       OP.dec2($"l_quantity").cast("long").as("qty"))
-      .withColumn("band", $"cents".divide(lit(BandCents)).cast("long"))
-    val offsets = li.groupBy($"flag", $"band").agg(sum($"qty").as("bw"))
-      .withColumn("off",
-        coalesce(sum($"bw").over(Window.partitionBy($"flag")
-          .orderBy($"band")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"flag", $"band", $"off")
     val totals = li.groupBy($"flag").agg(sum($"qty").as("w_total"))
-    val wRunL = Window.partitionBy($"flag", $"band").orderBy($"cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    li
-      .withColumn("cumw_l", sum($"qty").over(wRunL))
-      .join(broadcast(offsets), Seq("flag", "band"))
+    // grouped banded running weight — ONE implementation of the
+    // decomposition (review finding: this previously hand-rolled a third
+    // copy of the band/offset machinery next to BandedRank and
+    // qSkylineFact); every window partitions on (flag, band)
+    graft.core.BandedRank
+      .prefixSum(li, "cents", Seq.empty, Seq("qty" -> "cumw"),
+        groups = Seq("flag"))
       .join(broadcast(totals), Seq("flag"))
-      .filter(($"off" + $"cumw_l") * 2 >= $"w_total")
+      .filter($"cumw" * 2 >= $"w_total")
       .groupBy($"flag")
       .agg(max($"w_total").as("total_units"),
         min($"cents").as("wmedian_c"))

@@ -84,6 +84,35 @@ class BandedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL values rank first and are never dropped (ASC NULLS FIRST parity)") {
+    import spark.implicits._
+    val df = fixture(400, 30).withColumn("v",
+      when(col("id") % 7 === 0, lit(null).cast("long")).otherwise(col("v")))
+    val banded = BandedRank.rowNumber(df, "v", Seq("id"), "rn")
+    val window = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    assert(collectSorted(banded) == collectSorted(window))
+    assert(banded.count() == 400, "null-valued rows must not be dropped")
+    val ps = BandedRank.prefixSum(
+      df.withColumn("w", lit(1L)), "v", Seq("id"), Seq("w" -> "c"))
+    val psWindow = df.withColumn("w", lit(1L)).withColumn("c",
+      sum(col("w")).over(Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(collectSorted(ps) == collectSorted(psWindow))
+  }
+
+  test("grouped prefixSum == per-group running-sum window") {
+    val df = fixture(500, 40)
+      .withColumn("w", abs(hash(concat(lit("w"), col("id")))) % 100)
+    val banded = BandedRank.prefixSum(df, "v", Seq("id"),
+      Seq("w" -> "c"), groups = Seq("g")).select("id", "v", "g", "w", "c")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val window = df.withColumn("c", sum(col("w")).over(w))
+      .select("id", "v", "g", "w", "c")
+    assert(collectSorted(banded) == collectSorted(window))
+  }
+
   test("rowNumber is a 1..n permutation and shuffle-width invariant") {
     val df = fixture(1000, 50)
     val a = BandedRank.rowNumber(df, "v", Seq("id"), "rn")

@@ -288,7 +288,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       s"no partition-less window allowed\n$plan")
     assert(windows.exists(
-      _.partitionSpec.flatMap(_.references.map(_.name)).contains("band")),
+      _.partitionSpec.flatMap(_.references.map(_.name))
+        .exists(n => n == "band" || n.startsWith("__band"))),
       s"fact running-weight window must partition on the band key\n$plan")
   }
 

@@ -158,8 +158,13 @@ class Round8OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val expected = li.groupBy(_._1).map { case (nation, rs) =>
       val sum = rs.map(_._2).sum
-      val mean = (BigInt(sum) * 1000000 / rs.length).toLong / 1e6
-      nation -> (rs.length.toLong, math.rint(mean * 1e4) / 1e4)
+      // mirror the query exactly: truncating micro-day division, /1e6
+      // as a double, then Spark round() = HALF_UP (not rint's
+      // half-even — review finding)
+      val meanMicro = (BigInt(sum) * 1000000 / rs.length).toLong
+      val mean = BigDecimal(meanMicro / 1e6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      nation -> (rs.length.toLong, mean)
     }
     val got = Analytics.qLeadTime(spark, sfDir).collect()
     got.foreach { r =>

@@ -137,7 +137,11 @@ class WindowAuditSpec extends AnyFunSuite {
   }
 
   test("the justified list carries no stale entries") {
-    val stale = justified.keySet.filter(n => audit.get(n).exists(_.isEmpty))
+    // an entry is stale when its query no longer has a partition-less
+    // window OR no longer exists under that name (renames must not
+    // leave dead allowlist entries behind — review finding)
+    val stale = justified.keySet.filter(n =>
+      audit.get(n).forall(_.isEmpty))
     assert(stale.isEmpty,
       s"justified queries with no partition-less window left — remove " +
         s"from the list so it cannot shelter future regressions: $stale")
@@ -166,7 +170,8 @@ class WindowAuditSpec extends AnyFunSuite {
     // the running-weight window over the FACT rows must include the band
     // key; the offsets window is over the O(flags×bands) aggregate
     val factWindow = windows.filter(
-      _.partitionSpec.flatMap(_.references.map(_.name)).contains("band"))
+      _.partitionSpec.flatMap(_.references.map(_.name))
+        .exists(n => n == "band" || n.startsWith("__band")))
     assert(factWindow.nonEmpty,
       s"no window partitioned on the band key — the fact running weight " +
         s"is riding the 3-value flag alone:\n$plan")
