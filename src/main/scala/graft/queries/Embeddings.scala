@@ -1517,7 +1517,40 @@ object Embeddings {
        |  round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_centroid
        |FROM pairs ORDER BY label_a, label_b""".stripMargin
 
+  // ------------------------------------------------------ q_embed_norm_audit
+  /** Embedding-quality norm audit per label: vector counts, exact
+    * zero-vector count (a zero norm poisons every cosine downstream —
+    * division by zero or NaN similarity), and the min/max L2 norm — the
+    * pre-flight data-quality gate an embedding pipeline runs before any
+    * ANN index build. Norms come from the same native [[sqNorm]] /
+    * 4-dp-rounded fold every similarity operator scores through, so the
+    * audit and the search agree bit-for-bit about what a vector's norm
+    * IS; min/max of the per-row rounded values are order-independent
+    * (no float-sum mean anywhere). One scan, O(labels) output. */
+  def qEmbedNormAudit(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .withColumn("n2", sqNorm("embedding"))
+      .withColumn("norm", round(sqrt(col("n2")), 4))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(col("n2") === 0.0d, lit(1))).as("n_zero"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  private lazy val qEmbedNormAuditSql =
+    s"""WITH n AS (
+       |  SELECT label, ${dotSql("embedding", "embedding")} AS n2
+       |  FROM embeddings)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(count(*) FILTER (n2 = 0.0) AS BIGINT) AS n_zero,
+       |  min(round(sqrt(n2), 4)) AS min_norm,
+       |  max(round(sqrt(n2), 4)) AS max_norm
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_norm_audit" -> (qEmbedNormAudit _),
     "q_label_centroids" -> (qLabelCentroids _),
     "q_ndcg"          -> (qNdcg _),
     "q_scalar_quant"   -> (qScalarQuant _),
@@ -1554,6 +1587,7 @@ object Embeddings {
     "q_embed_filtered" -> qEmbedFilteredSql,
     "q_embed_ann_mp"  -> qEmbedAnnMpSql,
     "q_embed_ivf2"    -> qEmbedIvf2Sql,
+    "q_embed_norm_audit" -> qEmbedNormAuditSql,
     "q_embed_topk"    -> qEmbedTopkSql,
     "q_embed_ann"     -> qEmbedAnnSql,
     "q_knn_classify"  -> qKnnClassifySql,
