@@ -23,7 +23,9 @@ class IterativePerturbationSpec extends AnyFunSuite {
   val sfDir = "/root/testdata/sf0.01"
 
   private val iterative = Seq(
-    "q_pagerank", "q_ppr", "q_hits", "q_label_prop", "q_kcore", "q_kmeans")
+    "q_pagerank", "q_ppr", "q_hits", "q_label_prop", "q_kcore", "q_kmeans",
+    // the remaining fixed-point/frontier operators, same contract
+    "q_components", "q_bfs_levels", "q_harmonic_centrality")
 
   private def run(name: String, width: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
