@@ -50,8 +50,9 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_spearman"        -> "2× band-offset (BandedRank.avgRank2)",
     "q_psm_match"       -> "band handoff prefix/suffix over O(bands) table",
     "q_funnel_ttc"      -> "band-offset (BandedRank.rowNumber)",
-    "q_quantile_sketch" -> "band-offset (rankedPriceSample)",
-    "q_winsorize"       -> "band-offset (rankedPriceSample)",
+    // (q_quantile_sketch / q_winsorize left the list in r8: their shared
+    // ranked sample is an IndexStore asset, so consumer plans carry no
+    // window at all — the anti-rot test below forced this removal)
     "q_heaps_law"       -> "band-offset (BandedRank.prefixSum)",
     "q_dedup_rate_curve" -> "band-offset (BandedRank.prefixSum)",
     "q_abc_class"       -> "band-offset (BandedRank.prefixSum, desc)",
@@ -93,7 +94,7 @@ class WindowAuditSpec extends AnyFunSuite {
   private val bandedFamily = Set(
     "q_fact_rank", "q_gini", "q_lorenz_curve", "q_palma_ratio",
     "q_trimmed_mean", "q_spearman", "q_psm_match", "q_funnel_ttc",
-    "q_quantile_sketch", "q_winsorize", "q_heaps_law", "q_abc_class",
+    "q_heaps_law", "q_abc_class",
     "q_skyline_fact", "q_pack_sequences", "q_dedup_rate_curve")
 
   /** Grouping keys that certify a partition-less window as offset-table
