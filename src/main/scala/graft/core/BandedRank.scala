@@ -13,22 +13,43 @@ import org.apache.spark.sql.functions._
   * not ride single-partition `Window.orderBy`).
   *
   * Decomposition (identical to q_fact_rank):
-  *   1. one aggregate computes min/max of the value, broadcast as the
-  *      house 1-row frame;
-  *   2. every row maps to one of `buckets` fixed-width value bands —
-  *      pure map-side arithmetic, order-preserving by construction (the
-  *      band is a monotone function of the value, so ties never span
-  *      bands and band order IS value order);
+  *   1. one sketch pass computes EQUI-DEPTH band boundaries — the
+  *      (1/buckets, 2/buckets, ...) approximate quantiles of the value
+  *      (`df.stat.approxQuantile`, a single distributed
+  *      Greenwald–Khanna job whose driver result is O(buckets) doubles
+  *      — the same documented dim-sized-collect budget class as the
+  *      codebook/centroid reads);
+  *   2. every row maps to a band = the number of boundaries ≤ its value
+  *      — a codegen'd chain of `buckets-1` literal compares,
+  *      order-preserving by construction (the band is a monotone
+  *      function of the value, so ties never span bands and band order
+  *      IS value order);
   *   3. per-band row counts collapse to an O(buckets) aggregate whose
   *      prefix sum (a window over ≤ `buckets` rows — the ONLY
   *      unpartitioned window, bounded by construction) is each band's
   *      global offset, broadcast back;
   *   4. a band-PARTITIONED window ranks locally; global = offset + local.
   *
+  * Equi-depth (round-8 VERDICT item 1) replaces the round-8 fixed-width
+  * `[min,max]` slicing, which was skew-fragile: one heavy-tailed outlier
+  * stretched the range so the bulk of rows landed in band 0 and the
+  * "local" window degenerated back toward the single-task sort. Sampled
+  * quantile boundaries make band occupancy ≈ n/buckets REGARDLESS of the
+  * value distribution (BandedRankSpec's Zipf fixture pins max-band
+  * occupancy), and fractional domains (doubles in [0,1], ratios) spread
+  * correctly — the fixed-width form collapsed them into band 0. Band
+  * boundaries need NOT be exact for correctness: ANY monotone
+  * value→band function yields the identical final rank/prefix-sum, so
+  * the sketch's approximation error and run-to-run merge order only move
+  * work between bands, never change results. The one residual hot spot
+  * is a single value carrying ≫ 1/buckets of the mass — its rows are
+  * tied and inseparable by ANY value-functional banding; that is the
+  * documented floor, not a regression.
+  *
   * At 100 TB nothing changes except the band count (add bands to match
-  * cluster parallelism — the offset table stays driver-trivial). The
-  * degenerate case (all values equal → one band) degrades to the dense
-  * sort it replaces, never worse.
+  * cluster parallelism — the boundary array and offset table stay
+  * driver-trivial). The degenerate case (all values equal → one band)
+  * degrades to the dense sort it replaces, never worse.
   *
   * All helpers append internal columns prefixed `__band` and drop them
   * before returning; callers' columns pass through untouched.
@@ -39,27 +60,36 @@ object BandedRank {
     * to the cluster's task parallelism. */
   val DefaultBuckets = 64
 
-  /** Add `bCol`: the fixed-width value band of numeric column `value`,
+  /** Add `bCol`: the equi-depth value band of numeric column `value`,
     * in [0, buckets), monotone non-decreasing in the value. NULL values
     * band to -1 — BEFORE every non-null band — so the helpers reproduce
     * the `ASC NULLS FIRST` default of the windows they replace instead
     * of silently dropping null rows at the offset join (review finding).
-    * One extra aggregate + 1-row broadcast; no shuffle of `df`
-    * itself. */
+    *
+    * Boundaries come from one `approxQuantile` sketch job (O(buckets)
+    * doubles to the driver — a documented dim-sized collect, like the
+    * codebook/centroid reads); the band itself is a codegen'd chain of
+    * literal compares, so the hot path stays inside whole-stage codegen
+    * with no broadcast join and no higher-order (CodegenFallback)
+    * expression. Comparing through a `double` cast is safe: the cast is
+    * monotone, and any precision collapse merely merges adjacent bands
+    * (band stays a function of the value, which is all correctness
+    * needs). Duplicate quantiles (heavy-duplicate domains) are
+    * `distinct`ed away, so the all-equal degenerate case lands every
+    * row in one band exactly as before. */
   def withValueBand(df: DataFrame, value: String, bCol: String,
                     buckets: Int = DefaultBuckets): DataFrame = {
-    val lo = s"${bCol}__lo"
-    val hi = s"${bCol}__hi"
-    val mm = df.agg(min(col(value)).as(lo), max(col(value)).as(hi))
-    df.crossJoin(broadcast(mm))
-      // double division then truncation: exact enough because IEEE
-      // division is monotone in the numerator, and (v-lo)*buckets < 2^63
-      // for any cents-scaled domain; (hi-lo+1) guards the all-equal case
-      .withColumn(bCol,
-        when(col(value).isNull, lit(-1L))
-          .otherwise(((col(value) - col(lo)) * buckets /
-            (col(hi) - col(lo) + 1)).cast("long")))
-      .drop(lo, hi)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // relativeError 1e-3: sketch memory O(1/err) on each executor, and
+    // a 0.1% rank error only shifts ~0.1% of rows one band over
+    val cuts = df.stat.approxQuantile(value, probs, 1e-3).distinct.sorted
+    val v = col(value).cast("double")
+    val band =
+      if (cuts.isEmpty) lit(0L)
+      else cuts.foldLeft(lit(0L)) { (acc, c) =>
+        acc + when(v >= lit(c), lit(1L)).otherwise(lit(0L))
+      }
+    df.withColumn(bCol, when(col(value).isNull, lit(-1L)).otherwise(band))
   }
 
   /** Append `out` = `row_number() OVER ([PARTITION BY groups...]

@@ -113,6 +113,56 @@ class BandedRankSpec extends AnyFunSuite {
     assert(collectSorted(banded) == collectSorted(window))
   }
 
+  /** Round-8 VERDICT item 1: equi-depth boundaries must hold band
+    * occupancy near n/buckets even when the value distribution is
+    * heavy-tailed — the fixed-width form collapsed ~90% of this fixture
+    * into band 0 (the top outlier stretches [min,max] so the bulk lands
+    * in the first slice), silently degenerating the "distributed" rank
+    * back to one straggler task. */
+  test("equi-depth banding balances a heavy-tailed (exp-stretched) domain") {
+    import spark.implicits._
+    val n = 4000
+    // exponent uniform in [0,40) → values span 12 orders of magnitude;
+    // mostly-distinct so no single tie class dominates a band
+    val df = spark.range(n).select(
+      $"id",
+      pow(lit(2.0), (abs(hash(concat(lit("z"), $"id"))) % 100000)
+        .cast("double") / 100000.0 * 40.0).cast("long").as("v"))
+    val banded = BandedRank.withValueBand(df, "v", "b")
+    val occ = banded.groupBy($"b").count().collect().map(_.getLong(1))
+    val maxOcc = occ.max
+    assert(maxOcc <= 3L * n / BandedRank.DefaultBuckets,
+      s"max band occupancy $maxOcc exceeds 3·n/buckets — banding degenerated")
+    assert(occ.length >= BandedRank.DefaultBuckets / 2,
+      s"only ${occ.length} non-empty bands — boundaries collapsed")
+    // and the decomposition stays exact under the same skew
+    val rn = BandedRank.rowNumber(df, "v", Seq("id"), "rn")
+    val window = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    assert(collectSorted(rn) == collectSorted(window))
+  }
+
+  /** ADVICE r8: fractional domains (ratios in [0,1]) must spread across
+    * bands — the fixed-width integer division mapped every such row to
+    * band 0. */
+  test("fractional [0,1) domains spread across bands") {
+    import spark.implicits._
+    val n = 2000
+    val df = spark.range(n).select(
+      $"id",
+      ((abs(hash(concat(lit("f"), $"id"))) % 100000).cast("double")
+        / 100000.0).as("v"))
+    val banded = BandedRank.withValueBand(df, "v", "b")
+    val occ = banded.groupBy($"b").count().collect().map(_.getLong(1))
+    assert(occ.max <= 3L * n / BandedRank.DefaultBuckets)
+    val ps = BandedRank.prefixSum(df.withColumn("w", lit(1L)), "v",
+      Seq("id"), Seq("w" -> "c"))
+    val w = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val window = df.withColumn("w", lit(1L)).withColumn("c", sum(col("w")).over(w))
+    assert(collectSorted(ps) == collectSorted(window))
+  }
+
   test("rowNumber is a 1..n permutation and shuffle-width invariant") {
     val df = fixture(1000, 50)
     val a = BandedRank.rowNumber(df, "v", Seq("id"), "rn")
