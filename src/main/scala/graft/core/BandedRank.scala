@@ -13,17 +13,15 @@ import org.apache.spark.sql.functions._
   * not ride single-partition `Window.orderBy`).
   *
   * Decomposition (identical to q_fact_rank):
-  *   1. one sketch pass computes EQUI-DEPTH band boundaries — the
-  *      (1/buckets, 2/buckets, ...) approximate quantiles of the value
-  *      (`df.stat.approxQuantile`, a single distributed
-  *      Greenwald–Khanna job whose driver result is O(buckets) doubles
-  *      — the same documented dim-sized-collect budget class as the
-  *      codebook/centroid reads);
+  *   1. one LAZY sketch aggregate computes EQUI-DEPTH band boundaries —
+  *      the (1/buckets, 2/buckets, ...) approximate quantiles of the
+  *      value (`percentile_approx`, a single distributed
+  *      Greenwald–Khanna pass), broadcast as the house 1-row frame;
   *   2. every row maps to a band = the number of boundaries ≤ its value
-  *      — a codegen'd chain of `buckets-1` literal compares,
-  *      order-preserving by construction (the band is a monotone
-  *      function of the value, so ties never span bands and band order
-  *      IS value order);
+  *      — the native codegen'd [[graft.expressions.ValueBand]] binary
+  *      search, order-preserving by construction (the band is a
+  *      monotone function of the value, so ties never span bands and
+  *      band order IS value order);
   *   3. per-band row counts collapse to an O(buckets) aggregate whose
   *      prefix sum (a window over ≤ `buckets` rows — the ONLY
   *      unpartitioned window, bounded by construction) is each band's
@@ -66,31 +64,48 @@ object BandedRank {
     * the `ASC NULLS FIRST` default of the windows they replace instead
     * of silently dropping null rows at the offset join (review finding).
     *
-    * Boundaries come from one `approxQuantile` sketch job (O(buckets)
-    * doubles to the driver — a documented dim-sized collect, like the
-    * codebook/centroid reads); the band itself is a codegen'd chain of
-    * literal compares, so the hot path stays inside whole-stage codegen
-    * with no broadcast join and no higher-order (CodegenFallback)
-    * expression. Comparing through a `double` cast is safe: the cast is
-    * monotone, and any precision collapse merely merges adjacent bands
-    * (band stays a function of the value, which is all correctness
-    * needs). Duplicate quantiles (heavy-duplicate domains) are
-    * `distinct`ed away, so the all-equal degenerate case lands every
-    * row in one band exactly as before. */
+    * Boundaries come from one lazy `percentile_approx` aggregate
+    * broadcast as the house 1-row frame ([[cutsAgg]]); the band lookup
+    * is the native [[graft.expressions.ValueBand]] binary search
+    * ([[bandExpr]]), so the hot path stays codegen'd. Comparing through
+    * a `double` cast is safe: the cast is monotone, and any precision
+    * collapse merely merges adjacent bands (band stays a function of
+    * the value, which is all correctness needs). */
   def withValueBand(df: DataFrame, value: String, bCol: String,
                     buckets: Int = DefaultBuckets): DataFrame = {
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    // relativeError 1e-3: sketch memory O(1/err) on each executor, and
-    // a 0.1% rank error only shifts ~0.1% of rows one band over
-    val cuts = df.stat.approxQuantile(value, probs, 1e-3).distinct.sorted
-    val v = col(value).cast("double")
-    val band =
-      if (cuts.isEmpty) lit(0L)
-      else cuts.foldLeft(lit(0L)) { (acc, c) =>
-        acc + when(v >= lit(c), lit(1L)).otherwise(lit(0L))
-      }
-    df.withColumn(bCol, when(col(value).isNull, lit(-1L)).otherwise(band))
+    val cutsCol = s"${bCol}__cuts"
+    val agg = df.agg(cutsAgg(value, buckets).as(cutsCol))
+    df.crossJoin(broadcast(agg))
+      .withColumn(bCol, bandExpr(value, cutsCol))
+      .drop(cutsCol)
   }
+
+  /** The equi-depth boundary sketch as a LAZY aggregate column: the
+    * (1/buckets .. (buckets-1)/buckets) approximate quantiles of the
+    * value, one `percentile_approx` (Greenwald–Khanna) pass. Staying
+    * inside the plan (vs an eager `df.stat.approxQuantile` action)
+    * matters twice over: the helpers compose over DERIVED frames whose
+    * re-execution an eager build-time job would pay serially per build,
+    * and Verify/Bench rebuild every query three times. */
+  private def cutsAgg(value: String, buckets: Int): Column =
+    percentile_approx(col(value).cast("double"),
+      lit((1 until buckets).map(_.toDouble / buckets).toArray),
+      lit(10000))
+
+  /** The band of `value` given the sketched boundary array in `cutsCol`
+    * (a 1-row broadcast): the number of boundaries ≤ the value, via the
+    * native [[graft.expressions.ValueBand]] binary search — one tight
+    * codegen'd loop per row (a `CASE WHEN` chain over the 63 boundaries
+    * measured 16× slower end-to-end; a higher-order fold would be
+    * CodegenFallback). NULL values band to -1; a null boundary array
+    * (empty input) coalesces every row into band 0, preserving the
+    * all-equal/empty degenerate behavior of the fixed-width form.
+    * Monotone in the value by construction; duplicate boundaries
+    * (heavy-duplicate domains) merely skip band ids. */
+  private def bandExpr(value: String, cutsCol: String): Column =
+    when(col(value).isNull, lit(-1L))
+      .otherwise(coalesce(
+        expr(s"value_band(CAST(`$value` AS DOUBLE), `$cutsCol`)"), lit(0L)))
 
   /** Append `out` = `row_number() OVER ([PARTITION BY groups...]
     * ORDER BY value, ties...)` (LongType, 1-based) via the banded
@@ -212,5 +227,60 @@ object BandedRank {
       .withColumn(out,
         lit(2) * (col(off) + col(s"${b}__rk")) + col(s"${b}__eq") - 1)
       .drop(b, s"${b}__rk", s"${b}__eq", off)
+  }
+
+  /** Two [[avgRank2]] computations fused into one pipeline (round-8
+    * VERDICT item 8 — q_spearman's banding tax): ranks of `v1` and `v2`
+    * over the SAME rows share
+    *   - ONE quantile sketch aggregate (both boundary arrays from one
+    *     scan, one 1-row broadcast);
+    *   - ONE banding projection (both band columns in one pass);
+    *   - ONE joint `(b1, b2)` count aggregate (≤ buckets² rows) from
+    *     which BOTH O(buckets) offset tables derive — the per-value
+    *     offset scans of the sequential form collapse into a single
+    *     map-side-combinable pass over the input.
+    * The two band-partitioned window sorts remain — ranking two
+    * different columns is two sort orders, irreducibly — but they chain
+    * in one pipeline, so the input is scanned three times total
+    * (sketch, joint counts, main) versus ~3× per rank for the nested
+    * sequential form whose second sketch/offset passes re-executed the
+    * first rank's whole window pipeline. */
+  def avgRank2Pair(df: DataFrame, v1: String, out1: String,
+                   v2: String, out2: String,
+                   buckets: Int = DefaultBuckets): DataFrame = {
+    val b1 = s"__band_$out1"
+    val b2 = s"__band_$out2"
+    val c1 = s"${b1}__cuts"
+    val c2 = s"${b2}__cuts"
+    val agg = df.agg(cutsAgg(v1, buckets).as(c1), cutsAgg(v2, buckets).as(c2))
+    val banded = df.crossJoin(broadcast(agg))
+      .withColumn(b1, bandExpr(v1, c1))
+      .withColumn(b2, bandExpr(v2, c2))
+      .drop(c1, c2)
+    val cnt = "__band_pair_cnt"
+    val joint = banded.groupBy(col(b1), col(b2)).agg(count(lit(1)).as(cnt))
+    def offsets(b: String, off: String): DataFrame = joint
+      .groupBy(col(b)).agg(sum(col(cnt)).as(s"${b}__c"))
+      .withColumn(off,
+        coalesce(sum(col(s"${b}__c")).over(Window.orderBy(col(b))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(b), col(off))
+    val off1 = s"${b1}__off"
+    val off2 = s"${b2}__off"
+    val w1 = Window.partitionBy(col(b1)).orderBy(col(v1))
+    val w2 = Window.partitionBy(col(b2)).orderBy(col(v2))
+    banded
+      .withColumn(s"${b1}__rk", rank().over(w1))
+      .withColumn(s"${b1}__eq", count(lit(1)).over(w1.rangeBetween(0, 0)))
+      .withColumn(s"${b2}__rk", rank().over(w2))
+      .withColumn(s"${b2}__eq", count(lit(1)).over(w2.rangeBetween(0, 0)))
+      .join(broadcast(offsets(b1, off1)), b1)
+      .join(broadcast(offsets(b2, off2)), b2)
+      .withColumn(out1,
+        lit(2) * (col(off1) + col(s"${b1}__rk")) + col(s"${b1}__eq") - 1)
+      .withColumn(out2,
+        lit(2) * (col(off2) + col(s"${b2}__rk")) + col(s"${b2}__eq") - 1)
+      .drop(b1, b2, s"${b1}__rk", s"${b1}__eq", s"${b2}__rk", s"${b2}__eq",
+        off1, off2)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatDot, KmvAgg, LevWithin, RollingHash, SpaceSavingAgg, TopKAgg}
+import graft.expressions.{FloatDot, KmvAgg, LevWithin, RollingHash, SpaceSavingAgg, TopKAgg, ValueBand}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -71,7 +71,10 @@ object GraftExtensions {
       checkArity("kmv", 2)(c => KmvAgg(c(0), c(1)))),
     (new FunctionIdentifier("spacesaving"),
       new ExpressionInfo(classOf[SpaceSavingAgg].getName, "spacesaving"),
-      checkArity("spacesaving", 2)(c => SpaceSavingAgg(c(0), c(1)))))
+      checkArity("spacesaving", 2)(c => SpaceSavingAgg(c(0), c(1)))),
+    (new FunctionIdentifier("value_band"),
+      new ExpressionInfo(classOf[ValueBand].getName, "value_band"),
+      checkArity("value_band", 2)(c => ValueBand(c(0), c(1)))))
 
   /** Register on an already-built session (the Verify/Bench path, where
     * spark.sql.extensions can't be set post-hoc). */

@@ -163,6 +163,20 @@ class BandedRankSpec extends AnyFunSuite {
     assert(collectSorted(ps) == collectSorted(window))
   }
 
+  test("avgRank2Pair == two independent avgRank2 window formulations") {
+    val df = fixture(600, 25)
+      .withColumn("u", (abs(hash(concat(lit("u"), col("id")))) % 9).cast("long"))
+    val fused = BandedRank.avgRank2Pair(df, "v", "r2v", "u", "r2u")
+    val window = df
+      .withColumn("r2v",
+        (lit(2) * rank().over(Window.orderBy(col("v")))
+          + count(lit(1)).over(Window.partitionBy(col("v"))) - 1).cast("long"))
+      .withColumn("r2u",
+        (lit(2) * rank().over(Window.orderBy(col("u")))
+          + count(lit(1)).over(Window.partitionBy(col("u"))) - 1).cast("long"))
+    assert(collectSorted(fused) == collectSorted(window))
+  }
+
   test("rowNumber is a 1..n permutation and shuffle-width invariant") {
     val df = fixture(1000, 50)
     val a = BandedRank.rowNumber(df, "v", Seq("id"), "rn")
