@@ -410,21 +410,54 @@ object Graph {
        |ORDER BY p.p_partkey""".stripMargin
   }
 
+  /** Per-key basket width cap (round-8 VERDICT item 2): keep at most
+    * `cap` items per key, deterministically (row_number by item id —
+    * replayed verbatim in the DuckDB oracles). The co-purchase pair
+    * expansions fan out quadratically in basket width, and basket width
+    * is DATA-dependent: one aggregator account with 10k distinct items
+    * would emit ~5·10⁷ pairs from a single key — a straggler no AQE
+    * setting fixes. The cap bounds any key's emission at cap·(cap−1)/2
+    * regardless of input shape (the same discipline degree-orientation
+    * gives the triangle pipeline). Caps are sized far above any
+    * plausible real basket (256 items/customer, 64 items/order — TPC-H
+    * maxima are ~2 orders of magnitude below), so at test scale the
+    * capped result is bit-identical to the uncapped one; at 100 TB the
+    * cap is the hub-key circuit breaker. Item-id order keeps the pick
+    * deterministic and oracle-replayable; a production deployment would
+    * rank by recency or spend instead — same shape, different key. */
+  private[graft] def capBasket(df: DataFrame, key: String, item: String,
+                               cap: Int): DataFrame =
+    df.withColumn("__bk_rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(item))))
+      .filter(col("__bk_rn") <= cap)
+      .drop("__bk_rn")
+
+  /** Items kept per customer in the co-purchase family. */
+  private[graft] val CustBasketCap = 256
+  /** Items kept per order in the basket-rules pair expansion. */
+  private[graft] val OrderBasketCap = 64
+
   // -------------------------------------------------------------- q_item_cf
   /** Item-item collaborative filtering over the customer–part co-purchase
     * bipartite graph: exact Jaccard c(ab)/(c(a)+c(b)−c(ab)) between items'
     * buyer sets, top-3 neighbors per item at support ≥ 3. The pair
     * expansion fans out per CUSTOMER (bounded by a buyer's basket width,
     * not the catalog — the hub-item explosion a part-side self-join would
-    * hit), pair counts are one map-side-combined shuffle, and the
-    * vocab-sized per-item buyer counts join back broadcast. Jaccard is an
-    * integer ratio — one double division, engine-exact. */
+    * hit), and basket width itself is capped at [[CustBasketCap]] via
+    * [[capBasket]] (hub-customer circuit breaker — see its doc; the
+    * buyer-count denominators derive from the SAME capped universe so
+    * Jaccard stays internally consistent). Pair counts are one
+    * map-side-combined shuffle, and the vocab-sized per-item buyer
+    * counts join back broadcast. Jaccard is an integer ratio — one
+    * double division, engine-exact. */
   def qItemCf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ui = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .select($"o_custkey".as("cust"), $"l_partkey".as("item"))
-      .distinct()
+    val ui = capBasket(
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("cust"), $"l_partkey".as("item"))
+        .distinct(),
+      "cust", "item", CustBasketCap)
     val itemN = ui.groupBy($"item").agg(count(lit(1)).as("n_buyers"))
     val co = ui.as("a").join(ui.as("b"),
         $"a.cust" === $"b.cust" && $"a.item" < $"b.item")
@@ -449,9 +482,15 @@ object Graph {
   }
 
   private val qItemCfSql =
-    """WITH ui AS (
+    s"""WITH ui0 AS (
       |  SELECT DISTINCT o_custkey AS cust, l_partkey AS item
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ui AS (
+      |  SELECT cust, item FROM (
+      |    SELECT cust, item,
+      |      row_number() OVER (PARTITION BY cust ORDER BY item) AS rn
+      |    FROM ui0)
+      |  WHERE rn <= $CustBasketCap),
       |itemn AS (SELECT item, count(*) AS n_buyers FROM ui GROUP BY item),
       |co AS (
       |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
@@ -652,14 +691,18 @@ object Graph {
     * support).
     *
     * Scale shape: pair counts are one self-join keyed on the order + one
-    * map-side-combinable aggregate; item counts and N broadcast back; the
-    * top-20 is TakeOrderedAndProject. Ratios run in DOUBLE off exact
-    * integers. */
+    * map-side-combinable aggregate, with order basket width capped at
+    * [[OrderBasketCap]] via [[capBasket]] (hub-order circuit breaker —
+    * see its doc; support/confidence denominators derive from the same
+    * capped universe); item counts and N broadcast back; the top-20 is
+    * TakeOrderedAndProject. Ratios run in DOUBLE off exact integers. */
   def qBasketRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li2 = Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
-      .distinct()
+    val li2 = capBasket(
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
+        .distinct(),
+      "ok", "pk", OrderBasketCap)
     val pairCnt = li2.as("a").join(li2.as("b"),
         $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
       .groupBy($"a.pk".as("u"), $"b.pk".as("v"))
@@ -687,9 +730,15 @@ object Graph {
   }
 
   private val qBasketRulesSql =
-    """WITH li2 AS (
+    s"""WITH li0 AS (
       |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
       |  FROM lineitem),
+      |li2 AS (
+      |  SELECT ok, pk FROM (
+      |    SELECT ok, pk,
+      |      row_number() OVER (PARTITION BY ok ORDER BY pk) AS rn
+      |    FROM li0)
+      |  WHERE rn <= $OrderBasketCap),
       |pc AS (
       |  SELECT a.pk AS u, b.pk AS v, count(*) AS c_ab
       |  FROM li2 a JOIN li2 b ON b.ok = a.ok AND a.pk < b.pk
