@@ -49,6 +49,22 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(kept == expected)
   }
 
+  /** Round-8 VERDICT item 4: the bounded-round H-index iterate must have
+    * CONVERGED at test scale — running two extra rounds changes no
+    * label, so the k ∈ {2,3,4} report equals the true k-core
+    * decomposition, not a truncation artifact. (Engine–oracle parity
+    * never depends on this: both replay the same fixed rounds.) */
+  test("coreness estimate has converged on the co-order graph at sf0.001") {
+    val edges = Graph.coOrderEdges(spark, sfDir)
+    val atN = Graph.corenessLabels(spark, edges)
+    val atN2 = Graph.corenessLabels(spark, edges, Graph.CorenessRounds + 2)
+    val a = atN.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = atN2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    atN.unpersist(blocking = false)
+    atN2.unpersist(blocking = false)
+    assert(a == b, "coreness labels still moving after CorenessRounds — raise the bound")
+  }
+
   /** At test scale the caps sit far above real basket widths, so the
     * capped queries are bit-identical to the uncapped derivation — the
     * cap is a 100-TB circuit breaker, not a result change. */

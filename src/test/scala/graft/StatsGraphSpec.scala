@@ -41,30 +41,26 @@ class StatsGraphSpec extends AnyFunSuite {
       (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5))) === 4L)
   }
 
-  test("k-core peel: hand-countable fixtures, and survivors satisfy deg >= k") {
-    // K4 with a pendant chain 4-5-6: 2-core and 3-core are exactly K4
-    // (pendants peel off), 4-core is empty (K4 max degree is 3)
+  test("coreness labels: hand-countable fixtures, and cores satisfy deg >= k") {
+    // K4 with a pendant chain 4-5-6: K4 nodes have coreness 3 (K4 is a
+    // 3-core), the chain nodes peel at k=2 so their coreness is 1
     val g = edgesDf(
       (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6))
-    // kcoreEdges returns a CACHED frame (callers unpersist when done) —
-    // unpersist each core after its assertions so four calls don't leak
-    // cached edge sets into the shared test session (review finding).
-    def survivors(k: Int) = {
-      val e = graft.queries.Graph.kcoreEdges(spark, g, k)
-      try e.select(col("u")).union(e.select(col("v")))
-        .distinct().collect().map(_.getLong(0)).toSet
-      finally e.unpersist(blocking = false)
-    }
-    assert(survivors(2) === Set(1L, 2L, 3L, 4L))
-    assert(survivors(3) === Set(1L, 2L, 3L, 4L))
-    assert(survivors(4) === Set.empty[Long])
-    // converged fixpoint: every surviving node has degree >= k in the core
-    val core2 = graft.queries.Graph.kcoreEdges(spark, g, 2)
-    val degs = core2.select(col("u").as("n"))
-      .unionAll(core2.select(col("v").as("n")))
-      .groupBy("n").count().collect()
-    core2.unpersist(blocking = false)
-    assert(degs.forall(_.getLong(1) >= 2))
+    // corenessLabels returns a CACHED frame (callers unpersist when done)
+    val core = graft.queries.Graph.corenessLabels(spark, g)
+    val labels = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core.unpersist(blocking = false)
+    assert(labels == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L))
+    // converged fixpoint: inside the induced 2-core (= K4 here) every
+    // node keeps degree >= 2
+    val keep = labels.filter(_._2 >= 2).keySet
+    val coreEdges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+      .filter(e => keep(e._1) && keep(e._2))
+    val degs = coreEdges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size)
+    assert(degs.forall(_ >= 2))
   }
 
   test("skyline: kept points are mutually undominated, dropped points are dominated") {
