@@ -329,9 +329,124 @@ object Windows {
       .orderBy($"global_rank")
   }
 
+  // ------------------------------------------- q_fact_rank_grouped_dist
+  /** GROUPED distributed rank (r9 — the r8 operator handled only the
+    * global form): `row_number() PARTITION BY l_returnflag`, written
+    * naively and executed through [[graft.plans.DistributedWindowExec]]
+    * via the `__dist_rank_*` marker. Three fact-proportional groups
+    * would hash-exchange into THREE tasks on WindowExec — the low-
+    * distinct-key anti-pattern [[graft.core.BandedRank]]'s grouped form
+    * kills query-by-query; the operator now kills it for a user's
+    * un-rewritten window too: the range exchange on (flag, cents, ...)
+    * spreads every group over many partitions and ranks are local
+    * position + a per-(partition, group) broadcast offset. Gate: the
+    * plain grouped row_number oracle. */
+  def qFactRankGroupedDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s) // installs the rule + strategy
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn(graft.plans.DistributedRankRewrite.NameMarker + "_g",
+        row_number().over(Window.partitionBy($"l_returnflag")
+          .orderBy($"cents", $"l_orderkey", $"l_linenumber")))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        ($"cents".cast("double") / 100).as("price"),
+        col(graft.plans.DistributedRankRewrite.NameMarker + "_g")
+          .cast("long").as("flag_rank"))
+      .orderBy($"l_returnflag", $"flag_rank")
+  }
+
+  private val qFactRankGroupedDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  CAST(cents AS DOUBLE) / 100 AS price,
+      |  row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY cents, l_orderkey, l_linenumber) AS flag_rank
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |ORDER BY l_returnflag, flag_rank""".stripMargin
+
+  // ------------------------------------------------- q_fact_cumsum_dist
+  /** GLOBAL running sum (ROWS UNBOUNDED PRECEDING..CURRENT ROW over a
+    * total order) through the distributed-window operator — the naive
+    * cumulative-spend window whose built-in plan is the single-task
+    * WindowExec, now executed as range exchange + per-partition local
+    * accumulation seeded by broadcast per-partition sum offsets (the
+    * prefix-sum decomposition [[graft.core.BandedRank.prefixSum]]
+    * proves, derived automatically; Long sums add with the ANSI
+    * overflow-throws contract). Gate: the plain window oracle. */
+  def qFactCumsumDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn(graft.plans.DistributedRankRewrite.NameMarker + "_cs",
+        sum($"cents").over(Window
+          .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"l_orderkey", $"l_linenumber", $"cents",
+        col(graft.plans.DistributedRankRewrite.NameMarker + "_cs")
+          .as("run_cents"))
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+  }
+
+  private val qFactCumsumDistSql =
+    """SELECT l_orderkey, l_linenumber, cents,
+      |  CAST(sum(cents) OVER (ORDER BY cents, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS run_cents
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |ORDER BY cents, l_orderkey, l_linenumber""".stripMargin
+
+  // ----------------------------------------- q_fact_cumsum_grouped_dist
+  /** Grouped RANGE-frame running sum — the resolved DEFAULT frame of an
+    * ORDER BY window, where every order-peer (duplicate price) reports
+    * the sum through the END of its peer run. Exercises the operator's
+    * peer-run buffering (bounded by the widest tie, never the
+    * partition) on top of the grouped offsets; ties on `cents` are real
+    * in lineitem, and the result is deterministic BECAUSE the RANGE sum
+    * is tie-insensitive. Gate: the plain default-frame window oracle
+    * (DuckDB's ORDER BY-window default is the same RANGE frame). */
+  def qFactCumsumGroupedDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn(graft.plans.DistributedRankRewrite.NameMarker + "_gcs",
+        sum($"cents").over(Window.partitionBy($"l_returnflag")
+          .orderBy($"cents")))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
+        col(graft.plans.DistributedRankRewrite.NameMarker + "_gcs")
+          .as("run_cents"))
+      .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
+  }
+
+  private val qFactCumsumGroupedDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, cents,
+      |  CAST(sum(cents) OVER (PARTITION BY l_returnflag ORDER BY cents)
+      |    AS BIGINT) AS run_cents
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fact_rank" -> (qFactRank _),
     "q_fact_rank_dist" -> (qFactRankDist _),
+    "q_fact_rank_grouped_dist" -> (qFactRankGroupedDist _),
+    "q_fact_cumsum_dist" -> (qFactCumsumDist _),
+    "q_fact_cumsum_grouped_dist" -> (qFactCumsumGroupedDist _),
     "q_window_rownum"  -> (qWindowRownum _),
     "q_window_topk"    -> (qWindowTopk _),
     "q_topk_native"    -> (qTopkNative _),
@@ -346,6 +461,11 @@ object Windows {
     // row_number exactly — same oracle as q_fact_rank (operators proven
     // equal through the gate, the q_topk_native precedent)
     "q_fact_rank_dist" -> qFactRankSql,
+    // the r9 generalized operator shapes, each against the PLAIN window
+    // oracle — the custom physical execution must be invisible
+    "q_fact_rank_grouped_dist" -> qFactRankGroupedDistSql,
+    "q_fact_cumsum_dist" -> qFactCumsumDistSql,
+    "q_fact_cumsum_grouped_dist" -> qFactCumsumGroupedDistSql,
     "q_window_rownum"  -> qWindowRownumSql,
     "q_window_topk"    -> qWindowTopkSql,
     // the native-aggregate variant must reproduce the window result exactly
