@@ -86,11 +86,21 @@ object BandedRank {
     * inside the plan (vs an eager `df.stat.approxQuantile` action)
     * matters twice over: the helpers compose over DERIVED frames whose
     * re-execution an eager build-time job would pay serially per build,
-    * and Verify/Bench rebuild every query three times. */
+    * and Verify/Bench rebuild every query three times.
+    *
+    * Accuracy 1500 (vs the 10000 default) because boundaries only steer
+    * BAND BALANCE, never correctness (any monotone value→band map gives
+    * identical ranks): the GK rank error is ~n/1500 per boundary — an
+    * order under the n/buckets band width at the default 64 — while the
+    * sketch's per-partition state and merge cost drop proportionally
+    * (the sketch pass was the measured top cost of the banded family at
+    * sf0.1, not the band windows). BandedRankSpec's occupancy pin
+    * (≤ 3n/buckets under a heavy-tailed stretch) holds the balance
+    * claim. */
   private def cutsAgg(value: String, buckets: Int): Column =
     percentile_approx(col(value).cast("double"),
       lit((1 until buckets).map(_.toDouble / buckets).toArray),
-      lit(10000))
+      lit(1500))
 
   /** The band of `value` given the sketched boundary array in `cutsCol`
     * (a 1-row broadcast): the number of boundaries ≤ the value, via the
@@ -229,9 +239,12 @@ object BandedRank {
       .drop(b, s"${b}__rk", s"${b}__eq", off)
   }
 
-  /** Two [[avgRank2]] computations fused into one pipeline (round-8
-    * VERDICT item 8 — q_spearman's banding tax): ranks of `v1` and `v2`
-    * over the SAME rows share
+  /** Two [[avgRank2]] computations fused into one pipeline — the rank
+    * primitive for correlating TWO CONTINUOUS variables (both domains
+    * unbounded, so neither side qualifies for [[freqAvgRank2]]'s
+    * frequency-table shortcut; q_spearman itself pairs continuous spend
+    * with a discrete count and rides avgRank2 + freqAvgRank2 instead).
+    * Ranks of `v1` and `v2` over the SAME rows share
     *   - ONE quantile sketch aggregate (both boundary arrays from one
     *     scan, one 1-row broadcast);
     *   - ONE banding projection (both band columns in one pass);
@@ -245,6 +258,39 @@ object BandedRank {
     * (sketch, joint counts, main) versus ~3× per rank for the nested
     * sequential form whose second sketch/offset passes re-executed the
     * first rank's whole window pipeline. */
+  /** Append `out` = the exact 2-scaled average rank of a SMALL-DOMAIN
+    * `value` from its FREQUENCY TABLE — no fact-wide window or band
+    * machinery at all. A tie group of `cnt` rows with `less` rows
+    * strictly below occupies positions less+1 .. less+cnt, so
+    * `2·avgrank = 2·less + cnt + 1` (always integral): one
+    * map-side-combinable `groupBy(value).count()`, one prefix window
+    * over the O(distinct values) frequency table, one broadcast join
+    * back. NULL values rank first (the window NULLS FIRST default both
+    * rank helpers reproduce); the join is null-safe so they are kept.
+    *
+    * This is the companion shape to [[avgRank2]]: banded ranks serve
+    * unbounded continuous domains (spend — distinct values ≈ rows);
+    * this serves DISCRETE PER-ENTITY COUNTS (orders per customer, items
+    * per basket, tokens per doc bucket) whose distinct-value count
+    * grows like the maximum count, not the row count — the frequency
+    * table stays broadcastable at any fact scale. The contract is the
+    * caller's to honor; the reserved `__freqkey` grouping prefix is
+    * what WindowAuditSpec's structural pin accepts as a bounded
+    * aggregate under a partition-less window. */
+  def freqAvgRank2(df: DataFrame, value: String, out: String): DataFrame = {
+    val fk = s"__freqkey_$out"
+    val cnt = s"${fk}__cnt"
+    val less = s"${fk}__less"
+    val freq = df.select(col(value).as(fk))
+      .groupBy(col(fk)).agg(count(lit(1)).as(cnt))
+      .withColumn(less,
+        coalesce(sum(col(cnt)).over(Window.orderBy(col(fk))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    df.join(broadcast(freq), col(value) <=> col(fk))
+      .withColumn(out, lit(2) * col(less) + col(cnt) + 1)
+      .drop(fk, cnt, less)
+  }
+
   def avgRank2Pair(df: DataFrame, v1: String, out1: String,
                    v2: String, out2: String,
                    buckets: Int = DefaultBuckets): DataFrame = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatDot, KmvAgg, LevWithin, RollingHash, SpaceSavingAgg, TopKAgg, ValueBand}
+import graft.expressions.{FloatDot, KmvAgg, KmvMergeAgg, KmvSketchAgg, LevWithin, RollingHash, SpaceSavingAgg, TopKAgg, ValueBand}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -69,6 +69,12 @@ object GraftExtensions {
     (new FunctionIdentifier("kmv"),
       new ExpressionInfo(classOf[KmvAgg].getName, "kmv"),
       checkArity("kmv", 2)(c => KmvAgg(c(0), c(1)))),
+    (new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      checkArity("kmv_sketch", 2)(c => KmvSketchAgg(c(0), c(1)))),
+    (new FunctionIdentifier("kmv_merge"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "kmv_merge"),
+      checkArity("kmv_merge", 2)(c => KmvMergeAgg(c(0), c(1)))),
     (new FunctionIdentifier("spacesaving"),
       new ExpressionInfo(classOf[SpaceSavingAgg].getName, "spacesaving"),
       checkArity("spacesaving", 2)(c => SpaceSavingAgg(c(0), c(1)))),

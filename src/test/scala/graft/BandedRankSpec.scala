@@ -177,6 +177,20 @@ class BandedRankSpec extends AnyFunSuite {
     assert(collectSorted(fused) == collectSorted(window))
   }
 
+  test("freqAvgRank2 == the avg-rank window formulation, ties and NULLs included") {
+    // small discrete domain with heavy ties + NULLs (NULLS FIRST both
+    // formulations); 2-scaled midranks must match exactly
+    val df = fixture(600, 25).withColumn("u",
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise(abs(hash(concat(lit("u"), col("id")))) % 9).cast("long"))
+    val freq = BandedRank.freqAvgRank2(df, "u", "r2u")
+    val window = df.withColumn("r2u",
+      (lit(2) * rank().over(Window.orderBy(col("u")))
+        + count(lit(1)).over(Window.partitionBy(col("u"))) - 1).cast("long"))
+    assert(collectSorted(freq) == collectSorted(window))
+    assert(freq.count() == df.count(), "null-safe join must keep NULL rows")
+  }
+
   test("rowNumber is a 1..n permutation and shuffle-width invariant") {
     val df = fixture(1000, 50)
     val a = BandedRank.rowNumber(df, "v", Seq("id"), "rn")

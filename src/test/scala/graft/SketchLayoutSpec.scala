@@ -40,6 +40,41 @@ class SketchLayoutSpec extends AnyFunSuite {
     assert(sketch(1) == sketch(8))
   }
 
+  test("kmv_sketch value is the sorted k distinct minima; kmv_merge of " +
+       "grouped sketches equals the one-pass sketch of the full stream") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val hashExpr = "cast(conv(substring(md5(cast(v as string)), 1, 8), 16, 10) as bigint)"
+    // below k with duplicates: the sketch IS the sorted distinct hash set
+    val small = (1 to 80).map(i => i % 40).toDF("v")
+    val arr = small.selectExpr(s"kmv_sketch($hashExpr, 64) AS sk")
+      .selectExpr("sk").as[Seq[Long]].head()
+    val exact = small.select(expr(hashExpr).as("h")).distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(arr == exact)
+    // the union property the serving path rests on: merging per-group
+    // sketches == sketching the concatenated raw stream (and both equal
+    // KmvAgg's (n_kept, kth) summary of the same stream)
+    val big = (1 to 5000).map(i => (i % 17, i)).toDF("g", "v")
+    val onePass = big.selectExpr(s"kmv_sketch($hashExpr, 64) AS sk")
+      .selectExpr("sk").as[Seq[Long]].head()
+    val merged = big.groupBy($"g")
+      .agg(expr(s"kmv_sketch($hashExpr, 64)").as("sk"))
+      .agg(expr("kmv_merge(sk, 64)").as("m"))
+      .selectExpr("m").as[Seq[Long]].head()
+    assert(merged == onePass)
+    assert(onePass.length == 64 && onePass == onePass.sorted)
+    val summary = big.selectExpr(s"kmv($hashExpr, 64) AS sk")
+      .selectExpr("sk.n_kept", "sk.kth").as[(Int, Long)].head()
+    assert(summary == ((onePass.length, onePass.last)))
+    // conditional-merge idiom skips NULL sketch rows instead of failing
+    val cond = big.groupBy($"g")
+      .agg(expr(s"kmv_sketch($hashExpr, 64)").as("sk"))
+      .agg(expr("kmv_merge(CASE WHEN g < 0 THEN sk END, 64)").as("m"))
+      .selectExpr("size(m)").as[Int].head()
+    assert(cond == 0)
+  }
+
   test("kmv estimate lands within the ~1/sqrt(k) error regime") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)

@@ -47,7 +47,7 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_lorenz_curve"    -> "band-offset + 10-row decile cumsum",
     "q_palma_ratio"     -> "band-offset (BandedRank.rowNumber)",
     "q_trimmed_mean"    -> "band-offset (BandedRank.rowNumber)",
-    "q_spearman"        -> "2× band-offset (BandedRank.avgRank2)",
+    "q_spearman"        -> "band-offset (avgRank2) + O(distinct counts) freq prefix (freqAvgRank2)",
     "q_psm_match"       -> "band handoff prefix/suffix over O(bands) table",
     "q_funnel_ttc"      -> "band-offset (BandedRank.rowNumber)",
     // (q_quantile_sketch / q_winsorize left the list in r8: their shared
@@ -102,7 +102,10 @@ class WindowAuditSpec extends AnyFunSuite {
     * (or the 10-value decile) key before the window runs. */
   private val boundedGroupKeys: Set[String] = Set("b", "band", "bucket", "decile")
   private def isBoundedKey(n: String): Boolean =
-    n.startsWith("__band") || boundedGroupKeys(n)
+    // __freqkey = BandedRank.freqAvgRank2's frequency table: grouped on a
+    // small-domain value (the helper's documented contract), O(distinct
+    // values) rows under the prefix window
+    n.startsWith("__band") || n.startsWith("__freqkey") || boundedGroupKeys(n)
 
   private def staticPlan(name: String): SparkPlan = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
