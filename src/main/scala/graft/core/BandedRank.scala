@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Decomposition (identical to q_fact_rank):
   *   1. one LAZY sketch aggregate computes EQUI-DEPTH band boundaries —
-  *      the (1/buckets, 2/buckets, ...) approximate quantiles of the
-  *      value (`percentile_approx`, a single distributed
-  *      Greenwald–Khanna pass), broadcast as the house 1-row frame;
+  *      the (1/buckets, 2/buckets, ...) quantiles of a bounded
+  *      bottom-k-by-hash uniform sample of the value
+  *      ([[graft.expressions.BoundarySketchAgg]], a single distributed
+  *      pass whose saturated per-row cost is one hash compare),
+  *      broadcast as the house 1-row frame;
   *   2. every row maps to a band = the number of boundaries ≤ its value
   *      — the native codegen'd [[graft.expressions.ValueBand]] binary
   *      search, order-preserving by construction (the band is a
@@ -64,9 +66,9 @@ object BandedRank {
     * the `ASC NULLS FIRST` default of the windows they replace instead
     * of silently dropping null rows at the offset join (review finding).
     *
-    * Boundaries come from one lazy `percentile_approx` aggregate
-    * broadcast as the house 1-row frame ([[cutsAgg]]); the band lookup
-    * is the native [[graft.expressions.ValueBand]] binary search
+    * Boundaries come from one lazy SAMPLED boundary-sketch aggregate
+    * broadcast as the house 1-row frame ([[sampleCuts]]); the band
+    * lookup is the native [[graft.expressions.ValueBand]] binary search
     * ([[bandExpr]]), so the hot path stays codegen'd. Comparing through
     * a `double` cast is safe: the cast is monotone, and any precision
     * collapse merely merges adjacent bands (band stays a function of
@@ -74,33 +76,53 @@ object BandedRank {
   def withValueBand(df: DataFrame, value: String, bCol: String,
                     buckets: Int = DefaultBuckets): DataFrame = {
     val cutsCol = s"${bCol}__cuts"
-    val agg = df.agg(cutsAgg(value, buckets).as(cutsCol))
+    val agg = sampleCuts(df, Seq(value -> cutsCol), buckets)
     df.crossJoin(broadcast(agg))
       .withColumn(bCol, bandExpr(value, cutsCol))
       .drop(cutsCol)
   }
 
-  /** The equi-depth boundary sketch as a LAZY aggregate column: the
-    * (1/buckets .. (buckets-1)/buckets) approximate quantiles of the
-    * value, one `percentile_approx` (Greenwald–Khanna) pass. Staying
+  /** The equi-depth boundary sketch as a LAZY 1-row aggregate frame, one
+    * output array per `(value, outCol)` pair from a single pass. Staying
     * inside the plan (vs an eager `df.stat.approxQuantile` action)
     * matters twice over: the helpers compose over DERIVED frames whose
     * re-execution an eager build-time job would pay serially per build,
     * and Verify/Bench rebuild every query three times.
     *
-    * Accuracy 1500 (vs the 10000 default) because boundaries only steer
-    * BAND BALANCE, never correctness (any monotone value→band map gives
-    * identical ranks): the GK rank error is ~n/1500 per boundary — an
-    * order under the n/buckets band width at the default 64 — while the
-    * sketch's per-partition state and merge cost drop proportionally
-    * (the sketch pass was the measured top cost of the banded family at
-    * sf0.1, not the band windows). BandedRankSpec's occupancy pin
-    * (≤ 3n/buckets under a heavy-tailed stretch) holds the balance
-    * claim. */
-  private def cutsAgg(value: String, buckets: Int): Column =
-    percentile_approx(col(value).cast("double"),
-      lit((1 until buckets).map(_.toDouble / buckets).toArray),
-      lit(1500))
+    * Round-9 VERDICT item 1: this was a full-input `percentile_approx`
+    * (Greenwald–Khanna) pass — per-row sketch state over the ENTIRE
+    * input, the measured top cost of the banded family at sf0.1. Now it
+    * is the native [[graft.expressions.BoundarySketchAgg]]: a bounded
+    * bottom-k-by-hash uniform sample (k = 8192) whose saturated-regime
+    * per-row cost is one xxhash64 plus one compare, with boundaries
+    * EXACT below k rows. Boundaries only steer BAND BALANCE, never
+    * correctness (any monotone value→band map gives identical ranks), so
+    * the sampling error — ~0.6% of mass per boundary, an order under the
+    * n/buckets band width at the default 64 — is invisible in results;
+    * BandedRankSpec's occupancy pin (≤ 3n/buckets under a heavy-tailed
+    * stretch) holds the balance claim. The per-row nonce
+    * (`monotonically_increasing_id`, a Project — legal placement for a
+    * nondeterministic expression) keeps the sample MASS-weighted under
+    * duplicate values; it makes the sampled BANDS partition-layout-
+    * dependent, but never the results (the monotone-map invariant —
+    * BandedRankSpec's shuffle-width case pins it). */
+  private def sampleCuts(df: DataFrame, pairs: Seq[(String, String)],
+                         buckets: Int): DataFrame = {
+    // hash in the PROJECT, not inside the aggregate: the projection is
+    // whole-stage-codegen'd, so the aggregate's interpreted update() only
+    // reads two bound columns per row instead of re-evaluating xxhash64
+    val proj = df
+      .select(pairs.map { case (v, _) =>
+        col(v).cast("double").as(s"__bs_$v") }: _*)
+      .withColumn("__bs_nonce", monotonically_increasing_id())
+      .select(pairs.map { case (v, _) => col(s"__bs_$v") } ++
+        pairs.map { case (v, _) =>
+          xxhash64(col(s"__bs_$v"), col("__bs_nonce")).as(s"__bs_h_$v") }: _*)
+    val aggs = pairs.map { case (v, out) =>
+      expr(s"boundary_sketch(`__bs_$v`, `__bs_h_$v`, $buckets)").as(out)
+    }
+    proj.agg(aggs.head, aggs.tail: _*)
+  }
 
   /** The band of `value` given the sketched boundary array in `cutsCol`
     * (a 1-row broadcast): the number of boundaries ≤ the value, via the
@@ -111,7 +133,9 @@ object BandedRank {
     * (empty input) coalesces every row into band 0, preserving the
     * all-equal/empty degenerate behavior of the fixed-width form.
     * Monotone in the value by construction; duplicate boundaries
-    * (heavy-duplicate domains) merely skip band ids. */
+    * (heavy-duplicate domains) merely skip band ids. The boundary array
+    * is sorted ascending and null-free (the `boundary_sketch` output
+    * satisfies both — `value_band`'s contract). */
   private def bandExpr(value: String, cutsCol: String): Column =
     when(col(value).isNull, lit(-1L))
       .otherwise(coalesce(
@@ -239,25 +263,6 @@ object BandedRank {
       .drop(b, s"${b}__rk", s"${b}__eq", off)
   }
 
-  /** Two [[avgRank2]] computations fused into one pipeline — the rank
-    * primitive for correlating TWO CONTINUOUS variables (both domains
-    * unbounded, so neither side qualifies for [[freqAvgRank2]]'s
-    * frequency-table shortcut; q_spearman itself pairs continuous spend
-    * with a discrete count and rides avgRank2 + freqAvgRank2 instead).
-    * Ranks of `v1` and `v2` over the SAME rows share
-    *   - ONE quantile sketch aggregate (both boundary arrays from one
-    *     scan, one 1-row broadcast);
-    *   - ONE banding projection (both band columns in one pass);
-    *   - ONE joint `(b1, b2)` count aggregate (≤ buckets² rows) from
-    *     which BOTH O(buckets) offset tables derive — the per-value
-    *     offset scans of the sequential form collapse into a single
-    *     map-side-combinable pass over the input.
-    * The two band-partitioned window sorts remain — ranking two
-    * different columns is two sort orders, irreducibly — but they chain
-    * in one pipeline, so the input is scanned three times total
-    * (sketch, joint counts, main) versus ~3× per rank for the nested
-    * sequential form whose second sketch/offset passes re-executed the
-    * first rank's whole window pipeline. */
   /** Append `out` = the exact 2-scaled average rank of a SMALL-DOMAIN
     * `value` from its FREQUENCY TABLE — no fact-wide window or band
     * machinery at all. A tie group of `cnt` rows with `less` rows
@@ -291,6 +296,26 @@ object BandedRank {
       .drop(fk, cnt, less)
   }
 
+  /** Two [[avgRank2]] computations fused into one pipeline — the rank
+    * primitive for correlating TWO CONTINUOUS variables (both domains
+    * unbounded, so neither side qualifies for [[freqAvgRank2]]'s
+    * frequency-table shortcut; q_spearman_balance rides this, while
+    * q_spearman pairs continuous spend with a discrete count and rides
+    * avgRank2 + freqAvgRank2 instead). Ranks of `v1` and `v2` over the
+    * SAME rows share
+    *   - ONE boundary-sketch aggregate (both sampled boundary arrays
+    *     from one scan, one 1-row broadcast);
+    *   - ONE banding projection (both band columns in one pass);
+    *   - ONE joint `(b1, b2)` count aggregate (≤ buckets² rows) from
+    *     which BOTH O(buckets) offset tables derive — the per-value
+    *     offset scans of the sequential form collapse into a single
+    *     map-side-combinable pass over the input.
+    * The two band-partitioned window sorts remain — ranking two
+    * different columns is two sort orders, irreducibly — but they chain
+    * in one pipeline, so the input is scanned three times total
+    * (sketch, joint counts, main) versus ~3× per rank for the nested
+    * sequential form whose second sketch/offset passes re-executed the
+    * first rank's whole window pipeline. */
   def avgRank2Pair(df: DataFrame, v1: String, out1: String,
                    v2: String, out2: String,
                    buckets: Int = DefaultBuckets): DataFrame = {
@@ -298,7 +323,7 @@ object BandedRank {
     val b2 = s"__band_$out2"
     val c1 = s"${b1}__cuts"
     val c2 = s"${b2}__cuts"
-    val agg = df.agg(cutsAgg(v1, buckets).as(c1), cutsAgg(v2, buckets).as(c2))
+    val agg = sampleCuts(df, Seq(v1 -> c1, v2 -> c2), buckets)
     val banded = df.crossJoin(broadcast(agg))
       .withColumn(b1, bandExpr(v1, c1))
       .withColumn(b2, bandExpr(v2, c2))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatDot, KmvAgg, KmvMergeAgg, KmvSketchAgg, LevWithin, RollingHash, SpaceSavingAgg, TopKAgg, ValueBand}
+import graft.expressions.{BoundarySketchAgg, FloatDot, KmvAgg, KmvMergeAgg, KmvSketchAgg, LevWithin, RollingHash, SpaceSavingAgg, TopKAgg, ValueBand}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -80,7 +80,11 @@ object GraftExtensions {
       checkArity("spacesaving", 2)(c => SpaceSavingAgg(c(0), c(1)))),
     (new FunctionIdentifier("value_band"),
       new ExpressionInfo(classOf[ValueBand].getName, "value_band"),
-      checkArity("value_band", 2)(c => ValueBand(c(0), c(1)))))
+      checkArity("value_band", 2)(c => ValueBand(c(0), c(1)))),
+    (new FunctionIdentifier("boundary_sketch"),
+      new ExpressionInfo(classOf[BoundarySketchAgg].getName, "boundary_sketch"),
+      checkArity("boundary_sketch", 3)(c =>
+        BoundarySketchAgg(c(0), c(1), c(2)))))
 
   /** Register on an already-built session (the Verify/Bench path, where
     * spark.sql.extensions can't be set post-hoc). */

