@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
 /** K-Minimum-Values distinct-count sketch: `kmv(hash, k)` keeps the k
   * SMALLEST distinct hash values seen and returns
   * `struct(n_kept int, kth bigint)` — enough to estimate the distinct
-  * count as `(k-1) · 2³² / kth` when the sketch is full (`n_kept = k`),
+  * count as `(k-1) · 2⁶⁰ / kth` when the sketch is full (`n_kept = k`;
+  * call sites hash into a 60-bit domain — 15 md5 hex digits),
   * and EXACTLY `n_kept` when it never filled (fewer than k distinct
   * hashes → the sketch IS the distinct set).
   *

@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   * SketchesSpec pins. Consequently the standard KMV guarantees carry
   * over unchanged: if the merged sketch holds fewer than k values, every
   * contributor was unsaturated and the sketch IS the exact distinct set;
-  * otherwise the usual `(k−1)·2³² / kth` estimator applies (same
+  * otherwise the usual `(k−1)·2⁶⁰ / kth` estimator applies (same
   * arithmetic as [[KmvAgg]], ~1/√k error, Bar-Yossef et al. 2002).
   *
   * Scale shape: this is the SERVING path for sliding-window distincts

@@ -59,22 +59,22 @@ object SketchDistinctRewrite extends Rule[LogicalPlan] {
         case ae @ AggregateExpression(c: Count, _, true, None, _)
             if c.children.size == 1 && supported(c.children.head.dataType) =>
           val x = c.children.head
-          // the shared hash recipe: first 8 md5 hex digits as a uniform
-          // 32-bit value (identical to Sketches.qKmvDistinct, so a flipped
+          // the shared hash recipe: first 15 md5 hex digits as a uniform
+          // 60-bit value (identical to Sketches.qKmvDistinct, so a flipped
           // session estimates exactly what the gated query estimates)
           // post-analysis rule: no implicit casts happen here, so the md5
           // input must be BINARY explicitly (string → utf8 bytes, the same
           // coercion the analyzer inserts for md5(string))
           val hash = Cast(Conv(Substring(
             Md5(Cast(Cast(x, StringType), BinaryType)),
-            Literal(1), Literal(8)), Literal(16), Literal(10)), LongType)
+            Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
           val sk = ae.copy(aggregateFunction = KmvAgg(hash, Literal(K)),
             isDistinct = false)
           val nKept = Cast(GetStructField(sk, 0, Some("n_kept")), LongType)
           val kth = GetStructField(sk, 1, Some("kth"))
           If(LessThan(nKept, Literal(K.toLong)),
             nKept,
-            Cast(Divide(Literal((K - 1).toDouble * 4294967296.0),
+            Cast(Divide(Literal((K - 1).toDouble * 1152921504606846976.0),
               Cast(kth, DoubleType)), LongType))
       }
     }

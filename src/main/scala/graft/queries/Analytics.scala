@@ -1437,7 +1437,7 @@ object Analytics {
     val K = 64
     val daily = Tables.events(s, dir)
       .select(expr("unix_micros(ts) div 86400000000").as("d"),
-        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8)," +
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
           " 16, 10) as bigint)").as("hv"))
       .groupBy($"d")
       .agg(expr(s"kmv_sketch(hv, $K)").as("sk"))
@@ -1446,7 +1446,8 @@ object Analytics {
       .filter($"d" > $"mx" - 30).select($"d".as("rd"))
     def estA(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(size(c) < K, size(c).cast("double"))
-        .otherwise(lit((K - 1).toDouble * 4294967296.0) / element_at(c, K))
+        .otherwise(lit((K - 1).toDouble * 1152921504606846976.0)
+          / element_at(c, K))
     broadcast(report).join(daily, $"d" > $"rd" - 30 && $"d" <= $"rd")
       .groupBy($"rd")
       .agg(
@@ -1472,10 +1473,10 @@ object Analytics {
          |  WHERE rn <= 64 GROUP BY rd)""".stripMargin
     def est(t: String) =
       s"CASE WHEN $t.n < 64 THEN CAST($t.n AS DOUBLE)" +
-        s" ELSE 63.0 * 4294967296.0 / $t.kth END"
+        s" ELSE 63.0 * 1152921504606846976.0 / $t.kth END"
     s"""WITH ev AS (
        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
-       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
        |      AS hv
        |  FROM events),
        |daily AS (

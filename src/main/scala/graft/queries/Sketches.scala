@@ -30,7 +30,7 @@ object Sketches {
     * n_kept/kth columns. */
   private def kmvEst(sk: String): org.apache.spark.sql.Column =
     when(col(s"$sk.n_kept") < K, col(s"$sk.n_kept").cast("double"))
-      .otherwise(lit((K - 1).toDouble * 4294967296.0) / col(s"$sk.kth"))
+      .otherwise(lit((K - 1).toDouble * 1152921504606846976.0) / col(s"$sk.kth"))
 
   // -------------------------------------------------------- q_kmv_distinct
   /** KMV (k-minimum-values) distinct-count estimate vs the exact count,
@@ -39,11 +39,16 @@ object Sketches {
     * rel_err column prices the sketch width k before committing the full
     * pass.
     *
-    * hash = first 8 md5 hex digits of the key as a uniform 32-bit value;
-    * estimate = (k−1)·2³² / (k-th smallest distinct hash) when the sketch
+    * hash = first 15 md5 hex digits of the key as a uniform 60-BIT value
+    * (widened from 32 bits, round-9 VERDICT item 3: at 10⁸–10⁹ true
+    * distincts, birthday collisions in a 2³² space bias the estimate low
+    * and saturate the sketch; 2⁶⁰ pushes the same collision mass out past
+    * ~10¹³ keys while still fitting signed BIGINT on both engines);
+    * estimate = (k−1)·2⁶⁰ / (k-th smallest distinct hash) when the sketch
     * filled, else exactly the kept count. All estimator arithmetic is one
     * division of identical integers on both engines → bit-identical
-    * doubles, no rounding needed anywhere.
+    * doubles, no rounding needed anywhere (63·2⁶⁰ is a power-of-two
+    * multiple of a 6-bit integer — exact in a double).
     *
     * Scale shape: the native `kmv` aggregate (graft.expressions.KmvAgg)
     * is map-side combinable — each mapper reduces its share of a group to
@@ -60,7 +65,7 @@ object Sketches {
       .groupBy($"l_returnflag".as("flag"))
       .agg(
         countDistinct($"l_partkey").as("n_exact"),
-        expr(s"kmv(cast(conv(substring(md5(cast(l_partkey as string)), 1, 8)," +
+        expr(s"kmv(cast(conv(substring(md5(cast(l_partkey as string)), 1, 15)," +
           s" 16, 10) as bigint), $K)").as("sk"))
       .select($"flag", $"n_exact", est.as("n_est"),
         (abs(est - $"n_exact") / $"n_exact").as("rel_err"))
@@ -70,7 +75,7 @@ object Sketches {
   private val qKmvDistinctSql =
     s"""WITH h AS (
        |  SELECT DISTINCT l_returnflag AS flag,
-       |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
        |  FROM lineitem),
        |r AS (
        |  SELECT flag, hv,
@@ -87,7 +92,7 @@ object Sketches {
        |est AS (
        |  SELECT ex.flag, ex.n_exact,
        |    CASE WHEN sk.nh < $K THEN CAST(least(sk.nh, $K) AS DOUBLE)
-       |         ELSE ${K - 1}.0 * 4294967296.0 / sk.kth END AS n_est
+       |         ELSE ${K - 1}.0 * 1152921504606846976.0 / sk.kth END AS n_est
        |  FROM ex JOIN sk USING (flag))
        |SELECT flag, n_exact, n_est,
        |  abs(n_est - n_exact) / n_exact AS rel_err
@@ -195,7 +200,7 @@ object Sketches {
   private val qAqpDistinctSql =
     s"""WITH h AS (
        |  SELECT DISTINCT l_returnflag AS flag,
-       |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
        |  FROM lineitem),
        |r AS (
        |  SELECT flag, hv,
@@ -208,7 +213,7 @@ object Sketches {
        |  FROM r GROUP BY flag)
        |SELECT flag,
        |  CASE WHEN nh < $K THEN nh
-       |       ELSE CAST(floor(${K - 1}.0 * 4294967296.0 / kth) AS BIGINT)
+       |       ELSE CAST(floor(${K - 1}.0 * 1152921504606846976.0 / kth) AS BIGINT)
        |  END AS n_est
        |FROM sk ORDER BY flag""".stripMargin
 
@@ -249,7 +254,7 @@ object Sketches {
       else c
     val aggs = cols.flatMap { c =>
       Seq((count(lit(1)) - count(col(c))).as(s"${c}__nn"),
-        expr(s"kmv(cast(conv(substring(md5(${rendered(c)}), 1, 8), 16, 10)" +
+        expr(s"kmv(cast(conv(substring(md5(${rendered(c)}), 1, 15), 16, 10)" +
           s" as bigint), $K)").as(s"${c}__sk"))
     } ++ profNumeric.flatMap { c =>
       Seq(min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx"))
@@ -265,7 +270,7 @@ object Sketches {
       "AS (col_name, n_null, n_kept, kth, min_v, max_v)")
       .withColumn("n_distinct_est",
         when($"n_kept" < K, $"n_kept".cast("double"))
-          .otherwise(lit((K - 1).toDouble * 4294967296.0) / $"kth"))
+          .otherwise(lit((K - 1).toDouble * 1152921504606846976.0) / $"kth"))
       .select($"col_name", $"n_null", $"n_distinct_est", $"min_v", $"max_v")
       .orderBy($"col_name")
   }
@@ -276,7 +281,7 @@ object Sketches {
       else c
     val ctes = (profNumeric ++ profStrings).map { c =>
       s"""h_$c AS (
-         |  SELECT DISTINCT ('0x' || substr(md5(${rendered(c)}), 1, 8))::BIGINT AS hv
+         |  SELECT DISTINCT ('0x' || substr(md5(${rendered(c)}), 1, 15))::BIGINT AS hv
          |  FROM lineitem WHERE $c IS NOT NULL),
          |sk_$c AS (
          |  SELECT max(CASE WHEN rn = $K THEN hv END) AS kth, max(nh) AS nh
@@ -285,7 +290,7 @@ object Sketches {
     }
     def estOf(c: String) =
       s"""(SELECT CASE WHEN nh < $K THEN CAST(nh AS DOUBLE)
-         |     ELSE ${K - 1}.0 * 4294967296.0 / kth END FROM sk_$c)""".stripMargin
+         |     ELSE ${K - 1}.0 * 1152921504606846976.0 / kth END FROM sk_$c)""".stripMargin
     val arms = profNumeric.map { c =>
       s"""SELECT '$c' AS col_name,
          |  (SELECT count(*) - count($c) FROM lineitem) AS n_null,
@@ -540,7 +545,7 @@ object Sketches {
         max(when(year($"o_orderdate") === 1998, 1).otherwise(0)).as("b"))
       .filter($"a" === 1 || $"b" === 1)
       .withColumn("hv", expr(
-        "cast(conv(substring(md5(cast(k as string)), 1, 8), 16, 10) as bigint)"))
+        "cast(conv(substring(md5(cast(k as string)), 1, 15), 16, 10) as bigint)"))
     def est(sk: String) = kmvEst(sk)
     flags.agg(
       count(when($"a" === 1, 1)).as("n_a_exact"),
@@ -566,10 +571,10 @@ object Sketches {
          |  FROM h_$name)""".stripMargin
     def est(name: String) =
       s"""(SELECT CASE WHEN nh < $K THEN CAST(nh AS DOUBLE)
-         |   ELSE ${K - 1}.0 * 4294967296.0 / kth END FROM sk_$name)""".stripMargin
+         |   ELSE ${K - 1}.0 * 1152921504606846976.0 / kth END FROM sk_$name)""".stripMargin
     s"""WITH flags AS (
        |  SELECT k, a, b,
-       |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS hv
        |  FROM (
        |    SELECT o_custkey AS k,
        |      max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS a,
@@ -607,7 +612,7 @@ object Sketches {
       .groupBy(date_trunc("hour", $"ts").as("window_start"))
       .agg(
         countDistinct($"user_id").as("n_exact"),
-        expr(s"kmv(cast(conv(substring(md5(cast(user_id as string)), 1, 8)," +
+        expr(s"kmv(cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
           s" 16, 10) as bigint), $K)").as("sk"))
       .select($"window_start", $"n_exact", est.as("n_est"),
         (abs(est - $"n_exact") / $"n_exact").as("rel_err"))
@@ -617,7 +622,7 @@ object Sketches {
   private val qWindowKmvSql =
     s"""WITH h AS (
        |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
-       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
        |  FROM events),
        |r AS (
        |  SELECT w, hv,
@@ -633,9 +638,9 @@ object Sketches {
        |  FROM events GROUP BY 1)
        |SELECT ex.w AS window_start, ex.n_exact,
        |  CASE WHEN sk.nh < $K THEN CAST(sk.nh AS DOUBLE)
-       |       ELSE ${K - 1}.0 * 4294967296.0 / sk.kth END AS n_est,
+       |       ELSE ${K - 1}.0 * 1152921504606846976.0 / sk.kth END AS n_est,
        |  abs(CASE WHEN sk.nh < $K THEN CAST(sk.nh AS DOUBLE)
-       |       ELSE ${K - 1}.0 * 4294967296.0 / sk.kth END - n_exact) / n_exact
+       |       ELSE ${K - 1}.0 * 1152921504606846976.0 / sk.kth END - n_exact) / n_exact
        |    AS rel_err
        |FROM ex JOIN sk ON ex.w = sk.w
        |ORDER BY window_start""".stripMargin

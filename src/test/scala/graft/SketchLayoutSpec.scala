@@ -26,7 +26,7 @@ class SketchLayoutSpec extends AnyFunSuite {
   test("kmv is exact below k and merge-invariant across partitionings") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
-    val hashExpr = "cast(conv(substring(md5(cast(v as string)), 1, 8), 16, 10) as bigint)"
+    val hashExpr = "cast(conv(substring(md5(cast(v as string)), 1, 15), 16, 10) as bigint)"
     // 40 distinct values < k=64: the sketch IS the distinct set
     val small = (1 to 40).map(i => i % 40).toDF("v")
     val r = small.selectExpr(s"kmv($hashExpr, 64) AS sk")
@@ -44,7 +44,7 @@ class SketchLayoutSpec extends AnyFunSuite {
        "grouped sketches equals the one-pass sketch of the full stream") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
-    val hashExpr = "cast(conv(substring(md5(cast(v as string)), 1, 8), 16, 10) as bigint)"
+    val hashExpr = "cast(conv(substring(md5(cast(v as string)), 1, 15), 16, 10) as bigint)"
     // below k with duplicates: the sketch IS the sorted distinct hash set
     val small = (1 to 80).map(i => i % 40).toDF("v")
     val arr = small.selectExpr(s"kmv_sketch($hashExpr, 64) AS sk")
@@ -78,15 +78,38 @@ class SketchLayoutSpec extends AnyFunSuite {
   test("kmv estimate lands within the ~1/sqrt(k) error regime") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
-    val hashExpr = "cast(conv(substring(md5(cast(v as string)), 1, 8), 16, 10) as bigint)"
+    val hashExpr = "cast(conv(substring(md5(cast(v as string)), 1, 15), 16, 10) as bigint)"
     val n = 5000
     val (kept, kth) = (1 to n).toDF("v")
       .selectExpr(s"kmv($hashExpr, 64) AS sk")
       .selectExpr("sk.n_kept", "sk.kth").as[(Int, Long)].head()
     assert(kept == 64)
-    val est = 63.0 * 4294967296.0 / kth
+    val est = 63.0 * 1152921504606846976.0 / kth
     // 1/sqrt(64) = 12.5% standard error; allow 4 sigma
     assert(math.abs(est - n) / n < 0.5, s"estimate $est vs exact $n")
+  }
+
+  /** Round-9 VERDICT item 3: the KMV hash domain is 60-bit (15 md5 hex
+    * chars), widened from 32-bit. Collision budget: among n true
+    * distincts the expected number of colliding pairs is ~n²/2⁶¹ —
+    * at n = 10⁹ (the DAU/MAU serving path's target) that is ~4·10⁻⁴
+    * expected collisions vs ~10⁸ in the old 2³² space (where the sketch
+    * saturates outright past ~2³² keys and estimates bias low). This
+    * case proves the domain is actually wide: kth scales to 2⁶⁰, i.e.
+    * lands far past the old 2³² ceiling, and the estimator uses the
+    * matching 2⁶⁰ scale. */
+  test("kmv hashes occupy the 60-bit domain, not the old 32-bit one") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val hashExpr = "cast(conv(substring(md5(cast(v as string)), 1, 15), 16, 10) as bigint)"
+    val (kept, kth) = (1 to 5000).toDF("v")
+      .selectExpr(s"kmv($hashExpr, 64) AS sk")
+      .selectExpr("sk.n_kept", "sk.kth").as[(Int, Long)].head()
+    assert(kept == 64)
+    // expected kth ≈ (64/5000)·2⁶⁰ ≈ 1.5e16 — astronomically above 2³²;
+    // under the old 8-hex-digit hash kth could never exceed 2³²
+    assert(kth > (1L << 32), s"kth=$kth still looks 32-bit")
+    assert(kth < (1L << 60), s"kth=$kth outside the 60-bit domain")
   }
 
   test("q_kmv_distinct: exact column is truly exact, estimate within rel_err") {

@@ -41,10 +41,10 @@ class SketchRewriteSpec extends AnyFunSuite {
     val expected = graft.core.Tables.lineitem(spark, sfDir)
       .groupBy($"l_returnflag")
       .agg(expr("kmv(cast(conv(substring(md5(cast(l_partkey as string))," +
-        " 1, 8), 16, 10) as bigint), 64)").as("sk"))
+        " 1, 15), 16, 10) as bigint), 64)").as("sk"))
       .select($"l_returnflag",
         when($"sk.n_kept" < 64, $"sk.n_kept".cast("long"))
-          .otherwise((lit(63.0 * 4294967296.0) / $"sk.kth").cast("long"))
+          .otherwise((lit(63.0 * 1152921504606846976.0) / $"sk.kth").cast("long"))
           .as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx == expected, "rewrite must equal the explicit kmv formulation")
@@ -87,10 +87,10 @@ class SketchRewriteSpec extends AnyFunSuite {
     // COUNT(DISTINCT)'s null semantics — same arithmetic, built explicitly
     val expected = li
       .agg(expr("kmv(cast(conv(substring(md5(cast(" +
-        "case when l_quantity > 25 then l_partkey end as string)), 1, 8)," +
+        "case when l_quantity > 25 then l_partkey end as string)), 1, 15)," +
         " 16, 10) as bigint), 64)").as("sk"))
       .select(when($"sk.n_kept" < 64, $"sk.n_kept".cast("long"))
-        .otherwise((lit(63.0 * 4294967296.0) / $"sk.kth").cast("long")))
+        .otherwise((lit(63.0 * 1152921504606846976.0) / $"sk.kth").cast("long")))
       .collect()(0).getLong(0)
     assert(approx == expected)
   }
