@@ -3,13 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, Expression, GenericInternalRow, JoinedRow, NamedExpression, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, NamedExpression, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** The (c)-tier operator extension: partition-less
   * `row_number() OVER (ORDER BY ...)` executed as a DISTRIBUTED
@@ -74,27 +74,34 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
       newChild: LogicalPlan): DistributedGlobalRank = copy(child = newChild)
 }
 
-/** The rewrite: a naive `row_number()` / running-`sum` window becomes a
-  * distributed-window node. Two triggers:
-  *  - session-wide: `spark.graft.distributedRank=true` (every matching
-  *    window in the session rewrites — the AQP-dial shape of
-  *    [[SketchDistinctRewrite]]);
+/** The rewrite: a naive window becomes a distributed-window node. Two
+  * triggers with DIFFERENT scopes (r9 ADVICE: a session flag must not
+  * turn working queries into runtime failures):
+  *  - session-wide `spark.graft.distributedRank=true` rewrites GLOBAL
+  *    (empty partition spec) windows only — those are exactly the
+  *    single-task WindowExec plans, so the swap is always a win and the
+  *    per-partition group-stat budget cannot trip (one group);
   *  - per-query: a window column NAMED `__dist_rank` or
   *    `__dist_rank_<suffix>` (exact name or the reserved `_`-separated
   *    prefix — a bare `startsWith` would let an unrelated user column
-  *    like `__dist_rankings` swap physical execution; r8 ADVICE) — the
-  *    marker survives inside the plan itself, so EVERY QueryExecution
-  *    built over it (including the fresh one a `df.write` constructs)
-  *    rewrites deterministically without flipping session state for
-  *    neighboring queries.
-  * Supported window-expression shapes (r9 — r8 shipped the global
-  * row_number only):
-  *  - `row_number()` over any partition spec (RowNumber ignores its
-  *    frame, so any frame matches);
-  *  - `sum(expr)` over `ROWS|RANGE UNBOUNDED PRECEDING .. CURRENT ROW`
-  *    (the resolved default frame of an ORDER BY window), non-DISTINCT,
-  *    un-FILTERed, over a non-decimal numeric — the running-total
-  *    family (cumulative spend, CDF numerators, banded offsets).
+  *    like `__dist_rankings` swap physical execution; r8 ADVICE) opts a
+  *    GROUPED window in explicitly. The marker survives inside the plan
+  *    itself, so EVERY QueryExecution built over it (including the fresh
+  *    one a `df.write` constructs) rewrites deterministically without
+  *    flipping session state for neighboring queries. Grouped rewrites
+  *    are marker-only because the operator's driver-side offset table is
+  *    budgeted ([[DistributedWindowExec.MaxCollectedGroups]]) — a
+  *    high-cardinality partition key fails loudly mid-job, which is an
+  *    acceptable contract for an explicit opt-in but not for a session
+  *    dial.
+  * Supported window-expression shapes (r10 — r9 shipped row_number +
+  * running sum):
+  *  - `row_number()`, `rank()`, `dense_rank()` over any partition spec
+  *    (they ignore their frame, so any frame matches);
+  *  - `sum/min/max/count/avg(expr)` over `ROWS|RANGE UNBOUNDED
+  *    PRECEDING .. CURRENT ROW` (the resolved default frame of an ORDER
+  *    BY window), non-DISTINCT, un-FILTERed, over a non-decimal numeric
+  *    (any type for `count`) — the running-total/extreme family.
   * The node rewrites only when EVERY window expression on it is
   * supported (one unsupported neighbor keeps the whole node on
   * WindowExec — correctness first) and the order is non-empty. The pure
@@ -112,18 +119,28 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
   private def supported(e: NamedExpression): Boolean = e match {
     case Alias(WindowExpression(f, WindowSpecDefinition(_, order, frame)), _)
         if order.nonEmpty =>
+      def runningFrame: Boolean = frame match {
+        case SpecifiedWindowFrame(RowFrame | RangeFrame,
+                                  UnboundedPreceding, CurrentRow) => true
+        case _ => false
+      }
+      def numeric(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType
+             | FloatType | DoubleType => true
+        case _ => false
+      }
       f match {
-        case _: RowNumber => true
+        case _: RowNumber | _: Rank | _: DenseRank => true
         case AggregateExpression(Sum(se, _), _, false, None, _) =>
-          (se.dataType match {
-            case ByteType | ShortType | IntegerType | LongType
-                 | FloatType | DoubleType => true
-            case _ => false
-          }) && (frame match {
-            case SpecifiedWindowFrame(RowFrame | RangeFrame,
-                                      UnboundedPreceding, CurrentRow) => true
-            case _ => false
-          })
+          numeric(se.dataType) && runningFrame
+        case AggregateExpression(Min(se), _, false, None, _) =>
+          numeric(se.dataType) && runningFrame
+        case AggregateExpression(Max(se), _, false, None, _) =>
+          numeric(se.dataType) && runningFrame
+        case AggregateExpression(Average(se, _), _, false, None, _) =>
+          numeric(se.dataType) && runningFrame
+        case AggregateExpression(c: Count, _, false, None, _) =>
+          c.children.size == 1 && runningFrame
         case _ => false
       }
     case _ => false
@@ -142,10 +159,11 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
           Nil, _, child, _)
           if order.nonEmpty && (flagOn || markerNamed(a)) =>
         DistributedGlobalRank(a.toAttribute, order, child)
-      // the r9 generalization: grouped row_number / running sums
+      // the generalized operator; the flag reaches GLOBAL windows only,
+      // grouped windows need the explicit marker (scaladoc above)
       case Window(exprs, parts, _, child, _)
           if exprs.nonEmpty && exprs.forall(supported) &&
-             (flagOn || exprs.exists(markerNamed)) =>
+             ((flagOn && parts.isEmpty) || exprs.exists(markerNamed)) =>
         // all expressions on one Window node share (partition, order);
         // take the order from the first spec (the node-level orderSpec
         // can carry extra resolution artifacts)
@@ -231,8 +249,8 @@ case class GlobalRankExec(rankAttr: Attribute, order: Seq[SortOrder],
       newChild: SparkPlan): GlobalRankExec = copy(child = newChild)
 }
 
-/** Shared fail-fast guard for the IntegerType `row_number` both physical
-  * operators inherit from the window they replace: a rank past
+/** Shared fail-fast guard for the IntegerType `row_number`/`rank` both
+  * physical operators inherit from the window they replace: a rank past
   * Int.MaxValue would wrap silently in `toInt`, so the operators refuse
   * loudly instead (r8 VERDICT item 6 — the 2³¹ ceiling is now a STATED,
   * guarded contract). Emitting LongType instead would change the result
@@ -254,29 +272,50 @@ private[graft] object RankOverflow {
   * EnsureRequirements range-shuffle the child, so groups are CONTIGUOUS
   * runs in partition order — a huge group spans many partitions instead
   * of hash-exchanging into one task, which is the entire point — and
-  * order-peers are co-located. Each function is then per-partition local
-  * work plus a per-(partition, group) offset table:
+  * order-peers are nearly co-located. Each function is then
+  * per-partition local work plus a per-(partition, group) offset table:
   *
   *  - pass 1 (light; its shuffle files are reused by pass 2, so the data
   *    moves once): per partition, per contiguous group run, the row
-  *    count and each sum's (total, non-null count);
+  *    count, each aggregate's (sum-or-extreme, non-null count), the
+  *    peer-run count, and the first/last peer run's keys, row counts and
+  *    partial aggregates;
   *  - driver: prefix-merge per group across partitions in partition
   *    order — O(Σ per-partition distinct groups) entries, guarded by
   *    [[DistributedWindowExec.MaxCollectedGroups]] (the operator's
   *    documented LOW-CARDINALITY contract: a high-cardinality partition
   *    key belongs on plain WindowExec, whose hash exchange is already
-  *    the scale-correct plan for many small groups);
+  *    the scale-correct plan for many small groups). The driver also
+  *    CHAINS peer runs across partition boundaries: `OrderedDistribution`
+  *    is prefix-satisfiable, so a child already range-partitioned on a
+  *    strictly FINER ordering (e.g. (flag, cents, orderkey) when the
+  *    exec requires (flag, cents)) satisfies the requirement without a
+  *    fresh exchange and an order-peer run CAN straddle partitions (r9
+  *    ADVICE). The forward chain yields each partition's
+  *    continuing-leading-run row count (rank/dense_rank continuation and
+  *    double-count correction); a backward chain yields each partition's
+  *    trailing-run tail contribution from later partitions (RANGE-frame
+  *    aggregates must report the sum/extreme through the END of the
+  *    run). Under a fresh exchange equal keys co-locate and every
+  *    adjustment is zero — the common path costs nothing;
   *  - pass 2: stream each partition in order, resetting local state at
   *    group boundaries seeded from the group's offsets.
   *
-  * RANGE frames (running `sum` whose frame ends at CURRENT ROW but
-  * includes its order-peers) buffer one PEER RUN at a time — bounded by
-  * the widest tie, never the partition (WindowExec buffers whole window
-  * partitions) — because every peer reports the sum through the END of
-  * its run. ROWS frames and `row_number` stream row-by-row with no
-  * copies. Long sums add with `Math.addExact` (ANSI's overflow-throws
-  * contract); a sum whose prefix is all-NULL is NULL, tracked via the
-  * non-null counts. */
+  * RANGE frames buffer one PEER RUN at a time — bounded by the widest
+  * tie, never the partition (WindowExec buffers whole window partitions).
+  * ROWS frames, `row_number`, `rank` and `dense_rank` stream row-by-row
+  * with no copies.
+  *
+  * Numeric semantics: Long sums honor the SESSION's ANSI setting — throw
+  * on overflow when `spark.sql.ansi.enabled` is true, wrap (Java `+`)
+  * when false — matching WindowExec's Add behavior in both modes (r9
+  * VERDICT 4a). Double sums/averages accumulate per partition and add
+  * the broadcast offset (block association), while WindowExec
+  * accumulates strictly sequentially: results can differ in final-ULP
+  * rounding on pathological float data — the standard distributed-FP
+  * caveat, pinned with a tolerance comparison in DistributedRankSpec.
+  * A running aggregate whose prefix is all-NULL is NULL, tracked via the
+  * non-null counts; `count` is never NULL. */
 case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                                  groups: Seq[Expression],
                                  order: Seq[SortOrder],
@@ -297,18 +336,41 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
   /** Decode the supported window shapes (the rewrite proved them). */
   private def decode(): Array[FuncSpec] = windowExprs.map {
     case Alias(WindowExpression(f, WindowSpecDefinition(_, _, frame)), _) =>
+      def peer: Boolean = frame match {
+        case SpecifiedWindowFrame(RangeFrame, _, _) => true
+        case _ => false
+      }
+      def accDouble(dt: DataType): Boolean = dt match {
+        case FloatType | DoubleType => true
+        case _ => false
+      }
       f match {
         case _: RowNumber => RowNumSpec
+        case _: Rank => RankSpec
+        case _: DenseRank => DenseRankSpec
         case ae @ AggregateExpression(Sum(se, _), _, _, _, _) =>
-          val peer = frame match {
-            case SpecifiedWindowFrame(RangeFrame, _, _) => true
-            case _ => false
-          }
           // accumulate in the Sum's own result type (LongType for
           // integral inputs, DoubleType for fractional) via a widening
           // cast, so pass-1/pass-2 arithmetic matches the window's
-          SumSpec(Cast(se, ae.dataType), peer,
-            isDouble = ae.dataType == DoubleType)
+          AggSpec(Cast(se, ae.dataType), peer, SumK,
+            isDouble = ae.dataType == DoubleType, outType = ae.dataType)
+        case AggregateExpression(Min(se), _, _, _, _) =>
+          val d = accDouble(se.dataType)
+          AggSpec(Cast(se, if (d) DoubleType else LongType), peer, MinK,
+            isDouble = d, outType = se.dataType)
+        case AggregateExpression(Max(se), _, _, _, _) =>
+          val d = accDouble(se.dataType)
+          AggSpec(Cast(se, if (d) DoubleType else LongType), peer, MaxK,
+            isDouble = d, outType = se.dataType)
+        case AggregateExpression(Average(se, _), _, _, _, _) =>
+          // Average sums in DOUBLE for every non-decimal input (Spark's
+          // own buffer layout) and emits sum/count
+          AggSpec(Cast(se, DoubleType), peer, AvgK,
+            isDouble = true, outType = DoubleType)
+        case AggregateExpression(c: Count, _, _, _, _) =>
+          // only the child's null mask matters; the value is never read
+          AggSpec(c.children.head, peer, CountK,
+            isDouble = false, outType = LongType)
         case other => throw new IllegalStateException(
           s"unsupported window function reached the exec: $other")
       }
@@ -319,46 +381,116 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val funcs = decode()
-    val sums: Array[SumSpec] =
-      funcs.collect { case s: SumSpec => s }
-    val nSums = sums.length
+    val aggs: Array[AggSpec] = funcs.collect { case s: AggSpec => s }
+    val nAggs = aggs.length
     val hasRowNum = funcs.contains(RowNumSpec)
-    val anyPeer = sums.exists(_.peer)
+    val hasRank = funcs.contains(RankSpec)
+    val hasDense = funcs.contains(DenseRankSpec)
+    val anyPeer = aggs.exists(_.peer)
+    // peer-run tracking is needed whenever a function's value depends on
+    // run boundaries — RANGE aggregates, rank, dense_rank
+    val needsPeer = anyPeer || hasRank || hasDense
+    val ansi = conf.ansiEnabled // WindowExec parity in BOTH modes (r9 4a)
     val groupExprs = groups
     val orderExprs = order.map(_.child)
     val input = child.execute()
     val nParts = input.getNumPartitions
 
-    // ---- pass 1: per (partition, contiguous group run) counts + sums
+    def addLong(a: Long, b: Long): Long =
+      if (ansi) Math.addExact(a, b) else a + b
+
+    /** Merge a non-empty accumulator pair per kind (caller guards nn). */
+    def combine(kind: AggKind, aL: Long, aD: Double, bL: Long, bD: Double,
+                isDouble: Boolean): (Long, Double) = kind match {
+      case MinK => if (isDouble) (0L, math.min(aD, bD))
+                   else (math.min(aL, bL), 0d)
+      case MaxK => if (isDouble) (0L, math.max(aD, bD))
+                   else (math.max(aL, bL), 0d)
+      case _ => if (isDouble) (0L, aD + bD) else (addLong(aL, bL), 0d)
+    }
+
+    // ---- pass 1: per (partition, contiguous group run) counts + sums +
+    // peer-run boundary stats
     val statsPerPart: Array[Array[GroupStat]] = {
       val collected = input.mapPartitionsWithIndex({ (idx, it) =>
         val gproj = UnsafeProjection.create(groupExprs, childOutput)
-        val sprojs = sums.map(f =>
+        val pproj = UnsafeProjection.create(orderExprs, childOutput)
+        val aprojs = aggs.map(f =>
           UnsafeProjection.create(f.expr :: Nil, childOutput))
         val buf = scala.collection.mutable.ArrayBuffer.empty[GroupStat]
         var cur: UnsafeRow = null
         var rows = 0L
-        val sl = new Array[Long](nSums)
-        val sd = new Array[Double](nSums)
-        val nn = new Array[Long](nSums)
-        def flush(): Unit = if (cur != null)
-          buf += GroupStat(cur, rows, sl.clone(), sd.clone(), nn.clone())
+        var runs = 0L
+        val sl = new Array[Long](nAggs)
+        val sd = new Array[Double](nAggs)
+        val nn = new Array[Long](nAggs)
+        // current / first / last peer-run accumulators (needsPeer only)
+        var curPeer: UnsafeRow = null
+        var runRows = 0L
+        val rL = new Array[Long](nAggs)
+        val rD = new Array[Double](nAggs)
+        val rN = new Array[Long](nAggs)
+        var firstPeer: UnsafeRow = null
+        var firstRows = 0L
+        var fL = new Array[Long](nAggs)
+        var fD = new Array[Double](nAggs)
+        var fN = new Array[Long](nAggs)
+        def freezeFirst(): Unit = if (runs == 1 && firstPeer == null) {
+          firstPeer = curPeer
+          firstRows = runRows
+          fL = rL.clone(); fD = rD.clone(); fN = rN.clone()
+        }
+        def flush(): Unit = if (cur != null) {
+          freezeFirst()
+          buf += GroupStat(cur, rows, sl.clone(), sd.clone(), nn.clone(),
+            runs,
+            firstPeer, firstRows, fL, fD, fN,
+            curPeer, runRows, rL.clone(), rD.clone(), rN.clone())
+        }
         while (it.hasNext) {
           val row = it.next()
           val k = gproj(row)
           if (cur == null || k != cur) {
-            flush(); cur = k.copy(); rows = 0L
+            flush(); cur = k.copy(); rows = 0L; runs = 0L
             java.util.Arrays.fill(sl, 0L); java.util.Arrays.fill(sd, 0d)
             java.util.Arrays.fill(nn, 0L)
+            curPeer = null; runRows = 0L; firstPeer = null; firstRows = 0L
+          }
+          if (needsPeer) {
+            val pk = pproj(row)
+            if (curPeer == null || pk != curPeer) {
+              freezeFirst()
+              curPeer = pk.copy(); runs += 1; runRows = 0L
+              java.util.Arrays.fill(rL, 0L); java.util.Arrays.fill(rD, 0d)
+              java.util.Arrays.fill(rN, 0L)
+            }
+            runRows += 1
           }
           rows += 1
           var i = 0
-          while (i < nSums) {
-            val v = sprojs(i)(row)
+          while (i < nAggs) {
+            val v = aprojs(i)(row)
             if (!v.isNullAt(0)) {
+              val a = aggs(i)
+              val (vl, vd) =
+                if (a.kind == CountK) (0L, 0d)
+                else if (a.isDouble) (0L, v.getDouble(0))
+                else (v.getLong(0), 0d)
+              if (nn(i) == 0L) { sl(i) = vl; sd(i) = vd }
+              else {
+                val (ml, md) = combine(a.kind, sl(i), sd(i), vl, vd, a.isDouble)
+                sl(i) = ml; sd(i) = md
+              }
               nn(i) += 1
-              if (sums(i).isDouble) sd(i) += v.getDouble(0)
-              else sl(i) = Math.addExact(sl(i), v.getLong(0))
+              if (needsPeer) {
+                if (rN(i) == 0L) { rL(i) = vl; rD(i) = vd }
+                else {
+                  val (ml, md) =
+                    combine(a.kind, rL(i), rD(i), vl, vd, a.isDouble)
+                  rL(i) = ml; rD(i) = md
+                }
+                rN(i) += 1
+              }
             }
             i += 1
           }
@@ -377,63 +509,165 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       "high-cardinality for the range-partitioned rewrite — run without " +
       "the __dist_rank marker/flag so the hash-exchanged WindowExec plans it")
 
-    // ---- driver: per-group prefix offsets in partition order
+    // ---- driver, forward: per-group prefix offsets in partition order,
+    // chaining split peer runs (leading-run continuation per partition)
     val running = scala.collection.mutable.HashMap.empty[UnsafeRow, Offsets]
+    val leadRowsPerPart = new Array[Long](nParts)
+    val leadContinuesPerPart = new Array[Boolean](nParts)
+    // the open run flowing into the NEXT partition: (group, peer, rows)
+    var carryG: UnsafeRow = null
+    var carryP: UnsafeRow = null
+    var carryRows = 0L
     val offsetsPerPart: Array[Map[UnsafeRow, Offsets]] =
-      statsPerPart.map { stats =>
+      statsPerPart.zipWithIndex.map { case (stats, pIdx) =>
         val m = Map.newBuilder[UnsafeRow, Offsets]
-        stats.foreach { st =>
-          val o = running.getOrElse(st.key, Offsets.zero(nSums))
+        stats.zipWithIndex.foreach { case (st, sIdx) =>
+          // does this partition's FIRST run continue the open carry?
+          val continues = needsPeer && sIdx == 0 && carryG != null &&
+            carryG == st.key && st.firstPeer != null && carryP == st.firstPeer
+          if (continues) {
+            leadContinuesPerPart(pIdx) = true
+            leadRowsPerPart(pIdx) = carryRows
+          }
+          val o = running.getOrElse(st.key, Offsets.zero(nAggs))
           m += st.key -> o
-          val sl = new Array[Long](nSums)
-          val sd = new Array[Double](nSums)
-          val nn = new Array[Long](nSums)
+          val sl = new Array[Long](nAggs)
+          val sd = new Array[Double](nAggs)
+          val nn = new Array[Long](nAggs)
           var i = 0
-          while (i < nSums) {
-            sl(i) = Math.addExact(o.sumL(i), st.sumL(i))
-            sd(i) = o.sumD(i) + st.sumD(i)
+          while (i < nAggs) {
+            if (o.nonNull(i) == 0L) { sl(i) = st.sumL(i); sd(i) = st.sumD(i) }
+            else if (st.nonNull(i) == 0L) { sl(i) = o.sumL(i); sd(i) = o.sumD(i) }
+            else {
+              val (ml, md) = combine(aggs(i).kind, o.sumL(i), o.sumD(i),
+                st.sumL(i), st.sumD(i), aggs(i).isDouble)
+              sl(i) = ml; sd(i) = md
+            }
             nn(i) = o.nonNull(i) + st.nonNull(i)
             i += 1
           }
-          running(st.key) = Offsets(o.rows + st.rows, sl, sd, nn)
+          // a continuing leading run was already counted in the previous
+          // partition's trailing run — don't count it twice
+          val runsDelta = st.runs - (if (continues) 1L else 0L)
+          running(st.key) = Offsets(o.rows + st.rows, sl, sd, nn,
+            o.runsBefore + runsDelta)
+        }
+        if (needsPeer && stats.nonEmpty) {
+          val last = stats.last
+          val wholePartitionOneRun = stats.length == 1 && last.runs == 1
+          if (wholePartitionOneRun && leadContinuesPerPart(pIdx))
+            carryRows += last.rows // the same open run keeps flowing
+          else {
+            carryG = last.key; carryP = last.lastPeer; carryRows = last.lastRows
+          }
         }
         m.result()
       }
-    if (hasRowNum) running.values.foreach(o => RankOverflow.check(o.rows))
+    if (hasRowNum || hasRank || hasDense)
+      running.values.foreach(o => RankOverflow.check(o.rows))
+
+    // ---- driver, backward: tail contributions to each partition's
+    // trailing peer run from later partitions (RANGE aggregates only)
+    val tailL = Array.fill(nParts)(new Array[Long](nAggs))
+    val tailD = Array.fill(nParts)(new Array[Double](nAggs))
+    val tailN = Array.fill(nParts)(new Array[Long](nAggs))
+    if (anyPeer) {
+      var openG: UnsafeRow = null
+      var openP: UnsafeRow = null
+      var oL = new Array[Long](nAggs)
+      var oD = new Array[Double](nAggs)
+      var oN = new Array[Long](nAggs)
+      var p = nParts - 1
+      while (p >= 0) {
+        val stats = statsPerPart(p)
+        if (stats.nonEmpty) {
+          val last = stats.last
+          if (openG != null && openG == last.key && openP == last.lastPeer) {
+            tailL(p) = oL.clone(); tailD(p) = oD.clone(); tailN(p) = oN.clone()
+          }
+          val head = stats.head
+          val wholePartitionOneRun = stats.length == 1 && head.runs == 1
+          // the run open toward partition p-1 = p's leading run, plus the
+          // already-open tail when p is entirely that same run
+          val keepTail = wholePartitionOneRun && openG != null &&
+            openG == head.key && openP == head.firstPeer
+          val nL = head.firstSumL.clone()
+          val nD = head.firstSumD.clone()
+          val nN = head.firstNN.clone()
+          if (keepTail) {
+            var i = 0
+            while (i < nAggs) {
+              if (nN(i) == 0L) { nL(i) = oL(i); nD(i) = oD(i) }
+              else if (oN(i) != 0L) {
+                val (ml, md) = combine(aggs(i).kind, nL(i), nD(i),
+                  oL(i), oD(i), aggs(i).isDouble)
+                nL(i) = ml; nD(i) = md
+              }
+              nN(i) += oN(i)
+              i += 1
+            }
+          }
+          openG = head.key; openP = head.firstPeer
+          oL = nL; oD = nD; oN = nN
+        }
+        p -= 1
+      }
+    }
 
     // ---- pass 2: stream, seeding group state from the offsets
     val outAttrs = output
     val nFuncs = funcs.length
     input.mapPartitionsWithIndex { (idx, it) =>
       val offs = offsetsPerPart(idx)
+      val pLeadRows = leadRowsPerPart(idx)
+      val pLeadContinues = leadContinuesPerPart(idx)
+      val pTailL = tailL(idx)
+      val pTailD = tailD(idx)
+      val pTailN = tailN(idx)
       val gproj = UnsafeProjection.create(groupExprs, childOutput)
       val pproj = UnsafeProjection.create(orderExprs, childOutput)
-      val sprojs = sums.map(f =>
+      val aprojs = aggs.map(f =>
         UnsafeProjection.create(f.expr :: Nil, childOutput))
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val fRow = new GenericInternalRow(nFuncs)
       var curGroup: UnsafeRow = null
       var rn = 0L
-      var accL = new Array[Long](nSums)
-      var accD = new Array[Double](nSums)
-      var accNN = new Array[Long](nSums)
+      var runStart = 0L
+      var dense = 0L
+      var prevPeer: UnsafeRow = null
+      var firstUnit = true
+      var accL = new Array[Long](nAggs)
+      var accD = new Array[Double](nAggs)
+      var accNN = new Array[Long](nAggs)
       def addTo(i: Int, row: InternalRow): Unit = {
-        val v = sprojs(i)(row)
+        val v = aprojs(i)(row)
         if (!v.isNullAt(0)) {
+          val a = aggs(i)
+          val (vl, vd) =
+            if (a.kind == CountK) (0L, 0d)
+            else if (a.isDouble) (0L, v.getDouble(0))
+            else (v.getLong(0), 0d)
+          if (accNN(i) == 0L) { accL(i) = vl; accD(i) = vd }
+          else {
+            val (ml, md) = combine(a.kind, accL(i), accD(i), vl, vd, a.isDouble)
+            accL(i) = ml; accD(i) = md
+          }
           accNN(i) += 1
-          if (sums(i).isDouble) accD(i) += v.getDouble(0)
-          else accL(i) = Math.addExact(accL(i), v.getLong(0))
         }
       }
-      // emission units: one PEER RUN (copies) when a RANGE sum needs
-      // run-total lookahead, else single rows streamed without copy
-      val units: Iterator[Array[InternalRow]] =
-        if (!anyPeer) it.map(r => Array(r))
-        else new Iterator[Array[InternalRow]] {
+      // emission units: one PEER RUN (copies) when a RANGE aggregate needs
+      // run-total lookahead, else single rows streamed without copy; the
+      // boolean flags the partition's LAST unit (tail-merge application —
+      // only meaningful under anyPeer, so the single-row path never peeks
+      // ahead: a BufferedIterator's lookahead would overwrite the REUSED
+      // UnsafeRow before it is projected)
+      val units: Iterator[(Array[InternalRow], Boolean)] =
+        if (!anyPeer) it.map(r => (Array(r), false))
+        else new Iterator[(Array[InternalRow], Boolean)] {
           private val b = it.buffered
           override def hasNext: Boolean = b.hasNext
-          override def next(): Array[InternalRow] = {
+          override def next(): (Array[InternalRow], Boolean) = {
             val first = b.next().copy()
             val gk = gproj(first).copy()
             val pk = pproj(first).copy()
@@ -444,37 +678,77 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                 buf += b.next().copy()
               else same = false
             }
-            buf.toArray
+            (buf.toArray, !b.hasNext)
           }
         }
-      units.flatMap { unit =>
+      units.flatMap { case (unit, isLastUnit) =>
         val k = gproj(unit(0))
         if (curGroup == null || k != curGroup) {
           curGroup = k.copy()
-          val base = offs.getOrElse(curGroup, Offsets.zero(nSums))
+          val base = offs.getOrElse(curGroup, Offsets.zero(nAggs))
           rn = base.rows
+          dense = base.runsBefore
+          runStart = rn
+          prevPeer = null
           accL = base.sumL.clone(); accD = base.sumD.clone()
           accNN = base.nonNull.clone()
         }
-        // RANGE sums see their whole peer run before any peer emits
+        if (needsPeer) {
+          val pk = pproj(unit(0))
+          if (prevPeer == null || pk != prevPeer) {
+            if (prevPeer == null && firstUnit && pLeadContinues) {
+              // the run started in an earlier partition: rank points at
+              // the run's true global start; its dense index is already
+              // inside runsBefore
+              runStart = rn - pLeadRows
+            } else {
+              runStart = rn
+              dense += 1
+            }
+            prevPeer = pk.copy()
+          }
+        }
+        firstUnit = false
+        // RANGE aggregates see their whole peer run before any peer emits
         var i = 0
-        while (i < nSums) {
-          if (sums(i).peer) unit.foreach(addTo(i, _))
+        while (i < nAggs) {
+          if (aggs(i).peer) unit.foreach(addTo(i, _))
           i += 1
         }
+        // the partition's trailing run may continue into later partitions
+        // (prefix-satisfied finer partitioning): merge the driver-chained
+        // tail so every peer reports the TRUE end-of-run value
+        val applyTail = isLastUnit && anyPeer
         unit.iterator.map { row =>
           rn += 1
-          var si = 0
+          var ai = 0
           var fi = 0
           while (fi < nFuncs) {
             funcs(fi) match {
               case RowNumSpec => fRow.setInt(fi, rn.toInt)
-              case s: SumSpec =>
-                if (!s.peer) addTo(si, row)
-                if (accNN(si) == 0L) fRow.update(fi, null)
-                else if (s.isDouble) fRow.setDouble(fi, accD(si))
-                else fRow.setLong(fi, accL(si))
-                si += 1
+              case RankSpec => fRow.setInt(fi, (runStart + 1).toInt)
+              case DenseRankSpec => fRow.setInt(fi, dense.toInt)
+              case a: AggSpec =>
+                if (!a.peer) addTo(ai, row)
+                var l = accL(ai)
+                var d = accD(ai)
+                var n = accNN(ai)
+                if (applyTail && a.peer && pTailN(ai) != 0L) {
+                  if (n == 0L) { l = pTailL(ai); d = pTailD(ai) }
+                  else {
+                    val (ml, md) = combine(a.kind, l, d,
+                      pTailL(ai), pTailD(ai), a.isDouble)
+                    l = ml; d = md
+                  }
+                  n += pTailN(ai)
+                }
+                if (a.kind == CountK) fRow.setLong(fi, n)
+                else if (n == 0L) fRow.update(fi, null)
+                else a.kind match {
+                  case AvgK => fRow.setDouble(fi, d / n)
+                  case _ => setNum(fRow, fi, a.outType, l, d)
+                }
+                ai += 1
             }
             fi += 1
           }
@@ -496,16 +770,55 @@ object DistributedWindowExec {
 
   private[plans] sealed trait FuncSpec extends Serializable
   private[plans] case object RowNumSpec extends FuncSpec
-  private[plans] case class SumSpec(expr: Expression, peer: Boolean,
-                                    isDouble: Boolean) extends FuncSpec
+  private[plans] case object RankSpec extends FuncSpec
+  private[plans] case object DenseRankSpec extends FuncSpec
 
+  private[plans] sealed trait AggKind extends Serializable
+  private[plans] case object SumK extends AggKind
+  private[plans] case object MinK extends AggKind
+  private[plans] case object MaxK extends AggKind
+  private[plans] case object CountK extends AggKind
+  private[plans] case object AvgK extends AggKind
+
+  private[plans] case class AggSpec(expr: Expression, peer: Boolean,
+                                    kind: AggKind, isDouble: Boolean,
+                                    outType: DataType) extends FuncSpec
+
+  /** Write an accumulated extreme/sum back in the window's own output
+    * type (the widening casts in decode() are exact, so the narrowing
+    * here is too). */
+  private[plans] def setNum(row: GenericInternalRow, i: Int, dt: DataType,
+                            l: Long, d: Double): Unit = dt match {
+    case LongType => row.setLong(i, l)
+    case IntegerType => row.setInt(i, l.toInt)
+    case ShortType => row.setShort(i, l.toShort)
+    case ByteType => row.setByte(i, l.toByte)
+    case DoubleType => row.setDouble(i, d)
+    case FloatType => row.setFloat(i, d.toFloat)
+    case other => throw new IllegalStateException(s"unexpected type $other")
+  }
+
+  /** Per (partition, contiguous group run) pass-1 stats. sumL/sumD carry
+    * sums for SUM/AVG and extremes for MIN/MAX (nonNull = 0 means "no
+    * value yet"); first*/
   private[plans] case class GroupStat(key: UnsafeRow, rows: Long,
                                       sumL: Array[Long], sumD: Array[Double],
-                                      nonNull: Array[Long])
+                                      nonNull: Array[Long],
+                                      runs: Long,
+                                      firstPeer: UnsafeRow, firstRows: Long,
+                                      firstSumL: Array[Long],
+                                      firstSumD: Array[Double],
+                                      firstNN: Array[Long],
+                                      lastPeer: UnsafeRow, lastRows: Long,
+                                      lastSumL: Array[Long],
+                                      lastSumD: Array[Double],
+                                      lastNN: Array[Long])
   private[plans] case class Offsets(rows: Long, sumL: Array[Long],
-                                    sumD: Array[Double], nonNull: Array[Long])
+                                    sumD: Array[Double], nonNull: Array[Long],
+                                    runsBefore: Long)
   private[plans] object Offsets {
     def zero(n: Int): Offsets =
-      Offsets(0L, new Array[Long](n), new Array[Double](n), new Array[Long](n))
+      Offsets(0L, new Array[Long](n), new Array[Double](n),
+        new Array[Long](n), 0L)
   }
 }

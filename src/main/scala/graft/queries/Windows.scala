@@ -441,8 +441,91 @@ object Windows {
       |  FROM lineitem)
       |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
 
+  // ------------------------------------------------ q_fact_ranks_dist
+  /** `rank()` + `dense_rank()` PARTITION BY flag ORDER BY cents through
+    * [[graft.plans.DistributedWindowExec]] (r10 — the operator grew the
+    * full rank family). Ties on cents are real in lineitem, and both
+    * functions are tie-INSENSITIVE (every peer reports the run's rank),
+    * so the result is deterministic without an id tiebreak — which is
+    * exactly what makes them a sharper distribution test than
+    * row_number: a peer run that straddles a range-exchange boundary
+    * must still report ONE rank, the cross-partition run-chaining
+    * DistributedRankSpec's straddle case pins. Gate: the plain
+    * rank/dense_rank window oracle. */
+  def qFactRanksDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val w = Window.partitionBy($"l_returnflag").orderBy($"cents")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn(s"${m}_rk", rank().over(w))
+      .withColumn(s"${m}_dr", dense_rank().over(w))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
+        col(s"${m}_rk").cast("long").as("price_rank"),
+        col(s"${m}_dr").cast("long").as("price_dense_rank"))
+      .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
+  }
+
+  private val qFactRanksDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, cents,
+      |  rank() OVER (PARTITION BY l_returnflag ORDER BY cents)
+      |    AS price_rank,
+      |  dense_rank() OVER (PARTITION BY l_returnflag ORDER BY cents)
+      |    AS price_dense_rank
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
+
+  // ----------------------------------------------- q_fact_runagg_dist
+  /** The running-aggregate family — `min`/`max`/`count`/`avg` over the
+    * RANGE default frame, grouped — through the distributed-window
+    * operator (r10). All four are tie-insensitive under RANGE (peers
+    * share the end-of-run value), so the cents order needs no tiebreak;
+    * the avg rides exact integer cents in a double (< 2⁵³ at any test
+    * scale), so block-associated accumulation is bit-equal to the
+    * sequential window and the gate can hash it. Gate: the plain
+    * four-function window oracle. */
+  def qFactRunaggDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val w = Window.partitionBy($"l_returnflag").orderBy($"cents")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn(s"${m}_mn", min($"cents").over(w))
+      .withColumn(s"${m}_mx", max($"cents").over(w))
+      .withColumn(s"${m}_ct", count($"cents").over(w))
+      .withColumn(s"${m}_av", avg($"cents").over(w))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
+        col(s"${m}_mn").as("run_min"), col(s"${m}_mx").as("run_max"),
+        col(s"${m}_ct").as("run_count"), col(s"${m}_av").as("run_avg"))
+      .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
+  }
+
+  private val qFactRunaggDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, cents,
+      |  CAST(min(cents) OVER w AS BIGINT) AS run_min,
+      |  CAST(max(cents) OVER w AS BIGINT) AS run_max,
+      |  CAST(count(cents) OVER w AS BIGINT) AS run_count,
+      |  CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w AS run_avg
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY cents)
+      |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fact_rank" -> (qFactRank _),
+    "q_fact_ranks_dist" -> (qFactRanksDist _),
+    "q_fact_runagg_dist" -> (qFactRunaggDist _),
     "q_fact_rank_dist" -> (qFactRankDist _),
     "q_fact_rank_grouped_dist" -> (qFactRankGroupedDist _),
     "q_fact_cumsum_dist" -> (qFactCumsumDist _),
@@ -466,6 +549,8 @@ object Windows {
     "q_fact_rank_grouped_dist" -> qFactRankGroupedDistSql,
     "q_fact_cumsum_dist" -> qFactCumsumDistSql,
     "q_fact_cumsum_grouped_dist" -> qFactCumsumGroupedDistSql,
+    "q_fact_ranks_dist" -> qFactRanksDistSql,
+    "q_fact_runagg_dist" -> qFactRunaggDistSql,
     "q_window_rownum"  -> qWindowRownumSql,
     "q_window_topk"    -> qWindowTopkSql,
     // the native-aggregate variant must reproduce the window result exactly

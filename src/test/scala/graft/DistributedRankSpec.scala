@@ -1,27 +1,32 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{DistributedRank, DistributedWindowExec, GlobalRankExec, RankOverflow}
+import graft.plans.{DistributedRank, DistributedRankRewrite, DistributedWindowExec, GlobalRankExec, RankOverflow}
 
-/** The distributed-rank extension end to end: flag-on output equals the
-  * naive window bit-for-bit, the physical plan swaps WindowExec for
-  * GlobalRankExec / DistributedWindowExec fed by a RANGE exchange, scope
-  * guards leave unsupported windows alone, and the rewrite survives
-  * shuffle-width perturbation. The r9 cases cover the generalized
-  * shapes: grouped row_number, ROWS and RANGE running sums (incl. NULL
-  * prefixes and order-peer ties), mixed functions on one window node,
-  * the tightened name-marker, and the 2³¹ rank ceiling contract. */
+/** The distributed-rank extension end to end: marker/flag-on output
+  * equals the naive window bit-for-bit, the physical plan swaps
+  * WindowExec for GlobalRankExec / DistributedWindowExec fed by a RANGE
+  * exchange, scope guards leave unsupported windows alone, and the
+  * rewrite survives shuffle-width perturbation. The r9 cases cover
+  * grouped row_number and ROWS/RANGE running sums; the r10 cases add
+  * rank/dense_rank and running min/max/count/avg, session-ANSI overflow
+  * parity, and the prefix-satisfied-partitioning straddle (an order-peer
+  * run spanning partitions when the child is already range-partitioned
+  * on a FINER ordering — r9 ADVICE's latent wrong-sum). */
 class DistributedRankSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = graft.core.Sessions.local(4, "graft-distrank-test")
     DistributedRank.install(s)
     s
   }
+
+  private val M = DistributedRankRewrite.NameMarker
 
   private def fixture(n: Int): DataFrame = {
     import spark.implicits._
@@ -77,25 +82,39 @@ class DistributedRankSpec extends AnyFunSuite {
     withFlag(true) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val rankDf = fixture(200).withColumn("rk",
-          org.apache.spark.sql.functions.rank()
-            .over(Window.orderBy(col("v"), col("id"))))
-        assert(rankDf.queryExecution.executedPlan
+        val lagDf = fixture(200).withColumn("lg",
+          lag(col("v"), 1).over(Window.orderBy(col("v"), col("id"))))
+        assert(lagDf.queryExecution.executedPlan
           .collect { case w: WindowExec => w }.nonEmpty,
-          "rank() (not row_number) must stay a WindowExec")
+          "lag() (unsupported) must stay a WindowExec")
         // one unsupported neighbor keeps the WHOLE node on WindowExec
-        // (the forall guard): row_number and rank share (partition,
+        // (the forall guard): row_number and lag share (partition,
         // order), so they land on one Window node
         val w = Window.orderBy(col("v"), col("id"))
         val mixed = fixture(200)
           .withColumn("rn", row_number().over(w))
-          .withColumn("rk", org.apache.spark.sql.functions.rank().over(w))
+          .withColumn("lg", lag(col("v"), 1).over(w))
         val mixedPlan = mixed.queryExecution.executedPlan
         assert(mixedPlan.collect { case w: WindowExec => w }.nonEmpty,
           s"mixed supported+unsupported node must stay a WindowExec:\n$mixedPlan")
         assert(mixedPlan.collect { case d: DistributedWindowExec => d }.isEmpty
           && mixedPlan.collect { case g: GlobalRankExec => g }.isEmpty,
           s"mixed node must not partially rewrite:\n$mixedPlan")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("flag scope: a GROUPED window does not rewrite under the session " +
+       "flag alone (r9 ADVICE — the budget abort must stay opt-in)") {
+    withFlag(true) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val d = nullTieFixture(300).withColumn("rn", row_number().over(
+          Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))))
+        val plan = d.queryExecution.executedPlan
+        assert(plan.collect { case w: WindowExec => w }.nonEmpty &&
+          plan.collect { case e: DistributedWindowExec => e }.isEmpty,
+          s"grouped window must need the explicit marker:\n$plan")
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
@@ -117,10 +136,12 @@ class DistributedRankSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  // ---------------------------------------------------------------- r9:
-  // the generalized shapes, each compared flag-on vs flag-off (the
+  // ------------------------------------------------------------- r9/r10:
+  // the generalized shapes, each compared marker-on vs plain (the
   // built-in WindowExec is the in-test oracle; the registry twins
-  // q_fact_*_dist gate the same shapes against DuckDB)
+  // q_fact_*_dist gate the same shapes against DuckDB). Marker-named
+  // columns trigger the rewrite; the helper renames them back so the
+  // row strings compare 1:1 with the plain build.
 
   /** Fixture with NULLs in the value column (id % 7) and heavy ties
     * (v % 13) so RANGE peers and null-prefix sums are really exercised. */
@@ -134,34 +155,38 @@ class DistributedRankSpec extends AnyFunSuite {
       (abs(hash(concat(lit("f"), $"id"))) % 3).cast("long").as("flag"))
   }
 
-  private def onVsOff(build: DataFrame => DataFrame, n: Int = 4000,
-                      expectExec: Boolean = true): Unit = {
-    val df = nullTieFixture(n)
-    val off = build(df).collect().map(_.toString).sorted.toSeq
-    val on = withFlag(true) {
-      val d = build(df)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        val plan = d.queryExecution.executedPlan
-        if (expectExec) {
-          assert(plan.collect { case e: DistributedWindowExec => e }.nonEmpty,
-            s"expected DistributedWindowExec:\n$plan")
-          assert(plan.collect { case w: WindowExec => w }.isEmpty,
-            s"WindowExec must be gone:\n$plan")
-        }
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-      d.collect().map(_.toString).sorted.toSeq
-    }
-    assert(on == off, "flag-on result must equal the WindowExec result")
+  /** Build twice: plain names (WindowExec baseline) and marker names
+    * renamed back (DistributedWindowExec), assert the plan swap and the
+    * sorted row-string equality. `name` maps a logical column name to
+    * the one the build should use. */
+  private def markerVsPlain(build: (DataFrame, String => String) => DataFrame,
+                            n: Int = 4000,
+                            input: Option[DataFrame] = None): Unit = {
+    val df = input.getOrElse(nullTieFixture(n))
+    val off = build(df, identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(df, l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = on.queryExecution.executedPlan
+      assert(plan.collect { case e: DistributedWindowExec => e }.nonEmpty,
+        s"expected DistributedWindowExec:\n$plan")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"WindowExec must be gone:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(on.collect().map(_.toString).sorted.toSeq == off,
+      "marker result must equal the WindowExec result")
   }
 
   test("grouped row_number equals WindowExec (low-card partition key)") {
-    onVsOff(df => df.withColumn("rn", row_number().over(
+    markerVsPlain((df, nm) => df.withColumn(nm("rn"), row_number().over(
       Window.partitionBy(col("flag")).orderBy(col("v"), col("id")))))
   }
 
   test("global ROWS running sum equals WindowExec, incl. NULL handling") {
-    onVsOff(df => df.withColumn("cs", sum(col("v")).over(
+    markerVsPlain((df, nm) => df.withColumn(nm("cs"), sum(col("v")).over(
       Window.orderBy(col("v"), col("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
   }
@@ -169,40 +194,176 @@ class DistributedRankSpec extends AnyFunSuite {
   test("grouped RANGE running sum equals WindowExec on order-peer ties") {
     // default frame of an ORDER BY window = RANGE UNBOUNDED..CURRENT:
     // peers (duplicate v within a flag) all report the run-end sum
-    onVsOff(df => df.withColumn("cs", sum(col("v")).over(
+    markerVsPlain((df, nm) => df.withColumn(nm("cs"), sum(col("v")).over(
       Window.partitionBy(col("flag")).orderBy(col("v")))))
+  }
+
+  test("rank and dense_rank equal WindowExec across tie runs") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      df.withColumn(nm("rk"), rank().over(w))
+        .withColumn(nm("dr"), dense_rank().over(w))
+    }
+  }
+
+  test("global rank/dense_rank equal WindowExec") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.orderBy(col("v"))
+      df.withColumn(nm("rk"), rank().over(w))
+        .withColumn(nm("dr"), dense_rank().over(w))
+    }
+  }
+
+  test("running min/max/count/avg equal WindowExec (RANGE peers + NULLs)") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      df.withColumn(nm("mn"), min(col("id") % 29).over(w))
+        .withColumn(nm("mx"), max(col("id") % 31).over(w))
+        .withColumn(nm("ct"), count(col("v")).over(w))
+        .withColumn(nm("ctstar"), count(lit(1)).over(w))
+    }
+  }
+
+  test("running ROWS min/max/count equal WindowExec") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(nm("mn"), min(col("v")).over(w))
+        .withColumn(nm("mx"), max(col("v")).over(w))
+        .withColumn(nm("ct"), count(col("v")).over(w))
+    }
+  }
+
+  test("running avg over exact integers equals WindowExec bit-for-bit") {
+    // integer inputs: the double sums are exact (< 2^53), so block
+    // association cannot diverge and the string compare is safe
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      df.withColumn(nm("av"), avg(col("v")).over(w))
+    }
   }
 
   test("NULL-prefix RANGE sum is NULL until the first non-null value") {
     // NULLS FIRST ordering puts the null-v rows first; their running sum
     // must be NULL (no non-null contribution yet), not 0
-    val got = withFlag(true) {
-      val d = nullTieFixture(140).withColumn("cs", sum(col("v")).over(
-        Window.orderBy(col("v"))))
-      d.queryExecution.optimizedPlan
-      d.filter(col("v").isNull).select("cs").collect()
-    }
+    val d = nullTieFixture(140).withColumn(s"${M}_cs", sum(col("v")).over(
+      Window.orderBy(col("v"))))
+    d.queryExecution.optimizedPlan
+    val got = d.filter(col("v").isNull).select(s"${M}_cs").collect()
     assert(got.nonEmpty && got.forall(_.isNullAt(0)),
       "all-null prefix must sum to NULL")
   }
 
-  test("mixed row_number + ROWS sum + RANGE sum on one window node") {
-    // same (partition, order) spec, three frames -> one Window node
-    // carrying all three expressions; all supported -> one exec
-    onVsOff { df =>
+  test("mixed row_number + rank + dense_rank + ROWS/RANGE aggs on one node") {
+    // same (partition, order) spec -> one Window node carrying all the
+    // expressions; all supported -> one exec
+    markerVsPlain { (df, nm) =>
       val w = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("csr", sum(col("v")).over(
+      df.withColumn(nm("rn"), row_number().over(w))
+        .withColumn(nm("rk"), rank().over(w))
+        .withColumn(nm("dr"), dense_rank().over(w))
+        .withColumn(nm("csr"), sum(col("v")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("cs", sum(col("v")).over(w))
+        .withColumn(nm("cs"), sum(col("v")).over(w))
+        .withColumn(nm("mn"), min(col("v")).over(w))
     }
   }
 
-  test("double-typed running sum equals WindowExec") {
-    onVsOff(df => df.withColumn("cs",
-      sum(col("v").cast("double") / 7).over(
+  test("double-typed running sum equals WindowExec within FP tolerance") {
+    // block association (per-partition pass-1 sums + broadcast offset)
+    // vs WindowExec's strictly sequential accumulation: final-ULP
+    // divergence is possible on fractional data, so compare with a
+    // relative tolerance (r9 ADVICE) — the exact-integer cases above
+    // pin bit-equality where it is guaranteed
+    val df = nullTieFixture(4000)
+    def build(d: DataFrame, nm: String => String): DataFrame =
+      d.withColumn(nm("cs"), sum(col("v").cast("double") / 7).over(
         Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def keyed(d: DataFrame, cs: String): Map[Long, Option[Double]] =
+      d.collect().map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex(cs))) None
+         else Some(r.getAs[Double](cs)))).toMap
+    val off = keyed(build(df, identity), "cs")
+    val on = keyed(build(df, l => s"${M}_$l"), s"${M}_cs")
+    assert(off.keySet == on.keySet)
+    off.foreach { case (id, a) =>
+      (a, on(id)) match {
+        case (None, None) =>
+        case (Some(x), Some(y)) =>
+          assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+            s"id=$id: $x vs $y")
+        case other => fail(s"id=$id null mismatch: $other")
+      }
+    }
+  }
+
+  test("prefix-satisfied finer partitioning: straddled peer runs still " +
+       "report the true end-of-run RANGE values (r9 ADVICE)") {
+    import spark.implicits._
+    // heavy ties (v % 5) + a pre-existing range partitioning on the
+    // STRICTLY FINER (flag, v, id): OrderedDistribution(flag, v) is
+    // prefix-satisfied, EnsureRequirements adds NO fresh exchange, and
+    // peer runs straddle partition boundaries — the case where r9's
+    // operator silently dropped later peers' contributions
+    val df = spark.range(4000).select(
+      $"id",
+      (abs(hash(concat(lit("s"), $"id"))) % 5).cast("long").as("v"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+      .repartitionByRange(7, col("flag"), col("v"), col("id"))
+    def build(nm: String => String): DataFrame = {
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      df.withColumn(nm("cs"), sum(col("v")).over(w))
+        .withColumn(nm("rk"), rank().over(w))
+        .withColumn(nm("dr"), dense_rank().over(w))
+        .withColumn(nm("mx"), max(col("id")).over(w))
+        .withColumn(nm("ct"), count(lit(1)).over(w))
+    }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = on.queryExecution.executedPlan
+      assert(plan.collect { case e: DistributedWindowExec => e }.nonEmpty,
+        s"expected DistributedWindowExec:\n$plan")
+      // exactly the ONE explicit repartitionByRange exchange: the exec
+      // must have consumed the finer pre-partitioning (that is what
+      // makes the straddle real)
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.size == 1,
+        s"expected the pre-partitioning to satisfy the requirement:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(on.collect().map(_.toString).sorted.toSeq == off,
+      "straddled peer runs must merge across partitions")
+  }
+
+  test("overflow parity with WindowExec under the session's ANSI setting") {
+    import spark.implicits._
+    val df = Seq((1L, Long.MaxValue), (2L, 1L), (3L, 1L)).toDF("id", "v")
+    def build(nm: String => String): DataFrame =
+      df.withColumn(nm("cs"), sum(col("v")).over(
+        Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // ANSI off (the session default): WindowExec WRAPS on Long overflow;
+    // the custom exec must wrap identically, not throw (r9 VERDICT 4a)
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val on = build(l => s"${M}_$l").withColumnRenamed(s"${M}_cs", "cs")
+      .collect().map(_.toString).sorted.toSeq
+    assert(on == off, "non-ANSI overflow must wrap like WindowExec")
+    assert(off.exists(_.contains(s"${Long.MinValue}")),
+      "fixture must actually overflow")
+    // ANSI on: both throw
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      intercept[Throwable] { build(identity).collect() }
+      val e = intercept[Throwable] { build(l => s"${M}_$l").collect() }
+      def arithmetic(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[ArithmeticException] ||
+          arithmetic(t.getCause))
+      assert(arithmetic(e), s"expected an arithmetic overflow, got $e")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
   }
 
   test("grouped-dist shuffle-width perturbation: widths 3 and 11 agree") {
@@ -210,14 +371,15 @@ class DistributedRankSpec extends AnyFunSuite {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       try {
         spark.conf.set("spark.sql.shuffle.partitions", width)
-        withFlag(true) {
-          val d = nullTieFixture(3000).withColumn("rn", row_number().over(
+        val d = nullTieFixture(3000)
+          .withColumn(s"${M}_rn", row_number().over(
             Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))))
-            .withColumn("cs", sum(col("v")).over(
-              Window.partitionBy(col("flag")).orderBy(col("v"))))
-          d.queryExecution.optimizedPlan
-          d.collect().map(_.toString).sorted.toSeq
-        }
+          .withColumn(s"${M}_cs", sum(col("v")).over(
+            Window.partitionBy(col("flag")).orderBy(col("v"))))
+          .withColumn(s"${M}_rk", rank().over(
+            Window.partitionBy(col("flag")).orderBy(col("v"))))
+        d.queryExecution.optimizedPlan
+        d.collect().map(_.toString).sorted.toSeq
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     assert(run("3") == run("11"))
