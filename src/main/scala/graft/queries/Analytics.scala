@@ -1417,30 +1417,40 @@ object Analytics {
   /** The SERVING path [[qActiveUsers]]'s scaladoc promises for unbounded
     * sliding distincts (r8 VERDICT item 7): DAU/WAU/MAU from MERGEABLE
     * per-day KMV sketches instead of re-joining the fact per report day.
-    * One fact pass builds O(days × k) daily sketches (the native
-    * `kmv_sketch` aggregate — map-side combinable, each mapper reduces
-    * its share of a day to ≤ k longs before the exchange, and the
-    * sketch dedups internally so no (user, day) DISTINCT shuffle ever
-    * happens); each report day then `kmv_merge`s its trailing 1/7/30-day
-    * sketch arrays — O(report-days × window × k) scalars total, fact
-    * touched once. Merge is exact sketch algebra (union's k minima are a
-    * function of the inputs' k minima — SketchesSpec pins merge ==
-    * one-pass), so the estimates are deterministic pure functions of the
-    * md5-derived hash set and the DuckDB oracle replays them
-    * bit-for-bit, the q_kmv_distinct precedent. A merged sketch below k
-    * is EXACT (every contributor was unsaturated); q_active_users
-    * remains the exact backfill/audit path — BENCH_NOTES prices the
-    * cost growth of each. The 30-row report × daily-sketch range join
-    * rides a broadcast (the house small-side idiom). */
+    * The O(days × k) daily sketch table is a STORED IndexStore asset
+    * (r9 VERDICT item 7 — this is the actual serving contract: ONE
+    * upstream fact pass materializes the sketches, every report run
+    * reads the tiny parquet and `kmv_merge`s its trailing 1/7/30-day
+    * windows, O(report-days × window × k) scalars, the fact untouched).
+    * The build itself is the native `kmv_sketch` aggregate — map-side
+    * combinable, each mapper reduces its share of a day to ≤ k longs
+    * before the exchange, and the sketch dedups internally so no
+    * (user, day) DISTINCT shuffle ever happens. Freshness rule: the
+    * asset is keyed per (corpus dir, JVM) and a corpus snapshot is
+    * immutable for a run — a production deployment appends ONE new
+    * day-row per day (sketches of closed days never change; that
+    * append-only property is exactly why per-day sketches are the right
+    * storage grain) and rebuilds only on hash-recipe changes. Merge is
+    * exact sketch algebra (union's k minima are a function of the
+    * inputs' k minima — SketchesSpec pins merge == one-pass), so the
+    * estimates are deterministic pure functions of the md5-derived hash
+    * set and the DuckDB oracle replays them bit-for-bit, the
+    * q_kmv_distinct precedent. A merged sketch below k is EXACT (every
+    * contributor was unsaturated); q_active_users remains the exact
+    * backfill/audit path — BENCH_NOTES prices the cost growth of each.
+    * The 30-row report × daily-sketch range join rides a broadcast (the
+    * house small-side idiom). */
   def qActiveUsersKmv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val K = 64
-    val daily = Tables.events(s, dir)
-      .select(expr("unix_micros(ts) div 86400000000").as("d"),
-        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
-          " 16, 10) as bigint)").as("hv"))
-      .groupBy($"d")
-      .agg(expr(s"kmv_sketch(hv, $K)").as("sk"))
+    val daily = graft.io.IndexStore.materialized(s, dir, "kmv_daily_users") {
+      Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("d"),
+          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
+            " 16, 10) as bigint)").as("hv"))
+        .groupBy($"d")
+        .agg(expr(s"kmv_sketch(hv, $K)").as("sk"))
+    }
     val maxD = daily.agg(max($"d").as("mx"))
     val report = daily.crossJoin(broadcast(maxD))
       .filter($"d" > $"mx" - 30).select($"d".as("rd"))

@@ -251,6 +251,77 @@ object Inference {
       |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
       |FROM g""".stripMargin
 
+  // --------------------------------------------------- q_spearman_balance
+  /** Spearman rank correlation between a customer's ACCOUNT BALANCE and
+    * their total spend — "does standing wealth predict purchasing?"
+    * asked monotonically. Unlike [[qSpearman]] (continuous spend ×
+    * small-discrete order count), BOTH variables here are continuous
+    * with distinct values ≈ customers, so neither side qualifies for
+    * the frequency-table shortcut: this is the query the FUSED
+    * [[graft.core.BandedRank.avgRank2Pair]] exists for — one boundary
+    * sketch, one banding projection and one joint (b1, b2) count
+    * aggregate serve both rank computations, so the joined input is
+    * scanned three times total instead of ~3× per rank. Ranks are exact
+    * 2-scaled average ranks (ties: duplicate balances are real); the
+    * Pearson closed form runs on DECIMAL(38,0) rank sums, one final
+    * double division, round(6) for the gate. Customers without orders
+    * are out of scope (inner join — the spend variable is undefined for
+    * them). */
+  def qSpearmanBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum((OP.dec2($"o_totalprice") * 100).cast("long")).as("spend"))
+    val joined = perCust.join(
+      Tables.customer(s, dir).select($"c_custkey",
+        (OP.dec2($"c_acctbal") * 100).cast("long").as("bal")),
+      $"o_custkey" === $"c_custkey")
+      .select($"spend", $"bal")
+    graft.core.BandedRank
+      .avgRank2Pair(joined, "spend", "rx_l", "bal", "ry_l")
+      .withColumn("rx", $"rx_l".cast(DecimalType(38, 0)))
+      .withColumn("ry", $"ry_l".cast(DecimalType(38, 0)))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"rx").cast("double").as("sx"),
+        sum($"ry").cast("double").as("sy"),
+        sum($"rx" * $"rx").cast("double").as("sxx"),
+        sum($"ry" * $"ry").cast("double").as("syy"),
+        sum($"rx" * $"ry").cast("double").as("sxy"))
+      .select($"n".cast("long").as("n_customers"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy")), 6).as("rho"))
+  }
+
+  private val qSpearmanBalanceSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS spend
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT spend,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+      |  FROM per_cust JOIN customer ON o_custkey = c_custkey),
+      |ranked AS (
+      |  SELECT
+      |    CAST(2 * rank() OVER (ORDER BY spend)
+      |      + count(*) OVER (PARTITION BY spend) - 1 AS HUGEINT) AS rx,
+      |    CAST(2 * rank() OVER (ORDER BY bal)
+      |      + count(*) OVER (PARTITION BY bal) - 1 AS HUGEINT) AS ry
+      |  FROM j),
+      |g AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+      |    CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+      |    CAST(sum(ry * ry) AS DOUBLE) AS syy,
+      |    CAST(sum(rx * ry) AS DOUBLE) AS sxy
+      |  FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+      |FROM g""".stripMargin
+
   // ----------------------------------------------------------------- q_gini
   /** Gini coefficient of customer spend concentration — the single-number
     * Lorenz summary behind "what share of revenue comes from the top
@@ -1934,6 +2005,7 @@ object Inference {
     "q_ks_test"      -> (qKsTest _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_spearman"     -> (qSpearman _),
+    "q_spearman_balance" -> (qSpearmanBalance _),
     "q_gini"         -> (qGini _),
     "q_theil_index"  -> (qTheilIndex _),
     "q_lorenz_curve" -> (qLorenzCurve _),
@@ -1963,6 +2035,7 @@ object Inference {
     "q_ks_test"      -> qKsTestSql,
     "q_mann_whitney" -> qMannWhitneySql,
     "q_spearman"     -> qSpearmanSql,
+    "q_spearman_balance" -> qSpearmanBalanceSql,
     "q_gini"         -> qGiniSql,
     "q_theil_index"  -> qTheilIndexSql,
     "q_lorenz_curve" -> qLorenzCurveSql,

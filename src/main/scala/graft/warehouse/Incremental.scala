@@ -88,17 +88,33 @@ object Incremental {
     * exact watermark day. At 100 TB this is the difference between
     * reading a month and reading years. */
   private[graft] def tailScan(spark: SparkSession, factPath: String,
-                              partCol: String, hwm: Option[String]): DataFrame =
+                              partCol: String, hwm: Option[String]): DataFrame = {
+    val fact = spark.read.parquet(factPath)
+    // a fact written under the pre-r8 day-grain layout (or by another
+    // writer) lacks the (p_year, p_month) partition columns; the prune
+    // below would then fail deep inside analysis with an
+    // unresolved-column error that doesn't name the real problem, so
+    // detect the layout up front and fail with the remedy (r9 ADVICE)
+    val cols = fact.columns.toSet
+    if (!cols.contains(YearCol) || !cols.contains(MonthCol))
+      throw new IllegalStateException(
+        s"fact at $factPath lacks the ($YearCol, $MonthCol) partition " +
+        "layout this loader prunes on (found: " +
+        fact.columns.sorted.mkString(", ") + "); reformat required — " +
+        "rewrite the fact once with Incremental.appendIncremental (it " +
+        s"derives $YearCol/$MonthCol from the `$partCol` date column) " +
+        "before resuming incremental loads")
     hwm match {
       case Some(w) =>
         val (y, m) = (w.substring(0, 4).toInt, w.substring(5, 7).toInt)
-        spark.read.parquet(factPath)
+        fact
           .filter(col(YearCol) > y ||
             (col(YearCol) === y && col(MonthCol) >= m))
           .filter(col(partCol) >= lit(w).cast(DateType))
           .drop(YearCol, MonthCol)
-      case None => spark.read.parquet(factPath).drop(YearCol, MonthCol)
+      case None => fact.drop(YearCol, MonthCol)
     }
+  }
 
   /** Append `candidates` to the partitioned fact at `factPath`:
     * watermark-filter → tail-bounded anti-dedup on `keyCols` → append →

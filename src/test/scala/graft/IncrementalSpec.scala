@@ -98,6 +98,24 @@ class IncrementalSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("legacy fact layout (no p_year/p_month) fails with the remedy, " +
+       "not an unresolved-column error") {
+    // a pre-r8 fact was partitioned by the raw date column — simulate by
+    // writing the fact WITHOUT the derived (p_year, p_month) columns,
+    // then attempt an incremental append against it (r9 ADVICE: the
+    // loader must name the reformat, not die in analysis)
+    val dir = Files.createTempDirectory("graft-inc-legacy").toString
+    val fact = s"$dir/fact"
+    batch((1L, "2024-01-01", 10.0)).write
+      .partitionBy("order_date").parquet(fact)
+    val e = intercept[IllegalStateException] {
+      Incremental.appendIncremental(batch((2L, "2024-01-02", 20.0)),
+        fact, s"$dir/state", "fact", "order_date", Seq("order_id"))
+    }
+    assert(e.getMessage.contains("reformat required"), e.getMessage)
+    assert(e.getMessage.contains("p_year"), e.getMessage)
+  }
+
   test("state table tracks multiple facts independently") {
     val dir = Files.createTempDirectory("graft-inc4").toString
     val state = s"$dir/state"
