@@ -247,17 +247,17 @@ object Windows {
   // -------------------------------------------------------------- q_fact_rank
   /** Global dense ranking of every lineitem by price WITHOUT a global
     * window — the distributed-rank primitive the Inference family's
-    * scaladocs point to for fact-scale order statistics. Decomposition:
-    * (1) min/max in one aggregate, broadcast as a 1-row frame; (2) rows
-    * bucket by fixed price width (64 buckets, integer arithmetic — bucket
-    * order is value order); (3) per-bucket counts collapse to a 64-row
-    * aggregate whose running sum (a window over 64 rows) yields each
-    * bucket's global offset; (4) within each bucket a PARTITIONED
-    * row_number over the total key (price, orderkey, linenumber) ranks
-    * locally; global_rank = offset + local rank. Every window in the RANK
-    * COMPUTATION is either bucket-partitioned or over the O(buckets)
-    * aggregate — no global window/sort feeds the rank, so that shape
-    * holds at any scale (add buckets, not sort width). The trailing
+    * scaladocs point to for fact-scale order statistics, riding THE
+    * shared [[graft.core.BandedRank.rowNumber]] decomposition (r10:
+    * this query's original hand-rolled fixed-width min/max banding —
+    * the prototype BandedRank was factored FROM — is retired; the
+    * library form brings the equi-depth sampled boundaries, so one
+    * heavy-tailed outlier can no longer collapse the bulk of the fact
+    * into band 0, and there is exactly ONE implementation of the
+    * band/offset machinery left in the repo). Every window in the RANK
+    * COMPUTATION is either band-partitioned or over the O(bands)
+    * offset aggregate — no global window/sort feeds the rank, so the
+    * shape holds at any scale (add bands, not sort width). The trailing
     * .orderBy(global_rank) IS a fact-sized global range sort, but it is
     * presentation-only for oracle row-order parity (the oracle's ORDER BY
     * pays the same) — drop it when consuming ranks downstream. The oracle
@@ -268,24 +268,11 @@ object Windows {
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_linenumber",
         (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
-    val B = 64
-    val mm = li.agg(min($"cents").as("lo"), max($"cents").as("hi"))
-    val bucketed = li.crossJoin(broadcast(mm))
-      .withColumn("b",
-        (($"cents" - $"lo") * B / ($"hi" - $"lo" + 1)).cast("long"))
-    val offsets = bucketed.groupBy($"b").agg(count(lit(1)).as("cnt"))
-      .withColumn("offset",
-        coalesce(sum($"cnt").over(Window.orderBy($"b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"b", $"offset")
-    val wLocal = Window.partitionBy($"b")
-      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
-    bucketed
-      .withColumn("rn", row_number().over(wLocal))
-      .join(broadcast(offsets), "b")
+    graft.core.BandedRank
+      .rowNumber(li, "cents", Seq("l_orderkey", "l_linenumber"),
+        "global_rank")
       .select($"l_orderkey", $"l_linenumber",
-        ($"cents".cast("double") / 100).as("price"),
-        ($"offset" + $"rn").as("global_rank"))
+        ($"cents".cast("double") / 100).as("price"), $"global_rank")
       .orderBy($"global_rank")
   }
 

@@ -42,21 +42,32 @@ object PlanCensus {
     graft.core.Sessions.tune(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    val batch = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("q_stream_"))
-      .flatMap { case (name, fn) =>
-        try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan
-          Some(name -> census(plan))
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[census] $name failed: ${e.getMessage}")
-            None
-        }
+    val rows = batch.flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        Some(name -> census(plan))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[census] $name failed: ${e.getMessage}")
+          None
       }
+    }
     val json = rows.map { case (n, c) => s"""  "$n": $c""" }
       .mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    // completeness gate (r9 VERDICT item 2: 14 registry entries were
+    // never censused because failures only warned): every batch entry
+    // must produce a census row, or the run exits nonzero naming the gap
+    val missing = batch.map(_._1).toSet -- rows.map(_._1).toSet
+    if (missing.nonEmpty) {
+      System.err.println(s"[census] INCOMPLETE: ${missing.size} of " +
+        s"${batch.size} batch entries missing: " +
+        missing.toSeq.sorted.mkString(", "))
+      spark.stop()
+      sys.exit(1)
+    }
 
     def total(key: String): Int = rows.map(_._2).map(_(key)).sum
     // interpretation notes (r7 census at sf0.001, 265 batch queries):

@@ -48,6 +48,7 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_palma_ratio"     -> "band-offset (BandedRank.rowNumber)",
     "q_trimmed_mean"    -> "band-offset (BandedRank.rowNumber)",
     "q_spearman"        -> "band-offset (avgRank2) + O(distinct counts) freq prefix (freqAvgRank2)",
+    "q_spearman_balance" -> "band-offset ×2 (avgRank2Pair joint-count offsets, ≤64 rows each)",
     "q_psm_match"       -> "band handoff prefix/suffix over O(bands) table",
     "q_funnel_ttc"      -> "band-offset (BandedRank.rowNumber)",
     // (q_quantile_sketch / q_winsorize left the list in r8: their shared
@@ -93,7 +94,8 @@ class WindowAuditSpec extends AnyFunSuite {
   /** The queries whose banded rewrite this spec structurally pins. */
   private val bandedFamily = Set(
     "q_fact_rank", "q_gini", "q_lorenz_curve", "q_palma_ratio",
-    "q_trimmed_mean", "q_spearman", "q_psm_match", "q_funnel_ttc",
+    "q_trimmed_mean", "q_spearman", "q_spearman_balance", "q_psm_match",
+    "q_funnel_ttc",
     "q_heaps_law", "q_abc_class",
     "q_skyline_fact", "q_pack_sequences", "q_dedup_rate_curve")
 
