@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{DistributedRank, DistributedRankRewrite}
+
+/** Randomized parity harness for [[graft.plans.DistributedWindowExec]]:
+  * across random data shapes (null density, tie density, group
+  * cardinality), random shuffle widths, random PRE-partitionings
+  * (sometimes strictly finer than the window key — the straddle path),
+  * and random supported-function subsets, the marker-rewritten plan
+  * must reproduce WindowExec row for row. The directed cases live in
+  * DistributedRankSpec; this spec walks the cross-product the directed
+  * cases can't enumerate. Only tie-insensitive functions (rank,
+  * dense_rank, RANGE aggregates) join the random mix — ROWS frames and
+  * row_number are deterministic only under a total order, which the
+  * directed cases pin with an id tiebreak. */
+class DistributedWindowPropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = graft.core.Sessions.local(4, "graft-distwin-prop")
+    DistributedRank.install(s)
+    s
+  }
+
+  private val M = DistributedRankRewrite.NameMarker
+
+  private case class Shape(n: Int, distinctVals: Int, nullMod: Int,
+                           groups: Int, shuffleWidth: Int,
+                           prePartition: Int, // 0 = none, else width of a
+                                              // FINER repartitionByRange
+                           funcs: List[String])
+
+  private val shapes: Gen[Shape] = for {
+    n <- Gen.choose(200, 3000)
+    dv <- Gen.oneOf(1, 3, 17, 101)
+    nullMod <- Gen.oneOf(0, 3, 11) // 0 = no nulls
+    groups <- Gen.oneOf(0, 1, 2, 5) // 0 = global window
+    width <- Gen.oneOf(2, 5, 13)
+    pre <- Gen.oneOf(0, 0, 3, 9)
+    funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av")
+      .suchThat(_.nonEmpty).map(_.toList)
+  } yield Shape(n, dv, nullMod, groups, width, pre, funcs)
+
+  private def data(sh: Shape): DataFrame = {
+    import spark.implicits._
+    val base = spark.range(sh.n).select(
+      $"id",
+      when(if (sh.nullMod == 0) lit(false) else $"id" % sh.nullMod === 0,
+        lit(null))
+        .otherwise(abs(hash(concat(lit("v"), $"id"))) % sh.distinctVals)
+        .cast("long").as("v"),
+      (if (sh.groups == 0) lit(0L)
+       else abs(hash(concat(lit("g"), $"id"))) % sh.groups).as("flag"),
+      (abs(hash(concat(lit("w"), $"id"))) % 50 - 10).cast("long").as("w"))
+    if (sh.prePartition > 0)
+      base.repartitionByRange(sh.prePartition, $"flag", $"v", $"id")
+    else base
+  }
+
+  private def build(df: DataFrame, sh: Shape,
+                    nm: String => String): DataFrame = {
+    val w: WindowSpec =
+      if (sh.groups == 0) Window.orderBy(col("v"))
+      else Window.partitionBy(col("flag")).orderBy(col("v"))
+    sh.funcs.foldLeft(df) { (d, f) =>
+      f match {
+        case "rk"  => d.withColumn(nm("rk"), rank().over(w))
+        case "dr"  => d.withColumn(nm("dr"), dense_rank().over(w))
+        case "sum" => d.withColumn(nm("s"), sum(col("w")).over(w))
+        case "min" => d.withColumn(nm("mn"), min(col("w")).over(w))
+        case "max" => d.withColumn(nm("mx"), max(col("w")).over(w))
+        case "ct"  => d.withColumn(nm("ct"), count(col("v")).over(w))
+        case "av"  => d.withColumn(nm("av"), avg(col("w")).over(w))
+      }
+    }
+  }
+
+  test("random shapes: marker plan == WindowExec (20 sampled shapes)") {
+    val params = Gen.Parameters.default
+    (0 until 20).foreach { i =>
+      val sh = shapes.pureApply(params, Seed(0xBADC0FFEL + i), 100)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sh.shuffleWidth.toString)
+        val df = data(sh)
+        val off = build(df, sh, identity)
+          .collect().map(_.toString).sorted.toSeq
+        val marked = build(df, sh, l => s"${M}_$l")
+        val on0 = marked.columns.filter(_.startsWith(s"${M}_"))
+          .foldLeft(marked)((d, c) =>
+            d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+        // freeze the rewrite, then compare sorted row strings; `av` over
+        // integral w sums exactly in doubles (< 2^53), so string
+        // equality is safe for every function in the mix
+        on0.queryExecution.optimizedPlan
+        val on = on0.collect().map(_.toString).sorted.toSeq
+        assert(on == off, s"shape $i diverged: $sh")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+}
