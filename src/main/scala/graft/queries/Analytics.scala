@@ -1510,6 +1510,108 @@ object Analytics {
        |ORDER BY day_bucket""".stripMargin
   }
 
+  // ---------------------------------------------------- q_sliding_quantiles
+  /** Sliding-window QUANTILE serving from mergeable per-day samples —
+    * the quantile sibling of [[qActiveUsersKmv]]'s distinct-count path
+    * (r10). Trailing 7-day p50/p90/p99 of the event value per report
+    * day, at firehose scale where re-sorting the window's raw rows per
+    * report day is the classic O(days × window × fact) blowup:
+    *
+    *  - build once (stored IndexStore asset): per day, the native
+    *    [[graft.expressions.TopKAgg]] keeps the K = 256 events with the
+    *    SMALLEST md5 hash (score = −hash — a bottom-k-by-hash uniform
+    *    row sample, the same mergeable-sample algebra as
+    *    [[graft.expressions.BoundarySketchAgg]], here as a stored
+    *    VALUE), carrying each sampled event's value in cents;
+    *  - serve: each report day unions its trailing 7 daily arrays
+    *    (≤ 7K candidate scalars), re-selects the K smallest hashes —
+    *    the bottom-k of a union is a function of the inputs' bottom-k
+    *    alone, so the merged sample is EXACTLY the sample one pass over
+    *    the raw window would draw — and reads nearest-rank quantiles
+    *    off the ≤ K sorted values (a bounded sort_array, no window).
+    *
+    * Accuracy: a size-256 uniform sample puts ~√(p(1−p)/256) ≈ 3% of
+    * mass around each quantile — the serving estimate; the exact
+    * backfill is one q_daily_percentiles-style pass. Determinism: the
+    * hash orders rows totally (ties broken by value, replayed
+    * identically in the oracle), so both engines draw the SAME sample
+    * and the gate hashes it bit-for-bit. The 32-bit hash here is a
+    * SAMPLING key (selection only, never an estimator denominator), so
+    * the KMV 60-bit widening does not apply — 2³² ≫ any day's row count
+    * and the double-typed topk score must stay exactly representable. */
+  def qSlidingQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 256
+    val daily = graft.io.IndexStore.materialized(s, dir, "quantile_daily") {
+      Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 86400000000").as("d"),
+          expr("cast(conv(substring(md5(concat('sq:', " +
+            "cast(event_id as string))), 1, 8), 16, 10) as bigint)").as("hv"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+            .as("cents"))
+        .groupBy($"d")
+        .agg(expr(s"topk(-cast(hv as double), cents, $K)").as("sample"))
+    }
+    val maxD = daily.agg(max($"d").as("mx"))
+    val report = daily.crossJoin(broadcast(maxD))
+      .filter($"d" > $"mx" - 14).select($"d".as("rd"))
+    val cand = broadcast(report)
+      .join(daily, $"d" > $"rd" - 7 && $"d" <= $"rd")
+      .select($"rd", explode($"sample").as("e"))
+      .select($"rd", (-$"e.score").cast("long").as("hv"),
+        $"e.id".as("cents"))
+    val kept = cand
+      .withColumn("hrn", row_number().over(
+        Window.partitionBy($"rd").orderBy($"hv", $"cents")))
+      .filter($"hrn" <= K)
+    def q(p: Double, out: String) =
+      element_at($"vals", ceil(size($"vals") * p).cast("int")).as(out)
+    kept.groupBy($"rd")
+      .agg(sort_array(collect_list($"cents")).as("vals"))
+      .select($"rd".as("day_bucket"),
+        size($"vals").cast("long").as("n_sample"),
+        q(0.5, "p50_c"), q(0.9, "p90_c"), q(0.99, "p99_c"))
+      .orderBy($"day_bucket")
+  }
+
+  private val qSlidingQuantilesSql =
+    """WITH ev AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |    ('0x' || substr(md5('sq:' || CAST(event_id AS VARCHAR)), 1, 8))
+      |      ::BIGINT AS hv,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |daily AS (
+      |  SELECT d, hv, cents FROM (
+      |    SELECT d, hv, cents,
+      |      row_number() OVER (PARTITION BY d ORDER BY hv, cents) AS rn
+      |    FROM ev)
+      |  WHERE rn <= 256),
+      |mx AS (SELECT max(d) AS mx FROM daily),
+      |report AS (SELECT DISTINCT d AS rd FROM daily, mx WHERE d > mx - 14),
+      |win AS (
+      |  SELECT r.rd, x.hv, x.cents FROM report r
+      |  JOIN daily x ON x.d > r.rd - 7 AND x.d <= r.rd),
+      |kept AS (
+      |  SELECT rd, cents FROM (
+      |    SELECT rd, cents,
+      |      row_number() OVER (PARTITION BY rd ORDER BY hv, cents) AS hrn
+      |    FROM win)
+      |  WHERE hrn <= 256),
+      |ranked AS (
+      |  SELECT rd, cents,
+      |    row_number() OVER (PARTITION BY rd ORDER BY cents) AS vrn,
+      |    count(*) OVER (PARTITION BY rd) AS m
+      |  FROM kept)
+      |SELECT rd AS day_bucket, CAST(max(m) AS BIGINT) AS n_sample,
+      |  CAST(max(CASE WHEN vrn = CAST(ceil(m * 0.5) AS BIGINT)
+      |    THEN cents END) AS BIGINT) AS p50_c,
+      |  CAST(max(CASE WHEN vrn = CAST(ceil(m * 0.9) AS BIGINT)
+      |    THEN cents END) AS BIGINT) AS p90_c,
+      |  CAST(max(CASE WHEN vrn = CAST(ceil(m * 0.99) AS BIGINT)
+      |    THEN cents END) AS BIGINT) AS p99_c
+      |FROM ranked GROUP BY rd ORDER BY day_bucket""".stripMargin
+
   // --------------------------------------------------------- q_funnel_ttc
   /** Time-to-convert distribution: per user, the whole-second gap from
     * their FIRST click to their earliest purchase AT OR AFTER that click
@@ -1956,6 +2058,7 @@ object Analytics {
     "q_lead_time"     -> (qLeadTime _),
     "q_active_users"  -> (qActiveUsers _),
     "q_active_users_kmv" -> (qActiveUsersKmv _),
+    "q_sliding_quantiles" -> (qSlidingQuantiles _),
     "q_journey_sim"   -> (qJourneySim _),
     "q_revenue_bridge" -> (qRevenueBridge _),
     "q_interarrival"  -> (qInterarrival _),
@@ -1996,6 +2099,7 @@ object Analytics {
     "q_lead_time"     -> qLeadTimeSql,
     "q_active_users"  -> qActiveUsersSql,
     "q_active_users_kmv" -> qActiveUsersKmvSql,
+    "q_sliding_quantiles" -> qSlidingQuantilesSql,
     "q_journey_sim"   -> qJourneySimSql,
     "q_revenue_bridge" -> qRevenueBridgeSql,
     "q_interarrival"  -> qInterarrivalSql,
