@@ -112,26 +112,31 @@ object Sketches {
     * partial counters before the exchange, so the shuffle moves O(d·w)
     * scalars per partition regardless of row volume (the same budget as
     * KMV, vs exact per-key counting which shuffles every key). The probe
-    * join broadcasts the 96-row sketch. Reference kin: the exact
-    * COUNT(*)-per-key views in /root/reference/04_KPI/KPIs.sql:1-40 — this
-    * is their bounded-memory stand-in at stream scale. */
+    * join broadcasts the 96-row sketch. The d = 3 row hashes are the
+    * three disjoint 8-hex SLICES of ONE md5 (r10: the per-seed
+    * `md5(seed:key)` recipe evaluated the digest d times per row — the
+    * measured top cost of the build; md5's slices are the textbook
+    * cheap independent-hash family, and the oracle slices identically).
+    * Reference kin: the exact COUNT(*)-per-key views in
+    * /root/reference/04_KPI/KPIs.sql:1-40 — this is their
+    * bounded-memory stand-in at stream scale. */
   def qCmsFreq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val W = 32
     val keyed = Tables.lineitem(s, dir).select($"l_suppkey".as("k"))
     val seeds = array(lit(0), lit(1), lit(2))
+    val bkt = expr(
+      s"cast(conv(substring(h32, 1 + 8 * seed, 8), 16, 10) as bigint) % $W")
     val cms = keyed
-      .select($"k", explode(seeds).as("seed"))
-      .withColumn("bkt", expr(s"cast(conv(substring(md5(concat(cast(seed" +
-        s" as string), ':', cast(k as string))), 1, 8), 16, 10) as bigint)" +
-        s" % $W"))
+      .withColumn("h32", md5($"k".cast("string")))
+      .select($"k", $"h32", explode(seeds).as("seed"))
+      .withColumn("bkt", bkt)
       .groupBy($"seed", $"bkt").agg(count(lit(1)).as("c"))
     val probes = keyed.groupBy($"k").agg(count(lit(1)).as("n_exact"))
       .orderBy($"n_exact".desc, $"k").limit(10)
-      .select($"k", $"n_exact", explode(seeds).as("seed"))
-      .withColumn("bkt", expr(s"cast(conv(substring(md5(concat(cast(seed" +
-        s" as string), ':', cast(k as string))), 1, 8), 16, 10) as bigint)" +
-        s" % $W"))
+      .withColumn("h32", md5($"k".cast("string")))
+      .select($"k", $"n_exact", $"h32", explode(seeds).as("seed"))
+      .withColumn("bkt", bkt)
     probes.join(broadcast(cms), Seq("seed", "bkt"))
       .groupBy($"k", $"n_exact")
       .agg(min($"c").as("n_est"))
@@ -146,8 +151,8 @@ object Sketches {
       |          FROM generate_series(0, 2) s(v)),
       |h AS (
       |  SELECT k, seed,
-      |    ('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' ||
-      |      CAST(k AS VARCHAR)), 1, 8))::BIGINT % 32 AS bkt
+      |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1 + 8 * seed, 8))
+      |      ::BIGINT % 32 AS bkt
       |  FROM keyed CROSS JOIN seeds),
       |cms AS (SELECT seed, bkt, count(*) AS c FROM h GROUP BY 1, 2),
       |exact AS (
@@ -155,8 +160,8 @@ object Sketches {
       |  ORDER BY n_exact DESC, k LIMIT 10),
       |probes AS (
       |  SELECT e.k, e.n_exact, s.seed,
-      |    ('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' ||
-      |      CAST(e.k AS VARCHAR)), 1, 8))::BIGINT % 32 AS bkt
+      |    ('0x' || substr(md5(CAST(e.k AS VARCHAR)), 1 + 8 * s.seed, 8))
+      |      ::BIGINT % 32 AS bkt
       |  FROM exact e CROSS JOIN seeds s)
       |SELECT p.k AS suppkey, p.n_exact, min(c.c) AS n_est,
       |  min(c.c) - p.n_exact AS overcount
