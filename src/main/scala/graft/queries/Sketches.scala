@@ -364,12 +364,16 @@ object Sketches {
     *
     * Determinism: unlike Spark's injected runtime bloom filters (internal
     * hashing, not replayable), this bloom is a pure function of md5 — k=3
-    * bit positions from 3-hex-char slices (a 4096-bit domain, no modulo
-    * bias), the filter itself a sorted int array built by one tiny
-    * aggregation and BROADCAST to the probe side. The DuckDB oracle builds
-    * the identical filter and reproduces the probe bit-for-bit — including
-    * the false-positive count, which the output exposes (n_false_pos) so
-    * the filter's selectivity is measured, not assumed.
+    * bit positions from the three leading 3-hex-char slices of ONE digest
+    * (a 4096-bit domain, no modulo bias; r10: the per-position
+    * `md5(bfI:key)` recipe evaluated the digest three times per PROBE
+    * row — the fact-side scan cost — where one digest's disjoint slices
+    * are the same independent-hash family), the filter itself a sorted
+    * int array built by one tiny aggregation and BROADCAST to the probe
+    * side. The DuckDB oracle builds the identical filter and reproduces
+    * the probe bit-for-bit — including the false-positive count, which
+    * the output exposes (n_false_pos) so the filter's selectivity is
+    * measured, not assumed.
     *
     * Scale shape: the build side aggregates ≤3·|dim| ints into ONE row; the
     * probe is a stateless per-row expression over the fact scan — the 100 TB
@@ -379,7 +383,7 @@ object Sketches {
   def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def pos(i: Int, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(lit(s"bf$i:"), c.cast("string"))), 1, 3), 16, 10)
+      conv(substring(md5(c.cast("string")), 3 * i - 2, 3), 16, 10)
         .cast("int")
     val sel = Tables.supplier(s, dir)
       .filter($"s_nationkey".between(0, 4))
@@ -416,18 +420,18 @@ object Sketches {
       |bloom AS (
       |  SELECT list_sort(list(DISTINCT p)) AS bits FROM (
       |    SELECT unnest([
-      |      ('0x' || substr(md5('bf1:' || CAST(k AS VARCHAR)), 1, 3))::INT,
-      |      ('0x' || substr(md5('bf2:' || CAST(k AS VARCHAR)), 1, 3))::INT,
-      |      ('0x' || substr(md5('bf3:' || CAST(k AS VARCHAR)), 1, 3))::INT]) AS p
+      |      ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 3))::INT,
+      |      ('0x' || substr(md5(CAST(k AS VARCHAR)), 4, 3))::INT,
+      |      ('0x' || substr(md5(CAST(k AS VARCHAR)), 7, 3))::INT]) AS p
       |    FROM sel)),
       |probed AS (
       |  SELECT li.k, li.l_extendedprice,
       |    list_contains(bloom.bits,
-      |      ('0x' || substr(md5('bf1:' || CAST(li.k AS VARCHAR)), 1, 3))::INT)
+      |      ('0x' || substr(md5(CAST(li.k AS VARCHAR)), 1, 3))::INT)
       |    AND list_contains(bloom.bits,
-      |      ('0x' || substr(md5('bf2:' || CAST(li.k AS VARCHAR)), 1, 3))::INT)
+      |      ('0x' || substr(md5(CAST(li.k AS VARCHAR)), 4, 3))::INT)
       |    AND list_contains(bloom.bits,
-      |      ('0x' || substr(md5('bf3:' || CAST(li.k AS VARCHAR)), 1, 3))::INT)
+      |      ('0x' || substr(md5(CAST(li.k AS VARCHAR)), 7, 3))::INT)
       |      AS pass,
       |    (sel.k IS NOT NULL) AS m
       |  FROM (SELECT CAST(l_suppkey AS BIGINT) AS k, l_extendedprice
