@@ -606,6 +606,74 @@ object Streams {
       |WHERE rank <= 3
       |ORDER BY event_type, rank""".stripMargin
 
+  // --------------------------------------------------- q_stream_kmv
+  /** Approximate DISTINCT per tumbling hour in a LIVE stream — the
+    * operation Structured Streaming refuses outright (`COUNT(DISTINCT)`
+    * raises "Distinct aggregations are not supported on streaming
+    * DataFrames": exact per-window distinct state is unbounded in the
+    * key universe). The mergeable [[graft.expressions.KmvAgg]] sketch
+    * is the drop-in: its bounded ≤ k-long buffer IS the streaming
+    * state per window, partial-merged across micro-batches by the
+    * state store exactly as map-side combine merges it in batch — so
+    * the streaming answer over a bounded input equals the batch
+    * estimate bit-for-bit and rides the SAME DuckDB replay as
+    * q_window_kmv (60-bit domain, deterministic estimator). Complete
+    * mode + memory sink is the bounded-gate harness (the
+    * qStreamTumbling precedent); a production deployment appends
+    * watermarked windows through [[foreachBatchSink]] and merges
+    * stored sketches for cross-window reports (the
+    * q_active_users_kmv serving asset, fed by the stream). */
+  def qStreamKmv(s: SparkSession, dir: String): DataFrame = {
+    graft.core.Sessions.tune(s) // kmv must be registered on this session
+    val name = "graft_stream_kmv"
+    s.catalog.dropTempView(name)
+    val ck = scratch()
+    val q = withStreamShuffle(s) {
+      eventsStream(s, dir)
+        .select(window(col("ts"), "1 hour").as("w"),
+          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
+            " 16, 10) as bigint)").as("hv"))
+        .groupBy(col("w"))
+        .agg(expr("kmv(hv, 64)").as("sk"))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    deleteRecursively(ck)
+    s.table(name)
+      .select(col("w.start").as("window_start"),
+        when(col("sk.n_kept") < 64, col("sk.n_kept").cast("double"))
+          .otherwise(lit(63.0 * 1152921504606846976.0) / col("sk.kth"))
+          .as("n_est"))
+      .orderBy(col("window_start"))
+  }
+
+  /** The per-window KMV replay of q_window_kmv, estimate column only
+    * (streaming cannot produce the exact side — that is the point). */
+  private val qStreamKmvSql =
+    """WITH h AS (
+      |  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS hv
+      |  FROM events),
+      |r AS (
+      |  SELECT w, hv,
+      |    row_number() OVER (PARTITION BY w ORDER BY hv) AS rn,
+      |    count(*) OVER (PARTITION BY w) AS nh
+      |  FROM h),
+      |sk AS (
+      |  SELECT w, max(CASE WHEN rn = 64 THEN hv END) AS kth, max(nh) AS nh
+      |  FROM r GROUP BY w)
+      |SELECT w AS window_start,
+      |  CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+      |       ELSE 63.0 * 1152921504606846976.0 / kth END AS n_est
+      |FROM sk ORDER BY window_start""".stripMargin
+
   // --------------------------------------------- q_stream_full_outer
   /** FULL OUTER stream-stream interval join — both null-emission paths at
     * once: a purchase with no click within 6 hours emits with right-nulls
@@ -758,6 +826,7 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_cdc"            -> (qStreamCdc _),
+    "q_stream_kmv"            -> (qStreamKmv _),
     "q_stream_topk"           -> (qStreamTopk _),
     "q_stream_full_outer"     -> (qStreamFullOuter _),
     "q_stream_outer_join"     -> (qStreamOuterJoin _),
@@ -772,6 +841,7 @@ object Streams {
     // q_stream_cdc must reproduce the batch compaction EXACTLY — one
     // oracle, two operators (the q_topk_native precedent)
     "q_stream_cdc"            -> graft.queries.TimeSeries.oracle("q_cdc_apply"),
+    "q_stream_kmv"            -> qStreamKmvSql,
     "q_stream_topk"           -> qStreamTopkSql,
     "q_stream_full_outer"     -> qStreamFullOuterSql,
     "q_stream_outer_join"     -> qStreamOuterJoinSql,
