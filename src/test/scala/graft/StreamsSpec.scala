@@ -59,6 +59,44 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kmv sketch state merges across micro-batches == one batch") {
+    // q_stream_kmv's gated run is a single AvailableNow batch (one file);
+    // the cross-batch claim — the state store partial-merges the bounded
+    // sketch buffer exactly as map-side combine does — needs a real
+    // multi-batch run: three addData/process cycles with overlapping
+    // users must yield the identical (n_kept, kth) as one batch pass
+    // over the union
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val src = MemoryStream[Ev]
+    val hv = "cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
+      " 16, 10) as bigint)"
+    val out = src.toDF()
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr(s"kmv($hv, 8) AS sk"))
+    val q = out.writeStream.format("memory").queryName("stream_kmv")
+      .outputMode("complete").start()
+    try {
+      // 3 batches, 30 users total with cross-batch overlap; k = 8 << 30
+      // so the sketch saturates and kth depends on the MERGED hash set
+      src.addData((1 to 12).map(u => ev(1, u.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      src.addData((8 to 22).map(u => ev(2, u.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      src.addData((18 to 30).map(u => ev(3, u.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_kmv")
+        .selectExpr("sk.n_kept", "sk.kth").as[(Int, Long)].head()
+      val batch = (1 to 30).map(_.toLong).toDF("user_id")
+        .selectExpr(s"kmv($hv, 8) AS sk")
+        .selectExpr("sk.n_kept", "sk.kth").as[(Int, Long)].head()
+      assert(streamed == batch,
+        "state-store merge must equal the one-pass sketch")
+      assert(streamed._1 == 8, "fixture must saturate the sketch")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops in-window duplicates, state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
