@@ -108,6 +108,11 @@ object BandedRank {
     * BandedRankSpec's shuffle-width case pins it). */
   private def sampleCuts(df: DataFrame, pairs: Seq[(String, String)],
                          buckets: Int): DataFrame = {
+    // the boundary pass rides the graft-native `boundary_sketch`
+    // aggregate; registering here (idempotent) keeps the helper usable
+    // on any session, not only Sessions.tune'd ones — the contract the
+    // built-in percentile_approx form used to provide for free
+    graft.plans.GraftExtensions.register(df.sparkSession)
     // hash in the PROJECT, not inside the aggregate: the projection is
     // whole-stage-codegen'd, so the aggregate's interpreted update() only
     // reads two bound columns per row instead of re-evaluating xxhash64

@@ -399,10 +399,16 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     def addLong(a: Long, b: Long): Long =
       if (ansi) Math.addExact(a, b) else a + b
 
-    /** Merge a non-empty accumulator pair per kind (caller guards nn). */
+    /** Merge a non-empty accumulator pair per kind (caller guards nn).
+      * Double extremes follow SPARK's ordering (NaN greatest — the
+      * SQLOrderingUtil contract WindowExec's Min/Max apply), not
+      * java.lang.Math's NaN-propagation: min must SKIP NaN unless
+      * everything is NaN, while math.max's NaN-wins already matches. */
     def combine(kind: AggKind, aL: Long, aD: Double, bL: Long, bD: Double,
                 isDouble: Boolean): (Long, Double) = kind match {
-      case MinK => if (isDouble) (0L, math.min(aD, bD))
+      case MinK => if (isDouble)
+                     (0L, if (aD.isNaN) bD else if (bD.isNaN) aD
+                          else math.min(aD, bD))
                    else (math.min(aL, bL), 0d)
       case MaxK => if (isDouble) (0L, math.max(aD, bD))
                    else (math.max(aL, bL), 0d)
@@ -431,20 +437,18 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         val rD = new Array[Double](nAggs)
         val rN = new Array[Long](nAggs)
         var firstPeer: UnsafeRow = null
-        var firstRows = 0L
         var fL = new Array[Long](nAggs)
         var fD = new Array[Double](nAggs)
         var fN = new Array[Long](nAggs)
         def freezeFirst(): Unit = if (runs == 1 && firstPeer == null) {
           firstPeer = curPeer
-          firstRows = runRows
           fL = rL.clone(); fD = rD.clone(); fN = rN.clone()
         }
         def flush(): Unit = if (cur != null) {
           freezeFirst()
           buf += GroupStat(cur, rows, sl.clone(), sd.clone(), nn.clone(),
             runs,
-            firstPeer, firstRows, fL, fD, fN,
+            firstPeer, fL, fD, fN,
             curPeer, runRows, rL.clone(), rD.clone(), rN.clone())
         }
         while (it.hasNext) {
@@ -454,7 +458,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             flush(); cur = k.copy(); rows = 0L; runs = 0L
             java.util.Arrays.fill(sl, 0L); java.util.Arrays.fill(sd, 0d)
             java.util.Arrays.fill(nn, 0L)
-            curPeer = null; runRows = 0L; firstPeer = null; firstRows = 0L
+            curPeer = null; runRows = 0L; firstPeer = null
           }
           if (needsPeer) {
             val pk = pproj(row)
@@ -805,7 +809,7 @@ object DistributedWindowExec {
                                       sumL: Array[Long], sumD: Array[Double],
                                       nonNull: Array[Long],
                                       runs: Long,
-                                      firstPeer: UnsafeRow, firstRows: Long,
+                                      firstPeer: UnsafeRow,
                                       firstSumL: Array[Long],
                                       firstSumD: Array[Double],
                                       firstNN: Array[Long],

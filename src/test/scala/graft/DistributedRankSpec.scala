@@ -243,6 +243,30 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("running min/max over doubles with NaN follow Spark's NaN-greatest " +
+       "ordering (not java Math NaN-propagation)") {
+    import spark.implicits._
+    // NaN arrives FIRST in the running order: Spark's Min skips it (NaN
+    // is the greatest double), so the running min must be the smallest
+    // non-NaN seen — java math.min would poison every later row; Max
+    // must return NaN once seen (NaN-greatest)
+    val df = Seq((1L, Double.NaN), (2L, 5.0), (3L, 2.0), (4L, Double.NaN),
+      (5L, 7.0)).toDF("id", "d")
+    def build(nm: String => String): DataFrame = {
+      val w = Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(nm("mn"), min(col("d")).over(w))
+        .withColumn(nm("mx"), max(col("d")).over(w))
+    }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val on = build(l => s"${M}_$l")
+      .withColumnRenamed(s"${M}_mn", "mn").withColumnRenamed(s"${M}_mx", "mx")
+      .collect().map(_.toString).sorted.toSeq
+    assert(on == off, "NaN extreme semantics must match WindowExec")
+    assert(off.exists(_.contains("[3,2.0,2.0,NaN]")),
+      "fixture must exercise min-skips-NaN and max-keeps-NaN at once")
+  }
+
   test("NULL-prefix RANGE sum is NULL until the first non-null value") {
     // NULLS FIRST ordering puts the null-v rows first; their running sum
     // must be NULL (no non-null contribution yet), not 0
