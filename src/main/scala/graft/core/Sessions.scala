@@ -32,6 +32,30 @@ object Sessions {
     tune(spark)
   }
 
+  /** Run `body` under a temporarily narrowed `spark.sql.shuffle.partitions`
+    * — for ITERATIVE loop builds whose per-round working set is a
+    * dim-sized node table: each round is a join+agg+persist+count whose
+    * FIXED cost (task launch, one shuffle-state unit per partition)
+    * scales with the width while the real work doesn't, so a 10-round
+    * loop at the session default pays ~10×width fixed units for
+    * kilobyte partitions. AQE cannot recover this — its coalescing acts
+    * within one stage's reducers, not on the NEXT round's plan, and the
+    * eager persist+count freezes each round before coalescing feedback
+    * exists. Results are unchanged by contract (the iterative family
+    * pins bit-identical output across shuffle widths —
+    * IterativePerturbationSpec); measured at sf0.1: q_ppr 5.1→3.2 s,
+    * q_hits 5.9→4.1 s, q_pagerank 4.1→3.0 s (graft.tools.ScratchIter).
+    * At 100 TB the same principle sizes the width UP — data-proportional
+    * width, not the session default, is the invariant. Restores the
+    * previous width on exit; the sequential Verify/Bench harness never
+    * runs bodies concurrently. */
+  def withShuffleWidth[T](spark: SparkSession, width: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, width.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Apply graft's standard conf to an externally-built session (e.g. the
     * driver's Verify/Bench session) without restarting it. Idempotent and
     * guarded: applied at most once per session, so callers on the hot path

@@ -206,13 +206,11 @@ object Graph {
     * concurrently on the same SparkSession would silently get 8-partition
     * shuffles. Safe under the sequential Verify/Bench harness; if a
     * concurrent harness ever appears, scope this with `s.newSession()`
-    * (per-session conf clone) instead. */
-  private def withFewShuffles[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, prev)
-  }
+    * (per-session conf clone) instead. (r10: one implementation —
+    * [[graft.core.Sessions.withShuffleWidth]] — shared with the
+    * registry-level narrowing of the other loop queries below.) */
+  private def withFewShuffles[T](s: SparkSession)(body: => T): T =
+    graft.core.Sessions.withShuffleWidth(s, IterWidth)(body)
 
   /** Distinct undirected co-order edges (u < v): parts appearing in the
     * same order are connected. One self-join on the order key + one
@@ -1429,22 +1427,41 @@ object Graph {
        |LEFT JOIN intra USING (brand) CROSS JOIN m
        |ORDER BY brand""".stripMargin
 
+  /** The loop builders run under a narrowed shuffle width
+    * ([[graft.core.Sessions.withShuffleWidth]], measured −15..−35% at
+    * sf0.1 in graft.tools.ScratchIter): a loop's per-round fixed cost
+    * scales with the width while every table it touches — node/frontier
+    * vectors AND the co-purchase edge list (≈10⁵ rows at sf0.1) — is far
+    * below one session-width partition's worth, so the session default
+    * is pure overhead ×rounds. Results are unchanged by the family's
+    * own shuffle-width-invariance pin (IterativePerturbationSpec). The
+    * width is sized to the QUERY's data, which is the actual invariant:
+    * a 100-TB deployment sizes the loop width to ITS edge list (up, not
+    * down) — the kcore precedent (withFewShuffles, r9). Only work
+    * EXECUTED inside the builder narrows (the eager per-round
+    * persist+count); the returned frame's lazy tail plans under the
+    * session width at action time. */
+  private val IterWidth = 8
+  private def narrowed(f: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, d) => graft.core.Sessions.withShuffleWidth(s, IterWidth)(f(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_modularity"  -> (qModularity _),
     "q_harmonic_centrality" -> (qHarmonicCentrality _),
-    "q_kcore"       -> (qKcore _),
+    "q_kcore"       -> narrowed(qKcore),
     "q_adamic_adar" -> (qAdamicAdar _),
     "q_assortativity" -> (qAssortativity _),
-    "q_label_prop"  -> (qLabelProp _),
-    "q_ppr"         -> (qPpr _),
+    "q_label_prop"  -> narrowed(qLabelProp),
+    "q_ppr"         -> narrowed(qPpr),
     "q_graph_jaccard" -> (qGraphJaccard _),
-    "q_pagerank"    -> (qPagerank _),
-    "q_hits"        -> (qHits _),
+    "q_pagerank"    -> narrowed(qPagerank),
+    "q_hits"        -> narrowed(qHits),
     "q_triangles"   -> (qTriangles _),
-    "q_bfs_levels"  -> (qBfsLevels _),
+    "q_bfs_levels"  -> narrowed(qBfsLevels),
     "q_item_cf"     -> (qItemCf _),
     "q_degree_dist" -> (qDegreeDist _),
-    "q_components"  -> (qComponents _),
+    "q_components"  -> narrowed(qComponents),
     "q_basket_rules" -> (qBasketRules _),
     "q_clustering_coef" -> (qClusteringCoef _))
 
