@@ -13,8 +13,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   *
   * This is the per-row hot kernel of [[graft.core.BandedRank]]'s
   * equi-depth banding (round-8 VERDICT item 1): the boundary array is a
-  * 1-row `percentile_approx` broadcast and every fact row needs its
-  * band. The declarative alternative — a chain of `buckets-1`
+  * 1-row broadcast (the sampled [[BoundarySketchAgg]] cuts as of r10)
+  * and every fact row needs its band. The declarative alternative — a chain of `buckets-1`
   * `CASE WHEN v >= cuts[i]` terms — is catastrophically slower (measured
   * 8.2 s vs 0.5 s for the band projection alone over sf0.1 lineitem;
   * the generated code evaluates 63 `GetArrayItem`+null-check blocks per
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * CodegenFallback and break the whole-stage span entirely.
   *
   * Contract: `cuts` must be sorted ascending with no null elements (the
-  * `percentile_approx` output satisfies both); the result is then a
+  * `boundary_sketch` output satisfies both); the result is then a
   * monotone function of `v`, which is all the banded decomposition
   * needs — boundary precision only moves rows between bands, never
   * changes the final rank. Null `v` or null `cuts` → null (standard
