@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, NamedExpression, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, NamedExpression, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
@@ -101,7 +101,14 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
   *  - `sum/min/max/count/avg(expr)` over `ROWS|RANGE UNBOUNDED
   *    PRECEDING .. CURRENT ROW` (the resolved default frame of an ORDER
   *    BY window), non-DISTINCT, un-FILTERed, over a non-decimal numeric
-  *    (any type for `count`) — the running-total/extreme family.
+  *    (any type for `count`) — the running-total/extreme family;
+  *  - `lag(expr, k [, default])` with a literal k in
+  *    [1, [[DistributedWindowExec.MaxLagOffset]]], literal default, no
+  *    IGNORE NULLS, numeric expr — replayed through a bounded per-group
+  *    ring with driver-chained history across partition boundaries.
+  *    `lead` is deliberately unsupported: it needs row LOOKAHEAD, which
+  *    would buffer-and-delay every output row and break the exec's
+  *    zero-copy streaming (a lead is a lag over the reversed order).
   * The node rewrites only when EVERY window expression on it is
   * supported (one unsupported neighbor keeps the whole node on
   * WindowExec — correctness first) and the order is non-empty. The pure
@@ -141,6 +148,18 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
           numeric(se.dataType) && runningFrame
         case AggregateExpression(c: Count, _, false, None, _) =>
           c.children.size == 1 && runningFrame
+        // lag ignores its frame (an offset function); literal offsets in
+        // [1, MaxLagOffset] bound the per-group replay buffer. LEAD is
+        // deliberately out of scope: it needs row lookahead, which would
+        // buffer-and-delay every output row and break the exec's
+        // zero-copy streaming — a lead is a lag over the reversed order
+        case Lag(in, off, dflt, false) =>
+          numeric(in.dataType) && off.foldable && (off.eval() match {
+            case i: Int =>
+              i >= 1 && i <= DistributedWindowExec.MaxLagOffset
+            case _ => false
+          }) && dflt.foldable &&
+            (dflt.eval() == null || dflt.dataType == in.dataType)
         case _ => false
       }
     case _ => false
@@ -371,6 +390,22 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           // only the child's null mask matters; the value is never read
           AggSpec(c.children.head, peer, CountK,
             isDouble = false, outType = LongType)
+        case Lag(in, off, dflt, _) =>
+          val d = accDouble(in.dataType)
+          val (dNull, dL, dD) = dflt.eval() match {
+            case null => (true, 0L, 0d)
+            case b: Byte => (false, b.toLong, 0d)
+            case sh: Short => (false, sh.toLong, 0d)
+            case i: Int => (false, i.toLong, 0d)
+            case l: Long => (false, l, 0d)
+            case fl: Float => (false, 0L, fl.toDouble)
+            case db: Double => (false, 0L, db)
+            case other => throw new IllegalStateException(
+              s"unexpected lag default: $other")
+          }
+          LagSpec(Cast(in, if (d) DoubleType else LongType),
+            off.eval().asInstanceOf[Int], dNull, dL, dD,
+            isDouble = d, outType = in.dataType)
         case other => throw new IllegalStateException(
           s"unsupported window function reached the exec: $other")
       }
@@ -383,6 +418,8 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     val funcs = decode()
     val aggs: Array[AggSpec] = funcs.collect { case s: AggSpec => s }
     val nAggs = aggs.length
+    val lags: Array[LagSpec] = funcs.collect { case l: LagSpec => l }
+    val nLags = lags.length
     val hasRowNum = funcs.contains(RowNumSpec)
     val hasRank = funcs.contains(RankSpec)
     val hasDense = funcs.contains(DenseRankSpec)
@@ -423,6 +460,37 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         val pproj = UnsafeProjection.create(orderExprs, childOutput)
         val aprojs = aggs.map(f =>
           UnsafeProjection.create(f.expr :: Nil, childOutput))
+        val lprojs = lags.map(f =>
+          UnsafeProjection.create(f.expr :: Nil, childOutput))
+        // per-slot ring of the CURRENT group-run's trailing `off` values
+        // (the tail the driver chains into the next partition's seed)
+        val ringL = lags.map(l => new Array[Long](l.off))
+        val ringD = lags.map(l => new Array[Double](l.off))
+        val ringN = lags.map(l => new Array[Boolean](l.off))
+        val ringCnt = new Array[Long](nLags)
+        def lagTails(): (Array[Array[Long]], Array[Array[Double]],
+                         Array[Array[Boolean]]) = {
+          val tl = new Array[Array[Long]](nLags)
+          val td = new Array[Array[Double]](nLags)
+          val tn = new Array[Array[Boolean]](nLags)
+          var i = 0
+          while (i < nLags) {
+            val off = lags(i).off
+            val n = math.min(ringCnt(i), off.toLong).toInt
+            val (ol, od, on) =
+              (new Array[Long](n), new Array[Double](n), new Array[Boolean](n))
+            var j = 0
+            while (j < n) { // oldest → newest
+              val idx2 = ((ringCnt(i) - n + j) % off).toInt
+              ol(j) = ringL(i)(idx2); od(j) = ringD(i)(idx2)
+              on(j) = ringN(i)(idx2)
+              j += 1
+            }
+            tl(i) = ol; td(i) = od; tn(i) = on
+            i += 1
+          }
+          (tl, td, tn)
+        }
         val buf = scala.collection.mutable.ArrayBuffer.empty[GroupStat]
         var cur: UnsafeRow = null
         var rows = 0L
@@ -446,10 +514,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         }
         def flush(): Unit = if (cur != null) {
           freezeFirst()
+          val (tl, td, tn) = lagTails()
           buf += GroupStat(cur, rows, sl.clone(), sd.clone(), nn.clone(),
             runs,
             firstPeer, fL, fD, fN,
-            curPeer, runRows, rL.clone(), rD.clone(), rN.clone())
+            curPeer, runRows, rL.clone(), rD.clone(), rN.clone(),
+            tl, td, tn)
         }
         while (it.hasNext) {
           val row = it.next()
@@ -459,6 +529,20 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             java.util.Arrays.fill(sl, 0L); java.util.Arrays.fill(sd, 0d)
             java.util.Arrays.fill(nn, 0L)
             curPeer = null; runRows = 0L; firstPeer = null
+            java.util.Arrays.fill(ringCnt, 0L)
+          }
+          var li = 0
+          while (li < nLags) {
+            val v = lprojs(li)(row)
+            val idx2 = (ringCnt(li) % lags(li).off).toInt
+            if (v.isNullAt(0)) ringN(li)(idx2) = true
+            else {
+              ringN(li)(idx2) = false
+              if (lags(li).isDouble) ringD(li)(idx2) = v.getDouble(0)
+              else ringL(li)(idx2) = v.getLong(0)
+            }
+            ringCnt(li) += 1
+            li += 1
           }
           if (needsPeer) {
             val pk = pproj(row)
@@ -570,6 +654,54 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     if (hasRowNum || hasRank || hasDense)
       running.values.foreach(o => RankOverflow.check(o.rows))
 
+    // ---- driver, forward: lag-history chaining. A group's rows occupy a
+    // CONTIGUOUS span of partitions, so only a partition's FIRST group
+    // can have prior-partition history: its lag seed is the last `off`
+    // values of the same group accumulated across preceding partitions
+    // (concatenate trailing tails while the same group keeps flowing).
+    // Unlike the peer-run carry this chains on GROUP equality alone —
+    // lag ignores order-peers.
+    val lagSeedL = new Array[Array[Array[Long]]](nParts)
+    val lagSeedD = new Array[Array[Array[Double]]](nParts)
+    val lagSeedN = new Array[Array[Array[Boolean]]](nParts)
+    if (nLags > 0) {
+      var carryG: UnsafeRow = null
+      var cL: Array[Array[Long]] = null
+      var cD: Array[Array[Double]] = null
+      var cN: Array[Array[Boolean]] = null
+      var p = 0
+      while (p < nParts) {
+        val stats = statsPerPart(p)
+        if (stats.nonEmpty) {
+          if (carryG != null && stats.head.key == carryG) {
+            lagSeedL(p) = cL; lagSeedD(p) = cD; lagSeedN(p) = cN
+          }
+          val last = stats.last
+          if (stats.length == 1 && carryG != null && last.key == carryG) {
+            // the same group keeps flowing: append this partition's tail
+            // and keep only the last `off` values per slot
+            val (nl, nd, nn2) = (new Array[Array[Long]](nLags),
+              new Array[Array[Double]](nLags),
+              new Array[Array[Boolean]](nLags))
+            var i = 0
+            while (i < nLags) {
+              val off = lags(i).off
+              val l = (cL(i) ++ last.lagL(i)).takeRight(off)
+              val d = (cD(i) ++ last.lagD(i)).takeRight(off)
+              val n = (cN(i) ++ last.lagN(i)).takeRight(off)
+              nl(i) = l; nd(i) = d; nn2(i) = n
+              i += 1
+            }
+            cL = nl; cD = nd; cN = nn2
+          } else {
+            carryG = last.key
+            cL = last.lagL; cD = last.lagD; cN = last.lagN
+          }
+        }
+        p += 1
+      }
+    }
+
     // ---- driver, backward: tail contributions to each partition's
     // trailing peer run from later partitions (RANGE aggregates only)
     val tailL = Array.fill(nParts)(new Array[Long](nAggs))
@@ -628,9 +760,14 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       val pTailL = tailL(idx)
       val pTailD = tailD(idx)
       val pTailN = tailN(idx)
+      val pSeedL = lagSeedL(idx)
+      val pSeedD = lagSeedD(idx)
+      val pSeedN = lagSeedN(idx)
       val gproj = UnsafeProjection.create(groupExprs, childOutput)
       val pproj = UnsafeProjection.create(orderExprs, childOutput)
       val aprojs = aggs.map(f =>
+        UnsafeProjection.create(f.expr :: Nil, childOutput))
+      val lprojs = lags.map(f =>
         UnsafeProjection.create(f.expr :: Nil, childOutput))
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
@@ -641,9 +778,22 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       var dense = 0L
       var prevPeer: UnsafeRow = null
       var firstUnit = true
+      var firstGroupPending = true
       var accL = new Array[Long](nAggs)
       var accD = new Array[Double](nAggs)
       var accNN = new Array[Long](nAggs)
+      // per-slot replay rings of the last `off` lag values in the group
+      val lagRingL = lags.map(l => new Array[Long](l.off))
+      val lagRingD = lags.map(l => new Array[Double](l.off))
+      val lagRingN = lags.map(l => new Array[Boolean](l.off))
+      val lagCnt = new Array[Long](nLags)
+      def lagPut(i: Int, isNull: Boolean, l: Long, d: Double): Unit = {
+        val idx2 = (lagCnt(i) % lags(i).off).toInt
+        lagRingN(i)(idx2) = isNull
+        lagRingL(i)(idx2) = l
+        lagRingD(i)(idx2) = d
+        lagCnt(i) += 1
+      }
       def addTo(i: Int, row: InternalRow): Unit = {
         val v = aprojs(i)(row)
         if (!v.isNullAt(0)) {
@@ -696,6 +846,22 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           prevPeer = null
           accL = base.sumL.clone(); accD = base.sumD.clone()
           accNN = base.nonNull.clone()
+          // lag replay restarts per group; the partition's FIRST group
+          // preloads the driver-chained history of the same group from
+          // preceding partitions (null when the group starts here)
+          java.util.Arrays.fill(lagCnt, 0L)
+          if (firstGroupPending && pSeedL != null) {
+            var i = 0
+            while (i < nLags) {
+              var j = 0
+              while (j < pSeedL(i).length) {
+                lagPut(i, pSeedN(i)(j), pSeedL(i)(j), pSeedD(i)(j))
+                j += 1
+              }
+              i += 1
+            }
+          }
+          firstGroupPending = false
         }
         if (needsPeer) {
           val pk = pproj(unit(0))
@@ -726,12 +892,29 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         unit.iterator.map { row =>
           rn += 1
           var ai = 0
+          var gi = 0
           var fi = 0
           while (fi < nFuncs) {
             funcs(fi) match {
               case RowNumSpec => fRow.setInt(fi, rn.toInt)
               case RankSpec => fRow.setInt(fi, (runStart + 1).toInt)
               case DenseRankSpec => fRow.setInt(fi, dense.toInt)
+              case lg: LagSpec =>
+                // emit the value `off` rows back (the ring's oldest slot —
+                // the next write position once full), then push this row
+                if (lagCnt(gi) >= lg.off) {
+                  val i0 = (lagCnt(gi) % lg.off).toInt
+                  if (lagRingN(gi)(i0)) fRow.update(fi, null)
+                  else setNum(fRow, fi, lg.outType,
+                    lagRingL(gi)(i0), lagRingD(gi)(i0))
+                } else if (lg.defaultIsNull) fRow.update(fi, null)
+                else setNum(fRow, fi, lg.outType, lg.dL, lg.dD)
+                val v = lprojs(gi)(row)
+                if (v.isNullAt(0)) lagPut(gi, isNull = true, 0L, 0d)
+                else lagPut(gi, isNull = false,
+                  if (lg.isDouble) 0L else v.getLong(0),
+                  if (lg.isDouble) v.getDouble(0) else 0d)
+                gi += 1
               case a: AggSpec =>
                 if (!a.peer) addTo(ai, row)
                 var l = accL(ai)
@@ -788,6 +971,17 @@ object DistributedWindowExec {
                                     kind: AggKind, isDouble: Boolean,
                                     outType: DataType) extends FuncSpec
 
+  /** lag(expr, off) with a literal default; the per-group replay buffer
+    * is `off` widened values, bounded by [[MaxLagOffset]]. */
+  private[plans] case class LagSpec(expr: Expression, off: Int,
+                                    defaultIsNull: Boolean, dL: Long,
+                                    dD: Double, isDouble: Boolean,
+                                    outType: DataType) extends FuncSpec
+
+  /** Largest accepted literal lag offset — bounds every replay ring and
+    * the per-(partition, group) tail the driver chains. */
+  val MaxLagOffset: Int = 64
+
   /** Write an accumulated extreme/sum back in the window's own output
     * type (the widening casts in decode() are exact, so the narrowing
     * here is too). */
@@ -816,7 +1010,10 @@ object DistributedWindowExec {
                                       lastPeer: UnsafeRow, lastRows: Long,
                                       lastSumL: Array[Long],
                                       lastSumD: Array[Double],
-                                      lastNN: Array[Long])
+                                      lastNN: Array[Long],
+                                      lagL: Array[Array[Long]],
+                                      lagD: Array[Array[Double]],
+                                      lagN: Array[Array[Boolean]])
   private[plans] case class Offsets(rows: Long, sumL: Array[Long],
                                     sumD: Array[Double], nonNull: Array[Long],
                                     runsBefore: Long)

@@ -509,10 +509,49 @@ object Windows {
       |WINDOW w AS (PARTITION BY l_returnflag ORDER BY cents)
       |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
 
+  // ------------------------------------------------ q_fact_delta_dist
+  /** Per-flag price STEP — `cents − lag(cents, 1)` over the total
+    * (cents, orderkey, linenumber) order — through the distributed
+    * window (r10: lag joined the operator's function family). Lag is
+    * replayed from a bounded per-group ring whose history the driver
+    * chains across partition boundaries, so a flag group spanning many
+    * range partitions still sees its previous row at every boundary;
+    * the first row per flag yields NULL (no default). Gate: the plain
+    * lag window oracle. */
+  def qFactDeltaDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      // the marker must name the BARE window expression — a composite
+      // like `cents - lag(...)` would reach the Window node under an
+      // internal extraction alias the rewrite can't see
+      .withColumn(s"${m}_lag", lag($"cents", 1).over(w))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
+        ($"cents" - col(s"${m}_lag")).as("step_c"))
+      .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
+  }
+
+  private val qFactDeltaDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, cents,
+      |  cents - lag(cents, 1) OVER (PARTITION BY l_returnflag
+      |    ORDER BY cents, l_orderkey, l_linenumber) AS step_c
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fact_rank" -> (qFactRank _),
     "q_fact_ranks_dist" -> (qFactRanksDist _),
     "q_fact_runagg_dist" -> (qFactRunaggDist _),
+    "q_fact_delta_dist" -> (qFactDeltaDist _),
     "q_fact_rank_dist" -> (qFactRankDist _),
     "q_fact_rank_grouped_dist" -> (qFactRankGroupedDist _),
     "q_fact_cumsum_dist" -> (qFactCumsumDist _),
@@ -538,6 +577,7 @@ object Windows {
     "q_fact_cumsum_grouped_dist" -> qFactCumsumGroupedDistSql,
     "q_fact_ranks_dist" -> qFactRanksDistSql,
     "q_fact_runagg_dist" -> qFactRunaggDistSql,
+    "q_fact_delta_dist" -> qFactDeltaDistSql,
     "q_window_rownum"  -> qWindowRownumSql,
     "q_window_topk"    -> qWindowTopkSql,
     // the native-aggregate variant must reproduce the window result exactly

@@ -82,18 +82,18 @@ class DistributedRankSpec extends AnyFunSuite {
     withFlag(true) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val lagDf = fixture(200).withColumn("lg",
-          lag(col("v"), 1).over(Window.orderBy(col("v"), col("id"))))
-        assert(lagDf.queryExecution.executedPlan
+        val leadDf = fixture(200).withColumn("ld",
+          lead(col("v"), 1).over(Window.orderBy(col("v"), col("id"))))
+        assert(leadDf.queryExecution.executedPlan
           .collect { case w: WindowExec => w }.nonEmpty,
-          "lag() (unsupported) must stay a WindowExec")
+          "lead() (unsupported) must stay a WindowExec")
         // one unsupported neighbor keeps the WHOLE node on WindowExec
-        // (the forall guard): row_number and lag share (partition,
+        // (the forall guard): row_number and lead share (partition,
         // order), so they land on one Window node
         val w = Window.orderBy(col("v"), col("id"))
         val mixed = fixture(200)
           .withColumn("rn", row_number().over(w))
-          .withColumn("lg", lag(col("v"), 1).over(w))
+          .withColumn("ld", lead(col("v"), 1).over(w))
         val mixedPlan = mixed.queryExecution.executedPlan
         assert(mixedPlan.collect { case w: WindowExec => w }.nonEmpty,
           s"mixed supported+unsupported node must stay a WindowExec:\n$mixedPlan")
@@ -234,6 +234,64 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("lag(1) and lag(3) equal WindowExec, incl. NULL source values " +
+       "and groups spanning partitions") {
+    // total order (v, id): lag is tie-SENSITIVE, the same contract
+    // WindowExec has; flag groups span the 4-partition range exchange,
+    // so the driver-chained lag history is exercised by construction
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
+      df.withColumn(nm("l1"), lag(col("v"), 1).over(w))
+        .withColumn(nm("l3"), lag(col("v"), 3).over(w))
+    }
+  }
+
+  test("global lag with a non-null default equals WindowExec") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.orderBy(col("v"), col("id"))
+      df.withColumn(nm("lg"), lag(col("v"), 2, -99L).over(w))
+    }
+  }
+
+  test("lag chains across a prefix-satisfied finer pre-partitioning") {
+    import spark.implicits._
+    // pre-partitioned on exactly (flag, v, id): no fresh exchange, groups
+    // span the 7 partitions, lag history must chain partition-to-partition
+    val df = spark.range(3000).select(
+      $"id",
+      (abs(hash(concat(lit("s"), $"id"))) % 40).cast("long").as("v"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+      .repartitionByRange(7, col("flag"), col("v"), col("id"))
+    def build(nm: String => String): DataFrame = {
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
+      df.withColumn(nm("l1"), lag(col("v"), 1).over(w))
+        .withColumn(nm("l5"), lag(col("v"), 5).over(w))
+        .withColumn(nm("rn"), row_number().over(w))
+    }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    assert(on.collect().map(_.toString).sorted.toSeq == off)
+  }
+
+  test("scope guard: lead and IGNORE-NULLS/non-literal lag stay WindowExec") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val w = Window.orderBy(col("v"), col("id"))
+      val leadDf = fixture(200).withColumn(s"${M}_x", lead(col("v"), 1).over(w))
+      assert(leadDf.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }.nonEmpty,
+        "lead() must stay a WindowExec")
+      val bigOff = fixture(200).withColumn(s"${M}_x",
+        lag(col("v"), 100).over(w)) // > MaxLagOffset
+      assert(bigOff.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }.nonEmpty,
+        "over-budget lag offset must stay a WindowExec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("running avg over exact integers equals WindowExec bit-for-bit") {
     // integer inputs: the double sums are exact (< 2^53), so block
     // association cannot diverge and the string compare is safe
@@ -290,6 +348,7 @@ class DistributedRankSpec extends AnyFunSuite {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn(nm("cs"), sum(col("v")).over(w))
         .withColumn(nm("mn"), min(col("v")).over(w))
+        .withColumn(nm("lg"), lag(col("v"), 2).over(w))
     }
   }
 
