@@ -43,7 +43,7 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     groups <- Gen.oneOf(0, 1, 2, 5) // 0 = global window
     width <- Gen.oneOf(2, 5, 13)
     pre <- Gen.oneOf(0, 0, 3, 9)
-    funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av")
+    funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av", "lg")
       .suchThat(_.nonEmpty).map(_.toList)
   } yield Shape(n, dv, nullMod, groups, width, pre, funcs)
 
@@ -65,9 +65,16 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
 
   private def build(df: DataFrame, sh: Shape,
                     nm: String => String): DataFrame = {
+    // lag is tie-SENSITIVE (the WindowExec contract too), so any shape
+    // that draws it runs the whole mix over a TOTAL order; the
+    // tie-insensitive shapes keep the bare (v) order so peer runs with
+    // real ties keep getting exercised
+    val ord =
+      if (sh.funcs.contains("lg")) Seq(col("v"), col("id"))
+      else Seq(col("v"))
     val w: WindowSpec =
-      if (sh.groups == 0) Window.orderBy(col("v"))
-      else Window.partitionBy(col("flag")).orderBy(col("v"))
+      if (sh.groups == 0) Window.orderBy(ord: _*)
+      else Window.partitionBy(col("flag")).orderBy(ord: _*)
     sh.funcs.foldLeft(df) { (d, f) =>
       f match {
         case "rk"  => d.withColumn(nm("rk"), rank().over(w))
@@ -77,6 +84,7 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
         case "max" => d.withColumn(nm("mx"), max(col("w")).over(w))
         case "ct"  => d.withColumn(nm("ct"), count(col("v")).over(w))
         case "av"  => d.withColumn(nm("av"), avg(col("w")).over(w))
+        case "lg"  => d.withColumn(nm("lg"), lag(col("w"), 3).over(w))
       }
     }
   }
