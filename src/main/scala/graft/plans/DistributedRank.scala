@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, NamedExpression, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, NamedExpression, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
@@ -96,8 +96,11 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
   *    dial.
   * Supported window-expression shapes (r10 — r9 shipped row_number +
   * running sum):
-  *  - `row_number()`, `rank()`, `dense_rank()` over any partition spec
-  *    (they ignore their frame, so any frame matches);
+  *  - `row_number()`, `rank()`, `dense_rank()`, `percent_rank()`,
+  *    `ntile(b)` (literal b) over any partition spec (they ignore their
+  *    frame, so any frame matches); the size-based pair reads its group
+  *    total from the driver's prefix-merge endpoint — one O(groups)
+  *    broadcast map, no extra pass;
   *  - `sum/min/max/count/avg(expr)` over `ROWS|RANGE UNBOUNDED
   *    PRECEDING .. CURRENT ROW` (the resolved default frame of an ORDER
   *    BY window), non-DISTINCT, un-FILTERed, over a non-decimal numeric
@@ -137,7 +140,14 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
         case _ => false
       }
       f match {
-        case _: RowNumber | _: Rank | _: DenseRank => true
+        case _: RowNumber | _: Rank | _: DenseRank | _: PercentRank => true
+        // ntile/percent_rank are SizeBasedWindowFunctions: the group
+        // total they need is exactly the driver's prefix-merge endpoint,
+        // so they cost one extra broadcast map, no extra pass
+        case NTile(b) => b.foldable && (b.eval() match {
+          case i: Int => i > 0
+          case _ => false
+        })
         case AggregateExpression(Sum(se, _), _, false, None, _) =>
           numeric(se.dataType) && runningFrame
         case AggregateExpression(Min(se), _, false, None, _) =>
@@ -367,6 +377,8 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         case _: RowNumber => RowNumSpec
         case _: Rank => RankSpec
         case _: DenseRank => DenseRankSpec
+        case _: PercentRank => PercentRankSpec
+        case NTile(b) => NTileSpec(b.eval().asInstanceOf[Int])
         case ae @ AggregateExpression(Sum(se, _), _, _, _, _) =>
           // accumulate in the Sum's own result type (LongType for
           // integral inputs, DoubleType for fractional) via a widening
@@ -423,10 +435,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     val hasRowNum = funcs.contains(RowNumSpec)
     val hasRank = funcs.contains(RankSpec)
     val hasDense = funcs.contains(DenseRankSpec)
+    val hasPct = funcs.contains(PercentRankSpec)
+    val hasNtile = funcs.exists(_.isInstanceOf[NTileSpec])
     val anyPeer = aggs.exists(_.peer)
     // peer-run tracking is needed whenever a function's value depends on
-    // run boundaries — RANGE aggregates, rank, dense_rank
-    val needsPeer = anyPeer || hasRank || hasDense
+    // run boundaries — RANGE aggregates, rank, dense_rank, percent_rank
+    val needsPeer = anyPeer || hasRank || hasDense || hasPct
     val ansi = conf.ansiEnabled // WindowExec parity in BOTH modes (r9 4a)
     val groupExprs = groups
     val orderExprs = order.map(_.child)
@@ -654,6 +668,14 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     if (hasRowNum || hasRank || hasDense)
       running.values.foreach(o => RankOverflow.check(o.rows))
 
+    // group TOTALS — the SizeBasedWindowFunction input (ntile,
+    // percent_rank): the forward prefix-merge's endpoint per group, one
+    // broadcast map of O(groups) longs
+    val groupTotals: Map[UnsafeRow, Long] =
+      if (hasPct || hasNtile)
+        running.iterator.map { case (k, o) => k -> o.rows }.toMap
+      else Map.empty
+
     // ---- driver, forward: lag-history chaining. A group's rows occupy a
     // CONTIGUOUS span of partitions, so only a partition's FIRST group
     // can have prior-partition history: its lag seed is the last `off`
@@ -776,6 +798,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       var rn = 0L
       var runStart = 0L
       var dense = 0L
+      var gTotal = 0L
       var prevPeer: UnsafeRow = null
       var firstUnit = true
       var firstGroupPending = true
@@ -843,6 +866,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           rn = base.rows
           dense = base.runsBefore
           runStart = rn
+          gTotal = groupTotals.getOrElse(curGroup, 0L)
           prevPeer = null
           accL = base.sumL.clone(); accD = base.sumD.clone()
           accNN = base.nonNull.clone()
@@ -899,6 +923,24 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
               case RowNumSpec => fRow.setInt(fi, rn.toInt)
               case RankSpec => fRow.setInt(fi, (runStart + 1).toInt)
               case DenseRankSpec => fRow.setInt(fi, dense.toInt)
+              case PercentRankSpec =>
+                // (rank - 1) / (n - 1), 0.0 for a single-row group — the
+                // RankLike evaluate contract
+                fRow.setDouble(fi,
+                  if (gTotal <= 1L) 0d
+                  else runStart.toDouble / (gTotal - 1L))
+              case NTileSpec(b) =>
+                // Spark's NTile: the first (n % b) buckets carry one
+                // extra row; rn is already the 1-based within-group index
+                // (it counts from the group's prior-partition offset)
+                val j0 = rn - 1
+                val size = gTotal / b
+                val rem = gTotal % b
+                val thresh = rem * (size + 1)
+                val bucket =
+                  if (j0 < thresh) j0 / (size + 1) + 1
+                  else rem + (j0 - thresh) / size + 1
+                fRow.setInt(fi, bucket.toInt)
               case lg: LagSpec =>
                 // emit the value `off` rows back (the ring's oldest slot —
                 // the next write position once full), then push this row
@@ -959,6 +1001,8 @@ object DistributedWindowExec {
   private[plans] case object RowNumSpec extends FuncSpec
   private[plans] case object RankSpec extends FuncSpec
   private[plans] case object DenseRankSpec extends FuncSpec
+  private[plans] case object PercentRankSpec extends FuncSpec
+  private[plans] case class NTileSpec(buckets: Int) extends FuncSpec
 
   private[plans] sealed trait AggKind extends Serializable
   private[plans] case object SumK extends AggKind

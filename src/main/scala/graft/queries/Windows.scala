@@ -449,9 +449,13 @@ object Windows {
         (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
       .withColumn(s"${m}_rk", rank().over(w))
       .withColumn(s"${m}_dr", dense_rank().over(w))
+      .withColumn(s"${m}_pr", percent_rank().over(w))
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
         col(s"${m}_rk").cast("long").as("price_rank"),
-        col(s"${m}_dr").cast("long").as("price_dense_rank"))
+        col(s"${m}_dr").cast("long").as("price_dense_rank"),
+        // percent_rank is (rank−1)/(n−1) off exact integers — identical
+        // division both engines, tie-insensitive like its rank inputs
+        round(col(s"${m}_pr"), 9).as("price_pct_rank"))
       .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
   }
 
@@ -460,7 +464,9 @@ object Windows {
       |  rank() OVER (PARTITION BY l_returnflag ORDER BY cents)
       |    AS price_rank,
       |  dense_rank() OVER (PARTITION BY l_returnflag ORDER BY cents)
-      |    AS price_dense_rank
+      |    AS price_dense_rank,
+      |  round(percent_rank() OVER (PARTITION BY l_returnflag
+      |    ORDER BY cents), 9) AS price_pct_rank
       |FROM (
       |  SELECT l_orderkey, l_linenumber, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -531,15 +537,21 @@ object Windows {
       // like `cents - lag(...)` would reach the Window node under an
       // internal extraction alias the rewrite can't see
       .withColumn(s"${m}_lag", lag($"cents", 1).over(w))
+      .withColumn(s"${m}_nt", ntile(10).over(w))
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
-        ($"cents" - col(s"${m}_lag")).as("step_c"))
+        ($"cents" - col(s"${m}_lag")).as("step_c"),
+        // ntile rides the same total order (it is tie-order-dependent
+        // like row_number); deciles of the per-flag price distribution
+        col(s"${m}_nt").cast("long").as("price_decile"))
       .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
   }
 
   private val qFactDeltaDistSql =
     """SELECT l_orderkey, l_linenumber, l_returnflag, cents,
       |  cents - lag(cents, 1) OVER (PARTITION BY l_returnflag
-      |    ORDER BY cents, l_orderkey, l_linenumber) AS step_c
+      |    ORDER BY cents, l_orderkey, l_linenumber) AS step_c,
+      |  ntile(10) OVER (PARTITION BY l_returnflag
+      |    ORDER BY cents, l_orderkey, l_linenumber) AS price_decile
       |FROM (
       |  SELECT l_orderkey, l_linenumber, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)

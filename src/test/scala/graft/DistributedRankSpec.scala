@@ -234,6 +234,33 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("ntile and percent_rank equal WindowExec (size-based pair; groups " +
+       "span partitions so totals come from the driver merge)") {
+    // ntile is tie-order-dependent like row_number → total (v, id) order;
+    // percent_rank rides the same rank machinery and is tie-insensitive
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
+      df.withColumn(nm("nt4"), ntile(4).over(w))
+        .withColumn(nm("nt7"), ntile(7).over(w))
+        .withColumn(nm("pr"), percent_rank().over(w))
+    }
+  }
+
+  test("global ntile/percent_rank equal WindowExec, incl. n=1 edge") {
+    import spark.implicits._
+    markerVsPlain { (df, nm) =>
+      val w = Window.orderBy(col("v"), col("id"))
+      df.withColumn(nm("nt"), ntile(5).over(w))
+        .withColumn(nm("pr"), percent_rank().over(w))
+    }
+    // single-row group: percent_rank must be 0.0, ntile bucket 1
+    val one = Seq((1L, 2L)).toDF("id", "v")
+      .withColumn(s"${M}_pr", percent_rank().over(Window.orderBy(col("v"))))
+      .withColumn(s"${M}_nt", ntile(3).over(Window.orderBy(col("v"))))
+      .collect().head
+    assert(one.getDouble(2) == 0.0 && one.getInt(3) == 1)
+  }
+
   test("lag(1) and lag(3) equal WindowExec, incl. NULL source values " +
        "and groups spanning partitions") {
     // total order (v, id): lag is tie-SENSITIVE, the same contract

@@ -43,7 +43,8 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     groups <- Gen.oneOf(0, 1, 2, 5) // 0 = global window
     width <- Gen.oneOf(2, 5, 13)
     pre <- Gen.oneOf(0, 0, 3, 9)
-    funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av", "lg")
+    funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av", "lg",
+        "nt", "pr")
       .suchThat(_.nonEmpty).map(_.toList)
   } yield Shape(n, dv, nullMod, groups, width, pre, funcs)
 
@@ -65,12 +66,13 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
 
   private def build(df: DataFrame, sh: Shape,
                     nm: String => String): DataFrame = {
-    // lag is tie-SENSITIVE (the WindowExec contract too), so any shape
-    // that draws it runs the whole mix over a TOTAL order; the
-    // tie-insensitive shapes keep the bare (v) order so peer runs with
-    // real ties keep getting exercised
+    // lag and ntile are tie-SENSITIVE (the WindowExec contract too), so
+    // any shape that draws them runs the whole mix over a TOTAL order;
+    // the tie-insensitive shapes keep the bare (v) order so peer runs
+    // with real ties keep getting exercised
     val ord =
-      if (sh.funcs.contains("lg")) Seq(col("v"), col("id"))
+      if (sh.funcs.contains("lg") || sh.funcs.contains("nt"))
+        Seq(col("v"), col("id"))
       else Seq(col("v"))
     val w: WindowSpec =
       if (sh.groups == 0) Window.orderBy(ord: _*)
@@ -85,6 +87,8 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
         case "ct"  => d.withColumn(nm("ct"), count(col("v")).over(w))
         case "av"  => d.withColumn(nm("av"), avg(col("w")).over(w))
         case "lg"  => d.withColumn(nm("lg"), lag(col("w"), 3).over(w))
+        case "nt"  => d.withColumn(nm("nt"), ntile(6).over(w))
+        case "pr"  => d.withColumn(nm("pr"), percent_rank().over(w))
       }
     }
   }
