@@ -47,8 +47,14 @@ object Sessions {
     * q_hits 5.9→4.1 s, q_pagerank 4.1→3.0 s (graft.tools.ScratchIter).
     * At 100 TB the same principle sizes the width UP — data-proportional
     * width, not the session default, is the invariant. Restores the
-    * previous width on exit; the sequential Verify/Bench harness never
-    * runs bodies concurrently. */
+    * previous width on exit. CONCURRENCY CONTRACT (r10 ADVICE): the
+    * set/restore mutates the SESSION-global conf, so a concurrent query
+    * on the same SparkSession would silently plan with the narrowed
+    * width — safe only under the sequential Verify/Bench harness. A
+    * concurrent caller must isolate first: `withShuffleWidth(
+    * spark.newSession(), w)(body)` gives `body` a per-session conf clone
+    * sharing the SparkContext, and every `body` in this repo reaches its
+    * session through the parameter, so the swap is mechanical. */
   def withShuffleWidth[T](spark: SparkSession, width: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * `boundary_sketch(value, hash, buckets)` keeps the values carried by
   * the [[BoundarySketchAgg.SampleK]] smallest `hash`es seen (a bottom-k
   * by hash — the hash total-orders the rows, so the kept set is a
-  * uniform size-k sample of the input multiset, deterministic given the
-  * hashes) and returns the sample's `buckets-1` equi-depth boundaries
+  * uniform size-k sample of the input multiset; equal hashes tie-break
+  * on VALUE, so the kept (hash, value) multiset is a pure function of
+  * the input multiset, independent of insertion and merge order — r10
+  * ADVICE) and returns the sample's `buckets-1` equi-depth boundaries
   * as a sorted `array<double>`.
   *
   * This replaces [[graft.core.BandedRank]]'s full-input
@@ -166,16 +168,24 @@ object BoundarySketchAgg {
     * buffer, constant in the input size. */
   val SampleK: Int = 8192
 
-  /** Bounded bottom-k by hash over (hash, value) PAIRS — a multiset, not
-    * a set: duplicate values (and the astronomically rare duplicate
-    * hashes) are all kept, preserving mass weighting. Head of the heap =
-    * the LARGEST kept hash, i.e. the eviction candidate. */
+  /** Bounded bottom-k by (hash, value) over (hash, value) PAIRS — a
+    * multiset, not a set: duplicate values (and the astronomically rare
+    * duplicate hashes) are all kept, preserving mass weighting. Equal
+    * hashes order by `Double.compare` on the value (a total order incl.
+    * NaN/±0.0), so the kept set is a pure function of the input multiset
+    * — insertion/merge order cannot change which of two equal-hash pairs
+    * survives (r10 ADVICE). Head of the heap = the LARGEST kept pair,
+    * i.e. the eviction candidate. */
   final class Buffer(k: Int) {
     private var hs = new Array[Long](math.min(k, 1024))
     private var vs = new Array[Double](math.min(k, 1024))
     private var n = 0
 
     def size: Int = n
+
+    /** (h1,v1) < (h2,v2) lexicographically, value compared totally. */
+    private def lt(h1: Long, v1: Double, h2: Long, v2: Double): Boolean =
+      h1 < h2 || (h1 == h2 && java.lang.Double.compare(v1, v2) < 0)
 
     def offer(h: Long, v: Double): Unit = {
       if (n < k) {
@@ -184,10 +194,10 @@ object BoundarySketchAgg {
         hs(n) = h; vs(n) = v
         var i = n
         n += 1
-        while (i > 0 && hs((i - 1) >> 1) < hs(i)) {
+        while (i > 0 && lt(hs((i - 1) >> 1), vs((i - 1) >> 1), hs(i), vs(i))) {
           swap(i, (i - 1) >> 1); i = (i - 1) >> 1
         }
-      } else if (h < hs(0)) {
+      } else if (lt(h, v, hs(0), vs(0))) {
         // replace the max, sift down
         hs(0) = h; vs(0) = v
         var i = 0
@@ -196,8 +206,8 @@ object BoundarySketchAgg {
           val l = 2 * i + 1
           val r = l + 1
           var m = i
-          if (l < n && hs(l) > hs(m)) m = l
-          if (r < n && hs(r) > hs(m)) m = r
+          if (l < n && lt(hs(m), vs(m), hs(l), vs(l))) m = l
+          if (r < n && lt(hs(m), vs(m), hs(r), vs(r))) m = r
           if (m == i) done = true else { swap(i, m); i = m }
         }
       }

@@ -72,4 +72,34 @@ class BoundarySketchSpec extends AnyFunSuite {
     fill(fwd, pairs); fill(rev, pairs.reverse)
     assert(fwd.values().sorted.toSeq == rev.values().sorted.toSeq)
   }
+
+  test("equal hashes straddling the k boundary tie-break on VALUE, so the " +
+       "kept multiset is a pure function of the input (r10 ADVICE)") {
+    // k=4; three pairs share the would-be k-th hash with different values:
+    // only the smallest-valued of the tied trio may survive, regardless of
+    // insertion order or split/merge shape
+    val pairs = Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0,
+                    7L -> 9.0, 7L -> 5.0, 7L -> 1.0)
+    def dump(ps: Seq[(Long, Double)]): Seq[(Long, Double)] = {
+      val buf = new BoundarySketchAgg.Buffer(4)
+      fill(buf, ps)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      buf.foreach((hh, vv) => out += ((hh, vv)))
+      out.sorted.toSeq
+    }
+    val expect = Seq(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 7L -> 1.0)
+    pairs.permutations.foreach(p => assert(dump(p) == expect,
+      s"order-dependent kept set under insertion order $p"))
+    // split/merge shapes: every 2-way split of the canonical order
+    (1 until pairs.size).foreach { cut =>
+      val (a, b) = pairs.splitAt(cut)
+      val bufA = new BoundarySketchAgg.Buffer(4)
+      val bufB = new BoundarySketchAgg.Buffer(4)
+      fill(bufA, a); fill(bufB, b)
+      bufB.foreach(bufA.offer)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      bufA.foreach((hh, vv) => out += ((hh, vv)))
+      assert(out.sorted.toSeq == expect, s"merge at cut $cut diverged")
+    }
+  }
 }

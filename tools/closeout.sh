@@ -14,8 +14,45 @@
 #   3. a freshness check that BENCH_NOTES.md has a "Round {N}" section
 #   4. a doc-count check: the current registry size must appear in
 #      .claude/skills/verify/SKILL.md (kept current per round)
+#   5. CLOSEOUT_r{N}.stamp — the git tree hashes of src/, tools/ and
+#      build.sbt the artifacts were generated against
+#
+#   tools/closeout.sh verify <round-number>
+#
+# re-derives those tree hashes from the CURRENT tree and fails if any
+# differs from the stamp — the r10 failure mode was a post-seal commit
+# followed by regenerating only HALF the artifacts (bench but not
+# census); the stamp makes a stale seal mechanically detectable, so run
+# `verify` as the last step before (and after) the sealing commit.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+seal_tree_hashes() {
+  # working-tree content hashes (not HEAD's), so uncommitted edits count
+  # as divergence too; --add keeps the index itself untouched
+  local tmp_index
+  tmp_index=$(mktemp)
+  trap 'rm -f "$tmp_index"' RETURN
+  cp .git/index "$tmp_index" 2>/dev/null || true
+  GIT_INDEX_FILE="$tmp_index" git add src tools build.sbt 2>/dev/null
+  GIT_INDEX_FILE="$tmp_index" git write-tree
+}
+
+if [ "${1:-}" = "verify" ]; then
+  N="${2:?usage: tools/closeout.sh verify <round-number>}"
+  STAMP="CLOSEOUT_r${N}.stamp"
+  [ -s "$STAMP" ] || { echo "[closeout] no $STAMP — run tools/closeout.sh $N first"; exit 1; }
+  NOW=$(seal_tree_hashes)
+  THEN=$(cat "$STAMP")
+  if [ "$NOW" != "$THEN" ]; then
+    echo "[closeout] STALE SEAL: src/tools/build.sbt tree is $NOW but the" \
+         "round-$N artifacts were generated at $THEN — re-run the FULL" \
+         "tools/closeout.sh $N (bench AND census), never half of it"
+    exit 1
+  fi
+  echo "[closeout] verify OK: round-$N artifacts match the current tree ($NOW)"
+  exit 0
+fi
 
 N="${1:?usage: tools/closeout.sh <round-number>}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
@@ -38,12 +75,19 @@ echo "[closeout] 3/4 BENCH_NOTES round section"
 grep -q "Round ${N}" BENCH_NOTES.md || {
   echo "[closeout] BENCH_NOTES.md has no 'Round ${N}' section — write it"; exit 1; }
 
-echo "[closeout] 4/4 doc freshness (registry count in SKILL.md)"
+echo "[closeout] 4/5 doc freshness (registry count in SKILL.md)"
 BATCH=$(python3 -c "import json; print(len(json.load(open('PLANCENSUS_r${N}.json'))))")
 STREAM=$(grep -o '"q_stream_[a-z_]*"' src/main/scala/graft/streaming/Streams.scala | sort -u | wc -l)
 TOTAL=$((BATCH + STREAM))
-grep -q "$TOTAL" .claude/skills/verify/SKILL.md || {
+# word-anchored AND near the round line: a bare substring match could hit
+# the digits inside a larger number or a stale prose mention (r10 ADVICE)
+grep -E "As of round [0-9]+.*\b${TOTAL}\b|\b${TOTAL}\b.*registry" \
+    .claude/skills/verify/SKILL.md >/dev/null || {
   echo "[closeout] SKILL.md does not mention the current registry size" \
-       "($TOTAL = $BATCH batch + $STREAM streaming) — refresh it"; exit 1; }
+       "($TOTAL = $BATCH batch + $STREAM streaming) on its 'As of round'" \
+       "line — refresh it"; exit 1; }
 
-echo "[closeout] OK ($TOTAL registry entries) — commit BENCH_FULL_r${N}.json PLANCENSUS_r${N}.json and the notes"
+echo "[closeout] 5/5 seal stamp -> CLOSEOUT_r${N}.stamp"
+seal_tree_hashes > "CLOSEOUT_r${N}.stamp"
+
+echo "[closeout] OK ($TOTAL registry entries) — commit BENCH_FULL_r${N}.json PLANCENSUS_r${N}.json CLOSEOUT_r${N}.stamp and the notes, then run: tools/closeout.sh verify ${N}"
