@@ -149,6 +149,42 @@ object Streams {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Sentinel event type appended by [[flushedEventsStream]]; its rows
+    * exist only to advance the event-time watermark. */
+  private[streaming] val FlushType = "__flush__"
+
+  /** The events stream plus ONE far-future `__flush__` sentinel row,
+    * staged through a per-invocation scratch copy of the table (a single
+    * coalesced file, so AvailableNow consumes everything in one batch and
+    * the sentinel can never race ahead of real rows). Once the bounded
+    * input is consumed, the sentinel holds the event-time watermark past
+    * every REAL window's end, so an Append-mode windowed aggregate emits
+    * each real window exactly once and EVICTS its state — the
+    * bounded-gate stand-in for tomorrow's data arriving on a production
+    * stream, where the next hour's events are what close the previous
+    * window and no sentinel exists (r10 VERDICT item 1: Complete-mode
+    * retention grew with stream history; Append + watermark is the
+    * unbounded-safe shape). Returns the stream and the sentinel's
+    * timestamp; the sentinel's own window never closes (watermark stops
+    * `delay` short of it) and callers filter it out besides. */
+  private def flushedEventsStream(s: SparkSession, dir: String,
+      staging: java.nio.file.Path): (DataFrame, java.sql.Timestamp) = {
+    graft.core.Sessions.tune(s)
+    val events = graft.core.Tables.events(s, dir)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = java.sql.Timestamp.from(
+      maxTs.toInstant.plus(java.time.Duration.ofDays(3650)))
+    val sentinel = events.limit(1).select(
+      lit(-1L).as("event_id"), lit(flushTs).as("ts"), lit(-1L).as("user_id"),
+      lit(FlushType).as("event_type"), lit(0.0).as("value"),
+      lit(null).cast("string").as("props"))
+    val path = staging.resolve("events").toString
+    events.unionByName(sentinel).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    val schema = s.read.parquet(path).schema
+    (s.readStream.schema(schema).parquet(path), flushTs)
+  }
+
   /** The events table as a bounded file-source STREAM, normalizing ts
     * exactly as [[graft.core.Tables.events]] does (nanos-as-long vintage →
     * integer-div truncate; µs-timestamp vintage → session-UTC cast) so
@@ -176,9 +212,18 @@ object Streams {
   }
 
   /** Streaming twin of q_tumbling: [[windowedEventStats]] over the bounded
-    * events stream, complete-mode memory sink (the harness-side collection;
-    * production uses [[foreachBatchSink]] — see [[qStreamDedup]] for that
-    * path under the same gate). Oracle: the identical batch tumbling SQL. */
+    * events stream in APPEND mode — a window emits ONCE when the
+    * watermark passes its end and its state row is evicted, so state (and
+    * per-batch output) is bounded by the watermark span at ANY stream
+    * length, never by stream history (r10 VERDICT item 1: the previous
+    * Complete-mode shape retained one state row per hour of history
+    * forever and rewrote all of it every micro-batch). The bounded gate
+    * closes the tail windows with [[flushedEventsStream]]'s sentinel;
+    * production needs no sentinel — the next hour's data is the flush.
+    * Memory sink is the harness-side collection; production appends
+    * closed windows through [[foreachBatchSink]] — see [[qStreamDedup]]
+    * for that path under the same gate. Oracle: the identical batch
+    * tumbling SQL. StreamsSpec pins emit-once + state-drop per window. */
   def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
     // fixed sink name, dropped up front: repeat invocations replace the
     // previous run's memory table instead of accumulating one per call
@@ -187,10 +232,18 @@ object Streams {
     val name = "graft_stream_tumbling"
     s.catalog.dropTempView(name)
     val ck = scratch()
+    val staging = scratch()
+    val (ev, _) = flushedEventsStream(s, dir, staging)
     val q = withStreamShuffle(s) {
-      windowedEventStats(eventsStream(s, dir))
+      // NO sentinel filter inside the stream: a predicate on a grouping
+      // column pushes below the aggregation AND the EventTimeWatermark
+      // node, so it would drop the sentinel before the watermark tracker
+      // ever sees it (measured: the last 3 real windows stayed open).
+      // The sentinel's own window never closes, so it never reaches the
+      // sink; the read-back filters defensively besides.
+      windowedEventStats(ev)
         .writeStream
-        .outputMode(OutputMode.Complete())
+        .outputMode(OutputMode.Append())
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", ck.toString)
@@ -199,7 +252,12 @@ object Streams {
     }
     q.awaitTermination()
     deleteRecursively(ck)
-    s.table(name).orderBy(col("window_start"), col("event_type"))
+    deleteRecursively(staging)
+    s.table(name)
+      // null-safe (events carries real NULL event_type groups the oracle
+      // keeps; `=!=` would drop them with the sentinel)
+      .filter(!(col("event_type") <=> lit(FlushType)))
+      .orderBy(col("window_start"), col("event_type"))
   }
 
   private val qStreamTumblingSql =
@@ -617,26 +675,36 @@ object Streams {
     * state store exactly as map-side combine merges it in batch — so
     * the streaming answer over a bounded input equals the batch
     * estimate bit-for-bit and rides the SAME DuckDB replay as
-    * q_window_kmv (60-bit domain, deterministic estimator). Complete
-    * mode + memory sink is the bounded-gate harness (the
-    * qStreamTumbling precedent); a production deployment appends
-    * watermarked windows through [[foreachBatchSink]] and merges
-    * stored sketches for cross-window reports (the
-    * q_active_users_kmv serving asset, fed by the stream). */
+    * q_window_kmv (60-bit domain, deterministic estimator). APPEND mode
+    * + watermark: a window's ≤ k-long sketch emits once when the
+    * watermark passes its end and is EVICTED — bounded state per window
+    * AND a bounded number of live windows at any stream length (r10
+    * VERDICT item 1; the tail windows close via [[flushedEventsStream]]'s
+    * sentinel, exactly as qStreamTumbling). Memory sink is the
+    * bounded-gate harness; a production deployment appends closed
+    * windows' sketches through [[foreachBatchSink]] and merges the
+    * stored sketches for cross-window reports (the q_active_users_kmv
+    * serving asset, fed by the stream). */
   def qStreamKmv(s: SparkSession, dir: String): DataFrame = {
     graft.core.Sessions.tune(s) // kmv must be registered on this session
     val name = "graft_stream_kmv"
     s.catalog.dropTempView(name)
     val ck = scratch()
+    val staging = scratch()
+    val (ev, flushTs) = flushedEventsStream(s, dir, staging)
     val q = withStreamShuffle(s) {
-      eventsStream(s, dir)
-        .select(window(col("ts"), "1 hour").as("w"),
+      // the sentinel needs no pre-agg filter: its hash lands in its OWN
+      // far-future window, which the watermark never closes (and the
+      // read-back filters defensively besides)
+      ev
+        .withWatermark("ts", "2 hours")
+        .select(col("ts"),
           expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15)," +
             " 16, 10) as bigint)").as("hv"))
-        .groupBy(col("w"))
+        .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(expr("kmv(hv, 64)").as("sk"))
         .writeStream
-        .outputMode(OutputMode.Complete())
+        .outputMode(OutputMode.Append())
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", ck.toString)
@@ -645,7 +713,9 @@ object Streams {
     }
     q.awaitTermination()
     deleteRecursively(ck)
+    deleteRecursively(staging)
     s.table(name)
+      .filter(col("w.start") < lit(flushTs)) // defensive: no sentinel window
       .select(col("w.start").as("window_start"),
         when(col("sk.n_kept") < 64, col("sk.n_kept").cast("double"))
           .otherwise(lit(63.0 * 1152921504606846976.0) / col("sk.kth"))

@@ -40,6 +40,47 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Append-mode tumbling window emits ONCE when the watermark passes " +
+       "its end and its state row is evicted (r10 VERDICT item 1)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val out = Streams.windowedEventStats(src.toDF(), "10 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_evict")
+      .outputMode("append").start()
+    try {
+      // batch 1: window [10:00,10:10) data only — watermark is still at
+      // the epoch, so Append emits nothing and one state row is open
+      src.addData(ev(1, 1, "click", 1.0), ev(2, 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("win_evict").count() == 0,
+        "an open window must not emit in Append mode")
+      // batch 2: an event at 10:31 — processed under batch 1's watermark
+      // (9:52), so still nothing emits; it RAISES the watermark to 10:21
+      src.addData(ev(31, 1, "click", 9.0))
+      q.processAllAvailable()
+      // batch 3: under watermark 10:21 > 10:10, window 1 emits and evicts
+      src.addData(ev(35, 1, "click", 4.0))
+      q.processAllAvailable()
+      val emitted = spark.table("win_evict").collect()
+      assert(emitted.length == 1, s"window 1 must emit exactly once: " +
+        emitted.mkString("; "))
+      assert(emitted.head.getAs[Long]("n_events") == 2 &&
+        emitted.head.getAs[Double]("total_value") == 3.0)
+      // state now holds ONLY the open [10:30,10:40) window — the closed
+      // window's row is gone (this is the unbounded-stream guarantee:
+      // state is bounded by the watermark span, not stream history)
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty && state.head.numRowsTotal == 1,
+        s"expected 1 live state row, got ${state.map(_.numRowsTotal).mkString(",")}")
+      // a later batch must not re-emit the closed window
+      src.addData(ev(36, 1, "click", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("win_evict").count() == 1,
+        "a closed window must never re-emit")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
