@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, NamedExpression, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, Lead, NamedExpression, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
@@ -105,13 +105,24 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
   *    PRECEDING .. CURRENT ROW` (the resolved default frame of an ORDER
   *    BY window), non-DISTINCT, un-FILTERed, over a non-decimal numeric
   *    (any type for `count`) — the running-total/extreme family;
+  *  - the same five aggregates over a BOUNDED moving frame `ROWS
+  *    BETWEEN k PRECEDING AND CURRENT ROW` with a literal k in
+  *    [1, [[DistributedWindowExec.MaxLagOffset]]] (r11) — replayed from
+  *    the same bounded per-group trailing ring lag uses, re-evaluated
+  *    oldest→newest per row exactly as WindowExec's sliding frame does
+  *    (so double sums match bitwise), history driver-chained across
+  *    partition boundaries. Wider frames (and RANGE offset frames)
+  *    belong on entity-keyed WindowExec;
   *  - `lag(expr, k [, default])` with a literal k in
   *    [1, [[DistributedWindowExec.MaxLagOffset]]], literal default, no
   *    IGNORE NULLS, numeric expr — replayed through a bounded per-group
-  *    ring with driver-chained history across partition boundaries.
-  *    `lead` is deliberately unsupported: it needs row LOOKAHEAD, which
-  *    would buffer-and-delay every output row and break the exec's
-  *    zero-copy streaming (a lead is a lag over the reversed order).
+  *    ring with driver-chained history across partition boundaries;
+  *  - `lead(expr, k [, default])` under the same bounds (r11 — the r10
+  *    documented gap): lead needs row LOOKAHEAD, so the exec holds a
+  *    bounded pending buffer of ≤ max-offset rows per partition — the
+  *    one shape that pays a per-row copy — and the driver chains each
+  *    partition's trailing rows' lookahead from the LEADING values of
+  *    the same group in later partitions (lag's tail chain, mirrored).
   * The node rewrites only when EVERY window expression on it is
   * supported (one unsupported neighbor keeps the whole node on
   * WindowExec — correctness first) and the order is non-empty. The pure
@@ -134,6 +145,19 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
                                   UnboundedPreceding, CurrentRow) => true
         case _ => false
       }
+      // ROWS BETWEEN k PRECEDING AND CURRENT ROW, literal k within the
+      // ring budget (r11) — RANGE offset frames stay on WindowExec
+      def rollingFrame: Boolean = frame match {
+        case SpecifiedWindowFrame(RowFrame, lo, CurrentRow)
+            if lo.foldable && lo != UnboundedPreceding && lo != CurrentRow =>
+          lo.eval() match {
+            case i: Int =>
+              i <= -1 && i >= -DistributedWindowExec.MaxLagOffset
+            case _ => false
+          }
+        case _ => false
+      }
+      def aggFrame: Boolean = runningFrame || rollingFrame
       def numeric(dt: DataType): Boolean = dt match {
         case ByteType | ShortType | IntegerType | LongType
              | FloatType | DoubleType => true
@@ -149,21 +173,26 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
           case _ => false
         })
         case AggregateExpression(Sum(se, _), _, false, None, _) =>
-          numeric(se.dataType) && runningFrame
+          numeric(se.dataType) && aggFrame
         case AggregateExpression(Min(se), _, false, None, _) =>
-          numeric(se.dataType) && runningFrame
+          numeric(se.dataType) && aggFrame
         case AggregateExpression(Max(se), _, false, None, _) =>
-          numeric(se.dataType) && runningFrame
+          numeric(se.dataType) && aggFrame
         case AggregateExpression(Average(se, _), _, false, None, _) =>
-          numeric(se.dataType) && runningFrame
+          numeric(se.dataType) && aggFrame
         case AggregateExpression(c: Count, _, false, None, _) =>
-          c.children.size == 1 && runningFrame
-        // lag ignores its frame (an offset function); literal offsets in
-        // [1, MaxLagOffset] bound the per-group replay buffer. LEAD is
-        // deliberately out of scope: it needs row lookahead, which would
-        // buffer-and-delay every output row and break the exec's
-        // zero-copy streaming — a lead is a lag over the reversed order
+          c.children.size == 1 && aggFrame
+        // lag/lead ignore their frame (offset functions); literal offsets
+        // in [1, MaxLagOffset] bound the per-group replay ring (lag) and
+        // the per-partition pending buffer (lead)
         case Lag(in, off, dflt, false) =>
+          numeric(in.dataType) && off.foldable && (off.eval() match {
+            case i: Int =>
+              i >= 1 && i <= DistributedWindowExec.MaxLagOffset
+            case _ => false
+          }) && dflt.foldable &&
+            (dflt.eval() == null || dflt.dataType == in.dataType)
+        case Lead(in, off, dflt, false) =>
           numeric(in.dataType) && off.foldable && (off.eval() match {
             case i: Int =>
               i >= 1 && i <= DistributedWindowExec.MaxLagOffset
@@ -369,10 +398,35 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         case SpecifiedWindowFrame(RangeFrame, _, _) => true
         case _ => false
       }
+      // ROWS k PRECEDING .. CURRENT ROW → k; the running frames → 0
+      def slide: Int = frame match {
+        case SpecifiedWindowFrame(RowFrame, lo, CurrentRow)
+            if lo != UnboundedPreceding && lo.foldable =>
+          lo.eval() match { case i: Int if i < 0 => -i; case _ => 0 }
+        case _ => 0
+      }
       def accDouble(dt: DataType): Boolean = dt match {
         case FloatType | DoubleType => true
         case _ => false
       }
+      def agg(expr: Expression, kind: AggKind, isDouble: Boolean,
+              outType: DataType): FuncSpec = {
+        val k = slide
+        if (k > 0) RollSpec(expr, k, kind, isDouble, outType)
+        else AggSpec(expr, peer, kind, isDouble, outType)
+      }
+      def offsetDefault(dflt: Expression): (Boolean, Long, Double) =
+        dflt.eval() match {
+          case null => (true, 0L, 0d)
+          case b: Byte => (false, b.toLong, 0d)
+          case sh: Short => (false, sh.toLong, 0d)
+          case i: Int => (false, i.toLong, 0d)
+          case l: Long => (false, l, 0d)
+          case fl: Float => (false, 0L, fl.toDouble)
+          case db: Double => (false, 0L, db)
+          case other => throw new IllegalStateException(
+            s"unexpected offset-function default: $other")
+        }
       f match {
         case _: RowNumber => RowNumSpec
         case _: Rank => RankSpec
@@ -383,39 +437,34 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           // accumulate in the Sum's own result type (LongType for
           // integral inputs, DoubleType for fractional) via a widening
           // cast, so pass-1/pass-2 arithmetic matches the window's
-          AggSpec(Cast(se, ae.dataType), peer, SumK,
+          agg(Cast(se, ae.dataType), SumK,
             isDouble = ae.dataType == DoubleType, outType = ae.dataType)
         case AggregateExpression(Min(se), _, _, _, _) =>
           val d = accDouble(se.dataType)
-          AggSpec(Cast(se, if (d) DoubleType else LongType), peer, MinK,
+          agg(Cast(se, if (d) DoubleType else LongType), MinK,
             isDouble = d, outType = se.dataType)
         case AggregateExpression(Max(se), _, _, _, _) =>
           val d = accDouble(se.dataType)
-          AggSpec(Cast(se, if (d) DoubleType else LongType), peer, MaxK,
+          agg(Cast(se, if (d) DoubleType else LongType), MaxK,
             isDouble = d, outType = se.dataType)
         case AggregateExpression(Average(se, _), _, _, _, _) =>
           // Average sums in DOUBLE for every non-decimal input (Spark's
           // own buffer layout) and emits sum/count
-          AggSpec(Cast(se, DoubleType), peer, AvgK,
+          agg(Cast(se, DoubleType), AvgK,
             isDouble = true, outType = DoubleType)
         case AggregateExpression(c: Count, _, _, _, _) =>
           // only the child's null mask matters; the value is never read
-          AggSpec(c.children.head, peer, CountK,
-            isDouble = false, outType = LongType)
+          agg(c.children.head, CountK, isDouble = false, outType = LongType)
         case Lag(in, off, dflt, _) =>
           val d = accDouble(in.dataType)
-          val (dNull, dL, dD) = dflt.eval() match {
-            case null => (true, 0L, 0d)
-            case b: Byte => (false, b.toLong, 0d)
-            case sh: Short => (false, sh.toLong, 0d)
-            case i: Int => (false, i.toLong, 0d)
-            case l: Long => (false, l, 0d)
-            case fl: Float => (false, 0L, fl.toDouble)
-            case db: Double => (false, 0L, db)
-            case other => throw new IllegalStateException(
-              s"unexpected lag default: $other")
-          }
+          val (dNull, dL, dD) = offsetDefault(dflt)
           LagSpec(Cast(in, if (d) DoubleType else LongType),
+            off.eval().asInstanceOf[Int], dNull, dL, dD,
+            isDouble = d, outType = in.dataType)
+        case Lead(in, off, dflt, _) =>
+          val d = accDouble(in.dataType)
+          val (dNull, dL, dD) = offsetDefault(dflt)
+          LeadSpec(Cast(in, if (d) DoubleType else LongType),
             off.eval().asInstanceOf[Int], dNull, dL, dD,
             isDouble = d, outType = in.dataType)
         case other => throw new IllegalStateException(
@@ -432,6 +481,20 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     val nAggs = aggs.length
     val lags: Array[LagSpec] = funcs.collect { case l: LagSpec => l }
     val nLags = lags.length
+    val rolls: Array[RollSpec] = funcs.collect { case r: RollSpec => r }
+    val nRolls = rolls.length
+    val leads: Array[LeadSpec] = funcs.collect { case l: LeadSpec => l }
+    val nLeads = leads.length
+    val maxLead = if (nLeads == 0) 0 else leads.map(_.off).max
+    val leadFuncIdx: Array[Int] =
+      funcs.zipWithIndex.collect { case (_: LeadSpec, i) => i }
+    // trailing-history ring slots: lag replay rings first, then rolling
+    // frames (which need the previous k values of the group) — one shared
+    // collection/chaining mechanism for both
+    val tailOffs: Array[Int] = lags.map(_.off) ++ rolls.map(_.k)
+    val tailExprs: Array[Expression] = lags.map(_.expr) ++ rolls.map(_.expr)
+    val tailIsD: Array[Boolean] = lags.map(_.isDouble) ++ rolls.map(_.isDouble)
+    val nTails = tailOffs.length
     val hasRowNum = funcs.contains(RowNumSpec)
     val hasRank = funcs.contains(RankSpec)
     val hasDense = funcs.contains(DenseRankSpec)
@@ -450,18 +513,25 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     def addLong(a: Long, b: Long): Long =
       if (ansi) Math.addExact(a, b) else a + b
 
-    /** Merge a non-empty accumulator pair per kind (caller guards nn).
+    /** Merge a non-empty accumulator pair per kind (caller guards nn); `a`
+      * is always the accumulator covering EARLIER rows in window order.
       * Double extremes follow SPARK's ordering (NaN greatest — the
       * SQLOrderingUtil contract WindowExec's Min/Max apply), not
       * java.lang.Math's NaN-propagation: min must SKIP NaN unless
-      * everything is NaN, while math.max's NaN-wins already matches. */
+      * everything is NaN, max keeps NaN once seen. Ties are FIRST-WINS
+      * via primitive `<`/`>` (which treat -0.0 == +0.0), matching
+      * WindowExec's replace-only-on-strict-compare Min/Max updates —
+      * `math.min/max` would instead pick the signed zero by sign bit and
+      * diverge from the window on mixed ±0.0 input (r10 ADVICE). */
     def combine(kind: AggKind, aL: Long, aD: Double, bL: Long, bD: Double,
                 isDouble: Boolean): (Long, Double) = kind match {
       case MinK => if (isDouble)
                      (0L, if (aD.isNaN) bD else if (bD.isNaN) aD
-                          else math.min(aD, bD))
+                          else if (bD < aD) bD else aD)
                    else (math.min(aL, bL), 0d)
-      case MaxK => if (isDouble) (0L, math.max(aD, bD))
+      case MaxK => if (isDouble)
+                     (0L, if (aD.isNaN) aD else if (bD.isNaN) bD
+                          else if (bD > aD) bD else aD)
                    else (math.max(aL, bL), 0d)
       case _ => if (isDouble) (0L, aD + bD) else (addLong(aL, bL), 0d)
     }
@@ -474,22 +544,31 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         val pproj = UnsafeProjection.create(orderExprs, childOutput)
         val aprojs = aggs.map(f =>
           UnsafeProjection.create(f.expr :: Nil, childOutput))
-        val lprojs = lags.map(f =>
+        val tprojs = tailExprs.map(e =>
+          UnsafeProjection.create(e :: Nil, childOutput))
+        val ldprojs = leads.map(f =>
           UnsafeProjection.create(f.expr :: Nil, childOutput))
-        // per-slot ring of the CURRENT group-run's trailing `off` values
-        // (the tail the driver chains into the next partition's seed)
-        val ringL = lags.map(l => new Array[Long](l.off))
-        val ringD = lags.map(l => new Array[Double](l.off))
-        val ringN = lags.map(l => new Array[Boolean](l.off))
-        val ringCnt = new Array[Long](nLags)
+        // per-slot ring of the CURRENT group-run's trailing values (lag
+        // replay history / rolling-frame history — the tail the driver
+        // chains into the next partition's seed)
+        val ringL = tailOffs.map(off => new Array[Long](off))
+        val ringD = tailOffs.map(off => new Array[Double](off))
+        val ringN = tailOffs.map(off => new Array[Boolean](off))
+        val ringCnt = new Array[Long](nTails)
+        // per-slot LEADING values of the current group run (the heads the
+        // driver chains BACKWARD for lead lookahead across partitions)
+        val headL = leads.map(l => new Array[Long](l.off))
+        val headD = leads.map(l => new Array[Double](l.off))
+        val headN = leads.map(l => new Array[Boolean](l.off))
+        val headCnt = new Array[Int](nLeads)
         def lagTails(): (Array[Array[Long]], Array[Array[Double]],
                          Array[Array[Boolean]]) = {
-          val tl = new Array[Array[Long]](nLags)
-          val td = new Array[Array[Double]](nLags)
-          val tn = new Array[Array[Boolean]](nLags)
+          val tl = new Array[Array[Long]](nTails)
+          val td = new Array[Array[Double]](nTails)
+          val tn = new Array[Array[Boolean]](nTails)
           var i = 0
-          while (i < nLags) {
-            val off = lags(i).off
+          while (i < nTails) {
+            val off = tailOffs(i)
             val n = math.min(ringCnt(i), off.toLong).toInt
             val (ol, od, on) =
               (new Array[Long](n), new Array[Double](n), new Array[Boolean](n))
@@ -504,6 +583,20 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             i += 1
           }
           (tl, td, tn)
+        }
+        def leadHeads(): (Array[Array[Long]], Array[Array[Double]],
+                          Array[Array[Boolean]]) = {
+          val hl = new Array[Array[Long]](nLeads)
+          val hd = new Array[Array[Double]](nLeads)
+          val hn = new Array[Array[Boolean]](nLeads)
+          var i = 0
+          while (i < nLeads) {
+            hl(i) = java.util.Arrays.copyOf(headL(i), headCnt(i))
+            hd(i) = java.util.Arrays.copyOf(headD(i), headCnt(i))
+            hn(i) = java.util.Arrays.copyOf(headN(i), headCnt(i))
+            i += 1
+          }
+          (hl, hd, hn)
         }
         val buf = scala.collection.mutable.ArrayBuffer.empty[GroupStat]
         var cur: UnsafeRow = null
@@ -529,11 +622,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         def flush(): Unit = if (cur != null) {
           freezeFirst()
           val (tl, td, tn) = lagTails()
+          val (hl, hd, hn) = leadHeads()
           buf += GroupStat(cur, rows, sl.clone(), sd.clone(), nn.clone(),
             runs,
             firstPeer, fL, fD, fN,
             curPeer, runRows, rL.clone(), rD.clone(), rN.clone(),
-            tl, td, tn)
+            tl, td, tn, hl, hd, hn)
         }
         while (it.hasNext) {
           val row = it.next()
@@ -544,19 +638,35 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             java.util.Arrays.fill(nn, 0L)
             curPeer = null; runRows = 0L; firstPeer = null
             java.util.Arrays.fill(ringCnt, 0L)
+            java.util.Arrays.fill(headCnt, 0)
           }
           var li = 0
-          while (li < nLags) {
-            val v = lprojs(li)(row)
-            val idx2 = (ringCnt(li) % lags(li).off).toInt
+          while (li < nTails) {
+            val v = tprojs(li)(row)
+            val idx2 = (ringCnt(li) % tailOffs(li)).toInt
             if (v.isNullAt(0)) ringN(li)(idx2) = true
             else {
               ringN(li)(idx2) = false
-              if (lags(li).isDouble) ringD(li)(idx2) = v.getDouble(0)
+              if (tailIsD(li)) ringD(li)(idx2) = v.getDouble(0)
               else ringL(li)(idx2) = v.getLong(0)
             }
             ringCnt(li) += 1
             li += 1
+          }
+          var hi = 0
+          while (hi < nLeads) {
+            if (headCnt(hi) < leads(hi).off) {
+              val v = ldprojs(hi)(row)
+              val j = headCnt(hi)
+              if (v.isNullAt(0)) headN(hi)(j) = true
+              else {
+                headN(hi)(j) = false
+                if (leads(hi).isDouble) headD(hi)(j) = v.getDouble(0)
+                else headL(hi)(j) = v.getLong(0)
+              }
+              headCnt(hi) += 1
+            }
+            hi += 1
           }
           if (needsPeer) {
             val pk = pproj(row)
@@ -604,10 +714,14 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       collected.foreach { case (i, a) => arr(i) = a }
       arr
     }
+    // conf-overridable so specs can pin the fail-fast at a tiny edge
+    // (r10 VERDICT 3b); production keeps the documented default
+    val maxGroups = conf.getConfString(MaxCollectedGroupsKey,
+      MaxCollectedGroups.toString).toLong
     val collectedGroups = statsPerPart.iterator.map(_.length.toLong).sum
-    if (collectedGroups > MaxCollectedGroups) throw new IllegalStateException(
+    if (collectedGroups > maxGroups) throw new IllegalStateException(
       s"distributed window collected $collectedGroups (partition, group) " +
-      s"stats > $MaxCollectedGroups: the partition key is too " +
+      s"stats > $maxGroups: the partition key is too " +
       "high-cardinality for the range-partitioned rewrite — run without " +
       "the __dist_rank marker/flag so the hash-exchanged WindowExec plans it")
 
@@ -676,17 +790,18 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         running.iterator.map { case (k, o) => k -> o.rows }.toMap
       else Map.empty
 
-    // ---- driver, forward: lag-history chaining. A group's rows occupy a
-    // CONTIGUOUS span of partitions, so only a partition's FIRST group
-    // can have prior-partition history: its lag seed is the last `off`
-    // values of the same group accumulated across preceding partitions
-    // (concatenate trailing tails while the same group keeps flowing).
-    // Unlike the peer-run carry this chains on GROUP equality alone —
-    // lag ignores order-peers.
+    // ---- driver, forward: trailing-history chaining (lag replay rings +
+    // rolling-frame history). A group's rows occupy a CONTIGUOUS span of
+    // partitions, so only a partition's FIRST group can have
+    // prior-partition history: its seed is the last `off` values of the
+    // same group accumulated across preceding partitions (concatenate
+    // trailing tails while the same group keeps flowing). Unlike the
+    // peer-run carry this chains on GROUP equality alone — lag and ROWS
+    // frames ignore order-peers.
     val lagSeedL = new Array[Array[Array[Long]]](nParts)
     val lagSeedD = new Array[Array[Array[Double]]](nParts)
     val lagSeedN = new Array[Array[Array[Boolean]]](nParts)
-    if (nLags > 0) {
+    if (nTails > 0) {
       var carryG: UnsafeRow = null
       var cL: Array[Array[Long]] = null
       var cD: Array[Array[Double]] = null
@@ -702,12 +817,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           if (stats.length == 1 && carryG != null && last.key == carryG) {
             // the same group keeps flowing: append this partition's tail
             // and keep only the last `off` values per slot
-            val (nl, nd, nn2) = (new Array[Array[Long]](nLags),
-              new Array[Array[Double]](nLags),
-              new Array[Array[Boolean]](nLags))
+            val (nl, nd, nn2) = (new Array[Array[Long]](nTails),
+              new Array[Array[Double]](nTails),
+              new Array[Array[Boolean]](nTails))
             var i = 0
-            while (i < nLags) {
-              val off = lags(i).off
+            while (i < nTails) {
+              val off = tailOffs(i)
               val l = (cL(i) ++ last.lagL(i)).takeRight(off)
               val d = (cD(i) ++ last.lagD(i)).takeRight(off)
               val n = (cN(i) ++ last.lagN(i)).takeRight(off)
@@ -721,6 +836,52 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           }
         }
         p += 1
+      }
+    }
+
+    // ---- driver, backward: lead-lookahead chaining — the forward tail
+    // chain MIRRORED. A partition's trailing rows need the first
+    // `off` values of the SAME group from LATER partitions: while the
+    // group keeps flowing backward, prepend each wholly-one-run
+    // partition's own heads before the accumulated carry.
+    val leadSeedL = new Array[Array[Array[Long]]](nParts)
+    val leadSeedD = new Array[Array[Array[Double]]](nParts)
+    val leadSeedN = new Array[Array[Array[Boolean]]](nParts)
+    if (nLeads > 0) {
+      var carryG: UnsafeRow = null
+      var cL: Array[Array[Long]] = null
+      var cD: Array[Array[Double]] = null
+      var cN: Array[Array[Boolean]] = null
+      var p = nParts - 1
+      while (p >= 0) {
+        val stats = statsPerPart(p)
+        if (stats.nonEmpty) {
+          val last = stats.last
+          if (carryG != null && last.key == carryG) {
+            leadSeedL(p) = cL; leadSeedD(p) = cD; leadSeedN(p) = cN
+          }
+          val head = stats.head
+          if (stats.length == 1 && carryG != null && head.key == carryG) {
+            // one whole-partition run continuing into later partitions:
+            // this partition's heads come FIRST, then the carry
+            val (nl, nd, nn2) = (new Array[Array[Long]](nLeads),
+              new Array[Array[Double]](nLeads),
+              new Array[Array[Boolean]](nLeads))
+            var i = 0
+            while (i < nLeads) {
+              val off = leads(i).off
+              nl(i) = (head.leadL(i) ++ cL(i)).take(off)
+              nd(i) = (head.leadD(i) ++ cD(i)).take(off)
+              nn2(i) = (head.leadN(i) ++ cN(i)).take(off)
+              i += 1
+            }
+            cL = nl; cD = nd; cN = nn2
+          } else {
+            cL = head.leadL; cD = head.leadD; cN = head.leadN
+          }
+          carryG = head.key
+        }
+        p -= 1
       }
     }
 
@@ -785,11 +946,16 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       val pSeedL = lagSeedL(idx)
       val pSeedD = lagSeedD(idx)
       val pSeedN = lagSeedN(idx)
+      val pLeadSeedL = leadSeedL(idx)
+      val pLeadSeedD = leadSeedD(idx)
+      val pLeadSeedN = leadSeedN(idx)
       val gproj = UnsafeProjection.create(groupExprs, childOutput)
       val pproj = UnsafeProjection.create(orderExprs, childOutput)
       val aprojs = aggs.map(f =>
         UnsafeProjection.create(f.expr :: Nil, childOutput))
-      val lprojs = lags.map(f =>
+      val tprojs = tailExprs.map(e =>
+        UnsafeProjection.create(e :: Nil, childOutput))
+      val ldprojs = leads.map(f =>
         UnsafeProjection.create(f.expr :: Nil, childOutput))
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
@@ -805,18 +971,76 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       var accL = new Array[Long](nAggs)
       var accD = new Array[Double](nAggs)
       var accNN = new Array[Long](nAggs)
-      // per-slot replay rings of the last `off` lag values in the group
-      val lagRingL = lags.map(l => new Array[Long](l.off))
-      val lagRingD = lags.map(l => new Array[Double](l.off))
-      val lagRingN = lags.map(l => new Array[Boolean](l.off))
-      val lagCnt = new Array[Long](nLags)
-      def lagPut(i: Int, isNull: Boolean, l: Long, d: Double): Unit = {
-        val idx2 = (lagCnt(i) % lags(i).off).toInt
-        lagRingN(i)(idx2) = isNull
-        lagRingL(i)(idx2) = l
-        lagRingD(i)(idx2) = d
-        lagCnt(i) += 1
+      // per-slot trailing-history rings in the group: lag replay values
+      // and rolling-frame history (slots [0,nLags) are lags, the rest
+      // rolling frames)
+      val tailRingL = tailOffs.map(off => new Array[Long](off))
+      val tailRingD = tailOffs.map(off => new Array[Double](off))
+      val tailRingN = tailOffs.map(off => new Array[Boolean](off))
+      val tailCnt = new Array[Long](nTails)
+      def tailPut(i: Int, isNull: Boolean, l: Long, d: Double): Unit = {
+        val idx2 = (tailCnt(i) % tailOffs(i)).toInt
+        tailRingN(i)(idx2) = isNull
+        tailRingL(i)(idx2) = l
+        tailRingD(i)(idx2) = d
+        tailCnt(i) += 1
       }
+      // ---- lead lookahead state: rows are HELD (bounded by the max
+      // offset) until the row `off` ahead arrives — the one supported
+      // shape that pays a per-row copy; everything else still streams
+      val pend =
+        scala.collection.mutable.ArrayDeque.empty[(InternalRow, GenericInternalRow)]
+      var pendBase = 0L // group-local index of pend.head
+      var grpIdx = 0L   // group-local index of the NEXT row to process
+      def fillLeadDefault(g2: GenericInternalRow, i: Int): Unit = {
+        val ld = leads(i)
+        if (ld.defaultIsNull) g2.update(leadFuncIdx(i), null)
+        else setNum(g2, leadFuncIdx(i), ld.outType, ld.dL, ld.dD)
+      }
+      /** Flush all pending rows at an INTERNAL group boundary: groups are
+        * contiguous under the range exchange, so a group that ends inside
+        * the partition ended globally — unfilled lookahead slots (no row
+        * `off` ahead within the group) take the default. */
+      def groupFlush(): Array[(InternalRow, GenericInternalRow)] = {
+        val out = pend.toArray
+        pend.clear()
+        var o = 0
+        while (o < out.length) {
+          val idx2 = pendBase + o
+          var i = 0
+          while (i < nLeads) {
+            if (idx2 + leads(i).off >= grpIdx) fillLeadDefault(out(o)._2, i)
+            i += 1
+          }
+          o += 1
+        }
+        out
+      }
+      /** Flush at PARTITION end: the trailing group may continue in later
+        * partitions — unfilled slots read the driver-chained HEADS of the
+        * same group there; past their end, the default. */
+      def finalFlush(): Iterator[InternalRow] =
+        if (nLeads == 0 || pend.isEmpty) Iterator.empty
+        else {
+          val out = pend.toArray
+          pend.clear()
+          out.iterator.zipWithIndex.map { case ((r0, g0), o) =>
+            val idx2 = pendBase + o
+            var i = 0
+            while (i < nLeads) {
+              if (idx2 + leads(i).off >= grpIdx) {
+                val sp = (idx2 + leads(i).off - grpIdx).toInt
+                if (pLeadSeedL != null && sp < pLeadSeedL(i).length) {
+                  if (pLeadSeedN(i)(sp)) g0.update(leadFuncIdx(i), null)
+                  else setNum(g0, leadFuncIdx(i), leads(i).outType,
+                    pLeadSeedL(i)(sp), pLeadSeedD(i)(sp))
+                } else fillLeadDefault(g0, i)
+              }
+              i += 1
+            }
+            outProj(joined(r0, g0))
+          }
+        }
       def addTo(i: Int, row: InternalRow): Unit = {
         val v = aprojs(i)(row)
         if (!v.isNullAt(0)) {
@@ -858,9 +1082,13 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             (buf.toArray, !b.hasNext)
           }
         }
-      units.flatMap { case (unit, isLastUnit) =>
+      val mainOut = units.flatMap { case (unit, isLastUnit) =>
         val k = gproj(unit(0))
+        var flushedPrev: Array[(InternalRow, GenericInternalRow)] = null
         if (curGroup == null || k != curGroup) {
+          // the previous group ended inside this partition: resolve its
+          // held lead rows (defaults) BEFORE any new-group state resets
+          if (nLeads > 0 && curGroup != null) flushedPrev = groupFlush()
           curGroup = k.copy()
           val base = offs.getOrElse(curGroup, Offsets.zero(nAggs))
           rn = base.rows
@@ -870,16 +1098,18 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           prevPeer = null
           accL = base.sumL.clone(); accD = base.sumD.clone()
           accNN = base.nonNull.clone()
-          // lag replay restarts per group; the partition's FIRST group
-          // preloads the driver-chained history of the same group from
-          // preceding partitions (null when the group starts here)
-          java.util.Arrays.fill(lagCnt, 0L)
+          pendBase = 0L; grpIdx = 0L
+          // trailing-history replay restarts per group; the partition's
+          // FIRST group preloads the driver-chained history of the same
+          // group from preceding partitions (null when the group starts
+          // here)
+          java.util.Arrays.fill(tailCnt, 0L)
           if (firstGroupPending && pSeedL != null) {
             var i = 0
-            while (i < nLags) {
+            while (i < nTails) {
               var j = 0
               while (j < pSeedL(i).length) {
-                lagPut(i, pSeedN(i)(j), pSeedL(i)(j), pSeedD(i)(j))
+                tailPut(i, pSeedN(i)(j), pSeedL(i)(j), pSeedD(i)(j))
                 j += 1
               }
               i += 1
@@ -913,20 +1143,25 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         // (prefix-satisfied finer partitioning): merge the driver-chained
         // tail so every peer reports the TRUE end-of-run value
         val applyTail = isLastUnit && anyPeer
-        unit.iterator.map { row =>
+        val bodyOut = unit.iterator.flatMap { row =>
           rn += 1
+          // with lead lookahead each row needs its OWN function row (it
+          // outlives this iteration inside the pending buffer); without,
+          // the shared fRow streams zero-copy as before
+          val g = if (nLeads == 0) fRow else new GenericInternalRow(nFuncs)
           var ai = 0
           var gi = 0
+          var ri = 0
           var fi = 0
           while (fi < nFuncs) {
             funcs(fi) match {
-              case RowNumSpec => fRow.setInt(fi, rn.toInt)
-              case RankSpec => fRow.setInt(fi, (runStart + 1).toInt)
-              case DenseRankSpec => fRow.setInt(fi, dense.toInt)
+              case RowNumSpec => g.setInt(fi, rn.toInt)
+              case RankSpec => g.setInt(fi, (runStart + 1).toInt)
+              case DenseRankSpec => g.setInt(fi, dense.toInt)
               case PercentRankSpec =>
                 // (rank - 1) / (n - 1), 0.0 for a single-row group — the
                 // RankLike evaluate contract
-                fRow.setDouble(fi,
+                g.setDouble(fi,
                   if (gTotal <= 1L) 0d
                   else runStart.toDouble / (gTotal - 1L))
               case NTileSpec(b) =>
@@ -940,23 +1175,83 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                 val bucket =
                   if (j0 < thresh) j0 / (size + 1) + 1
                   else rem + (j0 - thresh) / size + 1
-                fRow.setInt(fi, bucket.toInt)
+                g.setInt(fi, bucket.toInt)
               case lg: LagSpec =>
                 // emit the value `off` rows back (the ring's oldest slot —
                 // the next write position once full), then push this row
-                if (lagCnt(gi) >= lg.off) {
-                  val i0 = (lagCnt(gi) % lg.off).toInt
-                  if (lagRingN(gi)(i0)) fRow.update(fi, null)
-                  else setNum(fRow, fi, lg.outType,
-                    lagRingL(gi)(i0), lagRingD(gi)(i0))
-                } else if (lg.defaultIsNull) fRow.update(fi, null)
-                else setNum(fRow, fi, lg.outType, lg.dL, lg.dD)
-                val v = lprojs(gi)(row)
-                if (v.isNullAt(0)) lagPut(gi, isNull = true, 0L, 0d)
-                else lagPut(gi, isNull = false,
+                if (tailCnt(gi) >= lg.off) {
+                  val i0 = (tailCnt(gi) % lg.off).toInt
+                  if (tailRingN(gi)(i0)) g.update(fi, null)
+                  else setNum(g, fi, lg.outType,
+                    tailRingL(gi)(i0), tailRingD(gi)(i0))
+                } else if (lg.defaultIsNull) g.update(fi, null)
+                else setNum(g, fi, lg.outType, lg.dL, lg.dD)
+                val v = tprojs(gi)(row)
+                if (v.isNullAt(0)) tailPut(gi, isNull = true, 0L, 0d)
+                else tailPut(gi, isNull = false,
                   if (lg.isDouble) 0L else v.getLong(0),
                   if (lg.isDouble) v.getDouble(0) else 0d)
                 gi += 1
+              case rl: RollSpec =>
+                // ROWS k PRECEDING .. CURRENT ROW: re-evaluate the frame
+                // oldest→newest over the trailing ring, then the current
+                // row — the exact order WindowExec's sliding frame
+                // replays, so double sums match bitwise and long sums
+                // honor the same ANSI overflow point
+                val ti = nLags + ri
+                val v = tprojs(ti)(row)
+                val curNull = v.isNullAt(0)
+                var accl = 0L
+                var accd = 0d
+                var n = 0L
+                val kk = rl.k
+                val avail = math.min(tailCnt(ti), kk.toLong).toInt
+                var j = 0
+                while (j < avail) {
+                  val s2 = ((tailCnt(ti) - avail + j) % kk).toInt
+                  if (!tailRingN(ti)(s2)) {
+                    val (vl2, vd2) =
+                      if (rl.kind == CountK) (0L, 0d)
+                      else (tailRingL(ti)(s2), tailRingD(ti)(s2))
+                    if (n == 0L) { accl = vl2; accd = vd2 }
+                    else {
+                      val (ml, md) =
+                        combine(rl.kind, accl, accd, vl2, vd2, rl.isDouble)
+                      accl = ml; accd = md
+                    }
+                    n += 1
+                  }
+                  j += 1
+                }
+                if (!curNull) {
+                  val (cvL, cvD) =
+                    if (rl.kind == CountK) (0L, 0d)
+                    else if (rl.isDouble) (0L, v.getDouble(0))
+                    else (v.getLong(0), 0d)
+                  if (n == 0L) { accl = cvL; accd = cvD }
+                  else {
+                    val (ml, md) =
+                      combine(rl.kind, accl, accd, cvL, cvD, rl.isDouble)
+                    accl = ml; accd = md
+                  }
+                  n += 1
+                }
+                if (rl.kind == CountK) g.setLong(fi, n)
+                else if (n == 0L) g.update(fi, null)
+                else rl.kind match {
+                  case AvgK => g.setDouble(fi, accd / n)
+                  case _ => setNum(g, fi, rl.outType, accl, accd)
+                }
+                // push the current row into the history ring AFTER use
+                // (count slots never read the value — its child may be
+                // any type; only the null mask matters)
+                val (pvL, pvD) =
+                  if (curNull || rl.kind == CountK) (0L, 0d)
+                  else if (rl.isDouble) (0L, v.getDouble(0))
+                  else (v.getLong(0), 0d)
+                tailPut(ti, curNull, pvL, pvD)
+                ri += 1
+              case _: LeadSpec => () // resolved by a FUTURE row or a flush
               case a: AggSpec =>
                 if (!a.peer) addTo(ai, row)
                 var l = accL(ai)
@@ -971,19 +1266,47 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                   }
                   n += pTailN(ai)
                 }
-                if (a.kind == CountK) fRow.setLong(fi, n)
-                else if (n == 0L) fRow.update(fi, null)
+                if (a.kind == CountK) g.setLong(fi, n)
+                else if (n == 0L) g.update(fi, null)
                 else a.kind match {
-                  case AvgK => fRow.setDouble(fi, d / n)
-                  case _ => setNum(fRow, fi, a.outType, l, d)
+                  case AvgK => g.setDouble(fi, d / n)
+                  case _ => setNum(g, fi, a.outType, l, d)
                 }
                 ai += 1
             }
             fi += 1
           }
-          outProj(joined(row, fRow))
+          if (nLeads == 0) Iterator.single(outProj(joined(row, g)))
+          else {
+            // resolve earlier pending rows' lookahead from THIS row
+            var ei = 0
+            while (ei < nLeads) {
+              val tgt = grpIdx - leads(ei).off
+              if (tgt >= pendBase) {
+                val pg = pend((tgt - pendBase).toInt)._2
+                val v = ldprojs(ei)(row)
+                if (v.isNullAt(0)) pg.update(leadFuncIdx(ei), null)
+                else setNum(pg, leadFuncIdx(ei), leads(ei).outType,
+                  if (leads(ei).isDouble) 0L else v.getLong(0),
+                  if (leads(ei).isDouble) v.getDouble(0) else 0d)
+              }
+              ei += 1
+            }
+            pend.append((row.copy(), g))
+            grpIdx += 1
+            if (pend.size > maxLead) {
+              val (r0, g0) = pend.removeHead()
+              pendBase += 1
+              Iterator.single(outProj(joined(r0, g0)))
+            } else Iterator.empty
+          }
         }
+        if (flushedPrev == null) bodyOut
+        else flushedPrev.iterator.map { case (r0, g0) =>
+          outProj(joined(r0, g0))
+        } ++ bodyOut
       }
+      mainOut ++ finalFlush()
     }
   }
 
@@ -994,8 +1317,15 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
 object DistributedWindowExec {
   /** Driver-side budget on Σ per-partition distinct groups — the
     * documented low-cardinality contract of the rewrite (the same
-    * dim-sized-collect discipline as the rest of the repo). */
+    * dim-sized-collect discipline as the rest of the repo). Sizing: a
+    * (partition, group-run) stat is one UnsafeRow group key plus
+    * O(nAggs + nLags·off + nRolls·k + nLeads·off) primitives — ≈ 100–700
+    * bytes for typical shapes (few functions, offsets ≤ 64), so the 2²⁰
+    * default caps driver heap at low hundreds of MB; the conf key exists
+    * for specs to pin the fail-fast at a tiny edge and for operators on
+    * fat stat rows to LOWER it. */
   val MaxCollectedGroups: Long = 1L << 20
+  val MaxCollectedGroupsKey = "spark.graft.distributedWindow.maxCollectedGroups"
 
   private[plans] sealed trait FuncSpec extends Serializable
   private[plans] case object RowNumSpec extends FuncSpec
@@ -1022,8 +1352,24 @@ object DistributedWindowExec {
                                     dD: Double, isDouble: Boolean,
                                     outType: DataType) extends FuncSpec
 
-  /** Largest accepted literal lag offset — bounds every replay ring and
-    * the per-(partition, group) tail the driver chains. */
+  /** lead(expr, off) with a literal default — lag mirrored: the exec
+    * buffers ≤ max-offset pending rows and the driver chains each
+    * partition's lookahead from later partitions' leading values. */
+  private[plans] case class LeadSpec(expr: Expression, off: Int,
+                                     defaultIsNull: Boolean, dL: Long,
+                                     dD: Double, isDouble: Boolean,
+                                     outType: DataType) extends FuncSpec
+
+  /** sum/min/max/count/avg over ROWS k PRECEDING .. CURRENT ROW: the
+    * frame is re-evaluated per row from a k-deep trailing ring (the same
+    * O(k)-per-row cost WindowExec's sliding frame pays, distributed). */
+  private[plans] case class RollSpec(expr: Expression, k: Int,
+                                     kind: AggKind, isDouble: Boolean,
+                                     outType: DataType) extends FuncSpec
+
+  /** Largest accepted literal lag/lead offset and rolling-frame depth —
+    * bounds every replay ring, pending buffer, and per-(partition,
+    * group) tail/head the driver chains. */
   val MaxLagOffset: Int = 64
 
   /** Write an accumulated extreme/sum back in the window's own output
@@ -1057,7 +1403,10 @@ object DistributedWindowExec {
                                       lastNN: Array[Long],
                                       lagL: Array[Array[Long]],
                                       lagD: Array[Array[Double]],
-                                      lagN: Array[Array[Boolean]])
+                                      lagN: Array[Array[Boolean]],
+                                      leadL: Array[Array[Long]],
+                                      leadD: Array[Array[Double]],
+                                      leadN: Array[Array[Boolean]])
   private[plans] case class Offsets(rows: Long, sumL: Array[Long],
                                     sumD: Array[Double], nonNull: Array[Long],
                                     runsBefore: Long)

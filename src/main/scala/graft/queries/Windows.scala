@@ -516,14 +516,17 @@ object Windows {
       |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
 
   // ------------------------------------------------ q_fact_delta_dist
-  /** Per-flag price STEP — `cents − lag(cents, 1)` over the total
-    * (cents, orderkey, linenumber) order — through the distributed
-    * window (r10: lag joined the operator's function family). Lag is
+  /** Per-flag price STEP in BOTH directions — `cents − lag(cents, 1)`
+    * and `lead(cents, 1) − cents` over the total (cents, orderkey,
+    * linenumber) order — through the distributed window (r10: lag joined
+    * the operator's family; r11: lead closed the documented gap). Lag is
     * replayed from a bounded per-group ring whose history the driver
-    * chains across partition boundaries, so a flag group spanning many
-    * range partitions still sees its previous row at every boundary;
-    * the first row per flag yields NULL (no default). Gate: the plain
-    * lag window oracle. */
+    * chains FORWARD across partition boundaries; lead holds a bounded
+    * pending buffer whose lookahead the driver chains BACKWARD (each
+    * partition's trailing rows read the next partitions' leading
+    * values), so a flag group spanning many range partitions sees both
+    * neighbors at every boundary. First/last row per flag yield NULL
+    * (no default). Gate: the plain lag/lead window oracle. */
   def qFactDeltaDist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.core.Sessions.tune(s)
@@ -537,9 +540,11 @@ object Windows {
       // like `cents - lag(...)` would reach the Window node under an
       // internal extraction alias the rewrite can't see
       .withColumn(s"${m}_lag", lag($"cents", 1).over(w))
+      .withColumn(s"${m}_lead", lead($"cents", 1).over(w))
       .withColumn(s"${m}_nt", ntile(10).over(w))
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
         ($"cents" - col(s"${m}_lag")).as("step_c"),
+        (col(s"${m}_lead") - $"cents").as("step_next"),
         // ntile rides the same total order (it is tie-order-dependent
         // like row_number); deciles of the per-flag price distribution
         col(s"${m}_nt").cast("long").as("price_decile"))
@@ -550,6 +555,8 @@ object Windows {
     """SELECT l_orderkey, l_linenumber, l_returnflag, cents,
       |  cents - lag(cents, 1) OVER (PARTITION BY l_returnflag
       |    ORDER BY cents, l_orderkey, l_linenumber) AS step_c,
+      |  lead(cents, 1) OVER (PARTITION BY l_returnflag
+      |    ORDER BY cents, l_orderkey, l_linenumber) - cents AS step_next,
       |  ntile(10) OVER (PARTITION BY l_returnflag
       |    ORDER BY cents, l_orderkey, l_linenumber) AS price_decile
       |FROM (
@@ -559,11 +566,62 @@ object Windows {
       |  FROM lineitem)
       |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------- q_fact_rolling_dist
+  /** BOUNDED moving frame — sum/min/count/avg over `ROWS BETWEEN 6
+    * PRECEDING AND CURRENT ROW`, grouped by flag over the total price
+    * order — through the distributed window (r11: rolling frames joined
+    * the operator). The frame is re-evaluated per row from a k-deep
+    * trailing ring (the identical O(k)-per-row cost WindowExec's sliding
+    * frame pays — but distributed over range partitions instead of one
+    * hash task per flag), with ring history driver-chained across
+    * partition boundaries so the first rows of each partition see the
+    * previous partition's tail. The avg rides exact integer cents (7-row
+    * frame sums ≪ 2⁵³ in a double), so the left-to-right frame replay is
+    * bit-equal to the window and the gate can hash it. Gate: the plain
+    * sliding-frame window oracle. */
+  def qFactRollingDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(-6, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn(s"${m}_rs", sum($"cents").over(w))
+      .withColumn(s"${m}_rm", min($"cents").over(w))
+      .withColumn(s"${m}_rc", count($"cents").over(w))
+      .withColumn(s"${m}_ra", avg($"cents").over(w))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
+        col(s"${m}_rs").as("roll_sum"), col(s"${m}_rm").as("roll_min"),
+        col(s"${m}_rc").as("roll_count"), col(s"${m}_ra").as("roll_avg"))
+      .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
+  }
+
+  private val qFactRollingDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, cents,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
+      |  CAST(min(cents) OVER w AS BIGINT) AS roll_min,
+      |  CAST(count(cents) OVER w AS BIGINT) AS roll_count,
+      |  CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w
+      |    AS roll_avg
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |  ORDER BY cents, l_orderkey, l_linenumber
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fact_rank" -> (qFactRank _),
     "q_fact_ranks_dist" -> (qFactRanksDist _),
     "q_fact_runagg_dist" -> (qFactRunaggDist _),
     "q_fact_delta_dist" -> (qFactDeltaDist _),
+    "q_fact_rolling_dist" -> (qFactRollingDist _),
     "q_fact_rank_dist" -> (qFactRankDist _),
     "q_fact_rank_grouped_dist" -> (qFactRankGroupedDist _),
     "q_fact_cumsum_dist" -> (qFactCumsumDist _),
@@ -590,6 +648,7 @@ object Windows {
     "q_fact_ranks_dist" -> qFactRanksDistSql,
     "q_fact_runagg_dist" -> qFactRunaggDistSql,
     "q_fact_delta_dist" -> qFactDeltaDistSql,
+    "q_fact_rolling_dist" -> qFactRollingDistSql,
     "q_window_rownum"  -> qWindowRownumSql,
     "q_window_topk"    -> qWindowTopkSql,
     // the native-aggregate variant must reproduce the window result exactly

@@ -82,18 +82,18 @@ class DistributedRankSpec extends AnyFunSuite {
     withFlag(true) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val leadDf = fixture(200).withColumn("ld",
-          lead(col("v"), 1).over(Window.orderBy(col("v"), col("id"))))
-        assert(leadDf.queryExecution.executedPlan
+        val cumeDf = fixture(200).withColumn("cd",
+          cume_dist().over(Window.orderBy(col("v"), col("id"))))
+        assert(cumeDf.queryExecution.executedPlan
           .collect { case w: WindowExec => w }.nonEmpty,
-          "lead() (unsupported) must stay a WindowExec")
+          "cume_dist() (unsupported) must stay a WindowExec")
         // one unsupported neighbor keeps the WHOLE node on WindowExec
-        // (the forall guard): row_number and lead share (partition,
+        // (the forall guard): row_number and cume_dist share (partition,
         // order), so they land on one Window node
         val w = Window.orderBy(col("v"), col("id"))
         val mixed = fixture(200)
           .withColumn("rn", row_number().over(w))
-          .withColumn("ld", lead(col("v"), 1).over(w))
+          .withColumn("cd", cume_dist().over(w))
         val mixedPlan = mixed.queryExecution.executedPlan
         assert(mixedPlan.collect { case w: WindowExec => w }.nonEmpty,
           s"mixed supported+unsupported node must stay a WindowExec:\n$mixedPlan")
@@ -303,20 +303,133 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(on.collect().map(_.toString).sorted.toSeq == off)
   }
 
-  test("scope guard: lead and IGNORE-NULLS/non-literal lag stay WindowExec") {
+  test("scope guard: over-budget lag/lead offsets and IGNORE-NULLS lead " +
+       "stay WindowExec") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val w = Window.orderBy(col("v"), col("id"))
-      val leadDf = fixture(200).withColumn(s"${M}_x", lead(col("v"), 1).over(w))
-      assert(leadDf.queryExecution.executedPlan
-        .collect { case w: WindowExec => w }.nonEmpty,
-        "lead() must stay a WindowExec")
       val bigOff = fixture(200).withColumn(s"${M}_x",
         lag(col("v"), 100).over(w)) // > MaxLagOffset
       assert(bigOff.queryExecution.executedPlan
         .collect { case w: WindowExec => w }.nonEmpty,
         "over-budget lag offset must stay a WindowExec")
+      val bigLead = fixture(200).withColumn(s"${M}_x",
+        lead(col("v"), 100).over(w)) // > MaxLagOffset
+      assert(bigLead.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }.nonEmpty,
+        "over-budget lead offset must stay a WindowExec")
+      val ignNulls = fixture(200).withColumn(s"${M}_x",
+        lead(col("v"), 1, null, ignoreNulls = true).over(w))
+      assert(ignNulls.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }.nonEmpty,
+        "IGNORE NULLS lead must stay a WindowExec")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("lead(1) and lead(3) equal WindowExec, incl. NULL source values " +
+       "and groups spanning partitions (r11: the r10 documented gap)") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
+      df.withColumn(nm("d1"), lead(col("v"), 1).over(w))
+        .withColumn(nm("d3"), lead(col("v"), 3).over(w))
+    }
+  }
+
+  test("global lead with a non-null default equals WindowExec") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.orderBy(col("v"), col("id"))
+      df.withColumn(nm("ld"), lead(col("v"), 2, -99L).over(w))
+    }
+  }
+
+  test("lead chains across a prefix-satisfied finer pre-partitioning " +
+       "(partition-boundary lookahead)") {
+    import spark.implicits._
+    // pre-partitioned on exactly (flag, v, id): no fresh exchange, groups
+    // span the 7 partitions — the last rows of each partition must read
+    // their lookahead from the NEXT partitions via the driver head chain
+    val df = spark.range(3000).select(
+      $"id",
+      (abs(hash(concat(lit("s"), $"id"))) % 40).cast("long").as("v"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+      .repartitionByRange(7, col("flag"), col("v"), col("id"))
+    def build(nm: String => String): DataFrame = {
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
+      df.withColumn(nm("d1"), lead(col("v"), 1).over(w))
+        .withColumn(nm("d5"), lead(col("v"), 5).over(w))
+        .withColumn(nm("l2"), lag(col("v"), 2).over(w))
+        .withColumn(nm("rn"), row_number().over(w))
+    }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    assert(on.collect().map(_.toString).sorted.toSeq == off)
+  }
+
+  test("rolling ROWS k PRECEDING sum/min/max/count/avg equal WindowExec, " +
+       "incl. NULLs and groups spanning partitions (r11)") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
+        .rowsBetween(-3, Window.currentRow)
+      df.withColumn(nm("rs"), sum(col("v")).over(w))
+        .withColumn(nm("rm"), min(col("v")).over(w))
+        .withColumn(nm("rx"), max(col("v")).over(w))
+        .withColumn(nm("rc"), count(col("v")).over(w))
+        .withColumn(nm("ra"), avg(col("v")).over(w))
+    }
+  }
+
+  test("rolling double sum replays the frame in WindowExec's own order — " +
+       "bit-for-bit equality, no tolerance") {
+    import spark.implicits._
+    // adversarial doubles (huge + tiny alternating): any re-association
+    // would diverge; the per-row oldest→newest replay must match exactly
+    val df = spark.range(2000).select(
+      $"id",
+      when($"id" % 11 === 0, lit(null))
+        .otherwise(when($"id" % 2 === 0, lit(1e15)).otherwise(lit(1e-7)) *
+          (($"id" % 17) + 1))
+        .cast("double").as("d"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+    markerVsPlain((d, nm) => {
+      val w = Window.partitionBy(col("flag")).orderBy(col("id"))
+        .rowsBetween(-7, Window.currentRow)
+      d.withColumn(nm("rs"), sum(col("d")).over(w))
+        .withColumn(nm("ra"), avg(col("d")).over(w))
+    }, input = Some(df))
+  }
+
+  test("driver group-stat budget: exactly AT the conf'd edge passes, one " +
+       "past it fails fast with the WindowExec remedy (r10 VERDICT 3b)") {
+    import spark.implicits._
+    // one partition holding 12 groups collects EXACTLY 12 (partition,
+    // group) stats — deterministic, so the edge is sharp: budget 12
+    // passes, budget 11 trips (a single partition satisfies the exec's
+    // OrderedDistribution, so no fresh exchange reshapes the count)
+    val df = spark.range(240).select(
+      $"id", ($"id" % 12).as("g"),
+      (abs(hash($"id")) % 100).cast("long").as("v"))
+    def run(budget: Int): Array[org.apache.spark.sql.Row] = {
+      spark.conf.set(DistributedWindowExec.MaxCollectedGroupsKey,
+        budget.toString)
+      try df.repartition(1)
+        .withColumn(s"${M}_rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+        .collect()
+      finally spark.conf.unset(DistributedWindowExec.MaxCollectedGroupsKey)
+    }
+    assert(run(12).length == 240, "at-budget must succeed")
+    // pass 1 collects on the DRIVER, so the guard surfaces directly as
+    // the IllegalStateException (not task-wrapped in a SparkException)
+    val ex = intercept[Exception](run(11))
+    val msg = ex.getCause match {
+      case null => ex.getMessage
+      case c => c.getMessage
+    }
+    assert(msg.contains("high-cardinality") && msg.contains("__dist_rank"),
+      s"fail-fast must name the remedy, got: $msg")
   }
 
   test("running avg over exact integers equals WindowExec bit-for-bit") {
@@ -350,6 +463,29 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(on == off, "NaN extreme semantics must match WindowExec")
     assert(off.exists(_.contains("[3,2.0,2.0,NaN]")),
       "fixture must exercise min-skips-NaN and max-keeps-NaN at once")
+  }
+
+  test("running double min/max keep the FIRST-seen signed zero on ±0.0 " +
+       "ties, matching WindowExec's replace-on-strict-compare (r10 ADVICE)") {
+    import spark.implicits._
+    // ±0.0 compare EQUAL under primitive </> — a tie. WindowExec's Min/Max
+    // replace the buffer only on a strict compare, so the first zero seen
+    // survives; math.min/max would instead pick the signed zero by SIGN BIT
+    // and flip -0.0/+0.0 in string-compared gates. Both phase orders are
+    // exercised: dpos sees +0.0 first, dneg sees -0.0 first.
+    val df = spark.range(600).select(
+      $"id",
+      when($"id" % 2 === 0, lit(0.0)).otherwise(lit(-0.0)).as("dpos"),
+      when($"id" % 2 === 0, lit(-0.0)).otherwise(lit(0.0)).as("dneg"),
+      lit(0L).as("flag"))
+    markerVsPlain((d, nm) => {
+      val w = Window.partitionBy(col("flag")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn(nm("mn_p"), min(col("dpos")).over(w))
+        .withColumn(nm("mx_p"), max(col("dpos")).over(w))
+        .withColumn(nm("mn_n"), min(col("dneg")).over(w))
+        .withColumn(nm("mx_n"), max(col("dneg")).over(w))
+    }, input = Some(df))
   }
 
   test("NULL-prefix RANGE sum is NULL until the first non-null value") {

@@ -17,10 +17,11 @@ import graft.plans.{DistributedRank, DistributedRankRewrite}
   * and random supported-function subsets, the marker-rewritten plan
   * must reproduce WindowExec row for row. The directed cases live in
   * DistributedRankSpec; this spec walks the cross-product the directed
-  * cases can't enumerate. Only tie-insensitive functions (rank,
-  * dense_rank, RANGE aggregates) join the random mix — ROWS frames and
-  * row_number are deterministic only under a total order, which the
-  * directed cases pin with an id tiebreak. */
+  * cases can't enumerate. Tie-insensitive functions (rank, dense_rank,
+  * RANGE aggregates) run over the bare (v) order so real peer runs keep
+  * getting exercised; tie-SENSITIVE draws (lag/lead/ntile/ROWS frames,
+  * r11 added lead + rolling) switch the whole mix to a total
+  * (v, id) order — the same determinism contract WindowExec has. */
 class DistributedWindowPropertySpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = graft.core.Sessions.local(4, "graft-distwin-prop")
@@ -44,7 +45,7 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     width <- Gen.oneOf(2, 5, 13)
     pre <- Gen.oneOf(0, 0, 3, 9)
     funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av", "lg",
-        "nt", "pr")
+        "nt", "pr", "ld", "rsum", "rmin", "rct")
       .suchThat(_.nonEmpty).map(_.toList)
   } yield Shape(n, dv, nullMod, groups, width, pre, funcs)
 
@@ -70,9 +71,9 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     // any shape that draws them runs the whole mix over a TOTAL order;
     // the tie-insensitive shapes keep the bare (v) order so peer runs
     // with real ties keep getting exercised
+    val tieSensitive = Set("lg", "nt", "ld", "rsum", "rmin", "rct")
     val ord =
-      if (sh.funcs.contains("lg") || sh.funcs.contains("nt"))
-        Seq(col("v"), col("id"))
+      if (sh.funcs.exists(tieSensitive)) Seq(col("v"), col("id"))
       else Seq(col("v"))
     val w: WindowSpec =
       if (sh.groups == 0) Window.orderBy(ord: _*)
@@ -89,6 +90,13 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
         case "lg"  => d.withColumn(nm("lg"), lag(col("w"), 3).over(w))
         case "nt"  => d.withColumn(nm("nt"), ntile(6).over(w))
         case "pr"  => d.withColumn(nm("pr"), percent_rank().over(w))
+        case "ld"  => d.withColumn(nm("ld"), lead(col("w"), 2).over(w))
+        case "rsum" => d.withColumn(nm("rs"),
+          sum(col("w")).over(w.rowsBetween(-4, Window.currentRow)))
+        case "rmin" => d.withColumn(nm("rm"),
+          min(col("w")).over(w.rowsBetween(-4, Window.currentRow)))
+        case "rct" => d.withColumn(nm("rc"),
+          count(col("v")).over(w.rowsBetween(-4, Window.currentRow)))
       }
     }
   }
