@@ -77,10 +77,21 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
 /** The rewrite: a naive window becomes a distributed-window node. Two
   * triggers with DIFFERENT scopes (r9 ADVICE: a session flag must not
   * turn working queries into runtime failures):
-  *  - session-wide `spark.graft.distributedRank=true` rewrites GLOBAL
-  *    (empty partition spec) windows only — those are exactly the
-  *    single-task WindowExec plans, so the swap is always a win and the
-  *    per-partition group-stat budget cannot trip (one group);
+  *  - session-wide `spark.graft.distributedRank=true` rewrites every
+  *    GLOBAL (empty partition spec) window — those are exactly the
+  *    single-task WindowExec plans, so the swap is always a win — and
+  *    (r11) GROUPED windows routed by a stats-driven cardinality
+  *    estimate: the size-based pair (ntile/percent_rank) needs the
+  *    driver's per-group totals map, so a grouped rewrite happens only
+  *    when catalog/CBO statistics PROVE the group count is at most
+  *    [[DistributedRankRewrite.AutoGroupThreshold]] (conf-overridable) —
+  *    unknown stats keep WindowExec, so the budget abort is unreachable
+  *    from the session dial; every other shape runs in the exec's
+  *    BOUNDARY-stats mode (driver state O(partitions), no budget at any
+  *    cardinality), so it rewrites by default and stats only steer
+  *    PERFORMANCE: a proven-high-cardinality key stays on WindowExec,
+  *    whose hash exchange is already the right plan for many small
+  *    groups and skips the range-sampling + pass-1 overhead;
   *  - per-query: a window column NAMED `__dist_rank` or
   *    `__dist_rank_<suffix>` (exact name or the reserved `_`-separated
   *    prefix — a bare `startsWith` would let an unrelated user column
@@ -88,9 +99,10 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
   *    GROUPED window in explicitly. The marker survives inside the plan
   *    itself, so EVERY QueryExecution built over it (including the fresh
   *    one a `df.write` constructs) rewrites deterministically without
-  *    flipping session state for neighboring queries. Grouped rewrites
-  *    are marker-only because the operator's driver-side offset table is
-  *    budgeted ([[DistributedWindowExec.MaxCollectedGroups]]) — a
+  *    flipping session state for neighboring queries. Size-based grouped
+  *    rewrites remain marker-only without stats because their
+  *    driver-side totals map is budgeted
+  *    ([[DistributedWindowExec.MaxCollectedGroups]]) — a
   *    high-cardinality partition key fails loudly mid-job, which is an
   *    acceptable contract for an explicit opt-in but not for a session
   *    dial.
@@ -133,8 +145,60 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
 object DistributedRankRewrite extends Rule[LogicalPlan] {
   val NameMarker = "__dist_rank"
 
+  /** Flag-auto grouped routing threshold: a key with at most this many
+    * estimated distinct groups hash-exchanges into too few WindowExec
+    * tasks (skew), so the range-partitioned operator wins; above it,
+    * WindowExec's hash exchange is already the scale-correct plan. */
+  val AutoGroupThreshold: Long = 4096L
+  val AutoGroupThresholdKey = "spark.graft.distributedWindow.autoGroupThreshold"
+
   private def markerNamed(e: NamedExpression): Boolean =
     e.name == NameMarker || e.name.startsWith(NameMarker + "_")
+
+  private def sizeBased(e: NamedExpression): Boolean = e match {
+    case Alias(WindowExpression(f, _), _) => f match {
+      case _: PercentRank | _: NTile => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** Distinct-group estimate from the plan's OWN statistics (no job, no
+    * sampling pass): the product of per-attribute distinct counts when
+    * column stats (ANALYZE TABLE ... FOR COLUMNS + CBO propagation)
+    * exist for every group expression, else the plan's row count as an
+    * upper bound, else unknown. */
+  private def estimatedGroups(child: LogicalPlan,
+                              groups: Seq[Expression]): Option[BigInt] = {
+    val st = child.stats
+    val attrs = groups.map {
+      case a: Attribute => Some(a)
+      case Alias(a: Attribute, _) => Some(a)
+      case _ => None
+    }
+    val viaCols =
+      if (attrs.nonEmpty && attrs.forall(_.isDefined)) {
+        val ds = attrs.flatten
+          .map(a => st.attributeStats.get(a).flatMap(_.distinctCount))
+        if (ds.forall(_.isDefined)) Some(ds.flatten.product) else None
+      } else None
+    viaCols.orElse(st.rowCount)
+  }
+
+  /** Flag-auto routing for a GROUPED window (scaladoc above): size-based
+    * shapes need stats PROOF of low cardinality (their driver map is
+    * budgeted); every other shape runs in the exec's O(partitions)
+    * boundary-stats mode, so it defaults IN and stats only steer a
+    * proven-high-cardinality key back to WindowExec for performance. */
+  private def autoGroupedRoute(exprs: Seq[NamedExpression],
+                               groups: Seq[Expression],
+                               child: LogicalPlan): Boolean = {
+    val threshold = BigInt(conf.getConfString(AutoGroupThresholdKey,
+      AutoGroupThreshold.toString).toLong)
+    val est = estimatedGroups(child, groups)
+    if (exprs.exists(sizeBased)) est.exists(_ <= threshold)
+    else est.forall(_ <= threshold)
+  }
 
   /** The supported function/frame shapes; sync the scaladoc above. */
   private def supported(e: NamedExpression): Boolean = e match {
@@ -217,11 +281,14 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
           Nil, _, child, _)
           if order.nonEmpty && (flagOn || markerNamed(a)) =>
         DistributedGlobalRank(a.toAttribute, order, child)
-      // the generalized operator; the flag reaches GLOBAL windows only,
-      // grouped windows need the explicit marker (scaladoc above)
+      // the generalized operator; the flag reaches every GLOBAL window
+      // and stats-routed GROUPED windows (r11); the explicit marker
+      // reaches everything supported (scaladoc above)
       case Window(exprs, parts, _, child, _)
           if exprs.nonEmpty && exprs.forall(supported) &&
-             ((flagOn && parts.isEmpty) || exprs.exists(markerNamed)) =>
+             (exprs.exists(markerNamed) ||
+              (flagOn && (parts.isEmpty ||
+                autoGroupedRoute(exprs, parts, child)))) =>
         // all expressions on one Window node share (partition, order);
         // take the order from the first spec (the node-level orderSpec
         // can carry extra resolution artifacts)
@@ -339,11 +406,18 @@ private[graft] object RankOverflow {
   *    peer-run count, and the first/last peer run's keys, row counts and
   *    partial aggregates;
   *  - driver: prefix-merge per group across partitions in partition
-  *    order — O(Σ per-partition distinct groups) entries, guarded by
-  *    [[DistributedWindowExec.MaxCollectedGroups]] (the operator's
-  *    documented LOW-CARDINALITY contract: a high-cardinality partition
-  *    key belongs on plain WindowExec, whose hash exchange is already
-  *    the scale-correct plan for many small groups). The driver also
+  *    order. Since groups are CONTIGUOUS, only each partition's FIRST
+  *    and LAST group run can cross a boundary, so pass 1 retains just
+  *    those two per partition (BOUNDARY mode, r11): driver state is
+  *    O(partitions) at ANY group cardinality, and contained groups read
+  *    zero prefix offsets by default. The one exception is the
+  *    size-based pair (ntile/percent_rank), which needs a TOTAL per
+  *    group — FULL mode retains every run's stat, O(Σ per-partition
+  *    distinct groups), guarded by
+  *    [[DistributedWindowExec.MaxCollectedGroups]] (a high-cardinality
+  *    partition key with size-based functions belongs on plain
+  *    WindowExec, whose hash exchange is already the scale-correct plan
+  *    for many small groups). The driver also
   *    CHAINS peer runs across partition boundaries: `OrderedDistribution`
   *    is prefix-satisfiable, so a child already range-partitioned on a
   *    strictly FINER ordering (e.g. (flag, cents, orderkey) when the
@@ -500,6 +574,15 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     val hasDense = funcs.contains(DenseRankSpec)
     val hasPct = funcs.contains(PercentRankSpec)
     val hasNtile = funcs.exists(_.isInstanceOf[NTileSpec])
+    // size-based functions need the driver's per-group TOTALS map, so
+    // pass 1 must retain every group run's stat (budgeted). Everything
+    // else needs only the stats that can cross a partition boundary —
+    // each partition's FIRST and LAST group run (groups are contiguous
+    // under the range exchange, so only those straddle): BOUNDARY mode
+    // retains exactly those two, making driver state O(partitions) and
+    // the budget unreachable at ANY group cardinality (r11 — what lets
+    // the session flag route grouped windows here safely).
+    val fullStats = hasPct || hasNtile
     val anyPeer = aggs.exists(_.peer)
     // peer-run tracking is needed whenever a function's value depends on
     // run boundaries — RANGE aggregates, rank, dense_rank, percent_rank
@@ -538,7 +621,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
 
     // ---- pass 1: per (partition, contiguous group run) counts + sums +
     // peer-run boundary stats
-    val statsPerPart: Array[Array[GroupStat]] = {
+    val (statsPerPart: Array[Array[GroupStat]], maxContainedRows: Long) = {
       val collected = input.mapPartitionsWithIndex({ (idx, it) =>
         val gproj = UnsafeProjection.create(groupExprs, childOutput)
         val pproj = UnsafeProjection.create(orderExprs, childOutput)
@@ -619,10 +702,16 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           firstPeer = curPeer
           fL = rL.clone(); fD = rD.clone(); fN = rN.clone()
         }
+        var maxRunRows = 0L
         def flush(): Unit = if (cur != null) {
           freezeFirst()
           val (tl, td, tn) = lagTails()
           val (hl, hd, hn) = leadHeads()
+          maxRunRows = math.max(maxRunRows, rows)
+          // boundary mode keeps the partition's first + latest (= last
+          // once the scan ends) group-run stats; contained groups need
+          // no driver entry (their prefix offsets are zero by default)
+          if (!fullStats && buf.length == 2) buf.remove(1)
           buf += GroupStat(cur, rows, sl.clone(), sd.clone(), nn.clone(),
             runs,
             firstPeer, fL, fD, fN,
@@ -708,22 +797,27 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           }
         }
         flush()
-        Iterator.single((idx, buf.toArray))
+        Iterator.single((idx, buf.toArray, maxRunRows))
       }, preservesPartitioning = true).collect()
       val arr = Array.fill(nParts)(Array.empty[GroupStat])
-      collected.foreach { case (i, a) => arr(i) = a }
-      arr
+      var mx = 0L
+      collected.foreach { case (i, a, m) => arr(i) = a; mx = math.max(mx, m) }
+      (arr, mx)
     }
     // conf-overridable so specs can pin the fail-fast at a tiny edge
-    // (r10 VERDICT 3b); production keeps the documented default
-    val maxGroups = conf.getConfString(MaxCollectedGroupsKey,
-      MaxCollectedGroups.toString).toLong
-    val collectedGroups = statsPerPart.iterator.map(_.length.toLong).sum
-    if (collectedGroups > maxGroups) throw new IllegalStateException(
-      s"distributed window collected $collectedGroups (partition, group) " +
-      s"stats > $maxGroups: the partition key is too " +
-      "high-cardinality for the range-partitioned rewrite — run without " +
-      "the __dist_rank marker/flag so the hash-exchanged WindowExec plans it")
+    // (r10 VERDICT 3b); production keeps the documented default. The
+    // budget exists for FULL mode only — boundary mode retains at most
+    // two stats per partition by construction.
+    if (fullStats) {
+      val maxGroups = conf.getConfString(MaxCollectedGroupsKey,
+        MaxCollectedGroups.toString).toLong
+      val collectedGroups = statsPerPart.iterator.map(_.length.toLong).sum
+      if (collectedGroups > maxGroups) throw new IllegalStateException(
+        s"distributed window collected $collectedGroups (partition, group) " +
+        s"stats > $maxGroups: the partition key is too " +
+        "high-cardinality for the range-partitioned rewrite — run without " +
+        "the __dist_rank marker/flag so the hash-exchanged WindowExec plans it")
+    }
 
     // ---- driver, forward: per-group prefix offsets in partition order,
     // chaining split peer runs (leading-run continuation per partition)
@@ -779,8 +873,14 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         }
         m.result()
       }
-    if (hasRowNum || hasRank || hasDense)
+    if (hasRowNum || hasRank || hasDense) {
+      // straddling groups carry their true totals in `running`; a group
+      // CONTAINED in one partition is bounded by that partition's largest
+      // single run, which pass 1 tracked (boundary mode retains no stat
+      // for contained middle groups, so check the tracked maximum)
       running.values.foreach(o => RankOverflow.check(o.rows))
+      RankOverflow.check(maxContainedRows)
+    }
 
     // group TOTALS — the SizeBasedWindowFunction input (ntile,
     // percent_rank): the forward prefix-merge's endpoint per group, one

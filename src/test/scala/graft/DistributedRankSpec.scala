@@ -104,17 +104,21 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
-  test("flag scope: a GROUPED window does not rewrite under the session " +
-       "flag alone (r9 ADVICE — the budget abort must stay opt-in)") {
+  test("flag scope: a grouped SIZE-BASED window does not rewrite under " +
+       "the session flag without stats proof (r9 ADVICE, narrowed r11 — " +
+       "only the budgeted full-stats shapes must stay opt-in)") {
     withFlag(true) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val d = nullTieFixture(300).withColumn("rn", row_number().over(
+        // ntile/percent_rank need the driver's per-group totals map, so
+        // absent statistics the flag alone must NOT opt a grouped one in
+        // — the budget abort stays unreachable from the session dial
+        val d = nullTieFixture(300).withColumn("nt", ntile(3).over(
           Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))))
         val plan = d.queryExecution.executedPlan
         assert(plan.collect { case w: WindowExec => w }.nonEmpty &&
           plan.collect { case e: DistributedWindowExec => e }.isEmpty,
-          s"grouped window must need the explicit marker:\n$plan")
+          s"grouped size-based window must need the marker or stats:\n$plan")
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
@@ -404,9 +408,11 @@ class DistributedRankSpec extends AnyFunSuite {
   test("driver group-stat budget: exactly AT the conf'd edge passes, one " +
        "past it fails fast with the WindowExec remedy (r10 VERDICT 3b)") {
     import spark.implicits._
-    // one partition holding 12 groups collects EXACTLY 12 (partition,
-    // group) stats — deterministic, so the edge is sharp: budget 12
-    // passes, budget 11 trips (a single partition satisfies the exec's
+    // the budget guards FULL-stats mode only (size-based functions need
+    // the per-group totals map) — hence the ntile in the mix. One
+    // partition holding 12 groups collects EXACTLY 12 (partition, group)
+    // stats — deterministic, so the edge is sharp: budget 12 passes,
+    // budget 11 trips (a single partition satisfies the exec's
     // OrderedDistribution, so no fresh exchange reshapes the count)
     val df = spark.range(240).select(
       $"id", ($"id" % 12).as("g"),
@@ -415,7 +421,7 @@ class DistributedRankSpec extends AnyFunSuite {
       spark.conf.set(DistributedWindowExec.MaxCollectedGroupsKey,
         budget.toString)
       try df.repartition(1)
-        .withColumn(s"${M}_rn", row_number().over(
+        .withColumn(s"${M}_nt", ntile(4).over(
           Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
         .collect()
       finally spark.conf.unset(DistributedWindowExec.MaxCollectedGroupsKey)
@@ -430,6 +436,109 @@ class DistributedRankSpec extends AnyFunSuite {
     }
     assert(msg.contains("high-cardinality") && msg.contains("__dist_rank"),
       s"fail-fast must name the remedy, got: $msg")
+  }
+
+  test("boundary-stats mode: non-size-based shapes never trip the budget " +
+       "at ANY group cardinality (r11 — driver state is O(partitions))") {
+    import spark.implicits._
+    // 5000 distinct groups, budget squeezed to 8: full mode would need
+    // 5000 stats and abort; boundary mode retains at most 2 per partition
+    val df = spark.range(20000).select(
+      $"id", ($"id" % 5000).as("g"),
+      (abs(hash($"id")) % 100).cast("long").as("v"))
+    spark.conf.set(DistributedWindowExec.MaxCollectedGroupsKey, "8")
+    try {
+      val got = df
+        .withColumn(s"${M}_rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+        .withColumn(s"${M}_cs", sum(col("v")).over(
+          Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val on = got.collect().map(_.toString).sorted.toSeq
+      val off = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+        .withColumn("cs", sum(col("v")).over(
+          Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .collect().map(_.toString).sorted.toSeq
+      assert(on.map(_.replace(s"${M}_", "")).size == off.size)
+      val onRenamed = got.columns.filter(_.startsWith(s"${M}_"))
+        .foldLeft(got)((d, c) => d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+        .collect().map(_.toString).sorted.toSeq
+      assert(onRenamed == off, "high-cardinality boundary mode must equal WindowExec")
+    } finally spark.conf.unset(DistributedWindowExec.MaxCollectedGroupsKey)
+  }
+
+  test("flag-auto grouped routing: unknown stats rewrite non-size-based " +
+       "shapes (boundary mode, abort-free) but keep size-based on " +
+       "WindowExec; proven-low stats route size-based in (r11)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withFlag(true) {
+      val df = fixture(500).withColumn("g",
+        (abs(hash(col("id"))) % 3).cast("long"))
+      // non-size-based grouped + flag, NO marker, no stats → rewrites
+      val rn = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+      assert(rn.queryExecution.executedPlan
+        .collect { case d: DistributedWindowExec => d }.nonEmpty,
+        "flag-auto grouped non-size-based must rewrite (boundary mode)")
+      // size-based grouped + flag, no stats proof → stays WindowExec
+      val nt = df.withColumn("nt", ntile(4).over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+      assert(nt.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }.nonEmpty &&
+        nt.queryExecution.executedPlan
+          .collect { case d: DistributedWindowExec => d }.isEmpty,
+        "flag-auto grouped size-based without stats must stay WindowExec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("flag-auto grouped routing from CATALOG STATS alone: a proven-low " +
+       "key routes size-based shapes in; a proven-high key routes " +
+       "non-size-based shapes back to WindowExec (r11)") {
+    import spark.implicits._
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_route_stats").toString
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try withFlag(true) {
+      spark.range(2000).select(
+        $"id",
+        ($"id" % 3).as("lo"),
+        $"id".as("hi"),
+        (abs(hash($"id")) % 50).cast("long").as("v"))
+        .write.mode("overwrite")
+        .option("path", s"$warehouse/t").saveAsTable("graft_route_t")
+      spark.sql(
+        "ANALYZE TABLE graft_route_t COMPUTE STATISTICS FOR COLUMNS lo, hi")
+      val t = spark.table("graft_route_t")
+      // lo: 3 distinct (stats-proven ≤ threshold) → size-based rewrites
+      val nt = t.withColumn("nt", ntile(4).over(
+        Window.partitionBy(col("lo")).orderBy(col("v"), col("id"))))
+      assert(nt.queryExecution.executedPlan
+        .collect { case d: DistributedWindowExec => d }.nonEmpty,
+        s"stats-proven low-cardinality ntile must rewrite:\n" +
+          nt.queryExecution.executedPlan)
+      // hi: 2000 distinct — set the threshold below it → non-size-based
+      // routes BACK to WindowExec on stats alone
+      spark.conf.set(DistributedRankRewrite.AutoGroupThresholdKey, "100")
+      try {
+        val rn = t.withColumn("rn", row_number().over(
+          Window.partitionBy(col("hi")).orderBy(col("v"), col("id"))))
+        assert(rn.queryExecution.executedPlan
+          .collect { case w: WindowExec => w }.nonEmpty &&
+          rn.queryExecution.executedPlan
+            .collect { case d: DistributedWindowExec => d }.isEmpty,
+          "stats-proven high-cardinality key must stay WindowExec")
+      } finally
+        spark.conf.unset(DistributedRankRewrite.AutoGroupThresholdKey)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_route_t")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("running avg over exact integers equals WindowExec bit-for-bit") {
