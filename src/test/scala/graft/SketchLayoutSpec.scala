@@ -112,6 +112,42 @@ class SketchLayoutSpec extends AnyFunSuite {
     assert(kth < (1L << 60), s"kth=$kth outside the 60-bit domain")
   }
 
+  /** Round-10 VERDICT item 8: the serving path (q_active_users_kmv)
+    * carries production weight, so the 60-bit estimator gets a MEASURED
+    * error bar at high cardinality, not just the analytic collision
+    * budget: 10⁷ true distincts — three orders past k, a regime where a
+    * biased estimator or a saturating hash domain would show immediately
+    * — must land within 3σ of exact for both the serving k (64,
+    * σ ≈ 1/√62 ≈ 12.7%) and a production-report k (1024, σ ≈ 3.1%).
+    * The hash is deterministic, so these are fixed observed errors, not
+    * a flaky sample. */
+  test("kmv at 10^7 distinct: observed relative error within 3 sigma of " +
+       "the 1/sqrt(k-2) bound for k=64 and k=1024 (r10 VERDICT 8)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val n = 10000000L
+    // the same 60-bit construction the gated queries use (md5 → 15 hex
+    // chars → bigint); spark.range keeps generation distributed
+    val hashed = spark.range(n).selectExpr(
+      "cast(conv(substring(md5(cast(id as string)), 1, 15), 16, 10) " +
+        "as bigint) AS hv")
+    val sk = hashed
+      .selectExpr("kmv(hv, 64) AS s64", "kmv(hv, 1024) AS s1024")
+      .selectExpr("s64.n_kept", "s64.kth", "s1024.n_kept", "s1024.kth")
+      .as[(Int, Long, Int, Long)].head()
+    val (kept64, kth64, kept1024, kth1024) = sk
+    assert(kept64 == 64 && kept1024 == 1024)
+    val dom = 1152921504606846976.0 // 2^60
+    val est64 = 63.0 * dom / kth64
+    val est1024 = 1023.0 * dom / kth1024
+    val err64 = math.abs(est64 - n) / n
+    val err1024 = math.abs(est1024 - n) / n
+    assert(err64 <= 3.0 / math.sqrt(62.0),
+      s"k=64: est $est64 vs $n — rel err $err64 past 3 sigma")
+    assert(err1024 <= 3.0 / math.sqrt(1022.0),
+      s"k=1024: est $est1024 vs $n — rel err $err1024 past 3 sigma")
+  }
+
   test("q_kmv_distinct: exact column is truly exact, estimate within rel_err") {
     val rows = SparkEntry.queries("q_kmv_distinct")(spark, sfDir).collect()
     assert(rows.length == 3) // return flags A/N/R
