@@ -34,7 +34,36 @@ import graft.core.Tables
   */
 object Embeddings {
   private val Dims = 64
-  private val NumPlanes = 4 // 16 buckets; widen for larger corpora
+
+  /** Largest supported hyperplane count (2¹⁶ buckets ≈ 8.4M vectors at
+    * the 128-occupancy target). Beyond that, multi-table LSH — several
+    * independent plane sets, candidates = union of per-table buckets —
+    * is the published scale path; one table's bucket count cannot grow
+    * forever without starving recall. */
+  private val MaxPlanes = 16
+
+  /** ADAPTIVE hyperplane count (r11 — the scaling audit caught the fixed
+    * P=4 going quadratic at 10×): smallest P ≥ 4 with 2^P · 128 ≥ corpus,
+    * so expected bucket occupancy stays ≈ 128 and the bucket self-join's
+    * candidate volume (Σ bucket²) stays LINEAR in the corpus. Pure
+    * integer arithmetic (ceil-log2 via bit length) so the DuckDB replay
+    * in [[bucketSql]] computes the identical P from the identical
+    * count(*). P = 4 at every driver gate scale (N ≤ 2048), so gate
+    * results are byte-stable. */
+  private def numPlanes(n: Long): Int = {
+    val x = (math.max(1L, n) + 127) / 128
+    val bits = if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    math.min(MaxPlanes, math.max(4, bits.toInt))
+  }
+
+  /** Corpus size per (session, dir) — parquet-footer count, memoized so
+    * the dozen bucket-building queries don't re-count per invocation. */
+  private val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
+  private def corpusSize(s: SparkSession, dir: String): Long = synchronized {
+    sizeCache.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
+  }
+  private def planesFor(s: SparkSession, dir: String): Int =
+    numPlanes(corpusSize(s, dir))
 
   /** Deterministic ±1 hyperplane component: top bit of md5("plane:dim").
     * Engine-independent — evaluated once on the driver. */
@@ -45,7 +74,7 @@ object Embeddings {
   }
 
   private val planes: Seq[Seq[Int]] =
-    (0 until NumPlanes).map(p => (0 until Dims).map(d => sign(p, d)))
+    (0 until MaxPlanes).map(p => (0 until Dims).map(d => sign(p, d)))
 
   /** Left-to-right double-precision dot product of two float-array columns
     * — the native codegen kernel (graft.expressions.FloatDot), bit-identical
@@ -70,19 +99,42 @@ object Embeddings {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  /** Signature bucket 0..15: bit p set iff hyperplane-p dot > 0. */
-  private def bucketCol(embCol: String): Column =
-    planes.zipWithIndex.map { case (h, p) =>
+  /** Signature bucket 0..2^P−1: bit p set iff hyperplane-p dot > 0; P is
+    * the corpus-adaptive [[numPlanes]]. */
+  private def bucketCol(embCol: String, np: Int): Column =
+    planes.take(np).zipWithIndex.map { case (h, p) =>
       val arr = h.mkString("array(", ", ", ")")
       val d = s"aggregate(zip_with($embCol, $arr, (x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
       when(expr(d) > 0.0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  private def bucketSql(embCol: String): String =
-    planes.zipWithIndex.map { case (h, p) =>
-      val arr = h.mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($embCol[i] AS DOUBLE) * ($arr)[i])) > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+  /** DuckDB mirror of [[bucketCol]], SELF-CONTAINED: the plane count is
+    * recomputed from `count(*) FROM embeddings` with the same integer
+    * ceil-log2 as [[numPlanes]] (bit length of x−1 via the binary format
+    * — no float log2 anywhere), and the full 16-plane ±1 component table
+    * rides inline as a literal list-of-lists (the same constants the
+    * Spark side precomputed), so every oracle that embeds this string
+    * stays replay-exact at ANY corpus size. */
+  /** The adaptive plane count as a DuckDB scalar subquery — the exact
+    * integer twin of [[numPlanes]] (bit length of x−1, no float log2). */
+  private val npSql: String =
+    s"""(SELECT least($MaxPlanes, greatest(4,
+       |  CASE WHEN x <= 1 THEN 0
+       |       ELSE length(format('{:b}', x - 1)) END))
+       | FROM (SELECT ((SELECT count(*) FROM embeddings) + 127) // 128
+       |       AS x))""".stripMargin
+
+  private def bucketSql(embCol: String): String = {
+    val table = planes
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val np = npSql
+    // CAST back to INT: list_sum would promote to HUGEINT, which the
+    // gate's dtype lint rejects in final selects (r6 lesson)
+    s"""CAST(list_sum(list_transform(range(0, $np), p ->
+       |  CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), i ->
+       |    CAST($embCol[i] AS DOUBLE) * (($table)[p + 1][i])))
+       |    > 0 THEN (1 << p) ELSE 0 END)) AS INT)""".stripMargin
+  }
 
   // ------------------------------------------------------------ q_embed_topk
   /** Brute-force exact top-10 by cosine to the vec_id=0 embedding. The query
@@ -124,7 +176,7 @@ object Embeddings {
     // values to the oracle's per-pair norms: sqrt(Σx²) doesn't depend on
     // where it's evaluated.
     val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
       .withColumn("norm", sqrt(sqNorm("embedding")))
     val l = emb.select(col("bucket"), col("vec_id"), col("embedding"), col("norm"))
     val r = emb.select(col("bucket"), col("vec_id").as("nn_id"),
@@ -176,7 +228,7 @@ object Embeddings {
   def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
     val K = 5
     val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
       .withColumn("norm", sqrt(sqNorm("embedding")))
     val l = emb.select(col("bucket"), col("vec_id"), col("label"),
       col("embedding"), col("norm"))
@@ -252,7 +304,7 @@ object Embeddings {
     val corpus = base.select(col("vec_id"), col("embedding"))
       .unionByName(base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
       .withColumn("norm", sqrt(sqNorm("embedding")))
     val l = corpus.select(col("bucket"), col("vec_id").as("a"),
       col("embedding"), col("norm"))
@@ -296,15 +348,29 @@ object Embeddings {
     * cell = argmax cosine, rank stabilized on the 4-decimal-rounded sim +
     * centroid id so both engines agree. Output: cell assignment + posting
     * list sizes — the IVF index statistics. */
-  /** Every corpus vector ranked against the broadcast k=17 coarse-centroid
-    * sample (`vec_id % 31`) by 4-dp-rounded cosine, ties on centroid_id —
-    * THE IVF cell geometry, shared by the index-statistics query
-    * ([[qEmbedIvf]], rn=1 cells) and the nprobe=2 search ([[qEmbedIvf2]],
-    * rn≤2 probes) so the search can never probe a layout that disagrees
-    * with the reported index. Columns: vec_id, embedding, norm,
-    * centroid_id, sim, rn. */
-  private def centroidRanked(emb: DataFrame): DataFrame = {
-    val cents = emb.filter(col("vec_id") % 31 === 0)
+  /** Coarse-centroid stride, CAPPED so the centroid list stays ≤ ~64
+    * (r11 — the scaling audit caught the fixed `% 31` stride growing the
+    * centroid count with the corpus, making the assign-every-vector-to-
+    * every-centroid pass quadratic): stride = max(31, ⌈n/64⌉), identical
+    * integer arithmetic to the oracle's scalar subquery. 31 at every
+    * gate scale (n ≤ 1984), so gate results are byte-stable. Production
+    * IVF grows nlist ~ √n with a centroid ROUTER (HNSW over centroids)
+    * so assignment never scans all lists; the cap keeps the demonstrated
+    * partition/probe algebra linear without modeling the router. */
+  private def centroidStride(s: SparkSession, dir: String): Long =
+    math.max(31L, (corpusSize(s, dir) + 63) / 64)
+  private val strideSql =
+    "(SELECT greatest(31, (count(*) + 63) // 64) FROM embeddings)"
+
+  /** Every corpus vector ranked against the broadcast coarse-centroid
+    * sample (`vec_id % stride`, ≤ ~64 centroids) by 4-dp-rounded cosine,
+    * ties on centroid_id — THE IVF cell geometry, shared by the
+    * index-statistics query ([[qEmbedIvf]], rn=1 cells) and the nprobe=2
+    * search ([[qEmbedIvf2]], rn≤2 probes) so the search can never probe
+    * a layout that disagrees with the reported index. Columns: vec_id,
+    * embedding, norm, centroid_id, sim, rn. */
+  private def centroidRanked(emb: DataFrame, stride: Long): DataFrame = {
+    val cents = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
     emb.crossJoin(broadcast(cents))
       .withColumn("norm", sqrt(sqNorm("embedding")))
@@ -316,7 +382,7 @@ object Embeddings {
   }
 
   def qEmbedIvf(s: SparkSession, dir: String): DataFrame = {
-    val assigned = centroidRanked(Tables.embeddings(s, dir))
+    val assigned = centroidRanked(Tables.embeddings(s, dir), centroidStride(s, dir))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"), col("sim").as("centroid_sim"))
     val cellSizes = assigned.groupBy(col("centroid_id"))
@@ -329,7 +395,7 @@ object Embeddings {
   private val qEmbedIvfSql =
     s"""WITH cents AS (
        |  SELECT vec_id AS centroid_id, embedding AS cvec
-       |  FROM embeddings WHERE vec_id % 31 = 0),
+       |  FROM embeddings WHERE vec_id % $strideSql = 0),
        |assigned AS (
        |  SELECT vec_id, centroid_id, sim AS centroid_sim FROM (
        |    SELECT e.vec_id, c.centroid_id,
@@ -361,7 +427,7 @@ object Embeddings {
     * duplicated, only the query fans out. Centroid ranking and rerank
     * both stabilized on (rounded sim, id) so the engines agree exactly. */
   def qEmbedIvf2(s: SparkSession, dir: String): DataFrame = {
-    val ranked = centroidRanked(Tables.embeddings(s, dir))
+    val ranked = centroidRanked(Tables.embeddings(s, dir), centroidStride(s, dir))
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("centroid_id"), col("vec_id").as("nn_id"),
         col("embedding").as("emb2"), col("norm").as("norm2"))
@@ -381,7 +447,7 @@ object Embeddings {
   private val qEmbedIvf2Sql =
     s"""WITH cents AS (
        |  SELECT vec_id AS centroid_id, embedding AS cvec
-       |  FROM embeddings WHERE vec_id % 31 = 0),
+       |  FROM embeddings WHERE vec_id % $strideSql = 0),
        |ranked AS (
        |  SELECT e.vec_id, e.embedding, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -433,7 +499,7 @@ object Embeddings {
     val corpus = base.select(col("vec_id"), col("embedding"))
       .unionByName(base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-    val cells = centroidRanked(corpus)
+    val cells = centroidRanked(corpus, centroidStride(s, dir))
       .filter(col("rn") === 1)
       .select(col("centroid_id"), col("vec_id"), col("embedding"), col("norm"))
     val l = cells.select(col("centroid_id"), col("vec_id").as("keep_id"),
@@ -455,7 +521,7 @@ object Embeddings {
        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 0),
        |cents AS (
        |  SELECT vec_id AS centroid_id, embedding AS cvec
-       |  FROM corpus WHERE vec_id % 31 = 0),
+       |  FROM corpus WHERE vec_id % $strideSql = 0),
        |ranked AS (
        |  SELECT e.vec_id, e.embedding, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -482,7 +548,7 @@ object Embeddings {
     * (a hot bucket = a degenerate hyperplane set → re-salt or widen). */
   def qEmbedBuckets(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
       .orderBy(col("bucket"))
@@ -508,7 +574,7 @@ object Embeddings {
   def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val K = 5
     val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
       .withColumn("norm", sqrt(sqNorm("embedding")))
     val queries = emb.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
@@ -592,9 +658,9 @@ object Embeddings {
     * bucket, unchanged. */
   def qEmbedAnnMp(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
       .withColumn("norm", sqrt(sqNorm("embedding")))
-    val probes = (0 until NumPlanes)
+    val probes = (0 until planesFor(s, dir))
       .map(p => expr(s"bucket ^ ${1 << p}")) :+ col("bucket")
     val l = emb.select(col("vec_id"), col("embedding"), col("norm"),
       explode(array(probes: _*)).as("probe"))
@@ -616,8 +682,10 @@ object Embeddings {
   }
 
   private val qEmbedAnnMpSql = {
-    val flips = (0 until NumPlanes).map(p => s"xor(bucket, ${1 << p})")
-      .mkString("[", ", ", ", bucket]")
+    // one probe per ACTIVE plane (the adaptive count) + the home bucket
+    val flips = "list_append(list_transform(range(0, " + npSql +
+      "), p -> xor(CAST(bucket AS BIGINT), (1::BIGINT << p))), " +
+      "CAST(bucket AS BIGINT))"
     s"""WITH b AS (
        |  SELECT vec_id, embedding,
        |    ${bucketSql("embedding")} AS bucket
@@ -652,7 +720,7 @@ object Embeddings {
     * filtered-search recall gap multi-table LSH closes at scale). */
   def qEmbedFiltered(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
       .withColumn("norm", sqrt(sqNorm("embedding")))
     val l = emb.select(col("bucket"), col("vec_id"), col("embedding"), col("norm"))
     val r = emb.filter(col("label") < 3)
@@ -826,7 +894,7 @@ object Embeddings {
     * from day one). */
   def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
     val b = Tables.embeddings(s, dir)
-      .select(col("label"), bucketCol("embedding").as("bucket"))
+      .select(col("label"), bucketCol("embedding", planesFor(s, dir)).as("bucket"))
     val joint = b.groupBy(col("label"), col("bucket"))
       .agg(count(lit(1)).as("n_lb"))
     val ml = joint.groupBy(col("label")).agg(sum(col("n_lb")).as("n_l"))
@@ -961,7 +1029,7 @@ object Embeddings {
     * them at scale). */
   def qLabelNoise(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
       .withColumn("norm", sqrt(sqNorm("embedding")))
     val l = emb.select(col("bucket"), col("vec_id"), col("label"),
       col("embedding"), col("norm"))
@@ -1034,7 +1102,7 @@ object Embeddings {
     val corpus = base.select(col("vec_id"), col("embedding"))
       .unionByName(base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      .withColumn("bucket", bucketCol("embedding"))
+      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
       .withColumn("norm", sqrt(sqNorm("embedding")))
     val anchors = corpus
       .filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000)

@@ -372,41 +372,70 @@ object Sketches {
     *
     * Determinism: unlike Spark's injected runtime bloom filters (internal
     * hashing, not replayable), this bloom is a pure function of md5 — k=3
-    * bit positions from the three leading 3-hex-char slices of ONE digest
-    * (a 4096-bit domain, no modulo bias; r10: the per-position
-    * `md5(bfI:key)` recipe evaluated the digest three times per PROBE
-    * row — the fact-side scan cost — where one digest's disjoint slices
-    * are the same independent-hash family), the filter itself a sorted
-    * int array built by one tiny aggregation and BROADCAST to the probe
-    * side. The DuckDB oracle builds the identical filter and reproduces
+    * bit positions from the three leading 8-hex-char slices of ONE digest
+    * (one digest per probe row; disjoint slices are the independent-hash
+    * family). The DuckDB oracle builds the identical filter and reproduces
     * the probe bit-for-bit — including the false-positive count, which
     * the output exposes (n_false_pos) so the filter's selectivity is
     * measured, not assumed.
     *
-    * Scale shape: the build side aggregates ≤3·|dim| ints into ONE row; the
-    * probe is a stateless per-row expression over the fact scan — the 100 TB
-    * stream never shuffles to discover that 99% of it joins to nothing.
-    * Exact revenue over true matches rides the same pass via the decimal-
-    * exact pattern (core.OracleParity). */
+    * r11 (scaling-audit fix — the audit measured the r10 shape at 67× for
+    * 10× data): the filter is now a REAL bitmap, not a sorted int array —
+    * m = 16 bits per build key rounded up to whole 64-bit words (identical
+    * integer arithmetic in the oracle's scalar subquery), packed into an
+    * array of longs built by a map-side-combinable per-word bit_or
+    * aggregation. The probe tests each position with ONE O(1)
+    * element_at + shift + mask; the r10 `array_contains` was a per-probe
+    * LINEAR scan over a set-bit list that itself grew with the build side
+    * (and the fixed 4096-bit domain saturated to FPP ≈ 0.5 at 10×).
+    * At 16 bits/key and k=3, fill ≈ 3/16 and FPP ≈ (3/16)³ ≈ 0.7% at ANY
+    * build size; the 8-hex slices support m up to 2³² bits (≈ 256M build
+    * keys).
+    *
+    * Scale shape: the build side aggregates to m/64 longs via per-word
+    * partial bit_or (map-side combine, one tiny exchange) and the packed
+    * words BROADCAST to the probe side; the probe is a stateless per-row
+    * expression over the fact scan — the 100 TB stream never shuffles to
+    * discover that 99% of it joins to nothing. Exact revenue over true
+    * matches rides the same pass via the decimal-exact pattern
+    * (core.OracleParity). */
   def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def pos(i: Int, c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c.cast("string")), 3 * i - 2, 3), 16, 10)
-        .cast("int")
-    val sel = Tables.supplier(s, dir)
+    def rawPos(i: Int, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 8 * i - 7, 8), 16, 10)
+        .cast("long")
+    val selD = Tables.supplier(s, dir)
       .filter($"s_nationkey".between(0, 4))
       .select($"s_suppkey".cast("long").as("k"))
-    val bloom = sel
-      .select(explode(array(pos(1, $"k"), pos(2, $"k"), pos(3, $"k"))).as("p"))
-      .agg(array_sort(collect_set($"p")).as("bits"))
-    val marked = sel.distinct().withColumn("m", lit(1))
+      .distinct()
+    // dim-sized count action: sizes the filter at 16 bits/key, rounded
+    // up to whole words — the oracle recomputes the same m from the same
+    // count with the same integer arithmetic
+    val nKeys = selD.count()
+    val mBits = ((16L * math.max(1L, nKeys) + 63) / 64) * 64
+    val nWords = (mBits / 64).toInt
+    val words = selD
+      .select(explode(array(rawPos(1, $"k"), rawPos(2, $"k"),
+        rawPos(3, $"k"))).as("hv"))
+      .select(pmod($"hv", lit(mBits)).as("p"))
+      .groupBy(($"p" / 64).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, int(p % 64)))").as("bits"))
+      .agg(map_from_entries(collect_list(struct($"w", $"bits"))).as("wm"))
+      .select(expr(
+        s"transform(sequence(0, ${nWords - 1}), i -> " +
+          "coalesce(element_at(wm, i), 0L)) AS words"))
+    val marked = selD.withColumn("m", lit(1))
     Tables.lineitem(s, dir)
       .select($"l_suppkey".cast("long").as("k"), $"l_extendedprice")
-      .crossJoin(broadcast(bloom))
+      .crossJoin(broadcast(words))
       .withColumn("pass",
-        array_contains($"bits", pos(1, $"k")) &&
-        array_contains($"bits", pos(2, $"k")) &&
-        array_contains($"bits", pos(3, $"k")))
+        (1 to 3).map { i =>
+          // O(1) bit test: word lookup + shift + mask (1-based element_at)
+          val hex = s"conv(substring(md5(cast(k as string)), ${8 * i - 7}, 8), 16, 10)"
+          val p = s"pmod(cast($hex as bigint), ${mBits}L)"
+          expr(s"(shiftright(element_at(words, int(($p) div 64) + 1), " +
+            s"int(($p) % 64)) & 1L) = 1L")
+        }.reduce(_ && _))
       .join(broadcast(marked), Seq("k"), "left")
       .agg(
         count(lit(1)).as("n_total"),
@@ -422,30 +451,37 @@ object Sketches {
   }
 
   private val qBloomJoinSql =
-    """WITH sel AS (
-      |  SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier
+    """WITH seld AS (
+      |  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k FROM supplier
       |  WHERE s_nationkey BETWEEN 0 AND 4),
-      |bloom AS (
-      |  SELECT list_sort(list(DISTINCT p)) AS bits FROM (
+      |params AS (
+      |  SELECT ((16 * greatest(1, (SELECT count(*) FROM seld)) + 63) // 64)
+      |         * 64 AS m_bits),
+      |bloompos AS (
+      |  SELECT DISTINCT p FROM (
       |    SELECT unnest([
-      |      ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 3))::INT,
-      |      ('0x' || substr(md5(CAST(k AS VARCHAR)), 4, 3))::INT,
-      |      ('0x' || substr(md5(CAST(k AS VARCHAR)), 7, 3))::INT]) AS p
-      |    FROM sel)),
-      |probed AS (
-      |  SELECT li.k, li.l_extendedprice,
-      |    list_contains(bloom.bits,
-      |      ('0x' || substr(md5(CAST(li.k AS VARCHAR)), 1, 3))::INT)
-      |    AND list_contains(bloom.bits,
-      |      ('0x' || substr(md5(CAST(li.k AS VARCHAR)), 4, 3))::INT)
-      |    AND list_contains(bloom.bits,
-      |      ('0x' || substr(md5(CAST(li.k AS VARCHAR)), 7, 3))::INT)
+      |      ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT,
+      |      ('0x' || substr(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT,
+      |      ('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 8))::BIGINT])
+      |      % (SELECT m_bits FROM params) AS p
+      |    FROM seld)),
+      |keys AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS k FROM lineitem),
+      |kpass AS (
+      |  SELECT k,
+      |    (('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT
+      |       % (SELECT m_bits FROM params) IN (SELECT p FROM bloompos))
+      |    AND (('0x' || substr(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT
+      |       % (SELECT m_bits FROM params) IN (SELECT p FROM bloompos))
+      |    AND (('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 8))::BIGINT
+      |       % (SELECT m_bits FROM params) IN (SELECT p FROM bloompos))
       |      AS pass,
-      |    (sel.k IS NOT NULL) AS m
+      |    k IN (SELECT k FROM seld) AS m
+      |  FROM keys),
+      |probed AS (
+      |  SELECT li.k, li.l_extendedprice, kp.pass, kp.m
       |  FROM (SELECT CAST(l_suppkey AS BIGINT) AS k, l_extendedprice
       |        FROM lineitem) li
-      |  CROSS JOIN bloom
-      |  LEFT JOIN (SELECT DISTINCT k FROM sel) sel USING (k))
+      |  JOIN kpass kp USING (k))
       |SELECT count(*) AS n_total,
       |  count(*) FILTER (pass) AS n_bloom_pass,
       |  count(*) FILTER (m) AS n_match,

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The SCALING AUDIT (r10 VERDICT item 1): measure — not argue — how the
+  * headline scale operators grow from sf0.1 to a 10× self-generated sf1
+  * ([[ScaleGen]]), and commit the growth-ratio table.
+  *
+  * `runMain graft.tools.ScalingAudit <smallDir> <bigDir> <outJson>`
+  *
+  * Protocol per (query, dir): one untimed warmup (JVM/codegen/footer
+  * cache + any per-(dir, JVM) IndexStore asset build — the build is a
+  * one-time cost by design, and excluding it at BOTH scales keeps the
+  * ratio an apples-to-apples measure of the query's own plan), then two
+  * timed full-materialization runs (noop sink, the Bench contract),
+  * min of two. Ratio = big/small. A ratio near the data ratio (10×) is
+  * LINEAR; well under it means fixed costs still dominate at this size;
+  * well over it is a super-linear red flag the audit exists to catch. */
+object ScalingAudit {
+  /** The headline scale surface: one representative per mechanism the
+    * repo's 100-TB story leans on (SURVEY §2 families + the VERDICT's
+    * named claims). Kept to pure registry entries so the driver gate
+    * already proves their correctness at both scales' law. */
+  val AuditQueries: Seq[String] = Seq(
+    // scan / aggregate / join fundamentals
+    "q1_agg", "q_group_mean", "q_count_distinct", "q_star_join",
+    "q_top10_orders",
+    // banded-rank family + the custom distributed-window operator
+    "q_fact_rank", "q_fact_rank_dist", "q_fact_runagg_dist",
+    "q_fact_rolling_dist", "q_weighted_median",
+    // warehouse loads (incremental prune, SCD2 merge)
+    "q_hwm_incremental", "q_scd2_merge",
+    // LSH dedup chain over documents
+    "q_dedup_exact", "q_minhash_bucket", "q_minhash_pairs", "q_simhash",
+    // embeddings / ANN
+    "q_embed_ivf", "q_embed_ann",
+    // iterative graph over the events-derived edge asset
+    "q_pagerank", "q_kcore",
+    // sketches / AQP
+    "q_kmv_distinct", "q_cms_freq", "q_bloom_join",
+    // text analysis
+    "q_token_count", "q_tfidf_cosine")
+
+  def main(args: Array[String]): Unit = {
+    val (smallDir, bigDir, outJson) = (args(0), args(1), args(2))
+    // optional 4th arg: comma list restricting the audit (re-measuring a
+    // fix without paying for the full sweep)
+    val selected = if (args.length > 3)
+      AuditQueries.filter(args(3).split(",").map(_.trim).toSet)
+    else AuditQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.tune(spark)
+
+    def runOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def measure(name: String, dir: String): Double = {
+      runOnce(name, dir) // warmup + IndexStore build for this (dir, JVM)
+      math.min(runOnce(name, dir), runOnce(name, dir))
+    }
+
+    val dataRatio = {
+      val a = spark.read.parquet(s"$smallDir/lineitem.parquet").count()
+      val b = spark.read.parquet(s"$bigDir/lineitem.parquet").count()
+      b.toDouble / a
+    }
+
+    val rows = selected.map { q =>
+      try {
+        val small = measure(q, smallDir)
+        val big = measure(q, bigDir)
+        val ratio = big / small
+        println(f"[scaling] $q%-22s small=$small%7.2fs big=$big%7.2fs ratio=$ratio%5.2fx")
+        (q, Right((small, big, ratio)))
+      } catch { case e: Throwable =>
+        // one broken query must not void the whole audit run
+        println(s"[scaling] $q FAILED: ${e.getMessage}")
+        (q, Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+      }
+    }
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val qs = rows.map {
+      case (q, Right((s, b, r))) =>
+        jstr(q) + s""":{"small_s":${f"$s%.3f"},"big_s":${f"$b%.3f"},"ratio":${f"$r%.2f"}}"""
+      case (q, Left(err)) => jstr(q) + s""":{"err":${jstr(err)}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"small":${jstr(smallDir)},"big":${jstr(bigDir)},""" +
+      s""""data_ratio":${f"$dataRatio%.2f"},"cpus":$cpus,"queries":$qs}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
+      line + "\n")
+    println(s"[scaling] wrote $outJson")
+    spark.stop()
+  }
+}
