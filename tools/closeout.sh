@@ -28,12 +28,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 seal_tree_hashes() {
-  # working-tree content hashes (not HEAD's), so uncommitted edits count
-  # as divergence too; --add keeps the index itself untouched
+  # working-tree content hash of ONLY the sealed paths (src tools
+  # build.sbt) — built from an EMPTY temp index, so unrelated commits
+  # (docs, artifacts) cannot flip the stamp (v1 copied the full index
+  # and the very first artifact commit tripped its own guard)
   local tmp_index
   tmp_index=$(mktemp)
   trap 'rm -f "$tmp_index"' RETURN
-  cp .git/index "$tmp_index" 2>/dev/null || true
+  rm -f "$tmp_index"
+  GIT_INDEX_FILE="$tmp_index" git read-tree --empty
   GIT_INDEX_FILE="$tmp_index" git add src tools build.sbt 2>/dev/null
   GIT_INDEX_FILE="$tmp_index" git write-tree
 }
