@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, Lead, NamedExpression, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, Lead, NamedExpression, NthValue, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.aggregate.First
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
@@ -134,7 +135,15 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
   *    bounded pending buffer of ≤ max-offset rows per partition — the
   *    one shape that pays a per-row copy — and the driver chains each
   *    partition's trailing rows' lookahead from the LEADING values of
-  *    the same group in later partitions (lag's tail chain, mirrored).
+  *    the same group in later partitions (lag's tail chain, mirrored);
+  *  - `first_value(expr)` (no IGNORE NULLS) over any running frame —
+  *    frame-end-independent, so RANGE peers need no lookahead — and
+  *    `nth_value(expr, k)` (literal k ≤ MaxLagOffset, no IGNORE NULLS)
+  *    over the ROWS running frame (under RANGE its null-vs-value answer
+  *    depends on the current peer RUN's end — lookahead — so RANGE
+  *    nth_value stays on WindowExec). Both replay the group's first k
+  *    values from a bounded head buffer the driver chains FORWARD
+  *    across partitions (r11).
   * The node rewrites only when EVERY window expression on it is
   * supported (one unsupported neighbor keeps the whole node on
   * WindowExec — correctness first) and the order is non-empty. The pure
@@ -263,6 +272,24 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
             case _ => false
           }) && dflt.foldable &&
             (dflt.eval() == null || dflt.dataType == in.dataType)
+        // first_value is frame-end-independent (the frame always starts
+        // at the group head under a running frame), so RANGE is fine
+        case AggregateExpression(First(in, false), _, false, None, _) =>
+          numeric(in.dataType) && runningFrame
+        // nth_value's null-vs-value answer depends on the FRAME END
+        // (frame shorter than k rows → NULL); only the ROWS running
+        // frame makes that end the current row — RANGE needs run-end
+        // lookahead and stays on WindowExec
+        case NthValue(in, off, false) =>
+          numeric(in.dataType) && off.foldable && (off.eval() match {
+            case i: Int =>
+              i >= 1 && i <= DistributedWindowExec.MaxLagOffset
+            case _ => false
+          }) && (frame match {
+            case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+                                      CurrentRow) => true
+            case _ => false
+          })
         case _ => false
       }
     case _ => false
@@ -541,6 +568,15 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           LeadSpec(Cast(in, if (d) DoubleType else LongType),
             off.eval().asInstanceOf[Int], dNull, dL, dD,
             isDouble = d, outType = in.dataType)
+        case AggregateExpression(First(in, _), _, _, _, _) =>
+          val d = accDouble(in.dataType)
+          NthSpec(Cast(in, if (d) DoubleType else LongType), 1,
+            isDouble = d, outType = in.dataType)
+        case NthValue(in, off, _) =>
+          val d = accDouble(in.dataType)
+          NthSpec(Cast(in, if (d) DoubleType else LongType),
+            off.eval().asInstanceOf[Int],
+            isDouble = d, outType = in.dataType)
         case other => throw new IllegalStateException(
           s"unsupported window function reached the exec: $other")
       }
@@ -562,6 +598,16 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     val maxLead = if (nLeads == 0) 0 else leads.map(_.off).max
     val leadFuncIdx: Array[Int] =
       funcs.zipWithIndex.collect { case (_: LeadSpec, i) => i }
+    val nths: Array[NthSpec] = funcs.collect { case n: NthSpec => n }
+    val nNths = nths.length
+    // leading-values ("head") slots: lead lookahead first, then
+    // first/nth_value group heads — one shared pass-1 collection and
+    // GroupStat layout; the backward lead chain reads slots [0, nLeads),
+    // the forward nth chain reads slots [nLeads, nHeads)
+    val headOffs: Array[Int] = leads.map(_.off) ++ nths.map(_.k)
+    val headExprs: Array[Expression] = leads.map(_.expr) ++ nths.map(_.expr)
+    val headIsD: Array[Boolean] = leads.map(_.isDouble) ++ nths.map(_.isDouble)
+    val nHeads = headOffs.length
     // trailing-history ring slots: lag replay rings first, then rolling
     // frames (which need the previous k values of the group) — one shared
     // collection/chaining mechanism for both
@@ -629,8 +675,8 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           UnsafeProjection.create(f.expr :: Nil, childOutput))
         val tprojs = tailExprs.map(e =>
           UnsafeProjection.create(e :: Nil, childOutput))
-        val ldprojs = leads.map(f =>
-          UnsafeProjection.create(f.expr :: Nil, childOutput))
+        val ldprojs = headExprs.map(e =>
+          UnsafeProjection.create(e :: Nil, childOutput))
         // per-slot ring of the CURRENT group-run's trailing values (lag
         // replay history / rolling-frame history — the tail the driver
         // chains into the next partition's seed)
@@ -640,10 +686,10 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         val ringCnt = new Array[Long](nTails)
         // per-slot LEADING values of the current group run (the heads the
         // driver chains BACKWARD for lead lookahead across partitions)
-        val headL = leads.map(l => new Array[Long](l.off))
-        val headD = leads.map(l => new Array[Double](l.off))
-        val headN = leads.map(l => new Array[Boolean](l.off))
-        val headCnt = new Array[Int](nLeads)
+        val headL = headOffs.map(off => new Array[Long](off))
+        val headD = headOffs.map(off => new Array[Double](off))
+        val headN = headOffs.map(off => new Array[Boolean](off))
+        val headCnt = new Array[Int](nHeads)
         def lagTails(): (Array[Array[Long]], Array[Array[Double]],
                          Array[Array[Boolean]]) = {
           val tl = new Array[Array[Long]](nTails)
@@ -669,11 +715,11 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         }
         def leadHeads(): (Array[Array[Long]], Array[Array[Double]],
                           Array[Array[Boolean]]) = {
-          val hl = new Array[Array[Long]](nLeads)
-          val hd = new Array[Array[Double]](nLeads)
-          val hn = new Array[Array[Boolean]](nLeads)
+          val hl = new Array[Array[Long]](nHeads)
+          val hd = new Array[Array[Double]](nHeads)
+          val hn = new Array[Array[Boolean]](nHeads)
           var i = 0
-          while (i < nLeads) {
+          while (i < nHeads) {
             hl(i) = java.util.Arrays.copyOf(headL(i), headCnt(i))
             hd(i) = java.util.Arrays.copyOf(headD(i), headCnt(i))
             hn(i) = java.util.Arrays.copyOf(headN(i), headCnt(i))
@@ -743,14 +789,14 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             li += 1
           }
           var hi = 0
-          while (hi < nLeads) {
-            if (headCnt(hi) < leads(hi).off) {
+          while (hi < nHeads) {
+            if (headCnt(hi) < headOffs(hi)) {
               val v = ldprojs(hi)(row)
               val j = headCnt(hi)
               if (v.isNullAt(0)) headN(hi)(j) = true
               else {
                 headN(hi)(j) = false
-                if (leads(hi).isDouble) headD(hi)(j) = v.getDouble(0)
+                if (headIsD(hi)) headD(hi)(j) = v.getDouble(0)
                 else headL(hi)(j) = v.getLong(0)
               }
               headCnt(hi) += 1
@@ -985,6 +1031,53 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       }
     }
 
+    // ---- driver, forward: first/nth_value group-HEAD chaining — the
+    // lag tail chain with take-FIRST instead of take-last: a partition
+    // whose first group continues from earlier partitions reads the
+    // group's GLOBAL first k values (slots [nLeads, nHeads) of the
+    // shared head collection)
+    val nthSeedL = new Array[Array[Array[Long]]](nParts)
+    val nthSeedD = new Array[Array[Array[Double]]](nParts)
+    val nthSeedN = new Array[Array[Array[Boolean]]](nParts)
+    if (nNths > 0) {
+      var carryG: UnsafeRow = null
+      var cL: Array[Array[Long]] = null
+      var cD: Array[Array[Double]] = null
+      var cN: Array[Array[Boolean]] = null
+      var p = 0
+      while (p < nParts) {
+        val stats = statsPerPart(p)
+        if (stats.nonEmpty) {
+          if (carryG != null && stats.head.key == carryG) {
+            nthSeedL(p) = cL; nthSeedD(p) = cD; nthSeedN(p) = cN
+          }
+          val last = stats.last
+          if (stats.length == 1 && carryG != null && last.key == carryG) {
+            // the group keeps flowing: extend the carried heads with this
+            // partition's, keeping the FIRST k per slot
+            val (nl, nd, nn2) = (new Array[Array[Long]](nNths),
+              new Array[Array[Double]](nNths),
+              new Array[Array[Boolean]](nNths))
+            var i = 0
+            while (i < nNths) {
+              val k = nths(i).k
+              nl(i) = (cL(i) ++ last.leadL(nLeads + i)).take(k)
+              nd(i) = (cD(i) ++ last.leadD(nLeads + i)).take(k)
+              nn2(i) = (cN(i) ++ last.leadN(nLeads + i)).take(k)
+              i += 1
+            }
+            cL = nl; cD = nd; cN = nn2
+          } else {
+            carryG = last.key
+            cL = Array.tabulate(nNths)(i => last.leadL(nLeads + i))
+            cD = Array.tabulate(nNths)(i => last.leadD(nLeads + i))
+            cN = Array.tabulate(nNths)(i => last.leadN(nLeads + i))
+          }
+        }
+        p += 1
+      }
+    }
+
     // ---- driver, backward: tail contributions to each partition's
     // trailing peer run from later partitions (RANGE aggregates only)
     val tailL = Array.fill(nParts)(new Array[Long](nAggs))
@@ -1049,6 +1142,9 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       val pLeadSeedL = leadSeedL(idx)
       val pLeadSeedD = leadSeedD(idx)
       val pLeadSeedN = leadSeedN(idx)
+      val pNthSeedL = nthSeedL(idx)
+      val pNthSeedD = nthSeedD(idx)
+      val pNthSeedN = nthSeedN(idx)
       val gproj = UnsafeProjection.create(groupExprs, childOutput)
       val pproj = UnsafeProjection.create(orderExprs, childOutput)
       val aprojs = aggs.map(f =>
@@ -1056,6 +1152,8 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       val tprojs = tailExprs.map(e =>
         UnsafeProjection.create(e :: Nil, childOutput))
       val ldprojs = leads.map(f =>
+        UnsafeProjection.create(f.expr :: Nil, childOutput))
+      val nthProjs = nths.map(f =>
         UnsafeProjection.create(f.expr :: Nil, childOutput))
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
@@ -1071,6 +1169,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       var accL = new Array[Long](nAggs)
       var accD = new Array[Double](nAggs)
       var accNN = new Array[Long](nAggs)
+      // per-slot buffers of the group's FIRST k values (first/nth_value),
+      // seeded from the forward driver chain at the partition's first group
+      val nthBufL = nths.map(n => new Array[Long](n.k))
+      val nthBufD = nths.map(n => new Array[Double](n.k))
+      val nthBufN = nths.map(n => new Array[Boolean](n.k))
+      val nthCnt = new Array[Int](nNths)
       // per-slot trailing-history rings in the group: lag replay values
       // and rolling-frame history (slots [0,nLags) are lags, the rest
       // rolling frames)
@@ -1215,6 +1319,22 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
               i += 1
             }
           }
+          java.util.Arrays.fill(nthCnt, 0)
+          if (firstGroupPending && pNthSeedL != null) {
+            // the group's GLOBAL first values from earlier partitions
+            var i = 0
+            while (i < nNths) {
+              var j = 0
+              while (j < pNthSeedL(i).length && j < nths(i).k) {
+                nthBufN(i)(j) = pNthSeedN(i)(j)
+                nthBufL(i)(j) = pNthSeedL(i)(j)
+                nthBufD(i)(j) = pNthSeedD(i)(j)
+                j += 1
+              }
+              nthCnt(i) = j
+              i += 1
+            }
+          }
           firstGroupPending = false
         }
         if (needsPeer) {
@@ -1252,6 +1372,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           var ai = 0
           var gi = 0
           var ri = 0
+          var ni = 0
           var fi = 0
           while (fi < nFuncs) {
             funcs(fi) match {
@@ -1352,6 +1473,29 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                 tailPut(ti, curNull, pvL, pvD)
                 ri += 1
               case _: LeadSpec => () // resolved by a FUTURE row or a flush
+              case nv: NthSpec =>
+                // capture this row into the group's first-k buffer FIRST:
+                // for the k-th row the answer is the row itself (the ROWS
+                // running frame ends at the current row)
+                if (nthCnt(ni) < nv.k) {
+                  val v = nthProjs(ni)(row)
+                  val j = nthCnt(ni)
+                  if (v.isNullAt(0)) nthBufN(ni)(j) = true
+                  else {
+                    nthBufN(ni)(j) = false
+                    if (nv.isDouble) nthBufD(ni)(j) = v.getDouble(0)
+                    else nthBufL(ni)(j) = v.getLong(0)
+                  }
+                  nthCnt(ni) += 1
+                }
+                // rn is the 1-based GLOBAL group row index (seeded from
+                // the prior-partition offset): frame shorter than k → NULL
+                if (rn >= nv.k && nthCnt(ni) >= nv.k) {
+                  if (nthBufN(ni)(nv.k - 1)) g.update(fi, null)
+                  else setNum(g, fi, nv.outType,
+                    nthBufL(ni)(nv.k - 1), nthBufD(ni)(nv.k - 1))
+                } else g.update(fi, null)
+                ni += 1
               case a: AggSpec =>
                 if (!a.peer) addTo(ai, row)
                 var l = accL(ai)
@@ -1466,6 +1610,13 @@ object DistributedWindowExec {
   private[plans] case class RollSpec(expr: Expression, k: Int,
                                      kind: AggKind, isDouble: Boolean,
                                      outType: DataType) extends FuncSpec
+
+  /** first_value (k=1, any running frame — frame-end-independent) and
+    * nth_value(expr, k) (ROWS running frame) from the group's first-k
+    * head buffer, driver-chained forward across partitions. */
+  private[plans] case class NthSpec(expr: Expression, k: Int,
+                                    isDouble: Boolean,
+                                    outType: DataType) extends FuncSpec
 
   /** Largest accepted literal lag/lead offset and rolling-frame depth —
     * bounds every replay ring, pending buffer, and per-(partition,

@@ -586,6 +586,13 @@ object Windows {
     val w = Window.partitionBy($"l_returnflag")
       .orderBy($"cents", $"l_orderkey", $"l_linenumber")
       .rowsBetween(-6, Window.currentRow)
+    // second node: the ROWS running frame carrying the group-HEAD pair
+    // (first_value / nth_value — r11's forward head chain): each flag's
+    // cheapest price and third-cheapest price, NULL for the first two
+    // rows of the flag (frame shorter than 3)
+    val w2 = Window.partitionBy($"l_returnflag")
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
         (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
@@ -593,9 +600,12 @@ object Windows {
       .withColumn(s"${m}_rm", min($"cents").over(w))
       .withColumn(s"${m}_rc", count($"cents").over(w))
       .withColumn(s"${m}_ra", avg($"cents").over(w))
+      .withColumn(s"${m}_fv", first($"cents").over(w2))
+      .withColumn(s"${m}_n3", nth_value($"cents", 3).over(w2))
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
         col(s"${m}_rs").as("roll_sum"), col(s"${m}_rm").as("roll_min"),
-        col(s"${m}_rc").as("roll_count"), col(s"${m}_ra").as("roll_avg"))
+        col(s"${m}_rc").as("roll_count"), col(s"${m}_ra").as("roll_avg"),
+        col(s"${m}_fv").as("flag_first"), col(s"${m}_n3").as("flag_third"))
       .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
   }
 
@@ -605,7 +615,9 @@ object Windows {
       |  CAST(min(cents) OVER w AS BIGINT) AS roll_min,
       |  CAST(count(cents) OVER w AS BIGINT) AS roll_count,
       |  CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w
-      |    AS roll_avg
+      |    AS roll_avg,
+      |  CAST(first_value(cents) OVER w2 AS BIGINT) AS flag_first,
+      |  CAST(nth_value(cents, 3) OVER w2 AS BIGINT) AS flag_third
       |FROM (
       |  SELECT l_orderkey, l_linenumber, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -613,7 +625,10 @@ object Windows {
       |  FROM lineitem)
       |WINDOW w AS (PARTITION BY l_returnflag
       |  ORDER BY cents, l_orderkey, l_linenumber
-      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |w2 AS (PARTITION BY l_returnflag
+      |  ORDER BY cents, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -372,6 +372,68 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(on.collect().map(_.toString).sorted.toSeq == off)
   }
 
+  test("first_value and nth_value equal WindowExec, incl. NULL head " +
+       "values and groups spanning partitions (r11 forward head chain)") {
+    markerVsPlain { (df, nm) =>
+      // nullTieFixture: v is NULL every 7th id — the group head is often
+      // NULL, which first_value (no IGNORE NULLS) must preserve
+      val w = Window.partitionBy(col("flag")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(nm("fv"), first(col("v")).over(w))
+        .withColumn(nm("n3"), nth_value(col("v"), 3).over(w))
+        .withColumn(nm("n9"), nth_value(col("v"), 9).over(w))
+    }
+  }
+
+  test("first_value under the default RANGE frame equals WindowExec " +
+       "(frame-end independence on order-peer ties)") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      df.withColumn(nm("fv"), first(col("v")).over(w))
+    }
+  }
+
+  test("nth_value chains the group head across a prefix-satisfied finer " +
+       "pre-partitioning") {
+    import spark.implicits._
+    val df = spark.range(3000).select(
+      $"id",
+      (abs(hash(concat(lit("s"), $"id"))) % 40).cast("long").as("v"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+      .repartitionByRange(7, col("flag"), col("v"), col("id"))
+    def build(nm: String => String): DataFrame = {
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(nm("fv"), first(col("v")).over(w))
+        .withColumn(nm("n5"), nth_value(col("v"), 5).over(w))
+    }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    assert(on.collect().map(_.toString).sorted.toSeq == off)
+  }
+
+  test("scope guard: RANGE-frame nth_value and IGNORE-NULLS first_value " +
+       "stay WindowExec") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wRange = Window.orderBy(col("v")) // default RANGE running frame
+      val nvRange = fixture(200).withColumn(s"${M}_x",
+        nth_value(col("v"), 2).over(wRange))
+      assert(nvRange.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }.nonEmpty,
+        "RANGE nth_value (needs run-end lookahead) must stay WindowExec")
+      val ignFirst = fixture(200).withColumn(s"${M}_x",
+        first(col("v"), ignoreNulls = true)
+          .over(Window.orderBy(col("v"), col("id"))))
+      assert(ignFirst.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }.nonEmpty,
+        "IGNORE NULLS first_value must stay WindowExec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("rolling ROWS k PRECEDING sum/min/max/count/avg equal WindowExec, " +
        "incl. NULLs and groups spanning partitions (r11)") {
     markerVsPlain { (df, nm) =>

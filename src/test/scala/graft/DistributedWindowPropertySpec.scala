@@ -45,7 +45,7 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     width <- Gen.oneOf(2, 5, 13)
     pre <- Gen.oneOf(0, 0, 3, 9)
     funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av", "lg",
-        "nt", "pr", "ld", "rsum", "rmin", "rct")
+        "nt", "pr", "ld", "rsum", "rmin", "rct", "fv", "nv")
       .suchThat(_.nonEmpty).map(_.toList)
   } yield Shape(n, dv, nullMod, groups, width, pre, funcs)
 
@@ -71,7 +71,8 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     // any shape that draws them runs the whole mix over a TOTAL order;
     // the tie-insensitive shapes keep the bare (v) order so peer runs
     // with real ties keep getting exercised
-    val tieSensitive = Set("lg", "nt", "ld", "rsum", "rmin", "rct")
+    val tieSensitive = Set("lg", "nt", "ld", "rsum", "rmin", "rct",
+      "fv", "nv")
     val ord =
       if (sh.funcs.exists(tieSensitive)) Seq(col("v"), col("id"))
       else Seq(col("v"))
@@ -97,6 +98,10 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
           min(col("w")).over(w.rowsBetween(-4, Window.currentRow)))
         case "rct" => d.withColumn(nm("rc"),
           count(col("v")).over(w.rowsBetween(-4, Window.currentRow)))
+        case "fv" => d.withColumn(nm("fv"), first(col("w")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        case "nv" => d.withColumn(nm("nv"), nth_value(col("w"), 6).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       }
     }
   }
