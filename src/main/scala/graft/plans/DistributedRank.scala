@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, Lead, NamedExpression, NthValue, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CumeDist, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, Lead, NamedExpression, NthValue, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.First
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
@@ -110,10 +110,12 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
   * Supported window-expression shapes (r10 — r9 shipped row_number +
   * running sum):
   *  - `row_number()`, `rank()`, `dense_rank()`, `percent_rank()`,
-  *    `ntile(b)` (literal b) over any partition spec (they ignore their
-  *    frame, so any frame matches); the size-based pair reads its group
-  *    total from the driver's prefix-merge endpoint — one O(groups)
-  *    broadcast map, no extra pass;
+  *    `ntile(b)` (literal b), and `cume_dist()` (r11) over any partition
+  *    spec (they ignore or fix their own frame); the size-based trio
+  *    (percent_rank/ntile/cume_dist) reads its group total from the
+  *    driver's prefix-merge endpoint — one O(groups) broadcast map, no
+  *    extra pass — and cume_dist additionally reads each straddling
+  *    run's END row count from a backward driver row chain;
   *  - `sum/min/max/count/avg(expr)` over `ROWS|RANGE UNBOUNDED
   *    PRECEDING .. CURRENT ROW` (the resolved default frame of an ORDER
   *    BY window), non-DISTINCT, un-FILTERed, over a non-decimal numeric
@@ -166,7 +168,7 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
 
   private def sizeBased(e: NamedExpression): Boolean = e match {
     case Alias(WindowExpression(f, _), _) => f match {
-      case _: PercentRank | _: NTile => true
+      case _: PercentRank | _: NTile | _: CumeDist => true
       case _ => false
     }
     case _ => false
@@ -238,6 +240,9 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
       }
       f match {
         case _: RowNumber | _: Rank | _: DenseRank | _: PercentRank => true
+        // cume_dist = (global index of the current run's END) / n: the
+        // size-based machinery supplies n, the peer-run chain the end
+        case _: CumeDist => true
         // ntile/percent_rank are SizeBasedWindowFunctions: the group
         // total they need is exactly the driver's prefix-merge endpoint,
         // so they cost one extra broadcast map, no extra pass
@@ -534,6 +539,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         case _: DenseRank => DenseRankSpec
         case _: PercentRank => PercentRankSpec
         case NTile(b) => NTileSpec(b.eval().asInstanceOf[Int])
+        case _: CumeDist => CumeDistSpec
         case ae @ AggregateExpression(Sum(se, _), _, _, _, _) =>
           // accumulate in the Sum's own result type (LongType for
           // integral inputs, DoubleType for fractional) via a widening
@@ -620,6 +626,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     val hasDense = funcs.contains(DenseRankSpec)
     val hasPct = funcs.contains(PercentRankSpec)
     val hasNtile = funcs.exists(_.isInstanceOf[NTileSpec])
+    val hasCume = funcs.contains(CumeDistSpec)
     // size-based functions need the driver's per-group TOTALS map, so
     // pass 1 must retain every group run's stat (budgeted). Everything
     // else needs only the stats that can cross a partition boundary —
@@ -628,11 +635,11 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     // retains exactly those two, making driver state O(partitions) and
     // the budget unreachable at ANY group cardinality (r11 — what lets
     // the session flag route grouped windows here safely).
-    val fullStats = hasPct || hasNtile
+    val fullStats = hasPct || hasNtile || hasCume
     val anyPeer = aggs.exists(_.peer)
     // peer-run tracking is needed whenever a function's value depends on
     // run boundaries — RANGE aggregates, rank, dense_rank, percent_rank
-    val needsPeer = anyPeer || hasRank || hasDense || hasPct
+    val needsPeer = anyPeer || hasRank || hasDense || hasPct || hasCume
     val ansi = conf.ansiEnabled // WindowExec parity in BOTH modes (r9 4a)
     val groupExprs = groups
     val orderExprs = order.map(_.child)
@@ -744,9 +751,11 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         var fL = new Array[Long](nAggs)
         var fD = new Array[Double](nAggs)
         var fN = new Array[Long](nAggs)
+        var fRows = 0L
         def freezeFirst(): Unit = if (runs == 1 && firstPeer == null) {
           firstPeer = curPeer
           fL = rL.clone(); fD = rD.clone(); fN = rN.clone()
+          fRows = runRows
         }
         var maxRunRows = 0L
         def flush(): Unit = if (cur != null) {
@@ -760,7 +769,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           if (!fullStats && buf.length == 2) buf.remove(1)
           buf += GroupStat(cur, rows, sl.clone(), sd.clone(), nn.clone(),
             runs,
-            firstPeer, fL, fD, fN,
+            firstPeer, fL, fD, fN, fRows,
             curPeer, runRows, rL.clone(), rD.clone(), rN.clone(),
             tl, td, tn, hl, hd, hn)
         }
@@ -771,7 +780,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             flush(); cur = k.copy(); rows = 0L; runs = 0L
             java.util.Arrays.fill(sl, 0L); java.util.Arrays.fill(sd, 0d)
             java.util.Arrays.fill(nn, 0L)
-            curPeer = null; runRows = 0L; firstPeer = null
+            curPeer = null; runRows = 0L; firstPeer = null; fRows = 0L
             java.util.Arrays.fill(ringCnt, 0L)
             java.util.Arrays.fill(headCnt, 0)
           }
@@ -932,7 +941,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     // percent_rank): the forward prefix-merge's endpoint per group, one
     // broadcast map of O(groups) longs
     val groupTotals: Map[UnsafeRow, Long] =
-      if (hasPct || hasNtile)
+      if (hasPct || hasNtile || hasCume)
         running.iterator.map { case (k, o) => k -> o.rows }.toMap
       else Map.empty
 
@@ -1078,6 +1087,33 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       }
     }
 
+    // ---- driver, backward: trailing-run ROW counts from later
+    // partitions — cume_dist emits each run's global END index over the
+    // group total, so the partition's last run must know how many of its
+    // peers live ahead (the forward leading-run chain, mirrored)
+    val tailRunRows = new Array[Long](nParts)
+    if (hasCume) {
+      var bG: UnsafeRow = null
+      var bP: UnsafeRow = null
+      var bRows = 0L
+      var p = nParts - 1
+      while (p >= 0) {
+        val stats = statsPerPart(p)
+        if (stats.nonEmpty) {
+          val last = stats.last
+          if (bG != null && bG == last.key && bP == last.lastPeer)
+            tailRunRows(p) = bRows
+          val head = stats.head
+          val wholePartitionOneRun = stats.length == 1 && head.runs == 1
+          val keep = wholePartitionOneRun && bG != null &&
+            bG == head.key && bP == head.firstPeer
+          bRows = head.firstRows + (if (keep) bRows else 0L)
+          bG = head.key; bP = head.firstPeer
+        }
+        p -= 1
+      }
+    }
+
     // ---- driver, backward: tail contributions to each partition's
     // trailing peer run from later partitions (RANGE aggregates only)
     val tailL = Array.fill(nParts)(new Array[Long](nAggs))
@@ -1136,6 +1172,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       val pTailL = tailL(idx)
       val pTailD = tailD(idx)
       val pTailN = tailN(idx)
+      val pTailRunRows = tailRunRows(idx)
       val pSeedL = lagSeedL(idx)
       val pSeedD = lagSeedD(idx)
       val pSeedN = lagSeedN(idx)
@@ -1267,8 +1304,11 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       // only meaningful under anyPeer, so the single-row path never peeks
       // ahead: a BufferedIterator's lookahead would overwrite the REUSED
       // UnsafeRow before it is projected)
+      // cume_dist also needs whole-run units: every peer's value is the
+      // run's END index, known only once the local run is buffered
+      val unitBuffered = anyPeer || hasCume
       val units: Iterator[(Array[InternalRow], Boolean)] =
-        if (!anyPeer) it.map(r => (Array(r), false))
+        if (!unitBuffered) it.map(r => (Array(r), false))
         else new Iterator[(Array[InternalRow], Boolean)] {
           private val b = it.buffered
           override def hasNext: Boolean = b.hasNext
@@ -1363,6 +1403,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         // (prefix-satisfied finer partitioning): merge the driver-chained
         // tail so every peer reports the TRUE end-of-run value
         val applyTail = isLastUnit && anyPeer
+        // the current run's global END index (this unit's peers all share
+        // it): rows before the unit + the local run + — for the
+        // partition's trailing run — its driver-chained continuation
+        val cumeEnd =
+          if (!hasCume) 0L
+          else rn + unit.length + (if (isLastUnit) pTailRunRows else 0L)
         val bodyOut = unit.iterator.flatMap { row =>
           rn += 1
           // with lead lookahead each row needs its OWN function row (it
@@ -1385,6 +1431,10 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                 g.setDouble(fi,
                   if (gTotal <= 1L) 0d
                   else runStart.toDouble / (gTotal - 1L))
+              case CumeDistSpec =>
+                // (global end of the current peer run) / n — the CumeDist
+                // evaluate contract (row counts THROUGH the last peer)
+                g.setDouble(fi, cumeEnd.toDouble / gTotal)
               case NTileSpec(b) =>
                 // Spark's NTile: the first (n % b) buckets carry one
                 // extra row; rn is already the 1-based within-group index
@@ -1576,6 +1626,7 @@ object DistributedWindowExec {
   private[plans] case object RankSpec extends FuncSpec
   private[plans] case object DenseRankSpec extends FuncSpec
   private[plans] case object PercentRankSpec extends FuncSpec
+  private[plans] case object CumeDistSpec extends FuncSpec
   private[plans] case class NTileSpec(buckets: Int) extends FuncSpec
 
   private[plans] sealed trait AggKind extends Serializable
@@ -1648,6 +1699,7 @@ object DistributedWindowExec {
                                       firstSumL: Array[Long],
                                       firstSumD: Array[Double],
                                       firstNN: Array[Long],
+                                      firstRows: Long,
                                       lastPeer: UnsafeRow, lastRows: Long,
                                       lastSumL: Array[Long],
                                       lastSumD: Array[Double],

@@ -450,12 +450,17 @@ object Windows {
       .withColumn(s"${m}_rk", rank().over(w))
       .withColumn(s"${m}_dr", dense_rank().over(w))
       .withColumn(s"${m}_pr", percent_rank().over(w))
+      .withColumn(s"${m}_cd", cume_dist().over(w))
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
         col(s"${m}_rk").cast("long").as("price_rank"),
         col(s"${m}_dr").cast("long").as("price_dense_rank"),
         // percent_rank is (rank−1)/(n−1) off exact integers — identical
         // division both engines, tie-insensitive like its rank inputs
-        round(col(s"${m}_pr"), 9).as("price_pct_rank"))
+        round(col(s"${m}_pr"), 9).as("price_pct_rank"),
+        // cume_dist = (run end)/n off exact integers (r11 — the peer
+        // run's END comes from the backward driver row chain when the
+        // run straddles partitions); tie-insensitive like rank
+        round(col(s"${m}_cd"), 9).as("price_cume_dist"))
       .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
   }
 
@@ -466,7 +471,9 @@ object Windows {
       |  dense_rank() OVER (PARTITION BY l_returnflag ORDER BY cents)
       |    AS price_dense_rank,
       |  round(percent_rank() OVER (PARTITION BY l_returnflag
-      |    ORDER BY cents), 9) AS price_pct_rank
+      |    ORDER BY cents), 9) AS price_pct_rank,
+      |  round(cume_dist() OVER (PARTITION BY l_returnflag
+      |    ORDER BY cents), 9) AS price_cume_dist
       |FROM (
       |  SELECT l_orderkey, l_linenumber, l_returnflag,
       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)

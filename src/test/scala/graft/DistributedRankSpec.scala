@@ -82,18 +82,22 @@ class DistributedRankSpec extends AnyFunSuite {
     withFlag(true) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val cumeDf = fixture(200).withColumn("cd",
-          cume_dist().over(Window.orderBy(col("v"), col("id"))))
-        assert(cumeDf.queryExecution.executedPlan
+        val sdDf = fixture(200).withColumn("sd",
+          stddev(col("v")).over(Window.orderBy(col("v"), col("id"))))
+        assert(sdDf.queryExecution.executedPlan
           .collect { case w: WindowExec => w }.nonEmpty,
-          "cume_dist() (unsupported) must stay a WindowExec")
+          "stddev() (unsupported) must stay a WindowExec")
         // one unsupported neighbor keeps the WHOLE node on WindowExec
-        // (the forall guard): row_number and cume_dist share (partition,
-        // order), so they land on one Window node
+        // (the forall guard): sum and stddev are both aggregate windows
+        // over the same default frame, so they collapse onto one Window
+        // node (row_number would split off onto its own node and rewrite
+        // alone — legitimately)
         val w = Window.orderBy(col("v"), col("id"))
-        val mixed = fixture(200)
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cd", cume_dist().over(w))
+        // ONE select: chained withColumns stack separate Window nodes
+        // (stddev's _w0 cast projection blocks CollapseWindow), and a
+        // split node with only supported functions rewrites legitimately
+        val mixed = fixture(200).select(col("id"), col("v"),
+          sum(col("v")).over(w).as("cs"), stddev(col("v")).over(w).as("sd"))
         val mixedPlan = mixed.queryExecution.executedPlan
         assert(mixedPlan.collect { case w: WindowExec => w }.nonEmpty,
           s"mixed supported+unsupported node must stay a WindowExec:\n$mixedPlan")
@@ -364,6 +368,47 @@ class DistributedRankSpec extends AnyFunSuite {
         .withColumn(nm("l2"), lag(col("v"), 2).over(w))
         .withColumn(nm("rn"), row_number().over(w))
     }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    assert(on.collect().map(_.toString).sorted.toSeq == off)
+  }
+
+  test("cume_dist equals WindowExec across tie runs, groups spanning " +
+       "partitions (r11 — completes the rank family)") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      df.withColumn(nm("cd"), cume_dist().over(w))
+        .withColumn(nm("pr"), percent_rank().over(w))
+        .withColumn(nm("rk"), rank().over(w))
+    }
+  }
+
+  test("global cume_dist equals WindowExec, incl. the single-row edge") {
+    import spark.implicits._
+    markerVsPlain((df, nm) => df.withColumn(nm("cd"),
+      cume_dist().over(Window.orderBy(col("v")))),
+      input = Some(Seq((1L, 5L)).toDF("id", "v")))
+    markerVsPlain { (df, nm) =>
+      df.withColumn(nm("cd"), cume_dist().over(Window.orderBy(col("v"))))
+    }
+  }
+
+  test("cume_dist: straddled peer runs report the TRUE run end under a " +
+       "prefix-satisfied finer pre-partitioning") {
+    import spark.implicits._
+    // heavy ties (v % 5) + finer pre-partitioning: runs straddle the 7
+    // partitions, so every peer's end index needs the backward row chain
+    val df = spark.range(3000).select(
+      $"id",
+      (abs(hash(concat(lit("s"), $"id"))) % 5).cast("long").as("v"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+      .repartitionByRange(7, col("flag"), col("v"), col("id"))
+    def build(nm: String => String): DataFrame =
+      df.withColumn(nm("cd"), cume_dist().over(
+        Window.partitionBy(col("flag")).orderBy(col("v"))))
     val off = build(identity).collect().map(_.toString).sorted.toSeq
     val marked = build(l => s"${M}_$l")
     val on = marked.columns.filter(_.startsWith(s"${M}_"))

@@ -45,7 +45,7 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     width <- Gen.oneOf(2, 5, 13)
     pre <- Gen.oneOf(0, 0, 3, 9)
     funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av", "lg",
-        "nt", "pr", "ld", "rsum", "rmin", "rct", "fv", "nv")
+        "nt", "pr", "ld", "rsum", "rmin", "rct", "fv", "nv", "cd")
       .suchThat(_.nonEmpty).map(_.toList)
   } yield Shape(n, dv, nullMod, groups, width, pre, funcs)
 
@@ -91,6 +91,7 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
         case "lg"  => d.withColumn(nm("lg"), lag(col("w"), 3).over(w))
         case "nt"  => d.withColumn(nm("nt"), ntile(6).over(w))
         case "pr"  => d.withColumn(nm("pr"), percent_rank().over(w))
+        case "cd"  => d.withColumn(nm("cd"), cume_dist().over(w))
         case "ld"  => d.withColumn(nm("ld"), lead(col("w"), 2).over(w))
         case "rsum" => d.withColumn(nm("rs"),
           sum(col("w")).over(w.rowsBetween(-4, Window.currentRow)))
