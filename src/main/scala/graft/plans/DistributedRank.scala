@@ -178,7 +178,18 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
     * sampling pass): the product of per-attribute distinct counts when
     * column stats (ANALYZE TABLE ... FOR COLUMNS + CBO propagation)
     * exist for every group expression, else the plan's row count as an
-    * upper bound, else unknown. */
+    * upper bound, else unknown.
+    *
+    * STALENESS CAVEAT (r11 ADVICE): these are catalog statistics — an
+    * ANALYZE taken once on a table that then grows makes the estimate an
+    * under-count, and a size-based grouped window the flag routed in on
+    * stale "proof" can still hit the FULL-mode MaxCollectedGroups abort
+    * mid-job. The margin is deliberate: routing needs est ≤ 4096
+    * (AutoGroupThreshold) while the abort fires at 2^20 collected groups,
+    * so stats must be ~256× stale before the abort is reachable from the
+    * session dial — and the abort is a loud AnalysisException naming the
+    * re-ANALYZE remedy, never a wrong answer. Opt-in marker routing
+    * (NameMarker) carries no stats check and owns its budget by contract. */
   private def estimatedGroups(child: LogicalPlan,
                               groups: Seq[Expression]): Option[BigInt] = {
     val st = child.stats

@@ -31,10 +31,13 @@ object Clustering {
       "cast(0 as bigint), (a, e) -> a + e)"
 
   // ------------------------------------------------------------- q_kmeans
-  /** 3 Lloyd iterations, k = 17 (the same seeded `vec_id % 31` sample the
-    * IVF index uses as its fixed coarse quantizer — this operator is its
-    * training upgrade). Per iteration: assignment = corpus × broadcast
-    * centroids (17 rows — never corpus × corpus), argmin by (dist,
+  /** 3 Lloyd iterations; the centroid seed is the SAME adaptive-stride
+    * sample the IVF index uses as its coarse quantizer (`vec_id % stride`,
+    * stride = max(31, ⌈n/64⌉) — k stays ≈ 64 at ANY corpus size; r12: the
+    * r11 scaling audit fixed this fixed-parameter class in IVF/LSH but the
+    * fix had not been propagated here, leaving k = n/31 unbounded and
+    * assignment O(n²/31)). Per iteration: assignment = corpus × broadcast
+    * centroids (≤ ~64 rows — never corpus × corpus), argmin by (dist,
     * cell_id) in a per-vector window bounded by k; update = posexplode to
     * (cell, dim, val), one grouped integer sum, arrays rebuilt by sorted
     * collect. localCheckpoint truncates the loop's lineage exactly as in
@@ -44,8 +47,11 @@ object Clustering {
     * Scale shape: the corpus is scanned once per iteration with a
     * broadcast join (no shuffle for assignment); the update shuffles
     * (cell, dim) partial sums — O(k·dim) per mapper after partial
-    * aggregation. At 100 TB this is the textbook distributed k-means; the
-    * driver never sees a vector. */
+    * aggregation. With k bounded, the per-iteration driver sync and the
+    * centroid plan literal are both O(k·dim) CONSTANTS, so at 100 TB this
+    * is the textbook distributed k-means; the driver never sees a corpus
+    * vector (only the ≤ ~64 synced centroids). Stride is 31 at every
+    * driver gate scale (n ≤ 1984), so gate results are byte-stable. */
   def qKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vecs = Tables.embeddings(s, dir)
@@ -57,16 +63,21 @@ object Clustering {
           .as("v"))
       .persist()
 
+    // k-bounding seed stride, identical integer arithmetic to the DuckDB
+    // oracle's scalar subquery (and to Embeddings.centroidStride). The
+    // count() also materializes the persist before the iteration loop.
+    val stride = math.max(31L, (vecs.count() + 63) / 64)
+
     // Centroids sync through the driver between iterations — k·dim scaled
-    // longs, the same per-iteration driver traffic Spark MLlib's KMeans
-    // pays, and what makes ASSIGNMENT a pure map stage: the centroid
-    // array rides into the plan as a literal, each row computes all k
-    // distances and takes the first argmin (array ordered by cell_id =
-    // the oracle's (dist, cell_id) tie-break) with NO join, NO window,
-    // NO shuffle. Only the update step shuffles, and only (cell, dim)
-    // partial sums.
+    // longs (k ≤ ~64 by the stride), the same per-iteration driver traffic
+    // Spark MLlib's KMeans pays, and what makes ASSIGNMENT a pure map
+    // stage: the centroid array rides into the plan as a bounded literal,
+    // each row computes all k distances and takes the first argmin (array
+    // ordered by cell_id = the oracle's (dist, cell_id) tie-break) with NO
+    // join, NO window, NO shuffle. Only the update step shuffles, and only
+    // (cell, dim) partial sums.
     var cents: Array[(Long, Seq[Long])] = vecs
-      .filter($"vec_id" % 31 === 0).select($"vec_id", $"v")
+      .filter($"vec_id" % stride === 0).select($"vec_id", $"v")
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
 
     def assigned: DataFrame =
@@ -129,7 +140,9 @@ object Clustering {
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell_id, v AS c FROM v WHERE vec_id % 31 = 0),
+       |c0 AS (SELECT vec_id AS cell_id, v AS c FROM v
+       |       WHERE vec_id % (SELECT greatest(31, (count(*) + 63) // 64)
+       |                       FROM embeddings) = 0),
        |${(1 to Iters).map(iter).mkString(",\n")},
        |fin AS (
        |  SELECT vec_id, cell_id, dist FROM (

@@ -56,11 +56,40 @@ object Embeddings {
     math.min(MaxPlanes, math.max(4, bits.toInt))
   }
 
-  /** Corpus size per (session, dir) — parquet-footer count, memoized so
-    * the dozen bucket-building queries don't re-count per invocation. */
-  private val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
-  private def corpusSize(s: SparkSession, dir: String): Long = synchronized {
-    sizeCache.getOrElseUpdate(dir, Tables.embeddings(s, dir).count())
+  /** Corpus size per dir — parquet-footer count, memoized so the dozen
+    * bucket-building queries don't re-count per invocation. The cache key
+    * includes a file-listing signature (names + sizes + mtimes under
+    * `$dir/embeddings.parquet`), so regenerating the dataset at the same
+    * path in the same JVM (ScaleGen rewriting a dir between runs)
+    * invalidates the entry instead of desyncing the Spark-side adaptive
+    * plane count from the oracle's fresh count(*); and the Spark count()
+    * job runs OUTSIDE the lock so concurrent queries on other dirs don't
+    * serialize behind it (r11 ADVICE). */
+  private val sizeCache =
+    scala.collection.mutable.HashMap.empty[(String, String), Long]
+  private def dirSignature(dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else if (java.nio.file.Files.isRegularFile(p))
+      s"${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    else {
+      val st = java.nio.file.Files.list(p)
+      try st.iterator().asScala.toSeq.sorted.map { f =>
+        s"${f.getFileName}:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+      }.mkString(",")
+      finally st.close()
+    }
+  }
+  private def corpusSize(s: SparkSession, dir: String): Long = {
+    val key = (dir, dirSignature(dir))
+    sizeCache.synchronized(sizeCache.get(key)) match {
+      case Some(n) => n
+      case None =>
+        val n = Tables.embeddings(s, dir).count()
+        sizeCache.synchronized(sizeCache.update(key, n))
+        n
+    }
   }
   private def planesFor(s: SparkSession, dir: String): Int =
     numPlanes(corpusSize(s, dir))

@@ -154,33 +154,61 @@ object Streams {
   private[streaming] val FlushType = "__flush__"
 
   /** The events stream plus ONE far-future `__flush__` sentinel row,
-    * staged through a per-invocation scratch copy of the table (a single
-    * coalesced file, so AvailableNow consumes everything in one batch and
-    * the sentinel can never race ahead of real rows). Once the bounded
-    * input is consumed, the sentinel holds the event-time watermark past
-    * every REAL window's end, so an Append-mode windowed aggregate emits
-    * each real window exactly once and EVICTS its state — the
-    * bounded-gate stand-in for tomorrow's data arriving on a production
-    * stream, where the next hour's events are what close the previous
-    * window and no sentinel exists (r10 VERDICT item 1: Complete-mode
-    * retention grew with stream history; Append + watermark is the
-    * unbounded-safe shape). Returns the stream and the sentinel's
-    * timestamp; the sentinel's own window never closes (watermark stops
-    * `delay` short of it) and callers filter it out besides. */
-  private def flushedEventsStream(s: SparkSession, dir: String,
-      staging: java.nio.file.Path): (DataFrame, java.sql.Timestamp) = {
+    * staged through a scratch copy of the table (a single coalesced file,
+    * so AvailableNow consumes everything in one batch and the sentinel
+    * can never race ahead of real rows). Once the bounded input is
+    * consumed, the sentinel holds the event-time watermark past every
+    * REAL window's end, so an Append-mode windowed aggregate emits each
+    * real window exactly once and EVICTS its state — the bounded-gate
+    * stand-in for tomorrow's data arriving on a production stream, where
+    * the next hour's events are what close the previous window and no
+    * sentinel exists (r10 VERDICT item 1: Complete-mode retention grew
+    * with stream history; Append + watermark is the unbounded-safe
+    * shape). Returns the stream and the sentinel's timestamp; the
+    * sentinel's own window never closes (watermark stops `delay` short of
+    * it) and callers filter it out besides.
+    *
+    * The staged copy is SHARED: q_stream_tumbling and q_stream_kmv stage
+    * the identical events+flush fixture, so paying the ~1.1 s write twice
+    * per sweep was pure harness waste (r11 VERDICT item 7). The copy is
+    * memoized per (dir, events-file mtime+size signature) for the JVM —
+    * regenerated data invalidates by key — and the staging dirs are
+    * removed by a shutdown hook instead of per call (bounded: one per
+    * distinct input vintage per JVM; production streams stage nothing). */
+  private val flushStageCache = scala.collection.mutable.HashMap
+    .empty[(String, String), (String, java.sql.Timestamp)]
+  private def eventsSignature(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "events.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else s"${java.nio.file.Files.size(p)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+  }
+  private def flushedEventsStream(s: SparkSession, dir: String)
+      : (DataFrame, java.sql.Timestamp) = {
     graft.core.Sessions.tune(s)
-    val events = graft.core.Tables.events(s, dir)
-    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-    val flushTs = java.sql.Timestamp.from(
-      maxTs.toInstant.plus(java.time.Duration.ofDays(3650)))
-    val sentinel = events.limit(1).select(
-      lit(-1L).as("event_id"), lit(flushTs).as("ts"), lit(-1L).as("user_id"),
-      lit(FlushType).as("event_type"), lit(0.0).as("value"),
-      lit(null).cast("string").as("props"))
-    val path = staging.resolve("events").toString
-    events.unionByName(sentinel).coalesce(1)
-      .write.mode("overwrite").parquet(path)
+    val (path, flushTs) = flushStageCache.synchronized {
+      flushStageCache.getOrElseUpdate((dir, eventsSignature(dir)), {
+        val events = graft.core.Tables.events(s, dir)
+        val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+        // max(ts) over an empty table is NULL — fail with the actual
+        // problem instead of an NPE on .toInstant (r11 ADVICE)
+        require(maxTs != null,
+          s"events table at $dir is empty — no watermark to flush past")
+        val fts = java.sql.Timestamp.from(
+          maxTs.toInstant.plus(java.time.Duration.ofDays(3650)))
+        val sentinel = events.limit(1).select(
+          lit(-1L).as("event_id"), lit(fts).as("ts"), lit(-1L).as("user_id"),
+          lit(FlushType).as("event_type"), lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+        val staging = scratch()
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => deleteRecursively(staging)))
+        val p = staging.resolve("events").toString
+        events.unionByName(sentinel).coalesce(1)
+          .write.mode("overwrite").parquet(p)
+        (p, fts)
+      })
+    }
     val schema = s.read.parquet(path).schema
     (s.readStream.schema(schema).parquet(path), flushTs)
   }
@@ -232,8 +260,7 @@ object Streams {
     val name = "graft_stream_tumbling"
     s.catalog.dropTempView(name)
     val ck = scratch()
-    val staging = scratch()
-    val (ev, _) = flushedEventsStream(s, dir, staging)
+    val (ev, _) = flushedEventsStream(s, dir)
     val q = withStreamShuffle(s) {
       // NO sentinel filter inside the stream: a predicate on a grouping
       // column pushes below the aggregation AND the EventTimeWatermark
@@ -252,7 +279,6 @@ object Streams {
     }
     q.awaitTermination()
     deleteRecursively(ck)
-    deleteRecursively(staging)
     s.table(name)
       // null-safe (events carries real NULL event_type groups the oracle
       // keeps; `=!=` would drop them with the sentinel)
@@ -690,8 +716,7 @@ object Streams {
     val name = "graft_stream_kmv"
     s.catalog.dropTempView(name)
     val ck = scratch()
-    val staging = scratch()
-    val (ev, flushTs) = flushedEventsStream(s, dir, staging)
+    val (ev, flushTs) = flushedEventsStream(s, dir)
     val q = withStreamShuffle(s) {
       // the sentinel needs no pre-agg filter: its hash lands in its OWN
       // far-future window, which the watermark never closes (and the
@@ -713,7 +738,6 @@ object Streams {
     }
     q.awaitTermination()
     deleteRecursively(ck)
-    deleteRecursively(staging)
     s.table(name)
       .filter(col("w.start") < lit(flushTs)) // defensive: no sentinel window
       .select(col("w.start").as("window_start"),

@@ -108,11 +108,14 @@ object ScaleGen {
            |     THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END))
            |""".stripMargin))
       .drop("rep")
-    // the affine map j → (a·j+b) mod d is a bijection iff gcd(a, d) = 1;
-    // a is odd, so any even dim is safe — guard odd dims explicitly
-    require(dim % 2 == 0 || (1 to 2 * r).forall(a => a % 2 == 0 ||
-      BigInt(a).gcd(BigInt(dim)) == 1),
-      s"dim $dim shares a factor with an odd multiplier — pick new a's")
+    // the affine map j → (a·j+b) mod d is a bijection iff gcd(a, d) = 1.
+    // a = 2·rep+1 odd guarantees that only for power-of-two dims (dim=6,
+    // a=3 fails: gcd=3 silently duplicates coordinates) — so check every
+    // replica's multiplier against the ACTUAL dim, no parity shortcut
+    // (r11 ADVICE).
+    require((0 until r).forall(rep =>
+      BigInt(2 * rep + 1).gcd(BigInt(dim)) == 1),
+      s"dim $dim shares a factor with an odd multiplier 2*rep+1 — pick new a's")
     write("embeddings", emb)
 
     println(s"[scalegen] done: $srcDir x$r -> $outDir")

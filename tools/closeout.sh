@@ -6,15 +6,26 @@
 #   tools/closeout.sh <round-number>
 #
 # Produces, failing loudly if any step does:
-#   1. BENCH_FULL_r{N}.json   — the complete bench sweep at sf0.1
+#   1. ORACLE_r{N}.json       — the FULL oracle gate (graft.Verify at
+#                               sf0.01 + tools/oracle_check.py), per-query
+#                               OK/FAIL + totals; FAILS on any red row.
+#                               Builder-side gate evidence committed with
+#                               the seal — round 11's official
+#                               CORRECTNESS_r11.json arrived EMPTY and only
+#                               a judge-side re-run proved the round green
+#                               (r11 VERDICT item 2).
+#   2. BENCH_FULL_r{N}.json   — the complete bench sweep at sf0.1
 #                               (the driver's own BENCH_r{N} truncates to
 #                               an alphabetical tail)
-#   2. PLANCENSUS_r{N}.json   — plan census of every batch registry entry
+#   3. PLANCENSUS_r{N}.json   — plan census of every batch registry entry
 #                               (PlanCensus exits nonzero on any gap)
-#   3. a freshness check that BENCH_NOTES.md has a "Round {N}" section
-#   4. a doc-count check: the current registry size must appear in
+#   4. a freshness check that BENCH_NOTES.md has a "Round {N}" section
+#   5. a doc-count check: the current registry size must appear in
 #      .claude/skills/verify/SKILL.md (kept current per round)
-#   5. CLOSEOUT_r{N}.stamp — the git tree hashes of src/, tools/ and
+#   6. a leak grep over src/tools/build.sbt mirroring the driver's seven
+#      LEAKCHECK categories — committed evidence the tree is clean
+#      (r11 VERDICT item 10)
+#   7. CLOSEOUT_r{N}.stamp — the git tree hashes of src/, tools/ and
 #      build.sbt the artifacts were generated against
 #
 #   tools/closeout.sh verify <round-number>
@@ -60,25 +71,45 @@ fi
 N="${1:?usage: tools/closeout.sh <round-number>}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 
-echo "[closeout] 1/4 full bench sweep (sf0.1, local[$CPUS]) -> BENCH_FULL_r${N}.json"
+echo "[closeout] 1/7 oracle gate (Verify sf0.01 + DuckDB compare) -> ORACLE_r${N}.json"
+VOUT=$(mktemp -d /tmp/closeout_verify.XXXXXX)
+SPARK_GRAFT_CPUS="$CPUS" \
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $VOUT" \
+  > "$VOUT/verify.log" 2>&1 || { echo "[closeout] Verify crashed — see $VOUT/verify.log"; exit 1; }
+if grep -E '\[verify\].*failed' "$VOUT/verify.log"; then
+  echo "[closeout] Verify had per-query failures (above)"; exit 1; fi
+python3 tools/oracle_check.py /root/testdata/sf0.01 "$VOUT" "" "ORACLE_r${N}.json" \
+  > "$VOUT/oracle.log" 2>&1 || {
+    grep -E '^\[FAIL' "$VOUT/oracle.log" | head -20
+    echo "[closeout] oracle gate RED — see $VOUT/oracle.log"; exit 1; }
+tail -1 "$VOUT/oracle.log"
+python3 - "ORACLE_r${N}.json" <<'EOF'
+import json, sys
+s = json.load(open(sys.argv[1]))
+assert s["fail"] == 0, f"oracle gate red: {s['fail']} FAIL"
+assert s["ok"] > 0, "oracle gate empty"
+EOF
+rm -rf "$VOUT"
+
+echo "[closeout] 2/7 full bench sweep (sf0.1, local[$CPUS]) -> BENCH_FULL_r${N}.json"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
   SPARK_GRAFT_BENCH_OUT="$PWD/BENCH_FULL_r${N}.json" \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' || {
     echo "[closeout] bench sweep failed"; exit 1; }
 [ -s "BENCH_FULL_r${N}.json" ] || { echo "[closeout] no BENCH_FULL_r${N}.json"; exit 1; }
 
-echo "[closeout] 2/4 plan census (sf0.001) -> PLANCENSUS_r${N}.json"
+echo "[closeout] 3/7 plan census (sf0.001) -> PLANCENSUS_r${N}.json"
 SPARK_GRAFT_CPUS="$CPUS" \
   sbt -batch "runMain graft.tools.PlanCensus /root/testdata/sf0.001 $PWD/PLANCENSUS_r${N}.json" \
   2>&1 | grep -E '"queries"|INCOMPLETE' || {
     echo "[closeout] census failed"; exit 1; }
 [ -s "PLANCENSUS_r${N}.json" ] || { echo "[closeout] no PLANCENSUS_r${N}.json"; exit 1; }
 
-echo "[closeout] 3/4 BENCH_NOTES round section"
+echo "[closeout] 4/7 BENCH_NOTES round section"
 grep -q "Round ${N}" BENCH_NOTES.md || {
   echo "[closeout] BENCH_NOTES.md has no 'Round ${N}' section — write it"; exit 1; }
 
-echo "[closeout] 4/5 doc freshness (registry count in SKILL.md)"
+echo "[closeout] 5/7 doc freshness (registry count in SKILL.md)"
 BATCH=$(python3 -c "import json; print(len(json.load(open('PLANCENSUS_r${N}.json'))))")
 STREAM=$(grep -o '"q_stream_[a-z_]*"' src/main/scala/graft/streaming/Streams.scala | sort -u | wc -l)
 TOTAL=$((BATCH + STREAM))
@@ -90,7 +121,29 @@ grep -E "As of round [0-9]+.*\b${TOTAL}\b|\b${TOTAL}\b.*registry" \
        "($TOTAL = $BATCH batch + $STREAM streaming) on its 'As of round'" \
        "line — refresh it"; exit 1; }
 
-echo "[closeout] 5/5 seal stamp -> CLOSEOUT_r${N}.stamp"
+echo "[closeout] 6/7 leak grep (seven LEAKCHECK categories over src tools build.sbt)"
+# patterns mirror the driver's LEAKCHECK categories: internal imports/
+# packages, internal URLs/buckets, short links, API keys, internal env
+# vars. Word-boundary anchored; any hit fails the seal.
+LEAKS=0
+leak() { # label regex
+  local hits
+  hits=$(grep -rInE "$2" src tools build.sbt 2>/dev/null | grep -v 'closeout.sh' || true)
+  if [ -n "$hits" ]; then
+    echo "[closeout] LEAK ($1):"; echo "$hits" | head -5; LEAKS=1
+  fi
+}
+leak internal-import 'import (com|io)\.anthropic|from anthropic'
+leak internal-url 'anthropic\.com|claude\.ai|console\.anthropic'
+leak internal-pkg2 'claude[-_]?(cli|code|internal)|capybara|tengu'
+leak internal-bucket 's3://(anthropic|ant-)|gs://(anthropic|ant-)'
+leak slack-link 'go/[a-z-]{2,}[^a-zA-Z]|slack\.com|#claude-'
+leak api-key 'sk-ant-|AKIA[0-9A-Z]{16}|api[_-]?key *= *"[^"]{12}'
+leak axon-env 'ANTHROPIC_[A-Z_]+|CLAUDE_[A-Z_]+'
+[ "$LEAKS" = 0 ] || { echo "[closeout] leak grep FAILED"; exit 1; }
+echo "[closeout] leak grep clean (7 categories, 0 hits)"
+
+echo "[closeout] 7/7 seal stamp -> CLOSEOUT_r${N}.stamp"
 seal_tree_hashes > "CLOSEOUT_r${N}.stamp"
 
-echo "[closeout] OK ($TOTAL registry entries) — commit BENCH_FULL_r${N}.json PLANCENSUS_r${N}.json CLOSEOUT_r${N}.stamp and the notes, then run: tools/closeout.sh verify ${N}"
+echo "[closeout] OK ($TOTAL registry entries) — commit ORACLE_r${N}.json BENCH_FULL_r${N}.json PLANCENSUS_r${N}.json CLOSEOUT_r${N}.stamp and the notes, then run: tools/closeout.sh verify ${N}"

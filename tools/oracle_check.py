@@ -10,6 +10,12 @@ is validated before the driver runs. Usage:
 An optional third argument restricts to queries whose name falls in a
 [lo, hi) prefix range, e.g. `a:g` — lets the full 300-query compare be
 chunked under a per-command wall-clock cap.
+
+An optional fourth argument is a JSON summary output path (per-query
+OK/FAIL/rows-only + totals) — closeout commits it as ORACLE_r{N}.json so
+every sealed round carries builder-side gate evidence even if the
+driver's own CORRECTNESS artifact arrives empty (r11: official file was
+`{}` and only a judge-side full re-run proved the round green).
 """
 import json
 import os
@@ -18,7 +24,9 @@ import sys
 import duckdb
 
 
-def main(sf_dir: str, out_dir: str, name_range: str = "") -> int:
+def main(sf_dir: str, out_dir: str, name_range: str = "",
+         json_out: str = "") -> int:
+    results = {}
     con = duckdb.connect()
     for name in ("region nation customer supplier part orders lineitem "
                  "events documents embeddings").split():
@@ -42,6 +50,7 @@ def main(sf_dir: str, out_dir: str, name_range: str = "") -> int:
             f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
         if name not in oracle:
             print(f"[rows-only] {name}: {len(got)} rows")
+            results[name] = {"status": "rows-only", "rows": len(got)}
             continue
         # Declared-type lint BEFORE the value compare: DuckDB promotes
         # sum(BIGINT) to HUGEINT, which fetchdf() renders as float64.
@@ -62,8 +71,20 @@ def main(sf_dir: str, out_dir: str, name_range: str = "") -> int:
                               f"the final SELECT")
         status = "OK " if ok else "FAIL"
         print(f"[{status}] {name}: {msg}")
+        results[name] = {"status": status.strip(), "detail": msg}
         if not ok:
             failures += 1
+    if json_out:
+        counts = {"OK": 0, "FAIL": 0, "rows-only": 0}
+        for r in results.values():
+            counts[r["status"]] += 1
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "total": len(results),
+                       "ok": counts["OK"], "fail": counts["FAIL"],
+                       "rows_only": counts["rows-only"],
+                       "queries": results}, f, indent=1, sort_keys=True)
+        print(f"[summary] {counts['OK']} OK / {counts['FAIL']} FAIL / "
+              f"{counts['rows-only']} rows-only -> {json_out}")
     return failures
 
 
@@ -98,4 +119,5 @@ def compare(got, want):
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else ""))
+                  sys.argv[3] if len(sys.argv) > 3 else "",
+                  sys.argv[4] if len(sys.argv) > 4 else ""))
