@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CumeDist, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, Lead, NamedExpression, NthValue, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.expressions.aggregate.First
+import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Last}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
@@ -63,6 +63,32 @@ object DistributedRank {
       spark.experimental.extraOptimizations =
         DistributedRankRewrite +: spark.experimental.extraOptimizations
   }
+}
+
+/** Routing transparency for the window extension: every Window node the
+  * rewrite CONSIDERED (flag on or marker present) but DECLINED is recorded
+  * here with the offending function + frame and the reason, and logged
+  * once — so a user can SEE why a window stayed on WindowExec instead of
+  * silently getting the single-task plan (r11 VERDICT item 6; the
+  * motivating shape is RANGE-frame nth_value, whose null-vs-value answer
+  * needs run-end lookahead). JVM-scoped, insertion-ordered, deduped,
+  * bounded — a diagnostic ring, not a metrics system. */
+object DistributedRankDiagnostics {
+  private val MaxEntries = 64
+  private val entries = new java.util.LinkedHashSet[String]()
+  private[plans] def record(msg: String): Boolean = entries.synchronized {
+    val fresh = entries.add(msg)
+    if (entries.size > MaxEntries) {
+      val it = entries.iterator(); it.next(); it.remove()
+    }
+    fresh
+  }
+  /** Recent declined-window descriptions, oldest first. */
+  def declined: Seq[String] = entries.synchronized {
+    import scala.jdk.CollectionConverters._
+    entries.iterator().asScala.toSeq
+  }
+  def clear(): Unit = entries.synchronized(entries.clear())
 }
 
 /** Logical placeholder for the distributed global rank; output = child
@@ -244,6 +270,15 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
         case _ => false
       }
       def aggFrame: Boolean = runningFrame || rollingFrame
+      // IGNORE NULLS first/last/nth are frame-END-dependent even when the
+      // respect-nulls twin is not (a null-prefixed peer run: the RANGE
+      // frame reaches the run's later non-null, ROWS does not), so they
+      // route only under the ROWS running frame
+      def rowsRunningFrame: Boolean = frame match {
+        case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
+          true
+        case _ => false
+      }
       def numeric(dt: DataType): Boolean = dt match {
         case ByteType | ShortType | IntegerType | LongType
              | FloatType | DoubleType => true
@@ -273,42 +308,78 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
           c.children.size == 1 && aggFrame
         // lag/lead ignore their frame (offset functions); literal offsets
         // in [1, MaxLagOffset] bound the per-group replay ring (lag) and
-        // the per-partition pending buffer (lead)
-        case Lag(in, off, dflt, false) =>
+        // the per-partition pending buffer (lead). IGNORE NULLS variants
+        // route too (r12): lag's ring simply skips null pushes; lead's
+        // pending wait becomes null-run-bounded instead of offset-bounded
+        // (budgeted — MaxPendingLead fails fast on pathological columns,
+        // still strictly better than WindowExec's whole-partition buffer)
+        case Lag(in, off, dflt, _) =>
           numeric(in.dataType) && off.foldable && (off.eval() match {
             case i: Int =>
               i >= 1 && i <= DistributedWindowExec.MaxLagOffset
             case _ => false
           }) && dflt.foldable &&
             (dflt.eval() == null || dflt.dataType == in.dataType)
-        case Lead(in, off, dflt, false) =>
+        case Lead(in, off, dflt, _) =>
           numeric(in.dataType) && off.foldable && (off.eval() match {
             case i: Int =>
               i >= 1 && i <= DistributedWindowExec.MaxLagOffset
             case _ => false
           }) && dflt.foldable &&
             (dflt.eval() == null || dflt.dataType == in.dataType)
-        // first_value is frame-end-independent (the frame always starts
-        // at the group head under a running frame), so RANGE is fine
-        case AggregateExpression(First(in, false), _, false, None, _) =>
-          numeric(in.dataType) && runningFrame
+        // first_value RESPECT NULLS is frame-end-independent (the frame
+        // always starts at the group head under a running frame), so
+        // RANGE is fine; the IGNORE NULLS twin must see every frame row
+        // up to the end — ROWS running only (rowsRunningFrame scaladoc)
+        case AggregateExpression(First(in, ign), _, false, None, _) =>
+          numeric(in.dataType) && (if (ign) rowsRunningFrame else runningFrame)
+        // last_value IGNORE NULLS over the ROWS running frame is the
+        // forward-fill carry (q_forward_fill's production shape): the
+        // latest non-null at or before the current row — a 1-deep
+        // skip-null ring, chained across partitions like lag's (r12)
+        case AggregateExpression(Last(in, true), _, false, None, _) =>
+          numeric(in.dataType) && rowsRunningFrame
         // nth_value's null-vs-value answer depends on the FRAME END
         // (frame shorter than k rows → NULL); only the ROWS running
         // frame makes that end the current row — RANGE needs run-end
-        // lookahead and stays on WindowExec
-        case NthValue(in, off, false) =>
+        // lookahead and stays on WindowExec. Same for IGNORE NULLS (the
+        // k-th NON-NULL within the frame).
+        case NthValue(in, off, _) =>
           numeric(in.dataType) && off.foldable && (off.eval() match {
             case i: Int =>
               i >= 1 && i <= DistributedWindowExec.MaxLagOffset
             case _ => false
-          }) && (frame match {
-            case SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
-                                      CurrentRow) => true
-            case _ => false
-          })
+          }) && rowsRunningFrame
         case _ => false
       }
     case _ => false
+  }
+
+  /** One human-readable line per window expression the rewrite declines,
+    * special-casing the known near-misses (RANGE nth_value) so the
+    * diagnostic names the fix, not just the refusal. */
+  private def describeDeclined(e: NamedExpression): Option[String] = e match {
+    case Alias(WindowExpression(f, WindowSpecDefinition(_, _, frame)), name)
+        if !supported(e) =>
+      val fn = f match {
+        case AggregateExpression(af, _, _, _, _) => af.prettyName
+        case other => other.prettyName
+      }
+      val reason = (f, frame) match {
+        case (_: NthValue, SpecifiedWindowFrame(RangeFrame, _, _)) =>
+          "nth_value under a RANGE frame is frame-end-dependent (needs " +
+            "peer-run lookahead); use ROWS BETWEEN UNBOUNDED PRECEDING " +
+            "AND CURRENT ROW to route"
+        case (AggregateExpression(First(_, true) | Last(_, true), _, _, _, _),
+              SpecifiedWindowFrame(RangeFrame, _, _)) =>
+          "IGNORE NULLS first/last under a RANGE frame is frame-end-" +
+            "dependent (a null-prefixed peer run reaches its later " +
+            "non-null); use ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+            "CURRENT ROW to route"
+        case _ => "unsupported function/frame shape for the distributed window"
+      }
+      Some(s"declined window '$name' ($fn over ${frame.sql}): $reason")
+    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -316,6 +387,19 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
     // EVERY query's optimization in the session (review finding)
     val flagOn = java.lang.Boolean.parseBoolean(
       conf.getConfString(DistributedRank.Flag, "false").trim)
+    // routing transparency: a node the user ASKED to route (flag or
+    // marker) that stays on WindowExec gets its declined shapes recorded
+    // + logged once (dedup in the diagnostics ring — this rule re-runs
+    // per optimizer batch)
+    plan.foreach {
+      case Window(exprs, _, _, _, _)
+          if exprs.nonEmpty && !exprs.forall(supported) &&
+             (flagOn || exprs.exists(markerNamed)) =>
+        exprs.flatMap(describeDeclined).foreach { msg =>
+          if (DistributedRankDiagnostics.record(msg)) logInfo(msg)
+        }
+      case _ =>
+    }
     plan.transform {
       // the r8 operator: pure global single row_number
       case Window(Seq(a @ Alias(
@@ -573,27 +657,31 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         case AggregateExpression(c: Count, _, _, _, _) =>
           // only the child's null mask matters; the value is never read
           agg(c.children.head, CountK, isDouble = false, outType = LongType)
-        case Lag(in, off, dflt, _) =>
+        case Lag(in, off, dflt, ign) =>
           val d = accDouble(in.dataType)
           val (dNull, dL, dD) = offsetDefault(dflt)
           LagSpec(Cast(in, if (d) DoubleType else LongType),
             off.eval().asInstanceOf[Int], dNull, dL, dD,
-            isDouble = d, outType = in.dataType)
-        case Lead(in, off, dflt, _) =>
+            isDouble = d, outType = in.dataType, ignoreNulls = ign)
+        case Lead(in, off, dflt, ign) =>
           val d = accDouble(in.dataType)
           val (dNull, dL, dD) = offsetDefault(dflt)
           LeadSpec(Cast(in, if (d) DoubleType else LongType),
             off.eval().asInstanceOf[Int], dNull, dL, dD,
-            isDouble = d, outType = in.dataType)
-        case AggregateExpression(First(in, _), _, _, _, _) =>
+            isDouble = d, outType = in.dataType, ignoreNulls = ign)
+        case AggregateExpression(First(in, ign), _, _, _, _) =>
           val d = accDouble(in.dataType)
           NthSpec(Cast(in, if (d) DoubleType else LongType), 1,
+            isDouble = d, outType = in.dataType, ignoreNulls = ign)
+        case AggregateExpression(Last(in, true), _, _, _, _) =>
+          val d = accDouble(in.dataType)
+          LastIgnSpec(Cast(in, if (d) DoubleType else LongType),
             isDouble = d, outType = in.dataType)
-        case NthValue(in, off, _) =>
+        case NthValue(in, off, ign) =>
           val d = accDouble(in.dataType)
           NthSpec(Cast(in, if (d) DoubleType else LongType),
             off.eval().asInstanceOf[Int],
-            isDouble = d, outType = in.dataType)
+            isDouble = d, outType = in.dataType, ignoreNulls = ign)
         case other => throw new IllegalStateException(
           s"unsupported window function reached the exec: $other")
       }
@@ -612,25 +700,45 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     val nRolls = rolls.length
     val leads: Array[LeadSpec] = funcs.collect { case l: LeadSpec => l }
     val nLeads = leads.length
-    val maxLead = if (nLeads == 0) 0 else leads.map(_.off).max
+    // RESPECT NULLS leads resolve positionally: the pending buffer must
+    // hold at least their max offset before the head is guaranteed
+    // filled. IGNORE NULLS leads resolve by explicit per-entry counters.
+    val maxRespLead = leads.filter(!_.ignoreNulls)
+      .foldLeft(0)((m, l) => math.max(m, l.off))
+    val nIgnLeads = leads.count(_.ignoreNulls)
     val leadFuncIdx: Array[Int] =
       funcs.zipWithIndex.collect { case (_: LeadSpec, i) => i }
     val nths: Array[NthSpec] = funcs.collect { case n: NthSpec => n }
     val nNths = nths.length
+    val lastIgns: Array[LastIgnSpec] = funcs.collect { case l: LastIgnSpec => l }
+    val nLastIgns = lastIgns.length
+    val maxPending =
+      if (nIgnLeads == 0) Long.MaxValue
+      else conf.getConfString(MaxPendingLeadKey, MaxPendingLead.toString).toLong
     // leading-values ("head") slots: lead lookahead first, then
     // first/nth_value group heads — one shared pass-1 collection and
     // GroupStat layout; the backward lead chain reads slots [0, nLeads),
-    // the forward nth chain reads slots [nLeads, nHeads)
+    // the forward nth chain reads slots [nLeads, nHeads). IGNORE NULLS
+    // slots skip null values at capture, so their heads are the first
+    // `off` NON-NULL values — the chains are null-layout-agnostic.
     val headOffs: Array[Int] = leads.map(_.off) ++ nths.map(_.k)
     val headExprs: Array[Expression] = leads.map(_.expr) ++ nths.map(_.expr)
     val headIsD: Array[Boolean] = leads.map(_.isDouble) ++ nths.map(_.isDouble)
+    val headSkip: Array[Boolean] =
+      leads.map(_.ignoreNulls) ++ nths.map(_.ignoreNulls)
     val nHeads = headOffs.length
     // trailing-history ring slots: lag replay rings first, then rolling
-    // frames (which need the previous k values of the group) — one shared
-    // collection/chaining mechanism for both
-    val tailOffs: Array[Int] = lags.map(_.off) ++ rolls.map(_.k)
-    val tailExprs: Array[Expression] = lags.map(_.expr) ++ rolls.map(_.expr)
-    val tailIsD: Array[Boolean] = lags.map(_.isDouble) ++ rolls.map(_.isDouble)
+    // frames (which need the previous k values of the group), then
+    // last_value-IGNORE-NULLS carries (1-deep skip-null rings) — one
+    // shared collection/chaining mechanism for all three
+    val tailOffs: Array[Int] =
+      lags.map(_.off) ++ rolls.map(_.k) ++ lastIgns.map(_ => 1)
+    val tailExprs: Array[Expression] =
+      lags.map(_.expr) ++ rolls.map(_.expr) ++ lastIgns.map(_.expr)
+    val tailIsD: Array[Boolean] =
+      lags.map(_.isDouble) ++ rolls.map(_.isDouble) ++ lastIgns.map(_.isDouble)
+    val tailSkip: Array[Boolean] =
+      lags.map(_.ignoreNulls) ++ rolls.map(_ => false) ++ lastIgns.map(_ => true)
     val nTails = tailOffs.length
     val hasRowNum = funcs.contains(RowNumSpec)
     val hasRank = funcs.contains(RankSpec)
@@ -798,28 +906,38 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           var li = 0
           while (li < nTails) {
             val v = tprojs(li)(row)
-            val idx2 = (ringCnt(li) % tailOffs(li)).toInt
-            if (v.isNullAt(0)) ringN(li)(idx2) = true
-            else {
-              ringN(li)(idx2) = false
-              if (tailIsD(li)) ringD(li)(idx2) = v.getDouble(0)
-              else ringL(li)(idx2) = v.getLong(0)
+            val isNull = v.isNullAt(0)
+            // skip-null slots (lag IGNORE NULLS, last_value carry) keep
+            // only non-null history — the ring then holds the last `off`
+            // NON-NULL values of the run
+            if (!(isNull && tailSkip(li))) {
+              val idx2 = (ringCnt(li) % tailOffs(li)).toInt
+              if (isNull) ringN(li)(idx2) = true
+              else {
+                ringN(li)(idx2) = false
+                if (tailIsD(li)) ringD(li)(idx2) = v.getDouble(0)
+                else ringL(li)(idx2) = v.getLong(0)
+              }
+              ringCnt(li) += 1
             }
-            ringCnt(li) += 1
             li += 1
           }
           var hi = 0
           while (hi < nHeads) {
             if (headCnt(hi) < headOffs(hi)) {
               val v = ldprojs(hi)(row)
-              val j = headCnt(hi)
-              if (v.isNullAt(0)) headN(hi)(j) = true
-              else {
-                headN(hi)(j) = false
-                if (headIsD(hi)) headD(hi)(j) = v.getDouble(0)
-                else headL(hi)(j) = v.getLong(0)
+              val isNull = v.isNullAt(0)
+              // skip-null slots keep capturing until `off` NON-NULLs
+              if (!(isNull && headSkip(hi))) {
+                val j = headCnt(hi)
+                if (isNull) headN(hi)(j) = true
+                else {
+                  headN(hi)(j) = false
+                  if (headIsD(hi)) headD(hi)(j) = v.getDouble(0)
+                  else headL(hi)(j) = v.getLong(0)
+                }
+                headCnt(hi) += 1
               }
-              headCnt(hi) += 1
             }
             hi += 1
           }
@@ -1237,13 +1355,23 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         tailRingD(i)(idx2) = d
         tailCnt(i) += 1
       }
-      // ---- lead lookahead state: rows are HELD (bounded by the max
-      // offset) until the row `off` ahead arrives — the one supported
-      // shape that pays a per-row copy; everything else still streams
-      val pend =
-        scala.collection.mutable.ArrayDeque.empty[(InternalRow, GenericInternalRow)]
+      // ---- lead lookahead state: rows are HELD until resolvable — for
+      // RESPECT NULLS slots until the row `off` ahead arrives (bounded by
+      // the max offset); for IGNORE NULLS slots until the off-th FUTURE
+      // NON-NULL arrives (bounded by the longest null run + off, guarded
+      // by maxPending). The one supported shape that pays a per-row copy;
+      // everything else still streams.
+      val pend = scala.collection.mutable.ArrayDeque.empty[LeadPend]
       var pendBase = 0L // group-local index of pend.head
       var grpIdx = 0L   // group-local index of the NEXT row to process
+      // IGNORE NULLS lead bookkeeping: per slot, the running count of
+      // non-null values seen in the group, and a FIFO of
+      // (entry group-index, target non-null ordinal) awaiting resolution
+      // — targets are non-decreasing along the queue, so each arriving
+      // non-null resolves a prefix in O(resolved)
+      val leadNN = new Array[Long](nLeads)
+      val ignQ: Array[scala.collection.mutable.ArrayDeque[(Long, Long)]] =
+        Array.fill(nLeads)(scala.collection.mutable.ArrayDeque.empty[(Long, Long)])
       def fillLeadDefault(g2: GenericInternalRow, i: Int): Unit = {
         val ld = leads(i)
         if (ld.defaultIsNull) g2.update(leadFuncIdx(i), null)
@@ -1252,17 +1380,30 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       /** Flush all pending rows at an INTERNAL group boundary: groups are
         * contiguous under the range exchange, so a group that ends inside
         * the partition ended globally — unfilled lookahead slots (no row
-        * `off` ahead within the group) take the default. */
-      def groupFlush(): Array[(InternalRow, GenericInternalRow)] = {
+        * `off` ahead / no off-th non-null within the group) take the
+        * default. */
+      def groupFlush(): Array[LeadPend] = {
         val out = pend.toArray
         pend.clear()
+        var i = 0
+        while (i < nLeads) {
+          if (leads(i).ignoreNulls) {
+            val q = ignQ(i)
+            while (q.nonEmpty) {
+              val (eid, _) = q.removeHead()
+              fillLeadDefault(out((eid - pendBase).toInt).g, i)
+            }
+          }
+          i += 1
+        }
         var o = 0
         while (o < out.length) {
           val idx2 = pendBase + o
-          var i = 0
-          while (i < nLeads) {
-            if (idx2 + leads(i).off >= grpIdx) fillLeadDefault(out(o)._2, i)
-            i += 1
+          var i2 = 0
+          while (i2 < nLeads) {
+            if (!leads(i2).ignoreNulls && idx2 + leads(i2).off >= grpIdx)
+              fillLeadDefault(out(o).g, i2)
+            i2 += 1
           }
           o += 1
         }
@@ -1270,27 +1411,48 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       }
       /** Flush at PARTITION end: the trailing group may continue in later
         * partitions — unfilled slots read the driver-chained HEADS of the
-        * same group there; past their end, the default. */
+        * same group there (first `off` values for RESPECT NULLS slots,
+        * first `off` NON-NULLs for IGNORE NULLS slots); past their end,
+        * the default. */
       def finalFlush(): Iterator[InternalRow] =
         if (nLeads == 0 || pend.isEmpty) Iterator.empty
         else {
+          var i = 0
+          while (i < nLeads) {
+            if (leads(i).ignoreNulls) {
+              val q = ignQ(i)
+              while (q.nonEmpty) {
+                val (eid, tgt) = q.removeHead()
+                val pe = pend((eid - pendBase).toInt)
+                // how many MORE non-nulls this entry still needs — the
+                // 1-based index into the chained non-null heads
+                val rem = tgt - leadNN(i)
+                if (pLeadSeedL != null && rem - 1 < pLeadSeedL(i).length)
+                  setNum(pe.g, leadFuncIdx(i), leads(i).outType,
+                    pLeadSeedL(i)((rem - 1).toInt),
+                    pLeadSeedD(i)((rem - 1).toInt))
+                else fillLeadDefault(pe.g, i)
+              }
+            }
+            i += 1
+          }
           val out = pend.toArray
           pend.clear()
-          out.iterator.zipWithIndex.map { case ((r0, g0), o) =>
+          out.iterator.zipWithIndex.map { case (pe, o) =>
             val idx2 = pendBase + o
-            var i = 0
-            while (i < nLeads) {
-              if (idx2 + leads(i).off >= grpIdx) {
-                val sp = (idx2 + leads(i).off - grpIdx).toInt
-                if (pLeadSeedL != null && sp < pLeadSeedL(i).length) {
-                  if (pLeadSeedN(i)(sp)) g0.update(leadFuncIdx(i), null)
-                  else setNum(g0, leadFuncIdx(i), leads(i).outType,
-                    pLeadSeedL(i)(sp), pLeadSeedD(i)(sp))
-                } else fillLeadDefault(g0, i)
+            var i2 = 0
+            while (i2 < nLeads) {
+              if (!leads(i2).ignoreNulls && idx2 + leads(i2).off >= grpIdx) {
+                val sp = (idx2 + leads(i2).off - grpIdx).toInt
+                if (pLeadSeedL != null && sp < pLeadSeedL(i2).length) {
+                  if (pLeadSeedN(i2)(sp)) pe.g.update(leadFuncIdx(i2), null)
+                  else setNum(pe.g, leadFuncIdx(i2), leads(i2).outType,
+                    pLeadSeedL(i2)(sp), pLeadSeedD(i2)(sp))
+                } else fillLeadDefault(pe.g, i2)
               }
-              i += 1
+              i2 += 1
             }
-            outProj(joined(r0, g0))
+            outProj(joined(pe.row, pe.g))
           }
         }
       def addTo(i: Int, row: InternalRow): Unit = {
@@ -1339,7 +1501,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         }
       val mainOut = units.flatMap { case (unit, isLastUnit) =>
         val k = gproj(unit(0))
-        var flushedPrev: Array[(InternalRow, GenericInternalRow)] = null
+        var flushedPrev: Array[LeadPend] = null
         if (curGroup == null || k != curGroup) {
           // the previous group ended inside this partition: resolve its
           // held lead rows (defaults) BEFORE any new-group state resets
@@ -1354,6 +1516,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           accL = base.sumL.clone(); accD = base.sumD.clone()
           accNN = base.nonNull.clone()
           pendBase = 0L; grpIdx = 0L
+          // IGNORE NULLS lead ordinals and queues restart per group
+          // (groupFlush above already drained the queues' entries)
+          if (nIgnLeads > 0) {
+            java.util.Arrays.fill(leadNN, 0L)
+            ignQ.foreach(_.clear())
+          }
           // trailing-history replay restarts per group; the partition's
           // FIRST group preloads the driver-chained history of the same
           // group from preceding partitions (null when the group starts
@@ -1430,6 +1598,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           var gi = 0
           var ri = 0
           var ni = 0
+          var lii = 0
           var fi = 0
           while (fi < nFuncs) {
             funcs(fi) match {
@@ -1469,8 +1638,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                 } else if (lg.defaultIsNull) g.update(fi, null)
                 else setNum(g, fi, lg.outType, lg.dL, lg.dD)
                 val v = tprojs(gi)(row)
-                if (v.isNullAt(0)) tailPut(gi, isNull = true, 0L, 0d)
-                else tailPut(gi, isNull = false,
+                if (v.isNullAt(0)) {
+                  // IGNORE NULLS: nulls never enter the replay ring, so
+                  // the ring holds the last `off` NON-NULLs and the read
+                  // above is the off-th most recent non-null
+                  if (!lg.ignoreNulls) tailPut(gi, isNull = true, 0L, 0d)
+                } else tailPut(gi, isNull = false,
                   if (lg.isDouble) 0L else v.getLong(0),
                   if (lg.isDouble) v.getDouble(0) else 0d)
                 gi += 1
@@ -1537,26 +1710,51 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
               case nv: NthSpec =>
                 // capture this row into the group's first-k buffer FIRST:
                 // for the k-th row the answer is the row itself (the ROWS
-                // running frame ends at the current row)
+                // running frame ends at the current row). IGNORE NULLS
+                // captures only non-nulls — the buffer then holds the
+                // group's first k NON-NULL values.
                 if (nthCnt(ni) < nv.k) {
                   val v = nthProjs(ni)(row)
-                  val j = nthCnt(ni)
-                  if (v.isNullAt(0)) nthBufN(ni)(j) = true
-                  else {
-                    nthBufN(ni)(j) = false
-                    if (nv.isDouble) nthBufD(ni)(j) = v.getDouble(0)
-                    else nthBufL(ni)(j) = v.getLong(0)
+                  val isNull = v.isNullAt(0)
+                  if (!(isNull && nv.ignoreNulls)) {
+                    val j = nthCnt(ni)
+                    if (isNull) nthBufN(ni)(j) = true
+                    else {
+                      nthBufN(ni)(j) = false
+                      if (nv.isDouble) nthBufD(ni)(j) = v.getDouble(0)
+                      else nthBufL(ni)(j) = v.getLong(0)
+                    }
+                    nthCnt(ni) += 1
                   }
-                  nthCnt(ni) += 1
                 }
-                // rn is the 1-based GLOBAL group row index (seeded from
-                // the prior-partition offset): frame shorter than k → NULL
-                if (rn >= nv.k && nthCnt(ni) >= nv.k) {
+                // RESPECT NULLS: rn is the 1-based GLOBAL group row index
+                // (seeded from the prior-partition offset) — frame shorter
+                // than k → NULL. IGNORE NULLS: k captured non-nulls is the
+                // only condition (the frame reached its k-th non-null).
+                val ready =
+                  if (nv.ignoreNulls) nthCnt(ni) >= nv.k
+                  else rn >= nv.k && nthCnt(ni) >= nv.k
+                if (ready) {
                   if (nthBufN(ni)(nv.k - 1)) g.update(fi, null)
                   else setNum(g, fi, nv.outType,
                     nthBufL(ni)(nv.k - 1), nthBufD(ni)(nv.k - 1))
                 } else g.update(fi, null)
                 ni += 1
+              case ls: LastIgnSpec =>
+                // forward-fill carry: push a non-null current value into
+                // the 1-deep skip-null ring FIRST (the ROWS running frame
+                // includes the current row), then emit the ring's value —
+                // the latest non-null at or before this row, seeded across
+                // partitions by the lag-tail chain
+                val ti = nLags + nRolls + lii
+                val v = tprojs(ti)(row)
+                if (!v.isNullAt(0)) tailPut(ti, isNull = false,
+                  if (ls.isDouble) 0L else v.getLong(0),
+                  if (ls.isDouble) v.getDouble(0) else 0d)
+                if (tailCnt(ti) > 0L)
+                  setNum(g, fi, ls.outType, tailRingL(ti)(0), tailRingD(ti)(0))
+                else g.update(fi, null)
+                lii += 1
               case a: AggSpec =>
                 if (!a.peer) addTo(ai, row)
                 var l = accL(ai)
@@ -1583,32 +1781,83 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           }
           if (nLeads == 0) Iterator.single(outProj(joined(row, g)))
           else {
-            // resolve earlier pending rows' lookahead from THIS row
+            // resolve earlier pending rows' lookahead from THIS row —
+            // positionally for RESPECT NULLS slots, by non-null ordinal
+            // for IGNORE NULLS slots (the arriving non-null is ordinal
+            // leadNN+1; queued targets are non-decreasing, so the
+            // resolvable entries are exactly the matching queue prefix)
             var ei = 0
             while (ei < nLeads) {
-              val tgt = grpIdx - leads(ei).off
-              if (tgt >= pendBase) {
-                val pg = pend((tgt - pendBase).toInt)._2
+              if (leads(ei).ignoreNulls) {
                 val v = ldprojs(ei)(row)
-                if (v.isNullAt(0)) pg.update(leadFuncIdx(ei), null)
-                else setNum(pg, leadFuncIdx(ei), leads(ei).outType,
-                  if (leads(ei).isDouble) 0L else v.getLong(0),
-                  if (leads(ei).isDouble) v.getDouble(0) else 0d)
+                if (!v.isNullAt(0)) {
+                  leadNN(ei) += 1
+                  val q = ignQ(ei)
+                  val vL = if (leads(ei).isDouble) 0L else v.getLong(0)
+                  val vD = if (leads(ei).isDouble) v.getDouble(0) else 0d
+                  while (q.nonEmpty && q.head._2 == leadNN(ei)) {
+                    val (eid, _) = q.removeHead()
+                    val pe = pend((eid - pendBase).toInt)
+                    setNum(pe.g, leadFuncIdx(ei), leads(ei).outType, vL, vD)
+                    pe.unresolved -= 1
+                  }
+                }
+              } else {
+                val tgt = grpIdx - leads(ei).off
+                if (tgt >= pendBase) {
+                  val pg = pend((tgt - pendBase).toInt).g
+                  val v = ldprojs(ei)(row)
+                  if (v.isNullAt(0)) pg.update(leadFuncIdx(ei), null)
+                  else setNum(pg, leadFuncIdx(ei), leads(ei).outType,
+                    if (leads(ei).isDouble) 0L else v.getLong(0),
+                    if (leads(ei).isDouble) v.getDouble(0) else 0d)
+                }
               }
               ei += 1
             }
-            pend.append((row.copy(), g))
+            val pe = new LeadPend(row.copy(), g, nIgnLeads)
+            pend.append(pe)
+            ei = 0
+            while (ei < nLeads) {
+              if (leads(ei).ignoreNulls)
+                ignQ(ei).append((grpIdx, leadNN(ei) + leads(ei).off))
+              ei += 1
+            }
             grpIdx += 1
-            if (pend.size > maxLead) {
-              val (r0, g0) = pend.removeHead()
+            if (pend.size > maxPending) throw new IllegalStateException(
+              s"distributed window holds ${pend.size} pending lead rows > " +
+              s"$maxPending ($MaxPendingLeadKey): an IGNORE NULLS lead " +
+              "column is null for that many consecutive rows in one group " +
+              "— run without the __dist_rank marker/flag so WindowExec " +
+              "plans it, or raise the budget")
+            // emit every fully-resolved head: RESPECT NULLS slots are
+            // guaranteed filled once the buffer is deeper than their max
+            // offset; IGNORE NULLS slots are tracked per entry. One
+            // arriving non-null can release a whole null run at once.
+            if (pend.size > maxRespLead && pend.head.unresolved == 0) {
+              val h0 = pend.removeHead()
               pendBase += 1
-              Iterator.single(outProj(joined(r0, g0)))
+              val first = outProj(joined(h0.row, h0.g))
+              if (!(pend.nonEmpty && pend.size > maxRespLead &&
+                    pend.head.unresolved == 0))
+                Iterator.single(first) // common case: zero-copy, as before
+              else {
+                val outBuf =
+                  scala.collection.mutable.ArrayBuffer[UnsafeRow](first.copy())
+                while (pend.nonEmpty && pend.size > maxRespLead &&
+                       pend.head.unresolved == 0) {
+                  val h = pend.removeHead()
+                  pendBase += 1
+                  outBuf += outProj(joined(h.row, h.g)).copy()
+                }
+                outBuf.iterator
+              }
             } else Iterator.empty
           }
         }
         if (flushedPrev == null) bodyOut
-        else flushedPrev.iterator.map { case (r0, g0) =>
-          outProj(joined(r0, g0))
+        else flushedPrev.iterator.map { pe =>
+          outProj(joined(pe.row, pe.g))
         } ++ bodyOut
       }
       mainOut ++ finalFlush()
@@ -1652,19 +1901,34 @@ object DistributedWindowExec {
                                     outType: DataType) extends FuncSpec
 
   /** lag(expr, off) with a literal default; the per-group replay buffer
-    * is `off` widened values, bounded by [[MaxLagOffset]]. */
+    * is `off` widened values, bounded by [[MaxLagOffset]]. IGNORE NULLS
+    * (r12) skips null pushes, so the ring holds the last `off` NON-NULL
+    * values — same bound, same chain. */
   private[plans] case class LagSpec(expr: Expression, off: Int,
                                     defaultIsNull: Boolean, dL: Long,
                                     dD: Double, isDouble: Boolean,
-                                    outType: DataType) extends FuncSpec
+                                    outType: DataType,
+                                    ignoreNulls: Boolean) extends FuncSpec
 
   /** lead(expr, off) with a literal default — lag mirrored: the exec
-    * buffers ≤ max-offset pending rows and the driver chains each
-    * partition's lookahead from later partitions' leading values. */
+    * buffers pending rows and the driver chains each partition's
+    * lookahead from later partitions' leading values. RESPECT NULLS
+    * resolves positionally (pending ≤ max offset); IGNORE NULLS (r12)
+    * resolves by non-null ordinal — a row waits for the off-th non-null
+    * AFTER it, so pending is bounded by the longest null run + off,
+    * guarded by [[MaxPendingLead]]. */
   private[plans] case class LeadSpec(expr: Expression, off: Int,
                                      defaultIsNull: Boolean, dL: Long,
                                      dD: Double, isDouble: Boolean,
-                                     outType: DataType) extends FuncSpec
+                                     outType: DataType,
+                                     ignoreNulls: Boolean) extends FuncSpec
+
+  /** last_value(expr) IGNORE NULLS over the ROWS running frame — the
+    * forward-fill carry: a 1-deep skip-null tail ring (the latest
+    * non-null at or before the current row), driver-chained across
+    * partitions exactly like lag history (r12). */
+  private[plans] case class LastIgnSpec(expr: Expression, isDouble: Boolean,
+                                        outType: DataType) extends FuncSpec
 
   /** sum/min/max/count/avg over ROWS k PRECEDING .. CURRENT ROW: the
     * frame is re-evaluated per row from a k-deep trailing ring (the same
@@ -1673,17 +1937,37 @@ object DistributedWindowExec {
                                      kind: AggKind, isDouble: Boolean,
                                      outType: DataType) extends FuncSpec
 
-  /** first_value (k=1, any running frame — frame-end-independent) and
-    * nth_value(expr, k) (ROWS running frame) from the group's first-k
-    * head buffer, driver-chained forward across partitions. */
+  /** first_value (k=1; any running frame when RESPECT NULLS — frame-end-
+    * independent) and nth_value(expr, k) (ROWS running frame) from the
+    * group's first-k head buffer, driver-chained forward across
+    * partitions. IGNORE NULLS (r12) captures the first k NON-NULL values
+    * instead — same bound, same chain; ROWS running frame only. */
   private[plans] case class NthSpec(expr: Expression, k: Int,
                                     isDouble: Boolean,
-                                    outType: DataType) extends FuncSpec
+                                    outType: DataType,
+                                    ignoreNulls: Boolean) extends FuncSpec
 
   /** Largest accepted literal lag/lead offset and rolling-frame depth —
     * bounds every replay ring, pending buffer, and per-(partition,
     * group) tail/head the driver chains. */
   val MaxLagOffset: Int = 64
+
+  /** Pending-row budget for IGNORE NULLS lead: a row is held until the
+    * off-th non-null AFTER it arrives, so the buffer is bounded by the
+    * longest null run + off, not by the offset. A column that is null
+    * for 2²⁰ consecutive rows within one group fails fast here rather
+    * than accumulating executor heap — still strictly better than
+    * WindowExec, which buffers the ENTIRE window partition regardless.
+    * Conf-overridable for specs to pin the fail-fast at a tiny edge. */
+  val MaxPendingLead: Long = 1L << 20
+  val MaxPendingLeadKey = "spark.graft.distributedWindow.maxPendingLead"
+
+  /** Per-row pending-buffer entry for lead lookahead: the copied input
+    * row, its function row, and how many IGNORE NULLS lead slots are
+    * still awaiting a future non-null. */
+  private[plans] final class LeadPend(val row: InternalRow,
+                                      val g: GenericInternalRow,
+                                      var unresolved: Int)
 
   /** Write an accumulated extreme/sum back in the window's own output
     * type (the widening casts in decode() are exact, so the narrowing

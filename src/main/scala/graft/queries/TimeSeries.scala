@@ -53,6 +53,70 @@ object TimeSeries {
       |      FROM events)
       |ORDER BY event_id""".stripMargin
 
+  // ----------------------------------------------------- q_forward_fill_dist
+  /** [[qForwardFill]]'s production shape through the DISTRIBUTED window
+    * (r12: the IGNORE NULLS family joined the operator): the same
+    * carry-forward plus the rest of the null-skipping surface — first and
+    * second purchase (IGNORE NULLS first/nth head chain), previous and
+    * next purchase (IGNORE NULLS lag ring / ordinal-resolved lead) — all
+    * marker-routed onto DistributedWindowExec, so a user_id group
+    * spanning range partitions reads its carries, heads, and lookaheads
+    * from the driver-chained seeds instead of a single hash task. Amounts
+    * ride exact integer cents so the gate hashes bit-stable values. Gate:
+    * the plain IGNORE NULLS window oracle — the custom execution must be
+    * invisible. */
+  def qForwardFillDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("pv_cents",
+        when($"event_type" === "purchase",
+          (OP.dec2($"value") * 100).cast("long")))
+      .withColumn(s"${m}_carry",
+        last($"pv_cents", ignoreNulls = true).over(w))
+      .withColumn(s"${m}_first",
+        first($"pv_cents", ignoreNulls = true).over(w))
+      .withColumn(s"${m}_second",
+        nth_value($"pv_cents", 2, ignoreNulls = true).over(w))
+      .withColumn(s"${m}_prev",
+        lag($"pv_cents", 1, null, ignoreNulls = true).over(ord))
+      .withColumn(s"${m}_next",
+        lead($"pv_cents", 1, null, ignoreNulls = true).over(ord))
+      .select($"event_id", $"user_id", $"event_type",
+        col(s"${m}_carry").as("last_purchase_cents"),
+        col(s"${m}_first").as("first_purchase_cents"),
+        col(s"${m}_second").as("second_purchase_cents"),
+        col(s"${m}_prev").as("prev_purchase_cents"),
+        col(s"${m}_next").as("next_purchase_cents"))
+      .orderBy($"event_id")
+  }
+
+  private val qForwardFillDistSql =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(last_value(pv IGNORE NULLS) OVER w AS BIGINT)
+      |    AS last_purchase_cents,
+      |  CAST(first_value(pv IGNORE NULLS) OVER w AS BIGINT)
+      |    AS first_purchase_cents,
+      |  CAST(nth_value(pv, 2 IGNORE NULLS) OVER w AS BIGINT)
+      |    AS second_purchase_cents,
+      |  CAST(lag(pv, 1 IGNORE NULLS) OVER ord AS BIGINT)
+      |    AS prev_purchase_cents,
+      |  CAST(lead(pv, 1 IGNORE NULLS) OVER ord AS BIGINT)
+      |    AS next_purchase_cents
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |        event_type,
+      |        CASE WHEN event_type = 'purchase'
+      |             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        END AS pv
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------ q_cdc_apply
   /** Changelog compaction: the event stream read as a CDC feed
     * (signup = insert, error = tombstone delete, everything else = upsert),
@@ -1671,7 +1735,8 @@ object TimeSeries {
     "q_cdc_apply"      -> (qCdcApply _),
     "q_ewma"           -> (qEwma _),
     "q_seq_mining"     -> (qSeqMining _),
-    "q_feature_matrix" -> (qFeatureMatrix _))
+    "q_feature_matrix" -> (qFeatureMatrix _),
+    "q_forward_fill_dist" -> (qForwardFillDist _))
 
   val oracle: Map[String, String] = Map(
     "q_periodogram"  -> qPeriodogramSql,
@@ -1702,5 +1767,6 @@ object TimeSeries {
     "q_cdc_apply"      -> qCdcApplySql,
     "q_ewma"           -> qEwmaSql,
     "q_seq_mining"     -> qSeqMiningSql,
-    "q_feature_matrix" -> qFeatureMatrixSql)
+    "q_feature_matrix" -> qFeatureMatrixSql,
+    "q_forward_fill_dist" -> qForwardFillDistSql)
 }

@@ -23,10 +23,13 @@ import graft.functions.Cleaning
   *    (TL_combine.sql:28-29) compared null-safely (`IS DISTINCT FROM`,
   *    :48) — [[Cleaning.surrogateKey]] null-coalesces each column exactly
   *    like the dbt generate_surrogate_key macro;
-  *  - keys missing from the staged batch stay current (TL_combine has no
-  *    hard-delete invalidation; the dbt snapshot's
-  *    invalidate_hard_deletes=True is the documented divergence we do NOT
-  *    follow — SURVEY §2.7);
+  *  - keys missing from the staged batch stay current BY DEFAULT
+  *    (TL_combine has no hard-delete invalidation); the dbt snapshot's
+  *    `invalidate_hard_deletes=True`
+  *    (05_dbt_implementation/.../snapshots/scd2_dim_employee.sql:8) is
+  *    available as the opt-in `invalidateMissing = true`, which expires
+  *    current rows whose key is absent from the staged batch at `asOf` —
+  *    both reference variants are now expressible (r11 VERDICT item 8);
   *  - `asOf` parameterizes CURRENT_DATE for reproducibility.
   *
   * Scale: two hash-joins on the business key (live-current ⋈ staged), both
@@ -48,10 +51,16 @@ object Scd2 {
     * @param key      business-key column name
     * @param attrCols tracked attribute columns (order defines the hash)
     * @param asOf     effective date for expirations and fresh rows
+    * @param invalidateMissing dbt-snapshot hard-delete semantics: expire
+    *                 current rows whose key is absent from `staged`
+    *                 (default false = TL_combine semantics, missing keys
+    *                 stay current). Idempotent: a rerun with the same
+    *                 batch finds the row already non-current.
     * @return the complete new dimension state (same schema as `current`)
     */
   def merge(current: DataFrame, staged: DataFrame, key: String,
-            attrCols: Seq[String], asOf: Date): DataFrame = {
+            attrCols: Seq[String], asOf: Date,
+            invalidateMissing: Boolean = false): DataFrame = {
     val outCols = (key +: attrCols) ++
       Seq("row_hash", "valid_from", "valid_to", "is_current")
 
@@ -81,14 +90,32 @@ object Scd2 {
       .withColumn("is_current", lit(false))
       .select(outCols.map(col): _*)
 
-    val unchanged = current.filter(col("is_current"))
-      .join(changedKeys, col(key) === col("__k"), "left_anti")
+    // hard-delete invalidation (opt-in): current rows with no staged twin
+    // expire at asOf — one extra anti-join on the business key, same
+    // broadcast-eligible shape as the change-detect joins
+    val expiredMissing =
+      if (!invalidateMissing) None
+      else Some(current.filter(col("is_current"))
+        .join(stagedH.select(col(key)), Seq(key), "left_anti")
+        .withColumn("valid_to", lit(asOf))
+        .withColumn("is_current", lit(false))
+        .select(outCols.map(col): _*))
+
+    val survivingCurrent = {
+      val notChanged = current.filter(col("is_current"))
+        .join(changedKeys, col(key) === col("__k"), "left_anti")
+      if (invalidateMissing)
+        notChanged.join(stagedH.select(col(key)), Seq(key), "left_semi")
+      else notChanged
+    }
+    val unchanged = survivingCurrent
       .unionByName(current.filter(!col("is_current")))
       .select(outCols.map(col): _*)
 
-    unchanged
+    val merged = unchanged
       .unionByName(expired)
       .unionByName(fresh.select(outCols.map(col): _*))
+    expiredMissing.fold(merged)(merged.unionByName(_))
   }
 
   /** Bootstrap an initial dimension state from a first snapshot. */

@@ -326,11 +326,12 @@ class DistributedRankSpec extends AnyFunSuite {
       assert(bigLead.queryExecution.executedPlan
         .collect { case w: WindowExec => w }.nonEmpty,
         "over-budget lead offset must stay a WindowExec")
+      // r12: IGNORE NULLS lead now ROUTES (ordinal-resolved pending)
       val ignNulls = fixture(200).withColumn(s"${M}_x",
         lead(col("v"), 1, null, ignoreNulls = true).over(w))
       assert(ignNulls.queryExecution.executedPlan
-        .collect { case w: WindowExec => w }.nonEmpty,
-        "IGNORE NULLS lead must stay a WindowExec")
+        .collect { case e: DistributedWindowExec => e }.nonEmpty,
+        "IGNORE NULLS lead routes to the distributed window (r12)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
@@ -470,13 +471,90 @@ class DistributedRankSpec extends AnyFunSuite {
       assert(nvRange.queryExecution.executedPlan
         .collect { case w: WindowExec => w }.nonEmpty,
         "RANGE nth_value (needs run-end lookahead) must stay WindowExec")
+      // IGNORE NULLS first over the default RANGE frame is frame-END-
+      // dependent (a null-prefixed peer run reaches its later non-null) —
+      // stays declined even though the ROWS twin routes (r12)
       val ignFirst = fixture(200).withColumn(s"${M}_x",
         first(col("v"), ignoreNulls = true)
           .over(Window.orderBy(col("v"), col("id"))))
       assert(ignFirst.queryExecution.executedPlan
         .collect { case w: WindowExec => w }.nonEmpty,
-        "IGNORE NULLS first_value must stay WindowExec")
+        "IGNORE NULLS first_value under RANGE must stay WindowExec")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Fixture with LONG null runs (tens of consecutive nulls inside each
+    * flag group) — the IGNORE NULLS shapes' hard case: carries must
+    * survive a null run, lag/lead must skip whole runs, and runs cross
+    * partition boundaries under a finer pre-partitioning. */
+  private def nullRunFixture(n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select(
+      $"id",
+      // non-null only on the first 40 of every 120-row stripe → null
+      // runs of ~80 consecutive rows
+      when($"id" % 120 < 40,
+        abs(hash(concat(lit("r"), $"id"))) % 100)
+        .cast("long").as("v"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+  }
+
+  test("IGNORE NULLS family (last/first/nth/lag/lead) equals WindowExec " +
+       "across long null runs (r12)") {
+    markerVsPlain(build = { (df, nm) =>
+      val ord = Window.partitionBy(col("flag")).orderBy(col("id"))
+      val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(nm("carry"), last(col("v"), ignoreNulls = true).over(w))
+        .withColumn(nm("f1"), first(col("v"), ignoreNulls = true).over(w))
+        .withColumn(nm("n2"), nth_value(col("v"), 2, ignoreNulls = true).over(w))
+        .withColumn(nm("lg1"), lag(col("v"), 1, null, ignoreNulls = true).over(ord))
+        .withColumn(nm("lg2"), lag(col("v"), 2, null, ignoreNulls = true).over(ord))
+        .withColumn(nm("ld1"), lead(col("v"), 1, null, ignoreNulls = true).over(ord))
+        .withColumn(nm("ld3"), lead(col("v"), 3, -7L, ignoreNulls = true).over(ord))
+    }, input = Some(nullRunFixture(4000)))
+  }
+
+  test("IGNORE NULLS family chains across a prefix-satisfied finer " +
+       "pre-partitioning — null runs crossing partition boundaries (r12)") {
+    // pre-partitioned on exactly (flag, id): no fresh exchange, each
+    // flag's rows span the 9 partitions and the ~80-row null runs cross
+    // boundaries — carries, lag skips, and lead ordinal-resolution must
+    // all read the driver-chained seeds
+    val df = nullRunFixture(3000)
+      .repartitionByRange(9, col("flag"), col("id"))
+    def build(nm: String => String): DataFrame = {
+      val ord = Window.partitionBy(col("flag")).orderBy(col("id"))
+      val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(nm("carry"), last(col("v"), ignoreNulls = true).over(w))
+        .withColumn(nm("n3"), nth_value(col("v"), 3, ignoreNulls = true).over(w))
+        .withColumn(nm("lg1"), lag(col("v"), 1, null, ignoreNulls = true).over(ord))
+        .withColumn(nm("ld2"), lead(col("v"), 2, null, ignoreNulls = true).over(ord))
+    }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    assert(on.collect().map(_.toString).sorted.toSeq == off)
+  }
+
+  test("IGNORE NULLS lead pending budget: under the conf'd edge passes, " +
+       "a longer null run fails fast with the remedy") {
+    import graft.plans.DistributedWindowExec.MaxPendingLeadKey
+    def run(budget: Int): Seq[String] = {
+      spark.conf.set(MaxPendingLeadKey, budget.toString)
+      try {
+        val d = nullRunFixture(400).withColumn(s"${M}_ld",
+          lead(col("v"), 1, null, ignoreNulls = true)
+            .over(Window.partitionBy(col("flag")).orderBy(col("id"))))
+        d.collect().map(_.toString).sorted.toSeq
+      } finally spark.conf.unset(MaxPendingLeadKey)
+    }
+    assert(run(500).nonEmpty) // generous budget: completes
+    val e = intercept[org.apache.spark.SparkException] { run(4) }
+    assert(e.getMessage.contains("pending lead rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("pending lead rows")),
+      s"expected the pending-budget fail-fast, got: ${e.getMessage}")
   }
 
   test("rolling ROWS k PRECEDING sum/min/max/count/avg equal WindowExec, " +
@@ -870,5 +948,43 @@ class DistributedRankSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     assert(run("3") == run("11"))
+  }
+
+  test("declined-shape diagnostic: RANGE nth_value stays on WindowExec " +
+       "AND says so (r11 VERDICT item 6)") {
+    import graft.plans.DistributedRankDiagnostics
+    DistributedRankDiagnostics.clear()
+    val w = Window.orderBy(col("v"), col("id"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val (plan, declined) = withFlag(true) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val d = fixture(500).withColumn("nv",
+          expr("nth_value(v, 3)").over(w))
+        val p = d.queryExecution.executedPlan
+        d.collect()
+        (p, DistributedRankDiagnostics.declined)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // stays on WindowExec (RANGE nth_value needs run-end lookahead)
+    assert(plan.collect { case we: WindowExec => we }.nonEmpty,
+      s"RANGE nth_value must stay on WindowExec:\n$plan")
+    // ...and the refusal is visible, naming the function and the fix
+    assert(declined.exists(m => m.contains("nth_value") &&
+      m.contains("RANGE") && m.contains("ROWS BETWEEN")),
+      s"expected a RANGE-nth_value decline diagnostic, got: $declined")
+  }
+
+  test("declined-shape diagnostic is silent when the extension was not " +
+       "asked to route (flag off, no marker)") {
+    import graft.plans.DistributedRankDiagnostics
+    DistributedRankDiagnostics.clear()
+    val w = Window.orderBy(col("v"), col("id"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = fixture(500).withColumn("nv", expr("nth_value(v, 3)").over(w))
+    d.queryExecution.optimizedPlan
+    d.collect()
+    assert(DistributedRankDiagnostics.declined.isEmpty,
+      "no flag, no marker -> no diagnostic noise")
   }
 }

@@ -58,6 +58,28 @@ class Scd2Spec extends AnyFunSuite {
     assert(twice.count() == once.count()) // idempotent under no changes
   }
 
+  test("invalidateMissing expires absent keys at asOf; rerun idempotent") {
+    val cur = Scd2.initial(snap(("e1", "Ann", "IT"), ("e2", "Bob", "HR")),
+      "emp_id", attrs, d0)
+    val batch = snap(("e2", "Bob", "HR")) // e1 hard-deleted upstream
+    val once = Scd2.merge(cur, batch, "emp_id", attrs, d1,
+      invalidateMissing = true).cache()
+    val e1 = once.filter($"emp_id" === "e1").collect()
+    assert(e1.length == 1)
+    assert(!e1(0).getAs[Boolean]("is_current") &&
+      e1(0).getAs[Date]("valid_to") == d1)
+    // e2 untouched and still current
+    assert(once.filter($"emp_id" === "e2" && $"is_current").count() == 1)
+    // rerun with the same batch: e1 already non-current, nothing changes
+    val twice = Scd2.merge(once, batch, "emp_id", attrs, d1,
+      invalidateMissing = true)
+    assert(twice.count() == once.count())
+    assert(twice.filter($"is_current").count() == once.filter($"is_current").count())
+    // default merge (no flag) still keeps missing keys current
+    val soft = Scd2.merge(cur, batch, "emp_id", attrs, d1)
+    assert(soft.filter($"emp_id" === "e1" && $"is_current").count() == 1)
+  }
+
   test("null attribute is hashed null-safely (no collision with empty)") {
     val withNull = Seq(("e1", null.asInstanceOf[String], "IT"))
       .toDF("emp_id", "name", "dept")
