@@ -20,26 +20,43 @@ object ScalingAudit {
   /** The headline scale surface: one representative per mechanism the
     * repo's 100-TB story leans on (SURVEY §2 families + the VERDICT's
     * named claims). Kept to pure registry entries so the driver gate
-    * already proves their correctness at both scales' law. */
+    * already proves their correctness at both scales' law.
+    *
+    * r12 (VERDICT item 3): widened from 25 to every bench entry over
+    * ~2 s at sf0.1 plus the remaining named families (PQ/SQ/MaxSim,
+    * MMR, item-CF, HITS/PPR/label-prop, motif, prefix-join, span dedup,
+    * profile variants, k-means, the bounded streams) — the r11 audit
+    * found 3 super-linear bugs in 25 operators, so the slow tail is
+    * exactly where more fixed parameters would hide. */
   val AuditQueries: Seq[String] = Seq(
     // scan / aggregate / join fundamentals
     "q1_agg", "q_group_mean", "q_count_distinct", "q_star_join",
     "q_top10_orders",
     // banded-rank family + the custom distributed-window operator
     "q_fact_rank", "q_fact_rank_dist", "q_fact_runagg_dist",
-    "q_fact_rolling_dist", "q_weighted_median",
+    "q_fact_rolling_dist", "q_fact_cumsum_dist", "q_forward_fill_dist",
+    "q_weighted_median", "q_mad",
     // warehouse loads (incremental prune, SCD2 merge)
     "q_hwm_incremental", "q_scd2_merge",
     // LSH dedup chain over documents
     "q_dedup_exact", "q_minhash_bucket", "q_minhash_pairs", "q_simhash",
-    // embeddings / ANN
-    "q_embed_ivf", "q_embed_ann",
+    "q_minhash_recall", "q_prefix_join", "q_span_dedup",
+    // embeddings / ANN / clustering
+    "q_embed_ivf", "q_embed_ann", "q_embed_ann_mp", "q_pq_ann",
+    "q_scalar_quant", "q_maxsim", "q_mmr_rerank", "q_kmeans",
     // iterative graph over the events-derived edge asset
-    "q_pagerank", "q_kcore",
-    // sketches / AQP
-    "q_kmv_distinct", "q_cms_freq", "q_bloom_join",
-    // text analysis
-    "q_token_count", "q_tfidf_cosine")
+    "q_pagerank", "q_kcore", "q_hits", "q_ppr", "q_label_prop",
+    "q_components", "q_bfs_levels", "q_item_cf", "q_basket_rules",
+    "q_journey_sim",
+    // sketches / AQP / profiling
+    "q_kmv_distinct", "q_cms_freq", "q_bloom_join", "q_profile",
+    "q_profile_approx",
+    // text analysis / time series
+    "q_token_count", "q_tfidf_cosine", "q_motif",
+    // bounded streams (a 10x-longer stream must not grow state:
+    // Append + watermark evicts per window)
+    "q_stream_tumbling", "q_stream_kmv", "q_stream_interval_join",
+    "q_stream_outer_join", "q_stream_full_outer")
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir, outJson) = (args(0), args(1), args(2))
