@@ -1303,15 +1303,35 @@ object Analytics {
     * here — true twins would stand out at ≤ 3 immediately); the budget
     * of 16 keeps the native `lev_within` verify BANDED (O(k·n)) while
     * comfortably covering the ranking's head. Blocking = (length band,
-    * first event) — the string-space LSH-bucket shape of
+    * journey PREFIX) — the string-space LSH-bucket shape of
     * [[graft.queries.TextDedup]]'s fuzzy join. Top-20 pairs by
     * (distance, user_a, user_b).
     *
     * Scale shape: one shuffle to user grain (the journey aggregate);
-    * candidates are per-block, never users². */
+    * candidates are per-block, never users². The prefix length is
+    * CORPUS-ADAPTIVE (r12 — the widened scaling audit caught the fixed
+    * 1-char prefix: block cardinality was a constant ~30, so block sizes
+    * and the pair volume grew quadratically, 16.6× at 10× data): p = 1
+    * up to 4096 users, then one more initial per ~8× growth (each initial
+    * multiplies block count by the event-type alphabet), capped at 4 —
+    * the same integer CASE ladder the DuckDB oracle computes from its
+    * own count(DISTINCT user_id), so the gate stays replay-exact at any
+    * scale. p = 1 at both gate scales (150 / 1.5k users — byte-stable). */
+  private def journeyPrefixLen(users: Long): Int =
+    if (users <= 4096L) 1
+    else if (users <= 32768L) 2
+    else if (users <= 262144L) 3
+    else 4
+  private val journeyPrefixSql =
+    """(SELECT CASE WHEN count(DISTINCT user_id) <= 4096 THEN 1
+      |       WHEN count(DISTINCT user_id) <= 32768 THEN 2
+      |       WHEN count(DISTINCT user_id) <= 262144 THEN 3
+      |       ELSE 4 END FROM events)""".stripMargin
   def qJourneySim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.core.Sessions.tune(s) // lev_within registration
+    val users = Tables.events(s, dir).select($"user_id").distinct().count()
+    val p = journeyPrefixLen(users)
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val journeys = Tables.events(s, dir)
       .withColumn("rn", row_number().over(w))
@@ -1324,7 +1344,7 @@ object Analytics {
           .getField("i")).as("j"))
       .withColumn("ln", length($"j"))
       .filter($"ln" >= 10)
-      .withColumn("blk", concat(expr("ln div 4"), substring($"j", 1, 1)))
+      .withColumn("blk", concat(expr("ln div 4"), substring($"j", 1, p)))
     val a = journeys.select($"user_id".as("user_a"), $"j".as("ja"),
       $"ln".as("la"), $"blk")
     val b = journeys.select($"user_id".as("user_b"), $"j".as("jb"),
@@ -1351,7 +1371,7 @@ object Analytics {
       |  FROM r WHERE rn <= 30 GROUP BY user_id),
       |jj AS (
       |  SELECT user_id, j, length(j) AS ln,
-      |    concat(length(j) // 4, substr(j, 1, 1)) AS blk
+      |    concat(length(j) // 4, substr(j, 1, PREFIX_LEN)) AS blk
       |  FROM j WHERE length(j) >= 10)
       |SELECT a.user_id AS user_a, b.user_id AS user_b,
       |  CAST(a.ln AS INT) AS len_a, CAST(b.ln AS INT) AS len_b,
@@ -1360,7 +1380,8 @@ object Analytics {
       |  ON a.blk = b.blk AND a.user_id < b.user_id
       |  AND abs(a.ln - b.ln) <= 3
       |WHERE levenshtein(a.j, b.j) <= 16
-      |ORDER BY dist, user_a, user_b LIMIT 20""".stripMargin
+      |ORDER BY dist, user_a, user_b LIMIT 20"""
+      .stripMargin.replace("PREFIX_LEN", journeyPrefixSql)
 
   // ------------------------------------------------------- q_active_users
   /** DAU / WAU / MAU and the stickiness ratio per day over the last 30

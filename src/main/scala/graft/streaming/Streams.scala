@@ -224,11 +224,18 @@ object Streams {
     graft.core.Sessions.tune(s)
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
-    // the file source requires a DIRECTORY base path; select the single
-    // table file out of the dataset dir with a glob filter
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // two physical layouts exist: the driver testdata ships events.parquet
+    // as a single FILE (the file source needs a directory base, so glob it
+    // out of the dataset dir), while Spark-written datasets (ScaleGen)
+    // make it a DIRECTORY of part files (stream the directory itself —
+    // the r12 scaling audit caught the glob matching NOTHING there and
+    // the stream silently processing zero rows)
+    val raw =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        s.readStream.schema(schema).parquet(path)
+      else s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
