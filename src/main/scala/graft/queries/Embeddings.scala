@@ -153,15 +153,25 @@ object Embeddings {
        | FROM (SELECT ((SELECT count(*) FROM embeddings) + 127) // 128
        |       AS x))""".stripMargin
 
+  /** The full 16-plane ±1 component table as a DuckDB literal
+    * list-of-lists — the same constants the Spark side precomputed. */
+  private val planesTableSql: String =
+    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** DuckDB plane-p dot product (p is a 0-based SQL expression) — the
+    * same left-to-right double fold as [[bucketCol]]'s, so the VALUES
+    * (not just the signs) are bit-identical across engines and can be
+    * ordered (multi-probe's boundary-distance ranking). */
+  private def planeDotSql(embCol: String, pExpr: String): String =
+    s"""list_sum(list_transform(range(1, ${Dims + 1}), i ->
+       |  CAST($embCol[i] AS DOUBLE) * (($planesTableSql)[($pExpr) + 1][i])))""".stripMargin
+
   private def bucketSql(embCol: String): String = {
-    val table = planes
-      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val np = npSql
     // CAST back to INT: list_sum would promote to HUGEINT, which the
     // gate's dtype lint rejects in final selects (r6 lesson)
     s"""CAST(list_sum(list_transform(range(0, $np), p ->
-       |  CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), i ->
-       |    CAST($embCol[i] AS DOUBLE) * (($table)[p + 1][i])))
+       |  CASE WHEN ${planeDotSql(embCol, "p")}
        |    > 0 THEN (1 << p) ELSE 0 END)) AS INT)""".stripMargin
   }
 
@@ -674,25 +684,49 @@ object Embeddings {
 
   // --------------------------------------------------------- q_embed_ann_mp
   /** Multi-probe LSH ANN: each QUERY vector probes its own bucket plus the
-    * 4 buckets at Hamming distance 1 in signature space (one hyperplane
-    * flipped — the neighbor most likely to hold near-misses). This is the
+    * buckets at Hamming distance 1 for the planes it sits CLOSEST to
+    * (smallest |dot| — the boundaries a near-miss most plausibly fell the
+    * other side of: query-directed probing, Lv et al.). This is the
     * standard recall fix for single-table LSH (q_embed_ann drops vectors
     * alone in their bucket): multi-probe buys that recall with ZERO extra
-    * index storage or build passes — 5 independent hash tables would cost
-    * 5 copies of the 100 TB index. The price paid instead is probe-side
-    * shuffle volume: this self-join replicates each query vector's payload
-    * 5× through the exchange (at production scale one would explode only
-    * (vec_id, probe) keys and fetch embeddings for join survivors to keep
-    * the exchange metadata-sized). The candidate side joins on its exact
-    * bucket, unchanged. */
+    * index storage or build passes — independent hash tables would cost
+    * extra copies of the 100 TB index. The probe count is FIXED at
+    * min(4, P) flips + home (r12 — the scaling audit caught the previous
+    * probe-ALL-planes fan-out growing with the adaptive plane count:
+    * probes 5→9 at 10× data, candidate volume n·(P+1) ≈ n log n, 11.1×
+    * measured; query-directed selection keeps volume n·5 LINEAR and
+    * targets the flips by boundary distance instead of probing blindly).
+    * At every gate scale P = 4, so all flips are probed and results are
+    * byte-identical to the probe-all formulation. Plane dots are the same
+    * left-to-right double fold on both engines (bit-identical values),
+    * ranked by (|dot|, plane) — the oracle replays the selection exactly.
+    * The price paid is probe-side shuffle volume: this self-join
+    * replicates each query vector's payload 5× through the exchange (at
+    * production scale one would explode only (vec_id, probe) keys and
+    * fetch embeddings for join survivors to keep the exchange
+    * metadata-sized). The candidate side joins on its exact bucket,
+    * unchanged. */
   def qEmbedAnnMp(s: SparkSession, dir: String): DataFrame = {
+    val np = planesFor(s, dir)
+    val nFlips = math.min(4, np)
     val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketCol("embedding", planesFor(s, dir)))
+      .withColumn("bucket", bucketCol("embedding", np))
       .withColumn("norm", sqrt(sqNorm("embedding")))
-    val probes = (0 until planesFor(s, dir))
-      .map(p => expr(s"bucket ^ ${1 << p}")) :+ col("bucket")
+      // per-plane signed dots, same fold as bucketCol's sign test
+      .withColumn("dts", array((0 until np).map { p =>
+        val arr = planes(p).mkString("array(", ", ", ")")
+        expr(s"aggregate(zip_with(embedding, $arr, (x, s) -> " +
+          "CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      }: _*))
+      // the nFlips boundary-closest planes, ties by plane index
+      .withColumn("flips", expr(
+        s"slice(transform(array_sort(transform(sequence(0, ${np - 1}), " +
+          "p -> struct(abs(element_at(dts, p + 1)) AS a, p AS p))), " +
+          s"s -> s.p), 1, $nFlips)"))
     val l = emb.select(col("vec_id"), col("embedding"), col("norm"),
-      explode(array(probes: _*)).as("probe"))
+      explode(concat(
+        expr("transform(flips, p -> bucket ^ shiftleft(1, p))"),
+        array(col("bucket")))).as("probe"))
     val r = emb.select(col("bucket").as("probe"), col("vec_id").as("nn_id"),
       col("embedding").as("emb2"), col("norm").as("norm2"))
     val pairs = l.join(r, Seq("probe"))
@@ -711,21 +745,37 @@ object Embeddings {
   }
 
   private val qEmbedAnnMpSql = {
-    // one probe per ACTIVE plane (the adaptive count) + the home bucket
-    val flips = "list_append(list_transform(range(0, " + npSql +
-      "), p -> xor(CAST(bucket AS BIGINT), (1::BIGINT << p))), " +
-      "CAST(bucket AS BIGINT))"
+    // query-directed probes: the min(4, P) boundary-closest plane flips
+    // (rank by (|dot|, p) — plane dots are the same double fold as the
+    // Spark side, bit-identical, so the selection replays exactly) + home
     s"""WITH b AS (
        |  SELECT vec_id, embedding,
        |    ${bucketSql("embedding")} AS bucket
        |  FROM embeddings),
-       |l AS (SELECT vec_id, embedding, unnest($flips) AS probe FROM b),
+       |pl AS (
+       |  SELECT vec_id, p,
+       |    ${planeDotSql("embedding", "p")} AS d
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(0, $npSql)) AS p
+       |        FROM b)),
+       |fl AS (
+       |  SELECT vec_id, p,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(d), p) AS rk
+       |  FROM pl),
+       |l AS (
+       |  SELECT b.vec_id, b.embedding,
+       |    xor(CAST(b.bucket AS BIGINT), (1::BIGINT << f.p)) AS probe
+       |  FROM b JOIN fl f ON f.vec_id = b.vec_id
+       |    AND f.rk <= least(4, $npSql)
+       |  UNION ALL
+       |  SELECT vec_id, embedding, CAST(bucket AS BIGINT) AS probe FROM b),
        |pairs AS (
        |  SELECT l.vec_id, r.vec_id AS nn_id,
        |    round(${dotSql("l.embedding", "r.embedding")}
        |      / (sqrt(${dotSql("l.embedding", "l.embedding")})
        |         * sqrt(${dotSql("r.embedding", "r.embedding")})), 4) AS cos_sim
-       |  FROM l JOIN b r ON l.probe = r.bucket AND l.vec_id <> r.vec_id)
+       |  FROM l JOIN b r ON l.probe = CAST(r.bucket AS BIGINT)
+       |    AND l.vec_id <> r.vec_id)
        |SELECT vec_id, nn_id, cos_sim FROM (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn
