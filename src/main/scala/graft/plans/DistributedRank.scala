@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CumeDist, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, Lead, NamedExpression, NthValue, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, CumeDist, CurrentRow, DenseRank, Expression, GenericInternalRow, JoinedRow, Lag, Lead, NamedExpression, NthValue, NTile, PercentRank, Rank, RangeFrame, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Last}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
@@ -202,10 +202,20 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
     e.name == NameMarker || e.name.startsWith(NameMarker + "_")
 
   private def sizeBased(e: NamedExpression): Boolean = e match {
-    case Alias(WindowExpression(f, _), _) => f match {
-      case _: PercentRank | _: NTile | _: CumeDist => true
-      case _ => false
-    }
+    case Alias(WindowExpression(f, WindowSpecDefinition(_, _, frame)), _) =>
+      f match {
+        case _: PercentRank | _: NTile | _: CumeDist => true
+        // whole-group frames need per-group TOTALS — the same budgeted
+        // full-stats driver map as the SizeBasedWindowFunctions (r12)
+        case AggregateExpression(
+            _: Sum | _: Min | _: Max | _: Count | _: Average, _, _, _, _) =>
+          frame match {
+            case SpecifiedWindowFrame(_, UnboundedPreceding,
+                                      UnboundedFollowing) => true
+            case _ => false
+          }
+        case _ => false
+      }
     case _ => false
   }
 
@@ -278,7 +288,17 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
           }
         case _ => false
       }
-      def aggFrame: Boolean = runningFrame || rollingFrame
+      // ROWS/RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING:
+      // the aggregate is a per-GROUP constant — served from the budgeted
+      // full-stats totals map (the ntile/percent_rank machinery), zero
+      // extra passes and zero buffering (r12)
+      def fullFrame: Boolean = frame match {
+        case SpecifiedWindowFrame(RowFrame | RangeFrame,
+                                  UnboundedPreceding, UnboundedFollowing) =>
+          true
+        case _ => false
+      }
+      def aggFrame: Boolean = runningFrame || rollingFrame || fullFrame
       // IGNORE NULLS first/last/nth are frame-END-dependent even when the
       // respect-nulls twin is not (a null-prefixed peer run: the RANGE
       // frame reaches the run's later non-null, ROWS does not), so they
@@ -622,8 +642,18 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       def agg(expr: Expression, kind: AggKind, isDouble: Boolean,
               outType: DataType): FuncSpec = {
         val k = slide
+        val full = frame match {
+          case SpecifiedWindowFrame(RowFrame | RangeFrame,
+                                    UnboundedPreceding, UnboundedFollowing) =>
+            true
+          case _ => false
+        }
         if (k > 0) RollSpec(expr, k, kind, isDouble, outType)
-        else AggSpec(expr, peer, kind, isDouble, outType)
+        // a whole-group frame is a per-group constant: no peer-run
+        // accumulation (the value is frame-independent), served from the
+        // driver's full-stats totals instead of the running prefix
+        else AggSpec(expr, peer = peer && !full, kind, isDouble, outType,
+          full = full)
       }
       def offsetDefault(dflt: Expression): (Boolean, Long, Double) =
         dflt.eval() match {
@@ -763,7 +793,8 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     // retains exactly those two, making driver state O(partitions) and
     // the budget unreachable at ANY group cardinality (r11 — what lets
     // the session flag route grouped windows here safely).
-    val fullStats = hasPct || hasNtile || hasCume
+    val hasFullAgg = aggs.exists(_.full)
+    val fullStats = hasPct || hasNtile || hasCume || hasFullAgg
     val anyPeer = aggs.exists(_.peer)
     // peer-run tracking is needed whenever a function's value depends on
     // run boundaries — RANGE aggregates, rank, dense_rank, percent_rank
@@ -1083,6 +1114,11 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       if (hasPct || hasNtile || hasCume)
         running.iterator.map { case (k, o) => k -> o.rows }.toMap
       else Map.empty
+    // whole-group-frame aggregates read the SAME endpoint's accumulator
+    // arrays — per-group totals for every agg slot, O(groups × nAggs)
+    // under the fullStats budget (r12)
+    val groupAggTotals: Map[UnsafeRow, Offsets] =
+      if (hasFullAgg) running.toMap else Map.empty
 
     // ---- driver, forward: trailing-history chaining (lag replay rings +
     // rolling-frame history). A group's rows occupy a CONTIGUOUS span of
@@ -1352,6 +1388,10 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       var accL = new Array[Long](nAggs)
       var accD = new Array[Double](nAggs)
       var accNN = new Array[Long](nAggs)
+      // whole-group totals of the CURRENT group (full-frame agg slots)
+      var ftL = new Array[Long](nAggs)
+      var ftD = new Array[Double](nAggs)
+      var ftN = new Array[Long](nAggs)
       // per-slot buffers of the group's FIRST k values (first/nth_value),
       // seeded from the forward driver chain at the partition's first group
       val nthBufL = nths.map(n => new Array[Long](n.k))
@@ -1532,6 +1572,13 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           prevPeer = null
           accL = base.sumL.clone(); accD = base.sumD.clone()
           accNN = base.nonNull.clone()
+          if (hasFullAgg) {
+            // fullStats mode: every group has a stats entry, so the
+            // endpoint map is total-complete for straddlers AND
+            // contained groups
+            val t = groupAggTotals.getOrElse(curGroup, Offsets.zero(nAggs))
+            ftL = t.sumL; ftD = t.sumD; ftN = t.nonNull
+          }
           pendBase = 0L; grpIdx = 0L
           // IGNORE NULLS lead ordinals and queues restart per group
           // (groupFlush above already drained the queues' entries)
@@ -1772,6 +1819,16 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                   setNum(g, fi, ls.outType, tailRingL(ti)(0), tailRingD(ti)(0))
                 else g.update(fi, null)
                 lii += 1
+              case a: AggSpec if a.full =>
+                // whole-group frame: the per-group constant from the
+                // driver totals — no per-row accumulation at all
+                if (a.kind == CountK) g.setLong(fi, ftN(ai))
+                else if (ftN(ai) == 0L) g.update(fi, null)
+                else a.kind match {
+                  case AvgK => g.setDouble(fi, ftD(ai) / ftN(ai))
+                  case _ => setNum(g, fi, a.outType, ftL(ai), ftD(ai))
+                }
+                ai += 1
               case a: AggSpec =>
                 if (!a.peer) addTo(ai, row)
                 var l = accL(ai)
@@ -1913,9 +1970,14 @@ object DistributedWindowExec {
   private[plans] case object CountK extends AggKind
   private[plans] case object AvgK extends AggKind
 
+  /** Running/peer-run aggregate, or — with `full` — a whole-group-frame
+    * aggregate (ROWS/RANGE UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING):
+    * a per-group constant read from the driver's budgeted full-stats
+    * totals map, the ntile/percent_rank machinery (r12). */
   private[plans] case class AggSpec(expr: Expression, peer: Boolean,
                                     kind: AggKind, isDouble: Boolean,
-                                    outType: DataType) extends FuncSpec
+                                    outType: DataType,
+                                    full: Boolean = false) extends FuncSpec
 
   /** lag(expr, off) with a literal default; the per-group replay buffer
     * is `off` widened values, bounded by [[MaxLagOffset]]. IGNORE NULLS

@@ -638,7 +638,64 @@ object Windows {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------- q_fact_fullframe_dist
+  /** WHOLE-GROUP frames — sum/min/count/avg over `ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND UNBOUNDED FOLLOWING`, mixed with a running sum on the
+    * same node, grouped by flag — through the distributed window (r12:
+    * full frames joined the operator). A whole-group aggregate is a
+    * per-group CONSTANT: it reads the driver's budgeted full-stats totals
+    * map (the ntile/percent_rank machinery), so the exec buffers NOTHING
+    * for it — where WindowExec materializes the whole partition to
+    * evaluate an unbounded-following frame. The avg rides exact integer
+    * cents (flag sums ≪ 2⁵³ in a double). Gate: the plain full-frame
+    * window oracle. */
+  def qFactFullframeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val ord = Window.partitionBy($"l_returnflag")
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+    val full = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn(s"${m}_fs", sum($"cents").over(full))
+      .withColumn(s"${m}_fm", min($"cents").over(full))
+      .withColumn(s"${m}_fc", count($"cents").over(full))
+      .withColumn(s"${m}_fa", avg($"cents").over(full))
+      .withColumn(s"${m}_rs", sum($"cents").over(run))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
+        col(s"${m}_fs").as("flag_sum"), col(s"${m}_fm").as("flag_min"),
+        col(s"${m}_fc").as("flag_count"), col(s"${m}_fa").as("flag_avg"),
+        col(s"${m}_rs").as("run_sum"))
+      .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
+  }
+
+  private val qFactFullframeDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, cents,
+      |  CAST(sum(cents) OVER f AS BIGINT) AS flag_sum,
+      |  CAST(min(cents) OVER f AS BIGINT) AS flag_min,
+      |  CAST(count(cents) OVER f AS BIGINT) AS flag_count,
+      |  CAST(sum(cents) OVER f AS DOUBLE) / count(cents) OVER f
+      |    AS flag_avg,
+      |  CAST(sum(cents) OVER r AS BIGINT) AS run_sum
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |WINDOW f AS (PARTITION BY l_returnflag
+      |  ORDER BY cents, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |r AS (PARTITION BY l_returnflag
+      |  ORDER BY cents, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fact_fullframe_dist" -> (qFactFullframeDist _),
     "q_fact_rank" -> (qFactRank _),
     "q_fact_ranks_dist" -> (qFactRanksDist _),
     "q_fact_runagg_dist" -> (qFactRunaggDist _),
@@ -671,6 +728,7 @@ object Windows {
     "q_fact_runagg_dist" -> qFactRunaggDistSql,
     "q_fact_delta_dist" -> qFactDeltaDistSql,
     "q_fact_rolling_dist" -> qFactRollingDistSql,
+    "q_fact_fullframe_dist" -> qFactFullframeDistSql,
     "q_window_rownum"  -> qWindowRownumSql,
     "q_window_topk"    -> qWindowTopkSql,
     // the native-aggregate variant must reproduce the window result exactly

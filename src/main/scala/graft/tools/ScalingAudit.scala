@@ -35,7 +35,7 @@ object ScalingAudit {
     // banded-rank family + the custom distributed-window operator
     "q_fact_rank", "q_fact_rank_dist", "q_fact_runagg_dist",
     "q_fact_rolling_dist", "q_fact_cumsum_dist", "q_forward_fill_dist",
-    "q_weighted_median", "q_mad",
+    "q_fact_fullframe_dist", "q_weighted_median", "q_mad",
     // warehouse loads (incremental prune, SCD2 merge)
     "q_hwm_incremental", "q_scd2_merge",
     // LSH dedup chain over documents

@@ -538,6 +538,57 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(on.collect().map(_.toString).sorted.toSeq == off)
   }
 
+  test("whole-group frames (UNBOUNDED..UNBOUNDED): sum/min/max/count/avg " +
+       "equal WindowExec, mixed with running shapes on one node (r12)") {
+    markerVsPlain { (df, nm) =>
+      val ord = Window.partitionBy(col("flag")).orderBy(col("v"), col("id"))
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(nm("gsum"), sum(col("v")).over(full))
+        .withColumn(nm("gmin"), min(col("v")).over(full))
+        .withColumn(nm("gmax"), max(col("v")).over(full))
+        .withColumn(nm("gcnt"), count(col("v")).over(full))
+        .withColumn(nm("gall"), count(lit(1)).over(full))
+        .withColumn(nm("rsum"), sum(col("v")).over(run)) // mixed node
+    }
+  }
+
+  test("whole-group frames: global window and RANGE-full variant equal " +
+       "WindowExec (r12)") {
+    markerVsPlain { (df, nm) =>
+      val full = Window.orderBy(col("v"), col("id")).rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      df.withColumn(nm("gsum"), sum(col("v")).over(full))
+        .withColumn(nm("gavg"), avg(col("id") % 13).over(full))
+    }
+  }
+
+  test("whole-group frames chain across a prefix-satisfied finer " +
+       "pre-partitioning — straddling groups read complete totals (r12)") {
+    import spark.implicits._
+    val df = spark.range(3000).select(
+      $"id",
+      when($"id" % 7 === 0, lit(null))
+        .otherwise(abs(hash(concat(lit("w"), $"id"))) % 50)
+        .cast("long").as("v"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+      .repartitionByRange(7, col("flag"), col("v"), col("id"))
+    def build(nm: String => String): DataFrame = {
+      val full = Window.partitionBy(col("flag"))
+        .orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      df.withColumn(nm("gsum"), sum(col("v")).over(full))
+        .withColumn(nm("gcnt"), count(col("v")).over(full))
+    }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    assert(on.collect().map(_.toString).sorted.toSeq == off)
+  }
+
   test("driver chain assembly at a 4096-partition exchange: correct and " +
        "sub-second driver overhead (r11 VERDICT item 9)") {
     import spark.implicits._
