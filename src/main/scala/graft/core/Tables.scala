@@ -61,4 +61,50 @@ object Tables {
       val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+
+  /** Content signature of `$dir/$table.parquet`, valid for BOTH physical
+    * layouts: a single file (driver testdata) hashes size:mtime; a
+    * directory of part files (Spark-written, e.g. ScaleGen) hashes the
+    * sorted per-file name:size:mtime listing — the directory's own
+    * size/mtime does NOT change when a part file is rewritten in place,
+    * so the single-path form would let a memo serve stale values after a
+    * regeneration (r12 ADVICE). Shared by every per-(dir, vintage) memo
+    * in the engine (adaptive-parameter counts, staged stream fixtures). */
+  def signature(dir: String, table: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else if (java.nio.file.Files.isRegularFile(p))
+      s"${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    else {
+      val st = java.nio.file.Files.list(p)
+      try st.iterator().asScala.toSeq.sorted.map { f =>
+        s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+      }.mkString(",")
+      finally st.close()
+    }
+  }
+
+  /** Memoized scalar count per (dir, table, label, content signature) —
+    * for ADAPTIVE-PARAMETER derivation (LSH plane count, IVF stride,
+    * blocking-prefix length), where an extra full-scan count() per
+    * invocation is pure harness waste but a stale count would desync the
+    * Spark-side parameter from the oracle's fresh count(*). The count job
+    * runs OUTSIDE the lock so concurrent queries on other dirs never
+    * serialize behind a scan (r11/r12 ADVICE); racing duplicates are
+    * benign (same key ⇒ same value). */
+  private val countMemo =
+    scala.collection.mutable.HashMap.empty[(String, String, String), Long]
+  def memoCount(dir: String, table: String, label: String)(
+      compute: => Long): Long = {
+    val key = (dir, label, signature(dir, table))
+    countMemo.synchronized(countMemo.get(key)) match {
+      case Some(n) => n
+      case None =>
+        val n = compute
+        countMemo.synchronized(countMemo.getOrElseUpdate(key, n))
+    }
+  }
 }

@@ -1330,7 +1330,12 @@ object Analytics {
   def qJourneySim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.core.Sessions.tune(s) // lev_within registration
-    val users = Tables.events(s, dir).select($"user_id").distinct().count()
+    // memoized per (dir, content signature): the distinct-user count only
+    // picks the blocking-prefix length, so re-running the full scan per
+    // invocation was pure harness waste (r12 ADVICE)
+    val users = Tables.memoCount(dir, "events", "distinct_users") {
+      Tables.events(s, dir).select($"user_id").distinct().count()
+    }
     val p = journeyPrefixLen(users)
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val journeys = Tables.events(s, dir)

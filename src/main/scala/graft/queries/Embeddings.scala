@@ -56,41 +56,13 @@ object Embeddings {
     math.min(MaxPlanes, math.max(4, bits.toInt))
   }
 
-  /** Corpus size per dir — parquet-footer count, memoized so the dozen
-    * bucket-building queries don't re-count per invocation. The cache key
-    * includes a file-listing signature (names + sizes + mtimes under
-    * `$dir/embeddings.parquet`), so regenerating the dataset at the same
-    * path in the same JVM (ScaleGen rewriting a dir between runs)
-    * invalidates the entry instead of desyncing the Spark-side adaptive
-    * plane count from the oracle's fresh count(*); and the Spark count()
-    * job runs OUTSIDE the lock so concurrent queries on other dirs don't
-    * serialize behind it (r11 ADVICE). */
-  private val sizeCache =
-    scala.collection.mutable.HashMap.empty[(String, String), Long]
-  private def dirSignature(dir: String): String = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    if (!java.nio.file.Files.exists(p)) "absent"
-    else if (java.nio.file.Files.isRegularFile(p))
-      s"${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-    else {
-      val st = java.nio.file.Files.list(p)
-      try st.iterator().asScala.toSeq.sorted.map { f =>
-        s"${f.getFileName}:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
-      }.mkString(",")
-      finally st.close()
+  /** Corpus size per dir — parquet-footer count, memoized via
+    * [[Tables.memoCount]] (signature-keyed so ScaleGen regenerations
+    * invalidate; count runs outside the lock — r11/r12 ADVICE). */
+  private def corpusSize(s: SparkSession, dir: String): Long =
+    Tables.memoCount(dir, "embeddings", "corpus_size") {
+      Tables.embeddings(s, dir).count()
     }
-  }
-  private def corpusSize(s: SparkSession, dir: String): Long = {
-    val key = (dir, dirSignature(dir))
-    sizeCache.synchronized(sizeCache.get(key)) match {
-      case Some(n) => n
-      case None =>
-        val n = Tables.embeddings(s, dir).count()
-        sizeCache.synchronized(sizeCache.update(key, n))
-        n
-    }
-  }
   private def planesFor(s: SparkSession, dir: String): Int =
     numPlanes(corpusSize(s, dir))
 
@@ -699,17 +671,45 @@ object Embeddings {
     * At every gate scale P = 4, so all flips are probed and results are
     * byte-identical to the probe-all formulation. Plane dots are the same
     * left-to-right double fold on both engines (bit-identical values),
-    * ranked by (|dot|, plane) — the oracle replays the selection exactly.
-    * The price paid is probe-side shuffle volume: this self-join
-    * replicates each query vector's payload 5× through the exchange (at
-    * production scale one would explode only (vec_id, probe) keys and
-    * fetch embeddings for join survivors to keep the exchange
-    * metadata-sized). The candidate side joins on its exact bucket,
-    * unchanged. */
+    * ranked by (round(|dot|, 6), plane) — the 6-dp rounding makes the
+    * flip selection robust to last-ulp accumulation-order changes in
+    * either engine's fold (r12 ADVICE: an engine-version change to
+    * list_sum would otherwise silently diverge the flip sets), and the
+    * oracle replays the rounded ranking exactly.
+    *
+    * Exchange budget (r12 VERDICT item 2 — measured in
+    * [[graft.tools.ProfileAnnMp]], numbers in BENCH_NOTES r13): the
+    * probe self-join replicates each query vector's payload 5× through
+    * the probe exchange — that term is (probes+1)·n payloads and is NOT
+    * the dominant one. The dominant term in the r12 shape was the
+    * rn=1 WINDOW's pair-volume exchange: every (query, candidate) pair
+    * (≈ bucket-occupancy × 5 per query, ~640n rows) crossed a second
+    * shuffle to be ranked. This version replaces the window with a
+    * partial-aggregated max_by (max of a (cos_sim, −nn_id) struct):
+    * map-side combine collapses each partition's pairs to ONE row per
+    * query before the exchange, so the second shuffle carries ≤ n rows
+    * per map partition of 24-byte metadata — identical output (ties
+    * keep the lower nn_id), pair volume never crosses an exchange. The
+    * scaladoc'd alternative of exploding only (vec_id, probe) keys and
+    * fetching payloads for join survivors was measured WORSE: scoring
+    * needs both payloads per PAIR, so the fetch-join moves the query
+    * payload pair-volume times (~640n) through an exchange instead of
+    * probe-volume times (5n) — the metadata probe exchange saves 5n
+    * payloads but pays ~128× of them back at the fetch. */
   def qEmbedAnnMp(s: SparkSession, dir: String): DataFrame = {
     val np = planesFor(s, dir)
     val nFlips = math.min(4, np)
-    val emb = Tables.embeddings(s, dir)
+    annMpBest(annMpPairs(s, dir, np, nFlips))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The bucketed + probe-selected embedding frame (vec_id, embedding,
+    * norm, bucket, probes) — probes = the nFlips single-bit flips plus
+    * home. Shared by [[annMpPairs]] and the variant profiler
+    * ([[graft.ProfileAnnMp]]). */
+  private[graft] def annMpEmb(s: SparkSession, dir: String,
+                              np: Int, nFlips: Int): DataFrame =
+    Tables.embeddings(s, dir)
       .withColumn("bucket", bucketCol("embedding", np))
       .withColumn("norm", sqrt(sqNorm("embedding")))
       // per-plane signed dots, same fold as bucketCol's sign test
@@ -718,36 +718,50 @@ object Embeddings {
         expr(s"aggregate(zip_with(embedding, $arr, (x, s) -> " +
           "CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
       }: _*))
-      // the nFlips boundary-closest planes, ties by plane index
+      // the nFlips boundary-closest planes: rank by 6-dp-rounded |dot|,
+      // ties by plane index (engine-parity-robust, see scaladoc)
       .withColumn("flips", expr(
         s"slice(transform(array_sort(transform(sequence(0, ${np - 1}), " +
-          "p -> struct(abs(element_at(dts, p + 1)) AS a, p AS p))), " +
+          "p -> struct(round(abs(element_at(dts, p + 1)), 6) AS a, p AS p))), " +
           s"s -> s.p), 1, $nFlips)"))
-    val l = emb.select(col("vec_id"), col("embedding"), col("norm"),
-      explode(concat(
+      .withColumn("probes", concat(
         expr("transform(flips, p -> bucket ^ shiftleft(1, p))"),
-        array(col("bucket")))).as("probe"))
+        array(col("bucket"))))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("bucket"),
+        col("probes"))
+
+  /** The scored multi-probe candidate pairs (vec_id, nn_id, cos_sim) —
+    * shared by [[qEmbedAnnMp]] and the variant profiler. */
+  private[graft] def annMpPairs(s: SparkSession, dir: String,
+                                np: Int, nFlips: Int): DataFrame = {
+    val emb = annMpEmb(s, dir, np, nFlips)
+    val l = emb.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(col("probes")).as("probe"))
     val r = emb.select(col("bucket").as("probe"), col("vec_id").as("nn_id"),
       col("embedding").as("emb2"), col("norm").as("norm2"))
-    val pairs = l.join(r, Seq("probe"))
+    l.join(r, Seq("probe"))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos_sim",
         pairCos("embedding", "emb2", "norm", "norm2"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("nn_id"))
-    // rn=1 picks the best candidate across all 5 probed buckets (no pair
-    // can appear twice: a candidate has ONE bucket and the 5 probe keys
-    // are pairwise distinct); ties keep the lower nn_id — deterministic
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("nn_id"), col("cos_sim"))
-      .orderBy(col("vec_id"))
   }
+
+  /** Best candidate per query across all probed buckets, selected by a
+    * partial-aggregated max over a (cos_sim, −nn_id) struct — the exact
+    * (cos_sim DESC, nn_id ASC) rn=1 semantics (no pair can appear twice:
+    * a candidate has ONE bucket and the probe keys are pairwise
+    * distinct), with map-side combine instead of a pair-volume window
+    * exchange. */
+  private[graft] def annMpBest(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_sim"), (-col("nn_id")).as("neg_nn"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_nn")).as("nn_id"),
+        col("m.cos_sim").as("cos_sim"))
 
   private val qEmbedAnnMpSql = {
     // query-directed probes: the min(4, P) boundary-closest plane flips
-    // (rank by (|dot|, p) — plane dots are the same double fold as the
-    // Spark side, bit-identical, so the selection replays exactly) + home
+    // (rank by (round(|dot|, 6), p) — plane dots are the same double fold
+    // as the Spark side, and the 6-dp rounding makes the replay robust to
+    // last-ulp fold differences, r12 ADVICE) + home
     s"""WITH b AS (
        |  SELECT vec_id, embedding,
        |    ${bucketSql("embedding")} AS bucket
@@ -760,7 +774,8 @@ object Embeddings {
        |        FROM b)),
        |fl AS (
        |  SELECT vec_id, p,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(d), p) AS rk
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(abs(d), 6), p) AS rk
        |  FROM pl),
        |l AS (
        |  SELECT b.vec_id, b.embedding,

@@ -177,17 +177,40 @@ object Streams {
     * distinct input vintage per JVM; production streams stage nothing). */
   private val flushStageCache = scala.collection.mutable.HashMap
     .empty[(String, String), (String, java.sql.Timestamp)]
+  /** Content signature of `$dir/events.parquet` — when the path is a
+    * DIRECTORY of part files (the ScaleGen layout [[eventsStream]]
+    * dispatches on), hash the sorted per-file name:size:mtime listing;
+    * the directory's own size/mtime does not change when a file is
+    * rewritten in place, so the single-path form would serve a stale
+    * staged fixture after a regeneration (r12 ADVICE). */
   private def eventsSignature(dir: String): String = {
+    import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir, "events.parquet")
     if (!java.nio.file.Files.exists(p)) "absent"
-    else s"${java.nio.file.Files.size(p)}:" +
-      s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    else if (java.nio.file.Files.isRegularFile(p))
+      s"${java.nio.file.Files.size(p)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    else {
+      val st = java.nio.file.Files.list(p)
+      try st.iterator().asScala.toSeq.sorted.map { f =>
+        s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+      }.mkString(",")
+      finally st.close()
+    }
   }
   private def flushedEventsStream(s: SparkSession, dir: String)
       : (DataFrame, java.sql.Timestamp) = {
     graft.core.Sessions.tune(s)
-    val (path, flushTs) = flushStageCache.synchronized {
-      flushStageCache.getOrElseUpdate((dir, eventsSignature(dir)), {
+    // check under the lock, stage OUTSIDE it, insert under the lock: the
+    // staging write is a ~1 s Spark job, and holding the global lock
+    // through it would serialize concurrent queries on unrelated dirs
+    // behind it (r12 ADVICE — same fix as Embeddings.corpusSize). Two
+    // racing stagers build duplicate fixtures; both are correct, the
+    // loser's dir is reaped by its own shutdown hook.
+    val key = (dir, eventsSignature(dir))
+    val (path, flushTs) = flushStageCache.synchronized(flushStageCache.get(key))
+      .getOrElse {
         val events = graft.core.Tables.events(s, dir)
         val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
         // max(ts) over an empty table is NULL — fail with the actual
@@ -206,9 +229,10 @@ object Streams {
         val p = staging.resolve("events").toString
         events.unionByName(sentinel).coalesce(1)
           .write.mode("overwrite").parquet(p)
-        (p, fts)
-      })
-    }
+        val entry = (p, fts)
+        flushStageCache.synchronized(
+          flushStageCache.getOrElseUpdate(key, entry))
+      }
     val schema = s.read.parquet(path).schema
     (s.readStream.schema(schema).parquet(path), flushTs)
   }
@@ -229,13 +253,32 @@ object Streams {
     // out of the dataset dir), while Spark-written datasets (ScaleGen)
     // make it a DIRECTORY of part files (stream the directory itself —
     // the r12 scaling audit caught the glob matching NOTHING there and
-    // the stream silently processing zero rows)
+    // the stream silently processing zero rows). A source that matches
+    // zero files FAILS LOUDLY here instead of completing instantly on
+    // empty input (r12 VERDICT item 5: the bug class is a harness
+    // succeeding on nothing — only the audit's absurd ~0.1× ratios
+    // exposed it).
+    val p = java.nio.file.Paths.get(path)
     val raw =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        val nParts =
+          try st.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
+          finally st.close()
+        require(nParts > 0,
+          s"stream source would read ZERO files: $path is a directory " +
+            "layout (Spark-written dataset) but contains no *.parquet " +
+            "part files")
         s.readStream.schema(schema).parquet(path)
-      else s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      } else {
+        require(java.nio.file.Files.isRegularFile(p),
+          s"stream source would read ZERO files: $path is neither a " +
+            "parquet file (driver-testdata layout) nor a directory of " +
+            "part files (Spark-written layout)")
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+      }
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
