@@ -68,6 +68,17 @@ object Bench {
     val total = timings.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(line)
+    // The driver's parser keeps only the LAST ~2k chars of stdout; with a
+    // 330-entry registry the full line above is ~12 kB, so its head (and
+    // the JSON syntax with it) fell outside the window and the driver
+    // recorded "parsed": null (r12 VERDICT item 4c). Emit a COMPACT
+    // summary as the final line — same shape, queries map truncated to
+    // the slowest entries so the whole line fits any plausible tail
+    // window; the complete sweep lives in the full line above and the
+    // SPARK_GRAFT_BENCH_OUT artifact.
+    val slowest = timings.sortBy(-_._2).take(20)
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${timings.size},"queries_truncated_to":"slowest20","failed":${errors.size},"sf":${jstr(sfDir)}}""")
     // full machine-readable artifact per round (round-7 VERDICT item 5:
     // the driver's BENCH_r{N}.json truncates to an alphabetical tail, so
     // the repo commits its own complete sweep when this env var is set)

@@ -20,6 +20,27 @@ object Verify {
     // the colstats hash sum throws on long overflow
     graft.core.Sessions.tune(spark)
     new java.io.File(outDir).mkdirs()
+    // Persist the ten shared input tables once per run (r12 VERDICT item
+    // 4b: the gate re-read the same parquet scans ~330 times, and gate
+    // wall-clock grows with the registry). Spark's CacheManager rewrites
+    // any later plan embedding the same canonicalized scan subtree to the
+    // in-memory copy, so every registry query hits the cache with zero
+    // code change — values are exact, only the plan's leaf changes. The
+    // gate runs at sf0.01/sf0.1 where all ten tables fit comfortably;
+    // this is harness-side only (Bench does NOT cache: it measures the
+    // real scan cost).
+    val cachedTables = graft.core.Tables.all.flatMap { t =>
+      try {
+        val df = if (t == "events") graft.core.Tables.events(spark, sfDir)
+                 else graft.core.Tables.load(spark, sfDir, t)
+        df.persist()
+        df.count()
+        Some(df)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] cache of $t skipped: ${e.getMessage}")
+        None
+      }
+    }
     val colStats = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.selectedQueries
       .foreach { case (name, fn) =>
@@ -59,6 +80,7 @@ object Verify {
     val statsJson = colStats
       .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/colstats.json"), statsJson)
+    cachedTables.foreach(_.unpersist())
     spark.stop()
   }
 

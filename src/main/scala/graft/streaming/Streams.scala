@@ -247,38 +247,44 @@ object Streams {
     // same session (latent ordering bug caught by a subset Verify run)
     graft.core.Sessions.tune(s)
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
     // two physical layouts exist: the driver testdata ships events.parquet
     // as a single FILE (the file source needs a directory base, so glob it
     // out of the dataset dir), while Spark-written datasets (ScaleGen)
     // make it a DIRECTORY of part files (stream the directory itself —
     // the r12 scaling audit caught the glob matching NOTHING there and
-    // the stream silently processing zero rows). A source that matches
-    // zero files FAILS LOUDLY here instead of completing instantly on
-    // empty input (r12 VERDICT item 5: the bug class is a harness
-    // succeeding on nothing — only the audit's absurd ~0.1× ratios
-    // exposed it).
+    // the stream silently processing zero rows). A source that would
+    // match zero files FAILS LOUDLY here, with the layout named, BEFORE
+    // the query starts — a bounded stream over nothing completes
+    // instantly with an empty result, which reads as success (r12
+    // VERDICT item 5: only the audit's absurd ~0.1× ratios exposed it).
+    // The listing check runs before the schema read so even a
+    // no-schema-to-infer empty directory gets this diagnostic, not a
+    // generic inference error. The walk is RECURSIVE: a
+    // partition-directory layout (p_year=…/part-*.parquet) is files the
+    // directory stream reads, not a zero-file case.
     val p = java.nio.file.Paths.get(path)
+    val isDirLayout = java.nio.file.Files.isDirectory(p)
+    if (isDirLayout) {
+      val st = java.nio.file.Files.walk(p)
+      val nParts = // regular files only: the walk includes the root dir,
+        // whose own name ends with ".parquet" in this layout
+        try st.filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")).count()
+        finally st.close()
+      require(nParts > 0,
+        s"stream source would read ZERO files: $path is a directory " +
+          "layout (Spark-written dataset) but contains no *.parquet " +
+          "part files")
+    } else require(java.nio.file.Files.isRegularFile(p),
+      s"stream source would read ZERO files: $path is neither a " +
+        "parquet file (driver-testdata layout) nor a directory of " +
+        "part files (Spark-written layout)")
+    val schema = s.read.parquet(path).schema
     val raw =
-      if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.list(p)
-        val nParts =
-          try st.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
-          finally st.close()
-        require(nParts > 0,
-          s"stream source would read ZERO files: $path is a directory " +
-            "layout (Spark-written dataset) but contains no *.parquet " +
-            "part files")
-        s.readStream.schema(schema).parquet(path)
-      } else {
-        require(java.nio.file.Files.isRegularFile(p),
-          s"stream source would read ZERO files: $path is neither a " +
-            "parquet file (driver-testdata layout) nor a directory of " +
-            "part files (Spark-written layout)")
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-      }
+      if (isDirLayout) s.readStream.schema(schema).parquet(path)
+      else s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

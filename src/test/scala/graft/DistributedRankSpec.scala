@@ -461,26 +461,71 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(on.collect().map(_.toString).sorted.toSeq == off)
   }
 
-  test("scope guard: RANGE-frame nth_value and IGNORE-NULLS first_value " +
-       "stay WindowExec") {
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val wRange = Window.orderBy(col("v")) // default RANGE running frame
-      val nvRange = fixture(200).withColumn(s"${M}_x",
-        nth_value(col("v"), 2).over(wRange))
-      assert(nvRange.queryExecution.executedPlan
-        .collect { case w: WindowExec => w }.nonEmpty,
-        "RANGE nth_value (needs run-end lookahead) must stay WindowExec")
-      // IGNORE NULLS first over the default RANGE frame is frame-END-
-      // dependent (a null-prefixed peer run reaches its later non-null) —
-      // stays declined even though the ROWS twin routes (r12)
-      val ignFirst = fixture(200).withColumn(s"${M}_x",
-        first(col("v"), ignoreNulls = true)
-          .over(Window.orderBy(col("v"), col("id"))))
-      assert(ignFirst.queryExecution.executedPlan
-        .collect { case w: WindowExec => w }.nonEmpty,
-        "IGNORE NULLS first_value under RANGE must stay WindowExec")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  test("RANGE per-run family (nth_value, IGNORE NULLS first/last) ROUTES " +
+       "and equals WindowExec across tie runs and null runs (r13 — the " +
+       "two previously-declined shapes)") {
+    // determinism note: under order-by-v ties the per-run answer is only
+    // well-defined when the value column is a FUNCTION of the sort key
+    // (tied rows then agree), so pv derives from v — the same discipline
+    // the gated q_fact_rolling_dist RANGE columns follow
+    markerVsPlain { (df, nm) =>
+      val w = Window.partitionBy(col("flag")).orderBy(col("v")) // RANGE default
+      val d2 = df.withColumn("pv",
+        when(col("v") % 3 === 0, lit(null)).otherwise(col("v") * 10))
+      d2.withColumn(nm("n2"), nth_value(col("pv"), 2).over(w))
+        .withColumn(nm("n9"), nth_value(col("pv"), 9).over(w))
+        .withColumn(nm("n4i"),
+          nth_value(col("pv"), 4, ignoreNulls = true).over(w))
+        .withColumn(nm("f1i"), first(col("pv"), ignoreNulls = true).over(w))
+        .withColumn(nm("l1i"), last(col("pv"), ignoreNulls = true).over(w))
+    }
+  }
+
+  test("RANGE per-run family: global window variant equals WindowExec") {
+    markerVsPlain { (df, nm) =>
+      val w = Window.orderBy(col("v"))
+      val d2 = df.withColumn("pv",
+        when(col("v") % 2 === 0, lit(null)).otherwise(col("v") * 10))
+      d2.withColumn(nm("n3"), nth_value(col("pv"), 3).over(w))
+        .withColumn(nm("l1i"), last(col("pv"), ignoreNulls = true).over(w))
+        .withColumn(nm("f1i"), first(col("pv"), ignoreNulls = true).over(w))
+    }
+  }
+
+  test("RANGE per-run family chains across a prefix-satisfied finer " +
+       "pre-partitioning — tie runs and null runs straddling partition " +
+       "boundaries, k-th row beyond the partition (r13)") {
+    import spark.implicits._
+    // v % 3 → ~500-row tie runs per flag; 64 partitions → ~47-row group
+    // segments, so runs straddle MANY boundaries, nth_value(pv, 40)'s
+    // 40th group row lives past the group's first partition (the
+    // backward-head-chain fetch), and pv is NULL for the whole v=0 run
+    // (~500 rows) so IGNORE NULLS answers cross null runs wider than a
+    // partition. pv = f(v) keeps every per-run answer tie-insensitive.
+    val df = spark.range(3000).select(
+      $"id",
+      (abs(hash(concat(lit("s"), $"id"))) % 3).cast("long").as("v"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+      .withColumn("pv",
+        when(col("v") === 0, lit(null)).otherwise(col("v") * 100))
+      .repartitionByRange(64, col("flag"), col("v"), col("id"))
+    def build(nm: String => String): DataFrame = {
+      val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      df.withColumn(nm("n2"), nth_value(col("pv"), 2).over(w))
+        .withColumn(nm("n40"), nth_value(col("pv"), 40).over(w))
+        .withColumn(nm("n1i"),
+          nth_value(col("pv"), 1, ignoreNulls = true).over(w))
+        .withColumn(nm("n30i"),
+          nth_value(col("pv"), 30, ignoreNulls = true).over(w))
+        .withColumn(nm("f1i"), first(col("pv"), ignoreNulls = true).over(w))
+        .withColumn(nm("l1i"), last(col("pv"), ignoreNulls = true).over(w))
+    }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    assert(on.collect().map(_.toString).sorted.toSeq == off)
   }
 
   /** Fixture with LONG null runs (tens of consecutive nulls inside each
@@ -632,7 +677,30 @@ class DistributedRankSpec extends AnyFunSuite {
     // total run also stays within a generous envelope of the WindowExec
     // baseline (the rest of the gap is 2×4096 tiny-task scheduling,
     // a local[32] artifact that a real cluster amortizes)
-    val chainMs = graft.plans.DistributedRankDiagnostics.lastChainMillis
+    // read THIS run's exec (by physical-node id) — the per-exec map is
+    // what makes the assertion race-free under parallel suites (r12
+    // ADVICE: the previous JVM-global could read another query's time).
+    // AQE wraps executed stages in leaf QueryStageExec nodes, so descend
+    // through them explicitly — plain collect stops at the stage boundary.
+    def findExecs(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = {
+      val here = p match {
+        case e: graft.plans.DistributedWindowExec => Seq(e.id)
+        case _ => Nil
+      }
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(findExecs)
+    }
+    val execIds = findExecs(on.queryExecution.executedPlan)
+    assert(execIds.nonEmpty,
+      s"no DistributedWindowExec in: ${on.queryExecution.executedPlan}")
+    val chainMs = execIds
+      .map(graft.plans.DistributedRankDiagnostics.chainMillisFor).max
     info(f"4096-partition run: WindowExec $tOff%.2f s, distributed " +
       f"$tOn%.2f s, driver chains $chainMs%.1f ms")
     assert(chainMs > 0 && chainMs < 1000.0,
@@ -1055,38 +1123,38 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(run("3") == run("11"))
   }
 
-  test("declined-shape diagnostic: RANGE nth_value stays on WindowExec " +
-       "AND says so (r11 VERDICT item 6)") {
+  test("declined-shape diagnostic: a RANGE OFFSET frame stays on " +
+       "WindowExec AND says so (r11 VERDICT item 6; r13 — the previous " +
+       "exemplar, RANGE nth_value, now routes)") {
     import graft.plans.DistributedRankDiagnostics
     DistributedRankDiagnostics.clear()
-    val w = Window.orderBy(col("v"), col("id"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // RANGE k PRECEDING .. CURRENT ROW (a value-offset frame) is
+    // deliberately out of scope — the moving window is value-bounded,
+    // not row-bounded, so no fixed-depth ring replays it
+    val w = Window.orderBy(col("v")).rangeBetween(-5, Window.currentRow)
     val (plan, declined) = withFlag(true) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val d = fixture(500).withColumn("nv",
-          expr("nth_value(v, 3)").over(w))
+        val d = fixture(500).withColumn("rs", sum(col("v")).over(w))
         val p = d.queryExecution.executedPlan
         d.collect()
         (p, DistributedRankDiagnostics.declined)
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
-    // stays on WindowExec (RANGE nth_value needs run-end lookahead)
     assert(plan.collect { case we: WindowExec => we }.nonEmpty,
-      s"RANGE nth_value must stay on WindowExec:\n$plan")
-    // ...and the refusal is visible, naming the function and the fix
-    assert(declined.exists(m => m.contains("nth_value") &&
-      m.contains("RANGE") && m.contains("ROWS BETWEEN")),
-      s"expected a RANGE-nth_value decline diagnostic, got: $declined")
+      s"a RANGE offset frame must stay on WindowExec:\n$plan")
+    // ...and the refusal is visible, naming the function
+    assert(declined.exists(m => m.contains("sum") &&
+      m.contains("RANGE")),
+      s"expected a RANGE-offset-frame decline diagnostic, got: $declined")
   }
 
   test("declined-shape diagnostic is silent when the extension was not " +
        "asked to route (flag off, no marker)") {
     import graft.plans.DistributedRankDiagnostics
     DistributedRankDiagnostics.clear()
-    val w = Window.orderBy(col("v"), col("id"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val d = fixture(500).withColumn("nv", expr("nth_value(v, 3)").over(w))
+    val w = Window.orderBy(col("v")).rangeBetween(-5, Window.currentRow)
+    val d = fixture(500).withColumn("rs", sum(col("v")).over(w))
     d.queryExecution.optimizedPlan
     d.collect()
     assert(DistributedRankDiagnostics.declined.isEmpty,

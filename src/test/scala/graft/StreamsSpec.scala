@@ -328,6 +328,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 80)
   }
 
+  test("stream source over a zero-file layout throws with the layout named, " +
+       "never an empty result (r12 VERDICT item 5)") {
+    // an events.parquet DIRECTORY with no part files — the shape the r12
+    // layout bug silently streamed zero rows from; the only *.parquet
+    // content is metadata-ish noise a Spark job could leave behind
+    val root = Files.createTempDirectory("graft_zero_stream")
+    val evDir = root.resolve("events.parquet")
+    Files.createDirectory(evDir)
+    Files.writeString(evDir.resolve("_SUCCESS"), "")
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.queries("q_stream_dedup")(spark, root.toString)
+    }
+    assert(ex.getMessage.contains("ZERO files"), ex.getMessage)
+    assert(ex.getMessage.contains("directory layout"), ex.getMessage)
+    // and the no-events.parquet-at-all case names the expected layouts
+    val empty = Files.createTempDirectory("graft_no_events")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.queries("q_stream_dedup")(spark, empty.toString)
+    }
+    assert(ex2.getMessage.contains("neither a"), ex2.getMessage)
+  }
+
   test("foreachBatch runs a batch-library cleaning stage per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
