@@ -350,6 +350,57 @@ class StreamsSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("neither a"), ex2.getMessage)
   }
 
+  test("RocksDB state store provider ENGAGES (state operator reports " +
+       "rocksdb metrics) and a windowed agg is provider-independent " +
+       "(r12 VERDICT item 7)") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.streaming.Streams.RocksDbProviderClass)
+    try {
+      val q = Streams.windowedEventStats(src.toDF(), "10 minutes", "30 minutes")
+        .writeStream.format("memory").queryName("rocks_win")
+        .outputMode("complete").start()
+      try {
+        src.addData(ev(1, 1, "click", 1.5), ev(2, 2, "click", 2.5),
+          ev(11, 1, "view", 4.0))
+        q.processAllAvailable()
+        // identical answer to the default-provider run in the first test
+        val rows = spark.table("rocks_win").collect()
+        assert(rows.length == 2)
+        val click = rows.find(_.getAs[String]("event_type") == "click").get
+        assert(click.getAs[Long]("n_events") == 2)
+        assert(click.getAs[Double]("total_value") == 4.0)
+        // ...and the provider really is RocksDB, not a silently-ignored
+        // conf: the state operator's custom metrics are rocksdb-specific
+        val ops = q.lastProgress.stateOperators
+        assert(ops.nonEmpty, "expected a stateful operator in progress")
+        val names = ops.head.customMetrics.keySet().asScala
+        assert(names.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb metric in: $names")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("gated streaming queries are provider-independent: tumbling + CDC " +
+       "results identical under spark.graft.streaming.rocksdb=true") {
+    val dir = "/root/testdata/sf0.001"
+    def runBoth(name: String): Unit = {
+      val off = Streams.queries(name)(spark, dir)
+        .collect().map(_.toString).toSeq
+      spark.conf.set(Streams.RocksDbFlag, "true")
+      val on =
+        try Streams.queries(name)(spark, dir).collect().map(_.toString).toSeq
+        finally spark.conf.set(Streams.RocksDbFlag, "false")
+      assert(on == off, s"$name diverges under the RocksDB state store")
+    }
+    runBoth("q_stream_tumbling") // windowed agg + kmv-free state eviction
+    runBoth("q_stream_cdc")      // mapGroupsWithState custom state class
+  }
+
   test("foreachBatch runs a batch-library cleaning stage per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
