@@ -214,6 +214,28 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
   val AutoGroupThreshold: Long = 4096L
   val AutoGroupThresholdKey = "spark.graft.distributedWindow.autoGroupThreshold"
 
+  /** DEFAULT-ON size gate (r13 — the r12 VERDICT's default-on decision):
+    * with `spark.graft.distributedRank.auto` (default TRUE), a GLOBAL
+    * (partition-less) window whose child's estimated size reaches this
+    * many bytes routes to the distributed operator WITHOUT any flag or
+    * marker — a naive user's fact-scale global window gets the
+    * scale-safe plan with no code change, which is the whole promise.
+    * Below the gate, single-task WindowExec keeps the plan: the repo's
+    * own 66 justified partition-less windows are all dim-sized bounded
+    * aggregates where one task is both safe and FASTER than paying the
+    * two-pass range exchange (measured: the 4096-partition spec's
+    * tiny-task scheduling overhead is real on local mode, and the r13
+    * flag-on parity sweep proves the flip is value-neutral either way).
+    * sizeInBytes is Catalyst's always-available estimate; an
+    * overestimate routes a window early — a performance trade, never a
+    * wrong answer. Grouped windows stay flag/marker-routed: their
+    * WindowExec hash exchange is already scale-correct for
+    * high-cardinality keys, so a default flip needs the stats proof the
+    * session flag applies. */
+  val AutoGlobalMinBytes: Long = 128L << 20
+  val AutoGlobalMinBytesKey = "spark.graft.distributedWindow.autoGlobalMinBytes"
+  val AutoKey = "spark.graft.distributedRank.auto"
+
   private def markerNamed(e: NamedExpression): Boolean =
     e.name == NameMarker || e.name.startsWith(NameMarker + "_")
 
@@ -418,11 +440,20 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The default-on size gate (scaladoc at [[AutoGlobalMinBytes]]). */
+  private def autoGlobalRoute(child: LogicalPlan): Boolean = {
+    val minBytes = BigInt(conf.getConfString(AutoGlobalMinBytesKey,
+      AutoGlobalMinBytes.toString).toLong)
+    child.stats.sizeInBytes >= minBytes
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // parseBoolean never throws — a malformed flag value must not crash
     // EVERY query's optimization in the session (review finding)
     val flagOn = java.lang.Boolean.parseBoolean(
       conf.getConfString(DistributedRank.Flag, "false").trim)
+    val autoOn = java.lang.Boolean.parseBoolean(
+      conf.getConfString(AutoKey, "true").trim)
     // routing transparency: a node the user ASKED to route (flag or
     // marker) that stays on WindowExec gets its declined shapes recorded
     // + logged once (dedup in the diagnostics ring — this rule re-runs
@@ -442,16 +473,20 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
             WindowExpression(_: RowNumber,
               WindowSpecDefinition(Nil, order, _)), _)),
           Nil, _, child, _)
-          if order.nonEmpty && (flagOn || markerNamed(a)) =>
+          if order.nonEmpty && (flagOn || markerNamed(a) ||
+            (autoOn && autoGlobalRoute(child))) =>
         DistributedGlobalRank(a.toAttribute, order, child)
       // the generalized operator; the flag reaches every GLOBAL window
       // and stats-routed GROUPED windows (r11); the explicit marker
-      // reaches everything supported (scaladoc above)
+      // reaches everything supported (scaladoc above); and — default-on,
+      // r13 — a GLOBAL window over a size-gated child routes with no
+      // flag or marker at all (scaladoc at AutoGlobalMinBytes)
       case Window(exprs, parts, _, child, _)
           if exprs.nonEmpty && exprs.forall(supported) &&
              (exprs.exists(markerNamed) ||
               (flagOn && (parts.isEmpty ||
-                autoGroupedRoute(exprs, parts, child)))) =>
+                autoGroupedRoute(exprs, parts, child))) ||
+              (autoOn && parts.isEmpty && autoGlobalRoute(child))) =>
         // all expressions on one Window node share (partition, order);
         // take the order from the first spec (the node-level orderSpec
         // can carry extra resolution artifacts)

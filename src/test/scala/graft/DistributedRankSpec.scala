@@ -127,6 +127,59 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("default-on size gate (r13): a global window routes with NO flag " +
+       "or marker once the child's estimated size crosses the gate, " +
+       "keeps WindowExec below it, and the kill switch works") {
+    import graft.plans.DistributedRankRewrite.{AutoGlobalMinBytesKey, AutoKey}
+    import spark.implicits._
+    def q(): DataFrame = fixture(300)
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"), col("id"))))
+      .withColumn("cs", sum(col("v")).over(Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // tiny input under the default 128 MiB gate: stays WindowExec (the
+      // dim-sized justified windows keep their faster single-task plan)
+      val below = q().queryExecution.executedPlan
+      assert(below.collect { case w: WindowExec => w }.nonEmpty &&
+        below.collect { case e: DistributedWindowExec => e }.isEmpty,
+        s"below the gate must stay WindowExec:\n$below")
+      // gate lowered: the SAME query routes — no flag, no marker
+      spark.conf.set(AutoGlobalMinBytesKey, "1")
+      val above =
+        try q().queryExecution.executedPlan
+        finally spark.conf.unset(AutoGlobalMinBytesKey)
+      assert(above.collect { case e: DistributedWindowExec => e }.nonEmpty,
+        s"above the gate must auto-route:\n$above")
+      // value parity across the auto flip
+      spark.conf.set(AutoGlobalMinBytesKey, "1")
+      val on = try q().collect().map(_.toString).sorted.toSeq
+        finally spark.conf.unset(AutoGlobalMinBytesKey)
+      val off = q().collect().map(_.toString).sorted.toSeq
+      assert(on == off, "auto-routed result must equal WindowExec")
+      // kill switch: auto=false never routes, even above the gate
+      spark.conf.set(AutoKey, "false")
+      spark.conf.set(AutoGlobalMinBytesKey, "1")
+      try {
+        val killed = q().queryExecution.executedPlan
+        assert(killed.collect { case e: DistributedWindowExec => e }.isEmpty,
+          s"auto=false must keep WindowExec:\n$killed")
+      } finally {
+        spark.conf.unset(AutoKey)
+        spark.conf.unset(AutoGlobalMinBytesKey)
+      }
+      // grouped windows do NOT auto-route by default (flag/marker only)
+      spark.conf.set(AutoGlobalMinBytesKey, "1")
+      try {
+        val grouped = fixture(300).withColumn("rn", row_number().over(
+          Window.partitionBy(col("v") % 3).orderBy(col("v"), col("id"))))
+          .queryExecution.executedPlan
+        assert(grouped.collect { case e: DistributedWindowExec => e }.isEmpty,
+          s"grouped windows stay flag/marker-routed:\n$grouped")
+      } finally spark.conf.unset(AutoGlobalMinBytesKey)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("tightened marker: a user column named __dist_rankings does NOT trigger") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

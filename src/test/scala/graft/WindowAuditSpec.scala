@@ -63,7 +63,11 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_ks_test"          -> "O(days) daily-revenue ECDF",
     "q_mann_whitney"     -> "O(days) daily-revenue ranks",
     "q_runs_test"        -> "O(days) daily sign sequence",
-    "q_theil_sen"        -> "O(60-day tail) pair fan-out",
+    // q_theil_sen left this list in r13: its global window sits above a
+    // pair self-join whose Catalyst size estimate crosses the default-on
+    // gate (DistributedRankRewrite.AutoGlobalMinBytes), so the window now
+    // AUTO-ROUTES to DistributedWindowExec — the operator absorbed the
+    // justification (the anti-rot test below forced this removal)
     "q_bollinger"        -> "O(days) rolling stats",
     "q_cusum"            -> "O(days) cumulative deviation",
     "q_changepoint"      -> "O(days) split scan",

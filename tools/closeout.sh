@@ -91,6 +91,17 @@ assert s["ok"] > 0, "oracle gate empty"
 EOF
 rm -rf "$VOUT"
 
+echo "[closeout] 1b/7 flag-on parity sweep (sf0.01) -> PARITY_r${N}.json"
+# r13: every registry query, distributedRank flag off vs on, checksum +
+# routing counts; ParityCheck exits nonzero on any mismatch
+SPARK_GRAFT_CPUS="$CPUS" \
+  sbt -batch "runMain graft.tools.ParityCheck /root/testdata/sf0.01 $PWD/PARITY_r${N}.json" \
+  > /tmp/closeout_parity.log 2>&1 || {
+    tail -5 /tmp/closeout_parity.log
+    echo "[closeout] parity sweep FAILED (mismatch or crash)"; exit 1; }
+grep -o '\[parity\] [0-9]* queries.*' /tmp/closeout_parity.log | tail -1
+[ -s "PARITY_r${N}.json" ] || { echo "[closeout] no PARITY_r${N}.json"; exit 1; }
+
 echo "[closeout] 2/7 full bench sweep (sf0.1, local[$CPUS]) -> BENCH_FULL_r${N}.json"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
   SPARK_GRAFT_BENCH_OUT="$PWD/BENCH_FULL_r${N}.json" \
