@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Deterministic scale-up generator for the SCALING AUDIT (r10 VERDICT
   * item 1: "measure the 100×-scale story instead of arguing it").
   *
-  * `runMain graft.tools.ScaleGen <srcSfDir> <outDir> <replicas>`
+  * `runMain graft.tools.ScaleGen <srcSfDir> <outDir> <replicas> [tables]`
   *
-  * Writes every table of `srcSfDir` replicated `replicas`× under
-  * `outDir`, DISTRIBUTION-EXACT by construction rather than re-modeled:
+  * Writes every table of `srcSfDir` (or only the comma-listed `tables`
+  * subset — e.g. a documents-only wider replica for a single-query
+  * adjudication, without paying for a 180M-row lineitem) replicated
+  * `replicas`× under `outDir`, DISTRIBUTION-EXACT by construction
+  * rather than re-modeled:
   * each replica is the source data under a per-replica key remap
   * (`key·R + rep`), so every per-key row count, join fanout, null rate,
   * value distribution and skew profile is preserved bit-for-bit while
@@ -39,7 +42,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, rStr) = args
+    val (srcDir, outDir, rStr) = (args(0), args(1), args(2))
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val r = rStr.toInt
     require(r >= 1, "replicas must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -54,7 +59,8 @@ object ScaleGen {
 
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
-    def write(name: String, df: DataFrame): Long = {
+    def write(name: String, df: => DataFrame): Long = {
+      if (only.exists(!_.contains(name))) { println(s"[scalegen] $name: skipped"); return 0L }
       val path = s"$outDir/$name.parquet"
       df.write.mode("overwrite").parquet(path)
       val n = spark.read.parquet(path).count()

@@ -60,11 +60,16 @@ object ScalingAudit {
 
   def main(args: Array[String]): Unit = {
     val (smallDir, bigDir, outJson) = (args(0), args(1), args(2))
-    // optional 4th arg: comma list restricting the audit (re-measuring a
-    // fix without paying for the full sweep)
-    val selected = if (args.length > 3)
-      AuditQueries.filter(args(3).split(",").map(_.trim).toSet)
-    else AuditQueries
+    // optional 4th arg: comma list selecting the audit set — any registry
+    // name, not just AuditQueries (re-measuring a fix, or a query whose
+    // shape changed after the headline list was written, without paying
+    // for the full sweep)
+    val selected: Seq[String] = if (args.length > 3) {
+      val asked = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val unknown = asked.filterNot(graft.SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"not in the registry: ${unknown.mkString(", ")}")
+      asked
+    } else AuditQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,9 +90,16 @@ object ScalingAudit {
       math.min(runOnce(name, dir), runOnce(name, dir))
     }
 
+    // data ratio from lineitem when both dirs carry it; a tables-subset
+    // ScaleGen output (e.g. a documents-only wider replica for a single
+    // adjudication) falls back to documents
     val dataRatio = {
-      val a = spark.read.parquet(s"$smallDir/lineitem.parquet").count()
-      val b = spark.read.parquet(s"$bigDir/lineitem.parquet").count()
+      def has(dir: String, t: String) =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$t.parquet"))
+      val table = if (has(smallDir, "lineitem") && has(bigDir, "lineitem"))
+        "lineitem" else "documents"
+      val a = spark.read.parquet(s"$smallDir/$table.parquet").count()
+      val b = spark.read.parquet(s"$bigDir/$table.parquet").count()
       b.toDouble / a
     }
 
