@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Harness-side logging config (conf/log4j2.properties) on the run/test
+// classpaths only — deliberately NOT in src/main/resources, so the
+// published jar stays logging-neutral for downstream applications
+Runtime / unmanagedClasspath += baseDirectory.value / "conf"
+Test / unmanagedClasspath += baseDirectory.value / "conf"

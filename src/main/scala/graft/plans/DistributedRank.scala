@@ -102,7 +102,15 @@ object DistributedRankDiagnostics {
   private val chainMillis =
     new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Double]()
   private[plans] def recordChain(id: Int, ms: Double): Unit = {
-    if (chainMillis.size > 256) chainMillis.clear() // diagnostic, not metrics
+    // bound without clear(): a full wipe between another live exec's
+    // finish and its spec reading chainMillisFor would zero that run's
+    // value (review finding) — evict ONE arbitrary other entry instead
+    if (chainMillis.size > 256) {
+      val it = chainMillis.keySet().iterator()
+      while (it.hasNext && chainMillis.size > 256) {
+        val k = it.next(); if (k != id) chainMillis.remove(k)
+      }
+    }
     chainMillis.put(id, ms)
   }
   /** Chain-assembly cost of the exec with physical-plan id `id` (0.0 if
@@ -298,8 +306,12 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
   private def autoGroupedRoute(exprs: Seq[NamedExpression],
                                groups: Seq[Expression],
                                child: LogicalPlan): Boolean = {
-    val threshold = BigInt(conf.getConfString(AutoGroupThresholdKey,
-      AutoGroupThreshold.toString).toLong)
+    // Try for the same malformed-conf-must-not-throw invariant as the
+    // size gate and the boolean flag parses
+    val threshold = BigInt(
+      scala.util.Try(conf.getConfString(AutoGroupThresholdKey,
+        AutoGroupThreshold.toString).trim.toLong)
+        .getOrElse(AutoGroupThreshold))
     val est = estimatedGroups(child, groups)
     if (exprs.exists(sizeBased)) est.exists(_ <= threshold)
     else est.forall(_ <= threshold)
@@ -440,10 +452,16 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The default-on size gate (scaladoc at [[AutoGlobalMinBytes]]). */
+  /** The default-on size gate (scaladoc at [[AutoGlobalMinBytes]]).
+    * A malformed conf value falls back to the default instead of
+    * throwing — this runs inside the optimizer for EVERY global window,
+    * so a typo'd session conf must not fail unrelated queries (the same
+    * invariant the boolean flag parse below holds). */
   private def autoGlobalRoute(child: LogicalPlan): Boolean = {
-    val minBytes = BigInt(conf.getConfString(AutoGlobalMinBytesKey,
-      AutoGlobalMinBytes.toString).toLong)
+    val minBytes = BigInt(
+      scala.util.Try(conf.getConfString(AutoGlobalMinBytesKey,
+        AutoGlobalMinBytes.toString).trim.toLong)
+        .getOrElse(AutoGlobalMinBytes))
     child.stats.sizeInBytes >= minBytes
   }
 

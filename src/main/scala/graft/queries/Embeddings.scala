@@ -50,7 +50,7 @@ object Embeddings {
     * in [[bucketSql]] computes the identical P from the identical
     * count(*). P = 4 at every driver gate scale (N ≤ 2048), so gate
     * results are byte-stable. */
-  private def numPlanes(n: Long): Int = {
+  private[graft] def numPlanes(n: Long): Int = {
     val x = (math.max(1L, n) + 127) / 128
     val bits = if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
     math.min(MaxPlanes, math.max(4, bits.toInt))
@@ -671,11 +671,15 @@ object Embeddings {
     * At every gate scale P = 4, so all flips are probed and results are
     * byte-identical to the probe-all formulation. Plane dots are the same
     * left-to-right double fold on both engines (bit-identical values),
-    * ranked by (round(|dot|, 6), plane) — the 6-dp rounding makes the
-    * flip selection robust to last-ulp accumulation-order changes in
+    * ranked by (floor(|dot|·1e6), plane) — the 1e-6 quantization makes
+    * the flip selection robust to last-ulp accumulation-order changes in
     * either engine's fold (r12 ADVICE: an engine-version change to
-    * list_sum would otherwise silently diverge the flip sets), and the
-    * oracle replays the rounded ranking exactly.
+    * list_sum would otherwise silently diverge the flip sets), and
+    * floor(x·1e6) is pure IEEE multiply+floor, computed bit-identically
+    * by both engines on the same double — unlike round(x, 6), whose
+    * Spark (BigDecimal HALF_UP) and DuckDB (x·1e6 then nearbyint)
+    * implementations can disagree exactly at a .5 boundary (review
+    * finding). The oracle replays the quantized ranking exactly.
     *
     * Exchange budget (r12 VERDICT item 2 — measured in
     * [[graft.tools.ProfileAnnMp]], numbers in BENCH_NOTES r13): the
@@ -718,11 +722,12 @@ object Embeddings {
         expr(s"aggregate(zip_with(embedding, $arr, (x, s) -> " +
           "CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
       }: _*))
-      // the nFlips boundary-closest planes: rank by 6-dp-rounded |dot|,
-      // ties by plane index (engine-parity-robust, see scaladoc)
+      // the nFlips boundary-closest planes: rank by floor(|dot|·1e6)
+      // (IEEE-identical on both engines), ties by plane index — see
+      // scaladoc
       .withColumn("flips", expr(
         s"slice(transform(array_sort(transform(sequence(0, ${np - 1}), " +
-          "p -> struct(round(abs(element_at(dts, p + 1)), 6) AS a, p AS p))), " +
+          "p -> struct(floor(abs(element_at(dts, p + 1)) * 1e6) AS a, p AS p))), " +
           s"s -> s.p), 1, $nFlips)"))
       .withColumn("probes", concat(
         expr("transform(flips, p -> bucket ^ shiftleft(1, p))"),
@@ -759,9 +764,10 @@ object Embeddings {
 
   private val qEmbedAnnMpSql = {
     // query-directed probes: the min(4, P) boundary-closest plane flips
-    // (rank by (round(|dot|, 6), p) — plane dots are the same double fold
-    // as the Spark side, and the 6-dp rounding makes the replay robust to
-    // last-ulp fold differences, r12 ADVICE) + home
+    // (rank by (floor(|dot|·1e6), p) — plane dots are the same double
+    // fold as the Spark side, and the IEEE multiply+floor quantization
+    // replays bit-identically on both engines, r12 ADVICE + review
+    // finding) + home
     s"""WITH b AS (
        |  SELECT vec_id, embedding,
        |    ${bucketSql("embedding")} AS bucket
@@ -775,7 +781,7 @@ object Embeddings {
        |fl AS (
        |  SELECT vec_id, p,
        |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY round(abs(d), 6), p) AS rk
+       |      ORDER BY floor(abs(d) * 1e6), p) AS rk
        |  FROM pl),
        |l AS (
        |  SELECT b.vec_id, b.embedding,

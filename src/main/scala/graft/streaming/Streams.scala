@@ -208,28 +208,13 @@ object Streams {
     * distinct input vintage per JVM; production streams stage nothing). */
   private val flushStageCache = scala.collection.mutable.HashMap
     .empty[(String, String), (String, java.sql.Timestamp)]
-  /** Content signature of `$dir/events.parquet` — when the path is a
-    * DIRECTORY of part files (the ScaleGen layout [[eventsStream]]
-    * dispatches on), hash the sorted per-file name:size:mtime listing;
-    * the directory's own size/mtime does not change when a file is
-    * rewritten in place, so the single-path form would serve a stale
-    * staged fixture after a regeneration (r12 ADVICE). */
-  private def eventsSignature(dir: String): String = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir, "events.parquet")
-    if (!java.nio.file.Files.exists(p)) "absent"
-    else if (java.nio.file.Files.isRegularFile(p))
-      s"${java.nio.file.Files.size(p)}:" +
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-    else {
-      val st = java.nio.file.Files.list(p)
-      try st.iterator().asScala.toSeq.sorted.map { f =>
-        s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
-      }.mkString(",")
-      finally st.close()
-    }
-  }
+  /** Content signature of `$dir/events.parquet` — the shared dual-layout
+    * helper (single file vs directory of part files) so a future layout
+    * fix lands in ONE place for every memo (r12 ADVICE; review finding:
+    * this was a byte-for-byte private copy of [[graft.core.Tables
+    * .signature]]). */
+  private def eventsSignature(dir: String): String =
+    graft.core.Tables.signature(dir, "events")
   private def flushedEventsStream(s: SparkSession, dir: String)
       : (DataFrame, java.sql.Timestamp) = {
     graft.core.Sessions.tune(s)

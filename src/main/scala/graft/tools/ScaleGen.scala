@@ -43,8 +43,15 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val (srcDir, outDir, rStr) = (args(0), args(1), args(2))
+    val allTables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
     val only: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    // a typo'd subset must fail here, not exit 0 with an empty output dir
+    only.foreach { ts =>
+      val unknown = ts -- allTables
+      require(unknown.isEmpty, s"unknown tables: ${unknown.mkString(", ")}")
+    }
     val r = rStr.toInt
     require(r >= 1, "replicas must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

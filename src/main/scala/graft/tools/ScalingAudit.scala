@@ -79,15 +79,36 @@ object ScalingAudit {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Sessions.tune(spark)
 
-    def runOnce(name: String, dir: String): Double = {
+    // shuffle-write bytes per timed run — the linearity witness that
+    // separates PLAN growth from execution-environment residue (GC,
+    // fixed-partition spill): a query whose bytes scale with the data
+    // ratio while its wall-clock scales faster has a linear plan under
+    // memory-system pressure, not a super-linear algorithm
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def runOnce(name: String, dir: String): (Double, Long) = {
+      // listenerBus is private[spark]; a short settle pause lets the
+      // async stage-completed events drain — MB-scale precision is all
+      // the linearity witness needs
+      Thread.sleep(1500)
+      val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500)
+      (secs, shuffleBytes.get() - b0)
     }
-    def measure(name: String, dir: String): Double = {
+    def measure(name: String, dir: String): (Double, Long) = {
       runOnce(name, dir) // warmup + IndexStore build for this (dir, JVM)
-      math.min(runOnce(name, dir), runOnce(name, dir))
+      val (t1, b1) = runOnce(name, dir); val (t2, b2) = runOnce(name, dir)
+      (math.min(t1, t2), math.min(b1, b2))
     }
 
     // data ratio from lineitem when both dirs carry it; a tables-subset
@@ -98,6 +119,9 @@ object ScalingAudit {
         java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$t.parquet"))
       val table = if (has(smallDir, "lineitem") && has(bigDir, "lineitem"))
         "lineitem" else "documents"
+      require(has(smallDir, table) && has(bigDir, table),
+        s"neither lineitem nor documents present in BOTH $smallDir and " +
+          s"$bigDir — the data ratio needs one shared table")
       val a = spark.read.parquet(s"$smallDir/$table.parquet").count()
       val b = spark.read.parquet(s"$bigDir/$table.parquet").count()
       b.toDouble / a
@@ -105,11 +129,14 @@ object ScalingAudit {
 
     val rows = selected.map { q =>
       try {
-        val small = measure(q, smallDir)
-        val big = measure(q, bigDir)
+        val (small, sBytes) = measure(q, smallDir)
+        val (big, bBytes) = measure(q, bigDir)
         val ratio = big / small
-        println(f"[scaling] $q%-22s small=$small%7.2fs big=$big%7.2fs ratio=$ratio%5.2fx")
-        (q, Right((small, big, ratio)))
+        val byteRatio =
+          if (sBytes > 0) f"${bBytes.toDouble / sBytes}%.2f" else "null"
+        println(f"[scaling] $q%-22s small=$small%7.2fs big=$big%7.2fs " +
+          f"ratio=$ratio%5.2fx shuffleMB=${sBytes / 1e6}%.1f/${bBytes / 1e6}%.1f")
+        (q, Right((small, big, ratio, sBytes, bBytes, byteRatio)))
       } catch { case e: Throwable =>
         // one broken query must not void the whole audit run
         println(s"[scaling] $q FAILED: ${e.getMessage}")
@@ -120,8 +147,9 @@ object ScalingAudit {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val qs = rows.map {
-      case (q, Right((s, b, r))) =>
-        jstr(q) + s""":{"small_s":${f"$s%.3f"},"big_s":${f"$b%.3f"},"ratio":${f"$r%.2f"}}"""
+      case (q, Right((s, b, r, sB, bB, bR))) =>
+        jstr(q) + s""":{"small_s":${f"$s%.3f"},"big_s":${f"$b%.3f"},"ratio":${f"$r%.2f"},""" +
+          s""""small_shuffle_b":$sB,"big_shuffle_b":$bB,"shuffle_ratio":$bR}"""
       case (q, Left(err)) => jstr(q) + s""":{"err":${jstr(err)}}"""
     }.mkString("{", ",", "}")
     val line =

@@ -33,11 +33,10 @@ object ProfileAnnMp {
 
     val emb = graft.core.Tables.embeddings(spark, dir)
     val n = emb.count()
-    val np = {
-      val x = (math.max(1L, n) + 127) / 128
-      val bits = if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
-      math.min(16, math.max(4, bits.toInt))
-    }
+    // the PRODUCTION plane count — an inline copy here would silently
+    // measure a different count if numPlanes' constants change (review
+    // finding)
+    val np = graft.queries.Embeddings.numPlanes(n)
     val nFlips = math.min(4, np)
     println(s"PROFILE n=$n planes=$np flips=$nFlips dir=$dir")
 
