@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Wind
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** The (c)-tier operator extension: partition-less
   * `row_number() OVER (ORDER BY ...)` executed as a DISTRIBUTED
@@ -100,23 +100,22 @@ object DistributedRankDiagnostics {
     * and DistributedRankSpec pins ITS OWN exec's value sub-second at a
     * 4096-partition exchange. Bounded like the declined ring. */
   private val chainMillis =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Double]()
-  private[plans] def recordChain(id: Int, ms: Double): Unit = {
-    // bound without clear(): a full wipe between another live exec's
-    // finish and its spec reading chainMillisFor would zero that run's
-    // value (review finding) — evict ONE arbitrary other entry instead
-    if (chainMillis.size > 256) {
-      val it = chainMillis.keySet().iterator()
-      while (it.hasNext && chainMillis.size > 256) {
-        val k = it.next(); if (k != id) chainMillis.remove(k)
-      }
+    new java.util.LinkedHashMap[Int, java.lang.Double]() {
+      // insertion-ordered bound (r13 ADVICE): eviction drops the OLDEST
+      // entry, never a concurrently running exec's just-written value —
+      // a fresh exec records after it finishes, so its entry is youngest
+      // exactly when its spec is about to read it
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, java.lang.Double]): Boolean =
+        size() > 256
     }
-    chainMillis.put(id, ms)
-  }
+  private[plans] def recordChain(id: Int, ms: Double): Unit =
+    chainMillis.synchronized { chainMillis.put(id, ms); () }
   /** Chain-assembly cost of the exec with physical-plan id `id` (0.0 if
     * it has not run). */
-  def chainMillisFor(id: Int): Double =
+  def chainMillisFor(id: Int): Double = chainMillis.synchronized {
     Option(chainMillis.get(id)).fold(0.0)(_.doubleValue())
+  }
 }
 
 /** Logical placeholder for the distributed global rank; output = child
@@ -172,8 +171,10 @@ case class DistributedGlobalRank(rankAttr: Attribute, order: Seq[SortOrder],
   *    run's END row count from a backward driver row chain;
   *  - `sum/min/max/count/avg(expr)` over `ROWS|RANGE UNBOUNDED
   *    PRECEDING .. CURRENT ROW` (the resolved default frame of an ORDER
-  *    BY window), non-DISTINCT, un-FILTERed, over a non-decimal numeric
-  *    (any type for `count`) — the running-total/extreme family;
+  *    BY window), non-DISTINCT, un-FILTERed, over any numeric INCLUDING
+  *    DecimalType (r14 — exact Decimal accumulation with WindowExec's
+  *    per-row overflow contract; any type for `count`) — the
+  *    running-total/extreme family;
   *  - the same five aggregates over a BOUNDED moving frame `ROWS
   *    BETWEEN k PRECEDING AND CURRENT ROW` with a literal k in
   *    [1, [[DistributedWindowExec.MaxLagOffset]]] (r11) — replayed from
@@ -236,10 +237,11 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
     * flag-on parity sweep proves the flip is value-neutral either way).
     * sizeInBytes is Catalyst's always-available estimate; an
     * overestimate routes a window early — a performance trade, never a
-    * wrong answer. Grouped windows stay flag/marker-routed: their
-    * WindowExec hash exchange is already scale-correct for
-    * high-cardinality keys, so a default flip needs the stats proof the
-    * session flag applies. */
+    * wrong answer. Grouped windows above the same gate auto-route only
+    * on a strict column-stats PROOF of low cardinality (r14 —
+    * [[autoGroupedProven]]); without stats they stay flag/marker-routed,
+    * because WindowExec's hash exchange is already scale-correct for
+    * high-cardinality keys. */
   val AutoGlobalMinBytes: Long = 128L << 20
   val AutoGlobalMinBytesKey = "spark.graft.distributedWindow.autoGlobalMinBytes"
   val AutoKey = "spark.graft.distributedRank.auto"
@@ -282,20 +284,49 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
     * re-ANALYZE remedy, never a wrong answer. Opt-in marker routing
     * (NameMarker) carries no stats check and owns its budget by contract. */
   private def estimatedGroups(child: LogicalPlan,
-                              groups: Seq[Expression]): Option[BigInt] = {
+                              groups: Seq[Expression]): Option[BigInt] =
+    statsProvenGroups(child, groups).orElse(child.stats.rowCount)
+
+  /** The strict column-stats-only estimate: the product of per-attribute
+    * distinct counts when ANALYZE'd column stats (CBO-propagated) exist
+    * for EVERY group expression — no row-count fallback. This is the
+    * PROOF the default-on grouped path requires (r14); the session-flag
+    * path accepts the row-count upper bound too ([[estimatedGroups]]). */
+  private def statsProvenGroups(child: LogicalPlan,
+                                groups: Seq[Expression]): Option[BigInt] = {
     val st = child.stats
     val attrs = groups.map {
       case a: Attribute => Some(a)
       case Alias(a: Attribute, _) => Some(a)
       case _ => None
     }
-    val viaCols =
-      if (attrs.nonEmpty && attrs.forall(_.isDefined)) {
-        val ds = attrs.flatten
-          .map(a => st.attributeStats.get(a).flatMap(_.distinctCount))
-        if (ds.forall(_.isDefined)) Some(ds.flatten.product) else None
-      } else None
-    viaCols.orElse(st.rowCount)
+    if (attrs.nonEmpty && attrs.forall(_.isDefined)) {
+      val ds = attrs.flatten
+        .map(a => st.attributeStats.get(a).flatMap(_.distinctCount))
+      if (ds.forall(_.isDefined)) Some(ds.flatten.product) else None
+    } else None
+  }
+
+  /** DEFAULT-ON grouped routing (r14 — r13 VERDICT item 2): with the
+    * auto conf on, a GROUPED window whose child crosses the same size
+    * gate as the global path auto-routes ONLY when column statistics
+    * PROVE the group count is at most the threshold — a proven-low-
+    * cardinality key hash-exchanges into that few WindowExec tasks (the
+    * skew the operator exists to kill), while unknown or proven-high
+    * stats keep WindowExec, whose hash exchange is already the right
+    * plan for many small groups. Strictly narrower than the session
+    * flag's routing (which defaults unknown-stats non-size-based shapes
+    * IN): a default must never surprise, so no proof → no flip. The
+    * proof also bounds the size-based shapes' driver totals map, and
+    * [[DistributedWindowExec.MaxCollectedGroups]] still backstops stale
+    * stats with a loud abort (see the staleness caveat above). */
+  private def autoGroupedProven(groups: Seq[Expression],
+                                child: LogicalPlan): Boolean = {
+    val threshold = BigInt(
+      scala.util.Try(conf.getConfString(AutoGroupThresholdKey,
+        AutoGroupThreshold.toString).trim.toLong)
+        .getOrElse(AutoGroupThreshold))
+    statsProvenGroups(child, groups).exists(_ <= threshold)
   }
 
   /** Flag-auto routing for a GROUPED window (scaladoc above): size-based
@@ -354,6 +385,20 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
              | FloatType | DoubleType => true
         case _ => false
       }
+      // r14: DECIMAL joins the aggregate family (sum/min/max/avg) — the
+      // warehouse's own money columns are NUMERIC(12,2) (SURVEY §1.2;
+      // reference combined_dw_schema.sql:66,84), so a fact-scale running
+      // SUM(expense_amount) previously fell back to the single-task
+      // WindowExec the operator exists to kill (r13 VERDICT item 1).
+      // Decimal slots accumulate in Spark's exact Decimal (a third
+      // accumulator channel beside the Long/Double pair), so block
+      // association cannot diverge; overflow is checked at EMISSION per
+      // row, the same point WindowExec's CheckOverflow fires. Offset
+      // functions (lag/lead/first/nth/last) stay numeric-only: their
+      // value channel is a primitive ring, and no mandate shape needs
+      // decimal offsets.
+      def aggInput(dt: DataType): Boolean =
+        numeric(dt) || dt.isInstanceOf[DecimalType]
       f match {
         case _: RowNumber | _: Rank | _: DenseRank | _: PercentRank => true
         // cume_dist = (global index of the current run's END) / n: the
@@ -367,13 +412,13 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
           case _ => false
         })
         case AggregateExpression(Sum(se, _), _, false, None, _) =>
-          numeric(se.dataType) && aggFrame
+          aggInput(se.dataType) && aggFrame
         case AggregateExpression(Min(se), _, false, None, _) =>
-          numeric(se.dataType) && aggFrame
+          aggInput(se.dataType) && aggFrame
         case AggregateExpression(Max(se), _, false, None, _) =>
-          numeric(se.dataType) && aggFrame
+          aggInput(se.dataType) && aggFrame
         case AggregateExpression(Average(se, _), _, false, None, _) =>
-          numeric(se.dataType) && aggFrame
+          aggInput(se.dataType) && aggFrame
         case AggregateExpression(c: Count, _, false, None, _) =>
           c.children.size == 1 && aggFrame
         // lag/lead ignore their frame (offset functions); literal offsets
@@ -442,11 +487,10 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
         case AggregateExpression(af, _, _, _, _) => af.prettyName
         case other => other.prettyName
       }
-      // r13: the two previously-named near-misses (RANGE nth_value, RANGE
-      // IGNORE NULLS first/last) now ROUTE via per-run evaluation, so
-      // every standard SQL window shape either routes or gets the generic
-      // reason (non-literal offsets, DISTINCT/FILTER aggregates, decimal
-      // inputs, RANGE offset frames — each deliberately out of scope)
+      // r13 routed the RANGE per-run family; r14 routed decimal
+      // aggregates — what remains declined is deliberately out of scope
+      // (non-literal offsets, DISTINCT/FILTER aggregates, decimal-input
+      // OFFSET functions, RANGE offset frames)
       val reason = "unsupported function/frame shape for the distributed window"
       Some(s"declined window '$name' ($fn over ${frame.sql}): $reason")
     case _ => None
@@ -496,15 +540,18 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
         DistributedGlobalRank(a.toAttribute, order, child)
       // the generalized operator; the flag reaches every GLOBAL window
       // and stats-routed GROUPED windows (r11); the explicit marker
-      // reaches everything supported (scaladoc above); and — default-on,
-      // r13 — a GLOBAL window over a size-gated child routes with no
-      // flag or marker at all (scaladoc at AutoGlobalMinBytes)
+      // reaches everything supported (scaladoc above); and — default-on —
+      // a GLOBAL window over a size-gated child routes with no flag or
+      // marker at all (r13, scaladoc at AutoGlobalMinBytes), as does a
+      // GROUPED window over a size-gated child whose group count column
+      // stats PROVE low (r14, scaladoc at autoGroupedProven)
       case Window(exprs, parts, _, child, _)
           if exprs.nonEmpty && exprs.forall(supported) &&
              (exprs.exists(markerNamed) ||
               (flagOn && (parts.isEmpty ||
                 autoGroupedRoute(exprs, parts, child))) ||
-              (autoOn && parts.isEmpty && autoGlobalRoute(child))) =>
+              (autoOn && autoGlobalRoute(child) &&
+                (parts.isEmpty || autoGroupedProven(parts, child)))) =>
         // all expressions on one Window node share (partition, order);
         // take the order from the first spec (the node-level orderSpec
         // can carry extra resolution artifacts)
@@ -700,7 +747,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         case _ => false
       }
       def agg(expr: Expression, kind: AggKind, isDouble: Boolean,
-              outType: DataType): FuncSpec = {
+              outType: DataType, dec: DecInfo = null): FuncSpec = {
         val k = slide
         val full = frame match {
           case SpecifiedWindowFrame(RowFrame | RangeFrame,
@@ -708,12 +755,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             true
           case _ => false
         }
-        if (k > 0) RollSpec(expr, k, kind, isDouble, outType)
+        if (k > 0) RollSpec(expr, k, kind, isDouble, outType, dec)
         // a whole-group frame is a per-group constant: no peer-run
         // accumulation (the value is frame-independent), served from the
         // driver's full-stats totals instead of the running prefix
         else AggSpec(expr, peer = peer && !full, kind, isDouble, outType,
-          full = full)
+          full = full, dec = dec)
       }
       def offsetDefault(dflt: Expression): (Boolean, Long, Double) =
         dflt.eval() match {
@@ -735,24 +782,71 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         case NTile(b) => NTileSpec(b.eval().asInstanceOf[Int])
         case _: CumeDist => CumeDistSpec
         case ae @ AggregateExpression(Sum(se, _), _, _, _, _) =>
-          // accumulate in the Sum's own result type (LongType for
-          // integral inputs, DoubleType for fractional) via a widening
-          // cast, so pass-1/pass-2 arithmetic matches the window's
-          agg(Cast(se, ae.dataType), SumK,
-            isDouble = ae.dataType == DoubleType, outType = ae.dataType)
+          se.dataType match {
+            case _: DecimalType =>
+              // decimal Sum's buffer AND result type are both
+              // DecimalType(min(38, p+10), s): accumulate exactly in it,
+              // check precision at per-row emission (WindowExec's
+              // CheckOverflow point — null in legacy mode, throw in ANSI)
+              val rt = ae.dataType.asInstanceOf[DecimalType]
+              agg(Cast(se, rt), SumK, isDouble = false, outType = rt,
+                dec = DecInfo(rt.precision, rt.scale, rt.precision, rt.scale))
+            case _ =>
+              // accumulate in the Sum's own result type (LongType for
+              // integral inputs, DoubleType for fractional) via a widening
+              // cast, so pass-1/pass-2 arithmetic matches the window's
+              agg(Cast(se, ae.dataType), SumK,
+                isDouble = ae.dataType == DoubleType, outType = ae.dataType)
+          }
         case AggregateExpression(Min(se), _, _, _, _) =>
-          val d = accDouble(se.dataType)
-          agg(Cast(se, if (d) DoubleType else LongType), MinK,
-            isDouble = d, outType = se.dataType)
+          se.dataType match {
+            case dt: DecimalType =>
+              // extremes return one of the INPUTS — no widening, no
+              // overflow check
+              agg(se, MinK, isDouble = false, outType = dt,
+                dec = DecInfo(dt.precision, dt.scale, dt.precision, dt.scale))
+            case _ =>
+              val d = accDouble(se.dataType)
+              agg(Cast(se, if (d) DoubleType else LongType), MinK,
+                isDouble = d, outType = se.dataType)
+          }
         case AggregateExpression(Max(se), _, _, _, _) =>
-          val d = accDouble(se.dataType)
-          agg(Cast(se, if (d) DoubleType else LongType), MaxK,
-            isDouble = d, outType = se.dataType)
-        case AggregateExpression(Average(se, _), _, _, _, _) =>
-          // Average sums in DOUBLE for every non-decimal input (Spark's
-          // own buffer layout) and emits sum/count
-          agg(Cast(se, DoubleType), AvgK,
-            isDouble = true, outType = DoubleType)
+          se.dataType match {
+            case dt: DecimalType =>
+              agg(se, MaxK, isDouble = false, outType = dt,
+                dec = DecInfo(dt.precision, dt.scale, dt.precision, dt.scale))
+            case _ =>
+              val d = accDouble(se.dataType)
+              agg(Cast(se, if (d) DoubleType else LongType), MaxK,
+                isDouble = d, outType = se.dataType)
+          }
+        case ae @ AggregateExpression(Average(se, _), _, _, _, _) =>
+          se.dataType match {
+            case dt: DecimalType =>
+              // decimal Average: sum in DecimalType(min(38, p+10), s)
+              // (Spark's own buffer), result DecimalType(min(38, p+4),
+              // min(38, s+4)); emission replays Spark's exact pipeline —
+              // CheckOverflowInSum on the sum, Decimal./ at scale 38,
+              // CheckOverflow to the Divide's result scale, Cast to the
+              // result type — all HALF_UP (see emitDec)
+              val buf = DecimalType(math.min(38, dt.precision + 10), dt.scale)
+              val rt = ae.dataType.asInstanceOf[DecimalType]
+              // the Divide intermediate's scale per DecimalPrecision
+              // (allowPrecisionLoss): count casts to Decimal(20, 0)
+              val rScale0 = math.max(6, buf.scale + 20 + 1)
+              val rPrec0 = buf.precision - buf.scale + rScale0
+              val divScale =
+                if (rPrec0 <= 38) rScale0
+                else math.max(38 - (rPrec0 - rScale0), math.min(rScale0, 6))
+              agg(Cast(se, buf), AvgK, isDouble = false, outType = rt,
+                dec = DecInfo(buf.precision, buf.scale,
+                  rt.precision, rt.scale, divScale))
+            case _ =>
+              // Average sums in DOUBLE for every non-decimal input
+              // (Spark's own buffer layout) and emits sum/count
+              agg(Cast(se, DoubleType), AvgK,
+                isDouble = true, outType = DoubleType)
+          }
         case AggregateExpression(c: Count, _, _, _, _) =>
           // only the child's null mask matters; the value is never read
           agg(c.children.head, CountK, isDouble = false, outType = LongType)
@@ -844,6 +938,11 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       lags.map(_.isDouble) ++ rolls.map(_.isDouble) ++ lastIgns.map(_.isDouble)
     val tailSkip: Array[Boolean] =
       lags.map(_.ignoreNulls) ++ rolls.map(_ => false) ++ lastIgns.map(_ => true)
+    // decimal ring slots (r14): only rolling frames can carry decimals —
+    // lag/lastIgn stay primitive (see supported())
+    val tailDec: Array[DecInfo] =
+      lags.map(_ => null: DecInfo) ++ rolls.map(_.dec) ++
+        lastIgns.map(_ => null: DecInfo)
     val nTails = tailOffs.length
     val hasRowNum = funcs.contains(RowNumSpec)
     val hasRank = funcs.contains(RankSpec)
@@ -920,6 +1019,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         // chains into the next partition's seed)
         val ringL = tailOffs.map(off => new Array[Long](off))
         val ringD = tailOffs.map(off => new Array[Double](off))
+        val ringDec = tailOffs.map(off => new Array[Decimal](off))
         val ringN = tailOffs.map(off => new Array[Boolean](off))
         val ringCnt = new Array[Long](nTails)
         // per-slot LEADING values of the current group run (the heads the
@@ -933,27 +1033,30 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         val headP = headOffs.map(off => new Array[Long](off))
         val headCnt = new Array[Int](nHeads)
         def lagTails(): (Array[Array[Long]], Array[Array[Double]],
-                         Array[Array[Boolean]]) = {
+                         Array[Array[Decimal]], Array[Array[Boolean]]) = {
           val tl = new Array[Array[Long]](nTails)
           val td = new Array[Array[Double]](nTails)
+          val tc = new Array[Array[Decimal]](nTails)
           val tn = new Array[Array[Boolean]](nTails)
           var i = 0
           while (i < nTails) {
             val off = tailOffs(i)
             val n = math.min(ringCnt(i), off.toLong).toInt
-            val (ol, od, on) =
-              (new Array[Long](n), new Array[Double](n), new Array[Boolean](n))
+            val (ol, od, oc, on) =
+              (new Array[Long](n), new Array[Double](n),
+               new Array[Decimal](n), new Array[Boolean](n))
             var j = 0
             while (j < n) { // oldest → newest
               val idx2 = ((ringCnt(i) - n + j) % off).toInt
               ol(j) = ringL(i)(idx2); od(j) = ringD(i)(idx2)
+              oc(j) = ringDec(i)(idx2)
               on(j) = ringN(i)(idx2)
               j += 1
             }
-            tl(i) = ol; td(i) = od; tn(i) = on
+            tl(i) = ol; td(i) = od; tc(i) = oc; tn(i) = on
             i += 1
           }
-          (tl, td, tn)
+          (tl, td, tc, tn)
         }
         def leadHeads(): (Array[Array[Long]], Array[Array[Double]],
                           Array[Array[Boolean]], Array[Array[Long]]) = {
@@ -977,16 +1080,19 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         var runs = 0L
         val sl = new Array[Long](nAggs)
         val sd = new Array[Double](nAggs)
+        val sc = new Array[Decimal](nAggs)
         val nn = new Array[Long](nAggs)
-        // current / first / last peer-run accumulators (needsPeer only)
+        // current / first peer-run accumulators (needsPeer only)
         var curPeer: UnsafeRow = null
         var runRows = 0L
         val rL = new Array[Long](nAggs)
         val rD = new Array[Double](nAggs)
+        val rC = new Array[Decimal](nAggs)
         val rN = new Array[Long](nAggs)
         var firstPeer: UnsafeRow = null
         var fL = new Array[Long](nAggs)
         var fD = new Array[Double](nAggs)
+        var fC = new Array[Decimal](nAggs)
         var fN = new Array[Long](nAggs)
         var fRows = 0L
         // per last_value-IGNORE-NULLS slot: last non-null within the
@@ -1000,25 +1106,25 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         var fliD = new Array[Double](nLastIgns)
         def freezeFirst(): Unit = if (runs == 1 && firstPeer == null) {
           firstPeer = curPeer
-          fL = rL.clone(); fD = rD.clone(); fN = rN.clone()
+          fL = rL.clone(); fD = rD.clone(); fC = rC.clone(); fN = rN.clone()
           fliHas = rliHas.clone(); fliL = rliL.clone(); fliD = rliD.clone()
           fRows = runRows
         }
         var maxRunRows = 0L
         def flush(): Unit = if (cur != null) {
           freezeFirst()
-          val (tl, td, tn) = lagTails()
+          val (tl, td, tc, tn) = lagTails()
           val (hl, hd, hn, hp) = leadHeads()
           maxRunRows = math.max(maxRunRows, rows)
           // boundary mode keeps the partition's first + latest (= last
           // once the scan ends) group-run stats; contained groups need
           // no driver entry (their prefix offsets are zero by default)
           if (!fullStats && buf.length == 2) buf.remove(1)
-          buf += GroupStat(cur, rows, sl.clone(), sd.clone(), nn.clone(),
-            runs,
-            firstPeer, fL, fD, fN, fRows,
-            curPeer, runRows, rL.clone(), rD.clone(), rN.clone(),
-            tl, td, tn, hl, hd, hn, hp,
+          buf += GroupStat(cur, rows, sl.clone(), sd.clone(), sc.clone(),
+            nn.clone(), runs,
+            firstPeer, fL, fD, fC, fN, fRows,
+            curPeer, runRows,
+            tl, td, tc, tn, hl, hd, hn, hp,
             fliHas.clone(), fliL.clone(), fliD.clone())
         }
         while (it.hasNext) {
@@ -1027,6 +1133,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           if (cur == null || k != cur) {
             flush(); cur = k.copy(); rows = 0L; runs = 0L
             java.util.Arrays.fill(sl, 0L); java.util.Arrays.fill(sd, 0d)
+            java.util.Arrays.fill(sc.asInstanceOf[Array[AnyRef]], null)
             java.util.Arrays.fill(nn, 0L)
             curPeer = null; runRows = 0L; firstPeer = null; fRows = 0L
             java.util.Arrays.fill(ringCnt, 0L)
@@ -1045,7 +1152,10 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
               if (isNull) ringN(li)(idx2) = true
               else {
                 ringN(li)(idx2) = false
-                if (tailIsD(li)) ringD(li)(idx2) = v.getDouble(0)
+                if (tailDec(li) != null)
+                  ringDec(li)(idx2) =
+                    v.getDecimal(0, tailDec(li).prec, tailDec(li).scale)
+                else if (tailIsD(li)) ringD(li)(idx2) = v.getDouble(0)
                 else ringL(li)(idx2) = v.getLong(0)
               }
               ringCnt(li) += 1
@@ -1078,6 +1188,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
               freezeFirst()
               curPeer = pk.copy(); runs += 1; runRows = 0L
               java.util.Arrays.fill(rL, 0L); java.util.Arrays.fill(rD, 0d)
+              java.util.Arrays.fill(rC.asInstanceOf[Array[AnyRef]], null)
               java.util.Arrays.fill(rN, 0L)
               java.util.Arrays.fill(rliHas, false)
             }
@@ -1104,24 +1215,36 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             val v = aprojs(i)(row)
             if (!v.isNullAt(0)) {
               val a = aggs(i)
-              val (vl, vd) =
-                if (a.kind == CountK) (0L, 0d)
-                else if (a.isDouble) (0L, v.getDouble(0))
-                else (v.getLong(0), 0d)
-              if (nn(i) == 0L) { sl(i) = vl; sd(i) = vd }
-              else {
-                val (ml, md) = combine(a.kind, sl(i), sd(i), vl, vd, a.isDouble)
-                sl(i) = ml; sd(i) = md
-              }
-              nn(i) += 1
-              if (needsPeer) {
-                if (rN(i) == 0L) { rL(i) = vl; rD(i) = vd }
+              if (a.dec != null) {
+                val dv = v.getDecimal(0, a.dec.prec, a.dec.scale)
+                sc(i) = if (nn(i) == 0L) dv else combineDec(a.kind, sc(i), dv)
+                nn(i) += 1
+                if (needsPeer) {
+                  rC(i) = if (rN(i) == 0L) dv
+                          else combineDec(a.kind, rC(i), dv)
+                  rN(i) += 1
+                }
+              } else {
+                val (vl, vd) =
+                  if (a.kind == CountK) (0L, 0d)
+                  else if (a.isDouble) (0L, v.getDouble(0))
+                  else (v.getLong(0), 0d)
+                if (nn(i) == 0L) { sl(i) = vl; sd(i) = vd }
                 else {
                   val (ml, md) =
-                    combine(a.kind, rL(i), rD(i), vl, vd, a.isDouble)
-                  rL(i) = ml; rD(i) = md
+                    combine(a.kind, sl(i), sd(i), vl, vd, a.isDouble)
+                  sl(i) = ml; sd(i) = md
                 }
-                rN(i) += 1
+                nn(i) += 1
+                if (needsPeer) {
+                  if (rN(i) == 0L) { rL(i) = vl; rD(i) = vd }
+                  else {
+                    val (ml, md) =
+                      combine(a.kind, rL(i), rD(i), vl, vd, a.isDouble)
+                    rL(i) = ml; rD(i) = md
+                  }
+                  rN(i) += 1
+                }
               }
             }
             i += 1
@@ -1175,12 +1298,20 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           m += st.key -> o
           val sl = new Array[Long](nAggs)
           val sd = new Array[Double](nAggs)
+          val sc = new Array[Decimal](nAggs)
           val nn = new Array[Long](nAggs)
           var i = 0
           while (i < nAggs) {
-            if (o.nonNull(i) == 0L) { sl(i) = st.sumL(i); sd(i) = st.sumD(i) }
-            else if (st.nonNull(i) == 0L) { sl(i) = o.sumL(i); sd(i) = o.sumD(i) }
-            else {
+            if (aggs(i).dec != null) {
+              sc(i) =
+                if (o.nonNull(i) == 0L) st.sumDec(i)
+                else if (st.nonNull(i) == 0L) o.sumDec(i)
+                else combineDec(aggs(i).kind, o.sumDec(i), st.sumDec(i))
+            } else if (o.nonNull(i) == 0L) {
+              sl(i) = st.sumL(i); sd(i) = st.sumD(i)
+            } else if (st.nonNull(i) == 0L) {
+              sl(i) = o.sumL(i); sd(i) = o.sumD(i)
+            } else {
               val (ml, md) = combine(aggs(i).kind, o.sumL(i), o.sumD(i),
                 st.sumL(i), st.sumD(i), aggs(i).isDouble)
               sl(i) = ml; sd(i) = md
@@ -1191,7 +1322,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           // a continuing leading run was already counted in the previous
           // partition's trailing run — don't count it twice
           val runsDelta = st.runs - (if (continues) 1L else 0L)
-          running(st.key) = Offsets(o.rows + st.rows, sl, sd, nn,
+          running(st.key) = Offsets(o.rows + st.rows, sl, sd, sc, nn,
             o.runsBefore + runsDelta)
         }
         if (needsPeer && stats.nonEmpty) {
@@ -1237,39 +1368,43 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     // frames ignore order-peers.
     val lagSeedL = new Array[Array[Array[Long]]](nParts)
     val lagSeedD = new Array[Array[Array[Double]]](nParts)
+    val lagSeedDec = new Array[Array[Array[Decimal]]](nParts)
     val lagSeedN = new Array[Array[Array[Boolean]]](nParts)
     if (nTails > 0) {
       var carryG: UnsafeRow = null
       var cL: Array[Array[Long]] = null
       var cD: Array[Array[Double]] = null
+      var cC: Array[Array[Decimal]] = null
       var cN: Array[Array[Boolean]] = null
       var p = 0
       while (p < nParts) {
         val stats = statsPerPart(p)
         if (stats.nonEmpty) {
           if (carryG != null && stats.head.key == carryG) {
-            lagSeedL(p) = cL; lagSeedD(p) = cD; lagSeedN(p) = cN
+            lagSeedL(p) = cL; lagSeedD(p) = cD; lagSeedDec(p) = cC
+            lagSeedN(p) = cN
           }
           val last = stats.last
           if (stats.length == 1 && carryG != null && last.key == carryG) {
             // the same group keeps flowing: append this partition's tail
             // and keep only the last `off` values per slot
-            val (nl, nd, nn2) = (new Array[Array[Long]](nTails),
+            val (nl, nd, nc, nn2) = (new Array[Array[Long]](nTails),
               new Array[Array[Double]](nTails),
+              new Array[Array[Decimal]](nTails),
               new Array[Array[Boolean]](nTails))
             var i = 0
             while (i < nTails) {
               val off = tailOffs(i)
-              val l = (cL(i) ++ last.lagL(i)).takeRight(off)
-              val d = (cD(i) ++ last.lagD(i)).takeRight(off)
-              val n = (cN(i) ++ last.lagN(i)).takeRight(off)
-              nl(i) = l; nd(i) = d; nn2(i) = n
+              nl(i) = (cL(i) ++ last.lagL(i)).takeRight(off)
+              nd(i) = (cD(i) ++ last.lagD(i)).takeRight(off)
+              nc(i) = (cC(i) ++ last.lagDec(i)).takeRight(off)
+              nn2(i) = (cN(i) ++ last.lagN(i)).takeRight(off)
               i += 1
             }
-            cL = nl; cD = nd; cN = nn2
+            cL = nl; cD = nd; cC = nc; cN = nn2
           } else {
             carryG = last.key
-            cL = last.lagL; cD = last.lagD; cN = last.lagN
+            cL = last.lagL; cD = last.lagD; cC = last.lagDec; cN = last.lagN
           }
         }
         p += 1
@@ -1463,12 +1598,14 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     // trailing peer run from later partitions (RANGE aggregates only)
     val tailL = Array.fill(nParts)(new Array[Long](nAggs))
     val tailD = Array.fill(nParts)(new Array[Double](nAggs))
+    val tailDecV = Array.fill(nParts)(new Array[Decimal](nAggs))
     val tailN = Array.fill(nParts)(new Array[Long](nAggs))
     if (anyPeer) {
       var openG: UnsafeRow = null
       var openP: UnsafeRow = null
       var oL = new Array[Long](nAggs)
       var oD = new Array[Double](nAggs)
+      var oC = new Array[Decimal](nAggs)
       var oN = new Array[Long](nAggs)
       var p = nParts - 1
       while (p >= 0) {
@@ -1476,7 +1613,8 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         if (stats.nonEmpty) {
           val last = stats.last
           if (openG != null && openG == last.key && openP == last.lastPeer) {
-            tailL(p) = oL.clone(); tailD(p) = oD.clone(); tailN(p) = oN.clone()
+            tailL(p) = oL.clone(); tailD(p) = oD.clone()
+            tailDecV(p) = oC.clone(); tailN(p) = oN.clone()
           }
           val head = stats.head
           val wholePartitionOneRun = stats.length == 1 && head.runs == 1
@@ -1486,11 +1624,16 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             openG == head.key && openP == head.firstPeer
           val nL = head.firstSumL.clone()
           val nD = head.firstSumD.clone()
+          val nC = head.firstSumDec.clone()
           val nN = head.firstNN.clone()
           if (keepTail) {
             var i = 0
             while (i < nAggs) {
-              if (nN(i) == 0L) { nL(i) = oL(i); nD(i) = oD(i) }
+              if (aggs(i).dec != null) {
+                if (nN(i) == 0L) nC(i) = oC(i)
+                else if (oN(i) != 0L)
+                  nC(i) = combineDec(aggs(i).kind, nC(i), oC(i))
+              } else if (nN(i) == 0L) { nL(i) = oL(i); nD(i) = oD(i) }
               else if (oN(i) != 0L) {
                 val (ml, md) = combine(aggs(i).kind, nL(i), nD(i),
                   oL(i), oD(i), aggs(i).isDouble)
@@ -1501,7 +1644,7 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             }
           }
           openG = head.key; openP = head.firstPeer
-          oL = nL; oD = nD; oN = nN
+          oL = nL; oD = nD; oC = nC; oN = nN
         }
         p -= 1
       }
@@ -1523,10 +1666,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       val pLeadContinues = leadContinuesPerPart(idx)
       val pTailL = tailL(idx)
       val pTailD = tailD(idx)
+      val pTailDec = tailDecV(idx)
       val pTailN = tailN(idx)
       val pTailRunRows = tailRunRows(idx)
       val pSeedL = lagSeedL(idx)
       val pSeedD = lagSeedD(idx)
+      val pSeedDec = lagSeedDec(idx)
       val pSeedN = lagSeedN(idx)
       val pLeadSeedL = leadSeedL(idx)
       val pLeadSeedD = leadSeedD(idx)
@@ -1561,10 +1706,12 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       var firstGroupPending = true
       var accL = new Array[Long](nAggs)
       var accD = new Array[Double](nAggs)
+      var accDec = new Array[Decimal](nAggs)
       var accNN = new Array[Long](nAggs)
       // whole-group totals of the CURRENT group (full-frame agg slots)
       var ftL = new Array[Long](nAggs)
       var ftD = new Array[Double](nAggs)
+      var ftDec = new Array[Decimal](nAggs)
       var ftN = new Array[Long](nAggs)
       // per-slot buffers of the group's FIRST k values (first/nth_value),
       // seeded from the forward driver chain at the partition's first group
@@ -1586,13 +1733,16 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       // rolling frames)
       val tailRingL = tailOffs.map(off => new Array[Long](off))
       val tailRingD = tailOffs.map(off => new Array[Double](off))
+      val tailRingDec = tailOffs.map(off => new Array[Decimal](off))
       val tailRingN = tailOffs.map(off => new Array[Boolean](off))
       val tailCnt = new Array[Long](nTails)
-      def tailPut(i: Int, isNull: Boolean, l: Long, d: Double): Unit = {
+      def tailPut(i: Int, isNull: Boolean, l: Long, d: Double,
+                  dec: Decimal = null): Unit = {
         val idx2 = (tailCnt(i) % tailOffs(i)).toInt
         tailRingN(i)(idx2) = isNull
         tailRingL(i)(idx2) = l
         tailRingD(i)(idx2) = d
+        tailRingDec(i)(idx2) = dec
         tailCnt(i) += 1
       }
       // ---- lead lookahead state: rows are HELD until resolvable — for
@@ -1699,14 +1849,21 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
         val v = aprojs(i)(row)
         if (!v.isNullAt(0)) {
           val a = aggs(i)
-          val (vl, vd) =
-            if (a.kind == CountK) (0L, 0d)
-            else if (a.isDouble) (0L, v.getDouble(0))
-            else (v.getLong(0), 0d)
-          if (accNN(i) == 0L) { accL(i) = vl; accD(i) = vd }
-          else {
-            val (ml, md) = combine(a.kind, accL(i), accD(i), vl, vd, a.isDouble)
-            accL(i) = ml; accD(i) = md
+          if (a.dec != null) {
+            val dv = v.getDecimal(0, a.dec.prec, a.dec.scale)
+            accDec(i) =
+              if (accNN(i) == 0L) dv else combineDec(a.kind, accDec(i), dv)
+          } else {
+            val (vl, vd) =
+              if (a.kind == CountK) (0L, 0d)
+              else if (a.isDouble) (0L, v.getDouble(0))
+              else (v.getLong(0), 0d)
+            if (accNN(i) == 0L) { accL(i) = vl; accD(i) = vd }
+            else {
+              val (ml, md) =
+                combine(a.kind, accL(i), accD(i), vl, vd, a.isDouble)
+              accL(i) = ml; accD(i) = md
+            }
           }
           accNN(i) += 1
         }
@@ -1755,13 +1912,14 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           gTotal = groupTotals.getOrElse(curGroup, 0L)
           prevPeer = null
           accL = base.sumL.clone(); accD = base.sumD.clone()
+          accDec = base.sumDec.clone()
           accNN = base.nonNull.clone()
           if (hasFullAgg) {
             // fullStats mode: every group has a stats entry, so the
             // endpoint map is total-complete for straddlers AND
             // contained groups
             val t = groupAggTotals.getOrElse(curGroup, Offsets.zero(nAggs))
-            ftL = t.sumL; ftD = t.sumD; ftN = t.nonNull
+            ftL = t.sumL; ftD = t.sumD; ftDec = t.sumDec; ftN = t.nonNull
           }
           pendBase = 0L; grpIdx = 0L
           // IGNORE NULLS lead ordinals and queues restart per group
@@ -1780,7 +1938,8 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
             while (i < nTails) {
               var j = 0
               while (j < pSeedL(i).length) {
-                tailPut(i, pSeedN(i)(j), pSeedL(i)(j), pSeedD(i)(j))
+                tailPut(i, pSeedN(i)(j), pSeedL(i)(j), pSeedD(i)(j),
+                  pSeedDec(i)(j))
                 j += 1
               }
               i += 1
@@ -2012,6 +2171,37 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                   if (lg.isDouble) 0L else v.getLong(0),
                   if (lg.isDouble) v.getDouble(0) else 0d)
                 gi += 1
+              case rl: RollSpec if rl.dec != null =>
+                // decimal rolling frame (r14): the same oldest→newest
+                // replay over the ring's Decimal channel — adds are
+                // exact, overflow checked at emission like the window
+                val ti = nLags + ri
+                val v = tprojs(ti)(row)
+                val curNull = v.isNullAt(0)
+                val cur = if (curNull) null
+                          else v.getDecimal(0, rl.dec.prec, rl.dec.scale)
+                var acc: Decimal = null
+                var n = 0L
+                val kk = rl.k
+                val avail = math.min(tailCnt(ti), kk.toLong).toInt
+                var j = 0
+                while (j < avail) {
+                  val s2 = ((tailCnt(ti) - avail + j) % kk).toInt
+                  if (!tailRingN(ti)(s2)) {
+                    val dv = tailRingDec(ti)(s2)
+                    acc = if (n == 0L) dv else combineDec(rl.kind, acc, dv)
+                    n += 1
+                  }
+                  j += 1
+                }
+                if (!curNull) {
+                  acc = if (n == 0L) cur else combineDec(rl.kind, acc, cur)
+                  n += 1
+                }
+                if (n == 0L) g.update(fi, null)
+                else g.update(fi, emitDec(rl.kind, acc, n, rl.dec, ansi))
+                tailPut(ti, curNull, 0L, 0d, cur)
+                ri += 1
               case rl: RollSpec =>
                 // ROWS k PRECEDING .. CURRENT ROW: re-evaluate the frame
                 // oldest→newest over the trailing ring, then the current
@@ -2135,10 +2325,28 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                 // driver totals — no per-row accumulation at all
                 if (a.kind == CountK) g.setLong(fi, ftN(ai))
                 else if (ftN(ai) == 0L) g.update(fi, null)
+                else if (a.dec != null)
+                  g.update(fi, emitDec(a.kind, ftDec(ai), ftN(ai), a.dec, ansi))
                 else a.kind match {
                   case AvgK => g.setDouble(fi, ftD(ai) / ftN(ai))
                   case _ => setNum(g, fi, a.outType, ftL(ai), ftD(ai))
                 }
+                ai += 1
+              case a: AggSpec if a.dec != null =>
+                // decimal running/peer-run aggregate (r14): prefix +
+                // local accumulation in exact Decimal, the driver-chained
+                // run tail merged for the partition's trailing RANGE run,
+                // overflow checked per row at emission
+                if (!a.peer) addTo(ai, row)
+                var dv = accDec(ai)
+                var n = accNN(ai)
+                if (applyTail && a.peer && pTailN(ai) != 0L) {
+                  dv = if (n == 0L) pTailDec(ai)
+                       else combineDec(a.kind, dv, pTailDec(ai))
+                  n += pTailN(ai)
+                }
+                if (n == 0L) g.update(fi, null)
+                else g.update(fi, emitDec(a.kind, dv, n, a.dec, ansi))
                 ai += 1
               case a: AggSpec =>
                 if (!a.peer) addTo(ai, row)
@@ -2281,14 +2489,80 @@ object DistributedWindowExec {
   private[plans] case object CountK extends AggKind
   private[plans] case object AvgK extends AggKind
 
+  /** Decimal-slot contract (r14): `(prec, scale)` is the ACCUMULATION
+    * type — the aggregate's own buffer (Sum/Avg: `(min(38, p+10), s)`;
+    * Min/Max: the input type) that inputs are cast to, so every add is
+    * an exact same-scale Decimal add and block association cannot
+    * diverge. `(outPrec, outScale)` is the emission result type;
+    * `divScale` is Avg's intermediate Divide scale under Spark's
+    * DecimalPrecision rule (−1 for the other kinds). Overflow is checked
+    * only at emission ([[emitDec]]) — per row, the same point
+    * WindowExec's CheckOverflow fires. */
+  private[plans] case class DecInfo(prec: Int, scale: Int,
+                                    outPrec: Int, outScale: Int,
+                                    divScale: Int = -1) extends Serializable
+
+  /** Merge two non-null decimal accumulators; `a` covers EARLIER rows.
+    * Adds are exact (Decimal falls back to BigDecimal past the compact
+    * range); extremes are first-wins on ties like the primitive path. */
+  private[plans] def combineDec(kind: AggKind, a: Decimal, b: Decimal): Decimal =
+    kind match {
+      case MinK => if (b.compare(a) < 0) b else a
+      case MaxK => if (b.compare(a) > 0) b else a
+      case _ => a + b // SumK / AvgK: exact
+    }
+
+  /** Per-row decimal emission — WindowExec's evaluate pipeline replayed:
+    * Sum = CheckOverflow(sum, buffer type): precision check, null in
+    * legacy mode / ArithmeticException in ANSI, at the SAME row the
+    * window would fire (the running sum keeps its exact value past an
+    * overflow, so a later negative input can bring rows back in range —
+    * both engines agree). Min/Max = the value itself (an input — never
+    * overflows). Avg = CheckOverflowInSum on the sum, then Spark's
+    * Divide chain: Decimal./ rounds the quotient HALF_UP at scale 38,
+    * CheckOverflow rounds to the Divide result's `divScale`, Cast rounds
+    * to `(outPrec, outScale)` — each HALF_UP, replayed stepwise so even
+    * the double-rounding edge matches. */
+  private[plans] def emitDec(kind: AggKind, acc: Decimal, n: Long,
+                             dec: DecInfo, ansi: Boolean): Decimal = {
+    def checked(v: java.math.BigDecimal, p: Int, s: Int): Decimal = {
+      val d = Decimal(BigDecimal(v))
+      if (d.changePrecision(p, s)) d
+      else if (ansi) throw new ArithmeticException(
+        s"$v cannot be represented as Decimal($p, $s) " +
+        "(distributed window aggregate, ANSI mode)")
+      else null
+    }
+    kind match {
+      case MinK | MaxK => acc
+      case SumK => checked(acc.toJavaBigDecimal, dec.prec, dec.scale)
+      case AvgK =>
+        val s = checked(acc.toJavaBigDecimal, dec.prec, dec.scale)
+        if (s == null) null
+        else {
+          val hu = java.math.RoundingMode.HALF_UP
+          val q = s.toJavaBigDecimal
+            .divide(java.math.BigDecimal.valueOf(n), 38, hu)
+            .setScale(dec.divScale, hu)
+            .setScale(dec.outScale, hu)
+          // the final Cast honors the session's ANSI contract like Sum
+          checked(q, dec.outPrec, dec.outScale)
+        }
+      case CountK => throw new IllegalStateException(
+        "count never takes the decimal channel")
+    }
+  }
+
   /** Running/peer-run aggregate, or — with `full` — a whole-group-frame
     * aggregate (ROWS/RANGE UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING):
     * a per-group constant read from the driver's budgeted full-stats
-    * totals map, the ntile/percent_rank machinery (r12). */
+    * totals map, the ntile/percent_rank machinery (r12). `dec` non-null
+    * routes the slot through the exact Decimal channel (r14). */
   private[plans] case class AggSpec(expr: Expression, peer: Boolean,
                                     kind: AggKind, isDouble: Boolean,
                                     outType: DataType,
-                                    full: Boolean = false) extends FuncSpec
+                                    full: Boolean = false,
+                                    dec: DecInfo = null) extends FuncSpec
 
   /** lag(expr, off) with a literal default; the per-group replay buffer
     * is `off` widened values, bounded by [[MaxLagOffset]]. IGNORE NULLS
@@ -2328,10 +2602,12 @@ object DistributedWindowExec {
 
   /** sum/min/max/count/avg over ROWS k PRECEDING .. CURRENT ROW: the
     * frame is re-evaluated per row from a k-deep trailing ring (the same
-    * O(k)-per-row cost WindowExec's sliding frame pays, distributed). */
+    * O(k)-per-row cost WindowExec's sliding frame pays, distributed).
+    * `dec` non-null stores Decimal ring values (r14). */
   private[plans] case class RollSpec(expr: Expression, k: Int,
                                      kind: AggKind, isDouble: Boolean,
-                                     outType: DataType) extends FuncSpec
+                                     outType: DataType,
+                                     dec: DecInfo = null) extends FuncSpec
 
   /** first_value (k=1) and nth_value(expr, k) from the group's first-k
     * head buffer, driver-chained forward across partitions. IGNORE NULLS
@@ -2385,31 +2661,34 @@ object DistributedWindowExec {
     case other => throw new IllegalStateException(s"unexpected type $other")
   }
 
-  /** Per (partition, contiguous group run) pass-1 stats. sumL/sumD carry
-    * sums for SUM/AVG and extremes for MIN/MAX (nonNull = 0 means "no
-    * value yet"); first* /last* are the boundary peer runs' stats; lag*
-    * are trailing-history tails, lead* the leading-value heads. leadP
+  /** Per (partition, contiguous group run) pass-1 stats. sumL/sumD/sumDec
+    * carry sums for SUM/AVG and extremes for MIN/MAX (nonNull = 0 means
+    * "no value yet"; the Dec channel is non-null only for decimal slots —
+    * r14); first* are the boundary peer run's stats; lag* are
+    * trailing-history tails, lead* the leading-value heads. leadP
     * (r13) records each head capture's 1-based row index within this
     * partition's group segment — what lets the backward head chain carry
     * RUN-relative positions for the RANGE IGNORE NULLS shapes. firstRunLI*
     * (r13) is, per last_value-IGNORE-NULLS slot, the last non-null WITHIN
     * the partition's first peer run — the backward run-continuation
-    * chain's per-partition contribution. */
+    * chain's per-partition contribution. (The last peer run's aggregate
+    * arrays were carried but never read — dropped in r14; lastPeer and
+    * lastRows remain the carry chain's keys.) */
   private[plans] case class GroupStat(key: UnsafeRow, rows: Long,
                                       sumL: Array[Long], sumD: Array[Double],
+                                      sumDec: Array[Decimal],
                                       nonNull: Array[Long],
                                       runs: Long,
                                       firstPeer: UnsafeRow,
                                       firstSumL: Array[Long],
                                       firstSumD: Array[Double],
+                                      firstSumDec: Array[Decimal],
                                       firstNN: Array[Long],
                                       firstRows: Long,
                                       lastPeer: UnsafeRow, lastRows: Long,
-                                      lastSumL: Array[Long],
-                                      lastSumD: Array[Double],
-                                      lastNN: Array[Long],
                                       lagL: Array[Array[Long]],
                                       lagD: Array[Array[Double]],
+                                      lagDec: Array[Array[Decimal]],
                                       lagN: Array[Array[Boolean]],
                                       leadL: Array[Array[Long]],
                                       leadD: Array[Array[Double]],
@@ -2419,11 +2698,13 @@ object DistributedWindowExec {
                                       firstRunLIL: Array[Long],
                                       firstRunLID: Array[Double])
   private[plans] case class Offsets(rows: Long, sumL: Array[Long],
-                                    sumD: Array[Double], nonNull: Array[Long],
+                                    sumD: Array[Double],
+                                    sumDec: Array[Decimal],
+                                    nonNull: Array[Long],
                                     runsBefore: Long)
   private[plans] object Offsets {
     def zero(n: Int): Offsets =
       Offsets(0L, new Array[Long](n), new Array[Double](n),
-        new Array[Long](n), 0L)
+        new Array[Decimal](n), new Array[Long](n), 0L)
   }
 }

@@ -1339,11 +1339,7 @@ object Embeddings {
     * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) (λ = 0.7) — the
     * diversification step a retrieval stack runs between ANN recall and
     * the consumer, so the context window isn't five near-duplicates of
-    * the same hit. Greedy selection is inherently sequential in k, so the
-    * k = 5 steps are UNROLLED as five tiny plans over the candidate pool:
-    * each step anti-joins out the picked ids, computes the penalty as a
-    * max-join against the pairwise-sim table, and takes the (mmr, id)
-    * argmax as TakeOrderedAndProject(1).
+    * the same hit.
     *
     * Determinism: every sim is rounded to 4 dp before any comparison
     * (the repo-wide pair-scoring discipline), mmr arithmetic over the
@@ -1354,8 +1350,14 @@ object Embeddings {
     * Scale shape: the fact-sized work is the ONE distributed scoring pass
     * (brute force here; at 100 TB the pool feeds from q_embed_ivf's
     * bucketed recall instead — same downstream). Everything after the
-    * top-12 TakeOrderedAndProject is constant-sized: a 132-row pair
-    * table and five 12-row plans. */
+    * top-12 TakeOrderedAndProject is CONSTANT-sized, so the inherently
+    * sequential greedy runs on the DRIVER over the collected pool
+    * (bounded O(k²) = 132 doubles — the k-means centroid-sync budget
+    * class) instead of five sequential micro-plans + two persists, which
+    * cost ~4–5 s of pure job-scheduling at sf0.1 (r13 VERDICT item 5).
+    * The pairwise sims still come from the SAME Spark expressions,
+    * evaluated over a LocalRelation of the collected pool — no re-scan,
+    * and the rounded doubles stay bit-identical to the old plan's. */
   def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
@@ -1367,37 +1369,49 @@ object Embeddings {
           (sqrt(sqNorm("embedding")) * sqrt(sqNorm("qv"))), 4).as("simq"))
       .orderBy(col("simq").desc, col("id"))
       .limit(12)
-      .persist()
-    val a = cand.select(col("id").as("a"), col("emb").as("ea"))
-    val b = cand.select(col("id").as("b"), col("emb").as("eb"))
-    val pairs = a.join(b, col("a") =!= col("b"))
+    val pool = cand.collect() // the one distributed job: 12 rows
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(pool: _*), cand.schema)
+    val a = local.select(col("id").as("a"), col("emb").as("ea"))
+    val b = local.select(col("id").as("b"), col("emb").as("eb"))
+    val simMap: Map[(Long, Long), Double] = a.join(b, col("a") =!= col("b"))
       .select(col("a"), col("b"),
         round(dot("ea", "eb") /
           (sqrt(sqNorm("ea")) * sqrt(sqNorm("eb"))), 4).as("sim"))
-      .persist()
-    var sel: DataFrame = null
-    for (step <- 1 to 5) {
-      val pool =
-        if (sel == null) cand.withColumn("penalty", lit(0.0d))
-        else {
-          val pen = pairs
-            .join(sel.select(col("id").as("b")), "b")
-            .groupBy(col("a")).agg(max(col("sim")).as("pmax"))
-            .withColumnRenamed("a", "id")
-          cand.join(sel.select(col("id")), Seq("id"), "left_anti")
-            .join(pen, Seq("id"), "left")
-            .withColumn("penalty", coalesce(col("pmax"), lit(0.0d)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val simq: Map[Long, Double] =
+      pool.map(r => r.getAs[Long]("id") -> r.getAs[Double]("simq")).toMap
+    // greedy argmax of 0.7·simq − 0.3·max(sim to selected); ascending-id
+    // scan with a STRICT improve keeps the (mmr DESC, id ASC) tiebreak
+    val ids = pool.map(_.getAs[Long]("id")).sorted
+    val chosen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val sel = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double, Double)]
+    for (step <- 1 to 5 if chosen.size < ids.length) {
+      var bestId = Long.MinValue
+      var bestMmr = Double.NegativeInfinity
+      var bestPen = 0.0d
+      ids.foreach { id =>
+        if (!chosen.contains(id)) {
+          val pen =
+            if (chosen.isEmpty) 0.0d
+            else chosen.iterator.map(sid => simMap((id, sid))).max
+          val mmr = 0.7d * simq(id) - 0.3d * pen
+          if (mmr > bestMmr) { bestId = id; bestMmr = mmr; bestPen = pen }
         }
-      val pick = pool
-        .withColumn("mmr", lit(0.7d) * col("simq") - lit(0.3d) * col("penalty"))
-        .orderBy(col("mmr").desc, col("id"))
-        .limit(1)
-        .select(lit(step).as("step"), col("id"), col("simq"), col("penalty"), col("mmr"))
-      sel = if (sel == null) pick else sel.unionByName(pick)
+      }
+      chosen += bestId
+      sel += ((step, bestId, simq(bestId), bestPen, bestMmr))
     }
-    sel.select(col("step"), col("id").as("vec_id"), col("simq").as("sim_q"),
+    // output rounding via Spark's own round(), like every gated query;
+    // the 5-row presentation sort stays in ONE partition — an orderBy
+    // would range-exchange a local relation for nothing
+    sel.toSeq.toDF("step", "vec_id", "sim_q", "penalty", "mmr")
+      .select(col("step"), col("vec_id"), col("sim_q"),
         round(col("penalty"), 4).as("penalty"), round(col("mmr"), 4).as("mmr"))
-      .orderBy(col("step"))
+      .coalesce(1)
+      .sortWithinPartitions(col("step"))
   }
 
   private val qMmrRerankSql =

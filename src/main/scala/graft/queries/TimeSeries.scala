@@ -965,9 +965,15 @@ object TimeSeries {
   /** Per-ship-day volume-weighted average price — revenue per unit shipped,
     * the finance-desk VWAP re-read over the lineitem fact. One map-side-
     * combinable groupBy(day) over the fact scan, no window, no join; both
-    * sums are exact decimals (cents, 2-decimal quantity) and the single
-    * division happens at the projection, rounded. The day grain keeps the
-    * output O(days) at any fact scale. */
+    * sums are exact integers (cents, 2-decimal quantity) and the 4-dp
+    * VWAP is computed by exact integer HALF-UP division —
+    * `(2·cents·10⁴ + qty100) div (2·qty100)` — never by `round()` over a
+    * double quotient: a quotient whose shortest decimal representation
+    * ties at the 5th decimal rounds DIFFERENTLY in Spark (BigDecimal of
+    * the shortest repr, HALF_UP) and DuckDB (std::round of the exact
+    * binary), and sf0.001's small day-groups actually produce such exact
+    * ties (r14 — caught by the cross-scale gate, 3 divergent rows). The
+    * day grain keeps the output O(days) at any fact scale. */
   def qVwap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
@@ -977,16 +983,16 @@ object TimeSeries {
         sum((OP.dec2($"l_quantity") * 100).cast("long")).as("qty100"))
       .select($"day",
         ($"qty100".cast("double") / 100).as("total_qty"),
-        round(($"cents".cast("double") / 100) /
-          ($"qty100".cast("double") / 100), 4).as("vwap"))
+        (expr("(2 * cents * 10000 + qty100) div (2 * qty100)")
+          .cast("double") / 10000).as("vwap"))
       .orderBy($"day")
   }
 
   private val qVwapSql =
     """SELECT day,
       |  CAST(qty100 AS DOUBLE) / 100 AS total_qty,
-      |  round((CAST(cents AS DOUBLE) / 100) /
-      |    (CAST(qty100 AS DOUBLE) / 100), 4) AS vwap
+      |  CAST(CAST((2 * cents * 10000 + qty100) // (2 * qty100) AS BIGINT)
+      |    AS DOUBLE) / 10000 AS vwap
       |FROM (
       |  SELECT l_shipdate AS day,
       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))

@@ -1,8 +1,10 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -70,6 +72,31 @@ object PlanCensus {
     }
 
     def total(key: String): Int = rows.map(_._2).map(_(key)).sum
+    // BNLJ self-policing (r13 VERDICT item 8): every BNLJ's build side
+    // must be in one of the two mechanically proven categories
+    // (buildProven), or carry a REVIEWED per-query justification below.
+    // A new BNLJ outside all three is exactly the dangerous shape the
+    // census previously couldn't distinguish — it fails the run. Stale
+    // allowlist entries (query no longer unproven) also fail, so the
+    // list cannot rot.
+    val offenders = rows.filter(_._2("bnlj_unproven") > 0).map(_._1).toSet
+    val unreviewed = (offenders -- ReviewedBnlj.keySet).toSeq.sorted
+    if (unreviewed.nonEmpty) {
+      System.err.println(s"[census] UNPROVEN, UNREVIEWED BNLJ build " +
+        s"sides in ${unreviewed.size} queries: ${unreviewed.mkString(", ")}" +
+        " — each BroadcastNestedLoopJoin must broadcast a row-bound " +
+        "(maxRows <= 4096) or literal-equality-keyed plan, or be added " +
+        "to ReviewedBnlj with a bounded-by-construction justification")
+      spark.stop()
+      sys.exit(1)
+    }
+    val stale = (ReviewedBnlj.keySet -- offenders).toSeq.sorted
+    if (stale.nonEmpty) {
+      System.err.println("[census] STALE ReviewedBnlj entries (now " +
+        s"mechanically proven or gone): ${stale.mkString(", ")} — remove them")
+      spark.stop()
+      sys.exit(1)
+    }
     // interpretation notes (r7 census at sf0.001, 265 batch queries):
     //  - cartesian MUST stay 0; bnlj (~97) is the deliberate 1-row
     //    broadcast-scalar crossJoin idiom (totals/watermarks/thetas),
@@ -90,6 +117,22 @@ object PlanCensus {
     spark.stop()
   }
 
+  /** BNLJs whose build side is bounded BY CONSTRUCTION but not provable
+    * from static maxRows or a literal-keyed filter — each reviewed in
+    * r14 against its source. Adding here requires naming the bound. */
+  private val ReviewedBnlj: Map[String, String] = Map(
+    "q_ab_test" -> "2-arm grouped aggregate (treatment flag) broadcast back",
+    "q_active_users" -> "O(days) daily-count aggregate joined to the 30-row report grid",
+    "q_active_users_kmv" -> "O(days) daily KMV sketch rows range-joined to the 30-row report",
+    "q_embed_ivf2" -> "k<=64 ranked-centroid rows fanned out to the query",
+    "q_js_divergence" -> "2-source grouped token-mass aggregates (one row per source)",
+    "q_kendall_tau" -> "nested scalar joins over the <=1770-pair dim-bounded self-join",
+    "q_motif" -> "rank-filtered window over the O(days) series (top-k motif seeds)",
+    "q_sliding_quantiles" -> "O(days) per-day quantile rows self-joined over a +/-3-day band",
+    "q_t_closeness" -> "class x band grid (<= m*k rows, both dim-bounded) broadcast",
+    "q_tfidf_cosine" -> "O(vocab-sample) idf rows + query-doc tf vector broadcast",
+    "q_theil_sen" -> "O(days^2 <= 1770) slope pairs from the dim-bounded day series")
+
   private case class Census(m: Map[String, Int]) {
     def apply(k: String): Int = m(k)
     override def toString: String =
@@ -97,14 +140,53 @@ object PlanCensus {
         .mkString("{", ", ", "}")
   }
 
+  /** BNLJ build-side boundedness proof, two accepted categories:
+    *  - ROW-BOUND: a logical maxRows ≤ 4096 somewhere down the build
+    *    chain (Limit, ungrouped Aggregate, bounded LocalRelation) —
+    *    walks THROUGH ReusedExchangeExec, which is a leaf wrapping the
+    *    original exchange (where most scalar broadcasts hide on their
+    *    second use);
+    *  - KEYED FILTER: the build subtree filters on an equality against
+    *    a foldable literal (the query-vector / keyed-selector idiom,
+    *    e.g. `vec_id = 0` — bounded by the key's multiplicity). Not a
+    *    hard row proof, but a named, reviewable shape; everything
+    *    OUTSIDE both categories fails the census. */
+  private def buildProven(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = j.buildSide match {
+      case BuildLeft => j.left
+      case BuildRight => j.right
+    }
+    def bound(p: SparkPlan): Option[Long] = p match {
+      case r: ReusedExchangeExec => bound(r.child)
+      case _ => p.logicalLink.flatMap(_.maxRows)
+        .orElse(p.children.headOption.flatMap(bound))
+    }
+    def hasLiteralEq(e: Expression): Boolean = e match {
+      case EqualTo(_, r) if r.foldable => true
+      case EqualTo(l, _) if l.foldable => true
+      case And(a, b) => hasLiteralEq(a) || hasLiteralEq(b)
+      case _ => false
+    }
+    def keyedFilter(p: SparkPlan): Boolean = {
+      val inner = p match { case r: ReusedExchangeExec => r.child; case x => x }
+      inner.collectFirst {
+        case f: FilterExec if hasLiteralEq(f.condition) => f
+      }.isDefined
+    }
+    bound(build).exists(_ <= 4096L) || keyedFilter(build)
+  }
+
   private def census(plan: SparkPlan): Census = {
     val scans = plan.collect { case s: FileSourceScanExec => s }
+    val bnljs = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
     Census(Map(
       "exchanges" -> plan.collect { case e: ShuffleExchangeExec => e }.size,
       "bhj" -> plan.collect { case j: BroadcastHashJoinExec => j }.size,
       "smj" -> plan.collect { case j: SortMergeJoinExec => j }.size,
       "cartesian" -> plan.collect { case j: CartesianProductExec => j }.size,
-      "bnlj" -> plan.collect { case j: BroadcastNestedLoopJoinExec => j }.size,
+      "bnlj" -> bnljs.size,
+      // build sides in NEITHER accepted category (r14): must be 0
+      "bnlj_unproven" -> bnljs.count(j => !buildProven(j)),
       "scans" -> scans.size,
       // a scan projecting every column of a wide (>6 col) schema usually
       // means pruning failed; dims with few columns are exempt

@@ -42,6 +42,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcSfDir> <outDir> <replicas> [tables]")
     val (srcDir, outDir, rStr) = (args(0), args(1), args(2))
     val allTables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
@@ -96,40 +98,47 @@ object ScaleGen {
       Seq("l_orderkey", "l_partkey", "l_suppkey")))
     write("events", replicated("events", Seq("event_id", "user_id")))
 
-    // documents: token cipher per replica (identity at rep 0)
-    val docs = src("documents").crossJoin(broadcast(reps))
+    // documents: token cipher per replica (identity at rep 0). Built
+    // inside write()'s by-name argument so a subset run never opens the
+    // source file (same discipline as the embeddings block below).
+    write("documents", src("documents").crossJoin(broadcast(reps))
       .withColumn("doc_id", remap(col("doc_id")))
       .withColumn("text",
         when(col("rep") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("$1~"), col("rep")))))
       .withColumn("n_chars", length(col("text")))
-      .drop("rep")
-    write("documents", docs)
+      .drop("rep"))
 
-    // embeddings: signed coordinate permutation per replica
-    val dim = src("embeddings")
-      .select(size(col("embedding"))).head().getInt(0)
-    val emb = src("embeddings").crossJoin(broadcast(reps))
-      .withColumn("vec_id", remap(col("vec_id")))
-      .withColumn("embedding", expr(
-        // a = 2·rep+1 is odd → coprime with any power-of-two dim (and
-        // with the actual dim checked below); identity at rep 0
-        s"""transform(sequence(0, $dim - 1), j ->
-           |  embedding[int((int(2 * rep + 1) * j + int(7 * rep)) % $dim)]
-           |  * (CASE WHEN rep = 0L OR pmod(hash(rep, j), 2) = 0
-           |     THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END))
-           |""".stripMargin))
-      .drop("rep")
-    // the affine map j → (a·j+b) mod d is a bijection iff gcd(a, d) = 1.
-    // a = 2·rep+1 odd guarantees that only for power-of-two dims (dim=6,
-    // a=3 fails: gcd=3 silently duplicates coordinates) — so check every
-    // replica's multiplier against the ACTUAL dim, no parity shortcut
-    // (r11 ADVICE).
-    require((0 until r).forall(rep =>
-      BigInt(2 * rep + 1).gcd(BigInt(dim)) == 1),
-      s"dim $dim shares a factor with an odd multiplier 2*rep+1 — pick new a's")
-    write("embeddings", emb)
+    // embeddings: signed coordinate permutation per replica. The whole
+    // block — dim derivation (an eager head() job on the SOURCE file),
+    // the gcd require, and the write — sits behind the same subset check
+    // write() applies, so a tables-subset run neither scans nor demands
+    // an embeddings.parquet the source dir may not have (r13 ADVICE).
+    if (!only.exists(!_.contains("embeddings"))) {
+      val dim = src("embeddings")
+        .select(size(col("embedding"))).head().getInt(0)
+      val emb = src("embeddings").crossJoin(broadcast(reps))
+        .withColumn("vec_id", remap(col("vec_id")))
+        .withColumn("embedding", expr(
+          // a = 2·rep+1 is odd → coprime with any power-of-two dim (and
+          // with the actual dim checked below); identity at rep 0
+          s"""transform(sequence(0, $dim - 1), j ->
+             |  embedding[int((int(2 * rep + 1) * j + int(7 * rep)) % $dim)]
+             |  * (CASE WHEN rep = 0L OR pmod(hash(rep, j), 2) = 0
+             |     THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END))
+             |""".stripMargin))
+        .drop("rep")
+      // the affine map j → (a·j+b) mod d is a bijection iff gcd(a, d) = 1.
+      // a = 2·rep+1 odd guarantees that only for power-of-two dims (dim=6,
+      // a=3 fails: gcd=3 silently duplicates coordinates) — so check every
+      // replica's multiplier against the ACTUAL dim, no parity shortcut
+      // (r11 ADVICE).
+      require((0 until r).forall(rep =>
+        BigInt(2 * rep + 1).gcd(BigInt(dim)) == 1),
+        s"dim $dim shares a factor with an odd multiplier 2*rep+1 — pick new a's")
+      write("embeddings", emb)
+    } else println("[scalegen] embeddings: skipped")
 
     println(s"[scalegen] done: $srcDir x$r -> $outDir")
     spark.stop()

@@ -107,24 +107,52 @@ object ScalingAudit {
     }
     def measure(name: String, dir: String): (Double, Long) = {
       runOnce(name, dir) // warmup + IndexStore build for this (dir, JVM)
+      // report the FASTER run's own (time, bytes) tuple, so each JSON row
+      // reflects one real execution — an independent min over each field
+      // could pair run 1's wall-clock with run 2's shuffle volume when
+      // AQE or partial caching makes them differ (r13 ADVICE)
       val (t1, b1) = runOnce(name, dir); val (t2, b2) = runOnce(name, dir)
-      (math.min(t1, t2), math.min(b1, b2))
+      if (t1 <= t2) (t1, b1) else (t2, b2)
     }
 
-    // data ratio from lineitem when both dirs carry it; a tables-subset
-    // ScaleGen output (e.g. a documents-only wider replica for a single
-    // adjudication) falls back to documents
-    val dataRatio = {
-      def has(dir: String, t: String) =
-        java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$t.parquet"))
-      val table = if (has(smallDir, "lineitem") && has(bigDir, "lineitem"))
-        "lineitem" else "documents"
-      require(has(smallDir, table) && has(bigDir, table),
-        s"neither lineitem nor documents present in BOTH $smallDir and " +
-          s"$bigDir — the data ratio needs one shared table")
-      val a = spark.read.parquet(s"$smallDir/$table.parquet").count()
-      val b = spark.read.parquet(s"$bigDir/$table.parquet").count()
-      b.toDouble / a
+    def has(dir: String, t: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"$t.parquet"))
+    // per-table rows AND bytes for every table present in BOTH dirs: the
+    // r13 adjudication showed rows alone mis-denominate text operators
+    // (ScaleGen's token cipher inflates documents ~24.7% chars/row per
+    // replica decade), and the correction was applied by hand in
+    // BENCH_NOTES — the artifact now carries both denominators itself
+    // (r13 VERDICT item 6). Bytes = on-disk parquet size (footer-free
+    // walk); rows = a metadata-only count job.
+    val tableStats: Seq[(String, (Long, Long, Long, Long))] =
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .filter(t => has(smallDir, t) && has(bigDir, t))
+        .map { t =>
+          def bytes(dir: String): Long = {
+            val root = java.nio.file.Paths.get(dir, s"$t.parquet")
+            val s = java.nio.file.Files.walk(root)
+            try s.filter(java.nio.file.Files.isRegularFile(_))
+              .mapToLong(java.nio.file.Files.size(_)).sum()
+            finally s.close()
+          }
+          def rows(dir: String): Long =
+            spark.read.parquet(s"$dir/$t.parquet").count()
+          t -> (rows(smallDir), rows(bigDir), bytes(smallDir), bytes(bigDir))
+        }
+    require(tableStats.nonEmpty,
+      s"no table present in BOTH $smallDir and $bigDir — the data ratio " +
+        "needs one shared table")
+
+    // headline data ratio from lineitem when both dirs carry it; a
+    // tables-subset ScaleGen output (e.g. a documents-only wider replica
+    // for a single adjudication) falls back to documents
+    val ratioTable =
+      if (tableStats.exists(_._1 == "lineitem")) "lineitem" else "documents"
+    val dataRatio = tableStats.find(_._1 == ratioTable).map {
+      case (_, (sr, br, _, _)) => br.toDouble / sr
+    }.getOrElse {
+      val (_, (sr, br, _, _)) = tableStats.head; br.toDouble / sr
     }
 
     val rows = selected.map { q =>
@@ -152,9 +180,16 @@ object ScalingAudit {
           s""""small_shuffle_b":$sB,"big_shuffle_b":$bB,"shuffle_ratio":$bR}"""
       case (q, Left(err)) => jstr(q) + s""":{"err":${jstr(err)}}"""
     }.mkString("{", ",", "}")
+    val tbl = tableStats.map { case (t, (sr, br, sb, bb)) =>
+      jstr(t) + s""":{"small_rows":$sr,"big_rows":$br,""" +
+        s""""rows_ratio":${f"${br.toDouble / sr}%.2f"},""" +
+        s""""small_bytes":$sb,"big_bytes":$bb,""" +
+        s""""bytes_ratio":${f"${bb.toDouble / sb}%.2f"}}"""
+    }.mkString("{", ",", "}")
     val line =
       s"""{"small":${jstr(smallDir)},"big":${jstr(bigDir)},""" +
-      s""""data_ratio":${f"$dataRatio%.2f"},"cpus":$cpus,"queries":$qs}"""
+      s""""data_ratio":${f"$dataRatio%.2f"},"cpus":$cpus,""" +
+      s""""tables":$tbl,"queries":$qs}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson),
       line + "\n")
     println(s"[scaling] wrote $outJson")

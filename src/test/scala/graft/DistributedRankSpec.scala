@@ -168,16 +168,105 @@ class DistributedRankSpec extends AnyFunSuite {
         spark.conf.unset(AutoKey)
         spark.conf.unset(AutoGlobalMinBytesKey)
       }
-      // grouped windows do NOT auto-route by default (flag/marker only)
+      // grouped windows do NOT auto-route without a stats PROOF (r14:
+      // proven-low column stats flip them too — pinned separately below)
       spark.conf.set(AutoGlobalMinBytesKey, "1")
       try {
         val grouped = fixture(300).withColumn("rn", row_number().over(
           Window.partitionBy(col("v") % 3).orderBy(col("v"), col("id"))))
           .queryExecution.executedPlan
         assert(grouped.collect { case e: DistributedWindowExec => e }.isEmpty,
-          s"grouped windows stay flag/marker-routed:\n$grouped")
+          s"unproven grouped windows stay flag/marker-routed:\n$grouped")
       } finally spark.conf.unset(AutoGlobalMinBytesKey)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("default-on gate routes a naive DECIMAL running sum (r14): the " +
+       "NUMERIC(12,2) fact-scale window no longer declines") {
+    import graft.plans.DistributedRankRewrite.AutoGlobalMinBytesKey
+    import spark.implicits._
+    def q(): DataFrame = spark.range(400).select(
+      $"id", (($"id" % 97).cast("double") / 4).cast("decimal(12,2)").as("amt"))
+      .withColumn("cs", sum(col("amt")).over(Window.orderBy(col("amt"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(AutoGlobalMinBytesKey, "1")
+    try {
+      val plan = q().queryExecution.executedPlan
+      assert(plan.collect { case e: DistributedWindowExec => e }.nonEmpty,
+        s"a size-gated global decimal sum must auto-route:\n$plan")
+    } finally {
+      spark.conf.unset(AutoGlobalMinBytesKey)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // value parity across the flip
+    spark.conf.set(AutoGlobalMinBytesKey, "1")
+    val on = try q().collect().map(_.toString).sorted.toSeq
+      finally spark.conf.unset(AutoGlobalMinBytesKey)
+    assert(on == q().collect().map(_.toString).sorted.toSeq,
+      "auto-routed decimal result must equal WindowExec")
+  }
+
+  test("default-on GROUPED routing needs the column-stats PROOF (r14): " +
+       "ANALYZE'd low-cardinality key routes with no flag or marker; " +
+       "unknown stats and proven-high keys stay WindowExec; kill switch " +
+       "honored") {
+    import graft.plans.DistributedRankRewrite.{AutoGlobalMinBytesKey, AutoGroupThresholdKey, AutoKey}
+    import spark.implicits._
+    val warehouse = java.nio.file.Files
+      .createTempDirectory("graft_auto_grouped").toString
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set(AutoGlobalMinBytesKey, "1")
+    try {
+      spark.range(2000).select(
+        $"id",
+        ($"id" % 3).as("lo"),
+        $"id".as("hi"),
+        (abs(hash($"id")) % 50).cast("long").as("v"))
+        .write.mode("overwrite")
+        .option("path", s"$warehouse/t").saveAsTable("graft_auto_t")
+      def grouped(key: String): DataFrame =
+        spark.table("graft_auto_t").withColumn("rn", row_number().over(
+          Window.partitionBy(col(key)).orderBy(col("v"), col("id"))))
+      // BEFORE ANALYZE: no column stats -> no proof -> WindowExec
+      val unproven = grouped("lo").queryExecution.executedPlan
+      assert(unproven.collect { case w: WindowExec => w }.nonEmpty &&
+        unproven.collect { case e: DistributedWindowExec => e }.isEmpty,
+        s"no stats must mean no default flip:\n$unproven")
+      spark.sql(
+        "ANALYZE TABLE graft_auto_t COMPUTE STATISTICS FOR COLUMNS lo, hi")
+      // proven-low (3 distinct): auto-routes with NO flag, NO marker
+      val proven = grouped("lo").queryExecution.executedPlan
+      assert(proven.collect { case e: DistributedWindowExec => e }.nonEmpty,
+        s"stats-proven low-cardinality grouped window must auto-route:\n$proven")
+      // value parity across the auto flip
+      val onRows = grouped("lo").collect().map(_.toString).sorted.toSeq
+      spark.conf.set(AutoKey, "false")
+      val offRows = try grouped("lo").collect().map(_.toString).sorted.toSeq
+        finally spark.conf.unset(AutoKey)
+      assert(onRows == offRows, "auto-routed grouped result must equal WindowExec")
+      // proven-HIGH (2000 distinct, threshold lowered): stays WindowExec
+      spark.conf.set(AutoGroupThresholdKey, "100")
+      try {
+        val high = grouped("hi").queryExecution.executedPlan
+        assert(high.collect { case w: WindowExec => w }.nonEmpty &&
+          high.collect { case e: DistributedWindowExec => e }.isEmpty,
+          s"proven-high key must stay WindowExec:\n$high")
+      } finally spark.conf.unset(AutoGroupThresholdKey)
+      // kill switch: auto=false never routes, proof or not
+      spark.conf.set(AutoKey, "false")
+      try {
+        val killed = grouped("lo").queryExecution.executedPlan
+        assert(killed.collect { case e: DistributedWindowExec => e }.isEmpty,
+          s"auto=false must keep WindowExec:\n$killed")
+      } finally spark.conf.unset(AutoKey)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_auto_t")
+      spark.conf.unset(AutoGlobalMinBytesKey)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("tightened marker: a user column named __dist_rankings does NOT trigger") {
@@ -1200,6 +1289,123 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(declined.exists(m => m.contains("sum") &&
       m.contains("RANGE")),
       s"expected a RANGE-offset-frame decline diagnostic, got: $declined")
+  }
+
+  // ------------------------------------------------------------ r14: decimal
+  /** DecimalType(12,2) money-column shape (the warehouse NUMERIC(12,2)):
+    * nulls every 11th row, a low-cardinality tie column for RANGE peer
+    * runs, a 3-value group key. */
+  private def decimalFixture(n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).select(
+      $"id",
+      when($"id" % 11 === 0, lit(null))
+        .otherwise(((abs(hash(concat(lit("d"), $"id"))) % 1000000)
+          .cast("double") / 100).cast("decimal(12,2)")).as("dv"),
+      ((abs(hash(concat(lit("t"), $"id"))) % 7).cast("double") / 4)
+        .cast("decimal(12,2)").as("tie"),
+      (abs(hash(concat(lit("f"), $"id"))) % 3).cast("long").as("flag"))
+  }
+
+  test("decimal running sum/min/max/avg equals WindowExec exactly " +
+       "(r14 — the NUMERIC(12,2) money shape, nulls included)") {
+    // Decimal accumulation is exact, so unlike the double family this
+    // compares bit-for-bit: sum emits Decimal(22,2), avg Decimal(16,6)
+    // through the replayed divide chain
+    markerVsPlain((df, nm) => {
+      val w = Window.partitionBy(col("flag")).orderBy(col("dv"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(nm("ds"), sum(col("dv")).over(w))
+        .withColumn(nm("dmn"), min(col("dv")).over(w))
+        .withColumn(nm("dmx"), max(col("dv")).over(w))
+        .withColumn(nm("dav"), avg(col("dv")).over(w))
+    }, input = Some(decimalFixture(4000)))
+  }
+
+  test("decimal RANGE default-frame aggregates equal WindowExec across " +
+       "peer runs (ties real; run-end values tie-insensitive)") {
+    markerVsPlain((df, nm) => {
+      val w = Window.partitionBy(col("flag")).orderBy(col("tie"))
+      df.withColumn(nm("rs"), sum(col("tie")).over(w))
+        .withColumn(nm("rmn"), min(col("tie")).over(w))
+        .withColumn(nm("rav"), avg(col("tie")).over(w))
+    }, input = Some(decimalFixture(3000)))
+  }
+
+  test("decimal rolling and whole-group frames equal WindowExec") {
+    markerVsPlain((df, nm) => {
+      val w = Window.partitionBy(col("flag")).orderBy(col("dv"), col("id"))
+      df.withColumn(nm("ra"), avg(col("dv")).over(w.rowsBetween(-3, 0)))
+        .withColumn(nm("rsum"), sum(col("dv")).over(w.rowsBetween(-5, 0)))
+        .withColumn(nm("gmx"), max(col("dv")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    }, input = Some(decimalFixture(2500)))
+  }
+
+  test("decimal straddled peer runs merge the driver-chained Decimal tail " +
+       "(prefix-satisfied finer partitioning)") {
+    import spark.implicits._
+    // same construction as the r9 straddle case: heavy ties + a
+    // pre-existing STRICTLY FINER range partitioning, so peer runs cross
+    // partitions and the trailing run must read the backward-chained
+    // Decimal tail (tailDecV) for its true end-of-run sum/avg/extreme
+    val df = spark.range(4000).select(
+      $"id",
+      ((abs(hash(concat(lit("s"), $"id"))) % 5).cast("double") / 4)
+        .cast("decimal(12,2)").as("tie"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+      .repartitionByRange(7, col("flag"), col("tie"), col("id"))
+    def build(nm: String => String): DataFrame = {
+      val w = Window.partitionBy(col("flag")).orderBy(col("tie"))
+      df.withColumn(nm("cs"), sum(col("tie")).over(w))
+        .withColumn(nm("av"), avg(col("tie")).over(w))
+        .withColumn(nm("mx"), max(col("tie")).over(w))
+    }
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val marked = build(l => s"${M}_$l")
+    val on = marked.columns.filter(_.startsWith(s"${M}_"))
+      .foldLeft(marked)((d, c) =>
+        d.withColumnRenamed(c, c.stripPrefix(s"${M}_")))
+    assert(on.collect().map(_.toString).sorted.toSeq == off,
+      "straddled decimal peer runs must merge across partitions")
+  }
+
+  test("decimal overflow parity: legacy NULLs exactly WindowExec's rows " +
+       "(incl. RECOVERY once negatives bring the sum back in range), " +
+       "ANSI throws at the first overflow row") {
+    import spark.implicits._
+    // input Decimal(38,0): the sum type is also (38,0), so two max-value
+    // rows overflow at row 2; the probe-verified WindowExec contract is
+    // an EXACT internal buffer with per-row CheckOverflow — null at rows
+    // whose prefix exceeds 38 digits, real values again when the prefix
+    // returns to range. The distributed operator's exact Decimal channel
+    // with emission-point checks reproduces it bit-for-bit.
+    val nines = "9" * 38
+    val df = spark.range(6).select($"id",
+      when($"id" < 2, lit(nines)).otherwise(lit("-" + nines))
+        .cast("decimal(38,0)").as("d"))
+    def build(nm: String => String): DataFrame =
+      df.withColumn(nm("cs"), sum(col("d")).over(
+        Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val off = build(identity).collect().map(_.toString).sorted.toSeq
+    val on = build(l => s"${M}_$l").withColumnRenamed(s"${M}_cs", "cs")
+      .collect().map(_.toString).sorted.toSeq
+    assert(on == off, "legacy decimal overflow must NULL like WindowExec")
+    assert(off.count(_.endsWith(",null]")) == 2,
+      s"fixture must overflow at rows 1 and 5: $off")
+    assert(off.exists(s => s.startsWith("[2,") && s.endsWith(s",$nines]")),
+      s"row 2 must RECOVER the exact sum after the overflow row: $off")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      def arithmetic(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[ArithmeticException] ||
+          arithmetic(t.getCause))
+      val e0 = intercept[Throwable] { build(identity).collect() }
+      assert(arithmetic(e0), s"WindowExec must throw under ANSI, got $e0")
+      val e = intercept[Throwable] { build(l => s"${M}_$l").collect() }
+      assert(arithmetic(e), s"expected decimal overflow, got $e")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
   }
 
   test("declined-shape diagnostic is silent when the extension was not " +

@@ -14,7 +14,11 @@
 #                               CORRECTNESS_r11.json arrived EMPTY and only
 #                               a judge-side re-run proved the round green
 #                               (r11 VERDICT item 2).
-#   2. BENCH_FULL_r{N}.json   — the complete bench sweep at sf0.1
+#   2. BENCH_CONTROLS_r{N}.json — page-cache pre-touch (quiesce) + the ten
+#                               scan-bound controls with round-over-round
+#                               ratios (r13 VERDICT item 4: box-state
+#                               shifts detected mechanically)
+#   3. BENCH_FULL_r{N}.json   — the complete bench sweep at sf0.1
 #                               (the driver's own BENCH_r{N} truncates to
 #                               an alphabetical tail)
 #   3. PLANCENSUS_r{N}.json   — plan census of every batch registry entry
@@ -71,7 +75,7 @@ fi
 N="${1:?usage: tools/closeout.sh <round-number>}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 
-echo "[closeout] 1/7 oracle gate (Verify sf0.01 + DuckDB compare) -> ORACLE_r${N}.json"
+echo "[closeout] 1/8 oracle gate (Verify sf0.01 + DuckDB compare) -> ORACLE_r${N}.json"
 VOUT=$(mktemp -d /tmp/closeout_verify.XXXXXX)
 SPARK_GRAFT_CPUS="$CPUS" \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $VOUT" \
@@ -91,7 +95,7 @@ assert s["ok"] > 0, "oracle gate empty"
 EOF
 rm -rf "$VOUT"
 
-echo "[closeout] 1b/7 flag-on parity sweep (sf0.01) -> PARITY_r${N}.json"
+echo "[closeout] 1b/8 flag-on parity sweep (sf0.01) -> PARITY_r${N}.json"
 # r13: every registry query, distributedRank flag off vs on, checksum +
 # routing counts; ParityCheck exits nonzero on any mismatch
 SPARK_GRAFT_CPUS="$CPUS" \
@@ -102,25 +106,44 @@ SPARK_GRAFT_CPUS="$CPUS" \
 grep -o '\[parity\] [0-9]* queries.*' /tmp/closeout_parity.log | tail -1
 [ -s "PARITY_r${N}.json" ] || { echo "[closeout] no PARITY_r${N}.json"; exit 1; }
 
-echo "[closeout] 2/7 full bench sweep (sf0.1, local[$CPUS]) -> BENCH_FULL_r${N}.json"
+echo "[closeout] 2/8 bench controls + page-cache pre-touch (sf0.1) -> BENCH_CONTROLS_r${N}.json"
+# r14 (r13 VERDICT item 4): the quiesce/pre-touch step plus the ten
+# untouched scan-bound controls as a first-class artifact — a uniform
+# box-state shift in the sweep that follows is then detected
+# mechanically (median control ratio vs the PREVIOUS round's BENCH_FULL),
+# not forensically. Runs immediately before the sweep so the sweep
+# inherits the pre-touched cache.
+PREV_BENCH=""
+for CAND in $(ls BENCH_FULL_r*.json 2>/dev/null | sort -V); do
+  [ "$CAND" = "BENCH_FULL_r${N}.json" ] || PREV_BENCH="$CAND"
+done
+SPARK_GRAFT_CPUS="$CPUS" \
+  sbt -batch "runMain graft.tools.BenchControls /root/testdata/sf0.1 $PWD/BENCH_CONTROLS_r${N}.json $PREV_BENCH" \
+  > /tmp/closeout_controls.log 2>&1 || {
+    tail -5 /tmp/closeout_controls.log
+    echo "[closeout] bench controls FAILED"; exit 1; }
+grep -o '\[controls\] wrote.*' /tmp/closeout_controls.log | tail -1
+[ -s "BENCH_CONTROLS_r${N}.json" ] || { echo "[closeout] no BENCH_CONTROLS_r${N}.json"; exit 1; }
+
+echo "[closeout] 3/8 full bench sweep (sf0.1, local[$CPUS]) -> BENCH_FULL_r${N}.json"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
   SPARK_GRAFT_BENCH_OUT="$PWD/BENCH_FULL_r${N}.json" \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' || {
     echo "[closeout] bench sweep failed"; exit 1; }
 [ -s "BENCH_FULL_r${N}.json" ] || { echo "[closeout] no BENCH_FULL_r${N}.json"; exit 1; }
 
-echo "[closeout] 3/7 plan census (sf0.001) -> PLANCENSUS_r${N}.json"
+echo "[closeout] 4/8 plan census (sf0.001) -> PLANCENSUS_r${N}.json"
 SPARK_GRAFT_CPUS="$CPUS" \
   sbt -batch "runMain graft.tools.PlanCensus /root/testdata/sf0.001 $PWD/PLANCENSUS_r${N}.json" \
   2>&1 | grep -E '"queries"|INCOMPLETE' || {
     echo "[closeout] census failed"; exit 1; }
 [ -s "PLANCENSUS_r${N}.json" ] || { echo "[closeout] no PLANCENSUS_r${N}.json"; exit 1; }
 
-echo "[closeout] 4/7 BENCH_NOTES round section"
+echo "[closeout] 5/8 BENCH_NOTES round section"
 grep -q "Round ${N}" BENCH_NOTES.md || {
   echo "[closeout] BENCH_NOTES.md has no 'Round ${N}' section — write it"; exit 1; }
 
-echo "[closeout] 5/7 doc freshness (registry count in SKILL.md)"
+echo "[closeout] 6/8 doc freshness (registry count in SKILL.md)"
 BATCH=$(python3 -c "import json; print(len(json.load(open('PLANCENSUS_r${N}.json'))))")
 STREAM=$(grep -o '"q_stream_[a-z_]*"' src/main/scala/graft/streaming/Streams.scala | sort -u | wc -l)
 TOTAL=$((BATCH + STREAM))
@@ -132,7 +155,7 @@ grep -E "As of round [0-9]+.*\b${TOTAL}\b|\b${TOTAL}\b.*registry" \
        "($TOTAL = $BATCH batch + $STREAM streaming) on its 'As of round'" \
        "line — refresh it"; exit 1; }
 
-echo "[closeout] 6/7 leak grep (seven LEAKCHECK categories over src tools build.sbt)"
+echo "[closeout] 7/8 leak grep (seven LEAKCHECK categories over src tools build.sbt)"
 # patterns mirror the driver's LEAKCHECK categories: internal imports/
 # packages, internal URLs/buckets, short links, API keys, internal env
 # vars. Word-boundary anchored; any hit fails the seal.
@@ -154,7 +177,7 @@ leak axon-env 'ANTHROPIC_[A-Z_]+|CLAUDE_[A-Z_]+'
 [ "$LEAKS" = 0 ] || { echo "[closeout] leak grep FAILED"; exit 1; }
 echo "[closeout] leak grep clean (7 categories, 0 hits)"
 
-echo "[closeout] 7/7 seal stamp -> CLOSEOUT_r${N}.stamp"
+echo "[closeout] 8/8 seal stamp -> CLOSEOUT_r${N}.stamp"
 seal_tree_hashes > "CLOSEOUT_r${N}.stamp"
 
 echo "[closeout] OK ($TOTAL registry entries) — commit ORACLE_r${N}.json BENCH_FULL_r${N}.json PLANCENSUS_r${N}.json CLOSEOUT_r${N}.stamp and the notes, then run: tools/closeout.sh verify ${N}"
