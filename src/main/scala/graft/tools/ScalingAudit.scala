@@ -75,6 +75,14 @@ object ScalingAudit {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // back-to-back timed runs in ONE JVM leave each run's shuffle
+      // files on disk until the ContextCleaner's periodic GC fires —
+      // default every 30 min, longer than a whole audit, so a
+      // shuffle-heavy query's files ACCUMULATE across warmup+2 runs ×
+      // 2 dirs and can fill the disk (r14: q_label_prop at a 3×
+      // gen-sf30 lineitem died on ENOSPC with 75 GB free at run start).
+      // A 2-minute cadence caps live shuffle debris at ~one run's worth.
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Sessions.tune(spark)

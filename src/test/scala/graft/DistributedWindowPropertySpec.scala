@@ -45,7 +45,8 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     width <- Gen.oneOf(2, 5, 13)
     pre <- Gen.oneOf(0, 0, 3, 9)
     funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av", "lg",
-        "nt", "pr", "ld", "rsum", "rmin", "rct", "fv", "nv", "cd")
+        "nt", "pr", "ld", "rsum", "rmin", "rct", "fv", "nv", "cd",
+        "dsum", "dmn", "dav", "drs", "dfl")
       .suchThat(_.nonEmpty).map(_.toList)
   } yield Shape(n, dv, nullMod, groups, width, pre, funcs)
 
@@ -59,7 +60,13 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
         .cast("long").as("v"),
       (if (sh.groups == 0) lit(0L)
        else abs(hash(concat(lit("g"), $"id"))) % sh.groups).as("flag"),
-      (abs(hash(concat(lit("w"), $"id"))) % 50 - 10).cast("long").as("w"))
+      (abs(hash(concat(lit("w"), $"id"))) % 50 - 10).cast("long").as("w"),
+      // the r14 decimal channel: NUMERIC(12,2)-shaped money values with
+      // their own null stripe (offset from v's so the masks differ)
+      when(if (sh.nullMod == 0) lit(false) else $"id" % sh.nullMod === 1,
+        lit(null))
+        .otherwise(((abs(hash(concat(lit("m"), $"id"))) % 100000)
+          .cast("double") / 100).cast("decimal(12,2)")).as("dw"))
     if (sh.prePartition > 0)
       base.repartitionByRange(sh.prePartition, $"flag", $"v", $"id")
     else base
@@ -72,7 +79,7 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     // the tie-insensitive shapes keep the bare (v) order so peer runs
     // with real ties keep getting exercised
     val tieSensitive = Set("lg", "nt", "ld", "rsum", "rmin", "rct",
-      "fv", "nv")
+      "fv", "nv", "drs")
     val ord =
       if (sh.funcs.exists(tieSensitive)) Seq(col("v"), col("id"))
       else Seq(col("v"))
@@ -103,6 +110,16 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         case "nv" => d.withColumn(nm("nv"), nth_value(col("w"), 6).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // r14 decimal family: exact accumulation -> string equality is
+        // safe for every decimal function, avg included (scale-6 result)
+        case "dsum" => d.withColumn(nm("ds"), sum(col("dw")).over(w))
+        case "dmn"  => d.withColumn(nm("dmn"), min(col("dw")).over(w))
+        case "dav"  => d.withColumn(nm("dav"), avg(col("dw")).over(w))
+        case "drs"  => d.withColumn(nm("drs"),
+          sum(col("dw")).over(w.rowsBetween(-4, Window.currentRow)))
+        case "dfl"  => d.withColumn(nm("dfl"), max(col("dw")).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
       }
     }
   }
