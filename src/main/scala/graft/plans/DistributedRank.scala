@@ -62,6 +62,12 @@ object DistributedRank {
         _.isInstanceOf[DistributedRankRewrite.type]))
       spark.experimental.extraOptimizations =
         DistributedRankRewrite +: spark.experimental.extraOptimizations
+    // stddev/variance-over-window decomposition (r14) — must precede the
+    // routing decision, which the shared fixed-point batch guarantees
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[WindowVarianceDecompose.type]))
+      spark.experimental.extraOptimizations =
+        WindowVarianceDecompose +: spark.experimental.extraOptimizations
   }
 }
 
@@ -488,7 +494,9 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
         case other => other.prettyName
       }
       // r13 routed the RANGE per-run family; r14 routed decimal
-      // aggregates — what remains declined is deliberately out of scope
+      // aggregates, and stddev/variance windows now arrive here already
+      // decomposed into routable sum/count shapes (WindowVarianceDecompose)
+      // — what remains declined is deliberately out of scope
       // (non-literal offsets, DISTINCT/FILTER aggregates, decimal-input
       // OFFSET functions, RANGE offset frames)
       val reason = "unsupported function/frame shape for the distributed window"

@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // opt-in AQP dial (spark.graft.sketchDistinct) — inert until flagged
     ext.injectOptimizerRule(_ => SketchDistinctRewrite)
+    // stddev/variance window decomposition → routable sum/count shapes
+    // (always-on; spark.graft.windowVarianceDecompose=false restores the
+    // built-in Welford plan)
+    ext.injectOptimizerRule(_ => WindowVarianceDecompose)
     // distributed global rank (spark.graft.distributedRank flag or the
     // __dist_rank column marker) — rule + strategy pair, inert otherwise
     ext.injectOptimizerRule(_ => DistributedRankRewrite)

@@ -815,6 +815,89 @@ object CorpusQuality {
        |LEFT JOIN dup u ON u.source = b.source
        |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------ q_dsir
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how much more likely its
+    * tokens are under a small curated TARGET distribution than under the
+    * raw-pool distribution, using hashed n-gram features. The target slice
+    * here is `doc_id % 7 = 0` (the curated-seed idiom, like
+    * q_decontaminate's `% 33` benchmark slice); features are unigrams
+    * hashed into 64 buckets (production uses 10⁴–10⁶ — still a broadcast).
+    *
+    * Per bucket b: p_t(b) = (c_t(b)+1)/(T+64) and p_r(b) = (c_r(b)+1)/(R+64)
+    * (Laplace-smoothed); a document's importance weight is
+    * Σ_tok [ln p_t(bucket(tok)) − ln p_r(bucket(tok))]. `selected` marks
+    * weight > 0 — the doc looks more target-like than pool-like — a
+    * per-row decision, no global order statistic.
+    *
+    * Engine parity: the two lns are each rounded to 6 dp (the BM25/entropy
+    * idiom) and micro-scaled to exact BIGINTs, so every per-doc sum is
+    * integer arithmetic; `dsir_micro` IS the weight in 10⁻⁶ nat units.
+    *
+    * Scale shape: pass 1 is one map-side-combinable bucket count (64 rows
+    * out); the 64-row log-ratio table is BROADCAST back onto the token
+    * stream, so the only corpus-sized shuffle is the per-doc partial-agg
+    * sum. The bucket hash is md5-based ([[graft.queries.Sketches]] idiom)
+    * so both engines bucket identically. */
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("bkt",
+        expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 64"))
+    val counts = toks
+      .groupBy(col("bkt"))
+      .agg(sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("doc_id") % 7 === 0, 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("t_tot"),
+      sum(col("cr")).as("r_tot"))
+    def lnMicro(c: Column, tot: Column): Column =
+      round(round(log((c + lit(1)).cast("double") / (tot + lit(64))), 6)
+        * lit(1e6), 0).cast("long")
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        (lnMicro(col("ct"), col("t_tot"))
+          - lnMicro(col("cr"), col("r_tot"))).as("lr_micro"))
+    toks.join(broadcast(lr), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lr_micro")).as("dsir_micro"))
+      .select(col("doc_id"), col("n_tok"), col("dsir_micro"),
+        when(col("doc_id") % 7 === 0, 1).otherwise(0).as("is_target"),
+        when(col("dsir_micro") > 0, 1).otherwise(0).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qDsirSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bkt
+      |  FROM t),
+      |c AS (
+      |  SELECT bkt,
+      |    sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS ct,
+      |    sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END) AS cr
+      |  FROM b GROUP BY bkt),
+      |tot AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM c),
+      |lr AS (
+      |  SELECT bkt,
+      |    CAST(round(round(ln((ct + 1) / (t_tot + 64.0)), 6) * 1e6, 0)
+      |      AS BIGINT)
+      |    - CAST(round(round(ln((cr + 1) / (r_tot + 64.0)), 6) * 1e6, 0)
+      |      AS BIGINT) AS lr_micro
+      |  FROM c, tot)
+      |SELECT b.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(sum(lr.lr_micro) AS BIGINT) AS dsir_micro,
+      |  CAST(CASE WHEN b.doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS is_target,
+      |  CAST(CASE WHEN sum(lr.lr_micro) > 0 THEN 1 ELSE 0 END AS INT)
+      |    AS selected
+      |FROM b JOIN lr ON lr.bkt = b.bkt
+      |GROUP BY b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   // --------------------------------------------------------------- registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_card"        -> (qSourceCard _),
@@ -830,7 +913,8 @@ object CorpusQuality {
     "q_pii_scrub"          -> (qPiiScrub _),
     "q_temperature_mixture" -> (qTemperatureMixture _),
     "q_source_cap"         -> (qSourceCap _),
-    "q_oov_rate"           -> (qOovRate _))
+    "q_oov_rate"           -> (qOovRate _),
+    "q_dsir"               -> (qDsir _))
 
   val oracle: Map[String, String] = Map(
     "q_source_card"        -> qSourceCardSql,
@@ -846,5 +930,6 @@ object CorpusQuality {
     "q_pii_scrub"          -> qPiiScrubSql,
     "q_temperature_mixture" -> qTemperatureMixtureSql,
     "q_source_cap"         -> qSourceCapSql,
-    "q_oov_rate"           -> qOovRateSql)
+    "q_oov_rate"           -> qOovRateSql,
+    "q_dsir"               -> qDsirSql)
 }

@@ -162,6 +162,59 @@ object TextAnalysis {
       |    AS tokens_per_word
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q_fertility
+  /** Tokenizer fertility by source: subword tokens per whitespace word
+    * (the "fertility" a tokenizer paper reports per language/domain) and
+    * characters per subword token (the compression ratio), using the same
+    * GPT-ish pre-tokenizer as [[qTokenCount]]. The per-source token budget
+    * predictor: a source with fertility 1.8 costs 1.8× the tokens of its
+    * word count, and a falling chars-per-token means the tokenizer is
+    * fragmenting that domain. Aggregating per SOURCE (vs q_token_count's
+    * per-doc view) is what a mixture planner actually consumes.
+    *
+    * Engine parity: every emitted count is an exact integer sum; the two
+    * ratios are single double divisions of those exact integers (identical
+    * cross-engine) rounded at scale 4, where no exact decimal tie exists.
+    *
+    * Scale shape: per-row token counting inside whole-stage codegen (no
+    * explode — `size(...)` never materializes the arrays into a shuffle),
+    * then ONE map-side-combinable groupBy(source); output is O(sources). */
+  def qFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"),
+        size(toks(col("text"))).as("n_ws"),
+        size(expr(
+          """regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+          .as("n_bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_ws").cast("long")).as("n_ws_tokens"),
+        sum(col("n_bpe").cast("long")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        col("n_ws_tokens"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 4)
+          .as("fertility"),
+        round(col("sum_chars").cast("double") / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+
+  private val qFertilitySql =
+    """WITH d AS (
+      |  SELECT source, n_chars,
+      |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws,
+      |    len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+      |      AS n_bpe
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+      |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+      |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4) AS fertility,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 4) AS chars_per_token
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------- q_fingerprint
   /** Rolling polynomial content fingerprint: fold h = (h*131 + ascii(c)) mod
     * 1e9+7 over every character of the whitespace-normalized text. Exact
@@ -1370,6 +1423,7 @@ object TextAnalysis {
     "q_lang_id"       -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count"   -> (qTokenCount _),
+    "q_fertility"     -> (qFertility _),
     "q_fingerprint"   -> (qFingerprint _),
     "q_ngram_next"    -> (qNgramNext _),
     "q_bm25"          -> (qBm25 _))
@@ -1394,6 +1448,7 @@ object TextAnalysis {
     "q_lang_id"       -> qLangIdSql,
     "q_quality_score" -> qQualityScoreSql,
     "q_token_count"   -> qTokenCountSql,
+    "q_fertility"     -> qFertilitySql,
     "q_fingerprint"   -> qFingerprintSql,
     "q_ngram_next"    -> qNgramNextSql,
     "q_bm25"          -> qBm25Sql)

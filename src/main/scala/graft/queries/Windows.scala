@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{OracleParity => OP, Tables}
@@ -507,6 +507,239 @@ object Windows {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderpriority, price_cents, o_orderkey""".stripMargin
 
+  // -------------------------------------------------- q_fact_vol_dist
+  /** stddev/variance window family through the distributed operator via
+    * [[graft.plans.WindowVarianceDecompose]] (r14): `stddev_samp`,
+    * `var_pop` and `stddev_pop` OVER running / 20-row rolling /
+    * whole-group frames on orders' totalprice as the warehouse
+    * NUMERIC(12,2) money type — the rolling-volatility shape. The
+    * decomposition turns each into exact-decimal `sum(x)` / `sum(x·x)` /
+    * `count(x)` window aggregates (shapes [[graft.plans.DistributedWindowExec]]
+    * routes over every frame family) plus one projection computing
+    * `m2 = max(0, Σx² − (Σx)²/n)` — so the fact-scale volatility query
+    * gets the distributed plan instead of declining to a single-task
+    * WindowExec.
+    *
+    * Engine parity: both moment sums are EXACT decimals ((12,2) input,
+    * (25,4) squares) in both engines; each is cast to double once, and
+    * the remaining arithmetic (mul/div/sub/greatest/sqrt) is the same
+    * IEEE op sequence. Two float hazards were hit and retired during
+    * gating:
+    *   - presenting RAW variance: variance of cents data is a terminating
+    *     rational (denominator 10⁴·n²) that lands an exact `.xxxx5`
+    *     rounding tie in ~10% of rows (the q_vwap landmine; 36/1500 rows
+    *     at sf0.001) — every measure is presented THROUGH sqrt, whose
+    *     output cannot terminate at the tie digit;
+    *   - CANCELLATION: with the sequence windows ordered BY PRICE, a
+    *     20-row frame holds 20 near-equal prices, so Σx² − (Σx)²/n
+    *     cancels ~10 significant digits and sub-ULP differences in the
+    *     engines' decimal→double casts flip the 4th decimal (29/150k rows
+    *     at sf0.1) — the textbook two-pass-formula failure the rule's
+    *     scaladoc warns about. The sequence windows (run/roll/grp) order
+    *     by o_orderkey instead: each frame spans the full price
+    *     distribution, variance is mean²-scale, no cancellation. The
+    *     RANGE window keeps ORDER BY price (peer-run semantics are the
+    *     point); its prefixes are safe because small prefixes hold small
+    *     prices (small absolute noise) and large prefixes have
+    *     full-spread variance.
+    * The var_pop/var_samp FUNCTIONS are still exercised through the rule
+    * — the query sqrt's their output. Flag-on/flag-off checksums agree
+    * exactly: the decomposed bases are exact decimals in BOTH executors,
+    * so routing cannot surface (unlike a Welford chain). */
+  def qFactVolDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderkey")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val roll = w.rowsBetween(-19, 0)
+    // RANGE orders by price ALONE — peers are price ties; adding the id
+    // tiebreak would make every run a singleton and silently degrade the
+    // peer-run test to ROWS
+    val rng = Window.partitionBy($"o_orderpriority").orderBy($"price")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        $"o_totalprice".cast("decimal(12,2)").as("price"))
+      .withColumn(s"${m}_rs", stddev_samp($"price").over(run))
+      .withColumn(s"${m}_rv", var_pop($"price").over(roll))
+      .withColumn(s"${m}_ng", stddev_pop($"price").over(rng))
+      .withColumn(s"${m}_gv", var_samp($"price").over(grp))
+      .select($"o_orderkey", $"o_orderpriority",
+        ($"price" * 100).cast("long").as("price_cents"),
+        // n=1 prefix → NULL by the divide-by-zero contract (non-legacy)
+        round(col(s"${m}_rs"), 4).as("run_stddev"),
+        round(sqrt(col(s"${m}_rv")), 4).as("roll_sd"),
+        round(col(s"${m}_ng"), 4).as("rng_stddev"),
+        round(sqrt(col(s"${m}_gv")), 4).as("grp_sd"))
+      .orderBy($"o_orderpriority", $"price_cents", $"o_orderkey")
+  }
+
+  private val qFactVolDistSql =
+    """SELECT o_orderkey, o_orderpriority, price_cents,
+      |  CASE WHEN n_run = 1 THEN NULL
+      |       ELSE round(sqrt(greatest(0, sxx_run - sx_run * sx_run / n_run)
+      |                       / (n_run - 1)), 4) END AS run_stddev,
+      |  round(sqrt(greatest(0, sxx_roll - sx_roll * sx_roll / n_roll)
+      |             / n_roll), 4) AS roll_sd,
+      |  round(sqrt(greatest(0, sxx_rng - sx_rng * sx_rng / n_rng)
+      |             / n_rng), 4) AS rng_stddev,
+      |  CASE WHEN n_grp = 1 THEN NULL
+      |       ELSE round(sqrt(greatest(0, sxx_grp - sx_grp * sx_grp / n_grp)
+      |                       / (n_grp - 1)), 4) END AS grp_sd
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(price * 100 AS BIGINT) AS price_cents,
+      |    CAST(sum(price) OVER run AS DOUBLE) AS sx_run,
+      |    CAST(sum(price * price) OVER run AS DOUBLE) AS sxx_run,
+      |    CAST(count(price) OVER run AS DOUBLE) AS n_run,
+      |    CAST(sum(price) OVER roll AS DOUBLE) AS sx_roll,
+      |    CAST(sum(price * price) OVER roll AS DOUBLE) AS sxx_roll,
+      |    CAST(count(price) OVER roll AS DOUBLE) AS n_roll,
+      |    CAST(sum(price) OVER rng AS DOUBLE) AS sx_rng,
+      |    CAST(sum(price * price) OVER rng AS DOUBLE) AS sxx_rng,
+      |    CAST(count(price) OVER rng AS DOUBLE) AS n_rng,
+      |    CAST(sum(price) OVER grp AS DOUBLE) AS sx_grp,
+      |    CAST(sum(price * price) OVER grp AS DOUBLE) AS sxx_grp,
+      |    CAST(count(price) OVER grp AS DOUBLE) AS n_grp
+      |  FROM (
+      |    SELECT o_orderkey, o_orderpriority,
+      |      CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |    FROM orders)
+      |  WINDOW run AS (PARTITION BY o_orderpriority
+      |      ORDER BY o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    roll AS (PARTITION BY o_orderpriority
+      |      ORDER BY o_orderkey
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |    rng AS (PARTITION BY o_orderpriority
+      |      ORDER BY price
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    grp AS (PARTITION BY o_orderpriority
+      |      ORDER BY o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |ORDER BY o_orderpriority, price_cents, o_orderkey""".stripMargin
+
+  // ------------------------------------------------- q_fact_corr_dist
+  /** The TWO-INPUT moment window family through
+    * [[graft.plans.WindowVarianceDecompose]] (r14): `corr`, `covar_samp`
+    * and `covar_pop` OVER running / 20-row rolling / whole-group frames
+    * on lineitem's (extendedprice, quantity) pair — strongly positively
+    * correlated by TPC-H construction (price = qty × unit price), so the
+    * co-moment is never cancellation-dominated. Decomposed, each becomes
+    * six exact-decimal sum/count bases the distributed operator routes;
+    * Spark's CovarianceAgg/PearsonCorrelation buffers would DECLINE.
+    *
+    * Window order: (l_orderkey, l_linenumber, price, qty) — lineitem's
+    * duplicate (orderkey, linenumber) rows DIFFER in measures, and any
+    * residual tie after the measure tiebreaks has identical (price, qty),
+    * so every prefix multiset (hence every running sum) is deterministic.
+    *
+    * Presentation: corr is a dimensionless ratio (noise ~1e-15 relative,
+    * boundary-safe at 4 dp). Raw covariances are NOT presentable — their
+    * absolute 1-ULP operand noise (the engines' >2^53 decimal→double
+    * casts can double-round differently) scales with Σxy — so each is
+    * presented as the dimensionless `cov·n²/(Σx·Σy)` with the
+    * normalizing sums taken as exact decimal window aggregates in the
+    * same query: absolute noise ~1e-16, sign preserved, engine-exact at
+    * 4 dp. */
+  def qFactCorrDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber", $"price", $"qty")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val roll = w.rowsBetween(-19, 0)
+    val grp = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def ratio(cov: Column, n: Column, sx: Column, sy: Column): Column =
+      cov * n.cast("double") * n.cast("double") /
+        (sx.cast("double") * sy.cast("double"))
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        $"l_extendedprice".cast("decimal(12,2)").as("price"),
+        $"l_quantity".cast("decimal(12,2)").as("qty"))
+      .withColumn(s"${m}_cr", corr($"price", $"qty").over(run))
+      .withColumn(s"${m}_cs", covar_samp($"price", $"qty").over(run))
+      .withColumn(s"${m}_cp", covar_pop($"price", $"qty").over(roll))
+      .withColumn(s"${m}_gc", corr($"price", $"qty").over(grp))
+      .withColumn(s"${m}_nr", count($"price").over(run))
+      .withColumn(s"${m}_sxr", sum($"price").over(run))
+      .withColumn(s"${m}_syr", sum($"qty").over(run))
+      .withColumn(s"${m}_nl", count($"price").over(roll))
+      .withColumn(s"${m}_sxl", sum($"price").over(roll))
+      .withColumn(s"${m}_syl", sum($"qty").over(roll))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        ($"price" * 100).cast("long").as("price_cents"),
+        ($"qty" * 100).cast("long").as("qty_cents"),
+        round(col(s"${m}_cr"), 4).as("corr_run"),
+        round(ratio(col(s"${m}_cs"), col(s"${m}_nr"),
+          col(s"${m}_sxr"), col(s"${m}_syr")), 4).as("cs_run_ratio"),
+        round(ratio(col(s"${m}_cp"), col(s"${m}_nl"),
+          col(s"${m}_sxl"), col(s"${m}_syl")), 4).as("cp_roll_ratio"),
+        round(col(s"${m}_gc"), 4).as("corr_grp"))
+      .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        $"price_cents", $"qty_cents")
+  }
+
+  private val qFactCorrDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, price_cents, qty_cents,
+      |  CASE WHEN n_run = 1 THEN NULL
+      |       ELSE round((sxy_run - sx_run * sy_run / n_run)
+      |                  / sqrt(greatest(0, sxx_run - sx_run * sx_run / n_run)
+      |                         * greatest(0, syy_run - sy_run * sy_run / n_run)),
+      |                  4) END AS corr_run,
+      |  CASE WHEN n_run = 1 THEN NULL
+      |       ELSE round((sxy_run - sx_run * sy_run / n_run) / (n_run - 1)
+      |                  * n_run * n_run / (sx_run * sy_run), 4)
+      |       END AS cs_run_ratio,
+      |  round((sxy_roll - sx_roll * sy_roll / n_roll) / n_roll
+      |        * n_roll * n_roll / (sx_roll * sy_roll), 4) AS cp_roll_ratio,
+      |  CASE WHEN n_grp = 1 THEN NULL
+      |       ELSE round((sxy_grp - sx_grp * sy_grp / n_grp)
+      |                  / sqrt(greatest(0, sxx_grp - sx_grp * sx_grp / n_grp)
+      |                         * greatest(0, syy_grp - sy_grp * sy_grp / n_grp)),
+      |                  4) END AS corr_grp
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(price * 100 AS BIGINT) AS price_cents,
+      |    CAST(qty * 100 AS BIGINT) AS qty_cents,
+      |    CAST(sum(price) OVER run AS DOUBLE) AS sx_run,
+      |    CAST(sum(qty) OVER run AS DOUBLE) AS sy_run,
+      |    CAST(sum(price * qty) OVER run AS DOUBLE) AS sxy_run,
+      |    CAST(sum(price * price) OVER run AS DOUBLE) AS sxx_run,
+      |    CAST(sum(qty * qty) OVER run AS DOUBLE) AS syy_run,
+      |    CAST(count(price) OVER run AS DOUBLE) AS n_run,
+      |    CAST(sum(price) OVER roll AS DOUBLE) AS sx_roll,
+      |    CAST(sum(qty) OVER roll AS DOUBLE) AS sy_roll,
+      |    CAST(sum(price * qty) OVER roll AS DOUBLE) AS sxy_roll,
+      |    CAST(count(price) OVER roll AS DOUBLE) AS n_roll,
+      |    CAST(sum(price) OVER grp AS DOUBLE) AS sx_grp,
+      |    CAST(sum(qty) OVER grp AS DOUBLE) AS sy_grp,
+      |    CAST(sum(price * qty) OVER grp AS DOUBLE) AS sxy_grp,
+      |    CAST(sum(price * price) OVER grp AS DOUBLE) AS sxx_grp,
+      |    CAST(sum(qty * qty) OVER grp AS DOUBLE) AS syy_grp,
+      |    CAST(count(price) OVER grp AS DOUBLE) AS n_grp
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber, l_returnflag,
+      |      CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |      CAST(l_quantity AS DECIMAL(12,2)) AS qty
+      |    FROM lineitem)
+      |  WINDOW run AS (PARTITION BY l_returnflag
+      |      ORDER BY l_orderkey, l_linenumber, price, qty
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    roll AS (PARTITION BY l_returnflag
+      |      ORDER BY l_orderkey, l_linenumber, price, qty
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |    grp AS (PARTITION BY l_returnflag
+      |      ORDER BY l_orderkey, l_linenumber, price, qty
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber, price_cents,
+      |  qty_cents""".stripMargin
+
   // ------------------------------------------------ q_fact_ranks_dist
   /** `rank()` + `dense_rank()` PARTITION BY flag ORDER BY cents through
     * [[graft.plans.DistributedWindowExec]] (r10 — the operator grew the
@@ -813,6 +1046,8 @@ object Windows {
     "q_fact_rank_grouped_dist" -> (qFactRankGroupedDist _),
     "q_fact_cumsum_dist" -> (qFactCumsumDist _),
     "q_fact_cumsum_decimal" -> (qFactCumsumDecimal _),
+    "q_fact_vol_dist" -> (qFactVolDist _),
+    "q_fact_corr_dist" -> (qFactCorrDist _),
     "q_fact_cumsum_grouped_dist" -> (qFactCumsumGroupedDist _),
     "q_window_rownum"  -> (qWindowRownum _),
     "q_window_topk"    -> (qWindowTopk _),
@@ -833,6 +1068,8 @@ object Windows {
     "q_fact_rank_grouped_dist" -> qFactRankGroupedDistSql,
     "q_fact_cumsum_dist" -> qFactCumsumDistSql,
     "q_fact_cumsum_decimal" -> qFactCumsumDecimalSql,
+    "q_fact_vol_dist" -> qFactVolDistSql,
+    "q_fact_corr_dist" -> qFactCorrDistSql,
     "q_fact_cumsum_grouped_dist" -> qFactCumsumGroupedDistSql,
     "q_fact_ranks_dist" -> qFactRanksDistSql,
     "q_fact_runagg_dist" -> qFactRunaggDistSql,

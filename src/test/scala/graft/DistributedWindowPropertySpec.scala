@@ -46,7 +46,8 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     pre <- Gen.oneOf(0, 0, 3, 9)
     funcs <- Gen.someOf("rk", "dr", "sum", "min", "max", "ct", "av", "lg",
         "nt", "pr", "ld", "rsum", "rmin", "rct", "fv", "nv", "cd",
-        "dsum", "dmn", "dav", "drs", "dfl")
+        "dsum", "dmn", "dav", "drs", "dfl",
+        "sdv", "vpo", "crr", "cvs")
       .suchThat(_.nonEmpty).map(_.toList)
   } yield Shape(n, dv, nullMod, groups, width, pre, funcs)
 
@@ -66,7 +67,18 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
       when(if (sh.nullMod == 0) lit(false) else $"id" % sh.nullMod === 1,
         lit(null))
         .otherwise(((abs(hash(concat(lit("m"), $"id"))) % 100000)
-          .cast("double") / 100).cast("decimal(12,2)")).as("dw"))
+          .cast("double") / 100).cast("decimal(12,2)")).as("dw"),
+      // r14 variance/corr family partners: an integer second measure and
+      // a decimal second measure, each with its OWN null stripe so the
+      // pair-non-null masking differs from every other column's
+      when(if (sh.nullMod == 0) lit(false) else $"id" % sh.nullMod === 2,
+        lit(null))
+        .otherwise((abs(hash(concat(lit("u"), $"id"))) % 37 - 5)
+          .cast("long")).as("w2"),
+      when(if (sh.nullMod == 0) lit(false) else $"id" % sh.nullMod === 2,
+        lit(null))
+        .otherwise(((abs(hash(concat(lit("n"), $"id"))) % 70000)
+          .cast("double") / 100).cast("decimal(12,2)")).as("dw2"))
     if (sh.prePartition > 0)
       base.repartitionByRange(sh.prePartition, $"flag", $"v", $"id")
     else base
@@ -79,7 +91,7 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
     // the tie-insensitive shapes keep the bare (v) order so peer runs
     // with real ties keep getting exercised
     val tieSensitive = Set("lg", "nt", "ld", "rsum", "rmin", "rct",
-      "fv", "nv", "drs")
+      "fv", "nv", "drs", "vpo")
     val ord =
       if (sh.funcs.exists(tieSensitive)) Seq(col("v"), col("id"))
       else Seq(col("v"))
@@ -120,6 +132,19 @@ class DistributedWindowPropertySpec extends AnyFunSuite {
         case "dfl"  => d.withColumn(nm("dfl"), max(col("dw")).over(
           w.rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)))
+        // r14 decomposed moment family. String equality stays safe: the
+        // integer inputs keep every Σ/Σ² an exact integer-valued double,
+        // the decimal inputs recover the exact decimal channel, and both
+        // arms share the identical final projection, so the doubles are
+        // bit-for-bit (WindowVarianceDecompose runs in BOTH arms — what
+        // differs is only the routing of the sum/count bases)
+        case "sdv" => d.withColumn(nm("sdv"), stddev_samp(col("w")).over(w))
+        case "vpo" => d.withColumn(nm("vpo"),
+          var_pop(col("w")).over(w.rowsBetween(-4, Window.currentRow)))
+        case "crr" => d.withColumn(nm("crr"),
+          corr(col("w"), col("w2")).over(w))
+        case "cvs" => d.withColumn(nm("cvs"),
+          covar_samp(col("dw"), col("dw2")).over(w))
       }
     }
   }
