@@ -740,6 +740,251 @@ object Windows {
       |ORDER BY l_returnflag, l_orderkey, l_linenumber, price_cents,
       |  qty_cents""".stripMargin
 
+  // ------------------------------------------------- q_fact_regr_dist
+  /** The LINEAR-REGRESSION window family through
+    * [[graft.plans.WindowVarianceDecompose]] (r14): `regr_slope`,
+    * `regr_intercept`, `regr_r2`, `regr_sxy` (decomposed onto the same
+    * six exact-decimal bases as corr), `regr_sxx`/`regr_syy` (via the
+    * analyzer's RegrReplacement), and `regr_count` (via the multi-child
+    * count rewrite) OVER running / 20-row rolling / whole-group frames
+    * on lineitem's (extendedprice ~ quantity) pair — the rolling-beta
+    * shape. All seven are Welford-buffer DeclarativeAggregates that
+    * would DECLINE the distributed window; decomposed, every one routes.
+    *
+    * Presentation: slope/intercept/r2 are already ratio-formed (the
+    * Σ-scale cast noise divides out; values O(10³) at most, 4 dp safe);
+    * the raw moment sums sxy/sxx/syy are NOT presentable (the corr
+    * query's >2^53 double-rounding caveat) and ride as the
+    * dimensionless `M·n/(Σa·Σb)` with the normalizing sums taken as
+    * exact decimal window aggregates in the same query. regr_count is
+    * exact BIGINT. Window order totalizes exactly as q_fact_corr_dist. */
+  def qFactRegrDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber", $"price", $"qty")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val roll = w.rowsBetween(-19, 0)
+    val grp = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        $"l_extendedprice".cast("decimal(12,2)").as("price"),
+        $"l_quantity".cast("decimal(12,2)").as("qty"))
+      .withColumn(s"${m}_sl", expr("regr_slope(price, qty)").over(run))
+      .withColumn(s"${m}_ic", expr("regr_intercept(price, qty)").over(run))
+      .withColumn(s"${m}_r2", expr("regr_r2(price, qty)").over(roll))
+      .withColumn(s"${m}_sxy", expr("regr_sxy(price, qty)").over(roll))
+      .withColumn(s"${m}_sxx", expr("regr_sxx(price, qty)").over(run))
+      .withColumn(s"${m}_syy", expr("regr_syy(price, qty)").over(grp))
+      .withColumn(s"${m}_rc", expr("regr_count(price, qty)").over(run))
+      .withColumn(s"${m}_nl", count($"qty").over(roll))
+      .withColumn(s"${m}_sxl", sum($"qty").over(roll))
+      .withColumn(s"${m}_syl", sum($"price").over(roll))
+      .withColumn(s"${m}_nr", count($"qty").over(run))
+      .withColumn(s"${m}_sxr", sum($"qty").over(run))
+      .withColumn(s"${m}_ng", count($"price").over(grp))
+      .withColumn(s"${m}_syg", sum($"price").over(grp))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        ($"price" * 100).cast("long").as("price_cents"),
+        ($"qty" * 100).cast("long").as("qty_cents"),
+        round(col(s"${m}_sl"), 4).as("slope_run"),
+        round(col(s"${m}_ic"), 4).as("icept_run"),
+        round(col(s"${m}_r2"), 4).as("r2_roll"),
+        round(col(s"${m}_sxy") * col(s"${m}_nl").cast("double") /
+          (col(s"${m}_sxl").cast("double") *
+            col(s"${m}_syl").cast("double")), 4).as("sxy_roll_ratio"),
+        round(col(s"${m}_sxx") * col(s"${m}_nr").cast("double") /
+          (col(s"${m}_sxr").cast("double") *
+            col(s"${m}_sxr").cast("double")), 4).as("sxx_run_ratio"),
+        round(col(s"${m}_syy") * col(s"${m}_ng").cast("double") /
+          (col(s"${m}_syg").cast("double") *
+            col(s"${m}_syg").cast("double")), 4).as("syy_grp_ratio"),
+        col(s"${m}_rc").as("rc_run"))
+      .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        $"price_cents", $"qty_cents")
+  }
+
+  private val qFactRegrDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, price_cents,
+      |  qty_cents,
+      |  CASE WHEN m2x_run = 0 THEN NULL
+      |       ELSE round(m11_run / m2x_run, 4) END AS slope_run,
+      |  CASE WHEN m2x_run = 0 THEN NULL
+      |       ELSE round(sy_run / n_run
+      |                  - m11_run / m2x_run * (sx_run / n_run), 4)
+      |       END AS icept_run,
+      |  round(CASE WHEN m2x_roll = 0 THEN NULL
+      |             WHEN m2y_roll = 0 THEN 1.0
+      |             ELSE m11_roll * m11_roll / (m2x_roll * m2y_roll)
+      |        END, 4) AS r2_roll,
+      |  round(m11_roll * n_roll / (sx_roll * sy_roll), 4)
+      |    AS sxy_roll_ratio,
+      |  round(m2x_run * n_run / (sx_run * sx_run), 4) AS sxx_run_ratio,
+      |  round(m2y_grp * n_grp / (sy_grp * sy_grp), 4) AS syy_grp_ratio,
+      |  CAST(n_run AS BIGINT) AS rc_run
+      |FROM (
+      |  SELECT *,
+      |    sxy_run - sx_run * sy_run / n_run AS m11_run,
+      |    greatest(0, sxx_run - sx_run * sx_run / n_run) AS m2x_run,
+      |    sxy_roll - sx_roll * sy_roll / n_roll AS m11_roll,
+      |    greatest(0, sxx_roll - sx_roll * sx_roll / n_roll) AS m2x_roll,
+      |    greatest(0, syy_roll - sy_roll * sy_roll / n_roll) AS m2y_roll,
+      |    greatest(0, syy_grp - sy_grp * sy_grp / n_grp) AS m2y_grp
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber, l_returnflag,
+      |      CAST(price * 100 AS BIGINT) AS price_cents,
+      |      CAST(qty * 100 AS BIGINT) AS qty_cents,
+      |      CAST(sum(qty) OVER run AS DOUBLE) AS sx_run,
+      |      CAST(sum(price) OVER run AS DOUBLE) AS sy_run,
+      |      CAST(sum(qty * price) OVER run AS DOUBLE) AS sxy_run,
+      |      CAST(sum(qty * qty) OVER run AS DOUBLE) AS sxx_run,
+      |      CAST(count(qty) OVER run AS DOUBLE) AS n_run,
+      |      CAST(sum(qty) OVER roll AS DOUBLE) AS sx_roll,
+      |      CAST(sum(price) OVER roll AS DOUBLE) AS sy_roll,
+      |      CAST(sum(qty * price) OVER roll AS DOUBLE) AS sxy_roll,
+      |      CAST(sum(qty * qty) OVER roll AS DOUBLE) AS sxx_roll,
+      |      CAST(sum(price * price) OVER roll AS DOUBLE) AS syy_roll,
+      |      CAST(count(qty) OVER roll AS DOUBLE) AS n_roll,
+      |      CAST(sum(price) OVER grp AS DOUBLE) AS sy_grp,
+      |      CAST(sum(price * price) OVER grp AS DOUBLE) AS syy_grp,
+      |      CAST(count(price) OVER grp AS DOUBLE) AS n_grp
+      |    FROM (
+      |      SELECT l_orderkey, l_linenumber, l_returnflag,
+      |        CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |        CAST(l_quantity AS DECIMAL(12,2)) AS qty
+      |      FROM lineitem)
+      |    WINDOW run AS (PARTITION BY l_returnflag
+      |        ORDER BY l_orderkey, l_linenumber, price, qty
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |      roll AS (PARTITION BY l_returnflag
+      |        ORDER BY l_orderkey, l_linenumber, price, qty
+      |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |      grp AS (PARTITION BY l_returnflag
+      |        ORDER BY l_orderkey, l_linenumber, price, qty
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)))
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber, price_cents,
+      |  qty_cents""".stripMargin
+
+  // ------------------------------------------------- q_fact_skew_dist
+  /** The THIRD/FOURTH-moment window family through
+    * [[graft.plans.WindowVarianceDecompose]] (r14): `skewness` and
+    * `kurtosis` OVER running / 20-row rolling / whole-group frames on
+    * lineitem's extendedprice — the rolling higher-moment risk shape.
+    * Both are CentralMomentAgg Welford buffers that would DECLINE the
+    * distributed window; decomposed they ride FIVE bases, and because
+    * g1/g2 are scale-invariant the decimal input is rebased to exact
+    * unscaled cents summed as DECIMAL(38,0) — every base is exact, both
+    * engines replay the identical double formula from identical
+    * integers.
+    *
+    * Float discipline (the q_fact_vol_dist lessons): frames order by
+    * (l_orderkey, l_linenumber, price, qty), so every frame spans the
+    * full price distribution — the two-pass central moments are at
+    * μ³/μ⁴ scale, never cancellation-dominated, and the presented
+    * statistics are dimensionless O(1)–O(10) ratios through sqrt /
+    * non-terminating divisions (no exact rounding ties). `round(·,4)+0`
+    * normalizes a −0.0 from tiny-negative M3 frames (a symmetric 2-row
+    * frame's M3 rounds to ±1e-12) to +0.0 in both engines. n=1 frames
+    * hit the m2=0 guard → NULL (default divide-by-zero mode), replayed
+    * by the oracle's CASE. */
+  def qFactSkewDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber", $"price", $"qty")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val roll = w.rowsBetween(-19, 0)
+    val grp = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        $"l_extendedprice".cast("decimal(12,2)").as("price"),
+        $"l_quantity".cast("decimal(12,2)").as("qty"))
+      .withColumn(s"${m}_skr", skewness($"price").over(run))
+      .withColumn(s"${m}_kur", kurtosis($"price").over(run))
+      .withColumn(s"${m}_skl", skewness($"price").over(roll))
+      .withColumn(s"${m}_kug", kurtosis($"price").over(grp))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        ($"price" * 100).cast("long").as("price_cents"),
+        ($"qty" * 100).cast("long").as("qty_cents"),
+        (round(col(s"${m}_skr"), 4) + lit(0d)).as("sk_run"),
+        (round(col(s"${m}_kur"), 4) + lit(0d)).as("ku_run"),
+        (round(col(s"${m}_skl"), 4) + lit(0d)).as("sk_roll"),
+        (round(col(s"${m}_kug"), 4) + lit(0d)).as("ku_grp"))
+      .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        $"price_cents", $"qty_cents")
+  }
+
+  private val qFactSkewDistSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, price_cents,
+      |  qty_cents,
+      |  round(CASE WHEN m2_run = 0 THEN NULL
+      |    ELSE sqrt(n_run) * ((s3_run - 3 * mu_run * s2_run)
+      |           + 2 * n_run * (mu_run * mu_run * mu_run))
+      |         / sqrt(m2_run * m2_run * m2_run) END, 4) + 0 AS sk_run,
+      |  round(CASE WHEN m2_run = 0 THEN NULL
+      |    ELSE n_run * greatest(0, (s4_run - 4 * mu_run * s3_run)
+      |           + 6 * (mu_run * mu_run) * s2_run
+      |           - 3 * n_run * ((mu_run * mu_run) * (mu_run * mu_run)))
+      |         / (m2_run * m2_run) - 3 END, 4) + 0 AS ku_run,
+      |  round(CASE WHEN m2_roll = 0 THEN NULL
+      |    ELSE sqrt(n_roll) * ((s3_roll - 3 * mu_roll * s2_roll)
+      |           + 2 * n_roll * (mu_roll * mu_roll * mu_roll))
+      |         / sqrt(m2_roll * m2_roll * m2_roll) END, 4) + 0 AS sk_roll,
+      |  round(CASE WHEN m2_grp = 0 THEN NULL
+      |    ELSE n_grp * greatest(0, (s4_grp - 4 * mu_grp * s3_grp)
+      |           + 6 * (mu_grp * mu_grp) * s2_grp
+      |           - 3 * n_grp * ((mu_grp * mu_grp) * (mu_grp * mu_grp)))
+      |         / (m2_grp * m2_grp) - 3 END, 4) + 0 AS ku_grp
+      |FROM (
+      |  SELECT *,
+      |    s1_run / n_run AS mu_run,
+      |    greatest(0, s2_run - s1_run * s1_run / n_run) AS m2_run,
+      |    s1_roll / n_roll AS mu_roll,
+      |    greatest(0, s2_roll - s1_roll * s1_roll / n_roll) AS m2_roll,
+      |    s1_grp / n_grp AS mu_grp,
+      |    greatest(0, s2_grp - s1_grp * s1_grp / n_grp) AS m2_grp
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber, l_returnflag,
+      |      CAST(price * 100 AS BIGINT) AS price_cents,
+      |      CAST(qty * 100 AS BIGINT) AS qty_cents,
+      |      CAST(sum(u) OVER run AS DOUBLE) AS s1_run,
+      |      CAST(sum(u * u) OVER run AS DOUBLE) AS s2_run,
+      |      CAST(sum(u * u * u) OVER run AS DOUBLE) AS s3_run,
+      |      CAST(sum((u * u) * (u * u)) OVER run AS DOUBLE) AS s4_run,
+      |      CAST(count(u) OVER run AS DOUBLE) AS n_run,
+      |      CAST(sum(u) OVER roll AS DOUBLE) AS s1_roll,
+      |      CAST(sum(u * u) OVER roll AS DOUBLE) AS s2_roll,
+      |      CAST(sum(u * u * u) OVER roll AS DOUBLE) AS s3_roll,
+      |      CAST(count(u) OVER roll AS DOUBLE) AS n_roll,
+      |      CAST(sum(u) OVER grp AS DOUBLE) AS s1_grp,
+      |      CAST(sum(u * u) OVER grp AS DOUBLE) AS s2_grp,
+      |      CAST(sum(u * u * u) OVER grp AS DOUBLE) AS s3_grp,
+      |      CAST(sum((u * u) * (u * u)) OVER grp AS DOUBLE) AS s4_grp,
+      |      CAST(count(u) OVER grp AS DOUBLE) AS n_grp
+      |    FROM (
+      |      SELECT l_orderkey, l_linenumber, l_returnflag, price, qty,
+      |        CAST(CAST(price * 100 AS BIGINT) AS HUGEINT) AS u
+      |      FROM (
+      |        SELECT l_orderkey, l_linenumber, l_returnflag,
+      |          CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |          CAST(l_quantity AS DECIMAL(12,2)) AS qty
+      |        FROM lineitem))
+      |    WINDOW run AS (PARTITION BY l_returnflag
+      |        ORDER BY l_orderkey, l_linenumber, price, qty
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |      roll AS (PARTITION BY l_returnflag
+      |        ORDER BY l_orderkey, l_linenumber, price, qty
+      |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |      grp AS (PARTITION BY l_returnflag
+      |        ORDER BY l_orderkey, l_linenumber, price, qty
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)))
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber, price_cents,
+      |  qty_cents""".stripMargin
+
   // ------------------------------------------------ q_fact_ranks_dist
   /** `rank()` + `dense_rank()` PARTITION BY flag ORDER BY cents through
     * [[graft.plans.DistributedWindowExec]] (r10 — the operator grew the
@@ -1048,6 +1293,8 @@ object Windows {
     "q_fact_cumsum_decimal" -> (qFactCumsumDecimal _),
     "q_fact_vol_dist" -> (qFactVolDist _),
     "q_fact_corr_dist" -> (qFactCorrDist _),
+    "q_fact_regr_dist" -> (qFactRegrDist _),
+    "q_fact_skew_dist" -> (qFactSkewDist _),
     "q_fact_cumsum_grouped_dist" -> (qFactCumsumGroupedDist _),
     "q_window_rownum"  -> (qWindowRownum _),
     "q_window_topk"    -> (qWindowTopk _),
@@ -1070,6 +1317,8 @@ object Windows {
     "q_fact_cumsum_decimal" -> qFactCumsumDecimalSql,
     "q_fact_vol_dist" -> qFactVolDistSql,
     "q_fact_corr_dist" -> qFactCorrDistSql,
+    "q_fact_regr_dist" -> qFactRegrDistSql,
+    "q_fact_skew_dist" -> qFactSkewDistSql,
     "q_fact_cumsum_grouped_dist" -> qFactCumsumGroupedDistSql,
     "q_fact_ranks_dist" -> qFactRanksDistSql,
     "q_fact_runagg_dist" -> qFactRunaggDistSql,

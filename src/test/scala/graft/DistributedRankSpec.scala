@@ -82,28 +82,42 @@ class DistributedRankSpec extends AnyFunSuite {
     withFlag(true) {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        val sdDf = fixture(200).withColumn("sd",
-          stddev(col("v")).over(Window.orderBy(col("v"), col("id"))))
-        assert(sdDf.queryExecution.executedPlan
+        // collect_list is the canary: non-numeric output, no decompose
+        // path — genuinely out of the operator's scope. (stddev was the
+        // r12 canary; since WindowVarianceDecompose it legitimately
+        // decomposes into routable sum/count bases and ROUTES, so it
+        // proves the opposite now.)
+        val clDf = fixture(200).withColumn("cl",
+          collect_list(col("v")).over(Window.orderBy(col("v"), col("id"))))
+        assert(clDf.queryExecution.executedPlan
           .collect { case w: WindowExec => w }.nonEmpty,
-          "stddev() (unsupported) must stay a WindowExec")
+          "collect_list() (unsupported) must stay a WindowExec")
         // one unsupported neighbor keeps the WHOLE node on WindowExec
-        // (the forall guard): sum and stddev are both aggregate windows
-        // over the same default frame, so they collapse onto one Window
-        // node (row_number would split off onto its own node and rewrite
-        // alone — legitimately)
+        // (the forall guard): sum and collect_list are both aggregate
+        // windows over the same default frame, so they collapse onto one
+        // Window node (row_number would split off onto its own node and
+        // rewrite alone — legitimately)
         val w = Window.orderBy(col("v"), col("id"))
-        // ONE select: chained withColumns stack separate Window nodes
-        // (stddev's _w0 cast projection blocks CollapseWindow), and a
-        // split node with only supported functions rewrites legitimately
+        // ONE select: chained withColumns stack separate Window nodes,
+        // and a split node with only supported functions rewrites
+        // legitimately
         val mixed = fixture(200).select(col("id"), col("v"),
-          sum(col("v")).over(w).as("cs"), stddev(col("v")).over(w).as("sd"))
+          sum(col("v")).over(w).as("cs"),
+          collect_list(col("v")).over(w).as("cl"))
         val mixedPlan = mixed.queryExecution.executedPlan
         assert(mixedPlan.collect { case w: WindowExec => w }.nonEmpty,
           s"mixed supported+unsupported node must stay a WindowExec:\n$mixedPlan")
         assert(mixedPlan.collect { case d: DistributedWindowExec => d }.isEmpty
           && mixedPlan.collect { case g: GlobalRankExec => g }.isEmpty,
           s"mixed node must not partially rewrite:\n$mixedPlan")
+        // and the former canary now routes: decomposed stddev over the
+        // same global window leaves NO WindowExec under the flag
+        val sdPlan = fixture(200).withColumn("sd",
+          stddev(col("v")).over(Window.orderBy(col("v"), col("id"))))
+          .queryExecution.executedPlan
+        assert(sdPlan.collect { case d: DistributedWindowExec => d }.nonEmpty
+          && sdPlan.collect { case w: WindowExec => w }.isEmpty,
+          s"decomposed stddev must route under the flag:\n$sdPlan")
       } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }

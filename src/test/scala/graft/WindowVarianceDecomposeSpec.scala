@@ -190,6 +190,168 @@ class WindowVarianceDecomposeSpec extends AnyFunSuite {
     assertClose(dist, native, 1e-9)
   }
 
+  /** regr fixture: y correlated with x; one constant-x group (g=5 is
+    * all-null-x already in fixture; here id%7==6 gets the EXACTLY
+    * REPRESENTABLE constant 5.0 so the two-pass m2x is exactly 0 and the
+    * built-in's constant-x NULL contract is reproduced — a
+    * non-representable constant double is the family's documented
+    * ULP-grade caveat; decimal inputs are exact either way). */
+  private def fixture3(n: Int): DataFrame = {
+    import spark.implicits._
+    fixture2(n).withColumn("x",
+      when($"id" % 7 === 6, lit(5.0)).otherwise($"x"))
+  }
+
+  private def regrCols(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val roll = w.rowsBetween(-5, 0)
+    val grp = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    df.select(col("id"), col("g"),
+      expr("regr_slope(y, x)").over(run).as("slope_run"),
+      expr("regr_intercept(y, x)").over(run).as("icept_run"),
+      expr("regr_r2(y, x)").over(roll).as("r2_roll"),
+      expr("regr_sxy(y, x)").over(roll).as("sxy_roll"),
+      expr("regr_sxx(y, x)").over(run).as("sxx_run"),
+      expr("regr_syy(y, x)").over(grp).as("syy_grp"),
+      expr("regr_avgx(y, x)").over(run).as("avgx_run"),
+      expr("regr_avgy(y, x)").over(grp).as("avgy_grp"))
+  }
+
+  test("regr family (slope/intercept/r2/sxy/sxx/syy/avgx/avgy) matches " +
+       "the native plan across frames — pair-null masking, constant-x " +
+       "NULL and all-null-group edges included") {
+    val df = fixture3(2000)
+    val native = withRule(false)(sortedRows(regrCols(df)))
+    val decomposed = withRule(true)(sortedRows(regrCols(df)))
+    // the constant-x group must actually exercise the m2x==0 NULL branch
+    assert(native.exists(r => r.getLong(1) == 6 && r.isNullAt(2)))
+    assertClose(decomposed, native, 1e-9)
+  }
+
+  test("regr_count: multi-child count rewrite matches the native plan " +
+       "and the masked single-child count") {
+    import spark.implicits._
+    val df = fixture3(1500)
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q = df.select(col("id"), col("g"),
+      expr("regr_count(y, x)").over(w).as("rc"))
+    val native = withRule(false)(sortedRows(q))
+    val rewritten = withRule(true)(sortedRows(q))
+    val manual = sortedRows(df.select(col("id"), col("g"),
+      count(when($"x".isNull || $"y".isNull, lit(null))
+        .otherwise(lit(1))).over(w).as("rc")))
+    assert(native.size == rewritten.size)
+    native.zip(rewritten).zip(manual).foreach { case ((a, b), c) =>
+      assert(a.getLong(2) == b.getLong(2) && b.getLong(2) == c.getLong(2),
+        s"row ${a.getLong(0)}")
+    }
+  }
+
+  test("regr family under the marker routes DistributedWindowExec") {
+    val df = fixture3(1000)
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q = df
+      .withColumn(s"${M}_sl", expr("regr_slope(y, x)").over(w))
+      .withColumn(s"${M}_rc", expr("regr_count(y, x)").over(w))
+      .select(col("id"), col("g"), col(s"${M}_sl").as("sl"),
+        col(s"${M}_rc").cast("double").as("rc"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q.queryExecution.executedPlan
+      assert(plan.exists(_.isInstanceOf[DistributedWindowExec]),
+        s"expected DistributedWindowExec in:\n$plan")
+      assert(!plan.exists(_.isInstanceOf[WindowExec]),
+        s"unexpected WindowExec in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val dist = sortedRows(q)
+    val native = withRule(false)(sortedRows(q))
+    assertClose(dist, native, 1e-9)
+  }
+
+  private def momentCols(df: DataFrame, c: String): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+    df.select(col("id"), col("g"),
+      skewness(col(c)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("sk_run"),
+      kurtosis(col(c)).over(w.rowsBetween(-5, 0)).as("ku_roll"),
+      skewness(col(c)).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)).as("sk_grp"),
+      kurtosis(col(c)).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("ku_range"))
+  }
+
+  test("skewness/kurtosis match the native Welford plan across frames, " +
+       "n=0/n=1/m2=0 edges included, both divide-by-zero modes") {
+    val df = fixture(2000)
+    val native = withRule(false)(sortedRows(momentCols(df, "x")))
+    val decomposed = withRule(true)(sortedRows(momentCols(df, "x")))
+    assertClose(decomposed, native, 1e-6)
+    spark.conf.set("spark.sql.legacy.statisticalAggregate", "true")
+    try {
+      val nativeL = withRule(false)(sortedRows(momentCols(df, "x")))
+      val decomposedL = withRule(true)(sortedRows(momentCols(df, "x")))
+      // first non-null row of a group is an n=1 frame → m2=0 → legacy NaN
+      assert(nativeL.exists(r => !r.isNullAt(2) && r.getDouble(2).isNaN))
+      assertClose(decomposedL, nativeL, 1e-6)
+    } finally
+      spark.conf.set("spark.sql.legacy.statisticalAggregate", "false")
+  }
+
+  test("skew/kurt decimal input under the marker routes " +
+       "DistributedWindowExec and is bit-identical to the exact " +
+       "unscaled-integer moments formula") {
+    import spark.implicits._
+    val df = fixture(1500)
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q = df
+      .withColumn(s"${M}_sk", skewness(col("xd")).over(w))
+      .select(col("id"), col("g"), col(s"${M}_sk").as("sk"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q.queryExecution.executedPlan
+      assert(plan.exists(_.isInstanceOf[DistributedWindowExec]),
+        s"expected DistributedWindowExec in:\n$plan")
+      assert(!plan.exists(_.isInstanceOf[WindowExec]),
+        s"unexpected WindowExec in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // manual replay: exact unscaled cents (xd is decimal(12,2) → ×100)
+    // summed as DECIMAL(38,0), then the identical double formula
+    val manual = sortedRows(df
+      .select(col("id"), col("g"),
+        ($"xd" * 100).cast("decimal(38,0)").as("u"))
+      .select(col("id"), col("g"),
+        sum($"u").over(w).as("s1"),
+        sum(($"u" * $"u").cast("decimal(38,0)")).over(w).as("s2"),
+        sum(($"u" * $"u" * $"u").cast("decimal(38,0)")).over(w).as("s3"),
+        count($"u").over(w).as("n"))
+      .select(col("id"), col("g"), {
+        val nD = $"n".cast("double")
+        val s1 = $"s1".cast("double"); val s2 = $"s2".cast("double")
+        val s3 = $"s3".cast("double")
+        val mu = s1 / nD
+        val m2 = greatest(lit(0d), s2 - s1 * s1 / nD)
+        val m3 = (s3 - lit(3d) * mu * s2) + lit(2d) * nD * (mu * mu * mu)
+        when($"n" === 0, lit(null).cast("double"))
+          .when(m2 === 0d, lit(null).cast("double"))
+          .otherwise(sqrt(nD) * m3 / sqrt(m2 * m2 * m2)).as("sk")
+      }))
+    val viaRule = sortedRows(q)
+    viaRule.zip(manual).foreach { case (a, b) =>
+      assert(a.isNullAt(2) == b.isNullAt(2), s"row ${a.getLong(0)}")
+      if (!a.isNullAt(2))
+        assert(java.lang.Double.doubleToLongBits(a.getDouble(2)) ==
+               java.lang.Double.doubleToLongBits(b.getDouble(2)),
+          s"row ${a.getLong(0)}: ${a.getDouble(2)} vs ${b.getDouble(2)}")
+    }
+  }
+
   test("decimal path is bit-identical to the exact moments formula") {
     val df = fixture(1500)
     val w = Window.partitionBy(col("g")).orderBy(col("id"))
