@@ -68,6 +68,12 @@ object DistributedRank {
         _.isInstanceOf[WindowVarianceDecompose.type]))
       spark.experimental.extraOptimizations =
         WindowVarianceDecompose +: spark.experimental.extraOptimizations
+    // literal-offset RANGE-frame collapse (r14) — composes with the
+    // decomposition above in the same fixed-point batch
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[RangeFrameCollapse.type]))
+      spark.experimental.extraOptimizations =
+        RangeFrameCollapse +: spark.experimental.extraOptimizations
   }
 }
 

@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (always-on; spark.graft.windowVarianceDecompose=false restores the
     // built-in Welford plan)
     ext.injectOptimizerRule(_ => WindowVarianceDecompose)
+    ext.injectOptimizerRule(_ => RangeFrameCollapse)
     // distributed global rank (spark.graft.distributedRank flag or the
     // __dist_rank column marker) — rule + strategy pair, inert otherwise
     ext.injectOptimizerRule(_ => DistributedRankRewrite)

@@ -985,6 +985,69 @@ object Windows {
       |ORDER BY l_returnflag, l_orderkey, l_linenumber, price_cents,
       |  qty_cents""".stripMargin
 
+  // ------------------------------------------------ q_fact_timewindow
+  /** The literal-offset RANGE frame — `sum(price) OVER (ORDER BY day
+    * RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)`, the rolling-7/30-day
+    * revenue shape — through [[graft.plans.RangeFrameCollapse]] (r14).
+    * This frame family is the one shape the distributed window operator
+    * deliberately DECLINES (a frame's reach-back is value- not
+    * row-bounded, so partition chaining cannot budget it); the collapse
+    * rule replaces the single-task WindowExec with the scale-correct
+    * plan a human would write: per-(flag, day) partial aggregation
+    * (map-side combinable), the same RANGE window replayed over the
+    * ~2.5k-row day table, and a broadcast-size equi-join back to the
+    * fact. sum/count/min/max compose exactly over whole peer runs —
+    * every value is an exact decimal/integer, so the gate hashes cents
+    * with no float anywhere. */
+  def qFactTimewindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Sessions.tune(s)
+    val m = graft.plans.DistributedRankRewrite.NameMarker
+    val w = Window.partitionBy($"l_returnflag").orderBy($"day")
+    val w7 = w.rangeBetween(-6, 0)
+    val w30 = w.rangeBetween(-29, 0)
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+        datediff(to_date($"l_shipdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"),
+        $"l_extendedprice".cast("decimal(12,2)").as("price"))
+      .withColumn(s"${m}_s7", sum($"price").over(w7))
+      .withColumn(s"${m}_c7", count($"price").over(w7))
+      .withColumn(s"${m}_mn7", min($"price").over(w7))
+      .withColumn(s"${m}_mx7", max($"price").over(w7))
+      .withColumn(s"${m}_s30", sum($"price").over(w30))
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"day",
+        ($"price" * 100).cast("long").as("price_cents"),
+        (col(s"${m}_s7") * 100).cast("long").as("sum7_cents"),
+        col(s"${m}_c7").as("cnt7"),
+        (col(s"${m}_mn7") * 100).cast("long").as("min7_cents"),
+        (col(s"${m}_mx7") * 100).cast("long").as("max7_cents"),
+        (col(s"${m}_s30") * 100).cast("long").as("sum30_cents"))
+      .orderBy($"l_returnflag", $"day", $"l_orderkey", $"l_linenumber",
+        $"price_cents")
+  }
+
+  private val qFactTimewindowSql =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, day,
+      |  CAST(price * 100 AS BIGINT) AS price_cents,
+      |  CAST(sum(price) OVER w7 * 100 AS BIGINT) AS sum7_cents,
+      |  count(price) OVER w7 AS cnt7,
+      |  CAST(min(price) OVER w7 * 100 AS BIGINT) AS min7_cents,
+      |  CAST(max(price) OVER w7 * 100 AS BIGINT) AS max7_cents,
+      |  CAST(sum(price) OVER w30 * 100 AS BIGINT) AS sum30_cents
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+      |      AS day,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      |  FROM lineitem)
+      |WINDOW w7 AS (PARTITION BY l_returnflag ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |  w30 AS (PARTITION BY l_returnflag ORDER BY day
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_returnflag, day, l_orderkey, l_linenumber,
+      |  price_cents""".stripMargin
+
   // ------------------------------------------------ q_fact_ranks_dist
   /** `rank()` + `dense_rank()` PARTITION BY flag ORDER BY cents through
     * [[graft.plans.DistributedWindowExec]] (r10 — the operator grew the
@@ -1295,6 +1358,7 @@ object Windows {
     "q_fact_corr_dist" -> (qFactCorrDist _),
     "q_fact_regr_dist" -> (qFactRegrDist _),
     "q_fact_skew_dist" -> (qFactSkewDist _),
+    "q_fact_timewindow" -> (qFactTimewindow _),
     "q_fact_cumsum_grouped_dist" -> (qFactCumsumGroupedDist _),
     "q_window_rownum"  -> (qWindowRownum _),
     "q_window_topk"    -> (qWindowTopk _),
@@ -1319,6 +1383,7 @@ object Windows {
     "q_fact_corr_dist" -> qFactCorrDistSql,
     "q_fact_regr_dist" -> qFactRegrDistSql,
     "q_fact_skew_dist" -> qFactSkewDistSql,
+    "q_fact_timewindow" -> qFactTimewindowSql,
     "q_fact_cumsum_grouped_dist" -> qFactCumsumGroupedDistSql,
     "q_fact_ranks_dist" -> qFactRanksDistSql,
     "q_fact_runagg_dist" -> qFactRunaggDistSql,

@@ -234,6 +234,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("fact timewindow: the RANGE-offset window collapses — every " +
+       "WindowExec input passes through an aggregate, and the join back " +
+       "broadcasts the day table") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = staticPlan(SparkEntry.queries("q_fact_timewindow")(spark, sfDir))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, s"expected the collapsed day window\n$plan")
+    wins.foreach { w =>
+      val aggBelow = w.collect { case a: BaseAggregateExec => a }
+      assert(aggBelow.nonEmpty,
+        s"RANGE-offset window over un-aggregated fact rows\n$w")
+    }
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected broadcast join back to the fact\n$plan")
+  }
+
   test("inference family: every global window runs over an aggregate, never raw facts") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
