@@ -108,7 +108,7 @@ object RangeFrameCollapse extends Rule[LogicalPlan] {
   private def collapsible(e: NamedExpression): Boolean = e match {
     case Alias(WindowExpression(f, spec), name) =>
       !name.startsWith("__rfc") && composable(f).isDefined &&
-        offsetRangeFrame(spec)
+        offsetRangeFrame(spec) && e.deterministic
     case _ => false
   }
 
@@ -123,8 +123,13 @@ object RangeFrameCollapse extends Rule[LogicalPlan] {
           Some((fresh, AttributeMap(leaf.output.zip(fresh.output))))
         case _ => None
       }
+    // a NON-DETERMINISTIC expression (rand(), uuid(), …) must bail: the
+    // fresh copy would re-evaluate it with different results on the two
+    // join sides, and the equi-join back would silently drop/duplicate
+    // rows
     case Project(list, c) if list.forall(e =>
-        e.isInstanceOf[Alias] || e.isInstanceOf[AttributeReference]) =>
+        (e.isInstanceOf[Alias] || e.isInstanceOf[AttributeReference]) &&
+          e.deterministic) =>
       freshNarrowCopy(c).map { case (fc, amap0) =>
         var amap = amap0
         val newList: Seq[NamedExpression] = list.map {
@@ -137,7 +142,7 @@ object RangeFrameCollapse extends Rule[LogicalPlan] {
         }
         (Project(newList, fc), amap)
       }
-    case Filter(cond, c) =>
+    case Filter(cond, c) if cond.deterministic =>
       freshNarrowCopy(c).map { case (fc, amap) =>
         (Filter(remap(cond, amap), fc), amap)
       }
@@ -157,11 +162,10 @@ object RangeFrameCollapse extends Rule[LogicalPlan] {
         .getOrElse(DistributedRankRewrite.AutoGlobalMinBytes))) return false
     val counts = keys.map(k => stats.attributeStats.get(k)
       .flatMap(_.distinctCount))
-    counts.forall(_.isDefined) && {
-      val product = counts.flatten.map(_.toLong)
-        .foldLeft(1L)((a, b) => if (a > MaxCollapsedGroups) a else a * b)
-      product <= MaxCollapsedGroups
-    }
+    // BigInt product — a Long product of large distinct counts could
+    // wrap negative and pass the bound
+    counts.forall(_.isDefined) &&
+      counts.flatten.product <= BigInt(MaxCollapsedGroups)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

@@ -149,6 +149,19 @@ class RangeFrameCollapseSpec extends AnyFunSuite {
       s"aggregate child must bail, not self-join:\n$plan")
   }
 
+  test("non-deterministic bail: a rand() column in the child chain keeps " +
+       "WindowExec even under the marker (a fresh copy would re-evaluate " +
+       "it differently on the two join sides)") {
+    val df = fixture(300).withColumn("noise", rand(7))
+    val w = Window.partitionBy(col("g")).orderBy(col("day"))
+    val plan = df.select(col("g"), col("day"),
+        sum(col("xl") + col("noise").cast("long")).over(w.rangeBetween(-6, 0))
+          .as(s"${M}_s"))
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case j: LJoin => j }.isEmpty,
+      s"non-deterministic chain must bail, not self-join:\n$plan")
+  }
+
   test("auto route on stats proof: ANALYZE'd low-cardinality keys " +
        "collapse with NO marker above the size gate; no stats keeps " +
        "WindowExec") {
