@@ -100,13 +100,25 @@ object Embeddings {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${Dims + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  /** Per-plane signed dot as the CODEGEN float_dot kernel: the ±1 integer
+    * plane components are exactly representable in FLOAT, so
+    * `float_dot(emb, CAST(plane AS ARRAY<FLOAT>))` — (double)x · (double)s
+    * accumulated left-to-right — is bit-identical to the
+    * aggregate(zip_with(...)) HOF fold it replaces (and to the oracle's
+    * list_sum), while the HOF is CodegenFallback: interpreted lambda
+    * pairs per ELEMENT. Found by the r14 scaling audit — a 79 MB
+    * embeddings parquet maps to ONE input task, and np interpreted
+    * 64-dim folds per row put 13+ minutes of single-thread eval on that
+    * task where the codegen loop takes seconds. */
+  private def planeDot(embCol: String, h: Seq[Int]): Column =
+    expr(s"float_dot($embCol, cast(${h.mkString("array(", ", ", ")")}" +
+      " as array<float>))")
+
   /** Signature bucket 0..2^P−1: bit p set iff hyperplane-p dot > 0; P is
     * the corpus-adaptive [[numPlanes]]. */
   private def bucketCol(embCol: String, np: Int): Column =
     planes.take(np).zipWithIndex.map { case (h, p) =>
-      val arr = h.mkString("array(", ", ", ")")
-      val d = s"aggregate(zip_with($embCol, $arr, (x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-      when(expr(d) > 0.0, lit(1 << p)).otherwise(lit(0))
+      when(planeDot(embCol, h) > 0.0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** DuckDB mirror of [[bucketCol]], SELF-CONTAINED: the plane count is
@@ -716,11 +728,10 @@ object Embeddings {
     Tables.embeddings(s, dir)
       .withColumn("bucket", bucketCol("embedding", np))
       .withColumn("norm", sqrt(sqNorm("embedding")))
-      // per-plane signed dots, same fold as bucketCol's sign test
+      // per-plane signed dots, same fold as bucketCol's sign test —
+      // through the codegen kernel (bit-identical; see planeDot)
       .withColumn("dts", array((0 until np).map { p =>
-        val arr = planes(p).mkString("array(", ", ", ")")
-        expr(s"aggregate(zip_with(embedding, $arr, (x, s) -> " +
-          "CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        planeDot("embedding", planes(p))
       }: _*))
       // the nFlips boundary-closest planes: rank by floor(|dot|·1e6)
       // (IEEE-identical on both engines), ties by plane index — see
