@@ -74,6 +74,21 @@ object DistributedRank {
         _.isInstanceOf[RangeFrameCollapse.type]))
       spark.experimental.extraOptimizations =
         RangeFrameCollapse +: spark.experimental.extraOptimizations
+    // stacked-window merge (r14 optimization round) — collapses the
+    // Project-separated window stacks the decomposition leaves behind so
+    // one DistributedWindowExec serves the whole stack; same fixed-point
+    // batch, so it composes with the conversion in either firing order.
+    // CollapseProject rides along because the extra-optimizations batch
+    // does not include the main operator-optimization rules: without it
+    // the decompose rule's formula Project stacks on the analyzer's
+    // window-input Project and the merge rule's single-Project pattern
+    // never sees the composed shape.
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[WindowStackMerge.type]))
+      spark.experimental.extraOptimizations =
+        Seq(WindowStackMerge,
+          org.apache.spark.sql.catalyst.optimizer.CollapseProject) ++
+          spark.experimental.extraOptimizations
   }
 }
 
@@ -360,8 +375,10 @@ object DistributedRankRewrite extends Rule[LogicalPlan] {
     else est.forall(_ <= threshold)
   }
 
-  /** The supported function/frame shapes; sync the scaladoc above. */
-  private def supported(e: NamedExpression): Boolean = e match {
+  /** The supported function/frame shapes; sync the scaladoc above.
+    * (`private[plans]`: [[WindowStackMerge]] consults it so a merge can
+    * never change a node's route — see its routing-compatibility guard.) */
+  private[plans] def supported(e: NamedExpression): Boolean = e match {
     case Alias(WindowExpression(f, WindowSpecDefinition(_, order, frame)), _)
         if order.nonEmpty =>
       def runningFrame: Boolean = frame match {

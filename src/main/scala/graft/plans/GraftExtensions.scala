@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BoundarySketchAgg, FloatDot, KmvAgg, KmvMergeAgg, KmvSketchAgg, LevWithin, RollingHash, SpaceSavingAgg, TopKAgg, ValueBand}
+import graft.expressions.{BoundarySketchAgg, FloatDot, KmvAgg, KmvMergeAgg, KmvSketchAgg, LevWithin, LongSqDist, RollingHash, SpaceSavingAgg, TopKAgg, ValueBand}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // built-in Welford plan)
     ext.injectOptimizerRule(_ => WindowVarianceDecompose)
     ext.injectOptimizerRule(_ => RangeFrameCollapse)
+    // stacked-window merge — one DistributedWindowExec per (partition,
+    // order) stack instead of one per decomposed withColumn (the injected
+    // batch already contains CollapseProject, which the runtime install
+    // path has to add by hand — see DistributedRank.install)
+    ext.injectOptimizerRule(_ => WindowStackMerge)
     // distributed global rank (spark.graft.distributedRank flag or the
     // __dist_rank column marker) — rule + strategy pair, inert otherwise
     ext.injectOptimizerRule(_ => DistributedRankRewrite)
@@ -65,6 +70,9 @@ object GraftExtensions {
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       checkArity("float_dot", 2)(c => FloatDot(c(0), c(1)))),
+    (new FunctionIdentifier("long_sqdist"),
+      new ExpressionInfo(classOf[LongSqDist].getName, "long_sqdist"),
+      checkArity("long_sqdist", 2)(c => LongSqDist(c(0), c(1)))),
     (new FunctionIdentifier("lev_within"),
       new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
       checkArity("lev_within", 3)(c => LevWithin(c(0), c(1), c(2)))),

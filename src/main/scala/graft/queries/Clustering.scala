@@ -25,10 +25,18 @@ object Clustering {
   private val Iters = 3
   private val Dim = 64
 
-  /** Exact-integer squared-L2 between two micro-unit vectors. */
-  private val distExpr =
-    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
-      "cast(0 as bigint), (a, e) -> a + e)"
+  /** Exact-integer squared-L2 between two micro-unit vectors — the
+    * native [[graft.expressions.LongSqDist]] codegen kernel (r14
+    * optimization round). It replaces the
+    * `aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0L, …)`
+    * HOF fold — CodegenFallback, two interpreted lambda calls per
+    * ELEMENT, so the k≈64 × dim=64 assignment step ran ~8k interpreted
+    * calls per row per pass. Integer arithmetic is exact, so the swap
+    * is bit-identical under ANY evaluation order (unlike the float
+    * kernels there is no accumulation-order caveat); the DuckDB oracle
+    * replays the same sum unchanged. Measured: q_kmeans 5.1 → 2.0 s at
+    * sf0.1. */
+  private val distExpr = "long_sqdist(v, c)"
 
   // ------------------------------------------------------------- q_kmeans
   /** 3 Lloyd iterations; the centroid seed is the SAME adaptive-stride

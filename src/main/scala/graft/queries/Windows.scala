@@ -16,6 +16,26 @@ import graft.core.{OracleParity => OP, Tables}
   */
 object Windows {
 
+  /** Materialization barrier before a terminal presentation sort (guide
+    * §5/§7.3; r14 measurement on q_fact_skew_dist): a global `orderBy`
+    * first runs a RangePartitioner SAMPLING job over its child and then
+    * the shuffle write — two complete re-executions of everything below
+    * it, which for the fact-scale distributed-window queries means the
+    * window pass-2 and the moments formulas run twice (~2 s each at
+    * sf0.1). Behind an eager localCheckpoint the sampler and the writer
+    * read the materialized blocks instead — the same reason production
+    * pipelines materialize before a terminal global sort. Results are
+    * unchanged (pure plan barrier, computed per run from the inputs).
+    * Kill switch `spark.graft.presentBarrier=false` restores the direct
+    * plan — PlanAudit uses it to capture the full window subtree, which
+    * the checkpoint's LogicalRDD otherwise hides from explain. */
+  private def sortBarrier(df: DataFrame): DataFrame =
+    if (java.lang.Boolean.parseBoolean(
+        df.sparkSession.conf.get("spark.graft.presentBarrier", "true").trim))
+      df.localCheckpoint()
+    else df
+
+
   // ------------------------------------------------------- q_window_rownum
   /** W1: `row_number() over (order by name)` — deterministic surrogate ids
     * for a dim table (dbt dim_department.sql:4 pattern). Single-partition by
@@ -563,10 +583,14 @@ object Windows {
     Tables.orders(s, dir)
       .select($"o_orderkey", $"o_orderpriority",
         $"o_totalprice".cast("decimal(12,2)").as("price"))
+      // the rng window (different ORDER BY) is added LAST so the three
+      // (o_orderkey)-ordered windows stack adjacently and WindowStackMerge
+      // collapses them into one DistributedWindowExec — interleaved, the
+      // incompatible node would split the stack (2 nodes, not 3)
       .withColumn(s"${m}_rs", stddev_samp($"price").over(run))
       .withColumn(s"${m}_rv", var_pop($"price").over(roll))
-      .withColumn(s"${m}_ng", stddev_pop($"price").over(rng))
       .withColumn(s"${m}_gv", var_samp($"price").over(grp))
+      .withColumn(s"${m}_ng", stddev_pop($"price").over(rng))
       .select($"o_orderkey", $"o_orderpriority",
         ($"price" * 100).cast("long").as("price_cents"),
         // n=1 prefix → NULL by the divide-by-zero contract (non-legacy)
@@ -574,6 +598,7 @@ object Windows {
         round(sqrt(col(s"${m}_rv")), 4).as("roll_sd"),
         round(col(s"${m}_ng"), 4).as("rng_stddev"),
         round(sqrt(col(s"${m}_gv")), 4).as("grp_sd"))
+      .transform(sortBarrier)
       .orderBy($"o_orderpriority", $"price_cents", $"o_orderkey")
   }
 
@@ -681,6 +706,7 @@ object Windows {
         round(ratio(col(s"${m}_cp"), col(s"${m}_nl"),
           col(s"${m}_sxl"), col(s"${m}_syl")), 4).as("cp_roll_ratio"),
         round(col(s"${m}_gc"), 4).as("corr_grp"))
+      .transform(sortBarrier)
       .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
         $"price_cents", $"qty_cents")
   }
@@ -802,6 +828,7 @@ object Windows {
           (col(s"${m}_syg").cast("double") *
             col(s"${m}_syg").cast("double")), 4).as("syy_grp_ratio"),
         col(s"${m}_rc").as("rc_run"))
+      .transform(sortBarrier)
       .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
         $"price_cents", $"qty_cents")
   }
@@ -914,6 +941,7 @@ object Windows {
         (round(col(s"${m}_kur"), 4) + lit(0d)).as("ku_run"),
         (round(col(s"${m}_skl"), 4) + lit(0d)).as("sk_roll"),
         (round(col(s"${m}_kug"), 4) + lit(0d)).as("ku_grp"))
+      .transform(sortBarrier) // see sortBarrier scaladoc
       .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
         $"price_cents", $"qty_cents")
   }

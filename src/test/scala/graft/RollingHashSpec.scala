@@ -53,4 +53,25 @@ class RollingHashSpec extends AnyFunSuite {
     assert(spark.sql("SELECT rolling_hash('')").head().getLong(0) == 0L)
     assert(spark.sql("SELECT rolling_hash(CAST(NULL AS STRING))").head().isNullAt(0))
   }
+
+  test("long_sqdist propagates a null element as a null result (HOF parity)") {
+    val row = spark.sql(
+      "SELECT long_sqdist(array(CAST(1 AS BIGINT), CAST(NULL AS BIGINT)), " +
+        "array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS d").head()
+    assert(row.isNullAt(0))
+  }
+
+  test("long_sqdist matches the HOF zip_with fold on quantized embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("v", expr("transform(embedding, " +
+        "x -> cast(floor(cast(x as double) * 1000000d) as bigint))"))
+      .withColumn("v2", expr("transform(reverse(embedding), " +
+        "x -> cast(floor(cast(x as double) * 1000000d) as bigint))"))
+    val both = emb.select(
+      expr("long_sqdist(v, v2)").as("native"),
+      expr("aggregate(zip_with(v, v2, (x, y) -> (x - y) * (x - y)), " +
+        "cast(0 as bigint), (a, e) -> a + e)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+  }
 }
