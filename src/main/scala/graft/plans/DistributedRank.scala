@@ -634,7 +634,9 @@ case class GlobalRankExec(rankAttr: Attribute, order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(OrderedDistribution(order))
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
-  override def outputOrdering: Seq[SortOrder] = order
+  // streaming map over the sorted child — declare the child's (possibly
+  // finer) ordering, as WindowExec does (see DistributedWindowExec)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override def outputPartitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -756,7 +758,14 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
     Seq(OrderedDistribution(groupSort ++ order))
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(groupSort ++ order)
-  override def outputOrdering: Seq[SortOrder] = groupSort ++ order
+  // pass-2 is a streaming map over the sorted child, so the emitted order
+  // is the CHILD's — declare it (WindowExec does the same) rather than the
+  // coarser groupSort ++ order: when a lower stacked window or the
+  // pre-sort carries a FINER ordering that already matches the terminal
+  // presentation ORDER BY, EnsureRequirements can elide that final Sort
+  // (r14 optimization round — q_fact_rolling_dist's plan kept a
+  // full-width re-sort of already-sorted rows under the old declaration)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override def outputPartitioning = child.outputPartitioning
 
   /** Decode the supported window shapes (the rewrite proved them). */

@@ -495,7 +495,11 @@ object Windows {
         (col(s"${m}_dav") * 1000000).cast("long").as("run_avg_micros"),
         (col(s"${m}_ra") * 1000000).cast("long").as("roll_avg_micros"),
         (col(s"${m}_gx") * 100).cast("long").as("grp_max_cents"))
-      .orderBy($"o_orderpriority", $"price_cents", $"o_orderkey")
+      // original-column ORDER BY — price_cents is a monotone bijection of
+      // price, so this is the SAME total order and Spark elides the
+      // terminal Exchange+Sort against the window's output ordering
+      // (sort elision, see qFactRegrDist)
+      .orderBy($"o_orderpriority", $"price", $"o_orderkey")
   }
 
   private val qFactCumsumDecimalSql =
@@ -598,8 +602,10 @@ object Windows {
         round(sqrt(col(s"${m}_rv")), 4).as("roll_sd"),
         round(col(s"${m}_ng"), 4).as("rng_stddev"),
         round(sqrt(col(s"${m}_gv")), 4).as("grp_sd"))
-      .transform(sortBarrier)
-      .orderBy($"o_orderpriority", $"price_cents", $"o_orderkey")
+      // original-column ORDER BY (sort elision, see qFactRegrDist): the
+      // top rng node's child is sorted (priority, price), so the terminal
+      // sort needs only the okey tiebreak pass and no exchange
+      .orderBy($"o_orderpriority", $"price", $"o_orderkey")
   }
 
   private val qFactVolDistSql =
@@ -706,9 +712,9 @@ object Windows {
         round(ratio(col(s"${m}_cp"), col(s"${m}_nl"),
           col(s"${m}_sxl"), col(s"${m}_syl")), 4).as("cp_roll_ratio"),
         round(col(s"${m}_gc"), 4).as("corr_grp"))
-      .transform(sortBarrier)
+      // original-column ORDER BY — sort elision, see qFactRegrDist
       .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
-        $"price_cents", $"qty_cents")
+        $"price", $"qty")
   }
 
   private val qFactCorrDistSql =
@@ -828,9 +834,15 @@ object Windows {
           (col(s"${m}_syg").cast("double") *
             col(s"${m}_syg").cast("double")), 4).as("syy_grp_ratio"),
         col(s"${m}_rc").as("rc_run"))
-      .transform(sortBarrier)
+      // ORDER BY the original (price, qty) — monotone bijections of the
+      // presented (price_cents, qty_cents), so the SAME total order — lets
+      // Spark prove the merged window's output ordering already satisfies
+      // the presentation sort: the terminal Exchange+Sort (and its
+      // RangePartitioner sampling job, a full re-execution of the window
+      // pipeline) vanish from the plan (guide §2.4). Oracle-gated: same
+      // rows, same order, same hash.
       .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
-        $"price_cents", $"qty_cents")
+        $"price", $"qty")
   }
 
   private val qFactRegrDistSql =
@@ -941,9 +953,9 @@ object Windows {
         (round(col(s"${m}_kur"), 4) + lit(0d)).as("ku_run"),
         (round(col(s"${m}_skl"), 4) + lit(0d)).as("sk_roll"),
         (round(col(s"${m}_kug"), 4) + lit(0d)).as("ku_grp"))
-      .transform(sortBarrier) // see sortBarrier scaladoc
+      // original-column ORDER BY — sort elision, see qFactRegrDist
       .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
-        $"price_cents", $"qty_cents")
+        $"price", $"qty")
   }
 
   private val qFactSkewDistSql =
