@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BoundarySketchAgg, FloatDot, KmvAgg, KmvMergeAgg, KmvSketchAgg, LevWithin, LongSqDist, RollingHash, SpaceSavingAgg, TopKAgg, ValueBand}
+import graft.expressions.{BoundarySketchAgg, DecSqDist, FloatDot, KmvAgg, KmvMergeAgg, KmvSketchAgg, LevWithin, LongSqDist, RollingHash, SpaceSavingAgg, TopKAgg, ValueBand}
 
 /** SparkSessionExtensions entry point for graft's native expressions —
   * enable with `spark.sql.extensions=graft.plans.GraftExtensions` (or let
@@ -73,6 +73,9 @@ object GraftExtensions {
     (new FunctionIdentifier("long_sqdist"),
       new ExpressionInfo(classOf[LongSqDist].getName, "long_sqdist"),
       checkArity("long_sqdist", 2)(c => LongSqDist(c(0), c(1)))),
+    (new FunctionIdentifier("dec_sqdist"),
+      new ExpressionInfo(classOf[DecSqDist].getName, "dec_sqdist"),
+      checkArity("dec_sqdist", 2)(c => DecSqDist(c(0), c(1)))),
     (new FunctionIdentifier("lev_within"),
       new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
       checkArity("lev_within", 3)(c => LevWithin(c(0), c(1), c(2)))),

@@ -991,6 +991,19 @@ object TextDedup {
     * because frequent tokens land OUTSIDE prefixes. ⌈t·n⌉ is integer
     * arithmetic ((7n+9) div 10) on both engines. */
   def qPrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    prefixJoinPairs(s, dir).orderBy($"a", $"b")
+  }
+
+  /** The full prefix-filter + PPJoin + verify pipeline, sans presentation
+    * sort — factored out (r14 optimization round) so [[qMinhashRecall]]
+    * can consume the exact pair set as a build-once IndexStore asset (the
+    * coorder_edges / triangle_stats discipline) instead of re-running the
+    * candidate and verify joins on every invocation. [[qPrefixJoin]]
+    * itself always computes the pipeline fresh — it is the query whose
+    * oracle PROVES prefix filtering lost no pair, so its bench time must
+    * price the computation, not a parquet read. */
+  private def prefixJoinPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val sh = augShingles(s, dir)
@@ -1029,7 +1042,6 @@ object TextDedup {
         ($"sz_a" + $"sz_b" - $"n_inter").as("n_union"))
       .filter($"n_inter" * 10 >= $"n_union" * 7)
       .withColumn("jaccard", round($"n_inter" / $"n_union", 6))
-      .orderBy($"a", $"b")
   }
 
   private val qPrefixJoinSql =
@@ -1063,7 +1075,14 @@ object TextDedup {
     * a single row of counts. */
   def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val exact = qPrefixJoin(s, dir).select($"a", $"b")
+    // exact ground truth as a build-once stored index: the diagnostic
+    // consumes the SAME pair set q_prefix_join's oracle proves complete,
+    // so the derivation builds once per (corpus, JVM) and this query's
+    // plan scans the stored pairs instead of re-running the candidate +
+    // verify joins (r14 optimization round; the coorder_edges pattern)
+    val exact = graft.io.IndexStore.materialized(s, dir, "exact_pairs07") {
+      prefixJoinPairs(s, dir).select($"a", $"b")
+    }
     val bands = augBuckets(s, dir)
     val cand = bands.select($"band_id", $"band_sig", $"doc_id".as("a"))
       .join(bands.select($"band_id", $"band_sig", $"doc_id".as("b")),

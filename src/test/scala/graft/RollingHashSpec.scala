@@ -74,4 +74,25 @@ class RollingHashSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
     assert(both.filter(col("native").isNull).count() == 0)
   }
+
+  test("dec_sqdist matches the decimal expression chain and its overflow contract") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 6L, 9L)),                 // small: 4+16+36
+      (Seq(1000000000000L, -1000000000000L), Seq(-1000000000000L, 1000000000000L)), // 2*(2e12)^2 > Long
+      (Seq(3037000499L), Seq(-3037000499L))               // single square near 2^63
+    ).toDF("a", "b")
+    val got = df.selectExpr("dec_sqdist(a, b) AS k",
+      "cast(aggregate(zip_with(a, b, (x, y) -> " +
+        "(cast(x as decimal(38,0)) - y) * (cast(x as decimal(38,0)) - y)), " +
+        "cast(0 as decimal(38,0)), (acc, e) -> acc + e) as decimal(38,0)) AS h")
+      .collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(r.getDecimal(0) == r.getDecimal(1), s"$r")
+    }
+    // null element propagates
+    assert(spark.sql("SELECT dec_sqdist(array(1L, CAST(NULL AS BIGINT)), " +
+      "array(1L, 2L))").head().isNullAt(0))
+  }
 }
