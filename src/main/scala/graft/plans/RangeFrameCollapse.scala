@@ -241,8 +241,22 @@ object RangeFrameCollapse extends Rule[LogicalPlan] {
             val cond = (partAttrs.zip(fParts).map { case (l, r) =>
               EqualNullSafe(l, r) } :+ EqualNullSafe(v, fV))
               .reduceLeft[Expression](And(_, _))
+            // broadcast the DISTINCT-VALUE side explicitly: it is the
+            // provably small table (stats proof ≤ AutoGroupThreshold
+            // rows, or marker-forced by a caller who knows the grain),
+            // while the probe side is the fact. Left unhinted, the
+            // planner compares SIZE ESTIMATES — and both sides derive
+            // from the same scan, so at bench scale the raw fact scan
+            // estimated SMALLER than the windowed aggregate and was
+            // broadcast itself (600k rows to every task; plan audit,
+            // r14 optimization round). The hint pins the documented
+            // design: aggregate, window the small table, broadcast it
+            // back over the fact.
             val joined = Join(child, innerWindow, Inner, Some(cond),
-              JoinHint.NONE)
+              JoinHint(None, Some(org.apache.spark.sql.catalyst.plans
+                .logical.HintInfo(strategy =
+                  Some(org.apache.spark.sql.catalyst.plans.logical
+                    .BROADCAST)))))
             Project((child.output ++ finalAliases).toSeq, joined)
         }
     }

@@ -953,17 +953,39 @@ object Stats {
     val li = Tables.lineitem(s, dir).select(
       $"l_returnflag".as("flag"),
       (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"))
-    val med = li.groupBy($"flag")
-      .agg(expr("cast(round(percentile(cents, 0.5) * 2, 0) as bigint)").as("med2"))
-    li.join(broadcast(med), "flag")
+    // Exact interpolated median WITHOUT the `percentile` aggregate (r14
+    // optimization round): percentile builds a per-group value→count
+    // OpenHashMap in every mapper and shuffles whole maps — at 100 TB the
+    // merged map is one reducer's heap. Instead aggregate to the DISTINCT
+    // value grain (map-side combinable longs), run a per-flag cumulative
+    // count over that SMALL table, and read the two order statistics the
+    // p=0.5 interpolation touches: with 0-based ranks r1=(n−1) div 2 and
+    // r2=n div 2, percentile(v, .5)·2 = v[r1] + v[r2] EXACTLY (n odd ⇒
+    // r1=r2 ⇒ 2·v[mid]; n even ⇒ the midpoint interpolation, doubled) —
+    // pure integer identity, oracle-gated bit-for-bit. Same trick for the
+    // deviation pass.
+    def med2Of(vals: DataFrame, vCol: String): DataFrame = {
+      val w = Window.partitionBy(col("flag")).orderBy(col(vCol))
+      vals.groupBy($"flag", col(vCol)).agg(count(lit(1)).as("c"))
+        .withColumn("hi", sum($"c").over(w))
+        .withColumn("lo", $"hi" - $"c")
+        .withColumn("n", max($"hi").over(Window.partitionBy($"flag")))
+        .withColumn("r1", expr("(n - 1) div 2")) // integral long division
+        .withColumn("r2", expr("n div 2"))
+        .groupBy($"flag")
+        .agg(max($"n").as("n"),
+          (sum(when($"lo" <= $"r1" && $"r1" < $"hi", col(vCol)).otherwise(0L))
+            + sum(when($"lo" <= $"r2" && $"r2" < $"hi", col(vCol))
+              .otherwise(0L))).as("m2"))
+    }
+    val med = med2Of(li, "cents").select($"flag", $"m2".as("med2"))
+    val dev = li.join(broadcast(med), "flag")
       .withColumn("dev2", abs($"cents" * 2 - $"med2"))
-      .groupBy($"flag")
-      .agg(count(lit(1)).as("n"),
-        max($"med2").as("med2"),
-        expr("cast(round(percentile(dev2, 0.5) * 2, 0) as bigint)").as("mad4"))
+    med2Of(dev.select($"flag", $"dev2"), "dev2")
+      .join(broadcast(med), "flag")
       .select($"flag", $"n",
         round($"med2".cast("double") / 200.0d, 4).as("median"),
-        round($"mad4".cast("double") / 400.0d, 4).as("mad"))
+        round($"m2".cast("double") / 400.0d, 4).as("mad"))
       .orderBy($"flag")
   }
 
