@@ -320,13 +320,22 @@ object TextDedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $SpanW), " +
           s"i -> md5(concat_ws(' ', slice(w, i + 1, $SpanW))))")).as("h"))
-    val flagged = spans.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+    // One (h, doc_id) pre-aggregate feeds every consumer (r14 optimization
+    // round, guide §2.4 "establish the partitioning once"): previously the
+    // flagged/per-doc/dup branches each re-ran the scan + per-window md5
+    // transform into their own exchange; now the heavy map side runs once,
+    // the three aggregates are small regroups of `g`, and Spark reuses the
+    // single exchange (ReusedExchange) across the branches. Identities:
+    // countDistinct(doc_id) per h = count(*) over g; span counts = Σ c.
+    val g = spans.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val flagged = g.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
-    val perDoc = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"))
-    val dup = spans.join(flagged, Seq("h"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_spans"))
+    val perDoc = g.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_spans"))
+    val dup = g.join(flagged, Seq("h"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_spans"))
     perDoc.join(dup, Seq("doc_id"))
       .select(col("doc_id"), col("n_spans"), col("dup_spans"),
         round(col("dup_spans").cast("double") / col("n_spans"), 4)

@@ -16,26 +16,6 @@ import graft.core.{OracleParity => OP, Tables}
   */
 object Windows {
 
-  /** Materialization barrier before a terminal presentation sort (guide
-    * §5/§7.3; r14 measurement on q_fact_skew_dist): a global `orderBy`
-    * first runs a RangePartitioner SAMPLING job over its child and then
-    * the shuffle write — two complete re-executions of everything below
-    * it, which for the fact-scale distributed-window queries means the
-    * window pass-2 and the moments formulas run twice (~2 s each at
-    * sf0.1). Behind an eager localCheckpoint the sampler and the writer
-    * read the materialized blocks instead — the same reason production
-    * pipelines materialize before a terminal global sort. Results are
-    * unchanged (pure plan barrier, computed per run from the inputs).
-    * Kill switch `spark.graft.presentBarrier=false` restores the direct
-    * plan — PlanAudit uses it to capture the full window subtree, which
-    * the checkpoint's LogicalRDD otherwise hides from explain. */
-  private def sortBarrier(df: DataFrame): DataFrame =
-    if (java.lang.Boolean.parseBoolean(
-        df.sparkSession.conf.get("spark.graft.presentBarrier", "true").trim))
-      df.localCheckpoint()
-    else df
-
-
   // ------------------------------------------------------- q_window_rownum
   /** W1: `row_number() over (order by name)` — deterministic surrogate ids
     * for a dim table (dbt dim_department.sql:4 pattern). Single-partition by
