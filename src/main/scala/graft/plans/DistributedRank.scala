@@ -1776,9 +1776,54 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
       val tailRingDec = tailOffs.map(off => new Array[Decimal](off))
       val tailRingN = tailOffs.map(off => new Array[Boolean](off))
       val tailCnt = new Array[Long](nTails)
+      // O(1) rolling frames for INVERTIBLE kinds (r14 optimization round):
+      // the replay loop re-adds the whole k-deep ring per row — O(k)
+      // exact-decimal adds per row per slot, the measured top cost of the
+      // moment-window queries (6 bases × k=20 × every row). A running
+      // ring aggregate (add on push, subtract on evict) is BIT-IDENTICAL
+      // where the arithmetic is exact and association-free:
+      //  - decimal sum/avg: every add/subtract is exact BigDecimal at one
+      //    scale, and overflow is checked ONLY at emission (emitDec) on
+      //    the exact frame value — which retract reproduces exactly;
+      //  - long sum in LEGACY mode: wrap-around add is associative and
+      //    invertible mod 2⁶⁴ (ANSI long keeps replay: Math.addExact can
+      //    throw on an intermediate prefix whose order retract changes);
+      //  - count: an integer, trivially invertible.
+      // min/max (no inverse) and double sums (FP addition not
+      // associative; WindowExec replays, bitwise parity requires the
+      // same order) keep the O(k) replay.
+      val rollRetract: Array[Boolean] = Array.tabulate(nTails) { i =>
+        i >= nLags && i < nLags + nRolls && (rolls(i - nLags).kind match {
+          case CountK => true
+          case SumK | AvgK if rolls(i - nLags).dec != null => true
+          case SumK if !rolls(i - nLags).isDouble && !ansi => true
+          case _ => false
+        })
+      }
+      val ringAggDec = new Array[Decimal](nTails) // null ⇔ ringAggNN == 0
+      val ringAggL = new Array[Long](nTails)
+      val ringAggNN = new Array[Long](nTails)
       def tailPut(i: Int, isNull: Boolean, l: Long, d: Double,
                   dec: Decimal = null): Unit = {
         val idx2 = (tailCnt(i) % tailOffs(i)).toInt
+        if (rollRetract(i)) {
+          // retract the evicted slot BEFORE overwriting it
+          if (tailCnt(i) >= tailOffs(i) && !tailRingN(i)(idx2)) {
+            ringAggNN(i) -= 1
+            if (tailDec(i) != null)
+              ringAggDec(i) =
+                if (ringAggNN(i) == 0L) null
+                else ringAggDec(i) - tailRingDec(i)(idx2)
+            else ringAggL(i) -= tailRingL(i)(idx2)
+          }
+          if (!isNull) {
+            if (tailDec(i) != null)
+              ringAggDec(i) =
+                if (ringAggNN(i) == 0L) dec else ringAggDec(i) + dec
+            else ringAggL(i) += l
+            ringAggNN(i) += 1
+          }
+        }
         tailRingN(i)(idx2) = isNull
         tailRingL(i)(idx2) = l
         tailRingD(i)(idx2) = d
@@ -1973,6 +2018,11 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
           // group from preceding partitions (null when the group starts
           // here)
           java.util.Arrays.fill(tailCnt, 0L)
+          // running ring aggregates restart with the rings (seeding below
+          // goes through tailPut, which re-accumulates them)
+          java.util.Arrays.fill(ringAggDec.asInstanceOf[Array[AnyRef]], null)
+          java.util.Arrays.fill(ringAggL, 0L)
+          java.util.Arrays.fill(ringAggNN, 0L)
           if (firstGroupPending && pSeedL != null) {
             var i = 0
             while (i < nTails) {
@@ -2222,17 +2272,23 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                           else v.getDecimal(0, rl.dec.prec, rl.dec.scale)
                 var acc: Decimal = null
                 var n = 0L
-                val kk = rl.k
-                val avail = math.min(tailCnt(ti), kk.toLong).toInt
-                var j = 0
-                while (j < avail) {
-                  val s2 = ((tailCnt(ti) - avail + j) % kk).toInt
-                  if (!tailRingN(ti)(s2)) {
-                    val dv = tailRingDec(ti)(s2)
-                    acc = if (n == 0L) dv else combineDec(rl.kind, acc, dv)
-                    n += 1
+                if (rollRetract(ti)) {
+                  // sum/avg: exact running ring aggregate (see rollRetract)
+                  acc = ringAggDec(ti)
+                  n = ringAggNN(ti)
+                } else {
+                  val kk = rl.k
+                  val avail = math.min(tailCnt(ti), kk.toLong).toInt
+                  var j = 0
+                  while (j < avail) {
+                    val s2 = ((tailCnt(ti) - avail + j) % kk).toInt
+                    if (!tailRingN(ti)(s2)) {
+                      val dv = tailRingDec(ti)(s2)
+                      acc = if (n == 0L) dv else combineDec(rl.kind, acc, dv)
+                      n += 1
+                    }
+                    j += 1
                   }
-                  j += 1
                 }
                 if (!curNull) {
                   acc = if (n == 0L) cur else combineDec(rl.kind, acc, cur)
@@ -2254,24 +2310,30 @@ case class DistributedWindowExec(windowExprs: Seq[NamedExpression],
                 var accl = 0L
                 var accd = 0d
                 var n = 0L
-                val kk = rl.k
-                val avail = math.min(tailCnt(ti), kk.toLong).toInt
-                var j = 0
-                while (j < avail) {
-                  val s2 = ((tailCnt(ti) - avail + j) % kk).toInt
-                  if (!tailRingN(ti)(s2)) {
-                    val (vl2, vd2) =
-                      if (rl.kind == CountK) (0L, 0d)
-                      else (tailRingL(ti)(s2), tailRingD(ti)(s2))
-                    if (n == 0L) { accl = vl2; accd = vd2 }
-                    else {
-                      val (ml, md) =
-                        combine(rl.kind, accl, accd, vl2, vd2, rl.isDouble)
-                      accl = ml; accd = md
+                if (rollRetract(ti)) {
+                  // count / legacy long sum: exact running ring aggregate
+                  accl = ringAggL(ti)
+                  n = ringAggNN(ti)
+                } else {
+                  val kk = rl.k
+                  val avail = math.min(tailCnt(ti), kk.toLong).toInt
+                  var j = 0
+                  while (j < avail) {
+                    val s2 = ((tailCnt(ti) - avail + j) % kk).toInt
+                    if (!tailRingN(ti)(s2)) {
+                      val (vl2, vd2) =
+                        if (rl.kind == CountK) (0L, 0d)
+                        else (tailRingL(ti)(s2), tailRingD(ti)(s2))
+                      if (n == 0L) { accl = vl2; accd = vd2 }
+                      else {
+                        val (ml, md) =
+                          combine(rl.kind, accl, accd, vl2, vd2, rl.isDouble)
+                        accl = ml; accd = md
+                      }
+                      n += 1
                     }
-                    n += 1
+                    j += 1
                   }
-                  j += 1
                 }
                 if (!curNull) {
                   val (cvL, cvD) =

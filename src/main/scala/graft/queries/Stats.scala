@@ -1043,6 +1043,15 @@ object Stats {
       $"l_returnflag".as("flag"),
       (OP.dec2($"l_extendedprice") * 100).cast("long").as("cents"),
       OP.dec2($"l_quantity").cast("long").as("qty"))
+    // NOTE (r14 optimization round): a distinct-value-grain pre-aggregate
+    // (the qMad trick — sum qty per (flag, cents), prefix over the grain
+    // table) was tried and REVERTED: lineitem cents are 99% unique at
+    // bench scale (594,330 grains / 600,000 rows at sf0.1), so the extra
+    // exchange bought nothing and measured 1.75 s → 2.90 s. The banded
+    // prefix below is already the scale-safe shape (no unpartitioned
+    // window, no per-group map state); the grain pre-aggregate only wins
+    // once rows ≫ the ~10⁷-value cents domain, where the banded shape
+    // remains linear anyway.
     val totals = li.groupBy($"flag").agg(sum($"qty").as("w_total"))
     // grouped banded running weight — ONE implementation of the
     // decomposition (review finding: this previously hand-rolled a third

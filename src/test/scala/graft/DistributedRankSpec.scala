@@ -1346,6 +1346,33 @@ class DistributedRankSpec extends AnyFunSuite {
     }, input = Some(decimalFixture(3000)))
   }
 
+  test("retracting rolling frames (r14 optimization): null runs longer " +
+       "than the frame drain the ring aggregate to empty and refill; " +
+       "legacy long rolling sum wraps exactly like WindowExec") {
+    import spark.implicits._
+    // null runs of length 9 > k = 4 force the running ring aggregate
+    // through the NN == 0 / acc == null state repeatedly — the retract
+    // path's only nontrivial transition; huge alternating-sign longs
+    // overflow the legacy wrap sum mid-stream, pinning mod-2⁶⁴ parity
+    val df = spark.range(3000).select(
+      $"id",
+      when(($"id" % 16) < 9, lit(null))
+        .otherwise(((abs(hash(concat(lit("r"), $"id"))) % 100000)
+          .cast("double") / 100).cast("decimal(12,2)")).as("dv"),
+      when($"id" % 13 === 0, lit(null))
+        .otherwise(when($"id" % 2 === 0, lit(Long.MaxValue / 2))
+          .otherwise(lit(Long.MinValue / 3)) + ($"id" % 7)).as("lv"),
+      (abs(hash(concat(lit("f"), $"id"))) % 2).cast("long").as("flag"))
+    markerVsPlain((d, nm) => {
+      val w = Window.partitionBy(col("flag")).orderBy(col("id"))
+        .rowsBetween(-4, Window.currentRow)
+      d.withColumn(nm("ds"), sum(col("dv")).over(w))
+        .withColumn(nm("da"), avg(col("dv")).over(w))
+        .withColumn(nm("dc"), count(col("dv")).over(w))
+        .withColumn(nm("ls"), sum(col("lv")).over(w))
+    }, input = Some(df))
+  }
+
   test("decimal rolling and whole-group frames equal WindowExec") {
     markerVsPlain((df, nm) => {
       val w = Window.partitionBy(col("flag")).orderBy(col("dv"), col("id"))
