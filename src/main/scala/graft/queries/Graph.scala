@@ -1058,19 +1058,17 @@ object Graph {
       .withColumn("prev", lag($"l_partkey", 1).over(w))
       .filter($"prev".isNotNull && $"prev" =!= $"l_partkey")
       .select($"prev".cast("long").as("src"), $"l_partkey".cast("long").as("dst"))
-      .distinct().persist()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
-    val linked = edges.join(deg, "src").persist()
+      .distinct()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val linked = edges.join(deg, "src")
     val seeds = deg.orderBy($"outdeg".desc, $"src").limit(NSeeds)
       .select($"src".as("node")).withColumn("is_seed", lit(true))
     val nodes = Tables.part(s, dir).select($"p_partkey".cast("long").as("node"))
       .join(broadcast(seeds), Seq("node"), "left")
       .select($"node", coalesce($"is_seed", lit(false)).as("is_seed"))
-      .persist()
     val seedBase = (Scale / 100) * (100 - Damp) / NSeeds
     var ranks = nodes.select($"node",
       when($"is_seed", lit(Scale / NSeeds)).otherwise(lit(0L)).as("rank"))
-    var prevIter: Option[DataFrame] = None
     for (_ <- 1 to Iters) {
       val contrib = linked
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -1081,17 +1079,11 @@ object Graph {
         .select($"node",
           (when($"is_seed", lit(seedBase)).otherwise(lit(0L))
             + expr(s"($Damp * coalesce(contrib, 0L)) div 100")).as("rank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranks.count() // materialize before releasing the previous iteration
-      prevIter.foreach(_.unpersist(blocking = false))
-      prevIter = Some(ranks)
     }
-    val out = ranks.filter($"rank" > 0L)
+    ranks.filter($"rank" > 0L)
       .orderBy($"rank".desc, $"node")
       .limit(20)
       .select($"node".as("p_partkey"), $"rank")
-    Seq(edges, deg, linked, nodes).foreach(_.unpersist())
-    out
   }
 
   // --------------------------------------------------------------- q_kcore
