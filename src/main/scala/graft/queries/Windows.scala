@@ -686,12 +686,17 @@ object Windows {
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
         ($"price" * 100).cast("long").as("price_cents"),
         ($"qty" * 100).cast("long").as("qty_cents"),
-        round(col(s"${m}_cr"), 4).as("corr_run"),
-        round(ratio(col(s"${m}_cs"), col(s"${m}_nr"),
-          col(s"${m}_sxr"), col(s"${m}_syr")), 4).as("cs_run_ratio"),
-        round(ratio(col(s"${m}_cp"), col(s"${m}_nl"),
-          col(s"${m}_sxl"), col(s"${m}_syl")), 4).as("cp_roll_ratio"),
-        round(col(s"${m}_gc"), 4).as("corr_grp"))
+        // `+ 0d` normalizes −0.0 → +0.0 (the q_fact_skew_dist pattern):
+        // a 2-row frame with equal qty has true co-moment 0 whose double
+        // replay is a tiny negative; Spark's round() drops the sign but
+        // DuckDB's keeps it, and the driver hashes "-0.0" ≠ "0.0" — the
+        // exact r14 driver-red class (315 cells at sf0.01, all sign-of-zero)
+        (round(col(s"${m}_cr"), 4) + lit(0d)).as("corr_run"),
+        (round(ratio(col(s"${m}_cs"), col(s"${m}_nr"),
+          col(s"${m}_sxr"), col(s"${m}_syr")), 4) + lit(0d)).as("cs_run_ratio"),
+        (round(ratio(col(s"${m}_cp"), col(s"${m}_nl"),
+          col(s"${m}_sxl"), col(s"${m}_syl")), 4) + lit(0d)).as("cp_roll_ratio"),
+        (round(col(s"${m}_gc"), 4) + lit(0d)).as("corr_grp"))
       // original-column ORDER BY — sort elision, see qFactRegrDist
       .orderBy($"l_returnflag", $"l_orderkey", $"l_linenumber",
         $"price", $"qty")
@@ -703,18 +708,18 @@ object Windows {
       |       ELSE round((sxy_run - sx_run * sy_run / n_run)
       |                  / sqrt(greatest(0, sxx_run - sx_run * sx_run / n_run)
       |                         * greatest(0, syy_run - sy_run * sy_run / n_run)),
-      |                  4) END AS corr_run,
+      |                  4) + 0 END AS corr_run,
       |  CASE WHEN n_run = 1 THEN NULL
       |       ELSE round((sxy_run - sx_run * sy_run / n_run) / (n_run - 1)
-      |                  * n_run * n_run / (sx_run * sy_run), 4)
+      |                  * n_run * n_run / (sx_run * sy_run), 4) + 0
       |       END AS cs_run_ratio,
       |  round((sxy_roll - sx_roll * sy_roll / n_roll) / n_roll
-      |        * n_roll * n_roll / (sx_roll * sy_roll), 4) AS cp_roll_ratio,
+      |        * n_roll * n_roll / (sx_roll * sy_roll), 4) + 0 AS cp_roll_ratio,
       |  CASE WHEN n_grp = 1 THEN NULL
       |       ELSE round((sxy_grp - sx_grp * sy_grp / n_grp)
       |                  / sqrt(greatest(0, sxx_grp - sx_grp * sx_grp / n_grp)
       |                         * greatest(0, syy_grp - sy_grp * sy_grp / n_grp)),
-      |                  4) END AS corr_grp
+      |                  4) + 0 END AS corr_grp
       |FROM (
       |  SELECT l_orderkey, l_linenumber, l_returnflag,
       |    CAST(price * 100 AS BIGINT) AS price_cents,
@@ -801,18 +806,20 @@ object Windows {
       .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
         ($"price" * 100).cast("long").as("price_cents"),
         ($"qty" * 100).cast("long").as("qty_cents"),
-        round(col(s"${m}_sl"), 4).as("slope_run"),
-        round(col(s"${m}_ic"), 4).as("icept_run"),
-        round(col(s"${m}_r2"), 4).as("r2_roll"),
-        round(col(s"${m}_sxy") * col(s"${m}_nl").cast("double") /
+        // `+ 0d` −0.0-normalization on every rounded double — see
+        // qFactCorrDist (the r14 driver-red sign-of-zero class)
+        (round(col(s"${m}_sl"), 4) + lit(0d)).as("slope_run"),
+        (round(col(s"${m}_ic"), 4) + lit(0d)).as("icept_run"),
+        (round(col(s"${m}_r2"), 4) + lit(0d)).as("r2_roll"),
+        (round(col(s"${m}_sxy") * col(s"${m}_nl").cast("double") /
           (col(s"${m}_sxl").cast("double") *
-            col(s"${m}_syl").cast("double")), 4).as("sxy_roll_ratio"),
-        round(col(s"${m}_sxx") * col(s"${m}_nr").cast("double") /
+            col(s"${m}_syl").cast("double")), 4) + lit(0d)).as("sxy_roll_ratio"),
+        (round(col(s"${m}_sxx") * col(s"${m}_nr").cast("double") /
           (col(s"${m}_sxr").cast("double") *
-            col(s"${m}_sxr").cast("double")), 4).as("sxx_run_ratio"),
-        round(col(s"${m}_syy") * col(s"${m}_ng").cast("double") /
+            col(s"${m}_sxr").cast("double")), 4) + lit(0d)).as("sxx_run_ratio"),
+        (round(col(s"${m}_syy") * col(s"${m}_ng").cast("double") /
           (col(s"${m}_syg").cast("double") *
-            col(s"${m}_syg").cast("double")), 4).as("syy_grp_ratio"),
+            col(s"${m}_syg").cast("double")), 4) + lit(0d)).as("syy_grp_ratio"),
         col(s"${m}_rc").as("rc_run"))
       // ORDER BY the original (price, qty) — monotone bijections of the
       // presented (price_cents, qty_cents), so the SAME total order — lets
@@ -829,19 +836,19 @@ object Windows {
     """SELECT l_orderkey, l_linenumber, l_returnflag, price_cents,
       |  qty_cents,
       |  CASE WHEN m2x_run = 0 THEN NULL
-      |       ELSE round(m11_run / m2x_run, 4) END AS slope_run,
+      |       ELSE round(m11_run / m2x_run, 4) + 0 END AS slope_run,
       |  CASE WHEN m2x_run = 0 THEN NULL
       |       ELSE round(sy_run / n_run
-      |                  - m11_run / m2x_run * (sx_run / n_run), 4)
+      |                  - m11_run / m2x_run * (sx_run / n_run), 4) + 0
       |       END AS icept_run,
       |  round(CASE WHEN m2x_roll = 0 THEN NULL
       |             WHEN m2y_roll = 0 THEN 1.0
       |             ELSE m11_roll * m11_roll / (m2x_roll * m2y_roll)
-      |        END, 4) AS r2_roll,
-      |  round(m11_roll * n_roll / (sx_roll * sy_roll), 4)
+      |        END, 4) + 0 AS r2_roll,
+      |  round(m11_roll * n_roll / (sx_roll * sy_roll), 4) + 0
       |    AS sxy_roll_ratio,
-      |  round(m2x_run * n_run / (sx_run * sx_run), 4) AS sxx_run_ratio,
-      |  round(m2y_grp * n_grp / (sy_grp * sy_grp), 4) AS syy_grp_ratio,
+      |  round(m2x_run * n_run / (sx_run * sx_run), 4) + 0 AS sxx_run_ratio,
+      |  round(m2y_grp * n_grp / (sy_grp * sy_grp), 4) + 0 AS syy_grp_ratio,
       |  CAST(n_run AS BIGINT) AS rc_run
       |FROM (
       |  SELECT *,

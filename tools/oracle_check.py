@@ -109,6 +109,17 @@ def compare(got, want):
     for c in gc:
         a, b = got[c], want[c]
         neq = ~((a == b) | (a.isna() & b.isna()))
+        # pandas `==` says -0.0 == 0.0, but the driver hashes the
+        # rendered strings and "-0.0" != "0.0" — the exact class that
+        # shipped r14's two driver-red queries past this local gate
+        # (q_fact_corr_dist / q_fact_regr_dist: every bad cell was a
+        # sign-of-zero mismatch). Compare zero signs explicitly.
+        if a.dtype.kind == "f" and b.dtype.kind == "f":
+            import numpy as np
+            sign_a = np.signbit(a.to_numpy())
+            sign_b = np.signbit(b.to_numpy())
+            zero = (a == 0) & (b == 0)
+            neq = neq | (zero & (sign_a != sign_b))
         if neq.any():
             i = int(neq.idxmax())
             return False, (f"col {c} differs at row {i}: "
