@@ -67,30 +67,27 @@ object Graph {
       .withColumn("prev", lag($"l_partkey", 1).over(w))
       .filter($"prev".isNotNull && $"prev" =!= $"l_partkey")
       .select($"prev".cast("long").as("src"), $"l_partkey".cast("long").as("dst"))
-      .distinct().persist()
+      .distinct()
     // (src, dst, outdeg) built once — the per-iteration join only touches
     // ranks, which stays dim-sized and broadcastable
     val linked = edges
       .join(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
-      .persist()
     val nodes = Tables.part(s, dir).select($"p_partkey".cast("long").as("node"))
-      .persist()
     val n = nodes.count() // dim-sized scalar (the N in (1-d)/N)
     val base = (Scale / 100) * (100 - Damp) / n
 
-    // Iteration machinery: persist + count + unpersist-previous, with the
-    // FULL lineage kept. localCheckpoint was the previous shape here and is
-    // the wrong tool for a correctness-gated result: its blocks are
-    // non-replicated and the lineage is truncated, so an executor- or
-    // driver-side block eviction under memory pressure (e.g. a long session
-    // running the whole registry) turns into recompute-impossible — lost or
-    // wrong rows. With persist the materialized blocks are a cache, not the
-    // source of truth: eviction falls back to recomputing through lineage,
-    // which at 5 iterations is a bounded, exactly-replayable integer plan.
-    // The count() forces materialization so unpersisting iteration k-1
-    // never strands iteration k's input mid-build.
+    // Iteration machinery (r15, the q_ppr treatment): NO per-iteration
+    // persist+count. Each rank vector feeds exactly one consumer (the next
+    // iteration's contrib join), so the loop is a pure shuffle chain — one
+    // action at the end executes it as one DAG, and ReuseExchange dedupes
+    // the repeated edges/linked/nodes subtrees (each ends in an Exchange
+    // with an identical canonical form). The previous shape ran a blocking
+    // count() job per iteration: 5 serial driver jobs whose scheduling
+    // latency dominated at bench scale (q_ppr dropped the same pattern for
+    // 1.34× on the driver box, r14). Lineage stays the source of truth —
+    // strictly safer than both persist (eviction refetch) and
+    // localCheckpoint (truncated-lineage block loss, the round-5 hazard).
     var ranks = nodes.withColumn("rank", lit(Scale / n))
-    var prevIter: Option[DataFrame] = None
     for (_ <- 1 to Iters) {
       val contrib = linked
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -100,12 +97,7 @@ object Graph {
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select($"node",
           (lit(base) + expr(s"($Damp * coalesce(contrib, 0L)) div 100")).as("rank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranks.count() // materialize k before releasing k-1's cache
-      prevIter.foreach(_.unpersist(blocking = false))
-      prevIter = Some(ranks)
     }
-    Seq(edges, linked, nodes).foreach(_.unpersist())
     ranks
   }
 
@@ -121,10 +113,11 @@ object Graph {
     * aggregation an exact integer sum, bit-replayed by the oracle's
     * unrolled CTEs.
     *
-    * Scale shape: identical to pagerank — edges build once and persist;
-    * each half-step is a keyed edges⋈scores join + one aggregation
-    * (shuffle on node id) + a 1-row max broadcast back. The score table
-    * stays dim-sized; same persist+count+unpersist lineage discipline. */
+    * Scale shape: identical to pagerank — edges build once (ReuseExchange
+    * dedupes the repeated references); each half-step is a keyed
+    * edges⋈scores join + one aggregation (shuffle on node id) + a 1-row
+    * max broadcast back. The score table stays dim-sized; same lazy
+    * single-DAG loop discipline as [[qPagerank]] (r15). */
   def qHits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"l_orderkey")
@@ -135,7 +128,7 @@ object Graph {
       .filter($"prev".isNotNull && $"prev" =!= $"l_partkey")
       .select($"prev".cast("long").as("src"),
         $"l_partkey".cast("long").as("dst"))
-      .distinct().persist()
+      .distinct()
     val nodes = Tables.part(s, dir)
       .select($"p_partkey".cast("long").as("node"))
     val norm = s"cast((cast(coalesce(raw, 0L) as decimal(38,0)) * $Scale)" +
@@ -152,35 +145,35 @@ object Graph {
     //    lossless; the full universe is restored by ONE left join after
     //    the loop so sparse corpora (<20 nonzero-auth nodes) still fill
     //    the oracle's trailing zero-auth top-20 slots.
+    // r15 (the q_ppr treatment, linearized): NO per-iteration
+    // persist+count, and the loop carries ONLY the hub vector — the
+    // per-round full_outer auth⊕hub recombine existed solely so `cur`
+    // could hold both scores, but the loop probes cur.hub alone, and a
+    // node with hub 0 contributes nothing a missing node wouldn't (sum of
+    // zeros; the max-normalizer and the norm division are unchanged by
+    // raw=0 rows). So each half-step's output feeds exactly ONE consumer
+    // (the next half-step) — a pure linear chain, one DAG at the action,
+    // no plan doubling. Only the LAST round's auth is consumed twice
+    // (final recombine) — one bounded doubling at the top of the plan.
     val wAll = Window.partitionBy()
-    var cur = nodes.withColumn("hub", lit(Scale))
-    var prevAuth: Option[DataFrame] = None
-    var prevIter: Option[DataFrame] = None
+    var hub = nodes.withColumn("hub", lit(Scale))
+    var lastAuth: DataFrame = null
     for (_ <- 1 to 3) {
       val auth = edges
-        .join(broadcast(cur.select($"node".as("src"), $"hub".as("h"))), "src")
+        .join(broadcast(hub.select($"node".as("src"), $"hub".as("h"))), "src")
         .groupBy($"dst".as("node")).agg(sum($"h").as("raw"))
         .withColumn("mx", max($"raw").over(wAll))
         .select($"node", expr(norm).as("auth"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hubN = edges
+      hub = edges
         .join(broadcast(auth.select($"node".as("dst"), $"auth".as("a"))), "dst")
         .groupBy($"src".as("node")).agg(sum($"a").as("raw"))
         .withColumn("mx", max($"raw").over(wAll))
         .select($"node", expr(norm).as("hub"))
-      val next = auth.join(hubN, Seq("node"), "full_outer")
-        .select($"node", coalesce($"auth", lit(0L)).as("auth"),
-          coalesce($"hub", lit(0L)).as("hub"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the previous iteration
-      prevAuth.foreach(_.unpersist(blocking = false))
-      prevAuth = Some(auth)
-      prevIter.foreach(_.unpersist(blocking = false))
-      prevIter = Some(next)
-      cur = next
+      lastAuth = auth
     }
-    edges.unpersist()
-    prevAuth.foreach(_.unpersist(blocking = false))
+    val cur = lastAuth.join(hub, Seq("node"), "full_outer")
+      .select($"node", coalesce($"auth", lit(0L)).as("auth"),
+        coalesce($"hub", lit(0L)).as("hub"))
     // Re-join the full node universe ONCE, outside the loop: the oracle
     // ranks ALL part nodes (zero-auth included), so if fewer than 20
     // nodes have nonzero auth the trailing top-20 slots must be the
@@ -354,7 +347,7 @@ object Graph {
   // --------------------------------------------------------- q_bfs_levels
   /** BFS distance labels from the smallest connected node, 4 rounds of
     * min-distance propagation over the symmetrized co-order graph — the
-    * same loop-with-lineage-truncation shape as PageRank: each round is one
+    * loop-with-lineage-truncation shape: each round is one
     * keyed join + one min-aggregation, localCheckpoint cuts the plan.
     * Unreached nodes (incl. parts in no order) report dist = -1. At scale
     * the refinement is frontier-delta propagation (join only nodes whose
@@ -372,10 +365,14 @@ object Graph {
       // the only per-iteration shuffle is the min-aggregation on node id.
       // localCheckpoint (MEMORY_AND_DISK) keeps the plan O(1) per round —
       // dist feeds BOTH union branches, so persist-with-lineage would
-      // double the plan every round. Checkpoint blocks are NOT released
-      // mid-query: manual block eviction on truncated lineage is the
-      // lost-data hazard class (round-5 verdict); ContextCleaner reclaims
-      // them once the loop's references are dropped.
+      // double the plan every round. (r15: the lazy single-DAG form was
+      // tried and MEASURED SLOWER here — 3.08 → 4.50 s at sf0.1 — the
+      // doubled-plan growth costs more than the per-round job; unlike
+      // pagerank/hits/label_prop this iterate has no single-consumer
+      // form, so the round-14 shape stays.) Checkpoint blocks are NOT
+      // released mid-query: manual block eviction on truncated lineage is
+      // the lost-data hazard class (round-5 verdict); ContextCleaner
+      // reclaims them once the loop's references are dropped.
       val reached = adj.join(broadcast(dist.withColumnRenamed("node", "u")), "u")
         .select($"v".as("node"), ($"dist" + 1).as("dist"))
       dist = dist.union(reached)
@@ -971,43 +968,43 @@ object Graph {
     * Scale shape: the edge list is the stored coorder_edges asset; each
     * round is one keyed adjacency⋈labels join, one (node, label) count
     * aggregate, and one rank window over that aggregate — the window is
-    * per-node over ≤ degree rows, never over raw data. Same persist+count+
-    * unpersist lineage discipline as [[qPagerank]]. The reference kin is
+    * per-node over ≤ degree rows, never over raw data. Same lazy
+    * single-DAG loop discipline as [[qPagerank]] (r15). The reference kin is
     * the department/process grouping its KPI views hand-maintain
     * (/root/reference/04_KPI/KPIs.sql); here the segments fall out of the
     * data. */
   def qLabelProp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = coOrderEdges(s, dir)
+    // adj is a union of two projections over the stored coorder_edges
+    // parquet asset — each reference is a cheap dim-bounded scan, so no
+    // persist (r15: the lazy single-DAG loop, see qPagerank)
     val adj = e.select($"u".as("x"), $"v".as("nbr"))
       .unionByName(e.select($"v".as("x"), $"u".as("nbr")))
-      .persist()
     var labels = adj.select($"x".as("node")).distinct()
       .withColumn("label", $"node")
-    var prevIter: Option[DataFrame] = None
+    // r15: NO per-round persist+count (3 blocking driver jobs dropped),
+    // and the old left-join-back-to-labels is gone too: every labeled
+    // node has ≥ 1 neighbor by construction (labels₀ = distinct x of the
+    // SYMMETRIZED adj, so each node appears with a labeled nbr), hence
+    // `picked` emits exactly one row per node and coalesce(new, old) is
+    // always `new`. That makes each round's output feed exactly ONE
+    // consumer (the next round's probe) — a pure linear chain executed
+    // as one DAG at the action, no plan doubling.
     for (_ <- 1 to 3) {
       val counts = adj
         .join(labels.select($"node".as("nbr"), $"label"), "nbr")
         .groupBy($"x", $"label").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy($"x").orderBy($"c".desc, $"label")
-      val picked = counts
+      labels = counts
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
-        .select($"x".as("node"), $"label".as("new_label"))
-      labels = labels
-        .join(picked, Seq("node"), "left")
-        .select($"node", coalesce($"new_label", $"label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      labels.count() // materialize before releasing the previous round
-      prevIter.foreach(_.unpersist(blocking = false))
-      prevIter = Some(labels)
+        .select($"x".as("node"), $"label")
     }
-    val out = labels.groupBy($"label").agg(count(lit(1)).as("n_nodes"))
+    labels.groupBy($"label").agg(count(lit(1)).as("n_nodes"))
       .select($"label".as("community_rep"), $"n_nodes")
       .orderBy($"n_nodes".desc, $"community_rep")
       .limit(20)
-    adj.unpersist()
-    out
   }
 
   private val qLabelPropSql = {
@@ -1098,30 +1095,52 @@ object Graph {
     * ([[CorenessRounds]] fixed rounds in both engines; parity does not
     * depend on convergence — both stop at the same round, and
     * Round9OpsSpec checks the estimate has converged at sf0.001), then
-    * each k's report is two broadcast-shaped semi-joins against the
-    * label table plus one aggregate over the surviving edge set. The
+    * ONE pass attaches both endpoint estimates to each edge and a single
+    * exploded aggregate reports every k-level (r15 — previously three
+    * semi-join branches re-referenced the label table six times). The
     * edge list is the build-once `coorder_edges` IndexStore asset,
     * dim-bounded (parts), so nothing here touches fact volume. */
   def qKcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges0 = coOrderEdges(s, dir)
     val core = corenessLabels(s, edges0)
-    val perK = Seq(2, 3, 4).map { k =>
-      val keep = core.filter($"est" >= k).select($"node")
-      val ek = edges0
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-      ek.select($"u".as("node")).unionAll(ek.select($"v".as("node")))
-        .agg(lit(k).as("k"), countDistinct($"node").as("n_nodes"),
-          count(lit(1)).as("deg_sum"))
-        .select($"k", $"n_nodes", ($"deg_sum" / 2).cast("long").as("n_edges"))
-    }
-    val out = perK.reduce(_ unionAll _).orderBy($"k")
-    // materialize before releasing the cached label table (an input to
-    // out's plan)
-    val rows = out.collect()
-    core.unpersist()
-    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+    // r15: ONE pass over the edge set for all three k-levels instead of
+    // three (2 semi-joins + 1 aggregate) branches that referenced the
+    // lazy coreness plan six times (the r14 shape's collect()+parallelize
+    // materialization existed to amortize exactly that). An edge survives
+    // level k iff m = min(est_u, est_v) ≥ k, and a node is in level k's
+    // report iff its MAX incident m ≥ k — so attach both endpoint
+    // estimates (broadcast: the label table is dim-bounded, the same size
+    // class the r14 semi-joins auto-broadcast), then one per-node max
+    // plus two global conditional-sum aggregates produce all six counts;
+    // stack() pivots the single row back to the (k, n_nodes, n_edges)
+    // grain. No explode, no countDistinct, two exchanges total after the
+    // coreness chain.
+    val edgeM = edges0
+      .join(broadcast(core.select($"node".as("u"), $"est".as("eu"))), Seq("u"))
+      .join(broadcast(core.select($"node".as("v"), $"est".as("ev"))), Seq("v"))
+      .select($"u", $"v", least($"eu", $"ev").as("m"))
+    def cnt(c: org.apache.spark.sql.Column, k: Int) =
+      sum(when(c >= k, 1L).otherwise(0L))
+    // Single reference to edgeM (a multi-referenced subtree would embed
+    // the coreness chain once per reference and explode planning/codegen):
+    // explode both endpoints, count each node's incident surviving edges
+    // per level, then one global aggregate — n_k = nodes with ≥1 incident
+    // level-k edge, e_k = half the incident-edge sum (each edge counted
+    // once per endpoint).
+    val byNode = edgeM
+      .select(explode(array($"u", $"v")).as("node"), $"m")
+      .groupBy($"node")
+      .agg(cnt($"m", 2).as("d2"), cnt($"m", 3).as("d3"), cnt($"m", 4).as("d4"))
+    byNode
+      .agg(cnt($"d2", 1).as("n2"), expr("sum(d2) div 2").as("e2"),
+        cnt($"d3", 1).as("n3"), expr("sum(d3) div 2").as("e3"),
+        cnt($"d4", 1).as("n4"), expr("sum(d4) div 2").as("e4"))
+      .selectExpr(
+        "stack(3, 2, n2, e2, 3, n3, e3, 4, n4, e4) AS (k, n_nodes, n_edges)")
+      .select($"k", coalesce($"n_nodes", lit(0L)).as("n_nodes"),
+        coalesce($"n_edges", lit(0L)).as("n_edges"))
+      .orderBy($"k")
   }
 
   /** Bounded-round distributed coreness, CLAMPED at [[CorenessCap]]:
@@ -1154,15 +1173,24 @@ object Graph {
     * same linear-lineage discipline as the pagerank family (a kept
     * Catalyst tree would nest one subtree per round). */
   private[graft] def corenessLabels(s: SparkSession, edges0: DataFrame,
-                                    rounds: Int = CorenessRounds): DataFrame =
-    withFewShuffles(s) {
+                                    rounds: Int = CorenessRounds): DataFrame = {
       import s.implicits._
+      // adj is two projections over the stored edge asset — cheap to
+      // re-scan, so no persist (r15: lazy single-DAG loop, see qPagerank)
       val adj = edges0.select($"u".as("node"), $"v".as("nbr"))
         .unionAll(edges0.select($"v".as("node"), $"u".as("nbr")))
-        .persist()
       var est = adj.groupBy($"node")
         .agg(least(count(lit(1)), lit(CorenessCap.toLong)).as("est"))
-      var prev: Option[DataFrame] = None
+      // r15: the previous shape materialized every round through an RDD
+      // round-trip (createDataFrame(hIdx.rdd) — a full serialization
+      // barrier that also killed whole-stage codegen at the seam) plus
+      // persist+count: `rounds` blocking driver jobs. `est` feeds exactly
+      // one consumer per round, so the loop is a pure shuffle chain — one
+      // terminal action executes it as a single DAG; the per-round
+      // adj⋈est exchange over adj is canonically identical each round and
+      // ReuseExchange executes it once. Callers referencing the result
+      // several times (qKcore's three k-levels) all read the final
+      // round's reused aggregate exchange.
       for (_ <- 1 to rounds) {
         val nbrEst = adj
           .join(est.withColumnRenamed("node", "nbr"), Seq("nbr"))
@@ -1171,17 +1199,11 @@ object Graph {
           sum(when($"est" >= h, 1L).otherwise(0L)).as(s"n$h"))
         val counted = nbrEst.groupBy($"node")
           .agg(countCols.head, countCols.tail: _*)
-        val hIdx = counted.select($"node",
+        est = counted.select($"node",
           (CorenessCap to 2 by -1).foldRight(lit(1L)) { (h, lower) =>
             when(col(s"n$h") >= h, h.toLong).otherwise(lower)
           }.as("est"))
-        val next = s.createDataFrame(hIdx.rdd, hIdx.schema).persist()
-        next.count() // materialize so the previous round can be released
-        prev.foreach(_.unpersist())
-        prev = Some(next)
-        est = next
       }
-      adj.unpersist()
       est
     }
 

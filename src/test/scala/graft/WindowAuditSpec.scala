@@ -93,7 +93,13 @@ class WindowAuditSpec extends AnyFunSuite {
     "q_powerlaw"         -> "vocab-bounded rank",
     // documented diagnostics/demos with dim-sized contracts
     "q_skyline"        -> "dim-sized diagnostic (q_skyline_fact = scale path)",
-    "q_window_rownum"  -> "SURVEY §2 W1 surrogate-id demo, dim-sized input")
+    "q_window_rownum"  -> "SURVEY §2 W1 surrogate-id demo, dim-sized input",
+    // r15: the lazy single-DAG loop exposes every round's 1-row
+    // max-normalizer window in the final plan (the old per-round persists
+    // hid all but the last behind InMemoryRelations — the windows
+    // themselves are unchanged since r12): each sits directly above a
+    // groupBy(node) aggregate, so its input is O(nodes), dim-bounded
+    "q_hits"           -> "O(nodes) per-round max-normalizer over the score aggregate (6 rounds visible in the lazy plan)")
 
   /** The queries whose banded rewrite this spec structurally pins. */
   private val bandedFamily = Set(
