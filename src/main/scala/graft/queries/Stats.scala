@@ -945,9 +945,11 @@ object Stats {
     * and both engines agree bit-for-bit with no rounding leap of faith —
     * deviations are computed against med2 = 2·median as pure integers.
     *
-    * Scale shape: two aggregation passes over the fact with the O(groups)
-    * median table broadcast back between them (the q_outliers join-back
-    * shape); percentile state is per-group, no window over fact rows. */
+    * Scale shape (r15): ONE aggregation pass over the fact to the distinct
+    * value grain; both medians (value and deviation) derive from that
+    * grain — the deviation grain is an O(distinct) fold of the value
+    * grain, not a second fact scan. Percentile state is per-group, no
+    * window over fact rows. */
   def qMad(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select(
@@ -964,9 +966,13 @@ object Stats {
     // r1=r2 ⇒ 2·v[mid]; n even ⇒ the midpoint interpolation, doubled) —
     // pure integer identity, oracle-gated bit-for-bit. Same trick for the
     // deviation pass.
-    def med2Of(vals: DataFrame, vCol: String): DataFrame = {
+    // med2OfGrain consumes a PRE-AGGREGATED (flag, value, count) grain, so
+    // the expensive fact-level aggregation happens exactly once (r15 — the
+    // r14 shape aggregated the fact twice: once per med2Of call, and the
+    // second pass also re-scanned + broadcast-joined the whole fact).
+    def med2OfGrain(grain: DataFrame, vCol: String): DataFrame = {
       val w = Window.partitionBy(col("flag")).orderBy(col(vCol))
-      vals.groupBy($"flag", col(vCol)).agg(count(lit(1)).as("c"))
+      grain
         .withColumn("hi", sum($"c").over(w))
         .withColumn("lo", $"hi" - $"c")
         .withColumn("n", max($"hi").over(Window.partitionBy($"flag")))
@@ -978,10 +984,20 @@ object Stats {
             + sum(when($"lo" <= $"r2" && $"r2" < $"hi", col(vCol))
               .otherwise(0L))).as("m2"))
     }
-    val med = med2Of(li, "cents").select($"flag", $"m2".as("med2"))
-    val dev = li.join(broadcast(med), "flag")
+    // ONE fact pass: the distinct-value grain (map-side combinable longs).
+    val grain = li.groupBy($"flag", $"cents").agg(count(lit(1)).as("c"))
+    val med = med2OfGrain(grain, "cents").select($"flag", $"m2".as("med2"))
+    // The deviation pass's grain is a FUNCTION of the cents grain:
+    // dev2 = |2·cents − med2| maps each (flag, cents, c) row to a
+    // (flag, dev2) cell whose count is the sum of the (≤ 2, symmetric
+    // around the median) cents values that fold onto it — so it derives
+    // from `grain` (both references share one exchange via ReuseExchange)
+    // with NO second fact scan, broadcast-join over the fact, or second
+    // fact-level aggregate. Pure integer identity; oracle unchanged.
+    val devGrain = grain.join(broadcast(med), "flag")
       .withColumn("dev2", abs($"cents" * 2 - $"med2"))
-    med2Of(dev.select($"flag", $"dev2"), "dev2")
+      .groupBy($"flag", $"dev2").agg(sum($"c").as("c"))
+    med2OfGrain(devGrain, "dev2")
       .join(broadcast(med), "flag")
       .select($"flag", $"n",
         round($"med2".cast("double") / 200.0d, 4).as("median"),
