@@ -1460,4 +1460,72 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(DistributedRankDiagnostics.declined.isEmpty,
       "no flag, no marker -> no diagnostic noise")
   }
+
+  test("emit-order contract (r15, the sort-elision guarantee): " +
+       "DistributedWindowExec and GlobalRankExec output their child's " +
+       "rows in EXACTLY child order, partition for partition") {
+    // `outputOrdering = child.outputOrdering` — and with it every elided
+    // terminal presentation sort in the *_dist window family — is sound
+    // only if pass 2 is a strictly order-preserving streaming emit. Pin
+    // that contract machine-checked: any future buffering/reordering in
+    // the emit path fails this test, not the driver's oracle. Frames mix
+    // every two-pass family: running agg, retract-ring rolling frame,
+    // RANGE peer agg, rank, and a decimal running sum.
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(4000).select(
+        $"id",
+        (abs(hash(concat(lit("g"), $"id"))) % 5).cast("long").as("flag"),
+        (abs(hash(concat(lit("v"), $"id"))) % 37).cast("long").as("v"))
+        .withColumn("dw", ($"v".cast("double") / 100).cast("decimal(12,2)"))
+      val w = Window.partitionBy($"flag").orderBy($"v", $"id")
+      val rng = Window.partitionBy($"flag").orderBy($"v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val q = df
+        .withColumn(s"${M}_rs", sum($"v").over(w))
+        .withColumn(s"${M}_rl", sum($"v").over(w.rowsBetween(-4, 0)))
+        .withColumn(s"${M}_rk", rank().over(w))
+        .withColumn(s"${M}_pr", sum($"v").over(rng))
+        .withColumn(s"${M}_ds", sum($"dw").over(w))
+      q.queryExecution.optimizedPlan
+      val plan = q.queryExecution.executedPlan
+      val execs = plan.collect { case e: DistributedWindowExec => e }
+      assert(execs.nonEmpty, s"expected DistributedWindowExec:\n$plan")
+      // key columns sit at the same child-output positions in both RDDs
+      // (the exec appends its window columns after the child's)
+      def keySeq(rdd: org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow],
+          offs: Seq[Int]): Seq[(Int, Seq[Long])] =
+        rdd.mapPartitionsWithIndex({ (i, it) =>
+          it.map(r => (i, offs.map(o => r.getLong(o))))
+        }, preservesPartitioning = true).collect().toSeq
+      execs.foreach { e =>
+        val names = e.child.output.map(_.name)
+        val offs = Seq("flag", "v", "id").map(names.indexOf)
+        assert(offs.forall(_ >= 0), s"fixture columns missing: $names")
+        val childSeq = keySeq(e.child.execute(), offs)
+        val outSeq = keySeq(e.execute(), offs)
+        assert(outSeq == childSeq,
+          "DistributedWindowExec must emit child rows in child order")
+      }
+      // same contract for the global-rank exec
+      val rq = withFlag(true) {
+        val d = naiveRank(fixture(4000))
+        d.queryExecution.optimizedPlan
+        d
+      }
+      val rplan = rq.queryExecution.executedPlan
+      val ranks = rplan.collect { case g: GlobalRankExec => g }
+      assert(ranks.nonEmpty, s"expected GlobalRankExec:\n$rplan")
+      ranks.foreach { g =>
+        val names = g.child.output.map(_.name)
+        val offs = Seq("v", "id").map(names.indexOf)
+        val childSeq = keySeq(g.child.execute(), offs)
+        val outSeq = keySeq(g.execute(), offs)
+        assert(outSeq == childSeq,
+          "GlobalRankExec must emit child rows in child order")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
