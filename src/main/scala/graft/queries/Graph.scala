@@ -995,11 +995,15 @@ object Graph {
       val counts = adj
         .join(labels.select($"node".as("nbr"), $"label"), "nbr")
         .groupBy($"x", $"label").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy($"x").orderBy($"c".desc, $"label")
+      // argmax by (c DESC, label ASC) — the old rank-window pick. The
+      // ordering key (c, −label) is unique per (x, label) row (labels are
+      // distinct within a node's count table), so max_by is the same
+      // deterministic pick with NO per-round sort + single-key window
+      // exchange: a partial-aggregable max instead (r15, guide §2.3
+      // "aggregate before you shuffle").
       labels = counts
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"x".as("node"), $"label")
+        .groupBy($"x".as("node"))
+        .agg(max_by($"label", struct($"c", -$"label")).as("label"))
     }
     labels.groupBy($"label").agg(count(lit(1)).as("n_nodes"))
       .select($"label".as("community_rep"), $"n_nodes")
